@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY.md §2 (catalog plane A,
+  * relational plane B incl. the point-in-time as-of join B17/B18, managed
+  * plane C) plus the training-data-pipeline extensions (dedup, similarity
+  * search, text analysis, multimodal). Every SQL-expressible query has a
+  * DuckDB oracle in `oracleSql`; hash-family ops (MinHash/SimHash/LSH) are
+  * deterministic but engine-specific → rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: end-to-end feature-store dataset generation (catalog
+    * registration + FV resolution + point-in-time join) on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    FeatureStoreQueries.queries("q17_fs_dataset")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ FeatureStoreQueries.queries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracleSql ++ FeatureStoreQueries.oracleSql ++ PipelineQueries.oracleSql
 }

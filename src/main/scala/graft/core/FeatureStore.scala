@@ -1,0 +1,253 @@
+package graft.core
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.MetadataCatalog
+import graft.catalog.MetadataCatalog.FeatureViewRecord
+import graft.model._
+import graft.pit.AsOfJoin
+
+/** Public API of the engine — the Spark-native counterpart of the reference's
+  * dbt materializations + `snowflake-ml-python` FeatureStore surface
+  * (SURVEY.md §2.A9: register/list/get for entities, feature views, datasets,
+  * plus `generate_dataset`).
+  *
+  * Static feature views are *logical*: the query plan is stored in the
+  * catalog and resolved lazily through `spark.sql`, so Catalyst collapses
+  * FV-over-FV chains into one plan (projection collapsing / pushdown — the
+  * reference gets this from Snowflake's view inlining, we get it for free).
+  * Managed feature views are materialized parquet tables refreshed by
+  * [[graft.refresh.RefreshManager]].
+  */
+final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) {
+
+  def init(): FeatureStore = { catalog.init(); this }
+
+  // ---- change-detection outcomes (reference feature_view.sql:101-181) ----
+  sealed trait RegisterOutcome
+  case object Created extends RegisterOutcome
+  case object NoOp extends RegisterOutcome
+  case object ConfigAltered extends RegisterOutcome
+  case object Recreated extends RegisterOutcome
+  case object Skipped extends RegisterOutcome
+
+  // ---- entities ----------------------------------------------------------
+
+  /** Idempotent upsert (reference entity.sql: CREATE TAG IF NOT EXISTS). */
+  def registerEntity(e: Entity): Entity = { catalog.putEntity(e); e.canonical }
+
+  def getEntity(name: String): Entity =
+    catalog.getEntity(name).getOrElse(throw new NoSuchElementException(s"entity not found: $name"))
+
+  def listEntities(): DataFrame = {
+    val rows = catalog.listEntities().map(e => Row(e.name, e.joinKeys.mkString(","), e.description))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("join_keys", StringType, nullable = false),
+        StructField("description", StringType, nullable = true))))
+  }
+
+  // ---- feature views -----------------------------------------------------
+
+  /** Stable hash of the FV query text (whitespace/case-normalized). Any
+    * change ⇒ destructive recreate, mirroring the reference's semantics
+    * (README.md:257-264: any SQL change recreates the dynamic table).
+    */
+  private def planHash(query: String): String = {
+    val norm = query.toLowerCase.replaceAll("\\s+", " ").trim
+    MessageDigest.getInstance("MD5").digest(norm.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def validate(fv: FeatureView): Unit = {
+    fv.entities.foreach { e =>
+      if (catalog.getEntity(e.name).isEmpty)
+        throw new NoSuchElementException(
+          s"entity not registered: ${e.name} (register it before the feature view)")
+    }
+    val schema = spark.sql(fv.query).schema.fieldNames.map(_.toLowerCase).toSet
+    val missingKeys = fv.joinKeys.filter(k => !schema.contains(k.toLowerCase))
+    require(missingKeys.isEmpty, s"feature view '${fv.name}' query lacks join key column(s): ${missingKeys.mkString(",")}")
+    fv.timestampCol.foreach { ts =>
+      require(schema.contains(ts.toLowerCase), s"feature view '${fv.name}' query lacks timestamp column: $ts")
+    }
+  }
+
+  /** Register (or re-register) a feature view version. Implements the
+    * reference's no-op / alter / recreate state machine
+    * (SURVEY §2.A5 + C5, feature_view.sql:101-181):
+    *   - unchanged query + unchanged config → NoOp (data untouched;
+    *     explicitly tested behavior in the reference)
+    *   - unchanged query + changed refresh config → per `onConfigChange`:
+    *     Apply → metadata-only update; Continue → keep old, Skipped;
+    *     Fail → IllegalStateException
+    *   - changed query → destructive Recreate (drop + rebuild)
+    */
+  def registerFeatureView(
+      fv: FeatureView,
+      version: String,
+      onConfigChange: OnConfigChange = OnConfigChange.Apply): RegisterOutcome = {
+    validate(fv)
+    val hash = planHash(fv.query)
+    val existing = catalog.getFeatureView(fv.name, version)
+    val objectType = if (fv.isManaged) "MANAGED_FEATURE_VIEW" else "EXTERNAL_FEATURE_VIEW"
+
+    existing match {
+      case Some(old) if old.planHash == hash && old.fv.refresh == fv.refresh =>
+        exposeView(fv)
+        NoOp
+      case Some(old) if old.planHash == hash =>
+        onConfigChange match {
+          case OnConfigChange.Apply =>
+            // non-destructive: keep materialized data, update config only
+            catalog.putFeatureView(old.copy(fv = fv, objectType = objectType))
+            exposeView(fv)
+            ConfigAltered
+          case OnConfigChange.Continue => exposeView(old.fv); Skipped
+          case OnConfigChange.Fail =>
+            throw new IllegalStateException(
+              s"feature view ${fv.name}$$$version config changed and on_configuration_change=fail")
+        }
+      case Some(_) =>
+        materialize(fv, version, hash, objectType)
+        Recreated
+      case None =>
+        materialize(fv, version, hash, objectType)
+        Created
+    }
+  }
+
+  private def materialize(fv: FeatureView, version: String, hash: String, objectType: String): Unit = {
+    val physicalPath =
+      if (fv.isManaged) {
+        val path = catalog.dataPath(fv.physicalName(version))
+        if (fv.refresh.get.initialize == InitializeMode.OnCreate) {
+          // initial backfill (reference: initialize=ON_CREATE)
+          spark.sql(fv.query).write.mode("overwrite").parquet(path)
+        }
+        Some(path)
+      } else None
+    catalog.putFeatureView(FeatureViewRecord(fv, version, hash, physicalPath, objectType))
+    exposeView(fv)
+  }
+
+  /** Expose the FV under its (lowercased) name as a temp view so other FV
+    * queries can reference it — the reference's ref()-chaining resolved by
+    * ordinary Spark view resolution.
+    */
+  private def exposeView(fv: FeatureView): Unit =
+    spark.sql(fv.query).createOrReplaceTempView(fv.name.toLowerCase)
+
+  def getFeatureView(name: String, version: String): FeatureViewRecord =
+    catalog.getFeatureView(name, version)
+      .getOrElse(throw new NoSuchElementException(s"feature view not found: $name$$$version"))
+
+  /** Resolve a feature view to its DataFrame: managed → materialized table
+    * scan; static → lazily-resolved logical plan.
+    */
+  def readFeatureView(name: String, version: String): DataFrame = {
+    val rec = getFeatureView(name, version)
+    rec.physicalPath match {
+      case Some(p) => spark.read.parquet(p)
+      case None => spark.sql(rec.fv.query)
+    }
+  }
+
+  def listFeatureViews(): DataFrame = {
+    val rows = catalog.listFeatureViews().map { r =>
+      Row(
+        r.fv.name.toUpperCase,
+        r.version,
+        r.objectType,
+        r.fv.entities.map(_.canonical.name).sorted.mkString(","),
+        r.fv.timestampCol.map(_.toUpperCase).orNull,
+        r.fv.refresh.map(_.refreshFreq).orNull,
+        r.fv.refresh.map(c => RefreshMode.render(c.refreshMode)).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", StringType, nullable = false),
+        StructField("object_type", StringType, nullable = false),
+        StructField("entities", StringType, nullable = false),
+        StructField("timestamp_col", StringType, nullable = true),
+        StructField("refresh_freq", StringType, nullable = true),
+        StructField("refresh_mode", StringType, nullable = true))))
+  }
+
+  // ---- dataset generation (the read path, SURVEY §3.3) -------------------
+
+  /** Point-in-time training-dataset generation (reference
+    * `generate_dataset`, test_feature_store_workflows.py:128-134): left-fold
+    * the spine through an as-of join per feature view (B17/B18), keep label
+    * columns (B19), optionally persist + version the result.
+    *
+    * Scale: each as-of join is one shuffle of (spine ∪ fv) by the entity
+    * keys; with N feature views sharing the same keys, Spark reuses the
+    * partitioning across the chained windows (no re-shuffle of the running
+    * spine between folds when keys are unchanged).
+    */
+  def generateDataset(
+      name: String,
+      spine: DataFrame,
+      features: Seq[(String, String)],  // (fvName, version)
+      spineTimestampCol: Option[String],
+      labelCols: Seq[String] = Seq.empty,
+      version: String = "1",
+      save: Boolean = true,
+      description: String = ""): DataFrame = {
+    val recs = features.map { case (n, v) => getFeatureView(n, v) }
+    val out = recs.foldLeft(spine) { (acc, rec) =>
+      val fvDf = readFeatureView(rec.fv.name, rec.version)
+      val keys = rec.fv.joinKeys.map(_.toLowerCase)
+      (rec.fv.timestampCol, spineTimestampCol) match {
+        case (Some(fts), Some(sts)) =>
+          AsOfJoin.joinAsOf(acc, fvDf, keys, sts, fts.toLowerCase)
+        case _ =>
+          // no timestamp on the FV → plain left equi-join on the entity keys
+          // (reference stores timestamp_col='NULL' and joins directly)
+          val payload = fvDf.columns.filterNot(c => keys.contains(c.toLowerCase))
+          acc.join(fvDf.select((keys ++ payload).map(col): _*).dropDuplicates(keys), keys, "left")
+      }
+    }
+    if (save) {
+      val path = catalog.dataPath(s"dataset_${name.toLowerCase}_v${version.replaceAll("[^A-Za-z0-9]", "_")}")
+      out.write.mode("overwrite").parquet(path)
+      catalog.putDataset(DatasetRef(
+        name, version, path, recs.map(_.logicalId),
+        spineTimestampCol, labelCols, description))
+      spark.read.parquet(path)
+    } else out
+  }
+
+  def getDataset(name: String, version: String): DataFrame = {
+    val d = catalog.getDataset(name, version)
+      .getOrElse(throw new NoSuchElementException(s"dataset not found: $name$$$version"))
+    spark.read.parquet(d.path)
+  }
+
+  def listDatasets(): DataFrame = {
+    val rows = catalog.listDatasets().map(d =>
+      Row(d.name, d.version, d.features.mkString(","), d.labelCols.mkString(",")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", StringType, nullable = false),
+        StructField("features", StringType, nullable = false),
+        StructField("label_cols", StringType, nullable = true))))
+  }
+}
+
+object FeatureStore {
+  /** Open (and initialize if absent) a feature store rooted at `root`. */
+  def apply(spark: SparkSession, root: String): FeatureStore =
+    new FeatureStore(spark, new MetadataCatalog(root)).init()
+}

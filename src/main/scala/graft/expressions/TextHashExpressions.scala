@@ -1,0 +1,218 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-family text expressions for the dedup plane.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) have
+  * no codegen: every element evaluation walks the interpreted expression
+  * tree, which makes shingling/minhashing/simhashing ~50-100× slower than a
+  * plain JVM loop. These expressions collapse each whole per-row computation
+  * into one `eval` call (CodegenFallback costs one virtual call per ROW, not
+  * per element — irrelevant next to the loop). All hashing is Spark's own
+  * XxHash64 (seed 42, same as the `xxhash64` SQL function), fully
+  * deterministic.
+  *
+  * At 100 TB all of these run map-side inside a scan stage: no shuffle, no
+  * state, linear in input bytes.
+  */
+
+/** Distinct xxhash64 values of word n-gram shingles over a token array.
+  * Equivalent to hashing `array_join(slice(tokens, i, n), " ")` for every i
+  * (the set Jaccard is defined on). Output order: first occurrence.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    val seen = new mutable.LinkedHashSet[Long]
+    val sb = new java.lang.StringBuilder(64)
+    if (t == 0) {
+      seen.add(XxHash64Function.hash(UTF8String.EMPTY_UTF8, StringType, 42L))
+    } else if (t < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < t) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(j).toString); j += 1
+      }
+      seen.add(XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, 42L))
+    } else {
+      var i = 0
+      while (i <= t - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString); j += 1
+        }
+        seen.add(XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, 42L))
+        i += 1
+      }
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** MinHash signature over a long-hash set: k permutations
+  * h_i = ((h mod P)·a_i + b_i) mod P with P = 2^31−1, deterministic a/b.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val P = 2147483647L
+  private val as: Array[Long] = Array.tabulate(k)(i => 2L * i + 1)
+  private val bs: Array[Long] = Array.tabulate(k)(i =>
+    java.lang.Math.floorMod(0x9E3779B97F4A7C15L + i * 0x632BE59BD9B4E019L, P))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var m = Long.MaxValue
+      val a = as(j); val b = bs(j)
+      var i = 0
+      while (i < hashes.length) {
+        val h = java.lang.Math.floorMod(hashes(i), P)
+        val p = (h * a + b) % P
+        if (p < m) m = p
+        i += 1
+      }
+      out(j) = if (hashes.isEmpty) 0L else m
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Jaccard similarity |A∩B| / |A∪B| of two long-hash arrays (need not be
+  * pre-deduplicated; duplicates are collapsed here).
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    if (xs.isEmpty && ys.isEmpty) return 1.0
+    val sa = new java.util.HashSet[Long](xs.length * 2)
+    var i = 0
+    while (i < xs.length) { sa.add(xs(i)); i += 1 }
+    val sb = new java.util.HashSet[Long](ys.length * 2)
+    var inter = 0
+    i = 0
+    while (i < ys.length) {
+      val y = ys(i)
+      if (sb.add(y) && sa.contains(y)) inter += 1
+      i += 1
+    }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over a token array: per-token xxhash64 (seed 42), per-bit
+  * ±1 votes, sign → bit. Equivalent to the aggregate/zip_with formulation
+  * but one JVM loop per row.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < t) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Canonical bag-of-words fingerprint: md5 hex over the sorted distinct
+  * token set joined by ' '. Binary (byte-wise) sort order — identical to
+  * Spark's `array_sort` and DuckDB's `list_sort` on strings. One JVM loop
+  * per row (array_sort/array_distinct are interpreted per element and
+  * dominate runtime otherwise).
+  */
+case class TokenSetFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    val seen = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < t) { seen.add(arr.getUTF8String(i).clone()); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var first = true
+    val it = seen.iterator()
+    while (it.hasNext) {
+      if (!first) md.update(' '.toByte)
+      md.update(it.next().getBytes)
+      first = false
+    }
+    val digest = md.digest()
+    val hex = new Array[Byte](32)
+    val hexChars = "0123456789abcdef".getBytes
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = hexChars((digest(i) >> 4) & 0xF)
+      hex(2 * i + 1) = hexChars(digest(i) & 0xF)
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenSetFingerprint = copy(child = c)
+}
+
+object TextHashExpressions {
+  def tokenSetFingerprint(tokens: Column): Column =
+    GraftBridge.column(TokenSetFingerprint(GraftBridge.expression(tokens)))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(tokens), n))
+  def minHashSig(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), k))
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def simHash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+}

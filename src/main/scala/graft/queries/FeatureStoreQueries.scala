@@ -1,0 +1,153 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.core.FeatureStore
+import graft.model._
+import graft.refresh.RefreshManager
+
+/** End-to-end feature-store workflows as driver-checkable queries
+  * (SURVEY §2.A + §3): catalog registration/discovery, FV chaining, managed
+  * refresh, and `generateDataset` — each one runs the REAL FeatureStore API
+  * against a throwaway catalog and returns a deterministic DataFrame whose
+  * oracle is plain SQL (or literal rows for pure-metadata listings).
+  */
+object FeatureStoreQueries {
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Fresh throwaway FS rooted in a temp dir; queries must be re-runnable. */
+  private def tempStore(spark: SparkSession): FeatureStore =
+    FeatureStore(spark, Files.createTempDirectory("graft_fs_").toString)
+
+  /** Register the standard demo objects used by the FS queries:
+    * entity user(user_id); a static FV of per-user view-history and a
+    * derived FV chained on it (reference FV-chaining,
+    * test_derived_customer_features.sql:36).
+    */
+  private def registerDemo(fs: FeatureStore, spark: SparkSession, dir: String): Unit = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_src")
+    fs.registerEntity(Entity("user", Seq("user_id"), "event actor"))
+    fs.registerFeatureView(FeatureView(
+      name = "user_view_features",
+      entities = Seq(Entity("user", Seq("user_id"))),
+      query = """SELECT user_id, ts, max(value) AS f_view_value
+                |FROM events_src WHERE event_type = 'view'
+                |GROUP BY user_id, ts""".stripMargin,
+      timestampCol = Some("ts"),
+      description = "max view value per user per instant"), "1.0")
+    // chained FV: reads the first FV by name (resolved as a Spark view)
+    fs.registerFeatureView(FeatureView(
+      name = "user_view_derived",
+      entities = Seq(Entity("user", Seq("user_id"))),
+      query = """SELECT user_id, ts, f_view_value,
+                |  f_view_value * 2 AS f_view_doubled,
+                |  CASE WHEN f_view_value < 50 THEN 'low'
+                |       WHEN f_view_value < 150 THEN 'mid'
+                |       ELSE 'high' END AS f_view_bucket
+                |FROM user_view_features""".stripMargin,
+      timestampCol = Some("ts")), "1.0")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2/A7/A9 — entity + FV registration and catalog discovery
+    "q16_fs_catalog" -> ((s, dir) => {
+      val fs = tempStore(s)
+      registerDemo(fs, s, dir)
+      fs.registerFeatureView(FeatureView(
+        name = "user_purchase_agg",
+        entities = Seq(Entity("user", Seq("user_id"))),
+        query = """SELECT user_id, count(*) AS f_n_purchases
+                  |FROM events_src WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+        refresh = Some(RefreshConfig("1 minute", RefreshMode.Auto))), "2.0")
+      fs.listFeatureViews()
+        .select("name", "version", "object_type", "entities", "timestamp_col",
+          "refresh_freq", "refresh_mode")
+    }),
+
+    // §3.3 — generateDataset: the reference's training-dataset read path
+    "q17_fs_dataset" -> ((s, dir) => {
+      val fs = tempStore(s)
+      registerDemo(fs, s, dir)
+      val spine = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("label"))
+      fs.generateDataset(
+        name = "purchase_training",
+        spine = spine,
+        features = Seq(("user_view_features", "1.0")),
+        spineTimestampCol = Some("ts"),
+        labelCols = Seq("label"),
+        save = false)
+    }),
+
+    // FV chaining (B1 ref→FV): query the derived FV; Catalyst collapses the
+    // two view layers into one plan
+    "q18_fv_chain" -> ((s, dir) => {
+      val fs = tempStore(s)
+      registerDemo(fs, s, dir)
+      fs.readFeatureView("user_view_derived", "1.0")
+    }),
+
+    // A4/C1-C5 — managed FV: materialize + refreshOnce, then read the table
+    "q19_managed" -> ((s, dir) => {
+      val fs = tempStore(s)
+      Tables.events(s, dir).createOrReplaceTempView("events_src")
+      fs.registerEntity(Entity("user", Seq("user_id")))
+      fs.registerFeatureView(FeatureView(
+        name = "user_event_profile",
+        entities = Seq(Entity("user", Seq("user_id"))),
+        query = """SELECT user_id,
+                  |  count(*) AS f_n_events,
+                  |  sum(CAST(value AS DECIMAL(18,2))) AS f_total_value,
+                  |  count(DISTINCT event_type) AS f_n_types
+                  |FROM events_src GROUP BY user_id""".stripMargin,
+        refresh = Some(RefreshConfig("1 minute", RefreshMode.Full))), "1.0")
+      val mgr = new RefreshManager(fs)
+      mgr.refreshOnce(fs.getFeatureView("user_event_profile", "1.0"))
+      fs.readFeatureView("user_event_profile", "1.0")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // pure-metadata listing → literal oracle rows
+    "q16_fs_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('USER_PURCHASE_AGG', '2.0', 'MANAGED_FEATURE_VIEW', 'USER', NULL, '1 minute', 'AUTO'),
+        |  ('USER_VIEW_DERIVED', '1.0', 'EXTERNAL_FEATURE_VIEW', 'USER', 'TS', NULL, NULL),
+        |  ('USER_VIEW_FEATURES', '1.0', 'EXTERNAL_FEATURE_VIEW', 'USER', 'TS', NULL, NULL)
+        |) AS t(name, version, object_type, entities, timestamp_col, refresh_freq, refresh_mode)""".stripMargin,
+
+    "q17_fs_dataset" ->
+      """WITH spine AS (
+        |  SELECT event_id, user_id, ts, value AS label FROM events WHERE event_type = 'purchase'
+        |), feat AS (
+        |  SELECT user_id, ts, max(value) AS f_view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts
+        |)
+        |SELECT s.event_id, s.user_id, s.ts, s.label, f.f_view_value
+        |FROM spine s ASOF LEFT JOIN feat f
+        |  ON s.user_id = f.user_id AND f.ts <= s.ts""".stripMargin,
+
+    "q18_fv_chain" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, max(value) AS f_view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts
+        |)
+        |SELECT user_id, ts, f_view_value,
+        |  f_view_value * 2 AS f_view_doubled,
+        |  CASE WHEN f_view_value < 50 THEN 'low'
+        |       WHEN f_view_value < 150 THEN 'mid'
+        |       ELSE 'high' END AS f_view_bucket
+        |FROM base""".stripMargin,
+
+    "q19_managed" ->
+      """SELECT user_id,
+        |  count(*) AS f_n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS f_total_value,
+        |  count(DISTINCT event_type) AS f_n_types
+        |FROM events GROUP BY user_id""".stripMargin)
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{DedupFunctions, Similarity, TextFunctions}
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline operators (the north-star extensions beyond the
+  * reference surface): dedup (exact / fingerprint / MinHash / SimHash /
+  * n-gram Jaccard / embedding-cosine), similarity search (brute-force +
+  * LSH), text analysis (lang-ID, quality, token counts, fingerprints), and
+  * multimodal binary-column plumbing. Queries with SQL-expressible semantics
+  * carry DuckDB oracles; the hash-family ops (MinHash/SimHash/LSH) are
+  * deterministic but not portably expressible, so they take the driver's
+  * rows-only check.
+  */
+object PipelineQueries {
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "los"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: one hash-aggregate on full content
+    "q20_dedup_exact" -> ((s, dir) => {
+      DedupFunctions.dedupExact(Tables.documents(s, dir), col("text"), "doc_id")
+    }),
+
+    // fingerprint dedup: bag-of-words-canonical md5 as the group key
+    "q21_dedup_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // n-gram Jaccard near-dup within (lang, source, length-bucket) blocks
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      DedupFunctions.nearDupNgramJaccard(
+        docs, "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_bucket"),
+        threshold = 0.5, n = 2)
+    }),
+
+    // MinHash + LSH near-dup candidates (rows-only check)
+    "q23_minhash" -> ((s, dir) => {
+      DedupFunctions.nearDupMinHash(
+        Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5, numHashes = 32, bands = 8)
+    }),
+
+    // SimHash near-dup pairs (rows-only check)
+    "q24_simhash" -> ((s, dir) => {
+      DedupFunctions.nearDupSimHash(
+        Tables.documents(s, dir), "doc_id", "text", maxHamming = 10)
+    }),
+
+    // exact brute-force top-k cosine ANN baseline
+    "q25_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k = 5)
+    }),
+
+    // LSH-bucketed approximate top-k (scale path; rows-only check)
+    "q26_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 10)
+      Similarity.lshTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+    }),
+
+    // embedding-cosine near-dup pairs within LSH buckets (rows-only check)
+    "q27_cosine_neardup" -> ((s, dir) => {
+      // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51),
+      // so "near-dup" here means the far tail of the cosine distribution
+      Similarity.nearDupCosine(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.32, bits = 8, dim = 64)
+    }),
+
+    // text analysis: token counts, quality scoring, language-ID heuristic
+    "q28_text_analysis" -> ((s, dir) => {
+      val sw = TextFunctions.defaultStopwords
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.regexTokenCount(col("text")).cast("long").as("n_rtokens"),
+        TextFunctions.round4(TextFunctions.avgTokenLen(col("text"))).as("avg_token_len"),
+        TextFunctions.round4(TextFunctions.punctRatio(col("text"))).as("punct_ratio"),
+        TextFunctions.round4(TextFunctions.stopwordRatio(col("text"), sw)).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text"), sw).as("quality"),
+        TextFunctions.langId(col("text"), langMarkers).as("lang_pred"))
+    }),
+
+    // multimodal plumbing: binary payload → partition-wise decode (stubbed)
+    "q30_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+      val items = Multimodal.asMediaItems(docs, "doc_id", "payload", "image", "source")
+      Multimodal.withFeatures(items)
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q21_dedup_fingerprint" ->
+      """SELECT
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q22_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, source, len_bucket,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM tok
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5""".stripMargin,
+
+    "q25_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM embeddings c, q
+        |  WHERE c.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q28_text_analysis" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, text, t,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_rtokens,
+        |    CASE WHEN len(t) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) END AS avg_tl,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / len(text) END AS p_ratio,
+        |    CASE WHEN len(t) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','on','for','with','at','by','from','as','that','this','it','be'], x))) AS DOUBLE) / len(t) END AS sw_ratio,
+        |    CAST(len(list_filter(t, x -> list_contains(['der','die','und'], x))) AS DOUBLE) AS s_de,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','a','and'], x))) AS DOUBLE) AS s_en,
+        |    CAST(len(list_filter(t, x -> list_contains(['el','la','los'], x))) AS DOUBLE) AS s_es
+        |  FROM tok
+        |), fold1 AS (
+        |  SELECT *, CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS l1,
+        |            CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS v1
+        |  FROM base
+        |), fold2 AS (
+        |  SELECT *, CASE WHEN s_es > v1 THEN 'es' ELSE l1 END AS l2
+        |  FROM fold1
+        |)
+        |SELECT doc_id, n_tokens, n_rtokens,
+        |  floor(avg_tl * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+        |  floor(p_ratio * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+        |  floor(sw_ratio * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+        |  floor((least(n_tokens / 64.0, 1.0) * 0.4
+        |      + least(sw_ratio * 5.0, 1.0) * 0.4
+        |      + greatest(0.0, 1.0 - p_ratio * 5.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality,
+        |  CASE WHEN n_tokens = 0 THEN 'und' ELSE l2 END AS lang_pred
+        |FROM fold2""".stripMargin,
+
+    "q30_multimodal" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    md5(text) AS checksum
+        |  FROM documents
+        |), hx AS (
+        |  SELECT media_id, n_bytes, checksum,
+        |    (strpos('0123456789abcdef', substr(checksum, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(checksum, 2, 1)) - 1) AS b0,
+        |    (strpos('0123456789abcdef', substr(checksum, 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(checksum, 4, 1)) - 1) AS b1
+        |  FROM h
+        |)
+        |SELECT media_id, n_bytes, checksum,
+        |  CAST(64 + (b0 % 64) AS BIGINT) AS width,
+        |  CAST(64 + (b1 % 64) AS BIGINT) AS height
+        |FROM hx""".stripMargin)
+}

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.pit.AsOfJoin
+
+/** The relational operator surface of SURVEY.md §2.B, one driver-checkable
+  * query per operator family. Aggregated doubles are summed as
+  * DECIMAL(18,2)-cast values so Spark and the DuckDB oracle agree exactly
+  * (double sums are order-dependent; decimal sums are not). Scalar double
+  * arithmetic stays in double — single IEEE ops are deterministic and
+  * engine-identical.
+  */
+object RelationalQueries {
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1/B2 — scan + projection + rename + string fn
+    "q01_project" -> ((s, dir) => {
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("f_name"),
+        col("c_acctbal"),
+        col("c_mktsegment"))
+    }),
+
+    // B5 — filters: =, >, LIKE, IN, OR, AND, IS NOT NULL, %
+    "q02_filter" -> ((s, dir) => {
+      Tables.orders(s, dir).filter(
+        (col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0 &&
+          col("o_orderpriority").like("1-%")) ||
+        (col("o_orderpriority").isin("2-HIGH", "3-MEDIUM") &&
+          col("o_custkey") % 10 === 0 && col("o_orderdate").isNotNull))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    }),
+
+    // B6/B7 — searched CASE + arithmetic
+    "q03_case" -> ((s, dir) => {
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .when(col("c_acctbal") < 8000, "mid")
+          .otherwise("high").as("f_bal_bucket"),
+        when(col("c_mktsegment") === "BUILDING", "domestic")
+          .otherwise("international").as("f_segment"),
+        (col("c_custkey") % 3).as("f_mod3"),
+        (col("c_acctbal") * 12).as("f_bal_annual"))
+    }),
+
+    // B8 — group-by aggregation (TPC-H Q1 shape)
+    "q04_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount")))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // B9 — distinct aggregate + HAVING
+    "q05_distinct_having" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          sum(dec(col("l_quantity"))).as("sum_qty"))
+        .filter(col("n_parts") >= 5)
+    }),
+
+    // B1/B10 — multi-way join (dims broadcast by Catalyst) + agg
+    "q06_join" -> ((s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).as("sum_bal"))
+    }),
+
+    // left-semi / left-anti (EXISTS / NOT EXISTS)
+    "q07_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(1).as("has_orders"))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit(0).as("has_orders"))
+      withOrders.unionByName(withoutOrders)
+    }),
+
+    // B11 — explode / lateral flatten
+    "q08_explode" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // B12 — JSON path extraction
+    "q09_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sum_value"))
+    }),
+
+    // B13/B14 — string + timestamp functions in grouping
+    "q10_datetime" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(
+          year(col("l_shipdate")).cast("long").as("ship_year"),
+          month(col("l_shipdate")).cast("long").as("ship_month"),
+          concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("flag_status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // B22 — window functions: row_number, lag, running sum
+    "q11_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .withColumn("run_qty",
+          sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "l_quantity", "prev_qty", "run_qty")
+    }),
+
+    // B15/B16 — deterministic sort + limit (top-k)
+    "q12_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // B21 — set operators
+    "q13_setops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bigSpenders = o.filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val fulfilled = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(bigSpenders).exceptAll(fulfilled).distinct()
+    }),
+
+    // B17 ⭐ — point-in-time (as-of) join, union-window strategy
+    "q14_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spine = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("label"))
+      val features = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("f_view_value"))
+      AsOfJoin.joinAsOf(spine, features, Seq("user_id"), "ts", "ts",
+        featureCols = Seq("f_view_value"))
+    }),
+
+    // B18 — multi-feature-view as-of join (left fold)
+    "q15_asof_multi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spine = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("label"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("f_view_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("f_click_value"))
+      val step1 = AsOfJoin.joinAsOf(spine, views, Seq("user_id"), "ts", "ts",
+        featureCols = Seq("f_view_value"))
+      AsOfJoin.joinAsOf(step1, clicks, Seq("user_id"), "ts", "ts",
+        featureCols = Seq("f_click_value"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_project" ->
+      """SELECT c_custkey, upper(c_name) AS f_name, c_acctbal, c_mktsegment FROM customer""",
+
+    "q02_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderstatus = 'F' AND o_totalprice > 100000.0 AND o_orderpriority LIKE '1-%')
+        |   OR (o_orderpriority IN ('2-HIGH','3-MEDIUM') AND o_custkey % 10 = 0 AND o_orderdate IS NOT NULL)""".stripMargin,
+
+    "q03_case" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 5000 THEN 'low'
+        |       WHEN c_acctbal < 8000 THEN 'mid'
+        |       ELSE 'high' END AS f_bal_bucket,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'domestic' ELSE 'international' END AS f_segment,
+        |  c_custkey % 3 AS f_mod3,
+        |  c_acctbal * 12 AS f_bal_annual
+        |FROM customer""".stripMargin,
+
+    "q04_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q05_distinct_having" ->
+      """SELECT l_orderkey,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING count(DISTINCT l_partkey) >= 5""".stripMargin,
+
+    "q06_join" ->
+      """SELECT r_name, n_name,
+        |  count(*) AS n_customers,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q07_semi_anti" ->
+      """SELECT c_custkey, 1 AS has_orders FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 0 AS has_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q08_explode" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE len(word) > 0
+        |GROUP BY word""".stripMargin,
+
+    "q09_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+
+    "q10_datetime" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |  l_returnflag || '-' || l_linestatus AS flag_status,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q11_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn, l_quantity, prev_qty, run_qty FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER w AS rn,
+        |    lag(l_quantity, 1) OVER w AS prev_qty,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q12_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q13_setops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0
+        |EXCEPT
+        |SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q14_asof" ->
+      """WITH spine AS (
+        |  SELECT event_id, user_id, ts, value AS label FROM events WHERE event_type = 'purchase'
+        |), feat AS (
+        |  SELECT user_id, ts, max(value) AS f_view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts
+        |)
+        |SELECT s.event_id, s.user_id, s.ts, s.label, f.f_view_value
+        |FROM spine s ASOF LEFT JOIN feat f
+        |  ON s.user_id = f.user_id AND f.ts <= s.ts""".stripMargin,
+
+    "q15_asof_multi" ->
+      """WITH spine AS (
+        |  SELECT event_id, user_id, ts, value AS label FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, ts, max(value) AS f_view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts
+        |), c AS (
+        |  SELECT user_id, ts, max(value) AS f_click_value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts
+        |), step1 AS (
+        |  SELECT s.event_id, s.user_id, s.ts, s.label, v.f_view_value
+        |  FROM spine s ASOF LEFT JOIN v ON s.user_id = v.user_id AND v.ts <= s.ts
+        |)
+        |SELECT s1.event_id, s1.user_id, s1.ts, s1.label, s1.f_view_value, c.f_click_value
+        |FROM step1 s1 ASOF LEFT JOIN c ON s1.user_id = c.user_id AND c.ts <= s1.ts""".stripMargin)
+}

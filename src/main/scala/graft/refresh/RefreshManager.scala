@@ -1,0 +1,146 @@
+package graft.refresh
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledFuture, TimeUnit}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.MetadataCatalog.FeatureViewRecord
+import graft.core.FeatureStore
+import graft.model._
+
+/** Managed-feature-view refresh — the Spark-native realization of Snowflake
+  * Dynamic Tables (SURVEY.md §2.C; reference feature_view.sql:116-128:
+  * target_lag / refresh_mode / initialize).
+  *
+  *  - FULL: scheduled batch recompute every `refreshFreq` (overwrite) —
+  *    Snowflake's refresh_mode=FULL.
+  *  - INCREMENTAL: a Structured Streaming query over a streamable source
+  *    directory; each micro-batch folds new files through the FV query via
+  *    `foreachBatch` and rewrites the sink transactionally. State (running
+  *    aggregates) lives in the state store, so per-tick cost is O(new data),
+  *    not O(history) — the dynamic-table property.
+  *  - AUTO: try the streaming plan; if Spark's unsupported-operation checker
+  *    rejects it (non-incrementalizable query), fall back to FULL — the same
+  *    choice Snowflake's AUTO makes.
+  *
+  * `target_lag` parity: a `Trigger.ProcessingTime(refreshFreq)` tick bounds
+  * staleness by the configured lag, exactly the dynamic-table contract.
+  */
+final class RefreshManager(fs: FeatureStore) {
+  private val spark: SparkSession = fs.spark
+  private val scheduler = Executors.newScheduledThreadPool(2, r => {
+    val t = new Thread(r, "graft-refresh"); t.setDaemon(true); t
+  })
+  private val scheduled = new ConcurrentHashMap[String, ScheduledFuture[_]]()
+  private val streams = new ConcurrentHashMap[String, StreamingQuery]()
+
+  private def key(rec: FeatureViewRecord): String = rec.logicalId
+
+  /** One full recompute of a managed FV (refresh_mode=FULL tick, or manual
+    * refresh). Overwrites the materialized table from the FV query.
+    */
+  def refreshOnce(rec: FeatureViewRecord): Unit = {
+    val path = rec.physicalPath.getOrElse(
+      throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
+    val tmp = path + "__staging"
+    // write to staging, then swap — readers never see a partial table
+    spark.sql(rec.fv.query).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+    fsys.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Start the FULL-mode scheduler: recompute every refreshFreq. */
+  def startFullSchedule(rec: FeatureViewRecord): Unit = {
+    val freq = rec.fv.refresh.get.freqMillis
+    val fut = scheduler.scheduleAtFixedRate(
+      () => try refreshOnce(rec) catch { case e: Throwable =>
+        System.err.println(s"[refresh] ${rec.logicalId} tick failed: ${e.getMessage}") },
+      freq, freq, TimeUnit.MILLISECONDS)
+    Option(scheduled.put(key(rec), fut)).foreach(_.cancel(false))
+  }
+
+  /** Start INCREMENTAL refresh: stream `sourceDir` parquet under temp-view
+    * `sourceName`, run the FV query per micro-batch via foreachBatch, and
+    * maintain the sink. Returns the StreamingQuery (caller may
+    * `processAllAvailable()` for deterministic tests).
+    *
+    * `availableNow = true` drains current data and stops (initialize /
+    * test path); false runs continuously at the target-lag trigger.
+    */
+  def startIncremental(
+      rec: FeatureViewRecord,
+      sourceName: String,
+      sourceDir: String,
+      sourceSchema: StructType,
+      availableNow: Boolean = false): StreamingQuery = {
+    val path = rec.physicalPath.getOrElse(
+      throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
+    val freq = rec.fv.refresh.get.refreshFreq
+    val stream = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+    stream.createOrReplaceTempView(sourceName)
+    val transformed = spark.sql(rec.fv.query)
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(freq)
+    val q = transformed.writeStream
+      .outputMode(if (transformed.isStreaming && hasAggregate(transformed)) "complete" else "append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(path)
+      }
+      .option("checkpointLocation", path + "__checkpoint")
+      .trigger(trigger)
+      .start()
+    Option(streams.put(key(rec), q)).foreach(_.stop())
+    q
+  }
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.logical.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+    }.nonEmpty
+
+  /** AUTO mode: INCREMENTAL if the plan streams, else FULL schedule —
+    * mirrors Snowflake's refresh_mode=AUTO selection.
+    */
+  def startAuto(
+      rec: FeatureViewRecord,
+      sourceName: String,
+      sourceDir: String,
+      sourceSchema: StructType): Either[String, StreamingQuery] = {
+    try Right(startIncremental(rec, sourceName, sourceDir, sourceSchema))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        // non-incrementalizable plan → FULL (silent fallback, logged)
+        System.err.println(s"[refresh] ${rec.logicalId} not streamable (${e.getMessage.take(120)}); AUTO → FULL")
+        startFullSchedule(rec)
+        Left("FULL")
+    }
+  }
+
+  /** Status of a managed FV's refresh (reference: SHOW DYNAMIC TABLES /
+    * describeFeatureView, SURVEY §2.C8).
+    */
+  def status(rec: FeatureViewRecord): String = {
+    val k = key(rec)
+    if (streams.containsKey(k)) {
+      val q = streams.get(k)
+      if (q.isActive) s"INCREMENTAL:active(batch=${Option(q.lastProgress).map(_.batchId).getOrElse(-1L)})"
+      else "INCREMENTAL:stopped"
+    } else if (scheduled.containsKey(k) && !scheduled.get(k).isCancelled) "FULL:scheduled"
+    else "IDLE"
+  }
+
+  def stop(rec: FeatureViewRecord): Unit = {
+    Option(scheduled.remove(key(rec))).foreach(_.cancel(false))
+    Option(streams.remove(key(rec))).foreach(_.stop())
+  }
+
+  def stopAll(): Unit = {
+    scheduled.values().forEach(f => f.cancel(false)); scheduled.clear()
+    streams.values().forEach(q => try q.stop() catch { case _: Throwable => }); streams.clear()
+  }
+}

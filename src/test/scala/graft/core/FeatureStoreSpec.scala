@@ -1,0 +1,131 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.model._
+
+/** Catalog + registration semantics pinned to the reference's behaviors:
+  * idempotent entity upsert, entity-not-found validation, the
+  * no-op / alter / recreate state machine (feature_view.sql:101-181,
+  * test_dynamic_table_not_recreated_on_normal_run), FV chaining, dataset
+  * lifecycle.
+  */
+class FeatureStoreSpec extends SparkSpec {
+
+  private def freshStore(): FeatureStore =
+    FeatureStore(spark, Files.createTempDirectory("graft_fs_test_").toString)
+
+  private def demoFv(query: String =
+      "SELECT user_id, ts, max(value) AS f_v FROM ev_src WHERE event_type='view' GROUP BY user_id, ts") =
+    FeatureView("fv_test", Seq(Entity("user", Seq("user_id"))), query, Some("ts"))
+
+  private def prep(fs: FeatureStore): Unit = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev_src")
+    fs.registerEntity(Entity("user", Seq("user_id"), "actor"))
+  }
+
+  test("entity registration is an idempotent upsert, uppercased (reference entity.sql)") {
+    val fs = freshStore(); prep(fs)
+    fs.registerEntity(Entity("user", Seq("user_id"), "actor"))  // re-register: no error
+    val e = fs.getEntity("USER")
+    assert(e.name == "USER" && e.joinKeys == Seq("USER_ID"))
+    assert(fs.listEntities().count() == 1)
+  }
+
+  test("feature view referencing an unregistered entity fails (validate_entity_exists)") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev_src")
+    val fv = FeatureView("fv_bad", Seq(Entity("ghost", Seq("user_id"))),
+      "SELECT user_id, ts FROM ev_src", Some("ts"))
+    intercept[NoSuchElementException] { fs.registerFeatureView(fv, "1") }
+  }
+
+  test("feature view whose query lacks a join-key column fails validation") {
+    val fs = freshStore(); prep(fs)
+    val fv = FeatureView("fv_bad", Seq(Entity("user", Seq("user_id"))),
+      "SELECT ts FROM ev_src", Some("ts"))
+    intercept[IllegalArgumentException] { fs.registerFeatureView(fv, "1") }
+  }
+
+  test("register → NoOp on unchanged re-register (explicit reference test)") {
+    val fs = freshStore(); prep(fs)
+    assert(fs.registerFeatureView(demoFv(), "1.0") == fs.Created)
+    assert(fs.registerFeatureView(demoFv(), "1.0") == fs.NoOp)
+  }
+
+  test("config-only change: Apply alters, Continue skips, Fail throws (on_configuration_change)") {
+    val fs = freshStore(); prep(fs)
+    val managed = demoFv().copy(refresh = Some(RefreshConfig("1 minute")))
+    fs.registerFeatureView(managed, "1.0")
+    val relagged = managed.copy(refresh = Some(RefreshConfig("5 minutes")))
+    assert(fs.registerFeatureView(relagged, "1.0", OnConfigChange.Apply) == fs.ConfigAltered)
+    assert(fs.getFeatureView("fv_test", "1.0").fv.refresh.get.refreshFreq == "5 minutes")
+    val again = managed.copy(refresh = Some(RefreshConfig("1 hour")))
+    assert(fs.registerFeatureView(again, "1.0", OnConfigChange.Continue) == fs.Skipped)
+    assert(fs.getFeatureView("fv_test", "1.0").fv.refresh.get.refreshFreq == "5 minutes")
+    intercept[IllegalStateException] {
+      fs.registerFeatureView(again, "1.0", OnConfigChange.Fail)
+    }
+  }
+
+  test("query change: destructive recreate (reference README 'SQL change recreates')") {
+    val fs = freshStore(); prep(fs)
+    fs.registerFeatureView(demoFv(), "1.0")
+    val changed = demoFv(
+      "SELECT user_id, ts, min(value) AS f_v FROM ev_src WHERE event_type='view' GROUP BY user_id, ts")
+    assert(fs.registerFeatureView(changed, "1.0") == fs.Recreated)
+  }
+
+  test("managed FV materializes on create (initialize=ON_CREATE) and reads back") {
+    val fs = freshStore(); prep(fs)
+    val managed = FeatureView("fv_mat", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM ev_src GROUP BY user_id",
+      refresh = Some(RefreshConfig("1 minute")))
+    fs.registerFeatureView(managed, "1")
+    val df = fs.readFeatureView("fv_mat", "1")
+    assert(df.count() > 0)
+    val rec = fs.getFeatureView("fv_mat", "1")
+    assert(rec.objectType == "MANAGED_FEATURE_VIEW" && rec.physicalPath.isDefined)
+  }
+
+  test("FV chaining: derived FV resolves through the base FV view") {
+    val fs = freshStore(); prep(fs)
+    fs.registerFeatureView(demoFv(), "1.0")
+    val derived = FeatureView("fv_derived", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, ts, f_v * 2 AS f_doubled FROM fv_test", Some("ts"))
+    fs.registerFeatureView(derived, "1.0")
+    val out = fs.readFeatureView("fv_derived", "1.0")
+    assert(out.columns.toSeq == Seq("user_id", "ts", "f_doubled"))
+    assert(out.count() > 0)
+  }
+
+  test("generateDataset: PIT join + label passthrough + lifecycle (get/list)") {
+    val fs = freshStore(); prep(fs)
+    fs.registerFeatureView(demoFv(), "1.0")
+    val spine = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("label"))
+    val ds = fs.generateDataset("train", spine, Seq(("fv_test", "1.0")),
+      Some("ts"), Seq("label"), version = "1")
+    assert(ds.columns.contains("label") && ds.columns.contains("f_v"))
+    assert(ds.count() == spine.count())  // one row per spine row, always
+    assert(fs.getDataset("train", "1").count() == spine.count())
+    assert(fs.listDatasets().count() == 1)
+    assert(fs.listFeatureViews().count() == 1)
+  }
+
+  test("no-timestamp FV joins as plain equi-join (reference timestamp_col=NULL)") {
+    val fs = freshStore(); prep(fs)
+    val staticFv = FeatureView("fv_static", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_total FROM ev_src GROUP BY user_id")
+    fs.registerFeatureView(staticFv, "1")
+    val spine = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ds = fs.generateDataset("train2", spine, Seq(("fv_static", "1")), Some("ts"), save = false)
+    assert(ds.count() == spine.count())
+    assert(ds.filter(col("f_total").isNull).count() == 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / avgTokenLen / punctRatio on canonical strings") {
+    val df = Seq(
+      ("ab cd  ef", 1L),   // double space → still 3 tokens
+      ("", 2L),
+      ("one", 3L),
+      ("a, b! c?", 4L)
+    ).toDF("text", "id")
+    val out = df.select($"id",
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.punctRatio($"text").as("p")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3)
+    assert(out(2L)._1 == 0)
+    assert(out(3L)._1 == 1)
+    assert(out(4L)._1 == 3 && math.abs(out(4L)._2 - 3.0 / 8.0) < 1e-12)
+  }
+
+  test("fingerprint is order-insensitive over the token multiset") {
+    val df = Seq(("spark fast join", 1), ("join fast spark", 2), ("spark slow join", 3))
+      .toDF("text", "id")
+    val fps = df.select(TextFunctions.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("minhash: identical docs collide on all bands; near-dups share most signature slots") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val df = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    val pairs = DedupFunctions.nearDupMinHash(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+  }
+
+  test("simhash: identical docs → identical signature; hamming 0") {
+    val df = Seq((1L, "spark window join"), (2L, "spark window join")).toDF("doc_id", "text")
+    val sigs = df.select(DedupFunctions.simHash($"text")).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("jaccard of disjoint and identical sets") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), (Seq(1L, 2L), Seq(3L, 4L)))
+      .toDF("a", "b")
+    val js = df.select(DedupFunctions.jaccard($"a", $"b")).collect().map(_.getDouble(0))
+    assert(js(0) == 1.0 && js(1) == 0.0)
+  }
+
+  test("cosine: orthogonal=0, parallel=1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f))).toDF("a", "b")
+    val cs = df.select(Similarity.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(cs(0)) < 1e-12 && math.abs(cs(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns exactly k ranked neighbors per query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 3), "vec_id", emb, "vec_id", "embedding", k = 5)
+    val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 3 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val ranked = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(ranked.zip(ranked.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("langId picks the best-covered language deterministically") {
+    val markers = Map("en" -> Seq("the", "dog"), "es" -> Seq("el", "perro"))
+    val df = Seq(("the dog runs", 1), ("el perro corre", 2), ("zzz yyy", 3)).toDF("text", "id")
+    val out = df.select($"id", TextFunctions.langId($"text", markers)).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en" && out(2) == "es" && out(3) == "en")  // tie → first code
+  }
+
+  test("multimodal decode stub: deterministic features from payload bytes") {
+    import graft.multimodal.Multimodal
+    val docs = Tables.documents(spark, sfDir).limit(20)
+      .withColumn("payload", encode($"text", "UTF-8").cast("binary"))
+    val items = Multimodal.asMediaItems(docs, "doc_id", "payload", "image", "source")
+    val feats = Multimodal.withFeatures(items).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.checksum.length == 32 && f.width >= 64 && f.width < 128 && f.n_frames == 1)
+    }
+    // determinism: same input → same output
+    val again = Multimodal.withFeatures(items).collect()
+    assert(feats.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+  }
+}

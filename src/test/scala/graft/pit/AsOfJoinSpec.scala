@@ -1,0 +1,91 @@
+package graft.pit
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the reference's point-in-time semantics with the exact fixture shape
+  * of test_feature_store_workflows.py:60-102 (FIXTURES.md §1.1/§1.2):
+  * 10 customers × 5 snapshots at base−{30,20,10,5,1} days, spine at −7 days
+  * ⇒ every spine row must match the −10-day snapshot, non-null.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-06-01 00:00:00")
+  private def daysAgo(d: Int) = new Timestamp(base.getTime - d * 86400000L)
+
+  private lazy val features = (for {
+    cid <- 1 to 10
+    d <- Seq(30, 20, 10, 5, 1)
+  } yield (cid, daysAgo(d), 20 + cid, s"snap$d")).toDF("customer_id", "updated_at", "age", "snap")
+
+  private lazy val spine = (1 to 10)
+    .map(cid => (cid, daysAgo(7), cid % 2)).toDF("customer_id", "event_time", "label")
+
+  private def run(method: String) = AsOfJoin.joinAsOf(
+    spine, features, Seq("customer_id"), "event_time", "updated_at",
+    featureCols = Seq("age", "snap"), method = method)
+
+  for (m <- Seq("union-window", "join-filter")) {
+    test(s"$m: every spine row matches the -10d snapshot (reference PIT semantics)") {
+      val rows = run(m).collect()
+      assert(rows.length == 10)
+      rows.foreach { r =>
+        assert(r.getAs[String]("snap") == "snap10", s"wrong snapshot in $r")
+        assert(r.getAs[Int]("age") == 20 + r.getAs[Int]("customer_id"))
+        assert(!r.isNullAt(r.fieldIndex("label")))
+      }
+    }
+  }
+
+  test("inclusive bound: feature at exactly the spine ts wins") {
+    val f = Seq((1, daysAgo(7), 99, "exact"), (1, daysAgo(10), 31, "older"))
+      .toDF("customer_id", "updated_at", "age", "snap")
+    for (m <- Seq("union-window", "join-filter")) {
+      val out = AsOfJoin.joinAsOf(spine.filter($"customer_id" === 1), f,
+        Seq("customer_id"), "event_time", "updated_at",
+        featureCols = Seq("age", "snap"), method = m).collect()
+      assert(out.length == 1 && out(0).getAs[String]("snap") == "exact", s"method=$m")
+    }
+  }
+
+  test("spine rows before all feature history get nulls (left-join semantics)") {
+    val earlySpine = Seq((1, daysAgo(60), 0)).toDF("customer_id", "event_time", "label")
+    for (m <- Seq("union-window", "join-filter")) {
+      val out = AsOfJoin.joinAsOf(earlySpine, features, Seq("customer_id"),
+        "event_time", "updated_at", featureCols = Seq("age", "snap"), method = m).collect()
+      assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("snap")), s"method=$m")
+    }
+  }
+
+  test("keys absent from features keep spine row with null features") {
+    val unknown = Seq((999, daysAgo(7), 1)).toDF("customer_id", "event_time", "label")
+    val out = AsOfJoin.joinAsOf(unknown, features, Seq("customer_id"),
+      "event_time", "updated_at", featureCols = Seq("age"), method = "union-window").collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("age")))
+  }
+
+  test("both strategies agree on the events table (property cross-check)") {
+    val ev = Tables.events(spark, sfDir)
+    val sp = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value".as("label"))
+    val ft = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("f_v"))
+    val a = AsOfJoin.joinAsOf(sp, ft, Seq("user_id"), "ts", "ts", Seq("f_v"), method = "union-window")
+    val b = AsOfJoin.joinAsOf(sp, ft, Seq("user_id"), "ts", "ts", Seq("f_v"), method = "join-filter")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("multi-row same (key, ts) on spine side: each spine row preserved") {
+    val dupSpine = Seq((1, daysAgo(7), 0), (1, daysAgo(7), 1)).toDF("customer_id", "event_time", "label")
+    val out = AsOfJoin.joinAsOf(dupSpine, features, Seq("customer_id"),
+      "event_time", "updated_at", featureCols = Seq("age"), method = "union-window").collect()
+    assert(out.length == 2 && out.forall(_.getAs[Int]("age") == 21))
+  }
+
+  private lazy val Tables = graft.Tables
+}
