@@ -141,7 +141,19 @@ final class MetadataCatalog(val root: String) {
   def getFeatureView(name: String, version: String): Option[FeatureViewRecord] =
     read(objPath("feature_views", fvKey(name, version))).map(nodeToFvRecord)
 
-  def listFeatureViews(): Seq[FeatureViewRecord] = list("feature_views").map(nodeToFvRecord)
+  /** Valid records only; malformed files are surfaced by
+    * [[invalidFeatureViewFiles]] for the cleanup op (reference
+    * scripts/cleanup_old_metadata.py semantics: skip+report, don't crash).
+    */
+  def listFeatureViews(): Seq[FeatureViewRecord] =
+    list("feature_views").flatMap(n => scala.util.Try(nodeToFvRecord(n)).toOption)
+
+  /** Metadata files that fail to parse/validate (old or corrupt format). */
+  def invalidFeatureViewFiles(): Seq[Path] =
+    if (!Files.isDirectory(dir("feature_views"))) Seq.empty
+    else Files.list(dir("feature_views")).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+      .filter(p => read(p).forall(n => scala.util.Try(nodeToFvRecord(n)).isFailure))
 
   def dropFeatureView(name: String, version: String): Boolean =
     Files.deleteIfExists(objPath("feature_views", fvKey(name, version)))

@@ -182,6 +182,61 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
         StructField("refresh_mode", StringType, nullable = true))))
   }
 
+  /** One-row description of an FV: identity, entities, refresh config, plan
+    * hash (reference: SHOW DYNAMIC TABLES / INFORMATION_SCHEMA.DYNAMIC_TABLES
+    * readback, SURVEY §2.A10/C8).
+    */
+  def describeFeatureView(name: String, version: String): DataFrame = {
+    val r = getFeatureView(name, version)
+    val row = Row(
+      r.fv.name.toUpperCase,
+      r.version,
+      r.logicalId,
+      r.objectType,
+      r.fv.entities.map(e => s"${e.canonical.name}(${e.canonical.joinKeys.mkString(",")})").sorted.mkString(";"),
+      r.fv.timestampCol.map(_.toUpperCase).orNull,
+      r.fv.refresh.map(_.refreshFreq).orNull,
+      r.fv.refresh.map(c => RefreshMode.render(c.refreshMode)).orNull,
+      r.fv.refresh.map(c => InitializeMode.render(c.initialize)).orNull,
+      r.fv.refresh.map(_.warehouse).orNull,
+      r.planHash,
+      r.physicalPath.isDefined)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", StringType, nullable = false),
+        StructField("logical_id", StringType, nullable = false),
+        StructField("object_type", StringType, nullable = false),
+        StructField("entities", StringType, nullable = false),
+        StructField("timestamp_col", StringType, nullable = true),
+        StructField("refresh_freq", StringType, nullable = true),
+        StructField("refresh_mode", StringType, nullable = true),
+        StructField("initialize", StringType, nullable = true),
+        StructField("warehouse", StringType, nullable = true),
+        StructField("plan_hash", StringType, nullable = false),
+        StructField("is_materialized", BooleanType, nullable = false))))
+  }
+
+  /** Admin/migration op (reference scripts/cleanup_old_metadata.py, SURVEY
+    * §2.A11): remove catalog records in an old/corrupt format (files that no
+    * longer parse or validate) plus parsed records with a blank query.
+    * Returns what was dropped (file names / logical ids).
+    */
+  def cleanupInvalidMetadata(): Seq[String] = {
+    val badFiles = catalog.invalidFeatureViewFiles()
+    badFiles.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val badRecords = catalog.listFeatureViews().filter(_.fv.query.trim.isEmpty)
+    badRecords.foreach { r =>
+      r.physicalPath.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      catalog.dropFeatureView(r.fv.name, r.version)
+    }
+    badFiles.map(_.getFileName.toString) ++ badRecords.map(_.logicalId)
+  }
+
   // ---- dataset generation (the read path, SURVEY §3.3) -------------------
 
   /** Point-in-time training-dataset generation (reference

@@ -92,6 +92,12 @@ object DedupFunctions {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // One pass computes shingles→signature→band keys; the hash arrays ride
+    // the band shuffle so verification needs no second scan (each doc's
+    // array is shuffled `bands` times — acceptable while arrays ≪ docs).
+    // At 100 TB: land (id, hashes, sig) in a bucketed signatures table
+    // first, band over ids only, and re-join payloads by id — same plan
+    // shape, one materialization instead of in-flight arrays.
     val withSig = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hashes"))
       .withColumn("sig", minHashSignature(col("hashes"), numHashes))

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** SQL surface for the engine's custom expressions: registers them in the
+  * session FunctionRegistry so `spark.sql` queries (and the thin SQL front
+  * door of SURVEY §7.1) can call them directly:
+  *
+  *   vec_dot(a, b)            — codegen'd dot product (similarity plane)
+  *   shingle_hashes(tokens,n) — distinct word-n-gram xxhash64 set
+  *   minhash_sig(hashes, k)   — MinHash signature
+  *   jaccard_sim(a, b)        — Jaccard over hash arrays
+  *   simhash64(tokens)        — 64-bit SimHash
+  *   token_fingerprint(tokens)— md5 of sorted distinct token set
+  *
+  * Registered either per-session via [[GraftFunctions.register]] or for all
+  * sessions via `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "shingle_hashes" -> (es => ShingleHashes(es(0), if (es.length > 1) intArg(es(1), "n") else 3)),
+    "minhash_sig" -> (es => MinHashSig(es(0), if (es.length > 1) intArg(es(1), "k") else 32)),
+    "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "token_fingerprint" -> (es => TokenSetFingerprint(es(0))))
+
+  /** Register all graft functions as temp functions in this session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `SparkSessionExtensions` hook (SURVEY §7: register via
+  * `.withExtensions(new GraftExtensions)` or the `spark.sql.extensions`
+  * conf) — injects the engine's functions into every session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (es: Seq[Expression]) => builder(es)))
+    }
+}

@@ -110,6 +110,56 @@ object FeatureStoreQueries {
       val mgr = new RefreshManager(fs)
       mgr.refreshOnce(fs.getFeatureView("user_event_profile", "1.0"))
       fs.readFeatureView("user_event_profile", "1.0")
+    }),
+
+    // A7 — entity discovery (reference list_entities macro)
+    "q36_fs_entities" -> ((s, dir) => {
+      val fs = tempStore(s)
+      registerDemo(fs, s, dir)
+      fs.registerEntity(Entity("session", Seq("user_id", "event_id"), "composite key"))
+      fs.listEntities()
+    }),
+
+    // A10/C8 — feature-view describe/readback (SHOW DYNAMIC TABLES shape)
+    "q35_fs_describe" -> ((s, dir) => {
+      val fs = tempStore(s)
+      registerDemo(fs, s, dir)
+      fs.registerFeatureView(FeatureView(
+        name = "user_purchase_agg",
+        entities = Seq(Entity("user", Seq("user_id"))),
+        query = """SELECT user_id, count(*) AS f_n_purchases
+                  |FROM events_src WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+        refresh = Some(RefreshConfig("1 minute", RefreshMode.Auto, InitializeMode.OnCreate, "wh1"))), "2.0")
+      fs.describeFeatureView("user_purchase_agg", "2.0")
+        .select("name", "version", "logical_id", "object_type", "entities",
+          "refresh_freq", "refresh_mode", "initialize", "warehouse", "is_materialized")
+    }),
+
+    // C2 INCREMENTAL — Structured Streaming maintains the managed FV; the
+    // drained stream must equal the batch recompute (dynamic-table parity)
+    "q37_fs_incremental" -> ((s, dir) => {
+      val fs = tempStore(s)
+      // batch view first so registration-time validation can analyze the query
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.createOrReplaceTempView("inc_events")
+      fs.registerEntity(Entity("user", Seq("user_id")))
+      fs.registerFeatureView(FeatureView(
+        name = "user_type_profile",
+        entities = Seq(Entity("user", Seq("user_id"))),
+        query = """SELECT user_id, event_type,
+                  |  count(*) AS f_n,
+                  |  sum(CAST(value AS DECIMAL(18,2))) AS f_sum
+                  |FROM inc_events GROUP BY user_id, event_type""".stripMargin,
+        refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+          InitializeMode.OnSchedule))), "1")
+      val mgr = new RefreshManager(fs)
+      val q = mgr.startIncremental(
+        fs.getFeatureView("user_type_profile", "1"),
+        "inc_events", dir, raw.schema, availableNow = true,
+        pathGlobFilter = Some("events.parquet"))
+      q.awaitTermination(300000)
+      mgr.stopAll()
+      fs.readFeatureView("user_type_profile", "1")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -149,5 +199,26 @@ object FeatureStoreQueries {
         |  count(*) AS f_n_events,
         |  sum(CAST(value AS DECIMAL(18,2))) AS f_total_value,
         |  count(DISTINCT event_type) AS f_n_types
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q36_fs_entities" ->
+      """SELECT * FROM (VALUES
+        |  ('SESSION', 'USER_ID,EVENT_ID', 'composite key'),
+        |  ('USER', 'USER_ID', 'event actor')
+        |) AS t(name, join_keys, description)""".stripMargin,
+
+    "q35_fs_describe" ->
+      """SELECT 'USER_PURCHASE_AGG' AS name, '2.0' AS version,
+        |  'USER_PURCHASE_AGG$2.0' AS logical_id,
+        |  'MANAGED_FEATURE_VIEW' AS object_type,
+        |  'USER(USER_ID)' AS entities,
+        |  '1 minute' AS refresh_freq, 'AUTO' AS refresh_mode,
+        |  'ON_CREATE' AS initialize, 'wh1' AS warehouse,
+        |  TRUE AS is_materialized""".stripMargin,
+
+    "q37_fs_incremental" ->
+      """SELECT user_id, event_type,
+        |  count(*) AS f_n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS f_sum
+        |FROM events GROUP BY user_id, event_type""".stripMargin)
 }

@@ -95,6 +95,21 @@ object PipelineQueries {
         TextFunctions.langId(col("text"), langMarkers).as("lang_pred"))
     }),
 
+    // SQL front door: graft custom expressions callable from spark.sql
+    "q41_sql_functions" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")
+      Tables.documents(s, dir).createOrReplaceTempView("docs_sql")
+      s.sql("""SELECT e.vec_id,
+              |  floor(vec_dot(e.embedding, e.embedding) * 10000.0 + 0.5) / 10000.0 AS norm_sq,
+              |  d.fp
+              |FROM emb_sql e
+              |JOIN (SELECT doc_id, token_fingerprint(filter(split(lower(text), '\\s+'), x -> length(x) > 0)) AS fp
+              |      FROM docs_sql) d
+              |  ON e.vec_id = d.doc_id
+              |WHERE e.vec_id < 100""".stripMargin)
+    }),
+
     // multimodal plumbing: binary payload → partition-wise decode (stubbed)
     "q30_multimodal" -> ((s, dir) => {
       import s.implicits._
@@ -192,6 +207,19 @@ object PipelineQueries {
         |      + greatest(0.0, 1.0 - p_ratio * 5.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality,
         |  CASE WHEN n_tokens = 0 THEN 'und' ELSE l2 END AS lang_pred
         |FROM fold2""".stripMargin,
+
+    "q41_sql_functions" ->
+      """SELECT e.vec_id,
+        |  floor(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS norm_sq,
+        |  d.fp
+        |FROM embeddings e
+        |JOIN (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fp
+        |      FROM documents) d
+        |  ON e.vec_id = d.doc_id
+        |WHERE e.vec_id < 100""".stripMargin,
 
     "q30_multimodal" ->
       """WITH h AS (

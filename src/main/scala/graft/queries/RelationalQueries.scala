@@ -191,6 +191,73 @@ object RelationalQueries {
         featureCols = Seq("f_view_value"))
       AsOfJoin.joinAsOf(step1, clicks, Seq("user_id"), "ts", "ts",
         featureCols = Seq("f_click_value"))
+    }),
+
+    // B3 — literal/constant row (no FROM): the reference's static-literal FV
+    "q31_literal_row" -> ((s, _) => {
+      s.sql("""SELECT 1 AS customer_id,
+              |  TIMESTAMP '2024-01-01 00:00:00' AS updated_at,
+              |  25 AS f_age, 'US' AS f_country""".stripMargin)
+    }),
+
+    // B4 — empty relation (the reference's SELECT NULL WHERE FALSE tests)
+    "q32_empty_relation" -> ((s, _) => {
+      s.sql("SELECT CAST(NULL AS STRING) AS placeholder WHERE FALSE")
+    }),
+
+    // B12 — from_json into a typed struct + field access
+    "q33_from_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .filter(col("k") >= 90)
+    }),
+
+    // B11 — posexplode (lateral flatten with index)
+    "q34_posexplode" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+    }),
+
+    // TPC-H Q3 shape: 3-way shuffle join + agg + deterministic top-k.
+    // Dims filtered before the join; AQE picks broadcast where one side
+    // shrinks below threshold.
+    "q38_join_topk" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way join (3 broadcast dims) + per-nation agg
+    "q39_join_multiway" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -317,5 +384,50 @@ object RelationalQueries {
         |  FROM spine s ASOF LEFT JOIN v ON s.user_id = v.user_id AND v.ts <= s.ts
         |)
         |SELECT s1.event_id, s1.user_id, s1.ts, s1.label, s1.f_view_value, c.f_click_value
-        |FROM step1 s1 ASOF LEFT JOIN c ON s1.user_id = c.user_id AND c.ts <= s1.ts""".stripMargin)
+        |FROM step1 s1 ASOF LEFT JOIN c ON s1.user_id = c.user_id AND c.ts <= s1.ts""".stripMargin,
+
+    "q31_literal_row" ->
+      """SELECT 1 AS customer_id,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS updated_at,
+        |  25 AS f_age, 'US' AS f_country""".stripMargin,
+
+    "q32_empty_relation" ->
+      """SELECT CAST(NULL AS VARCHAR) AS placeholder WHERE FALSE""",
+
+    "q33_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 90""".stripMargin,
+
+    "q34_posexplode" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i + 1] AS word
+        |FROM tok, (SELECT unnest([0, 1, 2]) AS i)
+        |WHERE i < len(t)""".stripMargin,
+
+    "q38_join_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q39_join_multiway" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin)
 }

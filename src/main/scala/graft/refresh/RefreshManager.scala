@@ -76,11 +76,14 @@ final class RefreshManager(fs: FeatureStore) {
       sourceName: String,
       sourceDir: String,
       sourceSchema: StructType,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      pathGlobFilter: Option[String] = None): StreamingQuery = {
     val path = rec.physicalPath.getOrElse(
       throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
     val freq = rec.fv.refresh.get.refreshFreq
-    val stream = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+    val reader = spark.readStream.schema(sourceSchema)
+    pathGlobFilter.foreach(g => reader.option("pathGlobFilter", g))
+    val stream = reader.parquet(sourceDir)
     stream.createOrReplaceTempView(sourceName)
     val transformed = spark.sql(rec.fv.query)
     val trigger =
