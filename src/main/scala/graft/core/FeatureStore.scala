@@ -200,7 +200,9 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       r.fv.refresh.map(c => InitializeMode.render(c.initialize)).orNull,
       r.fv.refresh.map(_.warehouse).orNull,
       r.planHash,
-      r.physicalPath.isDefined)
+      // materialized = the table actually exists (ON_SCHEDULE managed FVs
+      // have a reserved path but no data until their first refresh tick)
+      r.physicalPath.exists(p => new java.io.File(p).exists()))
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1),
       StructType(Seq(

@@ -95,6 +95,44 @@ object PipelineQueries {
         TextFunctions.langId(col("text"), langMarkers).as("lang_pred"))
     }),
 
+    // sessionization: gap-based event sessions per user (30-min timeout) —
+    // the canonical pre-training event-stream transform. One shuffle on
+    // user_id; both the lag and the running session counter reuse the same
+    // window sort.
+    "q42_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, dir)
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("__new_session",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - col("__prev") > gapUs, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("__new_session"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_value"))
+    }),
+
+    // deterministic train/valid/test split: md5-bucket on content, stable
+    // across engines and runs (no RNG) — stratification shown per lang.
+    // Map-side hash + one small aggregation; at 100 TB the per-doc split
+    // column is computed in the scan stage, no shuffle beyond the count.
+    "q43_split" -> ((s, dir) => {
+      val bucket = (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100).as("bucket")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // SQL front door: graft custom expressions callable from spark.sql
     "q41_sql_functions" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -207,6 +245,44 @@ object PipelineQueries {
         |      + greatest(0.0, 1.0 - p_ratio * 5.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality,
         |  CASE WHEN n_tokens = 0 THEN 'und' ELSE l2 END AS lang_pred
         |FROM fold2""".stripMargin,
+
+    "q42_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM marked
+        |)
+        |SELECT user_id, session_idx,
+        |  count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_idx""".stripMargin,
+
+    "q43_split" ->
+      """WITH hx AS (
+        |  SELECT doc_id, lang,
+        |    ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM hx
+        |GROUP BY 1, 2""".stripMargin,
 
     "q41_sql_functions" ->
       """SELECT e.vec_id,

@@ -1,0 +1,55 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.Tables
+import graft.model._
+
+/** Admin-plane semantics: describeFeatureView readback (A10/C8) and the
+  * invalid-metadata cleanup op (A11, reference cleanup_old_metadata.py).
+  */
+class AdminOpsSpec extends SparkSpec {
+
+  private def freshStore(): FeatureStore =
+    FeatureStore(spark, Files.createTempDirectory("graft_admin_test_").toString)
+
+  test("describeFeatureView reads back identity + refresh config") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).createOrReplaceTempView("admin_ev")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView(
+      "fv_desc", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM admin_ev GROUP BY user_id",
+      refresh = Some(RefreshConfig("5 minutes", RefreshMode.Full, InitializeMode.OnSchedule, "whx"))), "3.1")
+    val row = fs.describeFeatureView("fv_desc", "3.1").collect()(0)
+    assert(row.getAs[String]("logical_id") == "FV_DESC$3.1")
+    assert(row.getAs[String]("object_type") == "MANAGED_FEATURE_VIEW")
+    assert(row.getAs[String]("refresh_freq") == "5 minutes")
+    assert(row.getAs[String]("initialize") == "ON_SCHEDULE")
+    assert(row.getAs[String]("warehouse") == "whx")
+    // ON_SCHEDULE ⇒ not materialized at registration
+    assert(!row.getAs[Boolean]("is_materialized"))
+  }
+
+  test("cleanupInvalidMetadata drops corrupt records, keeps valid ones") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).createOrReplaceTempView("admin_ev")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView(
+      "fv_good", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM admin_ev GROUP BY user_id"), "1")
+    // plant an old/corrupt-format record (entities as plain strings — the
+    // reference's OLD/BAD format per cleanup_old_metadata.py:70-85)
+    Files.writeString(
+      Paths.get(fs.catalog.root, "feature_views", "FV_OLD__1.json"),
+      """{"name": "FV_OLD", "version": "1", "objectType": "EXTERNAL_FEATURE_VIEW",
+        | "entities": ["USER"], "timestampCol": null, "query": "SELECT 1",
+        | "planHash": "x", "physicalPath": null, "refresh": null}""".stripMargin)
+    assert(fs.catalog.invalidFeatureViewFiles().nonEmpty)
+    val dropped = fs.cleanupInvalidMetadata()
+    assert(dropped == Seq("FV_OLD__1.json"))
+    assert(fs.catalog.invalidFeatureViewFiles().isEmpty)
+    assert(fs.catalog.listFeatureViews().map(_.fv.name) == Seq("FV_GOOD"))
+  }
+}
