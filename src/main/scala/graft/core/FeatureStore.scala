@@ -144,6 +144,37 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
   private def exposeView(fv: FeatureView): Unit =
     spark.sql(fv.query).createOrReplaceTempView(fv.name.toLowerCase)
 
+  /** Re-expose every catalog feature view in THIS session (temp views over
+    * the stored queries / materialized tables). Needed when opening an
+    * existing store from a fresh session: FV-chaining resolves through the
+    * session catalog, so chained views are attached in dependency order
+    * (fixpoint iteration — a view whose dependencies aren't attached yet
+    * simply retries next round). Returns the number attached.
+    */
+  def attach(): Int = {
+    var remaining = catalog.listFeatureViews()
+    var attached = 0
+    var progress = true
+    while (progress && remaining.nonEmpty) {
+      progress = false
+      remaining = remaining.filter { r =>
+        val ok = scala.util.Try {
+          r.physicalPath match {
+            case Some(p) if new java.io.File(p).exists() =>
+              spark.read.parquet(p).createOrReplaceTempView(r.fv.name.toLowerCase)
+            case _ => exposeView(r.fv)
+          }
+        }.isSuccess
+        if (ok) { attached += 1; progress = true }
+        !ok
+      }
+    }
+    if (remaining.nonEmpty)
+      System.err.println(s"[graft] could not attach: ${remaining.map(_.logicalId).mkString(", ")}" +
+        " (missing source tables in this session?)")
+    attached
+  }
+
   def getFeatureView(name: String, version: String): FeatureViewRecord =
     catalog.getFeatureView(name, version)
       .getOrElse(throw new NoSuchElementException(s"feature view not found: $name$$$version"))

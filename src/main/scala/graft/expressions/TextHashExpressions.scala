@@ -36,29 +36,33 @@ case class ShingleHashes(child: Expression, n: Int)
     val arr = v.asInstanceOf[ArrayData]
     val t = arr.numElements()
     val seen = new mutable.LinkedHashSet[Long]
-    val sb = new java.lang.StringBuilder(64)
+    // assemble shingle bytes directly (no String round-trip): UTF8String
+    // concat of tokens + ' ' separators hashes identically to hashing
+    // UTF8String.fromString(tokens.mkString(" "))
+    var buf = new Array[Byte](256)
+    def hashShingle(from: Int, len: Int): Unit = {
+      var need = len - 1  // separators
+      var j = 0
+      while (j < len) { need += arr.getUTF8String(from + j).numBytes(); j += 1 }
+      if (buf.length < need) buf = new Array[Byte](math.max(need, buf.length * 2))
+      var off = 0
+      j = 0
+      while (j < len) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val s = arr.getUTF8String(from + j)
+        s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += s.numBytes()
+        j += 1
+      }
+      seen.add(XxHash64Function.hash(UTF8String.fromBytes(buf, 0, off), StringType, 42L))
+    }
     if (t == 0) {
       seen.add(XxHash64Function.hash(UTF8String.EMPTY_UTF8, StringType, 42L))
     } else if (t < n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < t) {
-        if (j > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(j).toString); j += 1
-      }
-      seen.add(XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, 42L))
+      hashShingle(0, t)
     } else {
       var i = 0
-      while (i <= t - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(arr.getUTF8String(i + j).toString); j += 1
-        }
-        seen.add(XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, 42L))
-        i += 1
-      }
+      while (i <= t - n) { hashShingle(i, n); i += 1 }
     }
     new GenericArrayData(seen.toArray)
   }

@@ -117,6 +117,20 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.listFeatureViews().count() == 1)
   }
 
+  test("attach() re-exposes stored FV chains in a fresh FeatureStore instance") {
+    val root = Files.createTempDirectory("graft_fs_attach_").toString
+    val fs = FeatureStore(spark, root); prep(fs)
+    fs.registerFeatureView(demoFv(), "1.0")
+    fs.registerFeatureView(FeatureView("fv_att_derived", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, ts, f_v * 3 AS f_tripled FROM fv_test", Some("ts")), "1.0")
+    // wipe the session views to simulate a fresh session over the same store
+    spark.catalog.dropTempView("fv_test")
+    spark.catalog.dropTempView("fv_att_derived")
+    val fs2 = FeatureStore(spark, root)
+    assert(fs2.attach() == 2)
+    assert(fs2.readFeatureView("fv_att_derived", "1.0").count() > 0)
+  }
+
   test("no-timestamp FV joins as plain equi-join (reference timestamp_col=NULL)") {
     val fs = freshStore(); prep(fs)
     val staticFv = FeatureView("fv_static", Seq(Entity("user", Seq("user_id"))),

@@ -80,6 +80,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("composite join keys (multi-key entity) match per key tuple") {
+    val f = Seq(
+      (1, "A", daysAgo(10), 100), (1, "B", daysAgo(10), 200),
+      (2, "A", daysAgo(10), 300), (1, "A", daysAgo(3), 999))
+      .toDF("customer_id", "region", "updated_at", "f_val")
+    val sp = Seq((1, "A", daysAgo(7)), (1, "B", daysAgo(7)), (2, "B", daysAgo(7)))
+      .toDF("customer_id", "region", "event_time")
+    for (m <- Seq("union-window", "join-filter")) {
+      val out = AsOfJoin.joinAsOf(sp, f, Seq("customer_id", "region"),
+        "event_time", "updated_at", featureCols = Seq("f_val"), method = m)
+        .collect().map(r => (r.getInt(0), r.getString(1)) ->
+          (if (r.isNullAt(r.fieldIndex("f_val"))) None else Some(r.getInt(r.fieldIndex("f_val"))))).toMap
+      assert(out((1, "A")) == Some(100), s"method=$m")  // -3d snapshot is AFTER spine → excluded
+      assert(out((1, "B")) == Some(200), s"method=$m")
+      assert(out((2, "B")) == None, s"method=$m")       // no (2,B) history
+    }
+  }
+
   test("multi-row same (key, ts) on spine side: each spine row preserved") {
     val dupSpine = Seq((1, daysAgo(7), 0), (1, daysAgo(7), 1)).toDF("customer_id", "event_time", "label")
     val out = AsOfJoin.joinAsOf(dupSpine, features, Seq("customer_id"),
