@@ -83,7 +83,16 @@ final class RefreshManager(fs: FeatureStore) {
     val freq = rec.fv.refresh.get.refreshFreq
     val reader = spark.readStream.schema(sourceSchema)
     pathGlobFilter.foreach(g => reader.option("pathGlobFilter", g))
-    val stream = reader.parquet(sourceDir)
+    val raw = reader.parquet(sourceDir)
+    // C7: bound state for event-time aggregations — watermark the source at
+    // the FV's timestamp column with lag = refresh_freq (the sane default
+    // SURVEY §2.C7 prescribes; Snowflake DTs handle this internally)
+    val stream = rec.fv.timestampCol
+      .filter(tc => raw.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(tc) &&
+          f.dataType == org.apache.spark.sql.types.TimestampType))
+      .map(tc => raw.withWatermark(tc, freq))
+      .getOrElse(raw)
     stream.createOrReplaceTempView(sourceName)
     val transformed = spark.sql(rec.fv.query)
     val trigger =
@@ -113,12 +122,20 @@ final class RefreshManager(fs: FeatureStore) {
       rec: FeatureViewRecord,
       sourceName: String,
       sourceDir: String,
-      sourceSchema: StructType): Either[String, StreamingQuery] = {
-    try Right(startIncremental(rec, sourceName, sourceDir, sourceSchema))
+      sourceSchema: StructType,
+      availableNow: Boolean = false,
+      pathGlobFilter: Option[String] = None): Either[String, StreamingQuery] = {
+    try Right(startIncremental(rec, sourceName, sourceDir, sourceSchema, availableNow, pathGlobFilter))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
-        // non-incrementalizable plan → FULL (silent fallback, logged)
+        // non-incrementalizable plan → FULL (silent fallback, logged).
+        // startIncremental already swapped in a STREAMING temp view; restore
+        // the batch view first so the FULL recompute can .write.
         System.err.println(s"[refresh] ${rec.logicalId} not streamable (${e.getMessage.take(120)}); AUTO → FULL")
+        val reader = spark.read
+        pathGlobFilter.foreach(g => reader.option("pathGlobFilter", g))
+        reader.schema(sourceSchema).parquet(sourceDir).createOrReplaceTempView(sourceName)
+        refreshOnce(rec)
         startFullSchedule(rec)
         Left("FULL")
     }

@@ -61,6 +61,69 @@ class RefreshSpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("AUTO picks INCREMENTAL for a streamable aggregation") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_auto_").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.limit(150).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("auto_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_auto", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM auto_src GROUP BY user_id",
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Auto, InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_auto", "1")
+    val res = mgr.startAuto(rec, "auto_src", srcDir, ev.schema, availableNow = true)
+    assert(res.isRight, s"expected INCREMENTAL, got $res")
+    res.foreach(_.awaitTermination(120000))
+    assert(fs.readFeatureView("fv_auto", "1").agg(sum("f_n")).collect()(0).getLong(0) == 150)
+    mgr.stopAll()
+  }
+
+  test("AUTO falls back to FULL for a non-incrementalizable plan (sort over stream)") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_autofull_").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.limit(80).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("autofull_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    // ORDER BY + LIMIT over a streaming source is rejected by Spark's
+    // unsupported-operation checker → AUTO must choose FULL
+    fs.registerFeatureView(FeatureView("fv_autofull", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, value FROM autofull_src ORDER BY value DESC LIMIT 10",
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Auto, InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_autofull", "1")
+    val res = mgr.startAuto(rec, "autofull_src", srcDir, ev.schema, availableNow = true)
+    assert(res == Left("FULL"))
+    assert(fs.readFeatureView("fv_autofull", "1").count() == 10)  // refreshOnce ran
+    assert(mgr.status(rec) == "FULL:scheduled")
+    mgr.stopAll()
+  }
+
+  test("INCREMENTAL applies a watermark when the FV has an event-time column") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_wm_").toString
+    // µs-timestamp source (normalized events), so the watermark branch engages
+    val ev = Tables.events(spark, sfDir).limit(120)
+    ev.write.mode("overwrite").parquet(srcDir)
+    val src = spark.read.parquet(srcDir)
+    src.createOrReplaceTempView("wm_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_wm", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, ts, max(value) AS f_v FROM wm_src GROUP BY user_id, ts",
+      timestampCol = Some("ts"),
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental, InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val q = mgr.startIncremental(fs.getFeatureView("fv_wm", "1"),
+      "wm_src", srcDir, src.schema, availableNow = true)
+    q.awaitTermination(120000)
+    // complete-mode result equals batch recompute despite the watermark
+    assert(fs.readFeatureView("fv_wm", "1").count() ==
+      src.groupBy(col("user_id"), col("ts")).count().count())
+    mgr.stopAll()
+  }
+
   test("status is IDLE before any refresh is scheduled") {
     val fs = freshStore()
     Tables.events(spark, sfDir).createOrReplaceTempView("ev_src2")
