@@ -292,6 +292,20 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       save: Boolean = true,
       description: String = ""): DataFrame = {
     val recs = features.map { case (n, v) => getFeatureView(n, v) }
+    // Column-collision policy (SURVEY §2.B18): the reference is silent when
+    // two FVs emit the same feature name — we fail fast instead of silently
+    // shadowing one of them.
+    val spineCols = spine.columns.map(_.toLowerCase).toSet
+    recs.foldLeft(spineCols) { (seen, rec) =>
+      val keysAndTs = (rec.fv.joinKeys ++ rec.fv.timestampCol.toSeq).map(_.toLowerCase).toSet
+      val payload = readFeatureView(rec.fv.name, rec.version).columns
+        .map(_.toLowerCase).filterNot(keysAndTs.contains)
+      val clash = payload.filter(seen.contains)
+      require(clash.isEmpty,
+        s"feature view ${rec.logicalId} emits column(s) already present in the dataset: " +
+          clash.mkString(", "))
+      seen ++ payload
+    }
     val out = recs.foldLeft(spine) { (acc, rec) =>
       val fvDf = readFeatureView(rec.fv.name, rec.version)
       val keys = rec.fv.joinKeys.map(_.toLowerCase)

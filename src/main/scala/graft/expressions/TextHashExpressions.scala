@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct xxhash64 values of word n-gram shingles over a token array.
   * Equivalent to hashing `array_join(slice(tokens, i, n), " ")` for every i
-  * (the set Jaccard is defined on). Output order: first occurrence.
+  * (the set Jaccard is defined on). Output is SORTED ascending so downstream
+  * set ops (JaccardSim) can merge without allocation.
   */
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -64,7 +65,10 @@ case class ShingleHashes(child: Expression, n: Int)
       var i = 0
       while (i <= t - n) { hashShingle(i, n); i += 1 }
     }
-    new GenericArrayData(seen.toArray)
+    // sorted output → JaccardSim takes the allocation-free merge path
+    val out = seen.toArray
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
@@ -112,10 +116,28 @@ case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
 
+  private def isSortedDistinct(a: Array[Long]): Boolean = {
+    var i = 1
+    while (i < a.length) { if (a(i - 1) >= a(i)) return false; i += 1 }
+    true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toLongArray()
     val ys = b.asInstanceOf[ArrayData].toLongArray()
     if (xs.isEmpty && ys.isEmpty) return 1.0
+    // fast path: pre-sorted distinct inputs (what ShingleHashes emits) →
+    // allocation-free merge count; fallback: hash sets
+    if (isSortedDistinct(xs) && isSortedDistinct(ys)) {
+      var i = 0; var j = 0; var inter = 0
+      while (i < xs.length && j < ys.length) {
+        if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
+        else if (xs(i) < ys(j)) i += 1
+        else j += 1
+      }
+      val union = xs.length + ys.length - inter
+      return if (union == 0) 1.0 else inter.toDouble / union
+    }
     val sa = new java.util.HashSet[Long](xs.length * 2)
     var i = 0
     while (i < xs.length) { sa.add(xs(i)); i += 1 }

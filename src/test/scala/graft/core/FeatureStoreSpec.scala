@@ -131,6 +131,22 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs2.readFeatureView("fv_att_derived", "1.0").count() > 0)
   }
 
+  test("generateDataset fails fast on feature-column collisions across FVs") {
+    val fs = freshStore(); prep(fs)
+    fs.registerFeatureView(demoFv(), "1.0")
+    // second FV emits the same payload column name f_v
+    fs.registerFeatureView(FeatureView("fv_clash", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, ts, min(value) AS f_v FROM ev_src WHERE event_type='click' GROUP BY user_id, ts",
+      Some("ts")), "1.0")
+    val spine = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ex = intercept[IllegalArgumentException] {
+      fs.generateDataset("clash", spine,
+        Seq(("fv_test", "1.0"), ("fv_clash", "1.0")), Some("ts"), save = false)
+    }
+    assert(ex.getMessage.contains("f_v"))
+  }
+
   test("no-timestamp FV joins as plain equi-join (reference timestamp_col=NULL)") {
     val fs = freshStore(); prep(fs)
     val staticFv = FeatureView("fv_static", Seq(Entity("user", Seq("user_id"))),
