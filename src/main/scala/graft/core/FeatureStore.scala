@@ -144,6 +144,22 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
   private def exposeView(fv: FeatureView): Unit =
     spark.sql(fv.query).createOrReplaceTempView(fv.name.toLowerCase)
 
+  /** Drop a feature view: catalog record, session view, and (for managed
+    * FVs) the materialized table. Reference: DROP VIEW | DYNAMIC TABLE.
+    */
+  def dropFeatureView(name: String, version: String): Boolean = {
+    catalog.getFeatureView(name, version) match {
+      case None => false
+      case Some(rec) =>
+        rec.physicalPath.foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        }
+        spark.catalog.dropTempView(rec.fv.name.toLowerCase)
+        catalog.dropFeatureView(name, version)
+    }
+  }
+
   /** Re-expose every catalog feature view in THIS session (temp views over
     * the stored queries / materialized tables). Needed when opening an
     * existing store from a fresh session: FV-chaining resolves through the

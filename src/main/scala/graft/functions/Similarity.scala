@@ -109,6 +109,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer (nlist deterministic
+    * seed centroids — the lowest-id vectors, no training pass) partitions
+    * candidates into inverted lists; each query probes its `nprobe` nearest
+    * lists. Scale path: the candidate scan per query is ~N·nprobe/nlist, and
+    * the cluster id is a plain join key, so the inverted lists are just a
+    * partitioning of the candidate table (at 100 TB: write candidates
+    * partitioned by cluster_id once, then every query batch touches only its
+    * probed partitions — classic IVF file-skipping).
+    */
+  def ivfTopK(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    // deterministic coarse centroids: the nlist lowest-id candidate vectors
+    val centroids = candidates
+      .select(col(cidCol).cast("long").as("centroid_id"), col(vecCol).as("cv"))
+      .orderBy(col("centroid_id")).limit(nlist)
+
+    // assign: argmin over centroid cosine distance (centroids broadcast)
+    def assign(df: DataFrame, idOut: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .select(col("*"),
+          (dot(col("__v"), col("cv")) / (col("__n") * norm(col("cv")))).as("__sim"))
+      val w = Window.partitionBy(col(idOut)).orderBy(col("__sim").desc, col("centroid_id").asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .drop("cv", "__sim", "__r")
+    }
+
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val cAssigned = assign(c, "neighbor_id", 1)  // each candidate in 1 list
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val qAssigned = assign(q, "query_id", nprobe)  // each query probes nprobe lists
+      .select(col("query_id"), col("__v").as("__qv"), col("__n").as("__qn"), col("centroid_id"))
+
+    val joined = cAssigned.join(broadcast(qAssigned), "centroid_id")
+    val scored = joined
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("__qv"), col("__v")) / (col("__qn") * col("__n")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      // a query probing p lists can see a neighbor once only (each candidate
+      // lives in exactly one list) — no dedup needed
+  }
+
   /** Embedding-cosine near-duplicate pairs within an LSH bucket:
     * (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
     * Pair count ~ N²/2^bits; pick bits so a bucket's pairs fit a task.

@@ -73,6 +73,14 @@ object PipelineQueries {
       Similarity.lshTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k = 5, bits = 4, dim = 64)
     }),
 
+    // IVF approximate top-k (coarse-quantizer inverted lists; rows-only)
+    "q44_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+    }),
+
     // embedding-cosine near-dup pairs within LSH buckets (rows-only check)
     "q27_cosine_neardup" -> ((s, dir) => {
       // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51),

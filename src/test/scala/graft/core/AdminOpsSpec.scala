@@ -32,6 +32,42 @@ class AdminOpsSpec extends SparkSpec {
     assert(!row.getAs[Boolean]("is_materialized"))
   }
 
+  test("dropFeatureView removes record, view, and materialized data") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).createOrReplaceTempView("admin_ev")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView(
+      "fv_dropme", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM admin_ev GROUP BY user_id",
+      refresh = Some(RefreshConfig("1 minute"))), "1")
+    val path = fs.getFeatureView("fv_dropme", "1").physicalPath.get
+    assert(new java.io.File(path).exists())
+    assert(fs.dropFeatureView("fv_dropme", "1"))
+    assert(!new java.io.File(path).exists())
+    assert(fs.catalog.getFeatureView("fv_dropme", "1").isEmpty)
+    assert(!fs.dropFeatureView("fv_dropme", "1"))  // idempotent-ish: already gone
+  }
+
+  test("catalog metadata files use the object entity form (UI-parser contract)") {
+    // the reference's test_metadata_compatibility UI simulation: entities
+    // must be [{name, joinKeys}] objects, never plain strings
+    val fs = freshStore()
+    Tables.events(spark, sfDir).createOrReplaceTempView("admin_ev")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView(
+      "fv_meta", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM admin_ev GROUP BY user_id"), "1")
+    val json = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(fs.catalog.root, "feature_views", "FV_META__1.json")), "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val ent = node.get("entities").get(0)
+    assert(ent.isObject, "entities must be objects, not strings")
+    assert(ent.get("name").asText() == "USER")
+    assert(ent.get("joinKeys").get(0).asText() == "USER_ID")
+    assert(node.get("objectType").asText() == "EXTERNAL_FEATURE_VIEW")
+    assert(node.get("pkgVersion").asText() == "1.0.0")
+  }
+
   test("cleanupInvalidMetadata drops corrupt records, keeps valid ones") {
     val fs = freshStore()
     Tables.events(spark, sfDir).createOrReplaceTempView("admin_ev")

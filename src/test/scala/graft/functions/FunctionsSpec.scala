@@ -73,6 +73,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("approximate ANN (LSH + IVF) recalls a reasonable share of exact top-5") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(qs, "vec_id", emb, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(qs, "vec_id", emb, "vec_id", "embedding", 5, nlist = 8, nprobe = 4))
+    val lsh = pairs(Similarity.lshTopK(qs, "vec_id", emb, "vec_id", "embedding", 5, bits = 2, dim = 64))
+    assert(exact.size == 50)
+    // near-random embeddings make recall weak by construction; the contract
+    // here is shape + overlap, not production recall
+    assert((ivf & exact).size >= 10, s"IVF recall too low: ${(ivf & exact).size}/50")
+    assert((lsh & exact).size >= 10, s"LSH recall too low: ${(lsh & exact).size}/50")
+  }
+
   test("langId picks the best-covered language deterministically") {
     val markers = Map("en" -> Seq("the", "dog"), "es" -> Seq("el", "perro"))
     val df = Seq(("the dog runs", 1), ("el perro corre", 2), ("zzz yyy", 3)).toDF("text", "id")
