@@ -60,9 +60,24 @@ object AsOfJoin {
       else features.columns.filterNot(c => joinKeys.contains(c) || c == featureTs).toSeq
     method match {
       case "union-window" => unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs)
-      case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs)
+      case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, hint = false)
+      case "auto" =>
+        // Catalyst-stats-based pick: a broadcastable feature side makes the
+        // non-equi join cheap (no shuffle of the spine at all); otherwise the
+        // union-window single-shuffle plan wins regardless of history depth.
+        if (isBroadcastable(features))
+          joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, hint = true)
+        else
+          unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs)
       case other => throw new IllegalArgumentException(s"unknown as-of method: $other")
     }
+  }
+
+  private def isBroadcastable(df: DataFrame): Boolean = {
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    threshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
   }
 
   private def unionWindow(
@@ -122,12 +137,14 @@ object AsOfJoin {
       spineTs: String,
       featureTs: String,
       payload: Seq[String],
-      includeFeatureTs: Option[String]): DataFrame = {
+      includeFeatureTs: Option[String],
+      hint: Boolean): DataFrame = {
     val RID = "__graft_rid"
     val RN = "__graft_rn"
     val s = spine.withColumn(RID, monotonically_increasing_id())
-    val f = features.select((joinKeys.map(c => col(c).as(s"__f_$c")) ++
+    val f0 = features.select((joinKeys.map(c => col(c).as(s"__f_$c")) ++
       Seq(col(featureTs).as("__f_ts")) ++ payload.map(c => col(c).as(s"__f_$c"))): _*)
+    val f = if (hint) broadcast(f0) else f0
     val cond = joinKeys.map(k => s(k) === f(s"__f_$k")).reduce(_ && _) &&
       (f("__f_ts") <= s(spineTs))
     val joined = s.join(f, cond, "left")

@@ -69,6 +69,13 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("age")))
   }
 
+  test("auto method picks a strategy and matches both explicit strategies") {
+    val out = AsOfJoin.joinAsOf(spine, features, Seq("customer_id"),
+      "event_time", "updated_at", featureCols = Seq("age", "snap"), method = "auto")
+    val expected = run("union-window")
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+  }
+
   test("both strategies agree on the events table (property cross-check)") {
     val ev = Tables.events(spark, sfDir)
     val sp = ev.filter($"event_type" === "purchase")

@@ -124,6 +124,34 @@ class RefreshSpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("sustained ProcessingTime refresh: batch completes well under the target lag") {
+    // BASELINE.md parity target: sustain a '1 minute' target lag on the
+    // events table. We tick every 2s and assert the micro-batch duration
+    // stays far below 60s — the lag the reference's test pins.
+    val fs = freshStore()
+    val dir = "/root/testdata/sf0.1"
+    val raw = spark.read.parquet(s"$dir/events.parquet")  // nanosAsLong → ts:long
+    raw.createOrReplaceTempView("lag_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_lag", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM lag_src GROUP BY user_id",
+      refresh = Some(RefreshConfig("2 seconds", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_lag", "1")
+    val q = mgr.startIncremental(rec, "lag_src", dir, raw.schema,
+      availableNow = false, pathGlobFilter = Some("events.parquet"))
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (q.lastProgress == null && System.currentTimeMillis() < deadline) Thread.sleep(500)
+      assert(q.lastProgress != null, "no micro-batch completed within 2 minutes")
+      val batchMs = q.lastProgress.durationMs.get("triggerExecution").longValue()
+      assert(batchMs < 60000, s"micro-batch took ${batchMs}ms — exceeds the 1-minute target lag")
+      assert(fs.readFeatureView("fv_lag", "1").agg(sum("f_n")).collect()(0).getLong(0) ==
+        raw.count())
+    } finally mgr.stopAll()
+  }
+
   test("status is IDLE before any refresh is scheduled") {
     val fs = freshStore()
     Tables.events(spark, sfDir).createOrReplaceTempView("ev_src2")
