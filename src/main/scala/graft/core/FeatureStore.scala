@@ -322,15 +322,45 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
           clash.mkString(", "))
       seen ++ payload
     }
-    val out = recs.foldLeft(spine) { (acc, rec) =>
-      val fvDf = readFeatureView(rec.fv.name, rec.version)
+    // spine must carry every entity key (and the event-time column if used)
+    val spineLower = spine.columns.map(_.toLowerCase).toSet
+    recs.foreach { rec =>
+      val missing = rec.fv.joinKeys.map(_.toLowerCase).filterNot(spineLower.contains)
+      require(missing.isEmpty,
+        s"spine lacks join key column(s) ${missing.mkString(",")} required by ${rec.logicalId}")
+    }
+    spineTimestampCol.foreach(ts => require(spineLower.contains(ts.toLowerCase),
+      s"spine lacks timestamp column: $ts"))
+
+    // Group consecutive timestamped FVs sharing the same join keys: each
+    // group folds into ONE union-window pass (one shuffle + one sort for N
+    // feature views) via joinAsOfMulti; FVs without a timestamp join as
+    // plain left equi-joins (reference timestamp_col='NULL').
+    val groups = recs.foldLeft(Vector.empty[Vector[FeatureViewRecord]]) { (acc, rec) =>
       val keys = rec.fv.joinKeys.map(_.toLowerCase)
-      (rec.fv.timestampCol, spineTimestampCol) match {
-        case (Some(fts), Some(sts)) =>
-          AsOfJoin.joinAsOf(acc, fvDf, keys, sts, fts.toLowerCase)
+      acc.lastOption match {
+        case Some(g) if spineTimestampCol.isDefined &&
+            rec.fv.timestampCol.isDefined && g.head.fv.timestampCol.isDefined &&
+            g.head.fv.joinKeys.map(_.toLowerCase) == keys =>
+          acc.init :+ (g :+ rec)
+        case _ => acc :+ Vector(rec)
+      }
+    }
+    val out = groups.foldLeft(spine) { (acc, group) =>
+      val keys = group.head.fv.joinKeys.map(_.toLowerCase)
+      (group.head.fv.timestampCol, spineTimestampCol) match {
+        case (Some(_), Some(sts)) =>
+          val parts = group.toSeq.map { rec =>
+            val fvDf = readFeatureView(rec.fv.name, rec.version)
+            val fts = rec.fv.timestampCol.get.toLowerCase
+            val payload = fvDf.columns
+              .filterNot(c => keys.contains(c.toLowerCase) || c.toLowerCase == fts).toSeq
+            (fvDf, fts, payload)
+          }
+          AsOfJoin.joinAsOfMulti(acc, parts, keys, sts)
         case _ =>
-          // no timestamp on the FV → plain left equi-join on the entity keys
-          // (reference stores timestamp_col='NULL' and joins directly)
+          val rec = group.head
+          val fvDf = readFeatureView(rec.fv.name, rec.version)
           val payload = fvDf.columns.filterNot(c => keys.contains(c.toLowerCase))
           acc.join(fvDf.select((keys ++ payload).map(col): _*).dropDuplicates(keys), keys, "left")
       }

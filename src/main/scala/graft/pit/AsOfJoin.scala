@@ -73,6 +73,65 @@ object AsOfJoin {
     }
   }
 
+  /** Multi-feature-view as-of join in ONE pass: every feature table that
+    * shares the spine's join keys is tagged and unioned into a single
+    * window, so N feature views cost one shuffle + one sort total instead of
+    * N chained joins (generateDataset uses this when FVs share keys — the
+    * common case, since they hang off the same entity).
+    *
+    * @param features (df, featureTs, payloadCols) per feature view; payload
+    *                 column names must be globally unique (validated upstream)
+    */
+  def joinAsOfMulti(
+      spine: DataFrame,
+      features: Seq[(DataFrame, String, Seq[String])],
+      joinKeys: Seq[String],
+      spineTs: String): DataFrame = {
+    if (features.isEmpty) return spine
+    if (features.size == 1) {
+      val (f, fts, payload) = features.head
+      return joinAsOf(spine, f, joinKeys, spineTs, fts, payload)
+    }
+    val SIDE = "__graft_side"
+    val TS = "__graft_ts"
+    val spineCols = spine.columns.toSeq
+    val allPayload = features.flatMap(_._3)
+    val payloadType: Map[String, org.apache.spark.sql.types.DataType] =
+      features.flatMap { case (f, _, payload) => payload.map(c => c -> f.schema(c).dataType) }.toMap
+
+    // one tagged relation per feature view: its own payload, nulls elsewhere
+    val taggedFeatures = features.map { case (f, fts, payload) =>
+      val mine = payload.toSet
+      f.select(
+        (joinKeys.map(col) ++
+         Seq(col(fts).as(TS), lit(0).as(SIDE)) ++
+         allPayload.map(c => if (mine(c)) col(c) else lit(null).cast(payloadType(c)).as(c)) ++
+         spineCols.filterNot(joinKeys.contains)
+           .map(c => lit(null).cast(spine.schema(c).dataType).as(s"__sp_$c"))): _*)
+    }
+    val taggedSpine = spine.select(
+      (joinKeys.map(col) ++
+       Seq(col(spineTs).as(TS), lit(1).as(SIDE)) ++
+       allPayload.map(c => lit(null).cast(payloadType(c)).as(c)) ++
+       spineCols.filterNot(joinKeys.contains).map(c => col(c).as(s"__sp_$c"))): _*)
+
+    val w = Window.partitionBy(joinKeys.map(col): _*)
+      .orderBy(col(TS).asc, col(SIDE).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val unioned = (taggedFeatures :+ taggedSpine).reduce(_ unionByName _)
+    val carried = unioned.select(
+      (Seq(col(SIDE)) ++
+       joinKeys.map(col) ++
+       spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
+       allPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+
+    val out = carried.filter(col(SIDE) === 1).drop(SIDE)
+    val renamed = spineCols.filterNot(joinKeys.contains)
+      .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
+    renamed.select((spineCols ++ allPayload).map(col): _*)
+  }
+
   private def isBroadcastable(df: DataFrame): Boolean = {
     val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))

@@ -131,6 +131,37 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs2.readFeatureView("fv_att_derived", "1.0").count() > 0)
   }
 
+  test("multi-FV dataset: grouped one-pass join equals the chained per-FV result") {
+    val fs = freshStore(); prep(fs)
+    fs.registerFeatureView(demoFv(), "1.0")
+    fs.registerFeatureView(FeatureView("fv_clicks", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, ts, max(value) AS f_click FROM ev_src WHERE event_type='click' GROUP BY user_id, ts",
+      Some("ts")), "1.0")
+    val spine = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("label"))
+    // engine path (grouped single-pass)
+    val grouped = fs.generateDataset("multi", spine,
+      Seq(("fv_test", "1.0"), ("fv_clicks", "1.0")), Some("ts"), Seq("label"), save = false)
+    // reference semantics: two chained as-of joins
+    val f1 = spark.sql("SELECT user_id, ts, max(value) AS f_v FROM ev_src WHERE event_type='view' GROUP BY user_id, ts")
+    val f2 = spark.sql("SELECT user_id, ts, max(value) AS f_click FROM ev_src WHERE event_type='click' GROUP BY user_id, ts")
+    val chained = graft.pit.AsOfJoin.joinAsOf(
+      graft.pit.AsOfJoin.joinAsOf(spine, f1, Seq("user_id"), "ts", "ts", Seq("f_v")),
+      f2, Seq("user_id"), "ts", "ts", Seq("f_click"))
+    assert(grouped.count() == spine.count())
+    assert(grouped.exceptAll(chained).isEmpty && chained.exceptAll(grouped).isEmpty)
+  }
+
+  test("generateDataset rejects a spine missing the entity keys") {
+    val fs = freshStore(); prep(fs)
+    fs.registerFeatureView(demoFv(), "1.0")
+    val badSpine = Tables.events(spark, sfDir).select(col("event_id"), col("ts"))
+    val ex = intercept[IllegalArgumentException] {
+      fs.generateDataset("bad", badSpine, Seq(("fv_test", "1.0")), Some("ts"), save = false)
+    }
+    assert(ex.getMessage.contains("user_id"))
+  }
+
   test("generateDataset fails fast on feature-column collisions across FVs") {
     val fs = freshStore(); prep(fs)
     fs.registerFeatureView(demoFv(), "1.0")
