@@ -84,7 +84,8 @@ final class MetadataCatalog(val root: String) {
   def getEntity(name: String): Option[Entity] =
     read(objPath("entities", name.toUpperCase)).map(nodeToEntity)
 
-  def listEntities(): Seq[Entity] = list("entities").map(nodeToEntity)
+  def listEntities(): Seq[Entity] =
+    list("entities").flatMap(n => scala.util.Try(nodeToEntity(n)).toOption)
 
   def dropEntity(name: String): Boolean = Files.deleteIfExists(objPath("entities", name.toUpperCase))
 

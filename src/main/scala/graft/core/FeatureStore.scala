@@ -24,16 +24,16 @@ import graft.pit.AsOfJoin
   * [[graft.refresh.RefreshManager]].
   */
 final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) {
+  import FeatureStore._
 
   def init(): FeatureStore = { catalog.init(); this }
 
-  // ---- change-detection outcomes (reference feature_view.sql:101-181) ----
-  sealed trait RegisterOutcome
-  case object Created extends RegisterOutcome
-  case object NoOp extends RegisterOutcome
-  case object ConfigAltered extends RegisterOutcome
-  case object Recreated extends RegisterOutcome
-  case object Skipped extends RegisterOutcome
+  // instance-level aliases kept for source compatibility
+  val Created: RegisterOutcome = FeatureStore.Created
+  val NoOp: RegisterOutcome = FeatureStore.NoOp
+  val ConfigAltered: RegisterOutcome = FeatureStore.ConfigAltered
+  val Recreated: RegisterOutcome = FeatureStore.Recreated
+  val Skipped: RegisterOutcome = FeatureStore.Skipped
 
   // ---- entities ----------------------------------------------------------
 
@@ -395,6 +395,14 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
 }
 
 object FeatureStore {
+  /** Change-detection outcomes (reference feature_view.sql:101-181). */
+  sealed trait RegisterOutcome
+  case object Created extends RegisterOutcome
+  case object NoOp extends RegisterOutcome
+  case object ConfigAltered extends RegisterOutcome
+  case object Recreated extends RegisterOutcome
+  case object Skipped extends RegisterOutcome
+
   /** Open (and initialize if absent) a feature store rooted at `root`. */
   def apply(spark: SparkSession, root: String): FeatureStore =
     new FeatureStore(spark, new MetadataCatalog(root)).init()
