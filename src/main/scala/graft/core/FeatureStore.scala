@@ -129,7 +129,7 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
         val path = catalog.dataPath(fv.physicalName(version))
         if (fv.refresh.get.initialize == InitializeMode.OnCreate) {
           // initial backfill (reference: initialize=ON_CREATE)
-          spark.sql(fv.query).write.mode("overwrite").parquet(path)
+          FeatureStore.writeManaged(spark.sql(fv.query), fv, path)
         }
         Some(path)
       } else None
@@ -201,7 +201,10 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
   def readFeatureView(name: String, version: String): DataFrame = {
     val rec = getFeatureView(name, version)
     rec.physicalPath match {
-      case Some(p) => spark.read.parquet(p)
+      case Some(p) =>
+        val df = spark.read.parquet(p)
+        // drop the derived date-partition column (storage layout, not schema)
+        if (df.columns.contains(FeatureStore.PartCol)) df.drop(FeatureStore.PartCol) else df
       case None => spark.sql(rec.fv.query)
     }
   }
@@ -395,6 +398,26 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
 }
 
 object FeatureStore {
+  /** Derived date-partition column for materialized managed FVs. */
+  val PartCol = "_graft_date"
+
+  /** Write a managed FV table, partitioned by date(timestampCol) when the
+    * FV has an event-time column (SURVEY §4: Delta-style data skipping —
+    * time-range scans prune whole partitions at 100 TB).
+    */
+  private[graft] def writeManaged(df: DataFrame, fv: FeatureView, path: String): Unit = {
+    val tsCol = fv.timestampCol.map(_.toLowerCase).flatMap(tc =>
+      df.schema.fields.find(f => f.name.toLowerCase == tc &&
+        (f.dataType == TimestampType || f.dataType == TimestampNTZType || f.dataType == DateType)))
+    tsCol match {
+      case Some(f) =>
+        df.withColumn(PartCol, to_date(col(f.name)))
+          .write.mode("overwrite").partitionBy(PartCol).parquet(path)
+      case None =>
+        df.write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** Change-detection outcomes (reference feature_view.sql:101-181). */
   sealed trait RegisterOutcome
   case object Created extends RegisterOutcome

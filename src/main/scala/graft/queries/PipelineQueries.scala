@@ -103,6 +103,18 @@ object PipelineQueries {
         TextFunctions.langId(col("text"), langMarkers).as("lang_pred"))
     }),
 
+    // text normalization: lowercase, strip punctuation, collapse whitespace
+    // — the canonical pre-tokenization cleanup, map-side only
+    "q45_normalize" -> ((s, dir) => {
+      val norm = regexp_replace(
+        regexp_replace(lower(trim(col("text"))), "[.,!?;:]", ""),
+        "\\s+", " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(norm).cast("long").as("norm_len"),
+        md5(norm.cast("binary")).as("norm_md5"))
+    }),
+
     // sessionization: gap-based event sessions per user (30-min timeout) —
     // the canonical pre-training event-stream transform. One shuffle on
     // user_id; both the lag and the running session counter reuse the same
@@ -253,6 +265,12 @@ object PipelineQueries {
         |      + greatest(0.0, 1.0 - p_ratio * 5.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality,
         |  CASE WHEN n_tokens = 0 THEN 'und' ELSE l2 END AS lang_pred
         |FROM fold2""".stripMargin,
+
+    "q45_normalize" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS BIGINT) AS norm_len,
+        |  md5(regexp_replace(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS norm_md5
+        |FROM documents""".stripMargin,
 
     "q42_sessionize" ->
       """WITH marked AS (

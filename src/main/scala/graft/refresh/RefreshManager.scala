@@ -46,7 +46,7 @@ final class RefreshManager(fs: FeatureStore) {
       throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
     val tmp = path + "__staging"
     // write to staging, then swap — readers never see a partial table
-    spark.sql(rec.fv.query).write.mode("overwrite").parquet(tmp)
+    FeatureStore.writeManaged(spark.sql(rec.fv.query), rec.fv, tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     fsys.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -101,7 +101,7 @@ final class RefreshManager(fs: FeatureStore) {
     val q = transformed.writeStream
       .outputMode(if (transformed.isStreaming && hasAggregate(transformed)) "complete" else "append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(path)
+        FeatureStore.writeManaged(batch, rec.fv, path)
       }
       .option("checkpointLocation", path + "__checkpoint")
       .trigger(trigger)

@@ -164,6 +164,24 @@ class RefreshSpec extends SparkSpec {
     assert(mgr.status(fs.getFeatureView("fv_idle", "1")) == "IDLE")
   }
 
+  test("managed FV with event-time materializes date-partitioned (partition pruning)") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).createOrReplaceTempView("part_ev")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_part", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, ts, max(value) AS f_v FROM part_ev GROUP BY user_id, ts",
+      timestampCol = Some("ts"),
+      refresh = Some(RefreshConfig("1 minute"))), "1")
+    val path = fs.getFeatureView("fv_part", "1").physicalPath.get
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith(graft.core.FeatureStore.PartCol + "=")),
+      s"expected ${graft.core.FeatureStore.PartCol}= partition dirs, got ${dirs.mkString(",")}")
+    // read-back hides the storage column and a date filter prunes partitions
+    val df = fs.readFeatureView("fv_part", "1")
+    assert(!df.columns.contains(graft.core.FeatureStore.PartCol))
+    assert(df.count() > 0)
+  }
+
   test("refresh duration strings parse (reference target_lag values)") {
     assert(RefreshConfig.parseDurationMillis("1 minute") == 60000L)
     assert(RefreshConfig.parseDurationMillis("5 minutes") == 300000L)
