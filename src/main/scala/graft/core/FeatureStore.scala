@@ -77,6 +77,8 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
     fv.timestampCol.foreach { ts =>
       require(schema.contains(ts.toLowerCase), s"feature view '${fv.name}' query lacks timestamp column: $ts")
     }
+    require(!schema.contains(FeatureStore.PartCol),
+      s"feature view '${fv.name}' emits reserved column name ${FeatureStore.PartCol}")
   }
 
   /** Register (or re-register) a feature view version. Implements the
@@ -177,7 +179,8 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
         val ok = scala.util.Try {
           r.physicalPath match {
             case Some(p) if new java.io.File(p).exists() =>
-              spark.read.parquet(p).createOrReplaceTempView(r.fv.name.toLowerCase)
+              spark.read.parquet(p).drop(FeatureStore.PartCol)
+                .createOrReplaceTempView(r.fv.name.toLowerCase)
             case _ => exposeView(r.fv)
           }
         }.isSuccess
@@ -202,9 +205,8 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
     val rec = getFeatureView(name, version)
     rec.physicalPath match {
       case Some(p) =>
-        val df = spark.read.parquet(p)
         // drop the derived date-partition column (storage layout, not schema)
-        if (df.columns.contains(FeatureStore.PartCol)) df.drop(FeatureStore.PartCol) else df
+        spark.read.parquet(p).drop(FeatureStore.PartCol)
       case None => spark.sql(rec.fv.query)
     }
   }
@@ -404,17 +406,34 @@ object FeatureStore {
   /** Write a managed FV table, partitioned by date(timestampCol) when the
     * FV has an event-time column (SURVEY §4: Delta-style data skipping —
     * time-range scans prune whole partitions at 100 TB).
+    *
+    * An EMPTY partitioned write emits no schema-bearing part files (the
+    * table would become unreadable), so if the partitioned write produced no
+    * parquet files we rewrite the empty result unpartitioned — which does
+    * persist the schema.
     */
-  private[graft] def writeManaged(df: DataFrame, fv: FeatureView, path: String): Unit = {
+  private[graft] def writeManaged(df: DataFrame, fv: FeatureView, path: String,
+      mode: String = "overwrite"): Unit = {
     val tsCol = fv.timestampCol.map(_.toLowerCase).flatMap(tc =>
       df.schema.fields.find(f => f.name.toLowerCase == tc &&
         (f.dataType == TimestampType || f.dataType == TimestampNTZType || f.dataType == DateType)))
     tsCol match {
       case Some(f) =>
         df.withColumn(PartCol, to_date(col(f.name)))
-          .write.mode("overwrite").partitionBy(PartCol).parquet(path)
+          .write.mode(mode).partitionBy(PartCol).parquet(path)
+        val anyParquet = {
+          val d = new java.io.File(path)
+          def walk(f: java.io.File): Boolean =
+            if (f.isDirectory) f.listFiles().exists(walk)
+            else f.getName.endsWith(".parquet")
+          d.exists() && walk(d)
+        }
+        if (!anyParquet)
+          df.sparkSession.createDataFrame(
+            df.sparkSession.sparkContext.emptyRDD[Row], df.schema)
+            .write.mode("overwrite").parquet(path)
       case None =>
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode(mode).parquet(path)
     }
   }
 

@@ -76,10 +76,18 @@ object DedupFunctions {
     * between shuffling the corpus and shuffling 0.1% of it). 128-bit
     * collisions are negligible at any realistic corpus size.
     */
-  def dedupExact(df: DataFrame, key: Column, idCol: String): DataFrame =
-    df.groupBy(md5(key.cast("binary")).as("__dedup_key"))
+  def dedupExact(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    // hash only key types castable to binary (string/binary); group other
+    // key types (numeric, struct, ...) directly — same results either way
+    val hashable = df.select(key.as("__k")).schema.head.dataType match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+    val groupKey = if (hashable) md5(key.cast("binary")) else key
+    df.groupBy(groupKey.as("__dedup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__dedup_key")
+  }
 
   /** MinHash/LSH near-duplicate candidate pairs with exact-Jaccard
     * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
