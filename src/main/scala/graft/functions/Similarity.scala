@@ -57,7 +57,7 @@ object Similarity {
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -105,7 +105,7 @@ object Similarity {
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -154,7 +154,7 @@ object Similarity {
         round(dot(col("__qv"), col("__v")) / (col("__qn") * col("__n")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       // a query probing p lists can see a neighbor once only (each candidate
       // lives in exactly one list) — no dedup needed

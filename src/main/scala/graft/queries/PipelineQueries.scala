@@ -134,7 +134,8 @@ object PipelineQueries {
         .agg(
           count(lit(1)).as("n_events"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_value"))
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_value"))
     }),
 
     // deterministic train/valid/test split: md5-bucket on content, stable
@@ -158,8 +159,12 @@ object PipelineQueries {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")
       Tables.documents(s, dir).createOrReplaceTempView("docs_sql")
+      // `10000.0` in Spark SQL text parses as DECIMAL(5,1) (unlike lit() in
+      // the DataFrame API), which drags floor's BIGINT into decimal division;
+      // the D suffix keeps the whole floor-rounding trick in pure double so
+      // it matches DuckDB's all-double evaluation bitwise.
       s.sql("""SELECT e.vec_id,
-              |  floor(vec_dot(e.embedding, e.embedding) * 10000.0 + 0.5) / 10000.0 AS norm_sq,
+              |  floor(vec_dot(e.embedding, e.embedding) * 10000.0D + 0.5D) / 10000.0D AS norm_sq,
               |  d.fp
               |FROM emb_sql e
               |JOIN (SELECT doc_id, token_fingerprint(filter(split(lower(text), '\\s+'), x -> length(x) > 0)) AS fp
@@ -286,7 +291,7 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM marked
         |)
-        |SELECT user_id, session_idx,
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |  count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
         |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value

@@ -17,6 +17,10 @@ import graft.pit.AsOfJoin
   */
 object RelationalQueries {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  // Spark widens sum(DECIMAL(18,2)) to (28,2); DuckDB widens to (38,2). The
+  // driver's hash is type-sensitive even when values are string-equal, so
+  // every final decimal aggregate is pinned to DECIMAL(38,2) on both sides.
+  private def dec38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1/B2 — scan + projection + rename + string fn
@@ -58,8 +62,8 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dec38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount")))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
@@ -70,7 +74,7 @@ object RelationalQueries {
         .groupBy(col("l_orderkey"))
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
-          sum(dec(col("l_quantity"))).as("sum_qty"))
+          dec38(sum(dec(col("l_quantity")))).as("sum_qty"))
         .filter(col("n_parts") >= 5)
     }),
 
@@ -84,7 +88,7 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(dec(col("c_acctbal"))).as("sum_bal"))
+          dec38(sum(dec(col("c_acctbal")))).as("sum_bal"))
     }),
 
     // left-semi / left-anti (EXISTS / NOT EXISTS)
@@ -116,7 +120,7 @@ object RelationalQueries {
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(col("value"))).as("sum_value"))
+          dec38(sum(dec(col("value")))).as("sum_value"))
     }),
 
     // B13/B14 — string + timestamp functions in grouping
@@ -136,10 +140,10 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_shipdate"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
         .withColumn("run_qty",
-          sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          dec38(sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
         .filter(col("rn") <= 3)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "l_quantity", "prev_qty", "run_qty")
     }),

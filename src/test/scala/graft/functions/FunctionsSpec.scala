@@ -68,7 +68,7 @@ class FunctionsSpec extends SparkSpec {
     val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
     assert(byQ.size == 3 && byQ.values.forall(_.length == 5))
     byQ.values.foreach { rows =>
-      val ranked = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      val ranked = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
       assert(ranked.zip(ranked.tail).forall { case (x, y) => x >= y })
     }
   }

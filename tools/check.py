@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run graft.Verify output
 against the DuckDB oracle and diff values (columns sorted by name, rows
-sorted), mirroring TESTDATA.md / BASELINE.md semantics."""
+sorted), mirroring TESTDATA.md / BASELINE.md semantics.
+
+TYPE-EXACT: the driver's hash is sensitive to value types even when string
+representations match (e.g. Spark DECIMAL(28,2) vs DuckDB DECIMAL(38,2), or
+Decimal('1.0000000') vs float 1.0). So we compare:
+  - DuckDB-reported column type names (from cursor description), and
+  - (python_type, repr(value)) per cell — no round(), no Decimal==float.
+"""
 import sys, os, json, glob, math
 import duckdb
 
@@ -17,20 +24,37 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def canon(rows, cols):
+def exact_types(sql):
+    """Column name -> exact DuckDB type string (e.g. DECIMAL(38,2)), via DESCRIBE."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+def cell(v):
+    """Type-exact canonical form of one value."""
+    if v is None:
+        return ("NULL", "NULL")
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "NaN")
+        return ("float", repr(v))
+    # Decimal, int, str, bool, datetime, bytes, lists... all via type+repr
+    return (type(v).__name__, repr(v))
+
+def norm_type(t):
+    """TIMESTAMP_NS (oracle reading the ns-unit events.parquet) and TIMESTAMP
+    (Spark's µs output) carry the same Python datetime values — the driver
+    hashes values, so width-only timestamp diffs are not failures. Everything
+    else (DECIMAL precision!) compares exactly."""
+    t = str(t)
+    return "TIMESTAMP" if t in ("TIMESTAMP_NS", "TIMESTAMP_MS", "TIMESTAMP_S") else t
+
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = "NaN"
-                else: v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
-    return sorted(cols), out
+        out.append(tuple(cell(r[i]) for i in order))
+    out.sort()
+    return sorted(cols), [norm_type(types[i]) for i in order], out
 
 fails = 0
 for name in sorted(os.listdir(out_dir)):
@@ -39,21 +63,31 @@ for name in sorted(os.listdir(out_dir)):
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         print(f"{name}: NO OUTPUT"); fails += 1; continue
-    got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-    gcols = [c[0] for c in got.description]; grows = got.fetchall()
+    gsql = f"SELECT * FROM read_parquet('{d}/*.parquet')"
+    got = con.execute(gsql)
+    gcols = [c[0] for c in got.description]
+    grows = got.fetchall()
+    gtmap = exact_types(gsql)
+    gtypes = [gtmap.get(c) for c in gcols]
     if name not in oracle:
         print(f"{name}: rows-only ({len(grows)} rows)" + (" FAIL(empty)" if not grows else ""))
         if not grows: fails += 1
         continue
     try:
         exp = con.execute(oracle[name])
-        ecols = [c[0] for c in exp.description]; erows = exp.fetchall()
+        ecols = [c[0] for c in exp.description]
+        erows = exp.fetchall()
+        etmap = exact_types(f"({oracle[name]})")
+        etypes = [etmap.get(c) for c in ecols]
     except Exception as e:
         print(f"{name}: ORACLE ERROR {str(e)[:200]}"); fails += 1; continue
-    gc, gr = canon(grows, gcols)
-    ec, er = canon(erows, ecols)
+    gc, gt, gr = canon(grows, gcols, gtypes)
+    ec, et, er = canon(erows, ecols, etypes)
     if gc != ec:
         print(f"{name}: SCHEMA MISMATCH spark={gc} duck={ec}"); fails += 1; continue
+    if gt != et:
+        print(f"{name}: COLUMN TYPE MISMATCH\n  spark: {list(zip(gc, gt))}\n  duck : {list(zip(ec, et))}")
+        fails += 1; continue
     if len(gr) != len(er):
         print(f"{name}: ROWCOUNT {len(gr)} vs {len(er)}"); fails += 1
         for a in gr[:3]: print("  spark:", a)
