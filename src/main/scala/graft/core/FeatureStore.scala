@@ -130,8 +130,10 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       if (fv.isManaged) {
         val path = catalog.dataPath(fv.physicalName(version))
         if (fv.refresh.get.initialize == InitializeMode.OnCreate) {
-          // initial backfill (reference: initialize=ON_CREATE)
-          FeatureStore.writeManaged(spark.sql(fv.query), fv, path)
+          // initial backfill (reference: initialize=ON_CREATE); committed via
+          // the manifest flip so a reader never sees a half-written table
+          graft.storage.VersionedTable.overwrite(path)(dir =>
+            FeatureStore.writeManaged(spark.sql(fv.query), fv, dir))
         }
         Some(path)
       } else None
@@ -178,8 +180,8 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       remaining = remaining.filter { r =>
         val ok = scala.util.Try {
           r.physicalPath match {
-            case Some(p) if new java.io.File(p).exists() =>
-              spark.read.parquet(p).drop(FeatureStore.PartCol)
+            case Some(p) if graft.storage.VersionedTable.exists(p) =>
+              graft.storage.VersionedTable.read(spark, p).drop(FeatureStore.PartCol)
                 .createOrReplaceTempView(r.fv.name.toLowerCase)
             case _ => exposeView(r.fv)
           }
@@ -206,7 +208,7 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
     rec.physicalPath match {
       case Some(p) =>
         // drop the derived date-partition column (storage layout, not schema)
-        spark.read.parquet(p).drop(FeatureStore.PartCol)
+        graft.storage.VersionedTable.read(spark, p).drop(FeatureStore.PartCol)
       case None => spark.sql(rec.fv.query)
     }
   }
@@ -252,9 +254,10 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       r.fv.refresh.map(c => InitializeMode.render(c.initialize)).orNull,
       r.fv.refresh.map(_.warehouse).orNull,
       r.planHash,
-      // materialized = the table actually exists (ON_SCHEDULE managed FVs
-      // have a reserved path but no data until their first refresh tick)
-      r.physicalPath.exists(p => new java.io.File(p).exists()))
+      // materialized = a committed manifest (or legacy table) exists
+      // (ON_SCHEDULE managed FVs have a reserved path but no data until
+      // their first refresh tick)
+      r.physicalPath.exists(p => graft.storage.VersionedTable.exists(p)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1),
       StructType(Seq(
@@ -367,7 +370,18 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
           val rec = group.head
           val fvDf = readFeatureView(rec.fv.name, rec.version)
           val payload = fvDf.columns.filterNot(c => keys.contains(c.toLowerCase))
-          acc.join(fvDf.select((keys ++ payload).map(col): _*).dropDuplicates(keys), keys, "left")
+          // A non-timestamped FV with several rows per key tuple has no
+          // point-in-time order to pick by; dropDuplicates would keep an
+          // arbitrary row (dataset changes across runs/partitionings). Take
+          // the row that sorts first over the full payload instead —
+          // deterministic, same single shuffle.
+          val rn = "__graft_rn"
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(payload.toSeq.map(c => col(c).asc_nulls_last): _*)
+          val oneRowPerKey = fvDf.select((keys ++ payload).map(col): _*)
+            .withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
+          acc.join(oneRowPerKey, keys, "left")
       }
     }
     if (save) {

@@ -3,6 +3,7 @@ package graft.pit
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Point-in-time (as-of) join — the reference's `generate_dataset` core
   * semantic (SURVEY.md §2.B17; reference
@@ -17,8 +18,10 @@ import org.apache.spark.sql.functions._
   *
   *  - **union-window** (default, the scale path): tag feature rows (side=0)
   *    and spine rows (side=1), union on (keys, ts), then a single
-  *    `Window.partitionBy(keys).orderBy(ts, side)` running `last(col,
-  *    ignoreNulls=true)` carries each feature column forward onto the next
+  *    `Window.partitionBy(keys).orderBy(ts, side)` running `last(pkt,
+  *    ignoreNulls=true)` over ONE struct holding the whole feature payload
+  *    carries the latest matching ROW (not column-by-column — NULL fields of
+  *    the matched row must stay NULL) onto the next
   *    spine row. Exactly ONE shuffle of spine+features by join key, no row
   *    blow-up regardless of fan-in (vs. the non-equi join's O(|spine_k| ×
   *    |features_k|) intermediate per key). Ordering `side` after `ts` makes
@@ -94,27 +97,38 @@ object AsOfJoin {
     }
     val SIDE = "__graft_side"
     val TS = "__graft_ts"
+    val PKT = "__graft_pkt_"
     val spineCols = spine.columns.toSeq
     val allPayload = features.flatMap(_._3)
-    val payloadType: Map[String, org.apache.spark.sql.types.DataType] =
-      features.flatMap { case (f, _, payload) => payload.map(c => c -> f.schema(c).dataType) }.toMap
 
-    // one tagged relation per feature view: its own payload, nulls elsewhere
-    val taggedFeatures = features.map { case (f, fts, payload) =>
-      val mine = payload.toSet
+    // One struct per feature view: the matched row travels wholesale (the
+    // struct is non-null exactly on that FV's rows), so a NULL *inside* the
+    // latest matching row stays NULL instead of being back-filled from an
+    // older row — per-column carry-forward diverges from ASOF semantics.
+    val pktTypes: Seq[StructType] = features.map { case (f, _, payload) =>
+      StructType(payload.map(c => StructField(c, fieldType(f, c))))
+    }
+
+    // one tagged relation per feature view: its own packet, null packets elsewhere
+    val taggedFeatures = features.zipWithIndex.map { case ((f, fts, payload), i) =>
       f.select(
         (joinKeys.map(col) ++
          Seq(col(fts).as(TS), lit(0).as(SIDE)) ++
-         allPayload.map(c => if (mine(c)) col(c) else lit(null).cast(payloadType(c)).as(c)) ++
+         features.indices.map { j =>
+           if (j == i) struct(payload.map(c => col(c).as(c)): _*).as(s"$PKT$j")
+           else lit(null).cast(pktTypes(j)).as(s"$PKT$j")
+         } ++
          spineCols.filterNot(joinKeys.contains)
-           .map(c => lit(null).cast(spine.schema(c).dataType).as(s"__sp_$c"))): _*)
+           .map(c => lit(null).cast(fieldType(spine, c)).as(s"__sp_$c"))): _*)
     }
     val taggedSpine = spine.select(
       (joinKeys.map(col) ++
        Seq(col(spineTs).as(TS), lit(1).as(SIDE)) ++
-       allPayload.map(c => lit(null).cast(payloadType(c)).as(c)) ++
+       features.indices.map(j => lit(null).cast(pktTypes(j)).as(s"$PKT$j")) ++
        spineCols.filterNot(joinKeys.contains).map(c => col(c).as(s"__sp_$c"))): _*)
 
+    // N feature views, still ONE shuffle + ONE sort: every last() below
+    // shares the same window frame
     val w = Window.partitionBy(joinKeys.map(col): _*)
       .orderBy(col(TS).asc, col(SIDE).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -124,13 +138,24 @@ object AsOfJoin {
       (Seq(col(SIDE)) ++
        joinKeys.map(col) ++
        spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
-       allPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+       features.indices.map(j => last(col(s"$PKT$j"), ignoreNulls = true).over(w).as(s"$PKT$j"))): _*)
 
     val out = carried.filter(col(SIDE) === 1).drop(SIDE)
     val renamed = spineCols.filterNot(joinKeys.contains)
       .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
-    renamed.select((spineCols ++ allPayload).map(col): _*)
+    val unpacked = features.zipWithIndex.flatMap { case ((_, _, payload), j) =>
+      payload.map(c => col(s"$PKT$j").getField(c).as(c))
+    }
+    renamed.select((spineCols.map(col) ++ unpacked): _*)
   }
+
+  /** Case-insensitive schema lookup: the catalog normalizes column names to
+    * one case while user queries may emit another; Spark's analyzer resolves
+    * `col(...)` case-insensitively but `schema(name)` does not. */
+  private def fieldType(df: DataFrame, name: String): DataType =
+    df.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not found among [${df.columns.mkString(", ")}]")).dataType
 
   private def isBroadcastable(df: DataFrame): Boolean = {
     val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -149,22 +174,31 @@ object AsOfJoin {
       includeFeatureTs: Option[String]): DataFrame = {
     val SIDE = "__graft_side"
     val TS = "__graft_ts"
+    val PKT = "__graft_pkt"
     val FTS = "__graft_fts"
     val spineCols = spine.columns.toSeq
 
-    // Feature side: (keys, ts, payload..., fts, side=0, spine cols = null)
+    // The matched feature row travels as ONE struct (non-null exactly on
+    // feature rows), so `last(pkt, ignoreNulls)` attaches the latest
+    // qualifying row wholesale — a NULL field inside that row stays NULL
+    // (ASOF semantics) instead of being back-filled from an older row,
+    // which per-column carry-forward would do.
+    val pktType = StructType(
+      payload.map(c => StructField(c, fieldType(features, c))) :+
+      StructField(FTS, fieldType(features, featureTs)))
+
+    // Feature side: (keys, ts, side=0, pkt=struct(payload..., fts), spine cols = null)
     val fSel: Seq[Column] =
       joinKeys.map(col) ++
-      Seq(col(featureTs).as(TS), lit(0).as(SIDE), col(featureTs).as(FTS)) ++
-      payload.map(col) ++
-      spineCols.filterNot(c => joinKeys.contains(c)).map(c => lit(null).cast(spine.schema(c).dataType).as(s"__sp_$c"))
+      Seq(col(featureTs).as(TS), lit(0).as(SIDE),
+        struct(payload.map(c => col(c).as(c)) :+ col(featureTs).as(FTS): _*).as(PKT)) ++
+      spineCols.filterNot(c => joinKeys.contains(c)).map(c => lit(null).cast(fieldType(spine, c)).as(s"__sp_$c"))
     val fTagged = features.select(fSel: _*)
 
-    // Spine side: (keys, ts, payload = null, side=1, spine cols)
+    // Spine side: (keys, ts, side=1, pkt=null, spine cols)
     val sSel: Seq[Column] =
       joinKeys.map(col) ++
-      Seq(col(spineTs).as(TS), lit(1).as(SIDE), lit(null).cast(features.schema(featureTs).dataType).as(FTS)) ++
-      payload.map(c => lit(null).cast(features.schema(c).dataType).as(c)) ++
+      Seq(col(spineTs).as(TS), lit(1).as(SIDE), lit(null).cast(pktType).as(PKT)) ++
       spineCols.filterNot(c => joinKeys.contains(c)).map(c => col(c).as(s"__sp_$c"))
     val sTagged = spine.select(sSel: _*)
 
@@ -179,14 +213,16 @@ object AsOfJoin {
         (Seq(col(SIDE)) ++
          joinKeys.map(col) ++
          spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
-         payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
-         includeFeatureTs.map(a => last(col(FTS), ignoreNulls = true).over(w).as(a)).toSeq): _*)
+         Seq(last(col(PKT), ignoreNulls = true).over(w).as(PKT))): _*)
 
     val out = carried.filter(col(SIDE) === 1).drop(SIDE)
-    // restore original spine column names and order
+    // restore original spine column names and order, unpack the matched row
     val renamed = spineCols.filterNot(joinKeys.contains)
       .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
-    renamed.select((spineCols ++ payload ++ includeFeatureTs.toSeq).map(col): _*)
+    renamed.select(
+      (spineCols.map(col) ++
+       payload.map(c => col(PKT).getField(c).as(c)) ++
+       includeFeatureTs.map(a => col(PKT).getField(FTS).as(a)).toSeq): _*)
   }
 
   private def joinFilter(

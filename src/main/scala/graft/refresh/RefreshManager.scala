@@ -9,18 +9,27 @@ import org.apache.spark.sql.types.StructType
 import graft.catalog.MetadataCatalog.FeatureViewRecord
 import graft.core.FeatureStore
 import graft.model._
+import graft.storage.VersionedTable
 
 /** Managed-feature-view refresh — the Spark-native realization of Snowflake
   * Dynamic Tables (SURVEY.md §2.C; reference feature_view.sql:116-128:
   * target_lag / refresh_mode / initialize).
   *
-  *  - FULL: scheduled batch recompute every `refreshFreq` (overwrite) —
+  *  - FULL: scheduled batch recompute every `refreshFreq`, published as one
+  *    atomic manifest flip ([[graft.storage.VersionedTable.overwrite]]) —
   *    Snowflake's refresh_mode=FULL.
   *  - INCREMENTAL: a Structured Streaming query over a streamable source
-  *    directory; each micro-batch folds new files through the FV query via
-  *    `foreachBatch` and rewrites the sink transactionally. State (running
-  *    aggregates) lives in the state store, so per-tick cost is O(new data),
-  *    not O(history) — the dynamic-table property.
+  *    directory, sink chosen from the plan shape:
+  *      - aggregation with derivable grouping keys → **update** output mode;
+  *        each micro-batch carries only the keys whose aggregate changed and
+  *        lands as an upsert segment (write cost O(changed keys), read is
+  *        merge-on-read with periodic compaction) — the dynamic-table
+  *        property on both the input AND the write side;
+  *      - no aggregation → **append** output mode; each batch's new rows
+  *        land as an append segment (O(batch)) — a batch must never
+  *        overwrite the sink, that silently drops all history;
+  *      - aggregation whose grouping keys can't be named → **complete**
+  *        mode, atomic whole-table publish per tick (write O(result)).
   *  - AUTO: try the streaming plan; if Spark's unsupported-operation checker
   *    rejects it (non-incrementalizable query), fall back to FULL — the same
   *    choice Snowflake's AUTO makes.
@@ -39,18 +48,18 @@ final class RefreshManager(fs: FeatureStore) {
   private def key(rec: FeatureViewRecord): String = rec.logicalId
 
   /** One full recompute of a managed FV (refresh_mode=FULL tick, or manual
-    * refresh). Overwrites the materialized table from the FV query.
+    * refresh). Publishes the new result as a single manifest flip — a
+    * concurrent reader sees either the old committed table or the new one,
+    * never a missing or partial table (the old delete→rename swap had both
+    * hazards). Dereferenced segments are vacuumed with a retention horizon
+    * so in-flight readers keep their files.
     */
   def refreshOnce(rec: FeatureViewRecord): Unit = {
     val path = rec.physicalPath.getOrElse(
       throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
-    val tmp = path + "__staging"
-    // write to staging, then swap — readers never see a partial table
-    FeatureStore.writeManaged(spark.sql(rec.fv.query), rec.fv, tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fsys.delete(new org.apache.hadoop.fs.Path(path), true)
-    fsys.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    VersionedTable.overwrite(path)(dir =>
+      FeatureStore.writeManaged(spark.sql(rec.fv.query), rec.fv, dir))
+    VersionedTable.vacuum(path)
   }
 
   /** Start the FULL-mode scheduler: recompute every refreshFreq. */
@@ -98,10 +107,32 @@ final class RefreshManager(fs: FeatureStore) {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(freq)
+    val writeSeg = (batch: DataFrame, dir: String) =>
+      FeatureStore.writeManaged(batch, rec.fv, dir)
+    // Pick output mode + publish kind from the plan shape (see class doc):
+    // update→upsert / append→append / complete→atomic overwrite. Append-mode
+    // batches contain ONLY new rows, so they must never overwrite the sink.
+    val aggKeys = if (transformed.isStreaming && hasAggregate(transformed))
+      groupingKeyNames(transformed) else None
+    val outMode =
+      if (!(transformed.isStreaming && hasAggregate(transformed))) "append"
+      else if (aggKeys.isDefined) "update"
+      else "complete"
     val q = transformed.writeStream
-      .outputMode(if (transformed.isStreaming && hasAggregate(transformed)) "complete" else "append")
+      .outputMode(outMode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        FeatureStore.writeManaged(batch, rec.fv, path)
+        outMode match {
+          case "append" =>
+            VersionedTable.append(path)(dir => writeSeg(batch, dir))
+          case "update" =>
+            VersionedTable.upsert(spark, path, aggKeys.get,
+              compactWrite = (merged, dir) => writeSeg(merged, dir))(
+              dir => writeSeg(batch, dir))
+          case _ =>
+            VersionedTable.overwrite(path)(dir => writeSeg(batch, dir))
+        }
+        VersionedTable.vacuum(path)
+        ()
       }
       .option("checkpointLocation", path + "__checkpoint")
       .trigger(trigger)
@@ -114,6 +145,28 @@ final class RefreshManager(fs: FeatureStore) {
     df.queryExecution.logical.collectFirst {
       case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
     }.nonEmpty
+
+  /** Output-column names of the topmost aggregate's grouping expressions —
+    * the upsert key. None when a grouping expression has no stable output
+    * name (the caller then falls back to complete-mode whole-table publish).
+    */
+  private def groupingKeyNames(df: DataFrame): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val outCols = df.columns.map(_.toLowerCase).toSet
+    df.queryExecution.analyzed.collectFirst { case a: Aggregate =>
+      val names = a.groupingExpressions.map {
+        case ne: NamedExpression => Some(ne.name)
+        case other => a.aggregateExpressions.collectFirst {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if al.child.semanticEquals(other) => al.name
+        }
+      }
+      if (names.forall(n => n.exists(x => outCols.contains(x.toLowerCase))))
+        Some(names.map(_.get))
+      else None
+    }.flatten
+  }
 
   /** AUTO mode: INCREMENTAL if the plan streams, else FULL schedule —
     * mirrors Snowflake's refresh_mode=AUTO selection.

@@ -105,6 +105,49 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("NULL field in the latest matching row is attached as NULL, not back-filled") {
+    // older row has age=31; the LATEST qualifying row has age=NULL — ASOF
+    // attaches the matched row wholesale, so age must come back NULL. A
+    // per-column carry-forward would wrongly resurrect 31.
+    val f = Seq(
+      (1, daysAgo(20), Some(31), "older"),
+      (1, daysAgo(10), None, "latest"))
+      .toDF("customer_id", "updated_at", "age", "snap")
+    for (m <- Seq("union-window", "join-filter")) {
+      val out = AsOfJoin.joinAsOf(spine.filter($"customer_id" === 1), f,
+        Seq("customer_id"), "event_time", "updated_at",
+        featureCols = Seq("age", "snap"), method = m).collect()
+      assert(out.length == 1, s"method=$m")
+      assert(out(0).getAs[String]("snap") == "latest", s"method=$m: $out")
+      assert(out(0).isNullAt(out(0).fieldIndex("age")),
+        s"method=$m resurrected a stale value for a NULL field: ${out(0)}")
+    }
+  }
+
+  test("multi-FV one-pass join preserves NULL fields of each FV's matched row") {
+    val fvA = Seq(
+      (1, daysAgo(20), Some(31)), (1, daysAgo(10), Option.empty[Int]))
+      .toDF("customer_id", "updated_at", "f_a")
+    val fvB = Seq(
+      (1, daysAgo(15), Some(7)))
+      .toDF("customer_id", "snap_ts", "f_b")
+    val out = AsOfJoin.joinAsOfMulti(
+      spine.filter($"customer_id" === 1),
+      Seq((fvA, "updated_at", Seq("f_a")), (fvB, "snap_ts", Seq("f_b"))),
+      Seq("customer_id"), "event_time").collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("f_a")), s"stale f_a: ${out(0)}")
+    assert(out(0).getAs[Int]("f_b") == 7)
+  }
+
+  test("mixed-case feature columns resolve (catalog lowercases, query may not)") {
+    val f = Seq((1, daysAgo(10), 42)).toDF("CUSTOMER_ID", "UPDATED_AT", "F_VAL")
+    val out = AsOfJoin.joinAsOf(spine.filter($"customer_id" === 1), f,
+      Seq("customer_id"), "event_time", "updated_at",
+      featureCols = Seq("f_val"), method = "union-window").collect()
+    assert(out.length == 1 && out(0).getAs[Int]("f_val") == 42)
+  }
+
   test("multi-row same (key, ts) on spine side: each spine row preserved") {
     val dupSpine = Seq((1, daysAgo(7), 0), (1, daysAgo(7), 1)).toDF("customer_id", "event_time", "label")
     val out = AsOfJoin.joinAsOf(dupSpine, features, Seq("customer_id"),

@@ -152,6 +152,115 @@ class RefreshSpec extends SparkSpec {
     } finally mgr.stopAll()
   }
 
+  test("concurrent reads during 50 refresh cycles never see a missing/partial table") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).limit(200).createOrReplaceTempView("atomic_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_atomic", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM atomic_src GROUP BY user_id",
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Full))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_atomic", "1")
+    val expected = fs.readFeatureView("fv_atomic", "1").agg(sum("f_n")).collect()(0).getLong(0)
+
+    @volatile var failure: Option[Throwable] = None
+    @volatile var writing = true
+    var reads = 0
+    val reader = new Thread(() => {
+      try while (writing) {
+        val got = fs.readFeatureView("fv_atomic", "1").agg(sum("f_n")).collect()(0).getLong(0)
+        assert(got == expected, s"partial table observed: $got != $expected")
+        reads += 1
+      } catch { case t: Throwable => failure = Some(t) }
+    }, "graft-concurrent-reader")
+    reader.start()
+    try (1 to 50).foreach(_ => mgr.refreshOnce(rec))
+    finally { writing = false; reader.join(60000) }
+    failure.foreach(t => fail(s"reader failed during refresh cycles: ${t.getMessage}", t))
+    assert(reads > 0, "reader never completed a read while refreshes ran")
+  }
+
+  test("append-mode INCREMENTAL accumulates batches instead of overwriting (non-aggregate plan)") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_app_").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.limit(100).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("app_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    // projection only — streams in append mode; every batch holds ONLY new
+    // rows, so an overwriting sink would silently drop all prior data
+    fs.registerFeatureView(FeatureView("fv_app", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, event_id, value FROM app_src",
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_app", "1")
+    val q1 = mgr.startIncremental(rec, "app_src", srcDir, ev.schema, availableNow = true)
+    q1.awaitTermination(120000)
+    assert(fs.readFeatureView("fv_app", "1").count() == 100)
+    // land 150 MORE rows as new files; a second drain must ADD them
+    ev.orderBy(col("event_id").desc).limit(150).write.mode("append").parquet(srcDir)
+    val q2 = mgr.startIncremental(rec, "app_src", srcDir, ev.schema, availableNow = true)
+    q2.awaitTermination(120000)
+    assert(fs.readFeatureView("fv_app", "1").count() == 250,
+      "append-mode batch overwrote previously materialized rows")
+    mgr.stopAll()
+  }
+
+  test("update-mode INCREMENTAL writes O(changed keys) per tick, not the full result") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_ups_").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("user_id") =!= 1).limit(400).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("ups_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_ups", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM ups_src GROUP BY user_id",
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_ups", "1")
+    val q1 = mgr.startIncremental(rec, "ups_src", srcDir, ev.schema, availableNow = true)
+    q1.awaitTermination(120000)
+    val path = rec.physicalPath.get
+    val baselineKeys = fs.readFeatureView("fv_ups", "1").count()
+    assert(baselineKeys > 10)
+    // second tick touches exactly ONE key (user_id=1 only)
+    ev.filter(col("user_id") === 1).limit(5).write.mode("append").parquet(srcDir)
+    val q2 = mgr.startIncremental(rec, "ups_src", srcDir, ev.schema, availableNow = true)
+    q2.awaitTermination(120000)
+    val manifest = graft.storage.VersionedTable.readManifest(path).get
+    assert(manifest.keys.map(_.toLowerCase) == Seq("user_id"))
+    val lastSeg = manifest.segments.last
+    val segRows = spark.read.parquet(s"$path/$lastSeg").count()
+    assert(segRows < baselineKeys / 2,
+      s"upsert tick wrote $segRows rows — should be O(changed keys), baseline=$baselineKeys")
+    // and the merged view equals the batch recompute
+    val merged = fs.readFeatureView("fv_ups", "1")
+    val batch = spark.read.parquet(srcDir).groupBy("user_id").count()
+      .withColumnRenamed("count", "f_n")
+    assert(merged.exceptAll(batch).isEmpty && batch.exceptAll(merged).isEmpty)
+    mgr.stopAll()
+  }
+
+  test("upsert tables compact back to one segment (bounded read amplification)") {
+    val dir = Files.createTempDirectory("graft_vt_").toString
+    import spark.implicits._
+    val writeSeg = (df: org.apache.spark.sql.DataFrame, d: String) =>
+      df.write.parquet(d)
+    (1 to 9).foreach { i =>
+      graft.storage.VersionedTable.upsert(spark, dir, Seq("k"),
+        compactEvery = 4, compactWrite = writeSeg)(
+        d => writeSeg(Seq((i % 3, i)).toDF("k", "v"), d))
+    }
+    val m = graft.storage.VersionedTable.readManifest(dir).get
+    assert(m.segments.size < 4, s"compaction never ran: ${m.segments}")
+    val out = graft.storage.VersionedTable.read(spark, dir)
+      .as[(Int, Int)].collect().toMap
+    // latest write per key wins: k=0←9, k=1←7, k=2←8
+    assert(out == Map(0 -> 9, 1 -> 7, 2 -> 8), s"merge-on-read wrong: $out")
+  }
+
   test("status is IDLE before any refresh is scheduled") {
     val fs = freshStore()
     Tables.events(spark, sfDir).createOrReplaceTempView("ev_src2")
@@ -173,9 +282,13 @@ class RefreshSpec extends SparkSpec {
       timestampCol = Some("ts"),
       refresh = Some(RefreshConfig("1 minute"))), "1")
     val path = fs.getFeatureView("fv_part", "1").physicalPath.get
-    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
-    assert(dirs.exists(_.startsWith(graft.core.FeatureStore.PartCol + "=")),
-      s"expected ${graft.core.FeatureStore.PartCol}= partition dirs, got ${dirs.mkString(",")}")
+    // partition dirs live inside the committed segment dir(s)
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.getName +: Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f.getName)
+    val names = walk(new java.io.File(path))
+    assert(names.exists(_.startsWith(graft.core.FeatureStore.PartCol + "=")),
+      s"expected ${graft.core.FeatureStore.PartCol}= partition dirs, got ${names.mkString(",")}")
     // read-back hides the storage column and a date filter prunes partitions
     val df = fs.readFeatureView("fv_part", "1")
     assert(!df.columns.contains(graft.core.FeatureStore.PartCol))
