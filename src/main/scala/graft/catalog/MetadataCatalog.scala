@@ -159,6 +159,23 @@ final class MetadataCatalog(val root: String) {
   def dropFeatureView(name: String, version: String): Boolean =
     Files.deleteIfExists(objPath("feature_views", fvKey(name, version)))
 
+  /** Raw stored metadata per FV as (logicalId, json text) — the engine's
+    * equivalent of reading the SNOWML_FEATURE_VIEW_METADATA tag values
+    * (reference test_feature_view_metadata_structure.sql:5-13), for
+    * DataFrame-level introspection via from_json/explode.
+    */
+  def rawFeatureViewJson(): Seq[(String, String)] =
+    if (!Files.isDirectory(dir("feature_views"))) Seq.empty
+    else Files.list(dir("feature_views")).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+      .flatMap { p =>
+        val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        scala.util.Try {
+          val n = mapper.readTree(text)
+          (s"${n.get("name").asText()}$$${n.get("version").asText()}", text)
+        }.toOption
+      }
+
   private def nodeToFvRecord(n: JsonNode): FeatureViewRecord = {
     val entities = n.get("entities").elements().asScala.map { en =>
       Entity(

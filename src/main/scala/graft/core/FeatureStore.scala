@@ -236,6 +236,21 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
         StructField("refresh_mode", StringType, nullable = true))))
   }
 
+  /** Stored catalog metadata as a DataFrame of (object_name, tag_value) —
+    * the engine's surface for the reference's tag_references introspection
+    * (test_feature_view_metadata_structure.sql): callers run from_json +
+    * explode over the raw JSON exactly as the reference runs PARSE_JSON +
+    * LATERAL FLATTEN over the tag value.
+    */
+  def rawMetadata(): DataFrame = {
+    val rows = catalog.rawFeatureViewJson().map { case (o, j) => Row(o, j) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("object_name", StringType, nullable = false),
+        StructField("tag_value", StringType, nullable = false))))
+  }
+
   /** One-row description of an FV: identity, entities, refresh config, plan
     * hash (reference: SHOW DYNAMIC TABLES / INFORMATION_SCHEMA.DYNAMIC_TABLES
     * readback, SURVEY §2.A10/C8).

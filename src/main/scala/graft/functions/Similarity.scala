@@ -160,6 +160,29 @@ object Similarity {
       // lives in exactly one list) — no dedup needed
   }
 
+  /** ±1 hyperplane rows as SQL array literals, so an external engine can
+    * replicate [[rhpSignature]] bit-for-bit (oracle parity for the LSH
+    * path — the planes are compile-time constants, not a trained model).
+    */
+  def planeLiterals(bits: Int, dim: Int): Seq[String] =
+    signMatrix(bits, dim).toSeq.map(
+      _.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+
+  /** recall@k of an approximate top-k result against the exact one:
+    * one row per query — (query_id, n_hits, recall). Both inputs are the
+    * (query_id, neighbor_id, …) shape the top-k operators emit.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within an LSH bucket:
     * (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
     * Pair count ~ N²/2^bits; pick bits so a bucket's pairs fit a task.

@@ -135,6 +135,70 @@ object FeatureStoreQueries {
           "refresh_freq", "refresh_mode", "initialize", "warehouse", "is_materialized")
     }),
 
+    // 2-hop FV chain: base → intermediate → final, read through the real
+    // generateDataset path (reference test_multi_hop_feature_view_chain,
+    // test_feature_store_workflows.py:368-414)
+    "q46_fv_chain_2hop" -> ((s, dir) => {
+      val fs = tempStore(s)
+      Tables.events(s, dir).createOrReplaceTempView("events_src")
+      fs.registerEntity(Entity("user", Seq("user_id")))
+      fs.registerFeatureView(FeatureView(
+        name = "chain_base",
+        entities = Seq(Entity("user", Seq("user_id"))),
+        query = """SELECT user_id, ts, max(value) AS f_base
+                  |FROM events_src WHERE event_type = 'view'
+                  |GROUP BY user_id, ts""".stripMargin,
+        timestampCol = Some("ts")), "1")
+      fs.registerFeatureView(FeatureView(
+        name = "chain_mid",
+        entities = Seq(Entity("user", Seq("user_id"))),
+        query = "SELECT user_id, ts, f_base * 12 AS f_months FROM chain_base",
+        timestampCol = Some("ts")), "1")
+      fs.registerFeatureView(FeatureView(
+        name = "chain_final",
+        entities = Seq(Entity("user", Seq("user_id"))),
+        query = "SELECT user_id, ts, f_months, f_months / 365.0D AS f_years FROM chain_mid",
+        timestampCol = Some("ts")), "1")
+      val spine = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("label"))
+      fs.generateDataset(
+        name = "chain_training",
+        spine = spine,
+        features = Seq(("chain_final", "1")),
+        spineTimestampCol = Some("ts"),
+        labelCols = Seq("label"),
+        save = false)
+    }),
+
+    // Metadata-structure introspection over the REAL stored catalog JSON —
+    // from_json + explode (B11/B12) standing in for the reference's
+    // PARSE_JSON + LATERAL FLATTEN validation
+    // (integration_tests/tests/test_feature_view_metadata_structure.sql)
+    "q47_metadata_structure" -> ((s, dir) => {
+      val fs = tempStore(s)
+      registerDemo(fs, s, dir)
+      fs.registerEntity(Entity("session", Seq("user_id", "event_id"), "composite key"))
+      fs.registerFeatureView(FeatureView(
+        name = "session_fv",
+        entities = Seq(Entity("session", Seq("user_id", "event_id"))),
+        query = "SELECT user_id, event_id, value AS f_val FROM events_src"), "1")
+      val entSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "entities ARRAY<STRUCT<name: STRING, joinKeys: ARRAY<STRING>>>")
+      fs.rawMetadata()
+        .select(col("object_name"), from_json(col("tag_value"), entSchema).getField("entities").as("ents"))
+        .select(col("object_name"), explode(col("ents")).as("e"))
+        .select(
+          col("object_name"),
+          col("e.name").as("entity_name"),
+          concat_ws(",", col("e.joinKeys")).as("join_keys"),
+          size(col("e.joinKeys")).cast("long").as("n_join_keys"),
+          // the reference's violation predicate, verbatim
+          (col("e.name").isNull || col("e.joinKeys").isNull ||
+            size(col("e.joinKeys")) === 0 ||
+            col("e.name") =!= upper(col("e.name"))).as("is_violation"))
+    }),
+
     // C2 INCREMENTAL — Structured Streaming maintains the managed FV; the
     // drained stream must equal the batch recompute (dynamic-table parity)
     "q37_fs_incremental" -> ((s, dir) => {
@@ -215,6 +279,28 @@ object FeatureStoreQueries {
         |  '1 minute' AS refresh_freq, 'AUTO' AS refresh_mode,
         |  'ON_CREATE' AS initialize, 'wh1' AS warehouse,
         |  TRUE AS is_materialized""".stripMargin,
+
+    "q46_fv_chain_2hop" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, max(value) AS f_base FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts
+        |), mid AS (
+        |  SELECT user_id, ts, f_base * 12 AS f_months FROM base
+        |), fin AS (
+        |  SELECT user_id, ts, f_months, f_months / 365.0 AS f_years FROM mid
+        |), spine AS (
+        |  SELECT event_id, user_id, ts, value AS label FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT s.event_id, s.user_id, s.ts, s.label, f.f_months, f.f_years
+        |FROM spine s ASOF LEFT JOIN fin f
+        |  ON s.user_id = f.user_id AND f.ts <= s.ts""".stripMargin,
+
+    "q47_metadata_structure" ->
+      """SELECT * FROM (VALUES
+        |  ('SESSION_FV$1', 'SESSION', 'USER_ID,EVENT_ID', CAST(2 AS BIGINT), FALSE),
+        |  ('USER_VIEW_DERIVED$1.0', 'USER', 'USER_ID', CAST(1 AS BIGINT), FALSE),
+        |  ('USER_VIEW_FEATURES$1.0', 'USER', 'USER_ID', CAST(1 AS BIGINT), FALSE)
+        |) AS t(object_name, entity_name, join_keys, n_join_keys, is_violation)""".stripMargin,
 
     "q37_fs_incremental" ->
       """SELECT user_id, event_type,
