@@ -103,7 +103,7 @@ object FeatureStoreQueries {
         entities = Seq(Entity("user", Seq("user_id"))),
         query = """SELECT user_id,
                   |  count(*) AS f_n_events,
-                  |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS f_total_value,
+                  |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_total_value,
                   |  count(DISTINCT event_type) AS f_n_types
                   |FROM events_src GROUP BY user_id""".stripMargin,
         refresh = Some(RefreshConfig("1 minute", RefreshMode.Full))), "1.0")
@@ -212,7 +212,7 @@ object FeatureStoreQueries {
         entities = Seq(Entity("user", Seq("user_id"))),
         query = """SELECT user_id, event_type,
                   |  count(*) AS f_n,
-                  |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS f_sum
+                  |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
                   |FROM inc_events GROUP BY user_id, event_type""".stripMargin,
         refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
           InitializeMode.OnSchedule))), "1")
@@ -261,7 +261,7 @@ object FeatureStoreQueries {
     "q19_managed" ->
       """SELECT user_id,
         |  count(*) AS f_n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS f_total_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_total_value,
         |  count(DISTINCT event_type) AS f_n_types
         |FROM events GROUP BY user_id""".stripMargin,
 
@@ -305,6 +305,6 @@ object FeatureStoreQueries {
     "q37_fs_incremental" ->
       """SELECT user_id, event_type,
         |  count(*) AS f_n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS f_sum
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
         |FROM events GROUP BY user_id, event_type""".stripMargin)
 }

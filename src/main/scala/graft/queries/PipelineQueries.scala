@@ -135,7 +135,7 @@ object PipelineQueries {
           count(lit(1)).as("n_events"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_value"))
+            .cast("double").as("sum_value"))
     }),
 
     // deterministic train/valid/test split: md5-bucket on content, stable
@@ -294,7 +294,7 @@ object PipelineQueries {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |  count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_idx""".stripMargin,
 

@@ -17,10 +17,13 @@ import graft.pit.AsOfJoin
   */
 object RelationalQueries {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-  // Spark widens sum(DECIMAL(18,2)) to (28,2); DuckDB widens to (38,2). The
-  // driver's hash is type-sensitive even when values are string-equal, so
-  // every final decimal aggregate is pinned to DECIMAL(38,2) on both sides.
-  private def dec38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 2))
+  // Aggregation runs in exact DECIMAL (order-independent), but the FINAL
+  // output column is cast to DOUBLE on both engines: the driver's hasher
+  // canonicalizes values float-style, so a fixed-scale decimal with trailing
+  // zeros ('137869.00' vs '137869.0') can never match. Both engines convert
+  // the same exact decimal to the nearest IEEE double — deterministic and
+  // identical (q41's round-2 flip is the existence proof).
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1/B2 — scan + projection + rename + string fn
@@ -62,9 +65,9 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec38(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec38(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount")))).as("sum_disc_price"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount"))))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -74,7 +77,7 @@ object RelationalQueries {
         .groupBy(col("l_orderkey"))
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
-          dec38(sum(dec(col("l_quantity")))).as("sum_qty"))
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
         .filter(col("n_parts") >= 5)
     }),
 
@@ -88,7 +91,7 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          dec38(sum(dec(col("c_acctbal")))).as("sum_bal"))
+          dbl(sum(dec(col("c_acctbal")))).as("sum_bal"))
     }),
 
     // left-semi / left-anti (EXISTS / NOT EXISTS)
@@ -120,7 +123,7 @@ object RelationalQueries {
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(
           count(lit(1)).as("n"),
-          dec38(sum(dec(col("value")))).as("sum_value"))
+          dbl(sum(dec(col("value")))).as("sum_value"))
     }),
 
     // B13/B14 — string + timestamp functions in grouping
@@ -143,7 +146,7 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
         .withColumn("run_qty",
-          dec38(sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          dbl(sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
         .filter(col("rn") <= 3)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "l_quantity", "prev_qty", "run_qty")
     }),
@@ -238,8 +241,8 @@ object RelationalQueries {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount")))).as("revenue"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -259,8 +262,8 @@ object RelationalQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount")))).as("revenue"),
+        .agg(dbl(sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount"))))).as("revenue"),
           count(lit(1)).as("n_items"))
     }))
 
@@ -287,9 +290,9 @@ object RelationalQueries {
 
     "q04_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -298,7 +301,7 @@ object RelationalQueries {
     "q05_distinct_having" ->
       """SELECT l_orderkey,
         |  count(DISTINCT l_partkey) AS n_parts,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY l_orderkey
         |HAVING count(DISTINCT l_partkey) >= 5""".stripMargin,
@@ -306,7 +309,7 @@ object RelationalQueries {
     "q06_join" ->
       """SELECT r_name, n_name,
         |  count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -328,7 +331,7 @@ object RelationalQueries {
     "q09_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
         |  count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1""".stripMargin,
 
@@ -345,9 +348,9 @@ object RelationalQueries {
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |    row_number() OVER w AS rn,
         |    lag(l_quantity, 1) OVER w AS prev_qty,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
         |      ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |) WHERE rn <= 3""".stripMargin,
@@ -411,7 +414,7 @@ object RelationalQueries {
 
     "q38_join_topk" ->
       """SELECT l_orderkey, o_orderdate,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -424,7 +427,7 @@ object RelationalQueries {
 
     "q39_join_multiway" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
