@@ -122,29 +122,45 @@ object Similarity {
       queries: DataFrame, qidCol: String,
       candidates: DataFrame, cidCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
-    // deterministic coarse centroids: the nlist lowest-id candidate vectors
-    val centroids = candidates
+    // deterministic coarse centroids: the nlist lowest-id candidate vectors,
+    // collected driver-side — nlist rows are a model parameter (like the LSH
+    // sign matrix), not data, so assignment can be a pure projection
+    val cents: Array[(Long, Array[Double], Double)] = candidates
       .select(col(cidCol).cast("long").as("centroid_id"), col(vecCol).as("cv"))
       .orderBy(col("centroid_id")).limit(nlist)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        // same left-to-right double fold as norm()'s VecDot, so the
+        // assignment argmax is identical to the executor-side variant
+        (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }
 
-    // assign: argmin over centroid cosine distance (centroids broadcast)
-    def assign(df: DataFrame, idOut: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .select(col("*"),
-          (dot(col("__v"), col("cv")) / (col("__n") * norm(col("cv")))).as("__sim"))
-      val w = Window.partitionBy(col(idOut)).orderBy(col("__sim").desc, col("centroid_id").asc)
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-        .drop("cv", "__sim", "__r")
+    // assign: per-row argmax over the nlist literal centroids, entirely
+    // map-side. (The previous shape crossJoined every candidate with the
+    // broadcast centroids and ran a partitionBy(id) window to keep the best —
+    // a full shuffle of N×nlist vector payloads just to pick a per-row
+    // minimum; at 100 TB that is 100 TB × nlist through the exchange, this
+    // is zero.) Tie-break matches the old window ordering (__sim desc,
+    // centroid_id asc): sort desc on (sim, -centroid_id).
+    def assign(df: DataFrame, n: Int): DataFrame = {
+      val simStructs = cents.map { case (id, v, nrm) =>
+        struct(
+          (dot(col("__v"), typedLit(v)) / (col("__n") * lit(nrm))).as("sim"),
+          lit(-id).as("neg_id"))
+      }
+      df.withColumn("__cent",
+          explode(slice(sort_array(array(simStructs.toIndexedSeq: _*), asc = false), 1, n)))
+        .withColumn("centroid_id", -col("__cent.neg_id"))
+        .drop("__cent")
     }
 
     val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
-    val cAssigned = assign(c, "neighbor_id", 1)  // each candidate in 1 list
+    val cAssigned = assign(c, 1)  // each candidate in 1 list
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
-    val qAssigned = assign(q, "query_id", nprobe)  // each query probes nprobe lists
+    val qAssigned = assign(q, nprobe)  // each query probes nprobe lists
       .select(col("query_id"), col("__v").as("__qv"), col("__n").as("__qn"), col("centroid_id"))
 
     val joined = cAssigned.join(broadcast(qAssigned), "centroid_id")
