@@ -89,44 +89,71 @@ object DedupFunctions {
       .drop("__dedup_key")
   }
 
-  /** MinHash/LSH near-duplicate candidate pairs with exact-Jaccard
-    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard ≥ threshold.
-    *
-    * Scale path: only (band, band_hash, id, hashes-ref) leave the map stage;
-    * the self-join is per-bucket; verification touches only collisions.
-    * `hashes` arrays ride along here for simplicity — at 100 TB you'd land
-    * signatures in a table and re-join payloads by id for verification.
+  /** The land-able MinHash signature relation: (id, hashes, sig). At 100 TB
+    * this is the table you materialize ONCE (bucketed by id); everything
+    * downstream — banding, verification — reads projections of it and never
+    * re-touches document text.
     */
-  def nearDupMinHash(
-      df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // One pass computes shingles→signature→band keys; the hash arrays ride
-    // the band shuffle so verification needs no second scan (each doc's
-    // array is shuffled `bands` times — acceptable while arrays ≪ docs).
-    // At 100 TB: land (id, hashes, sig) in a bucketed signatures table
-    // first, band over ids only, and re-join payloads by id — same plan
-    // shape, one materialization instead of in-flight arrays.
-    val withSig = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hashes"))
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hashes"))
       .withColumn("sig", minHashSignature(col("hashes"), numHashes))
-    val banded = withSig
-      .select(col("id"), col("hashes"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("hashes"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+
+  /** MinHash/LSH near-dup pairs from an already-landed signature relation
+    * (the [[minHashSignatures]] schema). Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard ≥ threshold.
+    *
+    * Scale shape: candidate generation projects the signature table to
+    * (id, sig) — with a landed parquet table that is a column-pruned scan
+    * that never reads the `hashes` payload — and shuffles ONLY
+    * (band, band_hash, id) triples, ~20 bytes/doc/band instead of the
+    * payload arrays ×bands. Verification re-joins `hashes` by id, so each
+    * payload crosses the wire at most once per side of a surviving
+    * candidate pair. The two band sides and the two payload sides are
+    * identical subplans on identical keys — Spark's exchange reuse makes
+    * each a single shuffle write read twice.
+    */
+  def nearDupMinHashFromSignatures(
+      sigs: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = sigs
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.hashes").as("ha"), col("b.hashes").as("hb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()  // a pair may collide in several bands
-      .withColumn("jaccard", round(jaccard(col("ha"), col("hb")), 4))
+    val payload = sigs.select(col("id"), col("hashes"))
+    candidates
+      .join(payload.as("pa"), col("id_a") === col("pa.id"))
+      .join(payload.as("pb"), col("id_b") === col("pb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("pa.hashes"), col("pb.hashes")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** One-call MinHash/LSH near-dup: computes signatures, optionally lands
+    * them at `landPath` (parquet — the 100 TB path: the banding stage then
+    * column-prunes to (id, sig) at the scan and document text is read
+    * exactly once), and verifies candidates by payload re-join.
+    */
+  def nearDupMinHash(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      landPath: Option[String] = None): DataFrame = {
+    val computed = minHashSignatures(df, idCol, textCol, numHashes)
+    val sigs = landPath match {
+      case Some(p) =>
+        computed.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => computed
+    }
+    nearDupMinHashFromSignatures(sigs, threshold, numHashes, bands)
   }
 
   /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the

@@ -46,11 +46,16 @@ object PipelineQueries {
         threshold = 0.5, n = 2)
     }),
 
-    // MinHash + LSH near-dup candidates (rows-only check)
+    // MinHash + LSH near-dup candidates (rows-only check). Signatures are
+    // landed to a scratch parquet table first — the 100 TB shape: document
+    // text is scanned once, the band shuffle carries only (band, hash, id)
+    // triples, and hash payloads re-join by id for verification.
     "q23_minhash" -> ((s, dir) => {
+      val land = java.nio.file.Files.createTempDirectory("graft_minhash_sigs")
       DedupFunctions.nearDupMinHash(
         Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.5, numHashes = 32, bands = 8)
+        threshold = 0.5, numHashes = 32, bands = 8,
+        landPath = Some(land.resolve("sigs").toString))
     }),
 
     // SimHash near-dup pairs (rows-only check)
