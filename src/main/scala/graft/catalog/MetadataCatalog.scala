@@ -64,11 +64,18 @@ final class MetadataCatalog(val root: String) {
   private def read(p: Path): Option[JsonNode] =
     if (Files.exists(p)) Some(mapper.readTree(Files.readAllBytes(p))) else None
 
+  // directory-stream handles must be closed — refresh ticks call these on
+  // every micro-batch, so an unclosed Files.list leaks fds over a long run
+  private def listJsonPaths(d: Path): Seq[Path] =
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+      finally s.close()
+    }
+
   private def list(kind: String): Seq[JsonNode] =
-    if (!Files.isDirectory(dir(kind))) Seq.empty
-    else Files.list(dir(kind)).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
-      .flatMap(read)
+    listJsonPaths(dir(kind)).flatMap(read)
 
   // ---- entities ----------------------------------------------------------
 
@@ -151,9 +158,7 @@ final class MetadataCatalog(val root: String) {
 
   /** Metadata files that fail to parse/validate (old or corrupt format). */
   def invalidFeatureViewFiles(): Seq[Path] =
-    if (!Files.isDirectory(dir("feature_views"))) Seq.empty
-    else Files.list(dir("feature_views")).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    listJsonPaths(dir("feature_views"))
       .filter(p => read(p).forall(n => scala.util.Try(nodeToFvRecord(n)).isFailure))
 
   def dropFeatureView(name: String, version: String): Boolean =
@@ -165,9 +170,7 @@ final class MetadataCatalog(val root: String) {
     * DataFrame-level introspection via from_json/explode.
     */
   def rawFeatureViewJson(): Seq[(String, String)] =
-    if (!Files.isDirectory(dir("feature_views"))) Seq.empty
-    else Files.list(dir("feature_views")).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    listJsonPaths(dir("feature_views"))
       .flatMap { p =>
         val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         scala.util.Try {

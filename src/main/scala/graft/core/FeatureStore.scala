@@ -388,14 +388,24 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
           // A non-timestamped FV with several rows per key tuple has no
           // point-in-time order to pick by; dropDuplicates would keep an
           // arbitrary row (dataset changes across runs/partitionings). Take
-          // the row that sorts first over the full payload instead —
-          // deterministic, same single shuffle.
-          val rn = "__graft_rn"
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(keys.map(col): _*)
-            .orderBy(payload.toSeq.map(c => col(c).asc_nulls_last): _*)
-          val oneRowPerKey = fvDf.select((keys ++ payload).map(col): _*)
-            .withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
+          // the row that sorts first over the orderable payload columns
+          // instead — deterministic, same single shuffle. Unorderable types
+          // (maps) can't be sort keys; when no payload column is orderable
+          // fall back to dropDuplicates rather than failing the dataset.
+          val schemaByName = fvDf.schema.fields.map(f => f.name -> f.dataType).toMap
+          val orderable = payload.filter(c =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(schemaByName(c)))
+          val oneRowPerKey = if (orderable.isEmpty) {
+            fvDf.select((keys ++ payload).map(col): _*).dropDuplicates(keys)
+          } else {
+            val rn = "__graft_rn"
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*)
+              .orderBy(orderable.toSeq.map(c => col(c).asc_nulls_last): _*)
+            fvDf.select((keys ++ payload).map(col): _*)
+              .withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
+          }
           acc.join(oneRowPerKey, keys, "left")
       }
     }

@@ -13,18 +13,35 @@ import org.apache.spark.sql.functions._
   * Delta-shaped commit protocol the reference gets from Snowflake's dynamic
   * tables (SURVEY §1.1 "metadata Delta/parquet table"): a table directory
   * holds immutable parquet *segments* plus one `_MANIFEST.json` whose
-  * tmp-write + ATOMIC_MOVE flip is the single commit point.
+  * compare-and-swap flip is the single commit point.
   *
   *   path/
-  *     seg-00000001/ ...parquet (possibly date-partitioned)
-  *     seg-00000002/ ...
-  *     _MANIFEST.json   {"version":2,"keys":["user_id"],"segments":["seg-00000002"]}
+  *     seg-00000001-3fa9c1d2/ ...parquet (possibly date-partitioned)
+  *     seg-00000002-b01e77aa/ ...
+  *     _MANIFEST.json   {"version":2,"kind":"upsert","keys":["user_id"],
+  *                       "segments":["seg-...","seg-..."]}
   *
   * Readers resolve the manifest once and only ever see a fully-written
   * committed segment set — there is no delete→rename window where the table
-  * is missing (the round-1 swap hazard), and a crashed writer leaves only an
-  * unreferenced segment dir behind (cleaned by [[vacuum]]), never a broken
-  * table.
+  * is missing, and a crashed writer leaves only an unreferenced segment dir
+  * behind (cleaned by [[vacuum]]), never a broken table.
+  *
+  * '''Commit protocol (optimistic, object-store-mappable).''' A writer
+  *  1. reads the manifest (base version v) — no lock held;
+  *  2. writes its segment to a ''uniquely named'' dir (version + random
+  *     suffix, so racing writers never collide on data files) — no lock held,
+  *     data writes can take minutes;
+  *  3. flips the manifest inside a short critical section that re-checks the
+  *     base version: if another commit landed since step 1 the flip throws
+  *     [[ConcurrentCommitException]] — ''one loser errors, no commit is ever
+  *     silently lost''. The critical section is guarded by an exclusive
+  *     `_LOCK` file create (≙ object-store conditional PUT `If-None-Match`)
+  *     and the version re-check (≙ conditional PUT `If-Match` on the
+  *     manifest's etag/generation) — both primitives exist on S3/GCS/ABFS,
+  *     so the protocol ports without a rename-is-atomic assumption. Locally
+  *     the flip itself is additionally tmp-write + ATOMIC_MOVE. The lock is
+  *     held for milliseconds (one read + one small write); a lock file older
+  *     than [[LockTtlMs]] is a crashed writer and is taken over.
   *
   * Three commit kinds:
   *  - [[overwrite]]: manifest := [newSegment] — FULL refresh.
@@ -37,23 +54,43 @@ import org.apache.spark.sql.functions._
   *    (manifest := [compacted]) so read amplification stays bounded — the
   *    LSM/Delta compaction trade.
   *
-  * Single writer per table (RefreshManager serializes refreshes); any number
-  * of concurrent readers. Dereferenced segments are NOT deleted at commit —
-  * an in-flight reader may still hold them — but by an explicit [[vacuum]]
-  * with a retention horizon, exactly Delta's VACUUM contract (at 100 TB the
-  * horizon would be time-based, e.g. 7 days; here it is "keep the last N
-  * segment generations").
+  * Mode compatibility is enforced at commit: upserting into a table whose
+  * history is keyless ''append'' segments is refused (merge-on-read would
+  * nondeterministically collapse legitimate duplicate-key rows inside a
+  * segment); upserting on top of a single whole-table ''full'' segment is the
+  * normal initialize→incremental flow and is allowed (a FULL publish of an
+  * aggregation has unique keys by construction). Appending into a keyed
+  * upsert table is likewise refused rather than silently dropping its merge
+  * semantics.
+  *
+  * Pre-manifest layouts (plain parquet dirs from older stores) are honored
+  * for reads; the first append/upsert commit ''folds'' the legacy files into
+  * segment 1 so history survives the layout migration.
+  *
+  * Dereferenced segments are NOT deleted at commit — an in-flight reader may
+  * still hold them — but by an explicit [[vacuum]] with a retention horizon,
+  * exactly Delta's VACUUM contract (at 100 TB the horizon would be
+  * time-based, e.g. 7 days; here it is "keep the last N segment
+  * generations").
   *
   * Scale note: the manifest is O(#segments) driver-side JSON; data files are
-  * only ever written once and never renamed, which is also the
-  * object-store-safe choice (S3 rename = copy).
+  * only ever written once and never renamed, the object-store-safe choice
+  * (S3 rename = copy).
   */
 object VersionedTable {
   private val ManifestName = "_MANIFEST.json"
+  private val LockName = "_LOCK"
   private val SegPrefix = "seg-"
   private val mapper = new ObjectMapper()
 
-  final case class Manifest(version: Long, keys: Seq[String], segments: Seq[String])
+  /** How long a `_LOCK` file may exist before it is considered abandoned by
+    * a crashed writer. The lock spans one manifest read + one small write.
+    */
+  val LockTtlMs: Long = 30000L
+
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  final case class Manifest(version: Long, kind: String, keys: Seq[String], segments: Seq[String])
 
   private def manifestPath(path: String): Path = Paths.get(path, ManifestName)
 
@@ -62,23 +99,58 @@ object VersionedTable {
     if (!Files.exists(p)) None
     else {
       val n = mapper.readTree(Files.readAllBytes(p))
+      val keys = n.get("keys").elements().asScala.map(_.asText()).toSeq
+      // pre-`kind` manifests: keyed tables were only ever written by upsert
+      val kind = Option(n.get("kind")).map(_.asText())
+        .getOrElse(if (keys.nonEmpty) "upsert" else "append")
       Some(Manifest(
-        n.get("version").asLong(),
-        n.get("keys").elements().asScala.map(_.asText()).toSeq,
+        n.get("version").asLong(), kind, keys,
         n.get("segments").elements().asScala.map(_.asText()).toSeq))
     }
   }
 
-  private def writeManifest(path: String, m: Manifest): Unit = {
-    val n = mapper.createObjectNode()
-    n.put("version", m.version)
-    val ks = n.putArray("keys"); m.keys.foreach(ks.add)
-    val ss = n.putArray("segments"); m.segments.foreach(ss.add)
+  /** The CAS flip: verify the on-disk manifest is still at `expectedVersion`
+    * (None = no manifest yet) inside the lock's critical section, then
+    * publish `m`. Throws [[ConcurrentCommitException]] when another commit
+    * has landed since the caller read its base — the caller's segment stays
+    * behind as an unreferenced dir for [[vacuum]].
+    */
+  private def commitManifest(path: String, expectedVersion: Option[Long], m: Manifest): Unit =
+    withCommitLock(path) {
+      val cur = readManifest(path).map(_.version)
+      if (cur != expectedVersion)
+        throw new ConcurrentCommitException(
+          s"concurrent commit at $path: expected base version $expectedVersion, found $cur")
+      val n = mapper.createObjectNode()
+      n.put("version", m.version)
+      n.put("kind", m.kind)
+      val ks = n.putArray("keys"); m.keys.foreach(ks.add)
+      val ss = n.putArray("segments"); m.segments.foreach(ss.add)
+      val tmp = Paths.get(path, ManifestName + ".tmp")
+      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+      Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private def withCommitLock[T](path: String)(body: => T): T = {
     Files.createDirectories(Paths.get(path))
-    val tmp = Paths.get(path, ManifestName + ".tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
-    Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val lock = Paths.get(path, LockName)
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis > LockTtlMs
+            catch { case _: java.io.IOException => false } // holder just released
+          if (stale) Files.deleteIfExists(lock)
+          else if (System.nanoTime() > deadline)
+            throw new ConcurrentCommitException(s"timed out acquiring commit lock at $path")
+          else Thread.sleep(5)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 
   /** The table exists once a manifest is committed; pre-manifest layouts
@@ -87,11 +159,32 @@ object VersionedTable {
   def exists(path: String): Boolean =
     Files.exists(manifestPath(path)) || legacyExists(path)
 
-  private def legacyExists(path: String): Boolean = {
+  private def legacyExists(path: String): Boolean =
+    legacyFiles(path).nonEmpty
+
+  private def legacyFiles(path: String): Array[java.io.File] = {
     val d = new java.io.File(path)
-    d.isDirectory && d.listFiles() != null && d.listFiles().exists(f =>
+    if (!d.isDirectory) Array.empty
+    else Option(d.listFiles()).getOrElse(Array.empty).filter(f =>
       f.getName.endsWith(".parquet") || f.getName.startsWith("_graft_date=") ||
         f.getName == "_SUCCESS")
+  }
+
+  /** Fold a pre-manifest plain-parquet layout into segment 1 and commit the
+    * migration, so append/upsert history stacks on top of the legacy rows
+    * instead of silently dropping them from the table view. No data is
+    * rewritten — the files move into the segment dir. Single-writer like all
+    * layout changes; returns the committed migration manifest.
+    */
+  private def migrateLegacy(path: String): Manifest = {
+    val seg = newSegName(1)
+    val segPath = Paths.get(path, seg)
+    Files.createDirectories(segPath)
+    legacyFiles(path).foreach(f =>
+      Files.move(f.toPath, segPath.resolve(f.getName), StandardCopyOption.ATOMIC_MOVE))
+    val m = Manifest(1, "append", Seq.empty, Seq(seg))
+    commitManifest(path, None, m)
+    m
   }
 
   private def segDir(path: String, name: String): String =
@@ -125,30 +218,50 @@ object VersionedTable {
       }
   }
 
-  private def nextSeg(path: String, m: Option[Manifest]): (String, Long) = {
-    val v = m.map(_.version).getOrElse(0L) + 1
-    (f"$SegPrefix$v%08d", v)
+  /** Unique segment dir name: manifest version it targets + random suffix,
+    * so two optimistic writers racing toward the same version never write
+    * into the same directory (the loser's dir is vacuumed later).
+    */
+  private def newSegName(version: Long): String = {
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    f"$SegPrefix$version%08d-$suffix"
   }
 
-  /** FULL publish: write one fresh segment, point the manifest at it alone. */
+  /** FULL publish: write one fresh segment, point the manifest at it alone.
+    * Valid on any base (it replaces the whole table).
+    */
   def overwrite(path: String)(writeSeg: String => Unit): Unit = {
     val m = readManifest(path)
-    val (seg, v) = nextSeg(path, m)
+    val v = m.map(_.version).getOrElse(0L) + 1
+    val seg = newSegName(v)
     writeSeg(segDir(path, seg))
-    writeManifest(path, Manifest(v, Seq.empty, Seq(seg)))
+    commitManifest(path, m.map(_.version), Manifest(v, "full", Seq.empty, Seq(seg)))
   }
 
-  /** Append publish: the new segment joins the committed set (O(batch)). */
+  /** Append publish: the new segment joins the committed set (O(batch)).
+    * Refused on a keyed upsert table — a keyless segment there would
+    * silently bypass merge-on-read.
+    */
   def append(path: String)(writeSeg: String => Unit): Unit = {
-    val m = readManifest(path)
-    val (seg, v) = nextSeg(path, m)
+    val m0 = readManifest(path)
+    val m = if (m0.isEmpty && legacyExists(path)) Some(migrateLegacy(path)) else m0
+    m.foreach(prev => require(prev.keys.isEmpty,
+      s"cannot append keyless rows into upsert table (keys ${prev.keys}) at $path"))
+    val v = m.map(_.version).getOrElse(0L) + 1
+    val seg = newSegName(v)
     writeSeg(segDir(path, seg))
-    writeManifest(path, Manifest(v, Seq.empty, m.map(_.segments).getOrElse(Seq.empty) :+ seg))
+    commitManifest(path, m.map(_.version),
+      Manifest(v, "append", Seq.empty, m.map(_.segments).getOrElse(Seq.empty) :+ seg))
   }
 
   /** Upsert publish: new segment's rows supersede older rows with the same
-    * `keys` tuple at read time. Rewrites the merged view into a single
-    * segment every `compactEvery` commits via `compactWrite`.
+    * `keys` tuple at read time. Valid bases: an upsert table with the same
+    * keys, a single-segment FULL publish (the initialize→incremental flow;
+    * a FULL aggregation result has unique keys by construction), or an empty
+    * table. An append-history base is refused — merge-on-read would collapse
+    * legitimate duplicate-key rows inside its segments. Rewrites the merged
+    * view into a single segment every `compactEvery` commits via
+    * `compactWrite`.
     */
   def upsert(
       spark: SparkSession,
@@ -156,18 +269,28 @@ object VersionedTable {
       keys: Seq[String],
       compactEvery: Int = 8,
       compactWrite: (DataFrame, String) => Unit)(writeSeg: String => Unit): Unit = {
-    val m = readManifest(path)
-    m.foreach(prev => require(prev.keys.isEmpty || prev.keys == keys,
-      s"upsert keys $keys do not match table keys ${prev.keys} at $path"))
-    val (seg, v) = nextSeg(path, m)
+    val m0 = readManifest(path)
+    val m = if (m0.isEmpty && legacyExists(path)) Some(migrateLegacy(path)) else m0
+    m.foreach { prev =>
+      val compatible = (prev.kind == "upsert" && prev.keys == keys) ||
+        (prev.kind == "full" && prev.segments.size == 1)
+      require(compatible,
+        s"upsert(keys=$keys) incompatible with ${prev.kind} table (keys ${prev.keys}) at $path")
+    }
+    val v = m.map(_.version).getOrElse(0L) + 1
+    val seg = newSegName(v)
     writeSeg(segDir(path, seg))
-    val appended = Manifest(v, keys, m.map(_.segments).getOrElse(Seq.empty) :+ seg)
-    writeManifest(path, appended)
+    val appended = Manifest(v, "upsert", keys, m.map(_.segments).getOrElse(Seq.empty) :+ seg)
+    commitManifest(path, m.map(_.version), appended)
     if (appended.segments.size >= compactEvery) {
       val merged = read(spark, path) // resolves the manifest just committed
-      val (cseg, cv) = nextSeg(path, Some(appended))
+      val cseg = newSegName(appended.version + 1)
       compactWrite(merged, segDir(path, cseg))
-      writeManifest(path, Manifest(cv, keys, Seq(cseg)))
+      // compaction is an optimization, not a publish: if a concurrent commit
+      // beat the flip, skip it — the upsert above is already durable
+      try commitManifest(path, Some(appended.version),
+        Manifest(appended.version + 1, "upsert", keys, Seq(cseg)))
+      catch { case _: ConcurrentCommitException => () }
     }
   }
 
@@ -186,7 +309,9 @@ object VersionedTable {
           .filter(f => f.isDirectory && f.getName.startsWith(SegPrefix))
           .filterNot(f => referenced.contains(f.getName))
           .filter { f =>
-            val idx = scala.util.Try(f.getName.stripPrefix(SegPrefix).toLong).getOrElse(Long.MaxValue)
+            // seg-VVVVVVVV[-suffix] → VVVVVVVV
+            val digits = f.getName.stripPrefix(SegPrefix).takeWhile(_.isDigit)
+            val idx = scala.util.Try(digits.toLong).getOrElse(Long.MaxValue)
             idx <= horizon
           }
         victims.foreach(f => deleteRecursively(f.toPath))
@@ -195,8 +320,11 @@ object VersionedTable {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -1,0 +1,156 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import graft.SparkSpec
+import graft.storage.VersionedTable.ConcurrentCommitException
+
+/** Commit-protocol properties of the manifest table: optimistic concurrency
+  * (one loser errors, no commit silently lost), legacy-layout migration
+  * (pre-manifest rows survive the first append/upsert), and write-mode
+  * compatibility (no keyless rows smuggled past merge-on-read).
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_vt_spec_").toString
+
+  private def writeSeg(rows: Seq[(Int, Int)])(dir: String): Unit =
+    rows.toDF("k", "v").write.parquet(dir)
+
+  test("two racing appends: exactly one commit per version, no lost rows or lost commits") {
+    val dir = tmp()
+    VersionedTable.append(dir)(writeSeg(Seq((0, 0))))
+    // both writers read the same base version, write their segments, then
+    // race the manifest flip; the CAS must let exactly one through
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          start.await()
+          try { VersionedTable.append(dir)(writeSeg(Seq((i, i)))); None }
+          catch { case e: Throwable => Some(e) }
+        }
+      })
+    }
+    start.countDown()
+    val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val failures = outcomes.flatten
+    // Either both serialized cleanly (the lock window made the second read a
+    // fresh base) or one lost the race with a ConcurrentCommitException —
+    // never a silently dropped commit.
+    val m = VersionedTable.readManifest(dir).get
+    val rows = VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet
+    if (failures.isEmpty) {
+      assert(m.segments.size == 3, s"both commits reported success but manifest has ${m.segments}")
+      assert(rows == Set((0, 0), (1, 1), (2, 2)))
+    } else {
+      assert(failures.size == 1, s"both writers failed: $failures")
+      assert(failures.head.isInstanceOf[ConcurrentCommitException], s"loser got ${failures.head}")
+      assert(m.segments.size == 2)
+      assert(rows.size == 2 && rows.contains((0, 0)))
+    }
+  }
+
+  test("a commit based on a stale manifest version is refused, not silently applied") {
+    val dir = tmp()
+    VersionedTable.append(dir)(writeSeg(Seq((1, 1))))
+    // Writer A reads base v1, writes its segment, then pauses; writer B
+    // commits v2 in the gap; A's flip (still expecting v1) must throw and
+    // must not clobber B's commit. Latches make the interleaving exact.
+    val aReadBase = new CountDownLatch(1)
+    val bLanded = new CountDownLatch(1)
+    val pool = Executors.newSingleThreadExecutor()
+    val aResult = pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+      def call(): Option[Throwable] =
+        try {
+          VersionedTable.append(dir) { d =>
+            // reaching writeSeg means A's base version is already read
+            aReadBase.countDown()
+            writeSeg(Seq((3, 3)))(d)
+            assert(bLanded.await(60, TimeUnit.SECONDS))
+          }
+          None
+        } catch { case e: Throwable => Some(e) }
+    })
+    assert(aReadBase.await(60, TimeUnit.SECONDS))
+    VersionedTable.append(dir)(writeSeg(Seq((2, 2)))) // B lands v2 mid-A
+    bLanded.countDown()
+    val outcome = aResult.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(outcome.exists(_.isInstanceOf[ConcurrentCommitException]),
+      s"stale commit was not refused: $outcome")
+    val rows = VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet
+    assert(rows == Set((1, 1), (2, 2)), s"loser's flip corrupted the table: $rows")
+  }
+
+  test("first append onto a legacy plain-parquet table folds history into segment 1") {
+    val dir = tmp()
+    Seq((1, 10), (2, 20)).toDF("k", "v").write.mode("overwrite").parquet(dir) // legacy layout
+    assert(VersionedTable.readManifest(dir).isEmpty && VersionedTable.exists(dir))
+    VersionedTable.append(dir)(writeSeg(Seq((3, 30))))
+    val m = VersionedTable.readManifest(dir).get
+    assert(m.segments.size == 2, s"legacy rows not folded: ${m.segments}")
+    val rows = VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet
+    assert(rows == Set((1, 10), (2, 20), (3, 30)), s"legacy rows lost on migration: $rows")
+  }
+
+  test("first upsert onto a legacy append-shaped table is refused (would collapse dup-key rows)") {
+    val dir = tmp()
+    // legacy table holds two legitimate rows for k=1
+    Seq((1, 10), (1, 11)).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = (df, d) => df.write.parquet(d))(
+        writeSeg(Seq((1, 99))))
+    }
+    assert(e.getMessage.contains("incompatible"))
+    // and the legacy rows are still all readable (migration committed, data kept)
+    val rows = VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet
+    assert(rows == Set((1, 10), (1, 11)))
+  }
+
+  test("upsert over a single-segment FULL base is the initialize flow and is allowed") {
+    val dir = tmp()
+    VersionedTable.overwrite(dir)(writeSeg(Seq((1, 10), (2, 20))))
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = (df, d) => df.write.parquet(d))(
+      writeSeg(Seq((1, 99))))
+    val rows = VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet
+    assert(rows == Set((1, 99), (2, 20)), s"merge-on-read over FULL base wrong: $rows")
+  }
+
+  test("append into a keyed upsert table is refused") {
+    val dir = tmp()
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = (df, d) => df.write.parquet(d))(
+      writeSeg(Seq((1, 1))))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(dir)(writeSeg(Seq((2, 2))))
+    }
+    assert(e.getMessage.contains("upsert table"))
+  }
+
+  test("upsert into an append-history table is refused") {
+    val dir = tmp()
+    VersionedTable.append(dir)(writeSeg(Seq((1, 1))))
+    VersionedTable.append(dir)(writeSeg(Seq((1, 2))))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = (df, d) => df.write.parquet(d))(
+        writeSeg(Seq((1, 99))))
+    }
+    assert(e.getMessage.contains("incompatible"))
+  }
+
+  test("crashed-writer lock file is taken over after the TTL") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_LOCK")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.LockTtlMs - 1000))
+    VersionedTable.append(dir)(writeSeg(Seq((1, 1)))) // must not dead-wait
+    assert(VersionedTable.read(spark, dir).count() == 1)
+  }
+}
