@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.FeatureStore
+import graft.model._
+import graft.refresh.RefreshManager
+
+/** Sustained target-lag evidence for the managed-refresh plane (C1 parity,
+  * BASELINE.md: "sustain 1-minute lag on events"): runs a real INCREMENTAL
+  * refresh at `Trigger.ProcessingTime(targetLag)` for several minutes while
+  * a feeder lands fresh source files, and samples the table's freshness lag
+  * — wall-clock now minus the newest ingest timestamp visible through the
+  * committed manifest. The dynamic-table contract is lag ≤ target + one
+  * batch; the probe passes when max observed lag < 2× target.
+  *
+  * Usage:  tools/run.sh graft.LagProbe [sfDir]
+  * Env:    SPARK_GRAFT_PROBE_SECS   run duration   (default 180)
+  *         SPARK_GRAFT_PROBE_LAG    target lag     (default "1 minute")
+  *         SPARK_GRAFT_FEED_SECS    feed interval  (default 10)
+  *
+  * Prints one JSON line: {"target_lag_sec":60,"max_lag_sec":…,
+  * "mean_lag_sec":…,"n_batches":…,"samples":[…]}.
+  */
+object LagProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runSecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_SECS", "180").toInt
+    val targetLag = sys.env.getOrElse("SPARK_GRAFT_PROBE_LAG", "1 minute")
+    val feedSecs = sys.env.getOrElse("SPARK_GRAFT_FEED_SECS", "10").toInt
+    val targetLagSec = targetLag.split("\\s+")(0).toLong *
+      (if (targetLag.contains("minute")) 60 else 1)
+
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val srcDir = Files.createTempDirectory("graft_lagprobe_src_").toString
+    val fs = FeatureStore(spark, Files.createTempDirectory("graft_lagprobe_store_").toString)
+
+    // source rows carry their landing time; the FV keeps the per-user max,
+    // so the committed table's global max(ingest_us) is the newest data the
+    // last refresh tick saw
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value")).limit(5000).collect()
+    def feed(n: Int): Unit = {
+      import spark.implicits._
+      val now = System.currentTimeMillis() * 1000L
+      val slice = (0 until n).map { i =>
+        val r = events((scala.util.Random.nextInt(events.length)))
+        (r.getLong(0), r.getDouble(1), now)
+      }
+      slice.toDF("user_id", "value", "ingest_us")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    feed(500) // seed so the stream has an initial batch
+    // registration analyzes the FV query, so the source view must resolve
+    // as a batch view first; startIncremental swaps in the streaming view
+    spark.read.parquet(srcDir).createOrReplaceTempView("probe_src")
+
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView(
+      "fv_lag_probe", Seq(Entity("user", Seq("user_id"))),
+      """SELECT user_id, count(*) AS f_n, sum(value) AS f_sum,
+        |  max(ingest_us) AS f_latest_us
+        |FROM probe_src GROUP BY user_id""".stripMargin,
+      refresh = Some(RefreshConfig(targetLag, RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_lag_probe", "1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ingest_us", org.apache.spark.sql.types.LongType)))
+    val q = mgr.startIncremental(rec, "probe_src", srcDir, schema)
+
+    val feeder = new Thread(() => {
+      while (!Thread.currentThread().isInterrupted) {
+        try { Thread.sleep(feedSecs * 1000L); feed(200) }
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+    }, "lag-probe-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+
+    // sample freshness lag every 5 s once the first batch has committed
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val deadline = System.currentTimeMillis() + runSecs * 1000L
+    while (System.currentTimeMillis() < deadline) {
+      Thread.sleep(5000)
+      val tableMax = scala.util.Try(
+        fs.readFeatureView("fv_lag_probe", "1")
+          .agg(max(col("f_latest_us"))).collect()(0).getLong(0)).toOption
+      tableMax.foreach { us =>
+        val lag = (System.currentTimeMillis() * 1000L - us) / 1e6
+        samples += ((System.currentTimeMillis() / 1000, lag))
+        System.err.println(f"[lagprobe] t=${samples.size * 5}%4ds lag=$lag%6.1f s " +
+          f"(batches=${Option(q.lastProgress).map(_.batchId).getOrElse(-1L)})")
+      }
+    }
+    feeder.interrupt()
+    mgr.stopAll()
+
+    // the steady-state metric skips the startup window (first target-lag
+    // span), where the stream is still draining the seed
+    val steady = samples.drop((targetLagSec / 5).toInt)
+    val use = if (steady.nonEmpty) steady else samples.toSeq
+    val maxLag = use.map(_._2).max
+    val meanLag = use.map(_._2).sum / use.size
+    val nBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+    println(
+      s"""{"target_lag_sec":$targetLagSec,"max_lag_sec":${f"$maxLag%.1f"},""" +
+      s""""mean_lag_sec":${f"$meanLag%.1f"},"n_batches":$nBatches,"pass":${maxLag < 2 * targetLagSec},""" +
+      s""""samples":[${use.map(s => f"${s._2}%.1f").mkString(",")}]}""")
+    spark.stop()
+    if (maxLag >= 2 * targetLagSec) sys.exit(1)
+  }
+}

@@ -272,7 +272,13 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       // materialized = a committed manifest (or legacy table) exists
       // (ON_SCHEDULE managed FVs have a reserved path but no data until
       // their first refresh tick)
-      r.physicalPath.exists(p => graft.storage.VersionedTable.exists(p)))
+      r.physicalPath.exists(p => graft.storage.VersionedTable.exists(p)),
+      // committed manifest version — observably resets to 1 after a forced
+      // full rebuild ([[refreshFeatureView]] full=true), increments per
+      // refresh commit otherwise
+      r.physicalPath.flatMap(p =>
+        graft.storage.VersionedTable.readManifest(p).map(m => java.lang.Long.valueOf(m.version)))
+        .orNull)
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1),
       StructType(Seq(
@@ -287,7 +293,36 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
         StructField("initialize", StringType, nullable = true),
         StructField("warehouse", StringType, nullable = true),
         StructField("plan_hash", StringType, nullable = false),
-        StructField("is_materialized", BooleanType, nullable = false))))
+        StructField("is_materialized", BooleanType, nullable = false),
+        StructField("table_version", LongType, nullable = true))))
+  }
+
+  /** On-demand refresh of a managed FV (reference: dbt's `--full-refresh`
+    * branch, feature_view.sql:101-103 — `should_full_refresh()` forces
+    * CREATE OR REPLACE regardless of change detection; there was previously
+    * no API equivalent, so a user could not force a managed rebuild without
+    * artificially editing the query).
+    *
+    *  - `full = false`: one FULL-refresh tick — recompute the query and
+    *    publish atomically on top of the existing manifest history.
+    *  - `full = true`: force-rebuild from scratch — the table (manifest +
+    *    all segments) and any streaming checkpoint are deleted first, so
+    *    incremental state is discarded and the table restarts at manifest
+    *    version 1, exactly dbt's --full-refresh recreating a dynamic table.
+    */
+  def refreshFeatureView(name: String, version: String, full: Boolean = false): Unit = {
+    val rec = getFeatureView(name, version)
+    val path = rec.physicalPath.getOrElse(throw new IllegalArgumentException(
+      s"${rec.logicalId} is not a managed feature view — nothing to refresh"))
+    if (full) {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fsys = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(hp, true)
+      fsys.delete(new org.apache.hadoop.fs.Path(path + "__checkpoint"), true)
+    }
+    graft.storage.VersionedTable.overwrite(path)(dir =>
+      FeatureStore.writeManaged(spark.sql(rec.fv.query), rec.fv, dir))
+    graft.storage.VersionedTable.vacuum(path)
   }
 
   /** Admin/migration op (reference scripts/cleanup_old_metadata.py, SURVEY

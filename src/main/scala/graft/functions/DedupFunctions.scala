@@ -156,18 +156,30 @@ object DedupFunctions {
     nearDupMinHashFromSignatures(sigs, threshold, numHashes, bands)
   }
 
-  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the
-    * signature (any pair within Hamming distance ≤ maxHamming shares at
-    * least one exact quarter when maxHamming ≤ 3 — pigeonhole), verify with
-    * bit_count. Avoids the all-pairs product the same way LSH banding does.
+  /** SimHash near-dup pairs: bucket by `maxHamming + 1` disjoint bit-bands
+    * of the 64-bit signature — a pair within Hamming distance d differs in
+    * at most d of the d+1 bands, so it matches exactly on at least one
+    * (pigeonhole): recall is COMPLETE for the requested radius, not just
+    * d ≤ 3 as with fixed quarters. Verified with bit_count. Avoids the
+    * all-pairs product the same way LSH banding does; note the scale trade —
+    * larger d means narrower bands (64/(d+1) bits), so buckets get
+    * exponentially denser: keep d small on big corpora.
     */
   def nearDupSimHash(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming (bands need ≥ 2 bits)")
+    val nBands = maxHamming + 1
+    val widths = Array.tabulate(nBands)(i => 64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandStructs = (0 until nBands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+      struct(lit(b).as("q"),
+        call_function("shiftright", col("sig"), lit(offsets(b))).bitwiseAND(lit(mask)).as("qh"))
+    }
     val withSig = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
     val banded = withSig.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        q => struct(q.as("q"),
-          call_function("shiftright", col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qh")))).as("bk"))
+      explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.q").as("q"), col("bk.qh").as("qh"))
     val a = banded.as("a")
     val b = banded.as("b")

@@ -58,7 +58,8 @@ object PipelineQueries {
         landPath = Some(land.resolve("sigs").toString))
     }),
 
-    // SimHash near-dup pairs (rows-only check)
+    // SimHash near-dup pairs (rows-only check). Banding is maxHamming+1
+    // disjoint bands, so recall is complete for the requested radius.
     "q24_simhash" -> ((s, dir) => {
       DedupFunctions.nearDupSimHash(
         Tables.documents(s, dir), "doc_id", "text", maxHamming = 10)

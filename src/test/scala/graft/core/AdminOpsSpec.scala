@@ -32,6 +32,46 @@ class AdminOpsSpec extends SparkSpec {
     assert(!row.getAs[Boolean]("is_materialized"))
   }
 
+  test("refreshFeatureView(full = true) force-rebuilds regardless of plan-hash state") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).limit(100).createOrReplaceTempView("admin_force_ev")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    val fv = FeatureView(
+      "fv_force", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM admin_force_ev GROUP BY user_id",
+      refresh = Some(RefreshConfig("1 minute")))
+    fs.registerFeatureView(fv, "1")
+    val path = fs.getFeatureView("fv_force", "1").physicalPath.get
+    // re-registering the unchanged view is a NoOp — that's A5 behavior, and
+    // exactly why a user needs an explicit force op
+    assert(fs.registerFeatureView(fv, "1") == FeatureStore.NoOp)
+    // a plain refresh tick advances the manifest version
+    fs.refreshFeatureView("fv_force", "1")
+    val vAfterTick = graft.storage.VersionedTable.readManifest(path).get.version
+    assert(vAfterTick == 2, s"refresh tick should commit on top of history, got $vAfterTick")
+    assert(fs.describeFeatureView("fv_force", "1").collect()(0)
+      .getAs[Long]("table_version") == 2L)
+    // the forced rebuild discards table + checkpoint state: fresh manifest v1
+    fs.refreshFeatureView("fv_force", "1", full = true)
+    val m = graft.storage.VersionedTable.readManifest(path).get
+    assert(m.version == 1 && m.segments.size == 1,
+      s"full=true must rebuild from scratch, got $m")
+    assert(fs.readFeatureView("fv_force", "1").count() > 0)
+    assert(fs.describeFeatureView("fv_force", "1").collect()(0)
+      .getAs[Long]("table_version") == 1L)
+  }
+
+  test("refreshFeatureView on a static (external) feature view is refused") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).createOrReplaceTempView("admin_static_ev")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView(
+      "fv_static", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM admin_static_ev GROUP BY user_id"), "1")
+    val e = intercept[IllegalArgumentException](fs.refreshFeatureView("fv_static", "1"))
+    assert(e.getMessage.contains("not a managed feature view"))
+  }
+
   test("dropFeatureView removes record, view, and materialized data") {
     val fs = freshStore()
     Tables.events(spark, sfDir).createOrReplaceTempView("admin_ev")
