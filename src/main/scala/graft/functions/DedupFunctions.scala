@@ -188,8 +188,10 @@ object DedupFunctions {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sig"), col("b.sig")).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the Hamming cut is per-row deterministic, so
+      // the result is identical and the dedup shuffle only carries survivors
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** N-gram Jaccard near-dup over a blocking key (cheap exact variant used

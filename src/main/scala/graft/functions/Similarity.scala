@@ -63,11 +63,14 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane sign matrix (bits × dim), generated
     * driver-side from a seeded splitmix-style hash — no stored model, stable
-    * across runs, shipped to executors as literals.
+    * across runs, shipped to executors as literals. `table` seeds an
+    * independent matrix per LSH hash table (table 0 is the historical
+    * single-table matrix).
     */
-  private def signMatrix(bits: Int, dim: Int): Array[Array[Double]] =
+  private def signMatrix(bits: Int, dim: Int, table: Int = 0): Array[Array[Double]] =
     Array.tabulate(bits, dim) { (p, d) =>
-      var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L +
+        table.toLong * 0xD6E8FEB86659FD93L + 0x94D049BB133111EBL
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z = z ^ (z >>> 31)
@@ -77,30 +80,45 @@ object Similarity {
   /** Random-hyperplane signature: bit p = (vec · plane_p) ≥ 0. Each
     * projection is one codegen'd VecDot against a literal plane.
     */
-  def rhpSignature(vec: Column, bits: Int, dim: Int): Column = {
-    val planes = signMatrix(bits, dim)
+  def rhpSignature(vec: Column, bits: Int, dim: Int, table: Int = 0): Column = {
+    val planes = signMatrix(bits, dim, table)
     (0 until bits).map { p =>
       when(dot(vec, typedLit(planes(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** Approximate top-k: candidates considered only within the query's
-    * sign-bucket. The scale path — the bucket id is the join key, so each
-    * query touches ~N/2^bits candidates instead of N.
+    * sign-bucket, over `tables` independent hash tables (standard LSH
+    * recall lever: a true neighbor is found if ANY table buckets it with
+    * the query, so recall ≈ 1-(1-p^bits)^tables at ~tables× the candidate
+    * volume). The scale path — (table, bucket) is the join key, so each
+    * query touches ~tables·N/2^bits candidates instead of N; signatures are
+    * map-side literal projections and a pair colliding in several tables is
+    * deduped before scoring.
     */
   def lshTopK(
       queries: DataFrame, qidCol: String,
       candidates: DataFrame, cidCol: String,
-      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64,
+      tables: Int = 1): DataFrame = {
+    def withBuckets(df: DataFrame): DataFrame = df
+      .withColumn("__tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), rhpSignature(col(df.columns(1)), bits, dim, t).as("b"))): _*)))
+      .withColumn("__t", col("__tb.t")).withColumn("__bucket", col("__tb.b"))
+      .drop("__tb")
+    val q = withBuckets(
+      queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv")))
       .withColumn("__qn", norm(col("__qv")))
-      .withColumn("__bucket", rhpSignature(col("__qv"), bits, dim))
-    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = withBuckets(
+      candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv")))
       .withColumn("__cn", norm(col("__cv")))
-      .withColumn("__bucket", rhpSignature(col("__cv"), bits, dim))
-    val joined = c.join(broadcast(q), "__bucket")
-    val scored = joined
+    val joined = c.join(broadcast(q), Seq("__t", "__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__qv"), col("__qn"), col("__cv"), col("__cn"))
+    val deduped =
+      if (tables == 1) joined else joined.dropDuplicates("query_id", "neighbor_id")
+    val scored = deduped
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))

@@ -72,11 +72,13 @@ object PipelineQueries {
       Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k = 5)
     }),
 
-    // LSH-bucketed approximate top-k (scale path; rows-only check)
+    // LSH-bucketed approximate top-k (scale path; rows-only check) — 4
+    // independent hash tables, the standard recall lever (see q48)
     "q26_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queriesDf = emb.filter(col("vec_id") < 10)
-      Similarity.lshTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+      Similarity.lshTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+        k = 5, bits = 4, dim = 64, tables = 4)
     }),
 
     // IVF approximate top-k (coarse-quantizer inverted lists; rows-only)
@@ -85,6 +87,26 @@ object PipelineQueries {
       val queriesDf = emb.filter(col("vec_id") < 10)
       Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
+    }),
+
+    // recall@k of the approximate ANN paths against the exact brute force —
+    // the quality evidence for the two scale paths (rows-only: the hash
+    // families are deterministic but not portably SQL-expressible)
+    "q48_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 10)
+      val k = 5
+      val exact = Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k)
+      val lsh = Similarity.lshTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+        k, bits = 4, dim = 64, tables = 4)
+      val ivf = Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k, nlist = 16, nprobe = 4)
+      Similarity.recallAtK(exact, lsh, k)
+        .select(lit("lsh").as("method"), col("recall"))
+        .unionByName(Similarity.recallAtK(exact, ivf, k)
+          .select(lit("ivf").as("method"), col("recall")))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_queries"),
+          TextFunctions.round4(avg(col("recall"))).as("mean_recall"))
     }),
 
     // embedding-cosine near-dup pairs within LSH buckets (rows-only check)
