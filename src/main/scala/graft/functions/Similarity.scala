@@ -114,13 +114,13 @@ object Similarity {
       .withColumn("__cn", norm(col("__cv")))
     val joined = c.join(broadcast(q), Seq("__t", "__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("__qv"), col("__qn"), col("__cv"), col("__cn"))
-    val deduped =
-      if (tables == 1) joined else joined.dropDuplicates("query_id", "neighbor_id")
-    val scored = deduped
+    // score BEFORE deduping cross-table collisions: a duplicate pair scores
+    // identically, so dedup-after-scoring is equivalent — and the dedup
+    // shuffle then carries (qid, nid, cosine) scalars, not vector payloads
+    val scored0 = joined
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
+    val scored = if (tables == 1) scored0 else scored0.distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

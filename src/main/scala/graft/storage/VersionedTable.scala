@@ -94,19 +94,35 @@ object VersionedTable {
 
   private def manifestPath(path: String): Path = Paths.get(path, ManifestName)
 
+  private def parseManifest(bytes: Array[Byte]): Manifest = {
+    val n = mapper.readTree(bytes)
+    val keys = n.get("keys").elements().asScala.map(_.asText()).toSeq
+    // pre-`kind` manifests: keyed tables were only ever written by upsert
+    val kind = Option(n.get("kind")).map(_.asText())
+      .getOrElse(if (keys.nonEmpty) "upsert" else "append")
+    Manifest(
+      n.get("version").asLong(), kind, keys,
+      n.get("segments").elements().asScala.map(_.asText()).toSeq)
+  }
+
   def readManifest(path: String): Option[Manifest] = {
     val p = manifestPath(path)
     if (!Files.exists(p)) None
-    else {
-      val n = mapper.readTree(Files.readAllBytes(p))
-      val keys = n.get("keys").elements().asScala.map(_.asText()).toSeq
-      // pre-`kind` manifests: keyed tables were only ever written by upsert
-      val kind = Option(n.get("kind")).map(_.asText())
-        .getOrElse(if (keys.nonEmpty) "upsert" else "append")
-      Some(Manifest(
-        n.get("version").asLong(), kind, keys,
-        n.get("segments").elements().asScala.map(_.asText()).toSeq))
-    }
+    else Some(parseManifest(Files.readAllBytes(p)))
+  }
+
+  private def snapshotPath(path: String, version: Long): Path =
+    Paths.get(path, f"_MANIFEST-v$version%08d.json")
+
+  /** The manifest as of a past commit — Delta-style time travel. Every
+    * commit leaves a versioned snapshot behind; reading one whose segments
+    * have since been [[vacuum]]ed fails at scan time, exactly Delta's
+    * post-VACUUM contract.
+    */
+  def readManifestAt(path: String, version: Long): Option[Manifest] = {
+    val p = snapshotPath(path, version)
+    if (Files.exists(p)) Some(parseManifest(Files.readAllBytes(p)))
+    else readManifest(path).filter(_.version == version)
   }
 
   /** The CAS flip: verify the on-disk manifest is still at `expectedVersion`
@@ -127,9 +143,15 @@ object VersionedTable {
       val ks = n.putArray("keys"); m.keys.foreach(ks.add)
       val ss = n.putArray("segments"); m.segments.foreach(ss.add)
       val tmp = Paths.get(path, ManifestName + ".tmp")
-      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+      val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n)
+      Files.write(tmp, bytes)
       Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // versioned snapshot for time travel, written after the flip (commit
+      // point) so a crashed loser never leaves a snapshot of a non-commit;
+      // the just-committed version is always also readable via the current
+      // manifest, so a crash between flip and snapshot loses nothing
+      Files.write(snapshotPath(path, m.version), bytes)
     }
 
   private def withCommitLock[T](path: String)(body: => T): T = {
@@ -192,9 +214,15 @@ object VersionedTable {
 
   /** Committed merged view of the table. Plain union for overwrite/append
     * tables; for keyed (upsert) tables, latest-segment-wins per key — the
-    * merge-on-read side of the upsert commit.
+    * merge-on-read side of the upsert commit. `asOfVersion` reads the table
+    * as of a past commit (time travel; see [[readManifestAt]]).
     */
-  def read(spark: SparkSession, path: String): DataFrame = readManifest(path) match {
+  def read(spark: SparkSession, path: String, asOfVersion: Option[Long] = None): DataFrame =
+    (asOfVersion match {
+      case Some(v) => Some(readManifestAt(path, v).getOrElse(
+        throw new NoSuchElementException(s"no committed version $v at $path")))
+      case None => readManifest(path)
+    }) match {
     case None =>
       spark.read.parquet(path) // legacy plain-parquet table
     case Some(m) =>
@@ -315,6 +343,15 @@ object VersionedTable {
             idx <= horizon
           }
         victims.foreach(f => deleteRecursively(f.toPath))
+        // expire snapshot manifests past the same horizon — their segments
+        // are (or may be) gone, so time travel to them is over anyway
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.startsWith("_MANIFEST-v"))
+          .filter { f =>
+            val digits = f.getName.stripPrefix("_MANIFEST-v").takeWhile(_.isDigit)
+            scala.util.Try(digits.toLong).getOrElse(Long.MaxValue) <= horizon
+          }
+          .foreach(f => Files.deleteIfExists(f.toPath))
         victims.length
     }
   }

@@ -142,6 +142,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("incompatible"))
   }
 
+  test("time travel: read(asOfVersion) returns each commit's view; vacuum expires old snapshots") {
+    val dir = tmp()
+    VersionedTable.overwrite(dir)(writeSeg(Seq((1, 10))))                    // v1
+    VersionedTable.upsert(spark, dir, Seq("k"),
+      compactWrite = (df, d) => df.write.parquet(d))(writeSeg(Seq((1, 20)))) // v2
+    VersionedTable.upsert(spark, dir, Seq("k"),
+      compactWrite = (df, d) => df.write.parquet(d))(writeSeg(Seq((2, 30)))) // v3
+    def at(v: Long): Set[(Int, Int)] =
+      VersionedTable.read(spark, dir, Some(v)).as[(Int, Int)].collect().toSet
+    assert(at(1) == Set((1, 10)))
+    assert(at(2) == Set((1, 20)))
+    assert(at(3) == Set((1, 20), (2, 30)))
+    assert(at(3) == VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet)
+    intercept[NoSuchElementException](at(99))
+    // a tight vacuum horizon expires v1's snapshot along with its segment
+    VersionedTable.vacuum(dir, keepGenerations = 1)
+    intercept[NoSuchElementException](at(1))
+  }
+
   test("crashed-writer lock file is taken over after the TTL") {
     val dir = tmp()
     Files.createDirectories(Paths.get(dir))
