@@ -118,18 +118,23 @@ final class RefreshManager(fs: FeatureStore) {
       if (!(transformed.isStreaming && hasAggregate(transformed))) "append"
       else if (aggKeys.isDefined) "update"
       else "complete"
+    // the micro-batch id rides into the manifest commit: foreachBatch
+    // replays the last batch on checkpoint recovery, and the sink skips a
+    // batchId it has already committed — exactly-once despite at-least-once
+    // delivery (the standard idempotent-sink contract foreachBatch requires)
     val q = transformed.writeStream
       .outputMode(outMode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         outMode match {
           case "append" =>
-            VersionedTable.append(path)(dir => writeSeg(batch, dir))
+            VersionedTable.append(path, Some(bid))(dir => writeSeg(batch, dir))
           case "update" =>
             VersionedTable.upsert(spark, path, aggKeys.get,
-              compactWrite = (merged, dir) => writeSeg(merged, dir))(
+              compactWrite = (merged, dir) => writeSeg(merged, dir),
+              batchId = Some(bid))(
               dir => writeSeg(batch, dir))
           case _ =>
-            VersionedTable.overwrite(path)(dir => writeSeg(batch, dir))
+            VersionedTable.overwrite(path, Some(bid))(dir => writeSeg(batch, dir))
         }
         VersionedTable.vacuum(path)
         ()

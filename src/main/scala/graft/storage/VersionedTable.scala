@@ -90,7 +90,18 @@ object VersionedTable {
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
-  final case class Manifest(version: Long, kind: String, keys: Seq[String], segments: Seq[String])
+  /** `batchId`: the streaming micro-batch that produced this commit (−1 for
+    * batch writers) — the idempotence key that makes foreachBatch sinks
+    * exactly-once: a replayed micro-batch (checkpoint recovery re-runs the
+    * last uncommitted batch) is detected as `batchId <= committed` and
+    * skipped instead of double-appending its rows. Contract: the streaming
+    * checkpoint and the table share a lifetime — resetting the checkpoint
+    * without rebuilding the table (or vice versa) breaks the guard; the
+    * force-full-refresh admin op resets both together, and any batch
+    * overwrite (batchId −1) clears the guard.
+    */
+  final case class Manifest(version: Long, kind: String, keys: Seq[String],
+      segments: Seq[String], batchId: Long = -1L)
 
   private def manifestPath(path: String): Path = Paths.get(path, ManifestName)
 
@@ -102,7 +113,8 @@ object VersionedTable {
       .getOrElse(if (keys.nonEmpty) "upsert" else "append")
     Manifest(
       n.get("version").asLong(), kind, keys,
-      n.get("segments").elements().asScala.map(_.asText()).toSeq)
+      n.get("segments").elements().asScala.map(_.asText()).toSeq,
+      Option(n.get("batchId")).map(_.asLong()).getOrElse(-1L))
   }
 
   def readManifest(path: String): Option[Manifest] = {
@@ -140,6 +152,7 @@ object VersionedTable {
       val n = mapper.createObjectNode()
       n.put("version", m.version)
       n.put("kind", m.kind)
+      n.put("batchId", m.batchId)
       val ks = n.putArray("keys"); m.keys.foreach(ks.add)
       val ss = n.putArray("segments"); m.segments.foreach(ss.add)
       val tmp = Paths.get(path, ManifestName + ".tmp")
@@ -255,31 +268,44 @@ object VersionedTable {
     f"$SegPrefix$version%08d-$suffix"
   }
 
-  /** FULL publish: write one fresh segment, point the manifest at it alone.
-    * Valid on any base (it replaces the whole table).
+  /** True when a streaming micro-batch has already been committed to this
+    * table — checkpoint recovery replays the last batch, and committing it
+    * again would duplicate its rows.
     */
-  def overwrite(path: String)(writeSeg: String => Unit): Unit = {
+  private def alreadyCommitted(m: Option[Manifest], batchId: Option[Long]): Boolean =
+    batchId.exists(b => m.exists(_.batchId >= b))
+
+  /** FULL publish: write one fresh segment, point the manifest at it alone.
+    * Valid on any base (it replaces the whole table). `batchId` makes a
+    * streaming complete-mode sink idempotent under batch replay.
+    */
+  def overwrite(path: String, batchId: Option[Long] = None)(writeSeg: String => Unit): Unit = {
     val m = readManifest(path)
+    if (alreadyCommitted(m, batchId)) return
     val v = m.map(_.version).getOrElse(0L) + 1
     val seg = newSegName(v)
     writeSeg(segDir(path, seg))
-    commitManifest(path, m.map(_.version), Manifest(v, "full", Seq.empty, Seq(seg)))
+    commitManifest(path, m.map(_.version),
+      Manifest(v, "full", Seq.empty, Seq(seg), batchId.getOrElse(-1L)))
   }
 
   /** Append publish: the new segment joins the committed set (O(batch)).
     * Refused on a keyed upsert table — a keyless segment there would
-    * silently bypass merge-on-read.
+    * silently bypass merge-on-read. `batchId` (streaming sinks) skips
+    * replayed micro-batches instead of double-appending their rows.
     */
-  def append(path: String)(writeSeg: String => Unit): Unit = {
+  def append(path: String, batchId: Option[Long] = None)(writeSeg: String => Unit): Unit = {
     val m0 = readManifest(path)
     val m = if (m0.isEmpty && legacyExists(path)) Some(migrateLegacy(path)) else m0
+    if (alreadyCommitted(m, batchId)) return
     m.foreach(prev => require(prev.keys.isEmpty,
       s"cannot append keyless rows into upsert table (keys ${prev.keys}) at $path"))
     val v = m.map(_.version).getOrElse(0L) + 1
     val seg = newSegName(v)
     writeSeg(segDir(path, seg))
     commitManifest(path, m.map(_.version),
-      Manifest(v, "append", Seq.empty, m.map(_.segments).getOrElse(Seq.empty) :+ seg))
+      Manifest(v, "append", Seq.empty, m.map(_.segments).getOrElse(Seq.empty) :+ seg,
+        batchId.getOrElse(-1L)))
   }
 
   /** Upsert publish: new segment's rows supersede older rows with the same
@@ -296,9 +322,11 @@ object VersionedTable {
       path: String,
       keys: Seq[String],
       compactEvery: Int = 8,
-      compactWrite: (DataFrame, String) => Unit)(writeSeg: String => Unit): Unit = {
+      compactWrite: (DataFrame, String) => Unit,
+      batchId: Option[Long] = None)(writeSeg: String => Unit): Unit = {
     val m0 = readManifest(path)
     val m = if (m0.isEmpty && legacyExists(path)) Some(migrateLegacy(path)) else m0
+    if (alreadyCommitted(m, batchId)) return
     m.foreach { prev =>
       val compatible = (prev.kind == "upsert" && prev.keys == keys) ||
         (prev.kind == "full" && prev.segments.size == 1)
@@ -308,16 +336,18 @@ object VersionedTable {
     val v = m.map(_.version).getOrElse(0L) + 1
     val seg = newSegName(v)
     writeSeg(segDir(path, seg))
-    val appended = Manifest(v, "upsert", keys, m.map(_.segments).getOrElse(Seq.empty) :+ seg)
+    val appended = Manifest(v, "upsert", keys,
+      m.map(_.segments).getOrElse(Seq.empty) :+ seg, batchId.getOrElse(-1L))
     commitManifest(path, m.map(_.version), appended)
     if (appended.segments.size >= compactEvery) {
       val merged = read(spark, path) // resolves the manifest just committed
       val cseg = newSegName(appended.version + 1)
       compactWrite(merged, segDir(path, cseg))
       // compaction is an optimization, not a publish: if a concurrent commit
-      // beat the flip, skip it — the upsert above is already durable
+      // beat the flip, skip it — the upsert above is already durable. The
+      // compacted manifest keeps the data-state batchId.
       try commitManifest(path, Some(appended.version),
-        Manifest(appended.version + 1, "upsert", keys, Seq(cseg)))
+        Manifest(appended.version + 1, "upsert", keys, Seq(cseg), appended.batchId))
       catch { case _: ConcurrentCommitException => () }
     }
   }

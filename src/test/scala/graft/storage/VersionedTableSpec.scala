@@ -161,6 +161,30 @@ class VersionedTableSpec extends SparkSpec {
     intercept[NoSuchElementException](at(1))
   }
 
+  test("replayed micro-batches are skipped: same batchId commits exactly once") {
+    val dir = tmp()
+    VersionedTable.append(dir, Some(0L))(writeSeg(Seq((1, 1))))
+    VersionedTable.append(dir, Some(1L))(writeSeg(Seq((2, 2))))
+    // checkpoint recovery replays batch 1 — the sink must not double-append
+    VersionedTable.append(dir, Some(1L))(writeSeg(Seq((2, 2))))
+    assert(VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet ==
+      Set((1, 1), (2, 2)))
+    assert(VersionedTable.readManifest(dir).get.segments.size == 2)
+    // same for upsert sinks
+    val dir2 = tmp()
+    val cw = (df: org.apache.spark.sql.DataFrame, d: String) => df.write.parquet(d)
+    VersionedTable.upsert(spark, dir2, Seq("k"), compactWrite = cw,
+      batchId = Some(0L))(writeSeg(Seq((1, 10))))
+    VersionedTable.upsert(spark, dir2, Seq("k"), compactWrite = cw,
+      batchId = Some(0L))(writeSeg(Seq((1, 10))))
+    assert(VersionedTable.readManifest(dir2).get.segments.size == 1)
+    // a batch overwrite (batchId −1) clears the guard for a fresh stream
+    VersionedTable.overwrite(dir)(writeSeg(Seq((9, 9))))
+    VersionedTable.append(dir, Some(0L))(writeSeg(Seq((3, 3))))
+    assert(VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet ==
+      Set((9, 9), (3, 3)))
+  }
+
   test("crashed-writer lock file is taken over after the TTL") {
     val dir = tmp()
     Files.createDirectories(Paths.get(dir))
