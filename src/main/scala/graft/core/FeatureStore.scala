@@ -201,15 +201,25 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       .getOrElse(throw new NoSuchElementException(s"feature view not found: $name$$$version"))
 
   /** Resolve a feature view to its DataFrame: managed → materialized table
-    * scan; static → lazily-resolved logical plan.
+    * scan; static → lazily-resolved logical plan. `asOfTableVersion` reads a
+    * managed FV as of a past manifest commit (time travel; versions are the
+    * `table_version` surfaced by [[describeFeatureView]]) — reproducible
+    * training reads against a refreshing table. Refused for static FVs
+    * (nothing is materialized to travel through).
     */
-  def readFeatureView(name: String, version: String): DataFrame = {
+  def readFeatureView(
+      name: String, version: String,
+      asOfTableVersion: Option[Long] = None): DataFrame = {
     val rec = getFeatureView(name, version)
     rec.physicalPath match {
       case Some(p) =>
         // drop the derived date-partition column (storage layout, not schema)
-        graft.storage.VersionedTable.read(spark, p).drop(FeatureStore.PartCol)
-      case None => spark.sql(rec.fv.query)
+        graft.storage.VersionedTable.read(spark, p, asOfTableVersion)
+          .drop(FeatureStore.PartCol)
+      case None =>
+        require(asOfTableVersion.isEmpty,
+          s"$name$$$version is a static feature view — no materialized history to time-travel")
+        spark.sql(rec.fv.query)
     }
   }
 

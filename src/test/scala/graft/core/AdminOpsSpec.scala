@@ -61,6 +61,29 @@ class AdminOpsSpec extends SparkSpec {
       .getAs[Long]("table_version") == 1L)
   }
 
+  test("readFeatureView time-travels a managed FV across refresh commits") {
+    val fs = freshStore()
+    Tables.events(spark, sfDir).limit(100).createOrReplaceTempView("admin_tt_ev")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView(
+      "fv_tt", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM admin_tt_ev GROUP BY user_id",
+      refresh = Some(RefreshConfig("1 minute"))), "1")
+    val v1Rows = fs.readFeatureView("fv_tt", "1").count()
+    // the source grows, a refresh tick republishes
+    Tables.events(spark, sfDir).limit(300).createOrReplaceTempView("admin_tt_ev")
+    fs.refreshFeatureView("fv_tt", "1")
+    assert(fs.readFeatureView("fv_tt", "1", asOfTableVersion = Some(1L)).count() == v1Rows)
+    assert(fs.readFeatureView("fv_tt", "1").agg(org.apache.spark.sql.functions.sum("f_n"))
+      .collect()(0).getLong(0) == 300)
+    // static FVs have no history
+    fs.registerFeatureView(FeatureView(
+      "fv_tt_static", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, count(*) AS f_n FROM admin_tt_ev GROUP BY user_id"), "1")
+    intercept[IllegalArgumentException](
+      fs.readFeatureView("fv_tt_static", "1", asOfTableVersion = Some(1L)))
+  }
+
   test("refreshFeatureView on a static (external) feature view is refused") {
     val fs = freshStore()
     Tables.events(spark, sfDir).createOrReplaceTempView("admin_static_ev")
