@@ -456,18 +456,22 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
     }
     if (save) {
       val path = catalog.dataPath(s"dataset_${name.toLowerCase}_v${version.replaceAll("[^A-Za-z0-9]", "_")}")
-      out.write.mode("overwrite").parquet(path)
+      // manifest-committed, like managed FVs: a concurrent reader of a
+      // re-generated dataset sees the old or the new version, never the
+      // delete→write window of a plain parquet overwrite
+      graft.storage.VersionedTable.overwrite(path)(dir => out.write.parquet(dir))
       catalog.putDataset(DatasetRef(
         name, version, path, recs.map(_.logicalId),
         spineTimestampCol, labelCols, description))
-      spark.read.parquet(path)
+      graft.storage.VersionedTable.read(spark, path)
     } else out
   }
 
   def getDataset(name: String, version: String): DataFrame = {
     val d = catalog.getDataset(name, version)
       .getOrElse(throw new NoSuchElementException(s"dataset not found: $name$$$version"))
-    spark.read.parquet(d.path)
+    // manifest table (pre-manifest layouts read via the legacy fallback)
+    graft.storage.VersionedTable.read(spark, d.path)
   }
 
   def listDatasets(): DataFrame = {

@@ -136,14 +136,15 @@ object Similarity {
     * partitioned by cluster_id once, then every query batch touches only its
     * probed partitions — classic IVF file-skipping).
     */
-  def ivfTopK(
-      queries: DataFrame, qidCol: String,
-      candidates: DataFrame, cidCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic coarse centroids: the nlist lowest-id candidate vectors,
-    // collected driver-side — nlist rows are a model parameter (like the LSH
-    // sign matrix), not data, so assignment can be a pure projection
-    val cents: Array[(Long, Array[Double], Double)] = candidates
+  /** Deterministic coarse centroids: the nlist lowest-id candidate vectors,
+    * collected driver-side — nlist rows are a model parameter (like the LSH
+    * sign matrix), not data, so assignment can be a pure projection.
+    * Tuples are (centroid_id, vector-as-double, norm).
+    */
+  private def seedCentroids(
+      candidates: DataFrame, cidCol: String, vecCol: String,
+      nlist: Int): Array[(Long, Array[Double], Double)] =
+    candidates
       .select(col(cidCol).cast("long").as("centroid_id"), col(vecCol).as("cv"))
       .orderBy(col("centroid_id")).limit(nlist)
       .collect()
@@ -154,35 +155,28 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
       }
 
-    // assign: per-row argmax over the nlist literal centroids, entirely
-    // map-side. (The previous shape crossJoined every candidate with the
-    // broadcast centroids and ran a partitionBy(id) window to keep the best —
-    // a full shuffle of N×nlist vector payloads just to pick a per-row
-    // minimum; at 100 TB that is 100 TB × nlist through the exchange, this
-    // is zero.) Tie-break matches the old window ordering (__sim desc,
-    // centroid_id asc): sort desc on (sim, -centroid_id).
-    def assign(df: DataFrame, n: Int): DataFrame = {
-      val simStructs = cents.map { case (id, v, nrm) =>
-        struct(
-          (dot(col("__v"), typedLit(v)) / (col("__n") * lit(nrm))).as("sim"),
-          lit(-id).as("neg_id"))
-      }
-      df.withColumn("__cent",
-          explode(slice(sort_array(array(simStructs.toIndexedSeq: _*), asc = false), 1, n)))
-        .withColumn("centroid_id", -col("__cent.neg_id"))
-        .drop("__cent")
+  /** Per-row argmax over the nlist literal centroids, entirely map-side —
+    * zero shuffle for the assignment stage (the crossJoin+window shape moved
+    * N×nlist vector payloads through an exchange just to pick a per-row
+    * minimum). Tie-break: sim desc, centroid_id asc (encoded as sort desc on
+    * (sim, -centroid_id)). Input df must carry (__v, __n).
+    */
+  private def assignTo(
+      cents: Array[(Long, Array[Double], Double)])(df: DataFrame, n: Int): DataFrame = {
+    val simStructs = cents.map { case (id, v, nrm) =>
+      struct(
+        (dot(col("__v"), typedLit(v)) / (col("__n") * lit(nrm))).as("sim"),
+        lit(-id).as("neg_id"))
     }
+    df.withColumn("__cent",
+        explode(slice(sort_array(array(simStructs.toIndexedSeq: _*), asc = false), 1, n)))
+      .withColumn("centroid_id", -col("__cent.neg_id"))
+      .drop("__cent")
+  }
 
-    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .withColumn("__n", norm(col("__v")))
-    val cAssigned = assign(c, 1)  // each candidate in 1 list
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__v"))
-      .withColumn("__n", norm(col("__v")))
-    val qAssigned = assign(q, nprobe)  // each query probes nprobe lists
-      .select(col("query_id"), col("__v").as("__qv"), col("__n").as("__qn"), col("centroid_id"))
-
-    val joined = cAssigned.join(broadcast(qAssigned), "centroid_id")
-    val scored = joined
+  /** Score probed (list-joined) candidates and keep each query's top-k. */
+  private def probeTopK(listsJoined: DataFrame, k: Int): DataFrame = {
+    val scored = listsJoined
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("__qv"), col("__v")) / (col("__qn") * col("__n")), 6).as("cosine"))
@@ -190,8 +184,92 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      // a query probing p lists can see a neighbor once only (each candidate
-      // lives in exactly one list) — no dedup needed
+    // a query probing p lists can see a neighbor once only (each candidate
+    // lives in exactly one list) — no dedup needed
+  }
+
+  def ivfTopK(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = seedCentroids(candidates, cidCol, vecCol, nlist)
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val cAssigned = assignTo(cents)(c, 1)  // each candidate in 1 list
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val qAssigned = assignTo(cents)(q, nprobe)  // each query probes nprobe lists
+      .select(col("query_id"), col("__v").as("__qv"), col("__n").as("__qn"), col("centroid_id"))
+    probeTopK(cAssigned.join(broadcast(qAssigned), "centroid_id"), k)
+  }
+
+  /** Build a PERSISTED IVF index: every candidate is assigned to its
+    * inverted list map-side and written parquet-partitioned by
+    * `centroid_id`, with the centroid model stored alongside
+    * (`_CENTROIDS.json`, float bits — exact roundtrip). This is the 100 TB
+    * deployment shape the inline [[ivfTopK]] doc promises: pay the
+    * assignment scan once, then every query batch reads ONLY its probed
+    * list partitions (classic IVF file-skipping via partition pruning).
+    */
+  def ivfIndexWrite(
+      candidates: DataFrame, cidCol: String, vecCol: String,
+      path: String, nlist: Int = 16): Unit = {
+    val cents = seedCentroids(candidates, cidCol, vecCol, nlist)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createArrayNode()
+    // store the ORIGINAL float bits (ints), not doubles: bit-exact model
+    // roundtrip, so indexed assignment == inline assignment
+    cents.foreach { case (id, v, _) =>
+      val n = root.addObject()
+      n.put("id", id)
+      val bits = n.putArray("fbits")
+      v.foreach(x => bits.add(java.lang.Float.floatToIntBits(x.toFloat)))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_CENTROIDS.json"), mapper.writeValueAsBytes(root))
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    assignTo(cents)(c, 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(java.nio.file.Paths.get(path, "lists").toString)
+  }
+
+  private def loadCentroids(path: String): Array[(Long, Array[Double], Double)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_CENTROIDS.json")))
+      .elements().asScala.map { n =>
+        val v = n.get("fbits").elements().asScala
+          .map(b => java.lang.Float.intBitsToFloat(b.asInt()).toDouble).toArray
+        (n.get("id").asLong(), v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }.toArray
+  }
+
+  /** Query a persisted IVF index ([[ivfIndexWrite]]): queries are assigned
+    * map-side against the stored centroid model, and the scan is filtered to
+    * the union of probed lists — a partition-column filter, so unprobed list
+    * partitions are never read (`PartitionFilters` in the plan). Result rows
+    * are identical to [[ivfTopK]] with the same parameters.
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame, qidCol: String, vecCol: String,
+      path: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadCentroids(path)
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val qAssigned = assignTo(cents)(q, nprobe)
+      .select(col("query_id"), col("__v").as("__qv"), col("__n").as("__qn"), col("centroid_id"))
+    // driver-side probed-list set: O(queries × nprobe) ids, a model-scale
+    // collect like the centroids themselves — this is what turns the probe
+    // into a partition-pruned scan instead of a full-index read
+    val probed = qAssigned.select("centroid_id").distinct().collect().map(_.getLong(0))
+    val lists = spark.read.parquet(java.nio.file.Paths.get(path, "lists").toString)
+      .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    probeTopK(lists.join(broadcast(qAssigned), "centroid_id"), k)
   }
 
   /** ±1 hyperplane rows as SQL array literals, so an external engine can

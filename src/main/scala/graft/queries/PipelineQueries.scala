@@ -89,6 +89,17 @@ object PipelineQueries {
         k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // persisted IVF index: build once partitioned by inverted list, then
+    // probe with a partition-pruned scan — rows identical to q44 (rows-only)
+    "q49_knn_ivf_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 10)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+        .resolve("index").toString
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding", idx, nlist = 16)
+      Similarity.ivfTopKIndexed(queriesDf, "vec_id", "embedding", idx, k = 5, nprobe = 4)
+    }),
+
     // recall@k of the approximate ANN paths against the exact brute force —
     // the quality evidence for the two scale paths (rows-only: the hash
     // families are deterministic but not portably SQL-expressible)

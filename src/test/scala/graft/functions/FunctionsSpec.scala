@@ -110,4 +110,24 @@ class FunctionsSpec extends SparkSpec {
     val again = Multimodal.withFeatures(items).collect()
     assert(feats.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
   }
+
+  test("persisted IVF index: indexed probe rows identical to inline IVF; scan is partition-pruned") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queriesDf = emb.filter($"vec_id" < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec_")
+      .resolve("index").toString
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", idx, nlist = 16)
+    val inline = Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val indexed = Similarity.ivfTopKIndexed(queriesDf, "vec_id", "embedding", idx,
+      k = 5, nprobe = 4)
+    val got = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == inline, s"indexed IVF diverged from inline:\n got=$got\n exp=$inline")
+    // the probe plan must prune unprobed list partitions at the scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"no partition pruning in indexed probe plan:\n$plan")
+  }
 }
