@@ -137,6 +137,37 @@ object DedupFunctions {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup: a NEW batch of documents against an
+    * already-landed signature corpus (the [[minHashSignatures]] schema) —
+    * the daily-ingest shape at 100 TB: corpus text is never re-read, only
+    * its (id, sig) projection is re-banded, and corpus `hashes` payloads are
+    * fetched by id for colliding candidates only. Returns
+    * (new_id, dup_of, jaccard) with jaccard ≥ threshold; a new doc absent
+    * from the output is novel w.r.t. the corpus. In-batch duplicates among
+    * the new docs themselves are the batch operator's job
+    * ([[nearDupMinHashFromSignatures]] over `newSigs`).
+    */
+  def nearDupMinHashIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      corpusSigs: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val newSigs = minHashSignatures(newDocs, idCol, textCol, numHashes)
+    def band(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val candidates = band(newSigs).as("n")
+      .join(band(corpusSigs).as("c"), Seq("band", "band_hash"))
+      .select(col("n.id").as("new_id"), col("c.id").as("dup_of"))
+      .distinct()
+    candidates
+      .join(newSigs.select(col("id"), col("hashes")).as("pn"), col("new_id") === col("pn.id"))
+      .join(corpusSigs.select(col("id"), col("hashes")).as("pc"), col("dup_of") === col("pc.id"))
+      .select(col("new_id"), col("dup_of"),
+        round(jaccard(col("pn.hashes"), col("pc.hashes")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** One-call MinHash/LSH near-dup: computes signatures, optionally lands
     * them at `landPath` (parquet — the 100 TB path: the banding stage then
     * column-prunes to (id, sig) at the scan and document text is read

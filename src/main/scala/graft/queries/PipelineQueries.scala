@@ -58,6 +58,20 @@ object PipelineQueries {
         landPath = Some(land.resolve("sigs").toString))
     }),
 
+    // incremental near-dup: "new" docs (odd ids) against a landed signature
+    // corpus (even ids) — corpus text never re-read (rows-only check)
+    "q50_minhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val land = java.nio.file.Files.createTempDirectory("graft_minhash_corpus")
+        .resolve("sigs").toString
+      DedupFunctions.minHashSignatures(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .write.parquet(land)
+      DedupFunctions.nearDupMinHashIncremental(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        s.read.parquet(land), threshold = 0.5)
+    }),
+
     // SimHash near-dup pairs (rows-only check). Banding is maxHamming+1
     // disjoint bands, so recall is complete for the requested radius.
     "q24_simhash" -> ((s, dir) => {

@@ -130,4 +130,17 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
       s"no partition pruning in indexed probe plan:\n$plan")
   }
+
+  test("incremental minhash dedup: new batch vs landed corpus, corpus text never re-read") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val fresh = "completely different content about spark catalyst optimizer internals"
+    val corpus = DedupFunctions.minHashSignatures(
+      Seq((1L, t1), (2L, "unrelated corpus document number two entirely")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val out = DedupFunctions.nearDupMinHashIncremental(
+      Seq((10L, t1), (11L, fresh)).toDF("doc_id", "text"), "doc_id", "text",
+      corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 1L, 1.0)), s"expected exact dup of corpus doc 1, got ${out.toSeq}")
+  }
 }
