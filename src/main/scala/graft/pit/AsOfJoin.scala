@@ -41,13 +41,21 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object AsOfJoin {
 
-  /** @param spine       left side; one output row per spine row
-    * @param features    right side, with history
-    * @param joinKeys    equi-join key columns (present on both sides)
-    * @param spineTs     spine event-time column
-    * @param featureTs   feature snapshot-time column
-    * @param featureCols feature payload columns to attach (default: all
-    *                    feature columns except keys+ts)
+  /** @param spine        left side; one output row per spine row
+    * @param features     right side, with history
+    * @param joinKeys     equi-join key columns (present on both sides)
+    * @param spineTs      spine event-time column
+    * @param featureTs    feature snapshot-time column
+    * @param featureCols  feature payload columns to attach (default: all
+    *                     feature columns except keys+ts)
+    * @param maxStaleness optional TTL (interval string, e.g. "7 days"): a
+    *                     matched feature row older than `spineTs − ttl` is
+    *                     treated as no match (nulls) — the Feast-style
+    *                     freshness bound; inclusive at the boundary. Applied
+    *                     after the latest-≤ match, so it never resurrects an
+    *                     older-but-fresher... there is no such row: the
+    *                     latest match is the freshest candidate by
+    *                     definition.
     */
   def joinAsOf(
       spine: DataFrame,
@@ -57,21 +65,22 @@ object AsOfJoin {
       featureTs: String,
       featureCols: Seq[String] = Seq.empty,
       includeFeatureTs: Option[String] = None,
-      method: String = "union-window"): DataFrame = {
+      method: String = "union-window",
+      maxStaleness: Option[String] = None): DataFrame = {
     val payload =
       if (featureCols.nonEmpty) featureCols
       else features.columns.filterNot(c => joinKeys.contains(c) || c == featureTs).toSeq
     method match {
-      case "union-window" => unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs)
-      case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, hint = false)
+      case "union-window" => unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
+      case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hint = false)
       case "auto" =>
         // Catalyst-stats-based pick: a broadcastable feature side makes the
         // non-equi join cheap (no shuffle of the spine at all); otherwise the
         // union-window single-shuffle plan wins regardless of history depth.
         if (isBroadcastable(features))
-          joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, hint = true)
+          joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hint = true)
         else
-          unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs)
+          unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
       case other => throw new IllegalArgumentException(s"unknown as-of method: $other")
     }
   }
@@ -171,7 +180,8 @@ object AsOfJoin {
       spineTs: String,
       featureTs: String,
       payload: Seq[String],
-      includeFeatureTs: Option[String]): DataFrame = {
+      includeFeatureTs: Option[String],
+      maxStaleness: Option[String] = None): DataFrame = {
     val SIDE = "__graft_side"
     val TS = "__graft_ts"
     val PKT = "__graft_pkt"
@@ -219,10 +229,18 @@ object AsOfJoin {
     // restore original spine column names and order, unpack the matched row
     val renamed = spineCols.filterNot(joinKeys.contains)
       .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
+    // TTL: a carried row older than spineTs − staleness is no match at all —
+    // null the whole packet (the latest-≤ match is the freshest candidate,
+    // so there is nothing fresher to fall back to)
+    val pkt = maxStaleness match {
+      case Some(iv) =>
+        when(col(PKT).getField(FTS) >= col(spineTs) - expr(s"INTERVAL $iv"), col(PKT))
+      case None => col(PKT)
+    }
     renamed.select(
       (spineCols.map(col) ++
-       payload.map(c => col(PKT).getField(c).as(c)) ++
-       includeFeatureTs.map(a => col(PKT).getField(FTS).as(a)).toSeq): _*)
+       payload.map(c => pkt.getField(c).as(c)) ++
+       includeFeatureTs.map(a => pkt.getField(FTS).as(a)).toSeq): _*)
   }
 
   private def joinFilter(
@@ -233,6 +251,7 @@ object AsOfJoin {
       featureTs: String,
       payload: Seq[String],
       includeFeatureTs: Option[String],
+      maxStaleness: Option[String],
       hint: Boolean): DataFrame = {
     val RID = "__graft_rid"
     val RN = "__graft_rn"
@@ -241,7 +260,9 @@ object AsOfJoin {
       Seq(col(featureTs).as("__f_ts")) ++ payload.map(c => col(c).as(s"__f_$c"))): _*)
     val f = if (hint) broadcast(f0) else f0
     val cond = joinKeys.map(k => s(k) === f(s"__f_$k")).reduce(_ && _) &&
-      (f("__f_ts") <= s(spineTs))
+      (f("__f_ts") <= s(spineTs)) &&
+      maxStaleness.map(iv => f("__f_ts") >= s(spineTs) - expr(s"INTERVAL $iv"))
+        .getOrElse(lit(true))
     val joined = s.join(f, cond, "left")
     val w = Window.partitionBy(col(RID)).orderBy(col("__f_ts").desc_nulls_last)
     joined.withColumn(RN, row_number().over(w))

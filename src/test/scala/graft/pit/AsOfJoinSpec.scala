@@ -156,4 +156,25 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   private lazy val Tables = graft.Tables
+
+  test("maxStaleness TTL: a match older than the bound becomes null; both strategies agree") {
+    // spine at -7d; latest match is the -10d snapshot → 3 days stale.
+    // TTL "4 days" keeps it; TTL "2 days" nulls it; boundary "3 days" is
+    // inclusive (ts - ttl <= fts) and keeps it.
+    for (m <- Seq("union-window", "join-filter")) {
+      def withTtl(ttl: String) = AsOfJoin.joinAsOf(
+        spine, features, Seq("customer_id"), "event_time", "updated_at",
+        featureCols = Seq("age", "snap"), method = m, maxStaleness = Some(ttl))
+      val keep = withTtl("4 days").collect()
+      assert(keep.length == 10 && keep.forall(_.getAs[String]("snap") == "snap10"),
+        s"$m: TTL 4 days must keep the -10d match")
+      val boundary = withTtl("3 days").collect()
+      assert(boundary.forall(_.getAs[String]("snap") == "snap10"),
+        s"$m: TTL boundary must be inclusive")
+      val drop = withTtl("2 days").collect()
+      assert(drop.length == 10 && drop.forall(r =>
+          r.getAs[String]("snap") == null && r.isNullAt(r.fieldIndex("age"))),
+        s"$m: TTL 2 days must null the stale match, got ${drop.toSeq}")
+    }
+  }
 }
