@@ -150,9 +150,19 @@ object DedupFunctions {
   def nearDupMinHashIncremental(
       newDocs: DataFrame, idCol: String, textCol: String,
       corpusSigs: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    nearDupMinHashIncrementalFromSignatures(
+      minHashSignatures(newDocs, idCol, textCol, numHashes),
+      corpusSigs, threshold, numHashes, bands)
+
+  /** [[nearDupMinHashIncremental]] with the new batch's signatures already
+    * computed (the streaming path computes them once and reuses them for
+    * in-batch dedup, corpus dedup, and corpus registration).
+    */
+  def nearDupMinHashIncrementalFromSignatures(
+      newSigs: DataFrame, corpusSigs: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val newSigs = minHashSignatures(newDocs, idCol, textCol, numHashes)
     def band(sigs: DataFrame): DataFrame = sigs
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
