@@ -230,6 +230,91 @@ case class TokenSetFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression): TokenSetFingerprint = copy(child = c)
 }
 
+/** Winnowing document fingerprint (the MOSS algorithm): character-level
+  * k-gram Rabin–Karp ROLLING hashes over the UTF-8 bytes, then each window
+  * of `w` consecutive gram hashes contributes its minimum (rightmost on
+  * ties) — guaranteeing any shared substring of length ≥ k+w−1 contributes
+  * at least one common print. Output is the SORTED DISTINCT selected hashes:
+  * a compact sketch (~len/w prints) on which [[JaccardSim]] measures
+  * document overlap. One JVM loop per row, map-side, linear in bytes.
+  */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val B = 1000003L
+  private val Bk1 = { var p = 1L; var i = 0; while (i < k - 1) { p *= B; i += 1 }; p }
+
+  // splitmix64 finalizer: raw polynomial hashes of nearby grams correlate,
+  // which would bias the window-min selection
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * B + (bytes(i) & 0xFFL); i += 1 }
+      selected.add(mix(h))
+    } else {
+      val grams = n - k + 1
+      val hs = new Array[Long](grams)
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * B + (bytes(i) & 0xFFL); i += 1 }
+      hs(0) = mix(h)
+      i = 1
+      while (i < grams) {
+        h = (h - (bytes(i - 1) & 0xFFL) * Bk1) * B + (bytes(i + k - 1) & 0xFFL)
+        hs(i) = mix(h)
+        i += 1
+      }
+      // winnow: rightmost minimum of each full w-window (unsigned order);
+      // a doc shorter than one window contributes its single global min
+      if (grams <= w) {
+        var minPos = 0
+        var j = 1
+        while (j < grams) {
+          if (java.lang.Long.compareUnsigned(hs(j), hs(minPos)) <= 0) minPos = j
+          j += 1
+        }
+        selected.add(hs(minPos))
+      } else {
+        var start = 0
+        var lastPos = -1
+        while (start + w <= grams) {
+          val end = start + w
+          var minPos = start
+          var j = start + 1
+          while (j < end) {
+            if (java.lang.Long.compareUnsigned(hs(j), hs(minPos)) <= 0) minPos = j
+            j += 1
+          }
+          if (minPos != lastPos) { selected.add(hs(minPos)); lastPos = minPos }
+          start += 1
+        }
+      }
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    // TreeSet orders boxed longs SIGNED, which is also JaccardSim's
+    // sorted-distinct contract — consistent on both sides
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowingFingerprints = copy(child = c)
+}
+
 object TextHashExpressions {
   def tokenSetFingerprint(tokens: Column): Column =
     GraftBridge.column(TokenSetFingerprint(GraftBridge.expression(tokens)))
@@ -241,4 +326,6 @@ object TextHashExpressions {
     GraftBridge.column(JaccardSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def simHash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowingFingerprints(GraftBridge.expression(text), k, w))
 }

@@ -65,6 +65,14 @@ object DedupFunctions {
   def simHash(text: Column): Column =
     TextHashExpressions.simHash64(TextFunctions.tokens(lower(text)))
 
+  /** Winnowing document sketch (MOSS-style rolling-hash fingerprinting):
+    * sorted distinct window-min k-gram hashes; any shared substring of
+    * length ≥ k+w−1 yields a common print
+    * ([[graft.expressions.WinnowingFingerprints]]).
+    */
+  def winnowingSketch(text: Column, k: Int = 8, w: Int = 16): Column =
+    TextHashExpressions.winnowingFingerprints(lower(text), k, w)
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -195,6 +203,35 @@ object DedupFunctions {
       case None => computed
     }
     nearDupMinHashFromSignatures(sigs, threshold, numHashes, bands)
+  }
+
+  /** Winnowing (rolling-hash) near-dup pairs: candidate pairs share at least
+    * one selected print, verified by sketch Jaccard. `maxDf` discards prints
+    * occurring in more than that many docs (stop-grams — common substrings
+    * would otherwise create quadratic hot buckets; standard MOSS practice).
+    * Scale shape mirrors MinHash: sketches computed map-side, the candidate
+    * join moves (print, id) pairs only, sketch payloads re-join by id.
+    */
+  def nearDupWinnowing(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 8, w: Int = 16,
+      maxDf: Int = 50): DataFrame = {
+    val sketches = df.select(col(idCol).as("id"), winnowingSketch(col(textCol), k, w).as("sketch"))
+    val prints = sketches.select(col("id"), explode(col("sketch")).as("p"))
+    val rare = prints.join(
+      prints.groupBy("p").agg(count(lit(1)).as("df_cnt"))
+        .filter(col("df_cnt") <= maxDf).select("p"),
+      Seq("p"))
+    val candidates = rare.as("a").join(rare.as("b"),
+        col("a.p") === col("b.p") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sketches.select(col("id"), col("sketch")).as("sa"), col("id_a") === col("sa.id"))
+      .join(sketches.select(col("id"), col("sketch")).as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sa.sketch"), col("sb.sketch")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-dup pairs: bucket by `maxHamming + 1` disjoint bit-bands

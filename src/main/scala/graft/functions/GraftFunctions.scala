@@ -34,7 +34,10 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSig(es(0), if (es.length > 1) intArg(es(1), "k") else 32)),
     "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
-    "token_fingerprint" -> (es => TokenSetFingerprint(es(0))))
+    "token_fingerprint" -> (es => TokenSetFingerprint(es(0))),
+    "winnow_fingerprints" -> (es => WinnowingFingerprints(es(0),
+      if (es.length > 1) intArg(es(1), "k") else 8,
+      if (es.length > 2) intArg(es(2), "w") else 16)))
 
   /** Register all graft functions as temp functions in this session. */
   def register(spark: SparkSession): Unit =

@@ -72,6 +72,14 @@ object PipelineQueries {
         s.read.parquet(land), threshold = 0.5)
     }),
 
+    // winnowing (rolling-hash) near-dup pairs — the MOSS-style fifth dedup
+    // technique; catches shared substrings n-gram-token methods miss
+    // (rows-only check)
+    "q51_winnowing" -> ((s, dir) => {
+      DedupFunctions.nearDupWinnowing(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.3)
+    }),
+
     // SimHash near-dup pairs (rows-only check). Banding is maxHamming+1
     // disjoint bands, so recall is complete for the requested radius.
     "q24_simhash" -> ((s, dir) => {

@@ -143,4 +143,28 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((10L, 1L, 1.0)), s"expected exact dup of corpus doc 1, got ${out.toSeq}")
   }
+
+  test("winnowing: shared substrings produce shared prints; disjoint docs share none") {
+    val base = "it was the best of times it was the worst of times it was the age of wisdom"
+    val withSharedBlock = "completely new prefix text here " + base + " and a novel suffix closes it"
+    val disjoint = "zzzz qqqq jjjj xxxx vvvv kkkk wwww yyyy ffff gggg hhhh nnnn mmmm pppp"
+    val df = Seq((1L, base), (2L, withSharedBlock), (3L, disjoint)).toDF("doc_id", "text")
+    val pairs = DedupFunctions.nearDupWinnowing(df, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"docs sharing a long substring must pair, disjoint must not: $pairs")
+    // identical docs → identical sketches (jaccard 1.0)
+    val same = DedupFunctions.nearDupWinnowing(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), "doc_id", "text", threshold = 0.99)
+      .collect()
+    assert(same.length == 1 && same(0).getDouble(2) == 1.0)
+    // SQL surface parity
+    GraftFunctions.register(spark)
+    Seq((1L, base)).toDF("doc_id", "text").createOrReplaceTempView("win_sql")
+    val viaSql = spark.sql("SELECT winnow_fingerprints(lower(text), 8, 16) AS s FROM win_sql")
+      .collect()(0).getSeq[Long](0)
+    val viaCol = Seq((1L, base)).toDF("doc_id", "text")
+      .select(DedupFunctions.winnowingSketch($"text")).collect()(0).getSeq[Long](0)
+    assert(viaSql == viaCol)
+  }
 }
