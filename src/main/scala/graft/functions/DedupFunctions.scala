@@ -215,8 +215,17 @@ object DedupFunctions {
   def nearDupWinnowing(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 8, w: Int = 16,
-      maxDf: Int = 50): DataFrame = {
-    val sketches = df.select(col(idCol).as("id"), winnowingSketch(col(textCol), k, w).as("sketch"))
+      maxDf: Int = 50, landPath: Option[String] = None): DataFrame = {
+    val computed = df.select(col(idCol).as("id"), winnowingSketch(col(textCol), k, w).as("sketch"))
+    // same landing story as MinHash: at scale, materialize sketches once so
+    // document text is scanned exactly once and downstream stages read the
+    // (id, sketch) projection
+    val sketches = landPath match {
+      case Some(p) =>
+        computed.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => computed
+    }
     val prints = sketches.select(col("id"), explode(col("sketch")).as("p"))
     val rare = prints.join(
       prints.groupBy("p").agg(count(lit(1)).as("df_cnt"))

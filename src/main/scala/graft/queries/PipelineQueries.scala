@@ -76,8 +76,10 @@ object PipelineQueries {
     // technique; catches shared substrings n-gram-token methods miss
     // (rows-only check)
     "q51_winnowing" -> ((s, dir) => {
+      val land = java.nio.file.Files.createTempDirectory("graft_winnow_sk")
       DedupFunctions.nearDupWinnowing(
-        Tables.documents(s, dir), "doc_id", "text", threshold = 0.3)
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.3,
+        landPath = Some(land.resolve("sketches").toString))
     }),
 
     // SimHash near-dup pairs (rows-only check). Banding is maxHamming+1
