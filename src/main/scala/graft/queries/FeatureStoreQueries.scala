@@ -106,7 +106,11 @@ object FeatureStoreQueries {
                   |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_total_value,
                   |  count(DISTINCT event_type) AS f_n_types
                   |FROM events_src GROUP BY user_id""".stripMargin,
-        refresh = Some(RefreshConfig("1 minute", RefreshMode.Full))), "1.0")
+        // ON_SCHEDULE: registration only records metadata; the refreshOnce
+        // below performs the (single) FULL materialization — the same final
+        // table as ON_CREATE + refresh, without materializing twice.
+        refresh = Some(RefreshConfig("1 minute", RefreshMode.Full,
+          InitializeMode.OnSchedule))), "1.0")
       val mgr = new RefreshManager(fs)
       mgr.refreshOnce(fs.getFeatureView("user_event_profile", "1.0"))
       fs.readFeatureView("user_event_profile", "1.0")

@@ -84,9 +84,12 @@ object PipelineQueries {
 
     // SimHash near-dup pairs (rows-only check). Banding is maxHamming+1
     // disjoint bands, so recall is complete for the requested radius.
+    // Radius 3 is the scale-correct choice: bands stay 16 bits wide, so
+    // bucket density (and the candidate-pair count) is bounded; d=10 would
+    // shrink bands to ~6 bits and make every bucket a dense cross-product.
     "q24_simhash" -> ((s, dir) => {
       DedupFunctions.nearDupSimHash(
-        Tables.documents(s, dir), "doc_id", "text", maxHamming = 10)
+        Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
     }),
 
     // exact brute-force top-k cosine ANN baseline
