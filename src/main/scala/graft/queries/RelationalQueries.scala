@@ -265,6 +265,75 @@ object RelationalQueries {
         .agg(dbl(sum(dec(col("l_extendedprice")) *
           (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - dec(col("l_discount"))))).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // B8 extension — ROLLUP grouping sets: per-(flag,status) subtotals plus
+    // per-flag and grand totals in ONE pass (partial aggregation replays the
+    // same map-side combine for every grouping set; no extra scan per level)
+    "q52_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("g_id"),
+          count(lit(1)).as("n_items"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "g_id", "n_items", "sum_qty")
+    }),
+
+    // pivot — wide conditional aggregation: one row per priority, one column
+    // group per order status. Spark's pivot with explicit values compiles to
+    // a single-pass conditional agg (no per-status scan), the same plan the
+    // FILTER-clause oracle produces.
+    "q53_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"))
+        .select(col("o_orderpriority"),
+          col("O_n").as("n_open"), col("O_total").as("total_open"),
+          col("F_n").as("n_filled"), col("F_total").as("total_filled"),
+          col("P_n").as("n_pending"), col("P_total").as("total_pending"))
+    }),
+
+    // B13 extension — regex surface: capture-group extract, global replace,
+    // rlike filter. All map-side, codegen'd, zero shuffle before the agg.
+    "q54_regex" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      p.filter(col("p_name").rlike("^[a-z]+ "))
+        .select(
+          regexp_extract(col("p_type"), "(\\w+)$", 1).as("type_finish"),
+          length(regexp_replace(col("p_name"), "[aeiou]", "")).cast("long").as("consonants"),
+          col("p_retailprice"))
+        .groupBy(col("type_finish"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("consonants")).as("sum_consonants"),
+          dbl(sum(dec(col("p_retailprice")))).as("sum_price"))
+    }),
+
+    // distributed variance/stddev done ORDER-INDEPENDENTLY: the naive
+    // parallel double sum of squares is partition-order-dependent (IEEE
+    // addition is not associative), so both engines accumulate sum and
+    // sum-of-squares as exact decimals and only the final scalar formula
+    // (single IEEE ops, deterministic) runs in double — the same trick that
+    // makes every other aggregate here hash-stable, applied to a second
+    // moment. At 100 TB this is one map-side-combined shuffle, same as any
+    // hash aggregate.
+    "q55_variance" -> ((s, dir) => {
+      def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+      val agg = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec4(col("l_quantity")))).as("sum_q"),
+          dbl(sum(dec4(col("l_quantity")) * dec4(col("l_quantity")))).as("sumsq_q"),
+          dbl(sum(dec4(col("l_extendedprice")))).as("sum_p"),
+          dbl(sum(dec4(col("l_extendedprice")) * dec4(col("l_extendedprice")))).as("sumsq_p"))
+      val nD = col("n").cast("double")
+      agg.select(col("l_returnflag"), col("n"),
+        (col("sum_q") / nD).as("mean_qty"),
+        ((col("sumsq_q") - (col("sum_q") * col("sum_q")) / nD) / (nD - lit(1.0d)))
+          .as("var_qty"),
+        (col("sum_p") / nD).as("mean_price"),
+        ((col("sumsq_p") - (col("sum_p") * col("sum_p")) / nD) / (nD - lit(1.0d)))
+          .as("var_price"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -436,5 +505,48 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY n_name""".stripMargin)
+        |GROUP BY n_name""".stripMargin,
+
+    "q52_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS g_id,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q53_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_filled,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS total_pending
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q54_regex" ->
+      """SELECT regexp_extract(p_type, '(\w+)$', 1) AS type_finish,
+        |  count(*) AS n_parts,
+        |  CAST(sum(len(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS BIGINT) AS sum_consonants,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part
+        |WHERE regexp_matches(p_name, '^[a-z]+ ')
+        |GROUP BY 1""".stripMargin,
+
+    "q55_variance" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_q,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sumsq_q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_p,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sumsq_p
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sum_q / CAST(n AS DOUBLE) AS mean_qty,
+        |  (sumsq_q - (sum_q * sum_q) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+        |  sum_p / CAST(n AS DOUBLE) AS mean_price,
+        |  (sumsq_p - (sum_p * sum_p) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_price
+        |FROM m""".stripMargin)
 }
