@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.expressions.VecDot
 
@@ -155,6 +156,58 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
       }
 
+  /** Spherical k-means (Lloyd's) training of the IVF coarse quantizer,
+    * DataFrame-native. Each iteration is
+    *  (a) the zero-shuffle map-side cosine [[assignTo]] against the current
+    *      centroid literals,
+    *  (b) ONE map-side-combined hash aggregation of per-dimension partial
+    *      sums over (centroid_id, dim) — so the shuffle carries at most
+    *      nlist×dim×partitions partial rows, never vector payloads,
+    *  (c) a nlist×dim collect to rebuild the literals (model-scale, like the
+    *      centroids themselves).
+    * Initialization is the deterministic [[seedCentroids]]; component sums
+    * accumulate as exact decimals (order-independent), so the trained model
+    * is bit-identical across runs and partitionings — float doubles summed
+    * naively would make the whole index nondeterministic. An emptied cluster
+    * keeps its previous centroid (standard Lloyd's fallback).
+    */
+  def trainCentroids(
+      candidates: DataFrame, cidCol: String, vecCol: String,
+      nlist: Int, iters: Int): Array[(Long, Array[Double], Double)] = {
+    var cents = seedCentroids(candidates, cidCol, vecCol, nlist)
+    // every iteration re-scans the candidates; cache the (vector, norm)
+    // projection once for the training loop (at 100 TB training runs on a
+    // bounded sample, so the cached working set is sample-sized, not corpus-
+    // sized)
+    val c = candidates.select(col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .persist()
+    try for (_ <- 1 to iters) {
+      val sums = assignTo(cents)(c, 1)
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        // float → DECIMAL(20,10) is a deterministic per-value rounding; the
+        // decimal SUM is then exact and order-independent (same trick as the
+        // oracle-checked aggregates)
+        .groupBy(col("centroid_id"), col("__pos"))
+        .agg(sum(col("__x").cast(DecimalType(20, 10))).as("__sum"),
+          count(lit(1)).as("__cnt"))
+        .collect()
+      val byList = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (id, oldV, oldN) =>
+        byList.get(id) match {
+          case Some(rows) =>
+            val v = oldV.clone()
+            rows.foreach { r =>
+              v(r.getInt(1)) = (r.getDecimal(2).doubleValue() / r.getLong(3).toDouble)
+            }
+            (id, v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+          case None => (id, oldV, oldN) // emptied cluster: keep previous
+        }
+      }
+    } finally c.unpersist(blocking = false)
+    cents
+  }
+
   /** Per-row argmax over the nlist literal centroids, entirely map-side —
     * zero shuffle for the assignment stage (the crossJoin+window shape moved
     * N×nlist vector payloads through an exchange just to pick a per-row
@@ -191,8 +244,11 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, qidCol: String,
       candidates: DataFrame, cidCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = seedCentroids(candidates, cidCol, vecCol, nlist)
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) trainCentroids(candidates, cidCol, vecCol, nlist, trainIters)
+      else seedCentroids(candidates, cidCol, vecCol, nlist)
     val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
     val cAssigned = assignTo(cents)(c, 1)  // each candidate in 1 list
@@ -213,8 +269,10 @@ object Similarity {
     */
   def ivfIndexWrite(
       candidates: DataFrame, cidCol: String, vecCol: String,
-      path: String, nlist: Int = 16): Unit = {
-    val cents = seedCentroids(candidates, cidCol, vecCol, nlist)
+      path: String, nlist: Int = 16, trainIters: Int = 0): Unit = {
+    val cents =
+      if (trainIters > 0) trainCentroids(candidates, cidCol, vecCol, nlist, trainIters)
+      else seedCentroids(candidates, cidCol, vecCol, nlist)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createArrayNode()
     // store the ORIGINAL float bits (ints), not doubles: bit-exact model

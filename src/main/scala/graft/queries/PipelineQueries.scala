@@ -147,6 +147,29 @@ object PipelineQueries {
           TextFunctions.round4(avg(col("recall"))).as("mean_recall"))
     }),
 
+    // trained IVF quantizer (spherical k-means, 3 Lloyd's iterations) vs the
+    // untrained seed quantizer, judged by recall@5 against exact brute force
+    // (rows-only check; deterministic — training sums are exact decimals).
+    // The training cost is per-INDEX, not per-query: at 100 TB the model is
+    // trained once on a sample and candidates are assigned in one map pass.
+    "q56_kmeans_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 10)
+      val k = 5
+      val exact = Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k)
+      val seeded = Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+        k, nlist = 16, nprobe = 4)
+      val trained = Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+        k, nlist = 16, nprobe = 4, trainIters = 3)
+      Similarity.recallAtK(exact, seeded, k)
+        .select(lit("ivf_seed").as("method"), col("recall"))
+        .unionByName(Similarity.recallAtK(exact, trained, k)
+          .select(lit("ivf_kmeans").as("method"), col("recall")))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_queries"),
+          TextFunctions.round4(avg(col("recall"))).as("mean_recall"))
+    }),
+
     // embedding-cosine near-dup pairs within LSH buckets (rows-only check)
     "q27_cosine_neardup" -> ((s, dir) => {
       // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51),

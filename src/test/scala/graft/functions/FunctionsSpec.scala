@@ -131,6 +131,27 @@ class FunctionsSpec extends SparkSpec {
       s"no partition pruning in indexed probe plan:\n$plan")
   }
 
+  test("k-means IVF training: deterministic model, full top-k coverage, centroids move") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val m2 = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    // decimal-sum training: bit-identical across runs (naive double sums are
+    // partition-order-dependent and would make the index nondeterministic)
+    assert(m1.length == 8)
+    (m1 zip m2).foreach { case ((id1, v1, n1), (id2, v2, n2)) =>
+      assert(id1 == id2 && n1 == n2 && v1.sameElements(v2))
+    }
+    // Lloyd's actually moved the centroids off their seeds
+    val seeds = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+    assert((m1 zip seeds).exists { case ((_, v, _), (_, s, _)) => !v.sameElements(s) })
+    // trained IVF still yields exactly k neighbors per query
+    val queriesDf = emb.filter($"vec_id" < 5)
+    val out = Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3, trainIters = 2)
+      .groupBy("query_id").count().collect()
+    assert(out.length == 5 && out.forall(_.getLong(1) == 3))
+  }
+
   test("incremental minhash dedup: new batch vs landed corpus, corpus text never re-read") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again today"
     val fresh = "completely different content about spark catalyst optimizer internals"
