@@ -223,6 +223,32 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
     }
   }
 
+  /** Time-range read of a materialized FV with manifest-level segment
+    * skipping ([[graft.storage.VersionedTable.readRange]]): segments whose
+    * event-time envelope is disjoint from [loMicros, hiMicros] never enter
+    * the scan plan. The FV must be managed, carry a timestamp column, and be
+    * stored append-shaped (incremental event logs — the case where a table
+    * accumulates thousands of micro-batch segments and skipping pays);
+    * keyed upsert tables are refused by the storage layer because pruning
+    * would break latest-wins merge. Static FVs fall back to a plain filtered
+    * query (nothing materialized to skip).
+    */
+  def readFeatureViewRange(
+      name: String, version: String, loMicros: Long, hiMicros: Long): DataFrame = {
+    val rec = getFeatureView(name, version)
+    val ts = rec.fv.timestampCol.getOrElse(throw new IllegalArgumentException(
+      s"$name$$$version has no timestamp column — no event-time range to read"))
+    rec.physicalPath match {
+      case Some(p) if graft.storage.VersionedTable.exists(p) =>
+        graft.storage.VersionedTable.readRange(spark, p, ts, loMicros, hiMicros)
+          .drop(FeatureStore.PartCol)
+      case _ =>
+        spark.sql(rec.fv.query)
+          .filter(org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col(ts)).between(loMicros, hiMicros))
+    }
+  }
+
   def listFeatureViews(): DataFrame = {
     val rows = catalog.listFeatureViews().map { r =>
       Row(

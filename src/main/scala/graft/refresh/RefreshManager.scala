@@ -127,7 +127,15 @@ final class RefreshManager(fs: FeatureStore) {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         outMode match {
           case "append" =>
-            VersionedTable.append(path, Some(bid))(dir => writeSeg(batch, dir))
+            // segment-level event-time stats: one O(batch) agg at write time
+            // buys manifest-level data skipping for every later time-range
+            // read of this log-shaped table (VersionedTable.readRange)
+            val stats = rec.fv.timestampCol
+              .filter(tc => batch.schema.fields.exists(f =>
+                f.name.equalsIgnoreCase(tc) &&
+                  f.dataType == org.apache.spark.sql.types.TimestampType))
+              .flatMap(tc => graft.storage.VersionedTable.SegStats.of(batch, tc))
+            VersionedTable.append(path, Some(bid), stats)(dir => writeSeg(batch, dir))
           case "update" =>
             VersionedTable.upsert(spark, path, aggKeys.get,
               compactWrite = (merged, dir) => writeSeg(merged, dir),

@@ -101,7 +101,31 @@ object VersionedTable {
     * overwrite (batchId −1) clears the guard.
     */
   final case class Manifest(version: Long, kind: String, keys: Seq[String],
-      segments: Seq[String], batchId: Long = -1L)
+      segments: Seq[String], batchId: Long = -1L,
+      stats: Map[String, SegStats] = Map.empty)
+
+  /** Per-segment min/max of one long-ordered column (event time as epoch
+    * micros) — the manifest-level data-skipping index. Parquet footers
+    * already skip row groups INSIDE a file; these stats skip whole segments
+    * BEFORE the scan plan is even built, which is what matters when a table
+    * holds thousands of micro-batch segments: the driver never lists, opens,
+    * or schedules the files of a segment whose [min,max] is disjoint from
+    * the query's time range (Delta data-skipping, specialized to the
+    * event-time column feature tables are indexed by).
+    */
+  final case class SegStats(col: String, min: Long, max: Long)
+
+  object SegStats {
+    /** min/max epoch-micros of `c` over `df` — one small agg (the writer is
+      * about to scan `df` anyway; for incremental sinks this is O(batch)).
+      * None when the batch is empty or the column is entirely null.
+      */
+    def of(df: DataFrame, c: String): Option[SegStats] = {
+      val r = df.agg(
+        min(unix_micros(col(c))).as("mn"), max(unix_micros(col(c))).as("mx")).head()
+      if (r.isNullAt(0)) None else Some(SegStats(c, r.getLong(0), r.getLong(1)))
+    }
+  }
 
   private def manifestPath(path: String): Path = Paths.get(path, ManifestName)
 
@@ -111,10 +135,17 @@ object VersionedTable {
     // pre-`kind` manifests: keyed tables were only ever written by upsert
     val kind = Option(n.get("kind")).map(_.asText())
       .getOrElse(if (keys.nonEmpty) "upsert" else "append")
+    val stats = Option(n.get("stats")).map { sn =>
+      sn.fields().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> SegStats(v.get("col").asText(), v.get("min").asLong(), v.get("max").asLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, SegStats])
     Manifest(
       n.get("version").asLong(), kind, keys,
       n.get("segments").elements().asScala.map(_.asText()).toSeq,
-      Option(n.get("batchId")).map(_.asLong()).getOrElse(-1L))
+      Option(n.get("batchId")).map(_.asLong()).getOrElse(-1L),
+      stats)
   }
 
   def readManifest(path: String): Option[Manifest] = {
@@ -155,6 +186,13 @@ object VersionedTable {
       n.put("batchId", m.batchId)
       val ks = n.putArray("keys"); m.keys.foreach(ks.add)
       val ss = n.putArray("segments"); m.segments.foreach(ss.add)
+      if (m.stats.nonEmpty) {
+        val st = n.putObject("stats")
+        m.stats.foreach { case (seg, s) =>
+          val o = st.putObject(seg)
+          o.put("col", s.col); o.put("min", s.min); o.put("max", s.max)
+        }
+      }
       val tmp = Paths.get(path, ManifestName + ".tmp")
       val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n)
       Files.write(tmp, bytes)
@@ -259,6 +297,51 @@ object VersionedTable {
       }
   }
 
+  /** Segment names split by the [loMicros, hiMicros] time range: (kept,
+    * skipped). A segment is skipped only when it HAS stats on `statsCol` and
+    * its [min,max] is disjoint from the range — segments without stats are
+    * conservatively kept, so pre-stats tables degrade to a full read, never
+    * a wrong one.
+    */
+  def segmentsInRange(path: String, statsCol: String,
+      loMicros: Long, hiMicros: Long): (Seq[String], Seq[String]) =
+    readManifest(path) match {
+      case None => (Seq.empty, Seq.empty)
+      case Some(m) =>
+        m.segments.partition { s =>
+          m.stats.get(s) match {
+            case Some(st) if st.col.equalsIgnoreCase(statsCol) =>
+              st.max >= loMicros && st.min <= hiMicros
+            case _ => true // no stats (or different column) → must read
+          }
+        }
+    }
+
+  /** Time-range read with manifest-level segment skipping: only segments
+    * whose `statsCol` envelope intersects [loMicros, hiMicros] enter the
+    * scan plan — the others are never listed, opened, or scheduled. The
+    * row-exact `statsCol BETWEEN` filter is applied on top (stats prune
+    * segments, not rows). Append/full tables only: on a keyed upsert table,
+    * skipping an old segment could resurrect a superseded row (a newer
+    * version of its key may live outside the range), so pruning there is
+    * refused rather than silently wrong — compact first, or read fully.
+    */
+  def readRange(spark: SparkSession, path: String, statsCol: String,
+      loMicros: Long, hiMicros: Long): DataFrame = {
+    val m = readManifest(path).getOrElse(
+      return spark.read.parquet(path)
+        .filter(unix_micros(col(statsCol)).between(loMicros, hiMicros)))
+    require(m.keys.isEmpty,
+      s"readRange on keyed upsert table at $path: segment pruning would break " +
+        "latest-wins merge (a pruned segment may hold the superseding row)")
+    val (kept, _) = segmentsInRange(path, statsCol, loMicros, hiMicros)
+    val base =
+      if (kept.isEmpty) read(spark, path).limit(0) // all segments disjoint
+      else kept.map(s => spark.read.parquet(segDir(path, s)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    base.filter(unix_micros(col(statsCol)).between(loMicros, hiMicros))
+  }
+
   /** Unique segment dir name: manifest version it targets + random suffix,
     * so two optimistic writers racing toward the same version never write
     * into the same directory (the loser's dir is vacuumed later).
@@ -279,14 +362,16 @@ object VersionedTable {
     * Valid on any base (it replaces the whole table). `batchId` makes a
     * streaming complete-mode sink idempotent under batch replay.
     */
-  def overwrite(path: String, batchId: Option[Long] = None)(writeSeg: String => Unit): Unit = {
+  def overwrite(path: String, batchId: Option[Long] = None,
+      stats: Option[SegStats] = None)(writeSeg: String => Unit): Unit = {
     val m = readManifest(path)
     if (alreadyCommitted(m, batchId)) return
     val v = m.map(_.version).getOrElse(0L) + 1
     val seg = newSegName(v)
     writeSeg(segDir(path, seg))
     commitManifest(path, m.map(_.version),
-      Manifest(v, "full", Seq.empty, Seq(seg), batchId.getOrElse(-1L)))
+      Manifest(v, "full", Seq.empty, Seq(seg), batchId.getOrElse(-1L),
+        stats.map(seg -> _).toMap))
   }
 
   /** Append publish: the new segment joins the committed set (O(batch)).
@@ -294,7 +379,8 @@ object VersionedTable {
     * silently bypass merge-on-read. `batchId` (streaming sinks) skips
     * replayed micro-batches instead of double-appending their rows.
     */
-  def append(path: String, batchId: Option[Long] = None)(writeSeg: String => Unit): Unit = {
+  def append(path: String, batchId: Option[Long] = None,
+      stats: Option[SegStats] = None)(writeSeg: String => Unit): Unit = {
     val m0 = readManifest(path)
     val m = if (m0.isEmpty && legacyExists(path)) Some(migrateLegacy(path)) else m0
     if (alreadyCommitted(m, batchId)) return
@@ -305,7 +391,8 @@ object VersionedTable {
     writeSeg(segDir(path, seg))
     commitManifest(path, m.map(_.version),
       Manifest(v, "append", Seq.empty, m.map(_.segments).getOrElse(Seq.empty) :+ seg,
-        batchId.getOrElse(-1L)))
+        batchId.getOrElse(-1L),
+        m.map(_.stats).getOrElse(Map.empty) ++ stats.map(seg -> _).toMap))
   }
 
   /** Upsert publish: new segment's rows supersede older rows with the same
@@ -323,7 +410,8 @@ object VersionedTable {
       keys: Seq[String],
       compactEvery: Int = 8,
       compactWrite: (DataFrame, String) => Unit,
-      batchId: Option[Long] = None)(writeSeg: String => Unit): Unit = {
+      batchId: Option[Long] = None,
+      stats: Option[SegStats] = None)(writeSeg: String => Unit): Unit = {
     val m0 = readManifest(path)
     val m = if (m0.isEmpty && legacyExists(path)) Some(migrateLegacy(path)) else m0
     if (alreadyCommitted(m, batchId)) return
@@ -337,17 +425,27 @@ object VersionedTable {
     val seg = newSegName(v)
     writeSeg(segDir(path, seg))
     val appended = Manifest(v, "upsert", keys,
-      m.map(_.segments).getOrElse(Seq.empty) :+ seg, batchId.getOrElse(-1L))
+      m.map(_.segments).getOrElse(Seq.empty) :+ seg, batchId.getOrElse(-1L),
+      m.map(_.stats).getOrElse(Map.empty) ++ stats.map(seg -> _).toMap)
     commitManifest(path, m.map(_.version), appended)
     if (appended.segments.size >= compactEvery) {
       val merged = read(spark, path) // resolves the manifest just committed
       val cseg = newSegName(appended.version + 1)
       compactWrite(merged, segDir(path, cseg))
+      // the compacted segment's stats are the union envelope of its inputs'
+      // (valid iff every input segment carried stats on the same column —
+      // merge-on-read only drops rows, so the envelope stays a sound bound)
+      val cstats = {
+        val ss = appended.segments.flatMap(appended.stats.get)
+        if (ss.size == appended.segments.size && ss.map(_.col).distinct.size == 1)
+          Map(cseg -> SegStats(ss.head.col, ss.map(_.min).min, ss.map(_.max).max))
+        else Map.empty[String, SegStats]
+      }
       // compaction is an optimization, not a publish: if a concurrent commit
       // beat the flip, skip it — the upsert above is already durable. The
       // compacted manifest keeps the data-state batchId.
       try commitManifest(path, Some(appended.version),
-        Manifest(appended.version + 1, "upsert", keys, Seq(cseg), appended.batchId))
+        Manifest(appended.version + 1, "upsert", keys, Seq(cseg), appended.batchId, cstats))
       catch { case _: ConcurrentCommitException => () }
     }
   }

@@ -207,6 +207,47 @@ class RefreshSpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("append-mode segments carry event-time stats; range read skips disjoint batches") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_rng_").toString
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_id", "ts", "value")
+    // two drains with disjoint time halves → two stats-bearing segments
+    val half = to_timestamp(lit("2024-01-15 00:00:00"))
+    ev.filter(col("ts") < half).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("rng_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_rng", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, event_id, ts, value FROM rng_src",
+      timestampCol = Some("ts"),
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_rng", "1")
+    val schema = spark.read.parquet(srcDir).schema
+    mgr.startIncremental(rec, "rng_src", srcDir, schema, availableNow = true)
+      .awaitTermination(120000)
+    ev.filter(col("ts") >= half).write.mode("append").parquet(srcDir)
+    mgr.startIncremental(rec, "rng_src", srcDir, schema, availableNow = true)
+      .awaitTermination(120000)
+    mgr.stopAll()
+    val path = rec.physicalPath.get
+    val m = graft.storage.VersionedTable.readManifest(path).get
+    assert(m.segments.size == 2 && m.stats.size == 2,
+      s"expected 2 stats-bearing segments, got $m")
+    def micros(s: String): Long =
+      spark.sql(s"SELECT unix_micros(CAST('$s' AS TIMESTAMP))").head().getLong(0)
+    // querying the first half must skip the second-half segment
+    val (kept, skipped) = graft.storage.VersionedTable.segmentsInRange(
+      path, "ts", micros("2024-01-01 00:00:00"), micros("2024-01-14 00:00:00"))
+    assert(kept.size == 1 && skipped.size == 1)
+    // and the API-level range read returns exactly the filtered rows
+    val expected = fs.readFeatureView("fv_rng", "1")
+      .filter(col("ts") < to_timestamp(lit("2024-01-14 00:00:00"))).count()
+    val got = fs.readFeatureViewRange("fv_rng", "1",
+      micros("2024-01-01 00:00:00"), micros("2024-01-14 00:00:00") - 1).count()
+    assert(got == expected && got > 0)
+  }
+
   test("update-mode INCREMENTAL writes O(changed keys) per tick, not the full result") {
     val fs = freshStore()
     val srcDir = Files.createTempDirectory("graft_src_ups_").toString

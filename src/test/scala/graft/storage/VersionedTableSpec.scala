@@ -196,4 +196,51 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.append(dir)(writeSeg(Seq((1, 1)))) // must not dead-wait
     assert(VersionedTable.read(spark, dir).count() == 1)
   }
+
+  private def writeTsSeg(rows: Seq[(Int, String)])(dir: String): Unit =
+    rows.toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts").write.parquet(dir)
+
+  private def tsStats(rows: Seq[(Int, String)]): Option[VersionedTable.SegStats] =
+    VersionedTable.SegStats.of(
+      rows.toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts"), "ts")
+
+  private def micros(s: String): Long =
+    spark.sql(s"SELECT unix_micros(CAST('$s' AS TIMESTAMP))").head().getLong(0)
+
+  test("segment stats skip disjoint segments; stat-less segments are conservatively kept") {
+    val dir = tmp()
+    val jan = Seq((1, "2024-01-10 00:00:00"), (2, "2024-01-20 00:00:00"))
+    val feb = Seq((3, "2024-02-10 00:00:00"))
+    val mar = Seq((4, "2024-03-05 00:00:00"), (5, "2024-03-25 00:00:00"))
+    VersionedTable.append(dir, stats = tsStats(jan))(writeTsSeg(jan))
+    VersionedTable.append(dir, stats = tsStats(feb))(writeTsSeg(feb))
+    VersionedTable.append(dir, stats = None)(writeTsSeg(mar)) // no stats
+    // stats survive the manifest JSON round-trip
+    val m = VersionedTable.readManifest(dir).get
+    assert(m.stats.size == 2 && m.stats.values.forall(_.col == "ts"))
+    // February query: Jan segment skipped, Feb kept, stat-less Mar kept
+    val (kept, skipped) = VersionedTable.segmentsInRange(
+      dir, "ts", micros("2024-02-01 00:00:00"), micros("2024-02-28 00:00:00"))
+    assert(kept.size == 2 && skipped.size == 1)
+    // row-exact result: pruning is segment-level, the BETWEEN filter on top
+    val rows = VersionedTable.readRange(spark, dir, "ts",
+      micros("2024-02-01 00:00:00"), micros("2024-02-28 00:00:00"))
+      .select("k").as[Int].collect().toSet
+    assert(rows == Set(3))
+    // a range hitting no stats-bearing segment still reads the stat-less one
+    val marRows = VersionedTable.readRange(spark, dir, "ts",
+      micros("2024-03-01 00:00:00"), micros("2024-03-31 00:00:00"))
+      .select("k").as[Int].collect().toSet
+    assert(marRows == Set(4, 5))
+  }
+
+  test("readRange on a keyed upsert table is refused (pruning would break latest-wins)") {
+    val dir = tmp()
+    VersionedTable.upsert(spark, dir, Seq("k"),
+      compactWrite = (df, d) => df.write.parquet(d))(writeSeg(Seq((1, 1))))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readRange(spark, dir, "ts", 0L, Long.MaxValue)
+    }
+    assert(e.getMessage.contains("latest-wins"))
+  }
 }
