@@ -66,10 +66,27 @@ object AsOfJoin {
       featureCols: Seq[String] = Seq.empty,
       includeFeatureTs: Option[String] = None,
       method: String = "union-window",
-      maxStaleness: Option[String] = None): DataFrame = {
+      maxStaleness: Option[String] = None,
+      prefilterSpineKeys: Boolean = true): DataFrame = {
     val payload =
       if (featureCols.nonEmpty) featureCols
       else features.columns.filterNot(c => joinKeys.contains(c) || c == featureTs).toSeq
+    val features1 =
+      if (prefilterSpineKeys) prefilterBySpineKeys(spine, features, joinKeys) else features
+    joinAsOfDispatch(spine, features1, joinKeys, spineTs, featureTs, payload,
+      includeFeatureTs, method, maxStaleness)
+  }
+
+  private def joinAsOfDispatch(
+      spine: DataFrame,
+      features: DataFrame,
+      joinKeys: Seq[String],
+      spineTs: String,
+      featureTs: String,
+      payload: Seq[String],
+      includeFeatureTs: Option[String],
+      method: String,
+      maxStaleness: Option[String]): DataFrame = {
     method match {
       case "union-window" => unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
       case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hint = false)
@@ -104,6 +121,20 @@ object AsOfJoin {
       val (f, fts, payload) = features.head
       return joinAsOf(spine, f, joinKeys, spineTs, fts, payload)
     }
+    // same spine-key semi-join reduction as the single-FV path: every
+    // feature table rides the shared window shuffle, so pruning each one by
+    // the (broadcastable) spine key set shrinks the one big exchange
+    val features0 = features.map { case (f, fts, payload) =>
+      (prefilterBySpineKeys(spine, f, joinKeys), fts, payload)
+    }
+    return joinAsOfMultiTagged(spine, features0, joinKeys, spineTs)
+  }
+
+  private def joinAsOfMultiTagged(
+      spine: DataFrame,
+      features: Seq[(DataFrame, String, Seq[String])],
+      joinKeys: Seq[String],
+      spineTs: String): DataFrame = {
     val SIDE = "__graft_side"
     val TS = "__graft_ts"
     val PKT = "__graft_pkt_"
@@ -156,6 +187,24 @@ object AsOfJoin {
       payload.map(c => col(s"$PKT$j").getField(c).as(c))
     }
     renamed.select((spineCols.map(col) ++ unpacked): _*)
+  }
+
+  /** Semi-join reduction of the feature side by the spine's key set — the
+    * "spine is a sample, history is the corpus" lever. The union-window plan
+    * has no join node, so Catalyst's runtime row-level filtering can never
+    * inject this itself: without it, ALL feature history shuffles by key
+    * even when the spine touches 0.1% of keys. A feature row whose key is
+    * absent from the spine can never match (equi-keys) and left-join
+    * semantics keep every spine row regardless, so the reduction is exact.
+    * Applied only when the spine's distinct-key projection is broadcastable
+    * (otherwise the semi-join would itself shuffle the history it is trying
+    * to spare).
+    */
+  private def prefilterBySpineKeys(
+      spine: DataFrame, features: DataFrame, joinKeys: Seq[String]): DataFrame = {
+    val sk = spine.select(joinKeys.map(col): _*).distinct()
+    if (isBroadcastable(sk)) features.join(broadcast(sk), joinKeys, "left_semi")
+    else features
   }
 
   /** Case-insensitive schema lookup: the catalog normalizes column names to

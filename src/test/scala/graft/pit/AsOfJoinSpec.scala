@@ -177,4 +177,21 @@ class AsOfJoinSpec extends SparkSpec {
         s"$m: TTL 2 days must null the stale match, got ${drop.toSeq}")
     }
   }
+
+  test("spine-key prefilter: narrow spine reduces the feature side, result exact") {
+    // spine touches 2 of 10 keys; the prefiltered and unfiltered runs must
+    // agree exactly (a feature row with a key absent from the spine can
+    // never match, and left-join semantics keep every spine row)
+    val narrow = spine.filter($"customer_id" <= 2)
+    def run(pf: Boolean) = AsOfJoin.joinAsOf(
+      narrow, features, Seq("customer_id"), "event_time", "updated_at",
+      featureCols = Seq("age", "snap"), prefilterSpineKeys = pf)
+    val on = run(true).orderBy("customer_id").collect().toSeq
+    val off = run(false).orderBy("customer_id").collect().toSeq
+    assert(on == off && on.length == 2)
+    // the reduction is real: a broadcast semi join guards the window shuffle
+    val plan = run(true).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi-join reduction in plan:\n$plan")
+    assert(!run(false).queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
 }
