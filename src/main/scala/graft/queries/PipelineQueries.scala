@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{DedupFunctions, Similarity, TextFunctions}
+import graft.functions.{DedupFunctions, ProductQuantization, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline operators (the north-star extensions beyond the
@@ -168,6 +168,33 @@ object PipelineQueries {
         .groupBy("method")
         .agg(count(lit(1)).as("n_queries"),
           TextFunctions.round4(avg(col("recall"))).as("mean_recall"))
+    }),
+
+    // product-quantization ADC search vs exact brute force (rows-only;
+    // deterministic — PQ training uses exact-decimal sums). 64 float32
+    // components compress to ONE 32-bit code per vector (64×): at 100 TB the
+    // scan reads a scalar column instead of vector payloads, the memory half
+    // of the ANN story (IVF/LSH bound the candidate COUNT, PQ the BYTES).
+    "q57_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 10)
+      val k = 5
+      val model = ProductQuantization.train(emb, "vec_id", "embedding",
+        m = 8, ks = 16, iters = 2)
+      val exact = Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k)
+      val pq = ProductQuantization.topK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+        k, model)
+      val reranked = ProductQuantization.topK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+        k, model, rerank = 8 * k)
+      Similarity.recallAtK(exact, pq, k)
+        .select(lit("pq_adc").as("method"), col("recall"))
+        .unionByName(Similarity.recallAtK(exact, reranked, k)
+          .select(lit("pq_adc_rerank").as("method"), col("recall")))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_queries"),
+          TextFunctions.round4(avg(col("recall"))).as("mean_recall"),
+          lit(4L).as("bytes_per_vector"),
+          lit(256L).as("bytes_uncompressed"))
     }),
 
     // embedding-cosine near-dup pairs within LSH buckets (rows-only check)

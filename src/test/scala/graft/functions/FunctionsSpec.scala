@@ -152,6 +152,37 @@ class FunctionsSpec extends SparkSpec {
     assert(out.length == 5 && out.forall(_.getLong(1) == 3))
   }
 
+  test("product quantization: deterministic model, packed codes, exact rerank scores") {
+    import graft.functions.ProductQuantization
+    val emb = Tables.embeddings(spark, sfDir)
+    val m1 = ProductQuantization.train(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2)
+    val m2 = ProductQuantization.train(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2)
+    // decimal-sum training → bit-identical model across runs
+    for (j <- 0 until 8; k <- 0 until 16)
+      assert(m1.codebooks(j)(k).sameElements(m2.codebooks(j)(k)))
+    // every vector packs into one int (subspace 7's code may reach the sign
+    // bit — the bits are what matter); encoding is deterministic and varied
+    val codes = emb.select(ProductQuantization.encode(m1)($"embedding").as("c"))
+      .agg(count(lit(1)).as("n"), countDistinct($"c").as("d")).head()
+    assert(codes.getLong(0) > 0 && codes.getLong(1) > 1)
+    val queriesDf = emb.filter($"vec_id" < 5)
+    // ADC path: k rows per query, approximate scores
+    val adc = ProductQuantization.topK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+      k = 3, m1)
+    val perQ = adc.groupBy("query_id").count().collect()
+    assert(perQ.length == 5 && perQ.forall(_.getLong(1) == 3))
+    // rerank path: the emitted cosine must EQUAL the exact brute-force
+    // cosine for those pairs (re-scoring is exact, not approximate)
+    val rr = ProductQuantization.topK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+      k = 3, m1, rerank = 12)
+    val exact = Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
+      k = 100)
+    val joined = rr.as("r").join(exact.as("e"), Seq("query_id", "neighbor_id"))
+      .select($"r.cosine", $"e.cosine").collect()
+    assert(joined.nonEmpty && joined.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "rerank cosine diverged from brute-force cosine")
+  }
+
   test("incremental minhash dedup: new batch vs landed corpus, corpus text never re-read") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again today"
     val fresh = "completely different content about spark catalyst optimizer internals"
