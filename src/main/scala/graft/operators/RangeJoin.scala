@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: probe rows with a point timestamp against
+  * interval rows with [start, end) bounds, NO equi key — the second join
+  * family Spark lacks natively (after as-of). Catalyst plans a bare
+  * `p.ts >= i.start AND p.ts < i.end` as BroadcastNestedLoopJoin when one
+  * side is small and a cartesian product otherwise: O(|probe| × |intervals|)
+  * comparisons either way.
+  *
+  * The scale shape is bucket decomposition (the classic interval-join trick,
+  * e.g. Flink's interval join and DuckDB's IEJoin literature): pick a bucket
+  * width `b`; an interval registers itself in every bucket its span covers
+  * (`sequence(floor(start/b), floor((end−1)/b))` exploded), a probe lands in
+  * exactly ONE bucket (`floor(ts/b)`), and the join becomes a plain
+  * shuffle/broadcast EQUI-join on the bucket id plus a residual
+  * `ts ∈ [start, end)` filter. Each qualifying (probe, interval) pair meets
+  * exactly once — in the probe's own bucket — so no dedup pass is needed.
+  *
+  * Cost: |intervals| inflates by span/b (choose b ≈ the median interval
+  * length so the factor is O(1)); the probe side never inflates, which is
+  * the side that is 100 TB. The bucket id is an ordinary join key, so
+  * Catalyst gives broadcast/AQE/skew handling for free.
+  */
+object RangeJoin {
+
+  /** @param probe      point side; `probeTs` in epoch micros (LongType) or
+    *                    any consistent long unit
+    * @param intervals  interval side; `startCol`/`endCol` in the same unit,
+    *                    end EXCLUSIVE
+    * @param bucketMicros bucket width in the same unit
+    * @param how        "inner" or "left" (left keeps probe rows matching no
+    *                    interval, with null interval columns)
+    */
+  def intervalJoin(
+      probe: DataFrame, probeTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketMicros: Long, how: String = "inner"): DataFrame = {
+    require(bucketMicros > 0, "bucket width must be positive")
+    require(Seq("inner", "left").contains(how), s"unsupported join type: $how")
+    val B = "__graft_bucket"
+    val iv = intervals.withColumn(B,
+      explode(sequence(
+        floorDiv(col(startCol), bucketMicros),
+        floorDiv(col(endCol) - 1, bucketMicros))))
+    val pb = probe.withColumn(B, floorDiv(col(probeTs), bucketMicros))
+    val residual = col(probeTs) >= col(startCol) && col(probeTs) < col(endCol)
+    how match {
+      case "inner" => pb.join(iv, Seq(B), "inner").filter(residual).drop(B)
+      case "left" =>
+        // left semantics need the residual INSIDE the join condition, so an
+        // unmatched probe row survives with nulls instead of being filtered
+        pb.as("p").join(iv.as("i"),
+            col(s"p.$B") === col(s"i.$B") && residual, "left")
+          .drop(B)
+    }
+  }
+
+  /** floor division that is correct for negative operands too (Column./ on
+    * longs is double division; SQL `div` truncates toward zero).
+    */
+  private def floorDiv(x: Column, d: Long): Column =
+    floor(x.cast("double") / lit(d.toDouble)).cast("long")
+}

@@ -309,6 +309,29 @@ object RelationalQueries {
           dbl(sum(dec(col("p_retailprice")))).as("sum_price"))
     }),
 
+    // interval (range) join WITHOUT an equi key — bucket decomposition turns
+    // the O(|probe|×|intervals|) non-equi condition into an equi-join on
+    // bucket id + residual filter (graft.operators.RangeJoin). 25 nation-
+    // derived 60-day windows over the lineitem shipdate axis; oracle is the
+    // plain non-equi join in DuckDB, proving the decomposition is exact.
+    "q58_range_join" -> ((s, dir) => {
+      val day = 86_400_000_000L
+      val base = 788_918_400_000_000L // epoch micros of 1995-01-01 00:00:00 UTC
+      val iv = Tables.nation(s, dir).select(
+        col("n_nationkey").as("window_id"), col("n_name"),
+        (lit(base) + col("n_nationkey").cast("long") * lit(50L * day)).as("ws"),
+        (lit(base) + col("n_nationkey").cast("long") * lit(50L * day) + lit(60L * day)).as("we"))
+      val probe = Tables.lineitem(s, dir)
+        // NTZ → LTZ under the UTC session zone: same micros as the oracle's
+        // epoch_us over the naive parquet timestamp
+        .select(unix_micros(col("l_shipdate").cast("timestamp")).as("ts"), col("l_quantity"))
+      graft.operators.RangeJoin.intervalJoin(probe, "ts", iv, "ws", "we",
+          bucketMicros = 10L * day)
+        .groupBy(col("window_id"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+    }),
+
     // distributed variance/stddev done ORDER-INDEPENDENTLY: the naive
     // parallel double sum of squares is partition-order-dependent (IEEE
     // addition is not associative), so both engines accumulate sum and
@@ -534,6 +557,18 @@ object RelationalQueries {
         |FROM part
         |WHERE regexp_matches(p_name, '^[a-z]+ ')
         |GROUP BY 1""".stripMargin,
+
+    "q58_range_join" ->
+      """WITH iv AS (
+        |  SELECT n_nationkey AS window_id, n_name,
+        |    epoch_us(TIMESTAMP '1995-01-01 00:00:00') + n_nationkey * (50 * 86400000000) AS ws,
+        |    epoch_us(TIMESTAMP '1995-01-01 00:00:00') + n_nationkey * (50 * 86400000000) + (60 * 86400000000) AS we
+        |  FROM nation)
+        |SELECT window_id, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN iv
+        |  ON epoch_us(l_shipdate) >= ws AND epoch_us(l_shipdate) < we
+        |GROUP BY 1, 2""".stripMargin,
 
     "q55_variance" ->
       """WITH m AS (

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The bucketed interval join must be EXACTLY the non-equi join — every
+  * qualifying pair once, no bucket-boundary duplicates or gaps — and must
+  * plan as an equi-join on the bucket id, not a nested-loop product.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // intervals deliberately straddle bucket boundaries and overlap each other
+  private lazy val intervals = Seq(
+    (1L, 0L, 25L),    // covers buckets 0-2 at width 10
+    (2L, 10L, 20L),   // exactly one bucket
+    (3L, 18L, 42L),   // straddles 1-4, overlaps 1 and 2
+    (4L, 95L, 105L)   // far interval
+  ).toDF("iv_id", "ws", "we")
+
+  private lazy val probe =
+    Seq(0L, 9L, 10L, 19L, 20L, 24L, 25L, 41L, 42L, 99L, 200L).toDF("ts")
+
+  private def naive(how: String) =
+    probe.as("p").join(intervals.as("i"),
+      $"ts" >= $"ws" && $"ts" < $"we", how)
+
+  test("inner: identical to the naive non-equi join for every bucket width") {
+    val expected = naive("inner")
+      .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    for (b <- Seq(1L, 3L, 10L, 64L)) {
+      val got = RangeJoin.intervalJoin(probe, "ts", intervals, "ws", "we", b)
+        .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(expected), s"bucket width $b diverged")
+    }
+  }
+
+  test("left: probe rows with no interval survive with nulls") {
+    val got = RangeJoin.intervalJoin(probe, "ts", intervals, "ws", "we", 10L, how = "left")
+    // 42 (end-exclusive on interval 3) and 200 match nothing; 25 is outside
+    // [0,25) but inside [18,42)
+    val unmatched = got.filter($"iv_id".isNull).select("ts")
+      .collect().map(_.getLong(0)).sorted
+    assert(unmatched.sameElements(Array(42L, 200L)), unmatched.mkString(","))
+    // matched pairs equal the naive left join's matched pairs
+    val expected = naive("left").filter($"iv_id".isNotNull)
+      .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val matched = got.filter($"iv_id".isNotNull)
+      .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(matched.sameElements(expected))
+  }
+
+  test("plans as an equi-join on the bucket id, not a nested-loop product") {
+    val plan = RangeJoin.intervalJoin(probe, "ts", intervals, "ws", "we", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degenerated to a product:\n$plan")
+  }
+}
