@@ -309,6 +309,25 @@ object RelationalQueries {
           dbl(sum(dec(col("p_retailprice")))).as("sum_price"))
     }),
 
+    // correlated + uncorrelated scalar subqueries — Catalyst decorrelates
+    // the per-row aggregate into one grouped join (RewriteCorrelatedScalar-
+    // Subquery), so the plan is two scans + a broadcast join, not a
+    // per-row re-aggregation. "price above its type's average" is phrased
+    // as price×n > sum — exact decimal/integer math on both engines, no
+    // float-boundary sensitivity an avg() comparison would have.
+    "q59_scalar_subquery" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_sq")
+      s.sql("""
+        SELECT p_partkey, p_type, p_size, p_retailprice
+        FROM part_sq p
+        WHERE CAST(p_retailprice AS DECIMAL(12,2)) *
+                (SELECT count(*) FROM part_sq p2 WHERE p2.p_type = p.p_type)
+              > (SELECT sum(CAST(p3.p_retailprice AS DECIMAL(12,2)))
+                 FROM part_sq p3 WHERE p3.p_type = p.p_type)
+          AND p_size > (SELECT min(p_size) FROM part_sq)
+        """)
+    }),
+
     // interval (range) join WITHOUT an equi key — bucket decomposition turns
     // the O(|probe|×|intervals|) non-equi condition into an equi-join on
     // bucket id + residual filter (graft.operators.RangeJoin). 25 nation-
@@ -557,6 +576,15 @@ object RelationalQueries {
         |FROM part
         |WHERE regexp_matches(p_name, '^[a-z]+ ')
         |GROUP BY 1""".stripMargin,
+
+    "q59_scalar_subquery" ->
+      """SELECT p_partkey, p_type, p_size, p_retailprice
+        |FROM part p
+        |WHERE CAST(p_retailprice AS DECIMAL(12,2)) *
+        |        (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+        |      > (SELECT sum(CAST(p3.p_retailprice AS DECIMAL(12,2)))
+        |         FROM part p3 WHERE p3.p_type = p.p_type)
+        |  AND p_size > (SELECT min(p_size) FROM part)""".stripMargin,
 
     "q58_range_join" ->
       """WITH iv AS (
