@@ -309,6 +309,20 @@ object RelationalQueries {
           dbl(sum(dec(col("p_retailprice")))).as("sum_price"))
     }),
 
+    // list aggregation with deterministic ordering — collect_list is
+    // unordered in a distributed agg, so the output is sort_array'd (the
+    // only portable contract); slice keeps rows bounded
+    "q60_list_agg" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          // joined to a string for the driver hash (array-typed output
+          // columns are untested ground in the driver's canonicalization)
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 5), ",")
+            .as("first_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // correlated + uncorrelated scalar subqueries — Catalyst decorrelates
     // the per-row aggregate into one grouped join (RewriteCorrelatedScalar-
     // Subquery), so the plan is two scans + a broadcast join, not a
@@ -576,6 +590,13 @@ object RelationalQueries {
         |FROM part
         |WHERE regexp_matches(p_name, '^[a-z]+ ')
         |GROUP BY 1""".stripMargin,
+
+    "q60_list_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS first_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
 
     "q59_scalar_subquery" ->
       """SELECT p_partkey, p_type, p_size, p_retailprice
