@@ -195,6 +195,25 @@ object PipelineQueries {
           lit(256L).as("bytes_uncompressed"))
     }),
 
+    // sketch aggregates (rows-only: approx algorithms aren't portably
+    // SQL-expressible) — HLL++ cardinality and GK approximate quantiles,
+    // WITH the exact values alongside so the sketch error is visible in the
+    // output. At 100 TB these are the planning primitives of the pipeline
+    // itself: dedup-rate estimation (distinct docs per shard) and value
+    // distribution without a sort — both one map-side-combined pass,
+    // mergeable sketch state, no shuffle of raw values.
+    "q61_sketches" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          TextFunctions.round4(
+            percentile_approx(col("value"), lit(0.5), lit(1000))).as("p50_value"),
+          TextFunctions.round4(
+            percentile_approx(col("value"), lit(0.95), lit(1000))).as("p95_value"))
+    }),
+
     // embedding-cosine near-dup pairs within LSH buckets (rows-only check)
     "q27_cosine_neardup" -> ((s, dir) => {
       // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51),
