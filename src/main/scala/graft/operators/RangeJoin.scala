@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, LongType}
 
 /** Interval (range) join: probe rows with a point timestamp against
   * interval rows with [start, end) bounds, NO equi key — the second join
@@ -33,18 +34,36 @@ object RangeJoin {
     * @param bucketMicros bucket width in the same unit
     * @param how        "inner" or "left" (left keeps probe rows matching no
     *                    interval, with null interval columns)
+    * @param maxBucketsPerInterval fail-fast bound on per-interval expansion:
+    *                    an interval spanning more buckets than this raises at
+    *                    runtime instead of exploding toward sequence()'s 2^31
+    *                    element cap. Spans ≫ bucket width mean the bucket
+    *                    width was mis-chosen for the data — surface it.
     */
   def intervalJoin(
       probe: DataFrame, probeTs: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketMicros: Long, how: String = "inner"): DataFrame = {
+      bucketMicros: Long, how: String = "inner",
+      maxBucketsPerInterval: Long = 1 << 20): DataFrame = {
     require(bucketMicros > 0, "bucket width must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     require(Seq("inner", "left").contains(how), s"unsupported join type: $how")
     val B = "__graft_bucket"
-    val iv = intervals.withColumn(B,
-      explode(sequence(
-        floorDiv(col(startCol), bucketMicros),
-        floorDiv(col(endCol) - 1, bucketMicros))))
+    val lo = floorDiv(col(startCol), bucketMicros)
+    val hi = floorDiv(col(endCol) - 1, bucketMicros)
+    // Degenerate intervals (end <= start) cover no point and can never pass
+    // the residual; dropping them on the INTERVAL side is exact for both
+    // join types (left preserves probe rows, not interval rows) and avoids
+    // registering descending sequences in buckets the span doesn't cover.
+    val buckets = when(hi - lo >= maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"interval spans more than $maxBucketsPerInterval buckets of width $bucketMicros: ["),
+          col(startCol), lit(", "), col(endCol),
+          lit(") — choose a wider bucket for this data")))
+          .cast(ArrayType(LongType)))
+      .otherwise(sequence(lo, hi))
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn(B, explode(buckets))
     val pb = probe.withColumn(B, floorDiv(col(probeTs), bucketMicros))
     val residual = col(probeTs) >= col(startCol) && col(probeTs) < col(endCol)
     how match {
@@ -58,9 +77,13 @@ object RangeJoin {
     }
   }
 
-  /** floor division that is correct for negative operands too (Column./ on
-    * longs is double division; SQL `div` truncates toward zero).
+  /** Exact floor division on longs, correct for negative operands and for
+    * |x| beyond 2^53 (double-based floor loses low bits there, which would
+    * bucket a row WRONG and silently drop qualifying pairs — the residual
+    * filter can only remove false positives, never recover false negatives).
+    * `x - pmod(x, d)` is exactly divisible by d, so the decimal quotient is
+    * an exact integer.
     */
   private def floorDiv(x: Column, d: Long): Column =
-    floor(x.cast("double") / lit(d.toDouble)).cast("long")
+    ((x - pmod(x, lit(d))).cast(DecimalType(38, 0)) / lit(d)).cast("long")
 }

@@ -199,12 +199,25 @@ object AsOfJoin {
     * Applied only when the spine's distinct-key projection is broadcastable
     * (otherwise the semi-join would itself shuffle the history it is trying
     * to spare).
+    *
+    * The semi-join condition is NULL-SAFE (`<=>`): the union-window plan's
+    * `Window.partitionBy(keys)` groups NULL keys into one partition, so a
+    * NULL-keyed spine row DOES match NULL-keyed feature history there — a
+    * plain equi semi-join would drop those feature rows and silently
+    * null out the spine row's features. `<=>` keeps the reduction exact
+    * for NULL keys too.
     */
   private def prefilterBySpineKeys(
       spine: DataFrame, features: DataFrame, joinKeys: Seq[String]): DataFrame = {
     val sk = spine.select(joinKeys.map(col): _*).distinct()
-    if (isBroadcastable(sk)) features.join(broadcast(sk), joinKeys, "left_semi")
-    else features
+    if (isBroadcastable(sk)) {
+      val f = features.as("__graft_f")
+      val s = broadcast(sk.as("__graft_sk"))
+      val cond = joinKeys
+        .map(k => col(s"__graft_f.$k") <=> col(s"__graft_sk.$k"))
+        .reduce(_ && _)
+      f.join(s, cond, "left_semi")
+    } else features
   }
 
   /** Case-insensitive schema lookup: the catalog normalizes column names to
