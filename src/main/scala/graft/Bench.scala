@@ -16,6 +16,29 @@ object Bench {
     catch { case _: Throwable => }
   }
 
+  /** Fixed CPU-bound calibration quantum (~100 ms on one unthrottled core).
+    *
+    * The sandbox VM intermittently throttles to ~1 core for minutes at a
+    * time, which inflates a contiguous block of query timings 10-100x with
+    * zero code change (rounds 4/5 artifacts). A fixed single-threaded
+    * xorshift spin is a machine-speed probe: its wall time for a CONSTANT
+    * iteration count is invariant to the queries and comparable across
+    * rounds, so a throttled window is visible in the artifact itself —
+    * the probe runs before and after every query attempt, and any attempt
+    * whose surrounding probes exceed 2x the best probe seen this run is
+    * marked dirty and retried.
+    */
+  private val SpinIters = 30000000L
+  private def spinOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < SpinIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    // data-dependent side effect so the JIT cannot eliminate the loop
+    if (x == 42L) System.err.println("calibration fixed point")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,28 +79,60 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Best spin time observed anywhere in the run = the unthrottled-speed
+    // estimate for THIS machine. JIT-warm the spin, then seed with a few
+    // samples; keep improving it as more probes land.
+    spinOnce(); spinOnce()
+    var calNominal = (1 to 5).map(_ => spinOnce()).min
+    def probe(): Double = { val c = spinOnce(); if (c < calNominal) calNominal = c; c }
+
     // A transiently contended machine (another JVM, page-cache churn) can
     // inflate a single measurement 10-20x; a genuinely slow plan can't get
     // FASTER under contention. Min-of-n is the standard estimator for
     // wall-clock microbenchmarks under noise — applied UNIFORMLY to every
-    // query (a threshold-triggered retry would bias only the slow tail low
-    // relative to single-shot methodology). Both the raw first run and the
-    // min are printed on stderr so any warm-state bias stays visible.
+    // query. Each attempt is bracketed by calibration probes: an attempt is
+    // "clean" iff max(before, after) <= 2x the best probe of the run. We
+    // keep attempting until `runs` clean attempts land (bounded by
+    // maxAttempts), take the min over clean attempts, and flag the query
+    // `throttled` if no clean attempt was ever observed — so a throttled
+    // window is distinguishable from a plan regression in the artifact.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val maxAttempts = runs + 4
+    case class QResult(time: Double, cal: Double, throttled: Boolean, attempts: Int)
     val results = selected.map { case (name, fn) =>
-      val ds = (1 to runs).map { _ =>
+      var attempts = List.empty[(Double, Double)] // (queryTime, worstAdjacentCal)
+      var nClean = 0
+      var n = 0
+      while (n < maxAttempts && nClean < runs) {
+        val calBefore = probe()
         val d = timeOne(name, fn)
         hygiene(spark)
-        d
+        val calAfter = probe()
+        val worst = math.max(calBefore, calAfter)
+        attempts ::= (d, worst)
+        if (worst <= 2.0 * calNominal) nClean += 1
+        n += 1
       }
-      val dt = ds.min
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s  (first ${ds.head}%.2f)")
-      name -> dt
-    }.toMap
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      // nominal may have improved after early cleanness decisions; re-judge
+      // all attempts against the final nominal for the recorded artifact
+      val clean = attempts.filter(_._2 <= 2.0 * calNominal)
+      val chosen = (if (clean.nonEmpty) clean else attempts).minBy(_._1)
+      val r = QResult(chosen._1, chosen._2, clean.isEmpty, n)
+      val flag = if (r.throttled) "  THROTTLED" else ""
+      System.err.println(
+        f"[bench] $name%-22s ${r.time}%8.2f s  (cal ${r.cal}%.3f/${calNominal}%.3f, ${r.attempts} attempts)$flag")
+      name -> r
+    }
+
+    val qs = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.time }.mkString("{", ",", "}")
+    val cals = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"${v.cal}%.4f".toDouble }.mkString("{", ",", "}")
+    val throttled = results.filter(_._2.throttled).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2.time).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","cal_nominal":${f"$calNominal%.4f".toDouble},"cal_spin_iters":$SpinIters""" +
+      s""","cal":$cals,"throttled":$throttled}""")
     spark.stop()
   }
 }
