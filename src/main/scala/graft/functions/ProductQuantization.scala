@@ -78,16 +78,33 @@ object ProductQuantization {
   def encode(model: PqModel)(vec: Column): Column =
     packedCodes(vec, sqrt(VecDot(vec, vec)), model)
 
-  /** Deterministic init: subvectors of the `ks` lowest-id vectors. */
+  /** Deterministic init: subvectors of the `ks` lowest-id vectors.
+    * Fails fast with a readable message on degenerate input — an empty or
+    * too-small table (seeding needs `ks` distinct vectors) or a NULL /
+    * zero-norm seed vector (normalizing it would silently poison every
+    * centroid of every subspace with NaN).
+    */
   private def seedModel(
       df: DataFrame, idCol: String, vecCol: String, m: Int, ks: Int): PqModel = {
-    val rows = df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(ks)
-      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val seed = df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(ks)
+      .collect()
+    require(seed.length >= ks,
+      s"PQ training needs at least ks=$ks vectors to seed the codebooks; " +
+        s"'$vecCol' has only ${seed.length} row(s)")
+    val rows = seed.map { r =>
+      require(!r.isNullAt(1), s"PQ training: NULL '$vecCol' in seed row id=${r.get(0)}")
+      r.getSeq[Float](1).toArray.map(_.toDouble)
+    }
     val dim = rows.head.length
+    require(rows.forall(_.length == dim),
+      s"PQ training: ragged '$vecCol' — seed vectors have differing lengths")
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      require(n > 0.0 && !n.isNaN,
+        s"PQ training: zero-norm or non-finite seed vector in '$vecCol' " +
+          "(cannot be unit-normalized)")
       v.map(_ / n)
     }
     val cbs = Array.tabulate(m, ks) { (j, k) =>

@@ -282,16 +282,19 @@ object RelationalQueries {
     // pivot — wide conditional aggregation: one row per priority, one column
     // group per order status. Spark's pivot with explicit values compiles to
     // a single-pass conditional agg (no per-status scan), the same plan the
-    // FILTER-clause oracle produces.
+    // FILTER-clause oracle produces. NULL convention for a (priority,status)
+    // combo with zero rows: counts are COALESCEd to 0 (Spark's pivot emits
+    // NULL where SQL's `count(*) FILTER` emits 0); sums stay NULL on both
+    // engines (SQL: sum of the empty set is NULL).
     "q53_pivot" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("O", "F", "P"))
         .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"))
         .select(col("o_orderpriority"),
-          col("O_n").as("n_open"), col("O_total").as("total_open"),
-          col("F_n").as("n_filled"), col("F_total").as("total_filled"),
-          col("P_n").as("n_pending"), col("P_total").as("total_pending"))
+          coalesce(col("O_n"), lit(0L)).as("n_open"), col("O_total").as("total_open"),
+          coalesce(col("F_n"), lit(0L)).as("n_filled"), col("F_total").as("total_filled"),
+          coalesce(col("P_n"), lit(0L)).as("n_pending"), col("P_total").as("total_pending"))
     }),
 
     // B13 extension — regex surface: capture-group extract, global replace,

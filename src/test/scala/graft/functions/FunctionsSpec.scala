@@ -183,6 +183,28 @@ class FunctionsSpec extends SparkSpec {
       "rerank cosine diverged from brute-force cosine")
   }
 
+  test("product quantization training fails fast on degenerate input") {
+    import graft.functions.ProductQuantization
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      ProductQuantization.train(empty, "vec_id", "embedding", m = 8, ks = 16)
+    }
+    assert(e1.getMessage.contains("at least ks=16"))
+    // fewer vectors than codebook size
+    val short = (0L until 5L).map(i => (i, Seq.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      ProductQuantization.train(short, "vec_id", "embedding", m = 8, ks = 16)
+    }
+    assert(e2.getMessage.contains("only 5 row(s)"))
+    // a zero-norm vector among the seeds must not yield NaN centroids
+    val zero = ((0L until 15L).map(i => (i, Seq.fill(16)(i + 1.0f))) :+
+      (15L, Seq.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      ProductQuantization.train(zero, "vec_id", "embedding", m = 8, ks = 16)
+    }
+    assert(e3.getMessage.contains("zero-norm"))
+  }
+
   test("incremental minhash dedup: new batch vs landed corpus, corpus text never re-read") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again today"
     val fresh = "completely different content about spark catalyst optimizer internals"
