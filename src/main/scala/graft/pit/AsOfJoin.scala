@@ -25,8 +25,15 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    spine row. Exactly ONE shuffle of spine+features by join key, no row
   *    blow-up regardless of fan-in (vs. the non-equi join's O(|spine_k| ×
   *    |features_k|) intermediate per key). Ordering `side` after `ts` makes
-  *    the bound inclusive (a feature at exactly the spine ts wins). Skewed
-  *    keys are handled by AQE; the sort is per-partition (Tungsten spillable).
+  *    the bound inclusive (a feature at exactly the spine ts wins). The
+  *    per-partition sort is Tungsten-spillable, so skew never OOMs — but
+  *    note AQE's skew optimization splits skewed *join* partitions, NOT
+  *    window partitions: a hot key's entire history+spine sorts in ONE
+  *    task, which serializes and becomes the wall-clock bound at scale.
+  *    Mitigations: `maxStaleness` prunes history to the staleness horizon
+  *    before the shuffle (a hot key then carries only its in-window rows),
+  *    and a broadcastable feature side can route through join-filter
+  *    (`method = "auto"`), whose skew IS AQE-splittable.
   *
   *  - **join-filter**: left join on keys + `fts <= sts`, keep the max `fts`
   *    per spine row via a window. Simple, but the intermediate join product
@@ -38,6 +45,14 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * (defaults to the last feature column) — DuckDB ASOF has no defined
   * tie-break, so correctness tests pre-aggregate features to unique
   * (key, ts) as the reference fixture does.
+  *
+  * **NULL join keys follow SQL equi-join semantics** (= DuckDB ASOF, = the
+  * join-filter strategy's `===` condition): a NULL key never matches, so a
+  * NULL-keyed spine row is kept with null features and NULL-keyed feature
+  * history matches nothing. The union-window plan's `Window.partitionBy`
+  * would otherwise GROUP NULL keys together (SQL GROUP BY semantics), so
+  * that strategy explicitly drops NULL-keyed feature rows from the union
+  * to keep the two strategies and the oracle in agreement.
   */
 object AsOfJoin {
 
@@ -150,7 +165,8 @@ object AsOfJoin {
     }
 
     // one tagged relation per feature view: its own packet, null packets elsewhere
-    val taggedFeatures = features.zipWithIndex.map { case ((f, fts, payload), i) =>
+    val taggedFeatures = features.zipWithIndex.map { case ((f0, fts, payload), i) =>
+      val f = dropNullKeyed(f0, joinKeys :+ fts)
       f.select(
         (joinKeys.map(col) ++
          Seq(col(fts).as(TS), lit(0).as(SIDE)) ++
@@ -200,12 +216,10 @@ object AsOfJoin {
     * (otherwise the semi-join would itself shuffle the history it is trying
     * to spare).
     *
-    * The semi-join condition is NULL-SAFE (`<=>`): the union-window plan's
-    * `Window.partitionBy(keys)` groups NULL keys into one partition, so a
-    * NULL-keyed spine row DOES match NULL-keyed feature history there — a
-    * plain equi semi-join would drop those feature rows and silently
-    * null out the spine row's features. `<=>` keeps the reduction exact
-    * for NULL keys too.
+    * The semi-join condition is plain equi (`===`), matching the pinned
+    * NULL-key semantics: a NULL-keyed feature row can never match any spine
+    * row, so dropping it here is exact (both strategies independently
+    * enforce the same rule).
     */
   private def prefilterBySpineKeys(
       spine: DataFrame, features: DataFrame, joinKeys: Seq[String]): DataFrame = {
@@ -214,10 +228,40 @@ object AsOfJoin {
       val f = features.as("__graft_f")
       val s = broadcast(sk.as("__graft_sk"))
       val cond = joinKeys
-        .map(k => col(s"__graft_f.$k") <=> col(s"__graft_sk.$k"))
+        .map(k => col(s"__graft_f.$k") === col(s"__graft_sk.$k"))
         .reduce(_ && _)
       f.join(s, cond, "left_semi")
     } else features
+  }
+
+  /** SQL equi-join NULL semantics for the window-based plans: a feature row
+    * with any NULL join key (or NULL feature ts — `fts <= sts` is never true
+    * for NULL) can never match, but `Window.partitionBy` would group NULL
+    * keys with NULL-keyed spine rows (GROUP BY semantics) and a NULL ts
+    * sorts FIRST under `orderBy(ts asc)` — so the window strategies drop
+    * those rows from the union explicitly. Pass the ts column in `cols`.
+    */
+  private def dropNullKeyed(features: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map(col(_).isNotNull).reduceOption(_ && _)
+      .map(features.filter).getOrElse(features)
+
+  /** Staleness-horizon history pruning: a feature row older than
+    * `min(spineTs) − ttl` is stale for EVERY spine row (its fts is below
+    * every row's own staleness bound), so it can never be a non-stale match
+    * — prune it BEFORE the one big shuffle. Expressed as a broadcast 1-row
+    * join so the horizon is computed as a lazy subquery stage, not a driver
+    * action at plan-build time. This is also the hot-key skew mitigation:
+    * the window sort of a skewed key then holds only its in-horizon history
+    * instead of its full history (AQE cannot split window partitions).
+    */
+  private def pruneToHorizon(
+      spine: DataFrame, features: DataFrame, spineTs: String, featureTs: String,
+      maxStaleness: Option[String]): DataFrame = maxStaleness match {
+    case Some(iv) =>
+      val hz = spine.agg((min(col(spineTs)) - expr(s"INTERVAL $iv")).as("__graft_hz"))
+      features.join(broadcast(hz), col(featureTs) >= col("__graft_hz"), "inner")
+        .drop("__graft_hz")
+    case None => features
   }
 
   /** Case-insensitive schema lookup: the catalog normalizes column names to
@@ -265,7 +309,9 @@ object AsOfJoin {
       Seq(col(featureTs).as(TS), lit(0).as(SIDE),
         struct(payload.map(c => col(c).as(c)) :+ col(featureTs).as(FTS): _*).as(PKT)) ++
       spineCols.filterNot(c => joinKeys.contains(c)).map(c => lit(null).cast(fieldType(spine, c)).as(s"__sp_$c"))
-    val fTagged = features.select(fSel: _*)
+    val fPruned = pruneToHorizon(spine, dropNullKeyed(features, joinKeys :+ featureTs),
+      spineTs, featureTs, maxStaleness)
+    val fTagged = fPruned.select(fSel: _*)
 
     // Spine side: (keys, ts, side=1, pkt=null, spine cols)
     val sSel: Seq[Column] =

@@ -47,6 +47,33 @@ object ScaleProbe {
       AsOfJoin.joinAsOf(spine, features, Seq("k"), "sts", "fts",
         Seq("f_val"), method = "join-filter").count()
     }
+
+    // Hot-key skew: 20% of history and spine land on ONE key. AQE cannot
+    // split a window partition, so under plain union-window the hot key's
+    // full history sorts in one task (spillable — completes, but
+    // serialized). The training-dataset shape (spine = recent labels,
+    // history = long tail) makes the maxStaleness horizon the mitigation:
+    // spine spans only the last hour, so a 1-hour TTL prunes ~92% of the
+    // hot key's history BEFORE the shuffle and the straggler task shrinks
+    // proportionally.
+    val hot = (c: org.apache.spark.sql.Column) =>
+      when(c % 5 === 0, lit(0L)).otherwise(c % nKeys)
+    val hotFeatures = spark.range(nFeatures).select(
+      hot(col("id")).as("k"),
+      timestamp_micros(col("id") * 7919L % 86400000000L).as("fts"),
+      (col("id") % 1000).cast("double").as("f_val"))
+    val hotSpine = spark.range(nSpine).select(
+      col("id").as("sid"),
+      hot(col("id")).as("k"),
+      timestamp_micros(lit(82800000000L) + (col("id") * 104729L) % 3600000000L).as("sts"))
+    time("hot20-window") {
+      AsOfJoin.joinAsOf(hotSpine, hotFeatures, Seq("k"), "sts", "fts",
+        Seq("f_val"), method = "union-window").count()
+    }
+    time("hot20-ttl-1h") {
+      AsOfJoin.joinAsOf(hotSpine, hotFeatures, Seq("k"), "sts", "fts",
+        Seq("f_val"), method = "union-window", maxStaleness = Some("1 hour")).count()
+    }
     spark.stop()
   }
 }

@@ -194,4 +194,64 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"no semi-join reduction in plan:\n$plan")
     assert(!run(false).queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
+
+  test("NULL join keys: SQL equi-join semantics — never match, on every strategy") {
+    // NULL-keyed spine row must survive (left join) with null features even
+    // though NULL-keyed feature history exists; NULL-keyed feature rows
+    // match nothing; non-null keys are unaffected. Also invariant to the
+    // prefilter (which must not be the only thing dropping NULL-keyed rows).
+    val f = Seq(
+      (Some(1), daysAgo(10), 21, "k1"),
+      (None: Option[Int], daysAgo(10), 99, "nullkey"))
+      .toDF("customer_id", "updated_at", "age", "snap")
+    val sp = Seq(
+      (Some(1), daysAgo(7), 0),
+      (None: Option[Int], daysAgo(7), 1))
+      .toDF("customer_id", "event_time", "label")
+    for (m <- Seq("union-window", "join-filter", "auto"); pf <- Seq(true, false)) {
+      val out = AsOfJoin.joinAsOf(sp, f, Seq("customer_id"), "event_time",
+        "updated_at", featureCols = Seq("age", "snap"), method = m,
+        prefilterSpineKeys = pf)
+        .orderBy(asc_nulls_last("customer_id")).collect()
+      assert(out.length == 2, s"$m/pf=$pf: left join must keep the NULL-keyed spine row")
+      assert(out(0).getAs[String]("snap") == "k1", s"$m/pf=$pf: non-null key must match")
+      assert(out(1).isNullAt(out(1).fieldIndex("snap")) &&
+        out(1).isNullAt(out(1).fieldIndex("age")),
+        s"$m/pf=$pf: NULL-keyed spine row must get null features, got ${out(1)}")
+    }
+  }
+
+  test("NULL feature ts never matches; NULL spine ts gets null features") {
+    val f = Seq(
+      (1, Some(daysAgo(10)), 21, "real"),
+      (1, None: Option[Timestamp], 99, "nullts"))
+      .toDF("customer_id", "updated_at", "age", "snap")
+    val sp = Seq(
+      (1, Some(daysAgo(7)), 0),
+      (2, None: Option[Timestamp], 1))
+      .toDF("customer_id", "event_time", "label")
+    for (m <- Seq("union-window", "join-filter")) {
+      val out = AsOfJoin.joinAsOf(sp, f, Seq("customer_id"), "event_time",
+        "updated_at", featureCols = Seq("age", "snap"), method = m)
+        .orderBy("customer_id").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[String]("snap") == "real",
+        s"$m: NULL-ts feature row must never be the match")
+      assert(out(1).isNullAt(out(1).fieldIndex("snap")),
+        s"$m: NULL-ts spine row must get null features")
+    }
+  }
+
+  test("maxStaleness horizon pruning: plan prunes history below min(spine)-ttl, result exact") {
+    // history spans -30d..-1d; spine at -7d with ttl 5 days ⇒ horizon -12d:
+    // the -20d/-30d snapshots are pruned before the shuffle, and the result
+    // still matches the unpruned join-filter strategy exactly.
+    def run(m: String) = AsOfJoin.joinAsOf(
+      spine, features, Seq("customer_id"), "event_time", "updated_at",
+      featureCols = Seq("age", "snap"), method = m, maxStaleness = Some("5 days"))
+    val uw = run("union-window").orderBy("customer_id").collect().toSeq
+    val jf = run("join-filter").orderBy("customer_id").collect().toSeq
+    assert(uw == jf && uw.length == 10)
+    assert(uw.forall(_.getAs[String]("snap") == "snap10"))
+  }
 }
