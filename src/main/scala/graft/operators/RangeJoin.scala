@@ -55,7 +55,11 @@ object RangeJoin {
     // the residual; dropping them on the INTERVAL side is exact for both
     // join types (left preserves probe rows, not interval rows) and avoids
     // registering descending sequences in buckets the span doesn't cover.
-    val buckets = when(hi - lo >= maxBucketsPerInterval,
+    // span guard computed in Decimal(38,0): hi - lo in LongType can itself
+    // overflow (bucket width 1 with ±infinity sentinel bounds), which would
+    // bypass the guard under non-ANSI and throw a cryptic error under ANSI
+    val span = hi.cast(DecimalType(38, 0)) - lo.cast(DecimalType(38, 0))
+    val buckets = when(span >= maxBucketsPerInterval,
         raise_error(concat(
           lit(s"interval spans more than $maxBucketsPerInterval buckets of width $bucketMicros: ["),
           col(startCol), lit(", "), col(endCol),
@@ -82,8 +86,15 @@ object RangeJoin {
     * bucket a row WRONG and silently drop qualifying pairs — the residual
     * filter can only remove false positives, never recover false negatives).
     * `x - pmod(x, d)` is exactly divisible by d, so the decimal quotient is
-    * an exact integer.
+    * an exact integer. The subtraction runs in Decimal(38,0), not LongType:
+    * within pmod(x,d) of Long.MinValue a long subtraction underflows
+    * (ArithmeticException under ANSI, silent wrap + mis-bucketing without),
+    * so e.g. a Long.MinValue "-infinity" sentinel start would be rejected or
+    * bucketed wrong. pmod itself is safe at the boundary (x % d cannot
+    * overflow for d > 0).
     */
-  private def floorDiv(x: Column, d: Long): Column =
-    ((x - pmod(x, lit(d))).cast(DecimalType(38, 0)) / lit(d)).cast("long")
+  private def floorDiv(x: Column, d: Long): Column = {
+    val dec = DecimalType(38, 0)
+    ((x.cast(dec) - pmod(x, lit(d)).cast(dec)) / lit(d)).cast("long")
+  }
 }

@@ -51,6 +51,61 @@ class RangeJoinSpec extends SparkSpec {
     assert(matched.sameElements(expected))
   }
 
+  test("exact bucketing beyond 2^53 and near Long.MinValue (no double rounding, no underflow)") {
+    // 2^53 + k is where double loses integer precision; Long.MinValue + k is
+    // where the pre-fix long subtraction in floorDiv underflowed. Both must
+    // bucket exactly: compare against the naive non-equi join.
+    val big = 1L << 53
+    val lo = Long.MinValue
+    val iv = Seq(
+      (1L, big + 3, big + 20),          // straddles the 2^53 precision cliff
+      (2L, lo, lo + 25),                // "-infinity" sentinel start
+      (3L, -big - 20, -big - 3)         // negative beyond-2^53
+    ).toDF("iv_id", "ws", "we")
+    val pb = Seq(big + 2, big + 3, big + 19, big + 20, lo, lo + 7, lo + 24,
+      lo + 25, -big - 21, -big - 20, -big - 4, -big - 3).toDF("ts")
+    val expected = pb.as("p").join(iv.as("i"), $"ts" >= $"ws" && $"ts" < $"we")
+      .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(expected.length == 7, s"fixture sanity: ${expected.mkString(",")}")
+    for (b <- Seq(7L, 10L)) {
+      val got = RangeJoin.intervalJoin(pb, "ts", iv, "ws", "we", b)
+        .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(expected), s"bucket width $b diverged: ${got.mkString(",")}")
+    }
+  }
+
+  test("degenerate intervals (end <= start) match nothing and register no buckets") {
+    val iv = Seq((1L, 10L, 10L), (2L, 20L, 5L), (3L, 0L, 15L)).toDF("iv_id", "ws", "we")
+    val got = RangeJoin.intervalJoin(probe, "ts", iv, "ws", "we", 10L)
+      .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.forall(_._2 == 3L), s"degenerate interval matched: ${got.mkString(",")}")
+    assert(got.map(_._1).sameElements(Array(0L, 9L, 10L)), got.mkString(","))
+  }
+
+  test("over-wide interval fails fast with a readable error, not a sequence() explosion") {
+    val iv = Seq((1L, 0L, Long.MaxValue / 2)).toDF("iv_id", "ws", "we")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalJoin(probe, "ts", iv, "ws", "we", 10L,
+        maxBucketsPerInterval = 1000L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("spans more than 1000 buckets"), s"wrong error: $ex")
+  }
+
+  test("full-long-range sentinel interval hits the span guard (no long overflow bypass)") {
+    // bucket width 1, bounds at ±infinity sentinels: hi - lo overflows
+    // LongType; the decimal span guard must still raise the readable error
+    val iv = Seq((1L, Long.MinValue, Long.MaxValue)).toDF("iv_id", "ws", "we")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalJoin(probe, "ts", iv, "ws", "we", 1L,
+        maxBucketsPerInterval = 1000L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("spans more than 1000 buckets"), s"wrong error: $ex")
+  }
+
   test("plans as an equi-join on the bucket id, not a nested-loop product") {
     val plan = RangeJoin.intervalJoin(probe, "ts", intervals, "ws", "we", 10L)
       .queryExecution.executedPlan.toString
