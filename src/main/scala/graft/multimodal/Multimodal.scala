@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed batch-at-a-time per partition.
   *
-  * The Spark-side contract is real and tested — schema, partitioning, batch
-  * shape, and the typed `mapPartitions` pipeline — while the actual media
-  * decoding is a clearly-marked STUB (`decodeStub`): the container has no
-  * image/audio libraries, so the stub produces deterministic pseudo-features
-  * derived from the payload bytes. Swapping in a real decoder is a 1-function
-  * change with the same `Iterator[MediaItem] => Iterator[MediaFeatures]`
-  * batch signature (the same shape a `mapInPandas`/Arrow UDF would have).
+  * IMAGE payloads decode for REAL — [[ImageCodec]] drives `javax.imageio`
+  * (JDK-native PNG/JPEG/GIF/BMP), yielding true dimensions, frame counts,
+  * per-channel means and a pooled-grayscale thumbnail embedding. Payloads
+  * that are not decodable images (and the audio/video kinds, which have no
+  * pure-JVM codec) fall back to `pseudoFeatures`: deterministic
+  * digest-derived features, clearly marked by `decoded = false`. Swapping a
+  * real audio/video codec in is a 1-function change with the same
+  * `Iterator[MediaItem] => Iterator[MediaFeatures]` batch signature (the
+  * same shape a `mapInPandas`/Arrow UDF would have).
   *
   * Scale design: payloads never shuffle — `withFeatures` is map-side only;
   * `repartitionForDecode` sizes partitions by total payload bytes, not row
@@ -28,33 +30,55 @@ object Multimodal {
       source: String,
       n_bytes: Long)
 
-  /** Extracted per-item features (fixed-width, columnar-friendly). */
+  /** Extracted per-item features (fixed-width, columnar-friendly).
+    * `decoded = true` rows carry REAL pixel-derived values; `false` rows
+    * carry the deterministic digest-derived fallback (undecodable payload
+    * or a kind with no JVM codec).
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
       checksum: String,         // hex digest of the payload
-      width: Int,               // STUB: pseudo-dimensions
+      decoded: Boolean,
+      width: Int,
       height: Int,
       n_frames: Int,
-      feature_vec: Array[Float]) // STUB: deterministic pseudo-embedding
+      mean_r: Double,           // per-channel pixel means (decoded only)
+      mean_g: Double,
+      mean_b: Double,
+      feature_vec: Array[Float]) // decoded: pooled-luma thumbnail; else digest-derived
 
-  /** ??? — real decoder goes here (libjpeg/ffmpeg/...); STUB for now.
-    * Deterministic: every output is a pure function of the payload bytes.
+  /** Batch decoder: real image decode with deterministic fallback. Every
+    * output is a pure function of the payload bytes — stable across task
+    * retries, safe for exactly-once sinks.
     */
-  def decodeStub(items: Iterator[MediaItem]): Iterator[MediaFeatures] = {
+  def decodeBatch(items: Iterator[MediaItem]): Iterator[MediaFeatures] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     items.map { it =>
       md.reset()
       val digest = md.digest(it.payload)
       val hex = digest.map("%02x".format(_)).mkString
-      // pseudo-dimensions/frames derived from digest bytes (deterministic)
-      val w = 64 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
-      val h = 64 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
-      val frames = if (it.kind == "video") 1 + (java.lang.Byte.toUnsignedInt(digest(2)) % 16) else 1
-      val vec = digest.take(8).map(b => java.lang.Byte.toUnsignedInt(b) / 255.0f)
-      MediaFeatures(it.media_id, it.kind, it.n_bytes, hex, w, h, frames, vec)
+      ImageCodec.decode(it.payload) match {
+        case Some(d) =>
+          MediaFeatures(it.media_id, it.kind, it.n_bytes, hex, decoded = true,
+            d.width, d.height, d.nFrames, d.meanR, d.meanG, d.meanB, d.thumb)
+        case None => pseudoFeatures(it, digest, hex)
+      }
     }
+  }
+
+  /** Deterministic digest-derived fallback for payloads with no JVM codec
+    * (audio/video, or corrupt/unknown image bytes).
+    */
+  private def pseudoFeatures(
+      it: MediaItem, digest: Array[Byte], hex: String): MediaFeatures = {
+    val w = 64 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64)
+    val h = 64 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64)
+    val frames = if (it.kind == "video") 1 + (java.lang.Byte.toUnsignedInt(digest(2)) % 16) else 1
+    val vec = digest.take(8).map(b => java.lang.Byte.toUnsignedInt(b) / 255.0f)
+    MediaFeatures(it.media_id, it.kind, it.n_bytes, hex, decoded = false,
+      w, h, frames, 0.0, 0.0, 0.0, vec)
   }
 
   /** Build a MediaItem dataset from any table with an id + a binary column. */
@@ -87,6 +111,6 @@ object Multimodal {
   def withFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     val spark = items.sparkSession
     import spark.implicits._
-    items.mapPartitions(decodeStub)
+    items.mapPartitions(decodeBatch)
   }
 }

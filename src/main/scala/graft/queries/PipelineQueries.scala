@@ -306,7 +306,9 @@ object PipelineQueries {
               |WHERE e.vec_id < 100""".stripMargin)
     }),
 
-    // multimodal plumbing: binary payload → partition-wise decode (stubbed)
+    // multimodal plumbing: binary payload → partition-wise decode. These
+    // payloads are UTF-8 text (NOT images), so they exercise the documented
+    // fallback path: decoded=false, digest-derived pseudo-features.
     "q30_multimodal" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -315,6 +317,37 @@ object PipelineQueries {
       Multimodal.withFeatures(items)
         .select(col("media_id"), col("n_bytes"), col("checksum"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+    }),
+
+    // REAL image decode end-to-end: synthesize a deterministic solid-color
+    // PNG per doc_id, push it through javax.imageio via the typed
+    // mapPartitions pipeline, and report pixel-derived facts. The ground
+    // truth (dimensions, per-channel means) is a closed-form function of
+    // doc_id, so the DuckDB oracle checks the DECODER, not the arithmetic:
+    // any bit the codec round-trip gets wrong breaks the hash compare.
+    "q62_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+      val items = ids.map { id =>
+        val w = (16 + id % 49).toInt
+        val h = (16 + (id * 7) % 33).toInt
+        val rgb = (((id % 256) << 16) | (((id * 31) % 256) << 8) | ((id * 97) % 256)).toInt
+        val png = graft.multimodal.ImageCodec.encodeSolidPng(w, h, rgb)
+        Multimodal.MediaItem(id, "image", png, "synth", png.length.toLong)
+      }
+      // solid color + lossless codec ⇒ channel means are exactly the fill
+      // channels; the division sum/(w*h) is exact in double, so the cast is
+      // safe (and a non-integral mean would signal a decoder defect anyway)
+      Multimodal.withFeatures(items)
+        .filter(col("decoded"))
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("mean_r")).cast("long").as("mean_r"),
+          round(col("mean_g")).cast("long").as("mean_g"),
+          round(col("mean_b")).cast("long").as("mean_b"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -478,5 +511,15 @@ object PipelineQueries {
         |SELECT media_id, n_bytes, checksum,
         |  CAST(64 + (b0 % 64) AS BIGINT) AS width,
         |  CAST(64 + (b1 % 64) AS BIGINT) AS height
-        |FROM hx""".stripMargin)
+        |FROM hx""".stripMargin,
+
+    "q62_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 49 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 7) % 33 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
+        |  CAST((doc_id * 31) % 256 AS BIGINT) AS mean_g,
+        |  CAST((doc_id * 97) % 256 AS BIGINT) AS mean_b
+        |FROM documents WHERE doc_id < 200""".stripMargin)
 }
