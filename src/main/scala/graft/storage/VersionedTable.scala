@@ -41,7 +41,13 @@ import org.apache.spark.sql.functions._
   *     so the protocol ports without a rename-is-atomic assumption. Locally
   *     the flip itself is additionally tmp-write + ATOMIC_MOVE. The lock is
   *     held for milliseconds (one read + one small write); a lock file older
-  *     than [[LockTtlMs]] is a crashed writer and is taken over.
+  *     than [[LockTtlMs]] is a crashed writer and is taken over. Because
+  *     stale-lock takeover is check-then-delete (not atomic on a shared
+  *     path), the flip is additionally guarded by an atomic per-version
+  *     ''claim'' — `createFile` of the versioned snapshot, exactly one
+  *     winner per version — so even a double takeover costs one loser a
+  *     clean [[ConcurrentCommitException]], never a silently lost commit
+  *     (see [[claimVersion]]).
   *
   * Three commit kinds:
   *  - [[overwrite]]: manifest := [newSegment] — FULL refresh.
@@ -164,15 +170,39 @@ object VersionedTable {
     */
   def readManifestAt(path: String, version: Long): Option[Manifest] = {
     val p = snapshotPath(path, version)
-    if (Files.exists(p)) Some(parseManifest(Files.readAllBytes(p)))
+    // a zero-byte snapshot is a claimed-but-unfilled version marker from an
+    // in-flight (or crashed) commit, not a committed manifest
+    if (Files.exists(p) && Files.size(p) > 0) Some(parseManifest(Files.readAllBytes(p)))
     else readManifest(path).filter(_.version == version)
   }
 
   /** The CAS flip: verify the on-disk manifest is still at `expectedVersion`
-    * (None = no manifest yet) inside the lock's critical section, then
+    * (None = no manifest yet) inside the lock's critical section, claim the
+    * version with an ATOMIC create of the versioned-snapshot file, then
     * publish `m`. Throws [[ConcurrentCommitException]] when another commit
     * has landed since the caller read its base — the caller's segment stays
     * behind as an unreferenced dir for [[vacuum]].
+    *
+    * '''Why the claim step exists.''' The `_LOCK` file's stale-TTL takeover
+    * is inherently a check-then-delete on a shared path: two writers can
+    * both judge the lock stale, and the slower one's delete can remove the
+    * FRESH lock the faster one just created — both then run this critical
+    * section concurrently and both pass the version re-check, which without
+    * a second defense would silently lose one commit (both flip to the same
+    * version, last rename wins). `Files.createFile` on the per-version
+    * snapshot path is O_CREAT|O_EXCL — genuinely atomic, exactly one winner
+    * per version number — so the racer that loses the claim throws instead
+    * of clobbering (≙ object-store conditional PUT `If-None-Match` on a
+    * per-version key, so the defense ports off the local FS too). The lock
+    * remains the throughput device; the claim is the correctness arbiter.
+    *
+    * Crash recovery: a writer that dies between claiming and flipping
+    * leaves a version marker with no manifest flip. A later committer that
+    * finds the marker, sees the current manifest still BELOW the marker's
+    * version, and measures the marker older than [[LockTtlMs]] rolls the
+    * orphan back (delete + re-claim, where re-claim's createFile again
+    * arbitrates concurrent recoverers). A fresh marker is a live racer and
+    * stays a [[ConcurrentCommitException]].
     */
   private def commitManifest(path: String, expectedVersion: Option[Long], m: Manifest): Unit =
     withCommitLock(path) {
@@ -193,17 +223,45 @@ object VersionedTable {
           o.put("col", s.col); o.put("min", s.min); o.put("max", s.max)
         }
       }
-      val tmp = Paths.get(path, ManifestName + ".tmp")
       val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n)
+      claimVersion(path, m.version)
+      // fill the claimed marker with the snapshot content atomically (time
+      // travel readers must never parse a half-written snapshot)
+      val snap = snapshotPath(path, m.version)
+      val snapTmp = Paths.get(path, snap.getFileName.toString + ".tmp")
+      Files.write(snapTmp, bytes)
+      Files.move(snapTmp, snap, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      // the commit point: flip the current manifest
+      val tmp = Paths.get(path, ManifestName + ".tmp")
       Files.write(tmp, bytes)
       Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      // versioned snapshot for time travel, written after the flip (commit
-      // point) so a crashed loser never leaves a snapshot of a non-commit;
-      // the just-committed version is always also readable via the current
-      // manifest, so a crash between flip and snapshot loses nothing
-      Files.write(snapshotPath(path, m.version), bytes)
     }
+
+  /** Atomically claim `version`: exactly one `createFile` on the snapshot
+    * path succeeds per version number. Rolls back a crashed predecessor's
+    * orphaned claim (marker older than [[LockTtlMs]] with the manifest
+    * still below `version`); any other existing marker is a lost race.
+    */
+  private def claimVersion(path: String, version: Long): Unit = {
+    val snap = snapshotPath(path, version)
+    def lost() = new ConcurrentCommitException(
+      s"concurrent commit at $path: version $version already claimed by another writer")
+    try Files.createFile(snap)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val orphaned =
+          try {
+            readManifest(path).forall(_.version < version) &&
+            System.currentTimeMillis() - Files.getLastModifiedTime(snap).toMillis > LockTtlMs
+          } catch { case _: java.io.IOException => false }
+        if (!orphaned) throw lost()
+        Files.deleteIfExists(snap)
+        try Files.createFile(snap)
+        catch { case _: java.nio.file.FileAlreadyExistsException => throw lost() }
+    }
+  }
 
   private def withCommitLock[T](path: String)(body: => T): T = {
     Files.createDirectories(Paths.get(path))

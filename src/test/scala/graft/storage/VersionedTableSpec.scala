@@ -185,6 +185,78 @@ class VersionedTableSpec extends SparkSpec {
       Set((9, 9), (3, 3)))
   }
 
+  test("a live racer's fresh version claim refuses the commit — no silently lost commit") {
+    // simulates the double-takeover hazard: another writer has atomically
+    // claimed version 2 (fresh snapshot marker) but not yet flipped — a
+    // committer that somehow also reached the critical section must lose at
+    // the claim, not clobber the winner's flip
+    val dir = tmp()
+    VersionedTable.append(dir)(writeSeg(Seq((1, 1))))
+    val marker = Paths.get(dir, f"_MANIFEST-v${2L}%08d.json")
+    Files.createFile(marker) // fresh, zero-byte: a claim in flight
+    val e = intercept[ConcurrentCommitException] {
+      VersionedTable.append(dir)(writeSeg(Seq((2, 2))))
+    }
+    assert(e.getMessage.contains("already claimed"), e.getMessage)
+    assert(VersionedTable.readManifest(dir).get.version == 1, "flip must not have happened")
+    // a zero-byte claim marker is not a committed manifest for time travel
+    assert(VersionedTable.readManifestAt(dir, 2).isEmpty)
+  }
+
+  test("an orphaned version claim (crashed winner) is rolled back after the TTL") {
+    val dir = tmp()
+    VersionedTable.append(dir)(writeSeg(Seq((1, 1))))
+    val marker = Paths.get(dir, f"_MANIFEST-v${2L}%08d.json")
+    Files.createFile(marker)
+    Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.LockTtlMs - 1000))
+    VersionedTable.append(dir)(writeSeg(Seq((2, 2)))) // must take over the claim
+    assert(VersionedTable.readManifest(dir).get.version == 2)
+    // the recovered version's snapshot is the real manifest, time-travelable
+    assert(VersionedTable.readManifestAt(dir, 2).get.segments.size == 2)
+    assert(VersionedTable.read(spark, dir).count() == 2)
+  }
+
+  test("two writers racing a STALE lock takeover: every reported success is a real commit") {
+    // both writers find an abandoned lock and race the takeover itself —
+    // the check-then-delete window can put both in the critical section;
+    // the per-version claim must still guarantee one commit per version
+    val dir = tmp()
+    VersionedTable.append(dir)(writeSeg(Seq((0, 0))))
+    val lock = Paths.get(dir, "_LOCK")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.LockTtlMs - 1000))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          start.await()
+          try { VersionedTable.append(dir)(writeSeg(Seq((i, i)))); None }
+          catch { case e: Throwable => Some(e) }
+        }
+      })
+    }
+    start.countDown()
+    val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val failures = outcomes.flatten
+    failures.foreach(f => assert(f.isInstanceOf[ConcurrentCommitException], s"loser got $f"))
+    val successes = 2 - failures.size
+    val m = VersionedTable.readManifest(dir).get
+    val rows = VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet
+    // the invariant that catches a lost commit in ANY interleaving: every
+    // writer that reported success has its segment in the manifest and its
+    // rows in the table
+    assert(m.segments.size == 1 + successes,
+      s"$successes successes but manifest has ${m.segments.size} segments")
+    assert(rows.size == 1 + successes && rows.contains((0, 0)), rows.toString)
+    assert(m.version == 1 + successes)
+  }
+
   test("crashed-writer lock file is taken over after the TTL") {
     val dir = tmp()
     Files.createDirectories(Paths.get(dir))
