@@ -18,6 +18,25 @@ import graft.multimodal.Multimodal
   */
 object PipelineQueries {
 
+  /** One scratch root per JVM for queries that land intermediate parquet
+    * (signatures, sketches, indexes); removed on JVM exit so repeated
+    * invocations don't accumulate orphaned temp dirs.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root.toFile)))
+    root
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
   private val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "und"),
     "en" -> Seq("the", "a", "and"),
@@ -51,7 +70,7 @@ object PipelineQueries {
     // text is scanned once, the band shuffle carries only (band, hash, id)
     // triples, and hash payloads re-join by id for verification.
     "q23_minhash" -> ((s, dir) => {
-      val land = java.nio.file.Files.createTempDirectory("graft_minhash_sigs")
+      val land = scratchDir("minhash_sigs")
       DedupFunctions.nearDupMinHash(
         Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.5, numHashes = 32, bands = 8,
@@ -62,7 +81,7 @@ object PipelineQueries {
     // corpus (even ids) — corpus text never re-read (rows-only check)
     "q50_minhash_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val land = java.nio.file.Files.createTempDirectory("graft_minhash_corpus")
+      val land = scratchDir("minhash_corpus")
         .resolve("sigs").toString
       DedupFunctions.minHashSignatures(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
@@ -76,7 +95,7 @@ object PipelineQueries {
     // technique; catches shared substrings n-gram-token methods miss
     // (rows-only check)
     "q51_winnowing" -> ((s, dir) => {
-      val land = java.nio.file.Files.createTempDirectory("graft_winnow_sk")
+      val land = scratchDir("winnow_sk")
       DedupFunctions.nearDupWinnowing(
         Tables.documents(s, dir), "doc_id", "text", threshold = 0.3,
         landPath = Some(land.resolve("sketches").toString))
@@ -121,7 +140,7 @@ object PipelineQueries {
     "q49_knn_ivf_indexed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queriesDf = emb.filter(col("vec_id") < 10)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+      val idx = scratchDir("ivf_idx")
         .resolve("index").toString
       Similarity.ivfIndexWrite(emb, "vec_id", "embedding", idx, nlist = 16)
       Similarity.ivfTopKIndexed(queriesDf, "vec_id", "embedding", idx, k = 5, nprobe = 4)
