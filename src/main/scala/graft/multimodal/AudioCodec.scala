@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+
+/** Real, pure-JVM audio decode for the multimodal plane — no native deps.
+  *
+  * `javax.sound.sampled` ships with the JDK and parses WAV, AU and AIFF
+  * containers with PCM payloads; non-16-bit encodings are converted through
+  * the JDK's format-conversion chain. That makes audio columns a REAL
+  * capability — true sample rate, channel count, duration and signal
+  * statistics — leaving only video behind the documented deterministic
+  * fallback.
+  *
+  * Deterministic and side-effect free: decode results are stable across
+  * retries/speculative tasks (exactly-once-sink safe).
+  *
+  * Reference anchor: none — beyond-reference north-star item (multimodal
+  * columns for LLM training-data pipelines).
+  */
+object AudioCodec {
+
+  /** Signal-derived facts about one decoded clip. `rms` and `peak` are in
+    * raw 16-bit sample units (0..32767), channels pooled.
+    */
+  final case class DecodedAudio(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      nFrames: Long,
+      durationMs: Double,
+      rms: Double,
+      peak: Double)
+
+  /** Decode an audio payload; None when the bytes are not a supported
+    * container/encoding. One payload decodes in one task (clips are
+    * row-sized), composing with the Iterator→Iterator batch shape of
+    * [[Multimodal]].
+    */
+  def decode(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val srcFmt = raw.getFormat
+        // normalize to signed 16-bit PCM so the sample math is uniform; the
+        // JDK converts from PCM_U8/PCM_FLOAT/ULAW/ALAW where supported
+        val want = new AudioFormat(
+          srcFmt.getSampleRate, 16, srcFmt.getChannels, true, false)
+        val pcm =
+          if (srcFmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              srcFmt.getSampleSizeInBits == 16) raw
+          else AudioSystem.getAudioInputStream(want, raw)
+        val fmt = pcm.getFormat
+        val data = pcm.readAllBytes()
+        val bigEndian = fmt.isBigEndian
+        val n = data.length / 2
+        var i = 0
+        var sumSq = 0.0
+        var peak = 0L
+        while (i < n) {
+          val lo = data(2 * i + (if (bigEndian) 1 else 0)) & 0xff
+          val hi = data(2 * i + (if (bigEndian) 0 else 1))
+          val s = (hi << 8) | lo
+          sumSq += s.toDouble * s
+          val a = math.abs(s.toLong)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val channels = fmt.getChannels
+        val frames = if (channels > 0) n.toLong / channels else 0L
+        if (frames == 0) return None
+        val rate = fmt.getSampleRate.toDouble
+        Some(DecodedAudio(
+          sampleRate = fmt.getSampleRate.toInt,
+          channels = channels,
+          bitsPerSample = 16,
+          nFrames = frames,
+          durationMs = frames * 1000.0 / rate,
+          rms = math.sqrt(sumSq / n),
+          peak = peak.toDouble))
+      } finally raw.close()
+    } catch {
+      case _: UnsupportedAudioFileException => None
+      case _: Exception => None // truncated/corrupt payload
+    }
+  }
+
+  /** Deterministic in-memory WAV encode (RIFF + 16-bit signed LE PCM),
+    * hand-rolled so fixtures have zero dependence on writer quirks —
+    * fixture generator for specs and oracle queries (synthetic payloads
+    * whose signal statistics are closed-form functions of the row id).
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, s"bad format $sampleRate Hz x$channels")
+    require(samples.length % channels == 0, "sample count must be a multiple of channels")
+    val dataLen = samples.length * 2
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1) // PCM
+    le16(channels)
+    le32(sampleRate)
+    le32(sampleRate * channels * 2) // byte rate
+    le16(channels * 2)              // block align
+    le16(16)                        // bits per sample
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    samples.foreach(s => le16(s & 0xffff))
+    out.toByteArray
+  }
+
+  /** Mono square wave: every sample is exactly ±amplitude, so RMS == peak
+    * == amplitude — decoded statistics are exactly predictable.
+    */
+  def encodeSquareWav(sampleRate: Int, nSamples: Int, amplitude: Short,
+      halfPeriod: Int): Array[Byte] = {
+    require(halfPeriod > 0, "halfPeriod must be positive")
+    val samples = Array.tabulate(nSamples) { i =>
+      if ((i / halfPeriod) % 2 == 0) amplitude else (-amplitude).toShort
+    }
+    encodeWavPcm16(sampleRate, 1, samples)
+  }
+}

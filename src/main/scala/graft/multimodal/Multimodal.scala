@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE payloads decode for REAL — [[ImageCodec]] drives `javax.imageio`
   * (JDK-native PNG/JPEG/GIF/BMP), yielding true dimensions, frame counts,
-  * per-channel means and a pooled-grayscale thumbnail embedding. Payloads
-  * that are not decodable images (and the audio/video kinds, which have no
-  * pure-JVM codec) fall back to `pseudoFeatures`: deterministic
-  * digest-derived features, clearly marked by `decoded = false`. Swapping a
-  * real audio/video codec in is a 1-function change with the same
-  * `Iterator[MediaItem] => Iterator[MediaFeatures]` batch signature (the
-  * same shape a `mapInPandas`/Arrow UDF would have).
+  * per-channel means and a pooled-grayscale thumbnail embedding. AUDIO
+  * payloads decode for REAL too — [[AudioCodec]] drives
+  * `javax.sound.sampled` (JDK-native WAV/AU/AIFF), yielding true sample
+  * rate, channels, duration and signal statistics. Payloads neither codec
+  * accepts (and the video kind, which has no pure-JVM codec) fall back to
+  * deterministic digest-derived features, clearly marked by
+  * `decoded = false`. Swapping a real video codec in is a 1-function change
+  * with the same `Iterator[MediaItem] => Iterator[...]` batch signature
+  * (the same shape a `mapInPandas`/Arrow UDF would have).
   *
   * Scale design: payloads never shuffle — `withFeatures` is map-side only;
   * `repartitionForDecode` sizes partitions by total payload bytes, not row
@@ -68,8 +70,55 @@ object Multimodal {
     }
   }
 
+  /** Audio features (fixed-width, columnar-friendly). `decoded = true` rows
+    * carry REAL signal-derived values via [[AudioCodec]]; `false` rows are
+    * the deterministic fallback (undecodable payload).
+    */
+  final case class AudioFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: String,
+      decoded: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      duration_ms: Double,
+      rms: Double,           // raw 16-bit units, channels pooled
+      peak: Double)
+
+  /** Batch audio decoder: real WAV/AU/AIFF decode with deterministic
+    * fallback (all-zero stats, decoded=false) for undecodable payloads.
+    */
+  def decodeAudioBatch(items: Iterator[MediaItem]): Iterator[AudioFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    items.map { it =>
+      md.reset()
+      val hex = md.digest(it.payload).map("%02x".format(_)).mkString
+      AudioCodec.decode(it.payload) match {
+        case Some(d) =>
+          AudioFeatures(it.media_id, it.kind, it.n_bytes, hex, decoded = true,
+            d.sampleRate, d.channels, d.bitsPerSample, d.nFrames,
+            d.durationMs, d.rms, d.peak)
+        case None =>
+          AudioFeatures(it.media_id, it.kind, it.n_bytes, hex, decoded = false,
+            0, 0, 0, 0L, 0.0, 0.0, 0.0)
+      }
+    }
+  }
+
+  /** Audio decode/feature-extract pipeline: typed mapPartitions, map-side
+    * only — payloads never shuffle.
+    */
+  def withAudioFeatures(items: Dataset[MediaItem]): Dataset[AudioFeatures] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(decodeAudioBatch)
+  }
+
   /** Deterministic digest-derived fallback for payloads with no JVM codec
-    * (audio/video, or corrupt/unknown image bytes).
+    * (video, or corrupt/unknown image bytes).
     */
   private def pseudoFeatures(
       it: MediaItem, digest: Array[Byte], hex: String): MediaFeatures = {

@@ -367,6 +367,35 @@ object PipelineQueries {
           round(col("mean_r")).cast("long").as("mean_r"),
           round(col("mean_g")).cast("long").as("mean_g"),
           round(col("mean_b")).cast("long").as("mean_b"))
+    }),
+
+    // REAL audio decode end-to-end: synthesize a deterministic square-wave
+    // WAV per doc_id, decode it through javax.sound.sampled, report
+    // signal-derived facts. Square wave ⇒ every sample is exactly ±A, so
+    // rms == peak == A and duration is n/rate — closed-form in SQL, so the
+    // oracle checks the CODEC round trip, not arithmetic.
+    "q63_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+      val items = ids.map { id =>
+        val nSamples = (800 + (id % 100) * 8).toInt  // multiple of 8 ⇒ ms exact at 8 kHz
+        val amp = (1000 + (id % 20) * 500).toShort
+        val wav = graft.multimodal.AudioCodec.encodeSquareWav(
+          8000, nSamples, amp, halfPeriod = (4 + id % 5).toInt)
+        Multimodal.MediaItem(id, "audio", wav, "synth", wav.length.toLong)
+      }
+      // rms = sqrt(n*A^2/n) = sqrt(A^2) = A exactly in double (A integer,
+      // perfect square), so the long casts are lossless
+      Multimodal.withAudioFeatures(items)
+        .filter(col("decoded"))
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").as("n_frames"),
+          round(col("duration_ms")).cast("long").as("duration_ms"),
+          round(col("rms")).cast("long").as("rms"),
+          round(col("peak")).cast("long").as("peak"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -540,5 +569,15 @@ object PipelineQueries {
         |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
         |  CAST((doc_id * 31) % 256 AS BIGINT) AS mean_g,
         |  CAST((doc_id * 97) % 256 AS BIGINT) AS mean_b
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "q63_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(800 + (doc_id % 100) * 8 AS BIGINT) AS n_frames,
+        |  CAST((800 + (doc_id % 100) * 8) / 8 AS BIGINT) AS duration_ms,
+        |  CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS rms,
+        |  CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS peak
         |FROM documents WHERE doc_id < 200""".stripMargin)
 }
