@@ -117,8 +117,55 @@ object Multimodal {
     items.mapPartitions(decodeAudioBatch)
   }
 
+  /** Video features. `decoded = true` rows carry REAL container+pixel
+    * facts via [[VideoCodec]] (AVI with raw-DIB or MJPEG frames); `false`
+    * rows are the deterministic fallback.
+    */
+  final case class VideoFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: String,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      fps: Double,
+      duration_ms: Double,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      luma_variance: Double)  // temporal activity: 0 = static clip
+
+  /** Batch video decoder: real AVI decode with deterministic fallback. */
+  def decodeVideoBatch(items: Iterator[MediaItem]): Iterator[VideoFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    items.map { it =>
+      md.reset()
+      val hex = md.digest(it.payload).map("%02x".format(_)).mkString
+      VideoCodec.decode(it.payload) match {
+        case Some(d) =>
+          VideoFeatures(it.media_id, it.kind, it.n_bytes, hex, decoded = true,
+            d.width, d.height, d.nFrames, d.fps, d.durationMs,
+            d.meanR, d.meanG, d.meanB, VideoCodec.lumaVariance(d))
+        case None =>
+          VideoFeatures(it.media_id, it.kind, it.n_bytes, hex, decoded = false,
+            0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      }
+    }
+  }
+
+  /** Video decode/feature-extract pipeline: typed mapPartitions, map-side
+    * only — payloads never shuffle.
+    */
+  def withVideoFeatures(items: Dataset[MediaItem]): Dataset[VideoFeatures] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(decodeVideoBatch)
+  }
+
   /** Deterministic digest-derived fallback for payloads with no JVM codec
-    * (video, or corrupt/unknown image bytes).
+    * (or corrupt/unknown image bytes).
     */
   private def pseudoFeatures(
       it: MediaItem, digest: Array[Byte], hex: String): MediaFeatures = {

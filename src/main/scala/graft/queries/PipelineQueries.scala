@@ -396,6 +396,39 @@ object PipelineQueries {
           round(col("duration_ms")).cast("long").as("duration_ms"),
           round(col("rms")).cast("long").as("rms"),
           round(col("peak")).cast("long").as("peak"))
+    }),
+
+    // REAL video decode end-to-end: synthesize a deterministic AVI (raw
+    // 24-bit DIB frames — lossless) per doc_id, decode the RIFF container +
+    // frame pixels, report container facts and pixel sums. Frame f is solid
+    // gray (doc_id*13 + f*29) % 256, so the per-frame gray SUM is
+    // closed-form in SQL; fps values all divide 1000, so duration_ms is an
+    // exact integer. round(mean_r * n_frames) recovers the exact gray sum.
+    "q64_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 150).select(col("doc_id")).as[Long]
+      val items = ids.map { id =>
+        val w = (16 + id % 17).toInt
+        val h = (8 + (id * 3) % 13).toInt
+        val fps = Array(4, 5, 8, 10)((id % 4).toInt)
+        val n = (2 + id % 6).toInt
+        val frames = Array.tabulate(n) { f =>
+          val g = ((id * 13 + f * 29) % 256).toInt
+          (_: Int, _: Int) => (g << 16) | (g << 8) | g
+        }
+        val avi = graft.multimodal.VideoCodec.encodeAviRgb(w, h, fps, frames)
+        Multimodal.MediaItem(id, "video", avi, "synth", avi.length.toLong)
+      }
+      Multimodal.withVideoFeatures(items)
+        .filter(col("decoded"))
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("fps")).cast("long").as("fps"),
+          round(col("duration_ms")).cast("long").as("duration_ms"),
+          round(col("mean_r") * col("n_frames")).cast("long").as("gray_sum"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -579,5 +612,23 @@ object PipelineQueries {
         |  CAST((800 + (doc_id % 100) * 8) / 8 AS BIGINT) AS duration_ms,
         |  CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS rms,
         |  CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS peak
-        |FROM documents WHERE doc_id < 200""".stripMargin)
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "q64_video_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ([4, 5, 8, 10])[CAST(doc_id % 4 AS INT) + 1] AS fps,
+        |    CAST(2 + doc_id % 6 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 150
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 17 AS BIGINT) AS width,
+        |  CAST(8 + (doc_id * 3) % 13 AS BIGINT) AS height,
+        |  n AS n_frames,
+        |  CAST(fps AS BIGINT) AS fps,
+        |  CAST(n * 1000 / fps AS BIGINT) AS duration_ms,
+        |  CAST(list_aggregate(
+        |    list_transform(range(0, CAST(n AS INT)),
+        |      f -> (doc_id * 13 + f * 29) % 256), 'sum') AS BIGINT) AS gray_sum
+        |FROM p""".stripMargin)
 }
