@@ -99,6 +99,28 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     graft.expressions.TextHashExpressions.tokenSetFingerprint(tokens(lower(text)))
 
+  /** PII patterns redacted by [[redactPii]], applied in order (email before
+    * phone so a user-part digit run is consumed as part of the address;
+    * SSN before phone so 3-2-4 digit groups never half-match the 3-3-4
+    * phone shape; IP last). The patterns are the RE2-compatible subset
+    * (no lookaround, no backrefs) so the SAME strings run on Spark (Java
+    * regex) and any RE2 engine — portability the cross-engine oracle
+    * exercises directly.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "[PHONE]"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"))
+
+  /** Redact common PII (emails, SSNs, phone numbers, IPv4 addresses) —
+    * the standard pre-training scrub pass. Pure map-side `regexp_replace`
+    * chain: codegen'd, zero shuffle, linear in the text.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, java.util.regex.Matcher.quoteReplacement(tag)) }
+
   /** Default English-ish stopword list used by quality scoring. */
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",

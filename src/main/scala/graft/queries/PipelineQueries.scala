@@ -429,6 +429,30 @@ object PipelineQueries {
           round(col("fps")).cast("long").as("fps"),
           round(col("duration_ms")).cast("long").as("duration_ms"),
           round(col("mean_r") * col("n_frames")).cast("long").as("gray_sum"))
+    }),
+
+    // PII redaction — the standard pre-training scrub pass. The corpus has
+    // no digits/@ (asserted over sf0.1), so deterministic PII is injected
+    // per doc_id and both engines must redact the SAME spans with the SAME
+    // RE2-compatible patterns: the md5 of the redacted text is a per-row
+    // cross-engine regex-parity check. Map-side only, zero shuffle.
+    "q65_pii_redact" -> ((s, dir) => {
+      val pad4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      val injected = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or phone 555-010-"), pad4,
+        lit(" ssn 123-45-"), pad4,
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+      val Seq(emailPat, ssnPat, phonePat, ipPat) = TextFunctions.piiPatterns.map(_._1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          md5(TextFunctions.redactPii(col("t"))).as("redacted_md5"),
+          regexp_count(col("t"), lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(ssnPat)).cast("long").as("n_ssns"),
+          regexp_count(col("t"), lit(phonePat)).cast("long").as("n_phones"),
+          regexp_count(col("t"), lit(ipPat)).cast("long").as("n_ips"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -630,5 +654,26 @@ object PipelineQueries {
         |  CAST(list_aggregate(
         |    list_transform(range(0, CAST(n AS INT)),
         |      f -> (doc_id * 13 + f * 29) % 256), 'sum') AS BIGINT) AS gray_sum
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+
+    "q65_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com or phone 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM inj""".stripMargin)
 }

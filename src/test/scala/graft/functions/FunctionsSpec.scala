@@ -7,6 +7,26 @@ import graft.{SparkSpec, Tables}
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redactPii: each PII class redacted, clean text untouched, no cross-class half-matches") {
+    val df = Seq(
+      ("mail me at jo.doe+x@sub.example.org today", 1L),
+      ("ssn 123-45-6789 phone 555-010-1234 ip 192.168.0.1", 2L),
+      ("no pii here, just words and 42 numbers", 3L),
+      ("v1.2.3.4 is a version, 1.2.3.4 bare is the ip shape", 4L),
+      ("", 5L)
+    ).toDF("text", "id")
+    val out = df.select($"id", TextFunctions.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at [EMAIL] today")
+    assert(out(2L) == "ssn [SSN] phone [PHONE] ip [IP]")
+    assert(out(3L) == "no pii here, just words and 42 numbers")
+    // \b keeps "v1.2.3.4" intact (no boundary inside v1) while a bare
+    // 4-octet run matches the IPv4 shape — the precision/recall trade of
+    // pattern-based scrubbing, pinned here
+    assert(out(4L) == "v1.2.3.4 is a version, [IP] bare is the ip shape", out(4L))
+    assert(out(5L) == "")
+  }
+
   test("tokenCount / avgTokenLen / punctRatio on canonical strings") {
     val df = Seq(
       ("ab cd  ef", 1L),   // double space → still 3 tokens
