@@ -299,4 +299,38 @@ object DedupFunctions {
         round(jaccard(col("a.hashes"), col("b.hashes")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Train/eval decontamination: for every `docs` row, how many DISTINCT
+    * word n-grams it shares with the reference corpus (the eval/benchmark
+    * set) — the published pre-training hygiene step (GPT-3 appendix C /
+    * PaLM-style n-gram overlap). Returns (id, n_shared) for contaminated
+    * docs only.
+    *
+    * 100 TB shape: the reference side is an eval set — thousands of docs,
+    * not terabytes — so its distinct-shingle set is BROADCAST and the train
+    * corpus is matched map-side (no shuffle of the 100 TB side; the only
+    * shuffle is the per-doc distinct-count aggregation, which carries
+    * (id, gram) pairs already filtered down to eval-set hits). Word n-grams
+    * are matched as strings here for oracle portability; swap
+    * [[shingleHashes]] in for a hashed variant at scale (8 bytes/gram on
+    * the wire instead of the gram text).
+    */
+  def contaminationNgramOverlap(
+      docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
+    def grams(text: Column): Column = {
+      val t = TextFunctions.tokens(lower(text))
+      // size < n would make sequence() descend — emit no grams instead
+      when(size(t) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val refGrams = ref.select(explode(grams(col(refTextCol))).as("gram")).distinct()
+    docs.select(col(idCol).as("id"), explode(grams(col(textCol))).as("gram"))
+      .join(broadcast(refGrams), Seq("gram"), "inner")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
+  }
 }

@@ -453,6 +453,47 @@ object PipelineQueries {
           regexp_count(col("t"), lit(ssnPat)).cast("long").as("n_ssns"),
           regexp_count(col("t"), lit(phonePat)).cast("long").as("n_phones"),
           regexp_count(col("t"), lit(ipPat)).cast("long").as("n_ips"))
+    }),
+
+    // Gopher/C4-style repetition & shape quality filters — entirely
+    // map-side (array HOFs per row, zero shuffle; the per-doc mode count
+    // is O(|vocab_doc| * |doc|) inside the row, never a word-level
+    // shuffle, which is what survives 100 TB). Rule evaluated on ROUNDED
+    // fractions so both engines compare identical doubles.
+    "q66_quality_filters" -> ((s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
+      val t = col("t")
+      val n = size(t)
+      val nd = size(array_distinct(t))
+      val maxc = array_max(transform(array_distinct(t),
+        w => size(filter(t, x => x === w))))
+      val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+      def r4(c: org.apache.spark.sql.Column) = TextFunctions.round4(c)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(t) > 0)
+        .select(col("doc_id"),
+          n.cast("long").as("n_tokens"),
+          r4(lit(1.0) - nd.cast("double") / n).as("dup_word_frac"),
+          r4(maxc.cast("double") / n).as("top_word_frac"),
+          r4(sumLen.cast("double") / n).as("mean_word_len"))
+        .withColumn("keep",
+          (col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
+            col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+            col("top_word_frac") <= 0.2 && col("dup_word_frac") <= 0.85)
+            .cast("long"))
+    }),
+
+    // train/eval decontamination: distinct 3-gram overlap of every train
+    // doc (98% of the corpus) against the eval split (doc_id % 50 == 0) —
+    // the GPT-3/PaLM-published pre-training hygiene step. Eval shingle set
+    // broadcasts; the train side never shuffles its text.
+    "q67_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupFunctions.contaminationNgramOverlap(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shared"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -675,5 +716,49 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
         |  CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
         |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips
-        |FROM inj""".stripMargin)
+        |FROM inj""".stripMargin,
+
+    "q66_quality_filters" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, len(t) AS n,
+        |    len(list_distinct(t)) AS nd,
+        |    list_aggregate(list_transform(list_distinct(t),
+        |      w -> len(list_filter(t, x -> x = w))), 'max') AS maxc,
+        |    list_aggregate(list_transform(t, x -> len(x)), 'sum') AS sum_len
+        |  FROM tok WHERE len(t) > 0
+        |), f AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    floor((1.0 - CAST(nd AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+        |    floor((CAST(maxc AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+        |    floor((CAST(sum_len AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 AS mean_word_len
+        |  FROM m
+        |)
+        |SELECT doc_id, n_tokens, dup_word_frac, top_word_frac, mean_word_len,
+        |  CAST(n_tokens >= 5 AND n_tokens <= 100000
+        |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
+        |FROM f""".stripMargin,
+
+    "q67_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM tok WHERE len(t) >= 3
+        |), ev AS (
+        |  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0
+        |), tr AS (
+        |  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 50 <> 0
+        |)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id""".stripMargin)
 }

@@ -7,6 +7,22 @@ import graft.{SparkSpec, Tables}
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("contaminationNgramOverlap: exact distinct-gram counts, short docs skipped, broadcast plan") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "beta gamma delta epsilon"),      // shares "beta gamma delta"
+      (3L, "zeta eta theta iota"),           // no overlap
+      (4L, "one two"),                       // too short for a 3-gram
+      (5L, "alpha beta gamma alpha beta gamma x") // repeated gram counts ONCE
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = DedupFunctions.contaminationNgramOverlap(train, "doc_id", "text", eval_, "text")
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 2L, 2L -> 2L, 5L -> 1L), m.toString)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval shingle set must broadcast:\n$plan")
+  }
+
   test("redactPii: each PII class redacted, clean text untouched, no cross-class half-matches") {
     val df = Seq(
       ("mail me at jo.doe+x@sub.example.org today", 1L),
