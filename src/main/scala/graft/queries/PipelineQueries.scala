@@ -494,6 +494,47 @@ object PipelineQueries {
           docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
         .select(col("id").as("doc_id"), col("n_shared"))
+    }),
+
+    // domain mixing: draw a fixed-mixture sample across sources (The
+    // Pile / DoReMi-style fixed weights) — per-source quota from the
+    // weight table, members picked deterministically by md5 order so the
+    // draw is reproducible AND uniform-ish within a source. One shuffle
+    // (the per-source rank window); quotas are literals, no driver loop.
+    "q68_domain_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weights = Map("src0" -> 15, "src1" -> 10, "src2" -> 5)
+      val quota = weights.foldLeft(lit(0)) { case (acc, (src, q)) =>
+        when(col("source") === src, lit(q)).otherwise(acc) }
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rk") <= quota)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // sequence packing: greedy document -> context-window assignment via a
+    // per-language running token total; pack_id = floor(cumsum_before /
+    // ctx). One window shuffle on (lang), map-side everything else — the
+    // distributed approximation of sequential first-fit that training
+    // pipelines actually ship at scale.
+    "q69_sequence_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ctx = 2048L
+      val toks = size(filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)).cast("long")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), toks.as("n_tokens"))
+        .withColumn("pack_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double") / ctx).cast("long"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -760,5 +801,38 @@ object PipelineQueries {
         |)
         |SELECT tr.doc_id, count(*) AS n_shared
         |FROM tr JOIN ev USING (gram)
-        |GROUP BY tr.doc_id""".stripMargin)
+        |GROUP BY tr.doc_id""".stripMargin,
+
+    "q68_domain_mix" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM ranked
+        |WHERE rk <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
+        |  WHEN 'src2' THEN 5 ELSE 0 END
+        |GROUP BY source""".stripMargin,
+
+    "q69_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE))
+        |      / 2048.0) AS BIGINT) AS pack_id
+        |  FROM t
+        |)
+        |SELECT lang, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM c
+        |GROUP BY lang, pack_id""".stripMargin)
 }
