@@ -41,6 +41,31 @@ class MultimodalSpec extends SparkSpec {
       math.abs(d.meanB - 0x90) < 8, s"(${d.meanR}, ${d.meanG}, ${d.meanB})")
   }
 
+  test("multi-frame GIF: true frame count via getNumImages, not a constant 1") {
+    // write an animated GIF with the JDK's sequence writer, decode it back
+    val img1 = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val img2 = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val img3 = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 12) {
+      img1.setRGB(x, y, 0x202020); img2.setRGB(x, y, 0x808080); img3.setRGB(x, y, 0xe0e0e0)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(img1, img2, img3).foreach(i =>
+      writer.writeToSequence(new javax.imageio.IIOImage(i, null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+
+    val d = ImageCodec.decode(out.toByteArray).get
+    assert(d.width == 16 && d.height == 12)
+    assert(d.nFrames == 3, s"expected 3 frames, got ${d.nFrames}")
+    // pixel stats come from frame 0 (GIF palette quantization is lossless
+    // for a single solid gray)
+    assert(math.abs(d.meanR - 0x20) < 2, d.meanR.toString)
+  }
+
   test("non-image bytes take the deterministic fallback, flagged decoded=false") {
     assert(ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
     assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
