@@ -318,17 +318,23 @@ object DedupFunctions {
   def contaminationNgramOverlap(
       docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
-    def grams(text: Column): Column = {
-      val t = TextFunctions.tokens(lower(text))
+    // Tokens MUST be materialized into a column before the gram lambda:
+    // element_at inside transform() gets no common-subexpression
+    // elimination, so referencing tokens(text) directly re-runs the full
+    // split+filter per element — measured ~10x on the whole operator.
+    // An attribute reference reads the row value once.
+    def gramsFromTokens(t: Column): Column =
       // size < n would make sequence() descend — emit no grams instead
       when(size(t) >= n,
         array_distinct(transform(
           sequence(lit(0), size(t) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
         .otherwise(array().cast("array<string>"))
-    }
-    val refGrams = ref.select(explode(grams(col(refTextCol))).as("gram")).distinct()
-    docs.select(col(idCol).as("id"), explode(grams(col(textCol))).as("gram"))
+    def explodedGrams(df: DataFrame, keep: Seq[String], textC: String): DataFrame =
+      df.select(keep.map(col) :+ TextFunctions.tokens(lower(col(textC))).as("__t"): _*)
+        .select(keep.map(col) :+ explode(gramsFromTokens(col("__t"))).as("gram"): _*)
+    val refGrams = explodedGrams(ref, Seq.empty, refTextCol).distinct()
+    explodedGrams(docs.select(col(idCol).as("id"), col(textCol)), Seq("id"), textCol)
       .join(broadcast(refGrams), Seq("gram"), "inner")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
