@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Whole-inventory physical-plan audit: the scale contract, asserted.
+  * Building a plan is cheap (no job runs for the plan string), so every
+  * driver query is checked:
+  *  - a CartesianProduct anywhere is a hard failure — O(n*m) never ships;
+  *  - BroadcastNestedLoopJoin is allowed ONLY on the allowlisted queries
+  *    whose non-equi join is broadcast-by-construction (query-side ANN
+  *    fan-out over a literal/broadcast side) and stays O(n * |broadcast|).
+  * Queries whose construction runs side-effecting work (streaming
+  * refresh, landed indexes) are exercised by their own specs and skipped
+  * here only if plan construction itself would block.
+  */
+class PlanAuditSpec extends SparkSpec {
+  // the exact-scoring paths fan a BROADCAST query/centroid set across the
+  // corpus (crossJoin(broadcast(...)) by construction): per-row work is
+  // O(|broadcast|), no shuffle of the big side — the intended 100 TB shape
+  private val bnljAllowed = Set(
+    "q25_knn",        // brute-force top-k: broadcast query vectors
+    "q48_ann_recall", // includes the brute-force baseline above
+    "q56_kmeans_ivf", // recall eval vs brute force over broadcast queries
+    "q57_pq_recall")  // ADC + re-rank vs brute force, broadcast tables
+  test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) failures += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+          failures += s"$name: BroadcastNestedLoopJoin (not allowlisted)"
+      } catch { case e: Throwable => failures += s"$name: plan construction failed: ${e.getMessage}" }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
