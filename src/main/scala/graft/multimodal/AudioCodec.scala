@@ -38,12 +38,25 @@ object AudioCodec {
     * row-sized), composing with the Iterator→Iterator batch shape of
     * [[Multimodal]].
     */
+  /** Hostile-header work bound: a corrupt container can DECLARE formats
+    * that make the JDK conversion stream spin or expand without limit
+    * (found by mutation fuzzing — a flipped WAV header byte pinned a core
+    * inside readAllBytes indefinitely). An untrusted-corpus decoder bounds
+    * the PCM it will materialize instead of trusting the header.
+    */
+  val MaxPcmBytes: Long = 64L << 20
+
   def decode(bytes: Array[Byte]): Option[DecodedAudio] = {
     if (bytes == null || bytes.length == 0) return None
     try {
       val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val srcFmt = raw.getFormat
+        // declared format is UNTRUSTED: reject non-finite/absurd rates and
+        // channel counts before asking the JDK to convert them
+        val rate0 = srcFmt.getSampleRate
+        if (!java.lang.Float.isFinite(rate0) || rate0 < 1f || rate0 > 1e6f) return None
+        if (srcFmt.getChannels < 1 || srcFmt.getChannels > 64) return None
         // normalize to signed 16-bit PCM so the sample math is uniform; the
         // JDK converts from PCM_U8/PCM_FLOAT/ULAW/ALAW where supported
         val want = new AudioFormat(
@@ -53,7 +66,22 @@ object AudioCodec {
               srcFmt.getSampleSizeInBits == 16) raw
           else AudioSystem.getAudioInputStream(want, raw)
         val fmt = pcm.getFormat
-        val data = pcm.readAllBytes()
+        // bounded read: cap at the plausible conversion expansion of the
+        // actual payload (never the declared length), and treat a stream
+        // that returns 0 bytes (hostile frame size) or overruns the cap as
+        // undecodable
+        val cap = math.min(MaxPcmBytes, bytes.length.toLong * 8 + 4096)
+        val out = new java.io.ByteArrayOutputStream(math.min(cap, 1L << 16).toInt)
+        val chunk = new Array[Byte](8192)
+        var done = false
+        var overrun = false
+        while (!done && !overrun) {
+          val r = pcm.read(chunk)
+          if (r <= 0) done = true
+          else { out.write(chunk, 0, r); if (out.size() > cap) overrun = true }
+        }
+        if (overrun) return None
+        val data = out.toByteArray
         val bigEndian = fmt.isBigEndian
         val n = data.length / 2
         var i = 0

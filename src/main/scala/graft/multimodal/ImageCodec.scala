@@ -37,10 +37,19 @@ object ImageCodec {
 
   val ThumbSide = 4
 
+  /** Decompression-bomb guard: a corrupt/hostile header can DECLARE
+    * arbitrary dimensions (a few bytes cost gigapixels of decode work and
+    * memory). An untrusted-corpus decoder must bound work by a budget, not
+    * trust the header — found by mutation fuzzing (CodecFuzzSpec), where a
+    * flipped PNG IHDR byte turned one row into a multi-minute decode.
+    */
+  val MaxPixels: Long = 1L << 26 // 67 Mpx ≈ 8192x8192
+
   /** Decode an image payload; None when the bytes are not a supported
-    * format. One payload decodes in one task (images are row-sized, not
-    * partition-sized), so this composes with `Multimodal.withFeatures`'s
-    * Iterator→Iterator batch shape and constant-memory guarantee.
+    * format or declare more than [[MaxPixels]] pixels. One payload decodes
+    * in one task (images are row-sized, not partition-sized), so this
+    * composes with `Multimodal.withFeatures`'s Iterator→Iterator batch
+    * shape and constant-memory guarantee.
     */
   def decode(bytes: Array[Byte]): Option[DecodedImage] = {
     if (bytes == null || bytes.length == 0) return None
@@ -51,6 +60,10 @@ object ImageCodec {
       val reader = readers.next()
       try {
         reader.setInput(iis, false, true)
+        // header-declared dims checked BEFORE any pixel is decoded
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > MaxPixels) return None
         // allowSearch=true: exact frame count (multi-frame GIFs); cheap for
         // the single-frame formats
         val nFrames = math.max(1, reader.getNumImages(true))

@@ -140,8 +140,12 @@ object VideoCodec {
       f: StreamFormat): Option[(Int, Int, Double, Double, Double, Double)] = {
     if (f.compression != 0 || f.bitCount != 24) return None
     val w = f.width; val h = math.abs(f.height)
-    val rowBytes = (w * 3 + 3) & ~3
-    if (len < rowBytes * h) return None
+    // header dims are UNTRUSTED: long math (Int rowBytes*h overflows at
+    // hostile widths and would bypass the length check) + pixel budget
+    if (w <= 0 || h <= 0 || w.toLong * h > ImageCodec.MaxPixels) return None
+    val rowBytesL = (w.toLong * 3 + 3) & ~3L
+    if (len.toLong < rowBytesL * h) return None
+    val rowBytes = rowBytesL.toInt
     var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
     var row = 0
     while (row < h) {
