@@ -315,9 +315,16 @@ object DedupFunctions {
     * [[shingleHashes]] in for a hashed variant at scale (8 bytes/gram on
     * the wire instead of the gram text).
     */
+  /** @param broadcastRef eval sets are typically thousands of docs — tiny
+    *        next to the train corpus — so the shingle set broadcasts by
+    *        default; pass false for a reference corpus too large to
+    *        broadcast (the join then shuffles BOTH gram sides on the gram
+    *        key, still never the document text).
+    */
   def contaminationNgramOverlap(
       docs: DataFrame, idCol: String, textCol: String,
-      ref: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
+      ref: DataFrame, refTextCol: String, n: Int = 3,
+      broadcastRef: Boolean = true): DataFrame = {
     // Tokens MUST be materialized into a column before the gram lambda:
     // element_at inside transform() gets no common-subexpression
     // elimination, so referencing tokens(text) directly re-runs the full
@@ -334,8 +341,9 @@ object DedupFunctions {
       df.select(keep.map(col) :+ TextFunctions.tokens(lower(col(textC))).as("__t"): _*)
         .select(keep.map(col) :+ explode(gramsFromTokens(col("__t"))).as("gram"): _*)
     val refGrams = explodedGrams(ref, Seq.empty, refTextCol).distinct()
+    val refSide = if (broadcastRef) broadcast(refGrams) else refGrams
     explodedGrams(docs.select(col(idCol).as("id"), col(textCol)), Seq("id"), textCol)
-      .join(broadcast(refGrams), Seq("gram"), "inner")
+      .join(refSide, Seq("gram"), "inner")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
   }
