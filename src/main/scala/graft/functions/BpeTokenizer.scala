@@ -1,0 +1,126 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding tokenizer, from scratch (Sennrich et al. 2016, the
+  * public algorithm GPT-2-family tokenizers build on) — upgrades token
+  * counting from whitespace/regex heuristics to a REAL subword vocabulary.
+  *
+  * Division of labor at 100 TB:
+  *  - [[train]]'s data-scale step is the distributed word-frequency count —
+  *    one map-side-combined shuffle over the corpus tokens, the only part
+  *    that touches every byte;
+  *  - the merge loop then runs driver-side over the compact (word, count)
+  *    dictionary. That dictionary is MODEL-scale (a vocabulary, like the
+  *    IVF centroid set), not data-scale — this is also how practical BPE
+  *    trainers operate, and on a real corpus one trains on a sampled
+  *    dictionary anyway.
+  *  - [[graft.expressions.BpeEncode]] applies the learned merges map-side
+  *    (JVM loop + per-word memo, no shuffle) for encoding/counting.
+  *
+  * End-of-word marker `</w>` distinguishes "low" as a whole word from "low"
+  * as a prefix of "lower" — the classic formulation. Fully deterministic:
+  * pair-count ties break lexicographically.
+  */
+object BpeTokenizer {
+
+  val EndOfWord = "</w>"
+
+  /** Learn `numMerges` merges from the corpus. Stops early when no pair
+    * occurs at least twice (merging singletons is pure vocabulary bloat).
+    */
+  def train(df: DataFrame, textCol: Column, numMerges: Int): Seq[(String, String)] = {
+    val wordCounts = df
+      .select(explode(TextFunctions.tokens(lower(textCol))).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(wordCounts, numMerges)
+  }
+
+  /** The merge loop over a (word, count) dictionary. Exposed for specs and
+    * for training from a pre-aggregated/sampled dictionary.
+    */
+  def trainFromCounts(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] = wordCounts
+      .filter(_._1.nonEmpty).sortBy(_._1) // stable iteration order
+      .map { case (w, c) => (w.map(_.toString).toArray :+ EndOfWord, c) }
+      .toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (merges.length < numMerges && !stop) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      // argmax count; ties break on the lexicographically smallest pair so
+      // training is order-independent and bit-reproducible
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (p, c)) =>
+          acc match {
+            case Some((bp, bc)) if c < bc => acc
+            case Some((bp, bc)) if c == bc &&
+              (bp._1 < p._1 || (bp._1 == p._1 && bp._2 <= p._2)) => acc
+            case _ => Some((p, c))
+          }
+      }
+      best match {
+        case Some((pair, c)) if c >= 2 =>
+          merges += pair
+          words = words.map { case (syms, cnt) => (mergePair(syms, pair), cnt) }
+        case _ => stop = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Replace every non-overlapping left-to-right occurrence of `pair` with
+    * its concatenation.
+    */
+  def mergePair(syms: Array[String], pair: (String, String)): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode one word: repeatedly apply the LOWEST-RANKED applicable merge
+    * (the standard greedy BPE apply — mirrors training order, so every
+    * trained word round-trips to its trained segmentation).
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    var syms = word.map(_.toString).toArray :+ EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else syms = mergePair(syms, bestPair)
+    }
+    syms.toSeq
+  }
+
+  /** Column form: encode a token array to BPE subword tokens (map-side JVM
+    * loop, memoized per word).
+    */
+  def encodeTokens(tokens: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.BpeExpressions.bpeEncode(tokens, merges)
+}

@@ -496,6 +496,26 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // REAL subword tokenization: train a BPE vocabulary on the corpus
+    // (distributed word count -> driver merge loop over the model-scale
+    // dictionary), then encode map-side via the BpeEncode expression and
+    // report per-doc word/subword counts + compression. Deterministic
+    // (lexicographic tie-breaks) but not SQL-expressible -> rows-only.
+    "q70_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.functions.BpeTokenizer.train(docs, col("text"), numMerges = 40)
+      val toks = TextFunctions.tokens(lower(col("text")))
+      docs
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          size(graft.functions.BpeTokenizer.encodeTokens(col("t"), merges))
+            .cast("long").as("n_bpe_tokens"))
+        .withColumn("subwords_per_word",
+          TextFunctions.round4(col("n_bpe_tokens").cast("double") /
+            greatest(col("n_words"), lit(1L))))
+    }),
+
     // domain mixing: draw a fixed-mixture sample across sources (The
     // Pile / DoReMi-style fixed weights) — per-source quota from the
     // weight table, members picked deterministically by md5 order so the

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BPE must reproduce the textbook algorithm exactly: hand-computed merge
+  * traces, train/apply round-trips, determinism, and the map-side
+  * expression agreeing with the driver-side reference implementation.
+  */
+class BpeTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed merge trace on a one-word corpus") {
+    // corpus: "aa" x3. Symbols (a, a, </w>). Pair counts: (a,a)=3,
+    // (a,</w>)=3 — tie, lexicographic: '<' sorts before 'a', so (a,</w>)
+    // merges first; then (a,a</w>) -> one token per word.
+    val merges = BpeTokenizer.trainFromCounts(Seq(("aa", 3L)), numMerges = 10)
+    assert(merges == Seq(("a", "</w>"), ("a", "a</w>")), merges.toString)
+    val ranks = merges.zipWithIndex.toMap
+    assert(BpeTokenizer.encodeWord("aa", ranks) == Seq("aa</w>"))
+    // "aaa" reuses the learned merges greedily: a + aa</w>
+    assert(BpeTokenizer.encodeWord("aaa", ranks) == Seq("a", "aa</w>"))
+    // unseen symbols stay as characters + marker
+    assert(BpeTokenizer.encodeWord("ab", ranks) == Seq("a", "b", "</w>"))
+  }
+
+  test("frequent pairs merge before rare ones (Sennrich worked example shape)") {
+    val counts = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = BpeTokenizer.trainFromCounts(counts, numMerges = 4)
+    // (e,s) occurs in newest(6)+widest(3)=9, the unique max; then (es,t)=9,
+    // then (est,</w>)=9; then (l,o)=5+2=7
+    assert(merges.take(4) == Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")),
+      merges.toString)
+    val ranks = merges.zipWithIndex.toMap
+    assert(BpeTokenizer.encodeWord("newest", ranks) == Seq("n", "e", "w", "est</w>"))
+    assert(BpeTokenizer.encodeWord("lowest", ranks) == Seq("lo", "w", "est</w>"))
+  }
+
+  test("training is deterministic and stops when no pair repeats") {
+    val counts = Seq(("abc", 1L), ("def", 1L))
+    // every pair occurs once: nothing merges
+    assert(BpeTokenizer.trainFromCounts(counts, 10).isEmpty)
+    val c2 = Seq(("spark", 4L), ("sparse", 3L), ("park", 2L))
+    val a = BpeTokenizer.trainFromCounts(c2, 20)
+    val b = BpeTokenizer.trainFromCounts(c2.reverse, 20)
+    assert(a == b, "merge list must not depend on dictionary order")
+  }
+
+  test("expression encode == driver encode; trained words compress") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val merges = BpeTokenizer.train(docs, col("text"), numMerges = 30)
+    assert(merges.size == 30)
+    val ranks = merges.zipWithIndex.toMap
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val out = docs.limit(20)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        BpeTokenizer.encodeTokens(col("t"), merges).as("bpe"))
+      .collect()
+    out.foreach { r =>
+      val words = r.getSeq[String](1)
+      val bpe = r.getSeq[String](2)
+      val expected = words.flatMap(w => BpeTokenizer.encodeWord(w, ranks))
+      assert(bpe == expected, s"doc ${r.getLong(0)}: expression diverged from reference")
+      // subword count is bounded by characters+1 per word and >= 1 per word
+      assert(bpe.length >= words.length && bpe.length <= words.map(_.length + 1).sum)
+    }
+    // the un-merged baseline is one symbol per character plus the marker;
+    // 30 merges on this corpus must compress that substantially
+    val totalChars = out.map(_.getSeq[String](1).map(_.length + 1).sum).sum
+    val totalBpe = out.map(_.getSeq[String](2).length).sum
+    assert(totalBpe < totalChars * 3 / 4,
+      s"no compression: $totalBpe subwords vs $totalChars character symbols")
+  }
+}
