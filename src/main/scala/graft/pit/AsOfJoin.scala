@@ -41,10 +41,11 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    side is tiny or broadcastable. Used as a cross-check oracle in tests.
   *
   * Ties *within* the feature side (same key, same ts) are broken
-  * deterministically by preferring the greater value of `tieBreak`
-  * (defaults to the last feature column) — DuckDB ASOF has no defined
-  * tie-break, so correctness tests pre-aggregate features to unique
-  * (key, ts) as the reference fixture does.
+  * deterministically on EVERY strategy by preferring the greater value of
+  * the last payload column (a tie-break sort key in the window orderings;
+  * asserted by the randomized equivalence spec). DuckDB ASOF has no
+  * defined tie-break, so oracle fixtures still pre-aggregate features to
+  * unique (key, ts).
   *
   * **NULL join keys follow SQL equi-join semantics** (= DuckDB ASOF, = the
   * join-filter strategy's `===` condition): a NULL key never matches, so a
@@ -184,9 +185,14 @@ object AsOfJoin {
        spineCols.filterNot(joinKeys.contains).map(c => col(c).as(s"__sp_$c"))): _*)
 
     // N feature views, still ONE shuffle + ONE sort: every last() below
-    // shares the same window frame
+    // shares the same window frame. One tie-break key per FV: a given FV's
+    // packet is null on every other relation's rows, so among same-(key,ts)
+    // rows of FV j only the j-th key discriminates — each FV gets the
+    // documented greater-last-payload tie-break independently.
     val w = Window.partitionBy(joinKeys.map(col): _*)
-      .orderBy(col(TS).asc, col(SIDE).asc)
+      .orderBy((Seq(col(TS).asc, col(SIDE).asc) ++
+        features.zipWithIndex.map { case ((_, _, payload), j) =>
+          col(s"$PKT$j").getField(payload.last).asc_nulls_first }): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val unioned = (taggedFeatures :+ taggedSpine).reduce(_ unionByName _)
@@ -321,9 +327,13 @@ object AsOfJoin {
     val sTagged = spine.select(sSel: _*)
 
     // One shuffle: partition by keys, order by (ts, side) so features at the
-    // same instant sort before the spine row → inclusive `<=` bound.
+    // same instant sort before the spine row → inclusive `<=` bound. The
+    // third sort key is the documented tie-break: among feature rows at the
+    // SAME (key, ts), the greater last-payload value sorts last and wins
+    // `last()` — without it the winner is partition-order-dependent.
     val w = Window.partitionBy(joinKeys.map(col): _*)
-      .orderBy(col(TS).asc, col(SIDE).asc)
+      .orderBy(col(TS).asc, col(SIDE).asc,
+        col(PKT).getField(payload.last).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = fTagged.unionByName(sTagged)
@@ -372,7 +382,11 @@ object AsOfJoin {
       maxStaleness.map(iv => f("__f_ts") >= s(spineTs) - expr(s"INTERVAL $iv"))
         .getOrElse(lit(true))
     val joined = s.join(f, cond, "left")
-    val w = Window.partitionBy(col(RID)).orderBy(col("__f_ts").desc_nulls_last)
+    // same documented tie-break as union-window: among equal fts, the
+    // greater last-payload value wins row_number 1
+    val w = Window.partitionBy(col(RID)).orderBy(
+      col("__f_ts").desc_nulls_last,
+      col(s"__f_${payload.last}").desc_nulls_last)
     joined.withColumn(RN, row_number().over(w))
       .filter(col(RN) === 1)
       .select((spine.columns.toSeq.map(col) ++

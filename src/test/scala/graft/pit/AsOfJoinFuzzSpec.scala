@@ -1,0 +1,59 @@
+package graft.pit
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Seeded randomized equivalence: on corpora mixing NULL keys, NULL
+  * timestamps, duplicate (key, ts) ties and keys present on only one side,
+  * BOTH strategies × prefilter on/off must equal an independent driver-side
+  * reference (plain Scala, no Spark) implementing the documented
+  * semantics: latest fts <= sts per key, SQL equi-join NULL behavior, ties
+  * broken by the greater payload value.
+  */
+class AsOfJoinFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("randomized corpora: both strategies x prefilter == driver-side reference") {
+    val rnd = new scala.util.Random(987654321L)
+    for (trial <- 1 to 6) {
+      val nK = 1 + rnd.nextInt(5)
+      val feats = Seq.fill(rnd.nextInt(80)) {
+        (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(nK)),
+          if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(40).toLong),
+          rnd.nextInt(10))
+      }
+      val spine = (0 until (1 + rnd.nextInt(50))).map { sid =>
+        (sid.toLong,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(nK)),
+          if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(40).toLong))
+      }
+      // independent reference: no Spark, no window functions
+      val expected: Map[Long, Option[Int]] = spine.map { case (sid, k, ts) =>
+        sid -> (for { kv <- k; tv <- ts } yield {
+          val cands = feats.collect {
+            case (Some(fk), Some(ft), fv) if fk == kv && ft <= tv => (ft, fv) }
+          if (cands.isEmpty) None else Some(cands.max._2)
+        }).flatten
+      }.toMap
+
+      val fDf = feats.toDF("k", "fts_l", "f_val")
+        .select(col("k"), timestamp_micros(col("fts_l")).as("fts"), col("f_val"))
+      val sDf = spine.toDF("sid", "k", "sts_l")
+        .select(col("sid"), col("k"), timestamp_micros(col("sts_l")).as("sts"))
+
+      for (m <- Seq("union-window", "join-filter"); pf <- Seq(true, false)) {
+        val rows = AsOfJoin.joinAsOf(sDf, fDf, Seq("k"), "sts", "fts",
+            method = m, prefilterSpineKeys = pf)
+          .select("sid", "f_val").collect()
+        assert(rows.length == spine.length,
+          s"trial $trial $m/pf=$pf: ${rows.length} rows for ${spine.length} spine rows")
+        val out = rows.map(r =>
+          r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+        assert(out == expected,
+          s"trial $trial method=$m prefilter=$pf diverged from reference\n" +
+            s"diff: ${(out.toSet diff expected.toSet) ++ (expected.toSet diff out.toSet)}")
+      }
+    }
+  }
+}
