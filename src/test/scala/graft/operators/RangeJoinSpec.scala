@@ -106,6 +106,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(msg.contains("spans more than 1000 buckets"), s"wrong error: $ex")
   }
 
+  test("randomized corpora: bucketed join == naive non-equi join for random widths") {
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 1 to 5) {
+      val iv = Seq.fill(1 + rnd.nextInt(30)) {
+        val a = rnd.nextInt(200) - 100L
+        val b = rnd.nextInt(200) - 100L
+        (rnd.nextLong(), a, b) // includes degenerate end <= start pairs
+      }.toDF("iv_id", "ws", "we")
+      val pb = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(240) - 120L).toDF("ts")
+      val expected = pb.as("p").join(iv.as("i"), $"ts" >= $"ws" && $"ts" < $"we")
+        .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      for (b <- Seq(1L, 2L, 7L, 31L)) {
+        val got = RangeJoin.intervalJoin(pb, "ts", iv, "ws", "we", b)
+          .select("ts", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        assert(got.sameElements(expected),
+          s"trial $trial width $b: ${got.length} pairs vs expected ${expected.length}")
+      }
+      // left join: same matched pairs, every probe row survives
+      val left = RangeJoin.intervalJoin(pb, "ts", iv, "ws", "we", 7L, how = "left")
+      assert(left.select("ts").distinct().count() == pb.distinct().count(),
+        s"trial $trial: left join lost probe rows")
+    }
+  }
+
   test("plans as an equi-join on the bucket id, not a nested-loop product") {
     val plan = RangeJoin.intervalJoin(probe, "ts", intervals, "ws", "we", 10L)
       .queryExecution.executedPlan.toString
