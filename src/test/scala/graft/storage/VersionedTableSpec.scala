@@ -257,6 +257,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(m.version == 1 + successes)
   }
 
+  test("4 writers with retry-on-conflict: serialized versions, no lost rows, manifest == union") {
+    val dir = tmp()
+    VersionedTable.append(dir)(writeSeg(Seq((0, 0))))
+    val writers = 4
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val results = (1 to writers).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          var committed = 0
+          var attempts = 0
+          // the client contract: a ConcurrentCommitException loser re-reads
+          // the fresh base and retries — eventually everyone lands
+          while (committed == 0 && attempts < 20) {
+            attempts += 1
+            try { VersionedTable.append(dir)(writeSeg(Seq((i, i)))); committed = 1 }
+            catch { case _: ConcurrentCommitException => Thread.sleep(10L * attempts) }
+          }
+          committed
+        }
+      })
+    }
+    start.countDown()
+    val landed = results.map(_.get(120, TimeUnit.SECONDS)).sum
+    pool.shutdown()
+    assert(landed == writers, s"only $landed of $writers writers ever committed")
+    val m = VersionedTable.readManifest(dir).get
+    assert(m.version == 1 + writers, s"versions must serialize: ${m.version}")
+    assert(m.segments.size == 1 + writers)
+    val rows = VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet
+    assert(rows == (0 to writers).map(i => (i, i)).toSet, rows.toString)
+    // every committed version is time-travelable with a monotone segment count
+    (1 to 1 + writers).foreach { v =>
+      assert(VersionedTable.readManifestAt(dir, v).exists(_.segments.size == v),
+        s"version $v snapshot missing or wrong")
+    }
+  }
+
   test("crashed-writer lock file is taken over after the TTL") {
     val dir = tmp()
     Files.createDirectories(Paths.get(dir))
