@@ -78,6 +78,68 @@ object ProductQuantization {
   def encode(model: PqModel)(vec: Column): Column =
     packedCodes(vec, sqrt(VecDot(vec, vec)), model)
 
+  /** Exact model (de)serialization via IEEE-754 long bits, so a persisted
+    * index reproduces in-memory codes bit-for-bit.
+    */
+  def modelToJson(model: PqModel): Array[Byte] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("m", model.m); root.put("ks", model.ks); root.put("subDim", model.subDim)
+    val cbs = root.putArray("dbits")
+    model.codebooks.foreach(_.foreach(_.foreach(x =>
+      cbs.add(java.lang.Double.doubleToLongBits(x)))))
+    mapper.writeValueAsBytes(root)
+  }
+
+  def modelFromJson(bytes: Array[Byte]): PqModel = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    val root = mapper.readTree(bytes)
+    val m = root.get("m").asInt(); val ks = root.get("ks").asInt()
+    val subDim = root.get("subDim").asInt()
+    val flat = root.get("dbits").elements().asScala
+      .map(b => java.lang.Double.longBitsToDouble(b.asLong())).toArray
+    require(flat.length == m * ks * subDim, "corrupt PQ model")
+    val cbs = Array.tabulate(m, ks) { (j, k) =>
+      flat.slice((j * ks + k) * subDim, (j * ks + k + 1) * subDim) }
+    PqModel(m, ks, subDim, cbs)
+  }
+
+  /** Per-query flat ADC dot table (entry j·ks+k = dot of the query's j-th
+    * unit-subvector with codebook(j)(k)) — the broadcastable query side of
+    * ADC scoring. Exposed for composed indexes (IVF-PQ).
+    */
+  def queryTables(queries: DataFrame, qidCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(qidCol).cast("long"), col(vecCol)).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      val q = v.map(_ / n)
+      val dt = Array.tabulate(model.m * model.ks) { i =>
+        val (j, kk) = (i / model.ks, i % model.ks)
+        val c = model.codebooks(j)(kk)
+        var s = 0.0
+        var d = 0
+        while (d < model.subDim) { s += q(j * model.subDim + d) * c(d); d += 1 }
+        s
+      }
+      (r.getLong(0), dt)
+    }
+    qRows.toSeq.toDF("query_id", "__dt")
+  }
+
+  /** ADC score of a packed-code column against a `__dt` table column —
+    * m element_at lookups, codegen'd. Exposed for composed indexes.
+    */
+  def adcScore(dt: Column, codes: Column, model: PqModel): Column =
+    (0 until model.m).map { j =>
+      element_at(dt,
+        (lit(j * model.ks) +
+          shiftright(codes, 4 * j).bitwiseAND(lit(15)) + lit(1)).cast("int"))
+    }.reduce(_ + _)
+
   /** Deterministic init: subvectors of the `ks` lowest-id vectors.
     * Fails fast with a readable message on degenerate input — an empty or
     * too-small table (seeding needs `ks` distinct vectors) or a NULL /

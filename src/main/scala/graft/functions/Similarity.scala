@@ -273,10 +273,20 @@ object Similarity {
     val cents =
       if (trainIters > 0) trainCentroids(candidates, cidCol, vecCol, nlist, trainIters)
       else seedCentroids(candidates, cidCol, vecCol, nlist)
+    writeCentroids(path, cents)
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    assignTo(cents)(c, 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(java.nio.file.Paths.get(path, "lists").toString)
+  }
+
+  /** Store the ORIGINAL float bits (ints), not doubles: bit-exact model
+    * roundtrip, so indexed assignment == inline assignment.
+    */
+  private def writeCentroids(path: String, cents: Array[(Long, Array[Double], Double)]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createArrayNode()
-    // store the ORIGINAL float bits (ints), not doubles: bit-exact model
-    // roundtrip, so indexed assignment == inline assignment
     cents.foreach { case (id, v, _) =>
       val n = root.addObject()
       n.put("id", id)
@@ -286,11 +296,6 @@ object Similarity {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "_CENTROIDS.json"), mapper.writeValueAsBytes(root))
-    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .withColumn("__n", norm(col("__v")))
-    assignTo(cents)(c, 1)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(java.nio.file.Paths.get(path, "lists").toString)
   }
 
   private def loadCentroids(path: String): Array[(Long, Array[Double], Double)] = {
@@ -328,6 +333,93 @@ object Similarity {
       .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     probeTopK(lists.join(broadcast(qAssigned), "centroid_id"), k)
+  }
+
+  /** Build a PERSISTED composed IVF-PQ index — the production ANN shape at
+    * 100 TB (FAISS's IVFPQ, re-expressed Spark-first): candidates are
+    * assigned to inverted lists map-side AND stored as 4-byte PQ codes, so
+    * a probe reads only its probed-list PARTITIONS (partition pruning) and
+    * within them only ids+codes (~64× smaller than float vectors — the
+    * probed scan is both partition-pruned and payload-compressed). The
+    * centroid and PQ models land beside the lists with bit-exact
+    * serialization.
+    */
+  def ivfPqIndexWrite(
+      candidates: DataFrame, cidCol: String, vecCol: String, path: String,
+      nlist: Int = 16, m: Int = 8, ks: Int = 16,
+      trainIters: Int = 0, pqIters: Int = 2): Unit = {
+    val cents =
+      if (trainIters > 0) trainCentroids(candidates, cidCol, vecCol, nlist, trainIters)
+      else seedCentroids(candidates, cidCol, vecCol, nlist)
+    writeCentroids(path, cents)
+    val pq = ProductQuantization.train(candidates, cidCol, vecCol, m, ks, pqIters)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_PQ.json"), ProductQuantization.modelToJson(pq))
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    assignTo(cents)(c, 1)
+      .select(col("neighbor_id"),
+        ProductQuantization.encode(pq)(col("__v")).as("__codes"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(java.nio.file.Paths.get(path, "lists").toString)
+  }
+
+  /** Query a persisted IVF-PQ index: queries assign map-side against the
+    * stored centroids, the probed lists load partition-pruned (codes only),
+    * ADC scores against broadcast per-query dot tables, and the ADC
+    * shortlist optionally re-ranks exactly against `rerankSource` (the
+    * original vector table, fetched by id — `rerank` rows per query).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, qidCol: String, vecCol: String, path: String,
+      k: Int, nprobe: Int = 4, rerank: Int = 0,
+      rerankSource: Option[(DataFrame, String)] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadCentroids(path)
+    val pq = ProductQuantization.modelFromJson(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_PQ.json")))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val qAssigned = assignTo(cents)(q, nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val qTables = ProductQuantization.queryTables(queries, qidCol, vecCol, pq)
+    val probed = qAssigned.select("centroid_id").distinct().collect().map(_.getLong(0))
+    val lists = spark.read.parquet(java.nio.file.Paths.get(path, "lists").toString)
+      .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val scored = lists
+      .join(broadcast(qAssigned), "centroid_id")
+      .join(broadcast(qTables), "query_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(ProductQuantization.adcScore(col("__dt"), col("__codes"), pq), 6)
+          .as("adc_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("neighbor_id").asc)
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+    } else {
+      require(rerank >= k, s"rerank shortlist ($rerank) must be >= k ($k)")
+      val (src, srcId) = rerankSource.getOrElse(
+        throw new IllegalArgumentException("rerank > 0 needs rerankSource (id, vectors)"))
+      val shortlist = scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= rerank).drop("__r", "adc_cosine")
+      val cvec = src.select(col(srcId).as("neighbor_id"), col(vecCol).as("__cv"))
+        .withColumn("__cn", norm(col("__cv")))
+      val qvec = broadcast(queries
+        .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__qn", norm(col("__qv"))))
+      val exact = shortlist
+        .join(cvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6)
+            .as("cosine"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= k)
+    }
   }
 
   /** ±1 hyperplane rows as SQL array literals, so an external engine can

@@ -496,6 +496,25 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // composed IVF-PQ index (FAISS's IVFPQ shape, Spark-first): probes are
+    // partition-pruned to the probed inverted lists AND read 4-byte codes
+    // instead of float vectors; the ADC shortlist re-ranks exactly against
+    // the source table by id. Reports recall@5 vs brute force alongside the
+    // top-k rows (rows-only: hash-family determinism, no SQL oracle).
+    "q71_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 10)
+      val idx = scratchDir("ivfpq_idx").resolve("index").toString
+      Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", idx, nlist = 16, m = 8, ks = 16)
+      val k = 5
+      val approx = Similarity.ivfPqTopK(queriesDf, "vec_id", "embedding", idx,
+        k = k, nprobe = 4, rerank = 25, rerankSource = Some((emb, "vec_id")))
+      val exact = Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k)
+      Similarity.recallAtK(exact, approx, k)
+        .agg(count(lit(1)).as("n_queries"),
+          TextFunctions.round4(avg(col("recall"))).as("mean_recall"))
+    }),
+
     // REAL subword tokenization: train a BPE vocabulary on the corpus
     // (distributed word count -> driver merge loop over the model-scale
     // dictionary), then encode map-side via the BpeEncode expression and

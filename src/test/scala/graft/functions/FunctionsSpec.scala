@@ -167,6 +167,40 @@ class FunctionsSpec extends SparkSpec {
       s"no partition pruning in indexed probe plan:\n$plan")
   }
 
+  test("composed IVF-PQ index: pruned probe, model round-trip exact, re-rank boosts recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queriesDf = emb.filter($"vec_id" < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec_")
+      .resolve("index").toString
+    Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", idx, nlist = 16, m = 8, ks = 16)
+    // PQ model round-trips bit-exactly through JSON
+    val pq = ProductQuantization.train(emb, "vec_id", "embedding", 8, 16, 2)
+    val rt = ProductQuantization.modelFromJson(ProductQuantization.modelToJson(pq))
+    def flat(cb: Array[Array[Array[Double]]]): Seq[Double] =
+      cb.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    assert(flat(rt.codebooks) == flat(pq.codebooks))
+    val k = 5
+    val adc = Similarity.ivfPqTopK(queriesDf, "vec_id", "embedding", idx, k, nprobe = 4)
+    // probe plan: partition-pruned scan of the code lists
+    val plan = adc.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"no partition pruning in IVF-PQ probe plan:\n$plan")
+    assert(adc.groupBy("query_id").count().collect().forall(_.getLong(1) == k))
+    // exact re-rank from the source table must not lose recall vs raw ADC
+    val exact = Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k)
+    val rr = Similarity.ivfPqTopK(queriesDf, "vec_id", "embedding", idx, k,
+      nprobe = 4, rerank = 25, rerankSource = Some((emb, "vec_id")))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, df, k).agg(avg($"recall")).head().getDouble(0)
+    val (ra, rb) = (recall(adc), recall(rr))
+    assert(rb >= ra, s"re-rank must not reduce recall: adc=$ra reranked=$rb")
+    assert(rb >= 0.3, s"reranked recall implausibly low: $rb")
+    // deterministic across runs (stored models, no RNG)
+    val again = Similarity.ivfPqTopK(queriesDf, "vec_id", "embedding", idx, k,
+      nprobe = 4, rerank = 25, rerankSource = Some((emb, "vec_id"))).collect().toSet
+    assert(again == rr.collect().toSet)
+  }
+
   test("k-means IVF training: deterministic model, full top-k coverage, centroids move") {
     val emb = Tables.embeddings(spark, sfDir)
     val m1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
