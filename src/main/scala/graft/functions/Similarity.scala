@@ -310,6 +310,25 @@ object Similarity {
       }.toArray
   }
 
+  /** Incrementally maintain a persisted IVF index: assign NEW vectors with
+    * the STORED centroid model (bit-exact float round-trip ⇒ identical
+    * assignment to a full rebuild) and append them to their list
+    * partitions — O(batch) work, no index rebuild, no reread of existing
+    * lists. The streaming-ingest shape: each micro-batch appends its
+    * vectors' codes/ids to the probed layout. Centroids drift as the
+    * corpus grows; rebuild with training when recall decays — the standard
+    * IVF operational trade.
+    */
+  def ivfIndexAppend(
+      newVectors: DataFrame, cidCol: String, vecCol: String, path: String): Unit = {
+    val cents = loadCentroids(path)
+    val c = newVectors.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    assignTo(cents)(c, 1)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(java.nio.file.Paths.get(path, "lists").toString)
+  }
+
   /** Query a persisted IVF index ([[ivfIndexWrite]]): queries are assigned
     * map-side against the stored centroid model, and the scan is filtered to
     * the union of probed lists — a partition-column filter, so unprobed list

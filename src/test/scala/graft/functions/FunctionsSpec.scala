@@ -201,6 +201,27 @@ class FunctionsSpec extends SparkSpec {
     assert(again == rr.collect().toSet)
   }
 
+  test("incremental IVF append: half + appended half probes identically to a full build") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queriesDf = emb.filter($"vec_id" < 10)
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full_").resolve("i").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivf_inc_").resolve("i").toString
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", full, nlist = 16)
+    // incremental: build on evens, append odds with the STORED model.
+    // Seed rows (lowest ids) are even-heavy but seedCentroids picks the
+    // lowest nlist ids of the build subset — identical centroids requires
+    // the same seed set, so build on the full seed prefix then append rest
+    val buildHalf = emb.filter($"vec_id" < 1000)
+    val appendHalf = emb.filter($"vec_id" >= 1000)
+    Similarity.ivfIndexWrite(buildHalf, "vec_id", "embedding", inc, nlist = 16)
+    Similarity.ivfIndexAppend(appendHalf, "vec_id", "embedding", inc)
+    val a = Similarity.ivfTopKIndexed(queriesDf, "vec_id", "embedding", full, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.ivfTopKIndexed(queriesDf, "vec_id", "embedding", inc, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"incremental index diverged from full rebuild:\n $a\n vs $b")
+  }
+
   test("k-means IVF training: deterministic model, full top-k coverage, centroids move") {
     val emb = Tables.embeddings(spark, sfDir)
     val m1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
