@@ -540,6 +540,10 @@ object PipelineQueries {
     // weight table, members picked deterministically by md5 order so the
     // draw is reproducible AND uniform-ish within a source. One shuffle
     // (the per-source rank window); quotas are literals, no driver loop.
+    // 100 TB note: ranking a whole source to take a quota sorts the full
+    // source; at corpus scale, prefilter to ~2x the quota by hash
+    // threshold (md5 < quota/count bound from a cheap count agg) and rank
+    // only the survivors — same deterministic result, 50x less sort.
     "q68_domain_mix" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val weights = Map("src0" -> 15, "src1" -> 10, "src2" -> 5)
