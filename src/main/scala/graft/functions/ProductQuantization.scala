@@ -236,32 +236,11 @@ object ProductQuantization {
       vecCol: String, k: Int, model: PqModel,
       excludeSelf: Boolean = true,
       rerank: Int = 0): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val qRows = queries.select(col(qidCol).cast("long"), col(vecCol)).collect().map { r =>
-      val v = r.getSeq[Float](1).toArray.map(_.toDouble)
-      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-      val q = v.map(_ / n)
-      // flat dtable: entry j*ks + k = dot(q_subspace_j, codebook(j)(k))
-      val dt = Array.tabulate(model.m * model.ks) { i =>
-        val (j, kk) = (i / model.ks, i % model.ks)
-        val c = model.codebooks(j)(kk)
-        var s = 0.0
-        var d = 0
-        while (d < model.subDim) { s += q(j * model.subDim + d) * c(d); d += 1 }
-        s
-      }
-      (r.getLong(0), dt)
-    }
-    val qdf = broadcast(qRows.toSeq.toDF("query_id", "__dt"))
+    val qdf = broadcast(queryTables(queries, qidCol, vecCol, model))
     val coded = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__v"))
       .withColumn("__n", sqrt(VecDot(col("__v"), col("__v"))))
       .select(col("neighbor_id"), packedCodes(col("__v"), col("__n"), model).as("__codes"))
-    val score = (0 until model.m).map { j =>
-      element_at(col("__dt"),
-        (lit(j * model.ks) +
-          shiftright(col("__codes"), 4 * j).bitwiseAND(lit(15)) + lit(1)).cast("int"))
-    }.reduce(_ + _)
+    val score = adcScore(col("__dt"), col("__codes"), model)
     val scored = coded.crossJoin(qdf)
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), round(score, 6).as("adc_cosine"))
