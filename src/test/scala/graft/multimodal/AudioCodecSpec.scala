@@ -36,6 +36,37 @@ class AudioCodecSpec extends SparkSpec {
     assert(math.abs(d.durationMs - 62.5) < 1e-9)
   }
 
+  test("AIFF (big-endian container): same stats as the WAV of the same signal") {
+    // write an AIFF through the JDK from a known PCM signal — exercises the
+    // big-endian sample-parsing branch, which WAV never touches
+    val samples = Array.tabulate(1200)(i => if ((i / 6) % 2 == 0) 2200 else -2200).map(_.toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true) // big-endian
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s >> 8).toByte; bytes(2 * i + 1) = (s & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val d = AudioCodec.decode(out.toByteArray).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.nFrames == 1200)
+    assert(d.rms == 2200.0 && d.peak == 2200.0, s"(${d.rms}, ${d.peak})")
+  }
+
+  test("repartitionForDecode: task count follows the byte budget, not the row count") {
+    val items = (1L to 100L).map(i =>
+      Multimodal.MediaItem(i, "image", Array.fill(8)(i.toByte), "s", 10L * 1024 * 1024)).toDS()
+    val total = 100L * 10 * 1024 * 1024 // 1000 MB
+    val parts = Multimodal.repartitionForDecode(items, total,
+      targetBytesPerTask = 256L * 1024 * 1024).rdd.getNumPartitions
+    assert(parts == 3, s"1000MB / 256MB budget should give 3 tasks, got $parts")
+    // tiny corpus: never fewer than one task
+    val one = Multimodal.repartitionForDecode(items, 1024L).rdd.getNumPartitions
+    assert(one == 1, s"tiny corpus should collapse to 1 task, got $one")
+  }
+
   test("non-audio and truncated bytes decode to None, never throw") {
     assert(AudioCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
     assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)
