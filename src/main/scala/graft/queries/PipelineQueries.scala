@@ -496,6 +496,23 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // source-format parity: land the corpus as JSONL, read it back with an
+    // explicit schema, and produce a per-(lang,source) content digest
+    // (md5 over the sorted per-doc text hashes). The oracle computes the
+    // same digest from the ORIGINAL parquet — any character the text
+    // round-trip mangles breaks the hash compare.
+    "q72_jsonl_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val land = scratchDir("jsonl_land").resolve("docs").toString
+      graft.sources.FormatIO.write(docs, land, "json")
+      graft.sources.FormatIO.read(s, land, "json", Some(docs.schema))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          md5(concat_ws("", array_sort(collect_list(md5(col("text"))))).cast("binary"))
+            .as("content_digest"))
+    }),
+
     // composed IVF-PQ index (FAISS's IVFPQ shape, Spark-first): probes are
     // partition-pruned to the probed inverted lists AND read 4-byte codes
     // instead of float vectors; the ADC shortlist re-ranks exactly against
@@ -801,6 +818,13 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
         |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips
         |FROM inj""".stripMargin,
+
+    "q72_jsonl_ingest" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_digest
+        |FROM documents
+        |GROUP BY lang, source""".stripMargin,
 
     "q66_quality_filters" ->
       """WITH tok AS (
