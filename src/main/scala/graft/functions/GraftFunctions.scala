@@ -17,6 +17,7 @@ import graft.expressions._
   *   jaccard_sim(a, b)        — Jaccard over hash arrays
   *   simhash64(tokens)        — 64-bit SimHash
   *   token_fingerprint(tokens)— md5 of sorted distinct token set
+  *   heavy_hitters(item[,cap])— Misra–Gries top-frequency summary (aggregate)
   *
   * Registered either per-session via [[GraftFunctions.register]] or for all
   * sessions via `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -37,7 +38,11 @@ object GraftFunctions {
     "token_fingerprint" -> (es => TokenSetFingerprint(es(0))),
     "winnow_fingerprints" -> (es => WinnowingFingerprints(es(0),
       if (es.length > 1) intArg(es(1), "k") else 8,
-      if (es.length > 2) intArg(es(2), "w") else 16)))
+      if (es.length > 2) intArg(es(2), "w") else 16)),
+    // aggregate: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression (same as the built-in registry entries)
+    "heavy_hitters" -> (es => HeavyHittersAgg(es(0),
+      if (es.length > 1) intArg(es(1), "capacity") else 64)))
 
   /** Register all graft functions as temp functions in this session. */
   def register(spark: SparkSession): Unit =

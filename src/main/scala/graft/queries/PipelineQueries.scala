@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{DedupFunctions, ProductQuantization, Similarity, TextFunctions}
+import graft.functions.{DedupFunctions, ProductQuantization, Similarity, SketchFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline operators (the north-star extensions beyond the
@@ -496,6 +496,20 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // EXACT heavy hitters via a Misra–Gries sketch pass + candidate
+    // re-count (vocabulary/top-token stats at 100 TB: the sketch pass
+    // shuffles one <=64-entry summary per partition per lang instead of
+    // the token stream, and the MG bound makes the final answer exact —
+    // tokens with frequency > N_lang/32).
+    "q73_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            x => length(x) > 0)).as("token"))
+      SketchFunctions.exactHeavyHitters(
+        toks, Seq("lang"), "token", capacity = 64, denom = 32)
+    }),
+
     // source-format parity: land the corpus as JSONL, read it back with an
     // explicit schema, and produce a per-(lang,source) content digest
     // (md5 over the sorted per-doc text hashes). The oracle computes the
@@ -850,6 +864,21 @@ object PipelineQueries {
         |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
         |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
         |FROM f""".stripMargin,
+
+    "q73_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), n AS (
+        |  SELECT lang, count(*) AS n_total FROM tok GROUP BY lang
+        |), c AS (
+        |  SELECT lang, token, count(*) AS n_occurrences FROM tok GROUP BY 1, 2
+        |)
+        |SELECT c.lang, token, n_occurrences, n_total
+        |FROM c JOIN n USING (lang)
+        |WHERE n_occurrences * 32 > n_total""".stripMargin,
 
     "q67_contamination" ->
       """WITH tok AS (

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Skewed synthetic stream: item "w<i>" appears with frequency
+    * proportional to 1/i (zipf-ish), shuffled deterministically so heavy
+    * items are interleaved with the tail.
+    */
+  private def zipfStream(distinct: Int, scale: Int): Seq[String] = {
+    val items = (1 to distinct).flatMap(i => Seq.fill(scale / i)(s"w$i"))
+    // deterministic shuffle: sort by md5 of (item, position)
+    items.zipWithIndex
+      .sortBy { case (s, i) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$s#$i".getBytes("UTF-8")).toSeq.toString
+      }
+      .map(_._1)
+  }
+
+  private def sketchEntries(items: Seq[String], capacity: Int, parts: Int): Map[String, Long] = {
+    val df = items.toDF("item").repartition(parts)
+    val arr = df.agg(SketchFunctions.heavyHittersSketch($"item", capacity).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.est_count")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val m = arr.toMap
+    assert(m.size == arr.length, "sketch emitted a duplicate item")
+    m
+  }
+
+  test("MG sketch is exact when capacity >= distinct count") {
+    val items = zipfStream(distinct = 8, scale = 64)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 7)) {
+      val est = sketchEntries(items, capacity = 16, parts = parts)
+      assert(est == exact, s"parts=$parts: $est != $exact")
+    }
+  }
+
+  test("MG guarantee: est <= true <= est + N/(cap+1); no heavy item missing") {
+    val items = zipfStream(distinct = 40, scale = 300)
+    val n = items.size.toLong
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 5, 16)) {
+      val capacity = 6
+      val bound = n / (capacity + 1)
+      val est = sketchEntries(items, capacity, parts)
+      assert(est.size <= capacity)
+      est.foreach { case (item, e) =>
+        val t = exact(item)
+        assert(e <= t, s"parts=$parts: overcount $item est=$e true=$t")
+        assert(t - e <= bound, s"parts=$parts: undercount beyond bound for $item")
+      }
+      // completeness: anything above the bound MUST be in the summary
+      exact.filter(_._2 > bound).keys.foreach { item =>
+        assert(est.contains(item), s"parts=$parts: heavy item $item missing (true=${exact(item)}, bound=$bound)")
+      }
+    }
+  }
+
+  test("two-pass exactHeavyHitters: exact answer, invariant to partitioning") {
+    val items = zipfStream(distinct = 40, scale = 300)
+      .zipWithIndex.map { case (s, i) => (if (i % 2 == 0) "g1" else "g2", s) }
+    val df = items.toDF("grp", "item")
+    val expected = items.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((g, it), c) => (g, it, c) }
+    def run(parts: Int): Set[(String, String, Long, Long)] =
+      SketchFunctions.exactHeavyHitters(
+          df.repartition(parts), Seq("grp"), "item", capacity = 8, denom = 9)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val totals = items.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = expected
+      .filter { case (g, _, c) => c * 9 > totals(g) }
+      .map { case (g, it, c) => (g, it, c, totals(g)) }
+      .toSet
+    assert(want.nonEmpty, "fixture must produce at least one heavy hitter")
+    val r1 = run(1)
+    val r13 = run(13)
+    assert(r1 == want, s"parts=1: $r1 != $want")
+    assert(r13 == want, "exact output must not depend on partitioning")
+  }
+
+  test("exactHeavyHitters refuses a threshold below the MG guarantee") {
+    val df = Seq("a", "b").toDF("item")
+    val e = intercept[IllegalArgumentException] {
+      SketchFunctions.exactHeavyHitters(df, Seq.empty, "item", capacity = 8, denom = 10)
+    }
+    assert(e.getMessage.contains("capacity+1"))
+  }
+
+  test("nulls are skipped; empty input yields an empty summary") {
+    val df = Seq(Some("x"), None, Some("x"), None).toDF("item")
+    val arr = df.agg(SketchFunctions.heavyHittersSketch($"item", 4).as("hh"))
+      .head.getSeq[Row](0)
+    assert(arr.map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 2L)))
+    val empty = spark.emptyDataset[String].toDF("item")
+    val arr2 = empty.agg(SketchFunctions.heavyHittersSketch($"item", 4).as("hh"))
+      .head.getSeq[Row](0)
+    assert(arr2.isEmpty)
+  }
+
+  test("SQL surface: heavy_hitters registered and group-aggregates") {
+    GraftFunctions.register(spark)
+    zipfStream(distinct = 8, scale = 64).toDF("item").createOrReplaceTempView("hh_in")
+    val rows = spark.sql(
+      "SELECT e.item, e.est_count FROM (SELECT explode(heavy_hitters(item, 16)) e FROM hh_in)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("w1") == 64L && rows.size == 8)
+  }
+}
