@@ -121,6 +121,37 @@ object TextFunctions {
     piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
       regexp_replace(c, pat, java.util.regex.Matcher.quoteReplacement(tag)) }
 
+  /** Word n-grams (space-joined) over a token array — one entry per
+    * position, duplicates kept (the multiset the repetition signals are
+    * defined on). Materialize the result into a column before feeding it
+    * to [[topGramChars]]/[[dupGramChars]]: array-lambda element access
+    * gets no CSE (the `contaminationNgramOverlap` lesson).
+    */
+  def ngrams(tokens: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), size(tokens) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + lit(k))): _*))
+
+  /** Characters covered by the most frequent n-gram (count × gram length);
+    * ties broken by the lexicographically smallest gram so "the top gram"
+    * is well-defined across engines. Gopher's "top n-gram character
+    * fraction" numerator (Rae et al. 2021, Table A1). Map-side,
+    * O(|distinct| · |grams|) inside the row.
+    */
+  def topGramChars(grams: Column): Column = {
+    val d = array_distinct(grams)
+    val maxc = array_max(transform(d, g => size(filter(grams, x => x === g))))
+    val top = array_min(filter(d, g => size(filter(grams, x => x === g)) === maxc))
+    maxc * length(top)
+  }
+
+  /** Characters at positions whose n-gram occurs more than once in the
+    * document — Gopher's "duplicate n-gram character fraction" numerator.
+    */
+  def dupGramChars(grams: Column): Column =
+    aggregate(grams, lit(0), (acc, g) =>
+      acc + when(size(filter(grams, x => x === g)) > 1, length(g)).otherwise(0))
+
   /** Default English-ish stopword list used by quality scoring. */
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",

@@ -496,6 +496,29 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // Gopher-style repetition removal (Rae et al. 2021, Table A1): the
+    // n-gram repetition signals q66's word-level filters don't see —
+    // fraction of characters covered by the most frequent 3-gram and by
+    // duplicated 5-grams. Entirely map-side (array HOFs inside the row);
+    // the keep-rule thresholds are the published ones (0.18 / 0.15).
+    "q74_repetition" -> ((s, dir) => {
+      val t = col("t")
+      def r4(c: org.apache.spark.sql.Column) = TextFunctions.round4(c)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          filter(split(lower(col("text")), "\\s+"), x => length(x) > 0).as("t"))
+        .filter(size(t) >= 5)
+        .select(col("doc_id"), col("n_chars"),
+          TextFunctions.ngrams(t, 3).as("g3"),
+          TextFunctions.ngrams(t, 5).as("g5"))
+        .select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          r4(TextFunctions.topGramChars(col("g3")) / col("n_chars")).as("top3_frac"),
+          r4(TextFunctions.dupGramChars(col("g5")) / col("n_chars")).as("dup5_frac"))
+        .withColumn("keep",
+          (col("top3_frac") <= 0.18 && col("dup5_frac") <= 0.15).cast("long"))
+    }),
+
     // EXACT heavy hitters via a Misra–Gries sketch pass + candidate
     // re-count (vocabulary/top-token stats at 100 TB: the sketch pass
     // shuffles one <=64-entry summary per partition per lang instead of
@@ -863,6 +886,41 @@ object PipelineQueries {
         |  CAST(n_tokens >= 5 AND n_tokens <= 100000
         |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
         |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
+        |FROM f""".stripMargin,
+
+    "q74_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, n_chars,
+        |    list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3,
+        |    list_transform(range(1, len(t) - 3),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS g5
+        |  FROM tok WHERE len(t) >= 5
+        |), m AS (
+        |  SELECT doc_id, n_chars, g3, g5,
+        |    list_aggregate(list_transform(list_distinct(g3),
+        |      x -> len(list_filter(g3, y -> y = x))), 'max') AS maxc3
+        |  FROM g
+        |), s AS (
+        |  SELECT doc_id, n_chars, maxc3,
+        |    list_aggregate(list_filter(list_distinct(g3),
+        |      x -> len(list_filter(g3, y -> y = x)) = maxc3), 'min') AS top3,
+        |    list_aggregate(list_transform(g5,
+        |      x -> CASE WHEN len(list_filter(g5, y -> y = x)) > 1
+        |        THEN len(x) ELSE 0 END), 'sum') AS dup5_chars
+        |  FROM m
+        |), f AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    floor(CAST(maxc3 * len(top3) AS DOUBLE) / n_chars * 10000.0 + 0.5) / 10000.0 AS top3_frac,
+        |    floor(CAST(dup5_chars AS DOUBLE) / n_chars * 10000.0 + 0.5) / 10000.0 AS dup5_frac
+        |  FROM s
+        |)
+        |SELECT doc_id, n_chars, top3_frac, dup5_frac,
+        |  CAST(top3_frac <= 0.18 AND dup5_frac <= 0.15 AS BIGINT) AS keep
         |FROM f""".stripMargin,
 
     "q73_heavy_hitters" ->

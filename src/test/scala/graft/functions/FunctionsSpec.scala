@@ -332,4 +332,36 @@ class FunctionsSpec extends SparkSpec {
       .select(DedupFunctions.winnowingSketch($"text")).collect()(0).getSeq[Long](0)
     assert(viaSql == viaCol)
   }
+
+  test("repetition signals: top/dup n-gram char counts match hand computation") {
+    // "a b a b a b" → 3-grams: [a b a, b a b, a b a, b a b] — top gram
+    // "a b a" (tie count 2, lexicographic min) covers 2*5 chars; every
+    // position's gram repeats, so dup chars = 5+5+5+5
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "one two three four five six"),          // all grams distinct
+      (3L, "x y x y x y x y x y x y")               // fully repetitive
+    ).toDF("doc_id", "text")
+      .select($"doc_id", length($"text").as("n_chars"),
+        TextFunctions.tokens($"text").as("t"))
+      .select($"doc_id", $"n_chars",
+        TextFunctions.ngrams($"t", 3).as("g3"),
+        TextFunctions.ngrams($"t", 5).as("g5"))
+      .select($"doc_id",
+        TextFunctions.topGramChars($"g3").as("top3"),
+        TextFunctions.dupGramChars($"g5").as("dup5"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L) == ((10, 0)), m.toString)   // "a b a"×2; the two 5-grams differ
+    assert(m(2L) == ((13, 0)), m.toString)   // all singletons: lex-min "four five six"
+    // 3-grams of doc 3: "x y x"×5, "y x y"×5 → top = "x y x" (5×5=25 chars);
+    // 5-grams: "x y x y x"×4, "y x y x y"×4 → all 8 positions duplicated, 9 chars each
+    assert(m(3L) == ((25, 72)), m.toString)
+    // end-to-end: q74 runs on the corpus and every row decides the rule
+    val out = graft.SparkEntry.queries("q74_repetition")(spark, sfDir)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_chars", "top3_frac", "dup5_frac", "keep"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(4) == 0L || r.getLong(4) == 1L))
+  }
 }
