@@ -468,6 +468,57 @@ object Similarity {
     * (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
     * Pair count ~ N²/2^bits; pick bits so a bucket's pairs fit a task.
     */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    * embedded corpus — k-means-cluster the embeddings, then near-dup ONLY
+    * within each cluster, keeping one representative per duplicate group.
+    * The cluster id is the blocking key: the published method's whole point
+    * is to restrict the O(N²) pair search to Σ|cluster|² work, with nlist
+    * sizing the quadratic term (at 100 TB: nlist grows with N so the
+    * expected cluster stays bounded; the only shuffle of vector payloads is
+    * the one cluster-keyed self-join, which AQE skew-splits since it IS a
+    * join). Items whose cluster contains a lower-id item with cosine >=
+    * threshold are removed (keep-min-id is the deterministic stand-in for
+    * the paper's arbitrary representative choice).
+    *
+    * Training reuses the deterministic exact-decimal spherical k-means of
+    * the IVF plane, so the whole operator is bit-reproducible.
+    *
+    * Returns one row per cluster: (centroid_id, n_items, n_kept,
+    * n_removed), plus per-item detail via `detail = true`
+    * (id, centroid_id, kept).
+    */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, threshold: Double,
+      detail: Boolean = false): DataFrame = {
+    val cents = trainCentroids(df, idCol, vecCol, nlist, iters)
+    val items = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val assigned = assignTo(cents)(items, 1)
+      .select(col("id"), col("__v"), col("__n"), col("centroid_id"))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val removed = a
+      .join(b, col("a.centroid_id") === col("b.centroid_id") && col("b.id") < col("a.id"))
+      .filter(
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n")), 6)
+          >= threshold)
+      .select(col("a.id")).distinct()
+    val flagged = assigned
+      .join(removed.withColumnRenamed("id", "__rm"),
+        col("id") === col("__rm"), "left")
+      .select(col("id"), col("centroid_id"),
+        col("__rm").isNull.cast("boolean").as("kept"))
+    if (detail) flagged
+    else flagged
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum((!col("kept")).cast("long")).as("n_removed"))
+  }
+
   def nearDupCosine(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 12, dim: Int = 64): DataFrame = {

@@ -496,6 +496,17 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // SemDeDup (semantic dedup): k-means clusters as the blocking key,
+    // cosine near-dup only within clusters, keep-min-id representative.
+    // rows-only (cluster contents depend on float k-means internals; the
+    // keep/remove semantics are pinned by FunctionsSpec on planted dups).
+    // Threshold sits in the far tail of this corpus's cosine distribution
+    // (near-orthogonal synthetic embeddings, same regime as q27).
+    "q75_semdedup" -> ((s, dir) => {
+      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, iters = 3, threshold = 0.32)
+    }),
+
     // Gopher-style repetition removal (Rae et al. 2021, Table A1): the
     // n-gram repetition signals q66's word-level filters don't see —
     // fraction of characters covered by the most frequent 3-gram and by

@@ -333,6 +333,40 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("semDedup: exact dups removed keep-min-id, distinct vectors survive") {
+    // three well-separated directions in R^4; exact duplicates share a
+    // vector bit-for-bit, so they land in the same cluster regardless of
+    // how k-means carves the space — the removal assertion is robust
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val e3 = Array(0f, 0f, 1f, 0f)
+    val near1 = Array(0.999f, 0.04f, 0f, 0f) // cos vs e1 ≈ 0.9992
+    // the three LOWEST ids are the three distinct directions, because
+    // seedCentroids takes the nlist lowest-id vectors as the initial model
+    val rows = Seq(
+      (10L, e1), (110L, e1), (120L, e1), // dup group: keep 10, drop 110/120
+      (20L, e2), (210L, e2),             // dup group: keep 20, drop 210
+      (30L, e3),                         // singleton
+      (400L, near1)                      // near-dup of the e1 group
+    )
+    val df = rows.toDF("vec_id", "embedding")
+    val detail = Similarity.semDedup(df, "vec_id", "embedding",
+        nlist = 3, iters = 2, threshold = 0.95, detail = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(detail(10L) && !detail(110L) && !detail(120L), detail.toString)
+    assert(detail(20L) && !detail(210L), detail.toString)
+    assert(detail(30L), "singleton must survive")
+    // near1 is only removed if it shares a cluster with the e1 group —
+    // with 3 well-separated directions and nlist=3 it must
+    assert(!detail(400L), s"near-dup of a lower-id item must be removed: $detail")
+    // aggregate view is consistent with the detail view
+    val agg = Similarity.semDedup(df, "vec_id", "embedding",
+        nlist = 3, iters = 2, threshold = 0.95)
+      .agg(sum($"n_items"), sum($"n_kept"), sum($"n_removed"))
+      .head
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == ((7L, 3L, 4L)))
+  }
+
   test("repetition signals: top/dup n-gram char counts match hand computation") {
     // "a b a b a b" → 3-grams: [a b a, b a b, a b a, b a b] — top gram
     // "a b a" (tie count 2, lexicographic min) covers 2*5 chars; every
