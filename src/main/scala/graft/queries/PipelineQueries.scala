@@ -496,6 +496,24 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // near-dup GROUP canonicalization: the pair list from the blocked
+    // n-gram Jaccard join under-merges chains (a~b, b~c), so connected
+    // components assigns every doc the min reachable doc_id as its group
+    // label — the step that makes "keep one per group" transitive. The
+    // affinity threshold sits in this corpus's tail so 3- and 4-member
+    // chains exist and the closure is actually exercised. Oracle: the
+    // same pair graph closed with a recursive CTE in DuckDB.
+    "q76_dedup_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val pairs = DedupFunctions.nearDupNgramJaccard(
+        docs, "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_bucket"), threshold = 0.06, n = 2)
+      graft.operators.ConnectedComponents
+        .labelComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component_id"))
+    }),
+
     // SemDeDup (semantic dedup): k-means clusters as the blocking key,
     // cosine near-dup only within clusters, keep-min-id representative.
     // rows-only (cluster contents depend on float k-means internals; the
@@ -898,6 +916,32 @@ object PipelineQueries {
         |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
         |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
         |FROM f""".stripMargin,
+
+    "q76_dedup_groups" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, source, len_bucket,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM tok
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket
+        |    AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.06
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), lbl AS (
+        |  SELECT doc_id AS node, doc_id AS lab FROM tok
+        |  UNION
+        |  SELECT e.dst AS node, l.lab FROM lbl l JOIN edges e ON e.src = l.node
+        |)
+        |SELECT node AS doc_id, min(lab) AS component_id FROM lbl GROUP BY node""".stripMargin,
 
     "q74_repetition" ->
       """WITH tok AS (
