@@ -325,26 +325,53 @@ object DedupFunctions {
       docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, n: Int = 3,
       broadcastRef: Boolean = true): DataFrame = {
-    // Tokens MUST be materialized into a column before the gram lambda:
-    // element_at inside transform() gets no common-subexpression
-    // elimination, so referencing tokens(text) directly re-runs the full
-    // split+filter per element — measured ~10x on the whole operator.
-    // An attribute reference reads the row value once.
-    def gramsFromTokens(t: Column): Column =
-      // size < n would make sequence() descend — emit no grams instead
-      when(size(t) >= n,
-        array_distinct(transform(
-          sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
-        .otherwise(array().cast("array<string>"))
-    def explodedGrams(df: DataFrame, keep: Seq[String], textC: String): DataFrame =
-      df.select(keep.map(col) :+ TextFunctions.tokens(lower(col(textC))).as("__t"): _*)
-        .select(keep.map(col) :+ explode(gramsFromTokens(col("__t"))).as("gram"): _*)
-    val refGrams = explodedGrams(ref, Seq.empty, refTextCol).distinct()
+    val refGrams = explodedGrams(ref, Seq.empty, refTextCol, n).distinct()
     val refSide = if (broadcastRef) broadcast(refGrams) else refGrams
-    explodedGrams(docs.select(col(idCol).as("id"), col(textCol)), Seq("id"), textCol)
+    explodedGrams(docs.select(col(idCol).as("id"), col(textCol)), Seq("id"), textCol, n)
       .join(refSide, Seq("gram"), "inner")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
+  }
+
+  // Tokens MUST be materialized into a column before the gram lambda:
+  // element_at inside transform() gets no common-subexpression
+  // elimination, so referencing tokens(text) directly re-runs the full
+  // split+filter per element — measured ~10x on the whole operator.
+  // An attribute reference reads the row value once.
+  private def gramsFromTokens(t: Column, n: Int): Column =
+    // size < n would make sequence() descend — emit no grams instead
+    when(size(t) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  private def explodedGrams(
+      df: DataFrame, keep: Seq[String], textC: String, n: Int): DataFrame =
+    df.select(keep.map(col) :+ TextFunctions.tokens(lower(col(textC))).as("__t"): _*)
+      .select(keep.map(col) :+ explode(gramsFromTokens(col("__t"), n)).as("gram"): _*)
+
+  /** Decontamination for a reference set too large to broadcast RAW: build
+    * a bloom filter over the reference grams (one map-side-combined
+    * aggregation into numBits/8 bytes), ship it as a literal, and prefilter
+    * train grams MAP-SIDE before the exact gram join — so the shuffle
+    * carries only true hits plus the bloom's false positives instead of
+    * every train gram. The exact join on survivors removes false
+    * positives, and blooms have no false negatives, so the result is
+    * EXACTLY [[contaminationNgramOverlap]] — only the wire bytes differ.
+    */
+  def contaminationViaBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 3,
+      numBits: Long = 1L << 22, numHashes: Int = 5): DataFrame = {
+    val refGrams = explodedGrams(ref, Seq.empty, refTextCol, n).distinct()
+    val bloomBytes = refGrams
+      .agg(SketchFunctions.bloomAgg(col("gram"), numBits, numHashes))
+      .head.getAs[Array[Byte]](0)
+    explodedGrams(docs.select(col(idCol).as("id"), col(textCol)), Seq("id"), textCol, n)
+      .filter(SketchFunctions.bloomMightContain(lit(bloomBytes), col("gram")))
+      .join(refGrams, Seq("gram"), "inner") // non-broadcast: the at-scale shape
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 }

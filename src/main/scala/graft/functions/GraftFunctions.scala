@@ -42,7 +42,11 @@ object GraftFunctions {
     // aggregate: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression (same as the built-in registry entries)
     "heavy_hitters" -> (es => HeavyHittersAgg(es(0),
-      if (es.length > 1) intArg(es(1), "capacity") else 64)))
+      if (es.length > 1) intArg(es(1), "capacity") else 64)),
+    "bloom_agg" -> (es => BloomFilterAgg(es(0),
+      if (es.length > 1) intArg(es(1), "numBits").toLong else 1L << 20,
+      if (es.length > 2) intArg(es(2), "numHashes") else 5)),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   /** Register all graft functions as temp functions in this session. */
   def register(spark: SparkSession): Unit =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.HeavyHittersAgg
+import graft.expressions.{BloomFilterAgg, BloomMightContain, HeavyHittersAgg}
 
 /** Sketch-backed aggregations for unbounded key domains.
   *
@@ -27,6 +27,24 @@ object SketchFunctions {
   def heavyHittersSketch(item: Column, capacity: Int): Column =
     GraftBridge.column(
       HeavyHittersAgg(GraftBridge.expression(item), capacity).toAggregateExpression())
+
+  /** Bloom-filter aggregate over a string column: mergeable bitset state
+    * (numBits/8 bytes), built map-side, bit-identical regardless of
+    * partitioning (merge is word-wise OR). Probe the result with
+    * [[bloomMightContain]] — same double-hash scheme, no false negatives.
+    */
+  def bloomAgg(item: Column, numBits: Long, numHashes: Int = 5): Column =
+    GraftBridge.column(
+      BloomFilterAgg(GraftBridge.expression(item), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Map-side membership probe against [[bloomAgg]] bytes (typically a
+    * collected literal — a few MB standing in for a key set too large to
+    * broadcast raw).
+    */
+  def bloomMightContain(bloom: Column, item: Column): Column =
+    GraftBridge.column(BloomMightContain(
+      GraftBridge.expression(bloom), GraftBridge.expression(item)))
 
   /** EXACT distributed heavy hitters — the two-pass production pattern:
     *

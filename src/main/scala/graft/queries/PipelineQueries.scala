@@ -496,6 +496,19 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // decontamination at reference-set scale: bloom-prefilter train grams
+    // map-side before a NON-broadcast exact gram join — the shape for an
+    // eval set whose raw shingles won't broadcast but whose 2^22-bit bloom
+    // (512 KB) will. No false negatives + exact join on survivors ⇒ the
+    // result is EXACTLY q67's, and it shares q67's oracle SQL.
+    "q77_contamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupFunctions.contaminationViaBloom(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shared"))
+    }),
+
     // near-dup GROUP canonicalization: the pair list from the blocked
     // n-gram Jaccard join under-merges chains (a~b, b~c), so connected
     // components assigns every doc the min reachable doc_id as its group
@@ -916,6 +929,26 @@ object PipelineQueries {
         |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
         |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
         |FROM f""".stripMargin,
+
+    // identical semantics to q67 (bloom is a lossless prefilter here)
+    "q77_contamination_bloom" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM tok WHERE len(t) >= 3
+        |), ev AS (
+        |  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0
+        |), tr AS (
+        |  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 50 <> 0
+        |)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id""".stripMargin,
 
     "q76_dedup_groups" ->
       """WITH RECURSIVE tok AS (

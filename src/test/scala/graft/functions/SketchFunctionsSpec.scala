@@ -108,6 +108,54 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(arr2.isEmpty)
   }
 
+  test("bloom: no false negatives; bytes identical across partitionings; FPP sane") {
+    val inserted = (0 until 500).map(i => s"key$i")
+    val others = (0 until 2000).map(i => s"absent$i")
+    def build(parts: Int): Array[Byte] =
+      inserted.toDF("item").repartition(parts)
+        .agg(SketchFunctions.bloomAgg($"item", numBits = 1L << 14, numHashes = 5))
+        .head.getAs[Array[Byte]](0)
+    val b1 = build(1)
+    val b8 = build(8)
+    assert(java.util.Arrays.equals(b1, b8),
+      "bloom bytes must be partitioning-invariant (merge is OR)")
+    val probes = (inserted.map((_, true)) ++ others.map((_, false))).toDF("item", "inserted")
+    val got = probes
+      .select($"item", $"inserted",
+        SketchFunctions.bloomMightContain(lit(b1), $"item").as("hit"))
+      .collect()
+    got.filter(_.getBoolean(1)).foreach(r =>
+      assert(r.getBoolean(2), s"false negative: ${r.getString(0)}"))
+    val fp = got.filter(r => !r.getBoolean(1) && r.getBoolean(2)).length
+    // theoretical FPP for n=500, m=2^14, k=5 is ~0.2%; allow generous slack
+    assert(fp <= 40, s"false-positive rate implausibly high: $fp/2000")
+  }
+
+  test("bloom-prefiltered contamination equals the exact broadcast-join version") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    val eval_ = docs.filter($"doc_id" % 50 === 0)
+    val exact = DedupFunctions.contaminationNgramOverlap(
+        train, "doc_id", "text", eval_, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBloom = DedupFunctions.contaminationViaBloom(
+        train, "doc_id", "text", eval_, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixture must contain contaminated docs")
+    assert(viaBloom == exact)
+  }
+
+  test("SQL surface: bloom_agg / bloom_might_contain registered") {
+    GraftFunctions.register(spark)
+    Seq("a", "b", "c").toDF("item").createOrReplaceTempView("bloom_in")
+    val hits = spark.sql(
+      """SELECT might FROM (
+        |  SELECT bloom_might_contain((SELECT bloom_agg(item, 4096, 4) FROM bloom_in), x) AS might
+        |  FROM VALUES ('a'), ('zzz') AS t(x))""".stripMargin)
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(hits.head, "inserted key must hit")
+  }
+
   test("SQL surface: heavy_hitters registered and group-aggregates") {
     GraftFunctions.register(spark)
     zipfStream(distinct = 8, scale = 64).toDF("item").createOrReplaceTempView("hh_in")
