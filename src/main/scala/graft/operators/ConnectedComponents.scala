@@ -41,14 +41,26 @@ object ConnectedComponents {
       maxIters: Int = 40): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val bidir = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
-    var labels = nodes
-      .select(col(idCol).cast("long").as("node"))
+    // iterate ONLY over edge-touched nodes: near-dup graphs are sparse, so
+    // the per-round state is |paired nodes|, not |corpus| — singletons
+    // rejoin once at the end as their own component. At corpus scale this
+    // is orders of magnitude less state per round (and the label table
+    // usually shrinks under the broadcast threshold, making every round's
+    // joins broadcast-local).
+    var labels = bidir
+      .select(col("u").as("node"))
+      .distinct()
       .withColumn("component_id", col("node"))
       .persist()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("component_id").cast(DecimalType(38, 0)))).head.getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
+    def attachSingletons(converged: DataFrame): DataFrame = nodes
+      .select(col(idCol).cast("long").as("node"))
+      .join(converged.withColumnRenamed("node", "__n"),
+        col("node") === col("__n"), "left")
+      .select(col("node"), coalesce(col("component_id"), col("node")).as("component_id"))
     try {
       var prevSum = labelSum(labels)
       var it = 0
@@ -68,7 +80,7 @@ object ConnectedComponents {
         labels.unpersist(blocking = false)
         labels = next
         it += 1
-        if (s.compareTo(prevSum) == 0) return labels
+        if (s.compareTo(prevSum) == 0) return attachSingletons(labels)
         prevSum = s
       }
       throw new IllegalStateException(
