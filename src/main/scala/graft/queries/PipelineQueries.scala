@@ -496,6 +496,43 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // z-order layout evidence: land events z-ordered by (user_id, ts) and
+    // by ts alone, then count how many files a (user-range × time-window)
+    // box must read under each layout — the OPTIMIZE ZORDER story with the
+    // pruning numbers in the result (rows-only: file boundaries come from
+    // range-partitioner sampling).
+    "q78_zorder_layout" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("long").as("ts_l"), col("value"))
+      val stats = ev.agg(
+        min(col("user_id")), max(col("user_id")),
+        min(col("ts_l")), max(col("ts_l"))).head
+      val (u0, u1) = (stats.getLong(0), stats.getLong(1))
+      val (t0, t1) = (stats.getLong(2), stats.getLong(3))
+      // box: middle 1/8 of users × middle 1/8 of time
+      val (bu0, bu1) = (u0 + (u1 - u0) * 7 / 16, u0 + (u1 - u0) * 9 / 16)
+      val (bt0, bt1) = (t0 + (t1 - t0) * 7 / 16, t0 + (t1 - t0) * 9 / 16)
+      val zPath = scratchDir("zorder_ev").resolve("z").toString
+      val linPath = scratchDir("zorder_ev").resolve("lin").toString
+      graft.storage.ZOrderLayout.writeZOrdered(ev, "user_id", "ts_l", zPath, numFiles = 32)
+      ev.repartitionByRange(32, col("ts_l")).sortWithinPartitions(col("ts_l"))
+        .write.mode("overwrite").parquet(linPath)
+      // three box shapes: a single-column sort only prunes its own column;
+      // z-order prunes on either (paying curve-boundary slop on the box)
+      val boxes = Seq(
+        ("user_only", bu0, bu1, t0, t1),
+        ("ts_only", u0, u1, bt0, bt1),
+        ("both_dims", bu0, bu1, bt0, bt1))
+      import s.implicits._
+      boxes.flatMap { case (name, x0, x1, y0, y1) =>
+        val (zHit, zTot) = graft.storage.ZOrderLayout.filesIntersectingBox(
+          s, zPath, "user_id", "ts_l", x0, x1, y0, y1)
+        val (lHit, lTot) = graft.storage.ZOrderLayout.filesIntersectingBox(
+          s, linPath, "user_id", "ts_l", x0, x1, y0, y1)
+        Seq(("zorder", name, zHit, zTot), ("ts_linear", name, lHit, lTot))
+      }.toDF("layout", "box", "files_read", "files_total")
+    }),
+
     // decontamination at reference-set scale: bloom-prefilter train grams
     // map-side before a NON-broadcast exact gram join — the shape for an
     // eval set whose raw shingles won't broadcast but whose 2^22-bit bloom

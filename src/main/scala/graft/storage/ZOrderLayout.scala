@@ -1,0 +1,116 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Z-order (Morton-curve) data layout for multi-dimensional scan pruning —
+  * the lakehouse `OPTIMIZE ZORDER BY` shape, Spark-first.
+  *
+  * A single-column sort prunes scans on that column only: every file spans
+  * the full range of every OTHER dimension, so a predicate on dimension 2
+  * reads the whole table. Interleaving the bits of both dimensions into one
+  * sort key makes each file a LOCAL BOX in (d1, d2) space, so per-file
+  * min/max envelopes prune on any queried dimension (Morton 1966; the same
+  * layout Delta/Iceberg expose as table optimization).
+  *
+  * Spark-first construction, no custom expressions:
+  *  - one stats pass collects per-dimension min/max (driver scalars);
+  *  - each dimension normalizes map-side to a `bits`-wide integer rank
+  *    (codegen'd arithmetic);
+  *  - the interleave is a `shiftleft`/`bitwise OR` expression TREE — ~6·bits
+  *    integer ops that stay inside WholeStageCodegen (functions-not-UDFs);
+  *  - `repartitionByRange(zkey)` + `sortWithinPartitions(zkey)` lands one
+  *    contiguous curve segment per file.
+  *
+  * At 100 TB the only full-data cost is the one extra range shuffle at
+  * write time; reads repay it on every multi-dimensional scan thereafter
+  * (the same trade as the reference's clustered materializations).
+  */
+object ZOrderLayout {
+
+  /** Interleave the low `bits` of two non-negative int columns:
+    * result bit 2i = a bit i, bit 2i+1 = b bit i.
+    */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Map `c` (long-castable) onto a 0 .. 2^bits-1 integer rank given the
+    * dimension's [min, max] — map-side, uniform-width buckets (swap in
+    * quantile boundaries for heavily skewed dimensions). The scale+divide
+    * runs in Decimal(38,0) (the RangeJoin floor-division lesson): long
+    * arithmetic would overflow on wide spans, double division loses
+    * exactness past 2^53. Values outside [min, max] (late rows after the
+    * stats pass) clamp to the edge buckets.
+    */
+  def normalize(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
+    val spanBig = BigInt(maxV) - BigInt(minV)
+    require(spanBig <= BigInt(Long.MaxValue),
+      s"dimension span $spanBig exceeds Long range — full-range sentinel values are unsupported")
+    val span = math.max(1L, spanBig.toLong)
+    val buckets = 1L << bits
+    val dec = DecimalType(38, 0)
+    val scaled = (c.cast("long").cast(dec) - lit(minV).cast(dec)) * lit(buckets)
+    val bucket = ((scaled - pmod(scaled, lit(span).cast(dec))) / lit(span)).cast("long")
+    greatest(lit(0L), least(bucket, lit(buckets - 1)))
+  }
+
+  /** The z-key for two long-castable dimension columns, min/max supplied
+    * from a stats pass.
+    */
+  def zkey(d1: Column, s1: (Long, Long), d2: Column, s2: (Long, Long), bits: Int): Column =
+    interleaveBits(
+      normalize(d1, s1._1, s1._2, bits),
+      normalize(d2, s2._1, s2._2, bits),
+      bits)
+
+  /** Write `df` z-ordered by two long-castable columns into `numFiles`
+    * parquet files (one curve segment per file). Returns the collected
+    * (min, max) per dimension from the stats pass.
+    */
+  def writeZOrdered(
+      df: DataFrame, col1: String, col2: String,
+      path: String, numFiles: Int, bits: Int = 12): ((Long, Long), (Long, Long)) = {
+    val stats = df.agg(
+      min(col(col1).cast("long")), max(col(col1).cast("long")),
+      min(col(col2).cast("long")), max(col(col2).cast("long"))).head
+    val s1 = (stats.getLong(0), stats.getLong(1))
+    val s2 = (stats.getLong(2), stats.getLong(3))
+    df.withColumn("__z", zkey(col(col1), s1, col(col2), s2, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    (s1, s2)
+  }
+
+  /** Per-file (min, max) envelopes of two columns — the skipping metadata a
+    * scan planner consults (parquet footers carry the same stats; this
+    * reads them engine-natively for evidence and tests).
+    */
+  def fileEnvelopes(spark: SparkSession, path: String, col1: String, col2: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(col1).cast("long")).as("min1"), max(col(col1).cast("long")).as("max1"),
+        min(col(col2).cast("long")).as("min2"), max(col(col2).cast("long")).as("max2"))
+
+  /** How many files a box predicate `[lo1,hi1] x [lo2,hi2]` must read under
+    * the layout at `path` — the pruning evidence number.
+    */
+  def filesIntersectingBox(
+      spark: SparkSession, path: String, col1: String, col2: String,
+      lo1: Long, hi1: Long, lo2: Long, hi2: Long): (Long, Long) = {
+    val env = fileEnvelopes(spark, path, col1, col2)
+    val hits = env.filter(
+      col("max1") >= lo1 && col("min1") <= hi1 &&
+        col("max2") >= lo2 && col("min2") <= hi2)
+    (hits.count(), env.count())
+  }
+}
