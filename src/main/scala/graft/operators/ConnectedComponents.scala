@@ -89,4 +89,79 @@ object ConnectedComponents {
           "the large-star/small-star variant")
     } finally bidir.unpersist(blocking = false)
   }
+
+  /** Alternating large-star/small-star (Kiveris et al., SoCC 2014) — the
+    * long-diameter path: converges in O(log² n) rounds (O(log n) in
+    * practice) where label propagation needs diameter-many, because every
+    * round rewires edges toward component minima instead of moving labels
+    * one hop.
+    *
+    *   large-star(u): ∀v ∈ N⁺(u) = N(u) ∪ {u}, v > u is re-pointed at
+    *                  m = min N⁺(u);
+    *   small-star(u): over edges with v ≤ u only, every such v (and u)
+    *                  re-points at m = min of that closed neighborhood.
+    *
+    * Both steps are one groupBy-agg plus one explode per round — the same
+    * shuffle shape as a round of label propagation, just O(log) of them.
+    * Fixpoint: the edge set is a stable star forest, i.e. one round leaves
+    * the canonical (child > parent) edge set unchanged — certified by an
+    * order-invariant set signature (count + exact-decimal sum of per-edge
+    * xxhash64), so micro-differences can't masquerade as convergence.
+    */
+  def labelComponentsStar(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def signature(e: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = e.agg(sum(xxhash64(col("c"), col("p")).cast(dec)), count(lit(1))).head
+      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), r.getLong(1))
+    }
+    // canonical edge form: (c)hild > (p)arent, self-loops dropped, distinct
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("c"), col("p")).as("c"), least(col("c"), col("p")).as("p"))
+      .filter(col("c") =!= col("p"))
+      .distinct()
+    // one star step over the closed neighborhood of each hub u; `bigOnly`
+    // restricts the neighbor set to v <= u (small-star's working set)
+    def star(e: DataFrame, largeStar: Boolean): DataFrame = {
+      val hubs =
+        if (largeStar) e.select(col("c"), col("p"))
+          .union(e.select(col("p").as("c"), col("c").as("p"))) // both directions
+        else e // canonical: p <= c, hub is c
+      val grouped = hubs.groupBy(col("c").as("u"))
+        .agg(collect_set(col("p")).as("nbrs"))
+        .select(col("u"), array_min(array_union(col("nbrs"), array(col("u")))).as("m"),
+          col("nbrs"))
+      val out = grouped.select(col("u"), col("m"), explode(col("nbrs")).as("v"))
+      val repointed =
+        if (largeStar) out.filter(col("v") > col("u")).select(col("v").as("c"), col("m").as("p"))
+        else out.select(col("v").as("c"), col("m").as("p"))
+      canon(repointed.union(grouped.select(col("u").as("c"), col("m").as("p"))))
+    }
+    val e0 = canon(edges
+      .select(col(srcCol).cast("long").as("c"), col(dstCol).cast("long").as("p")))
+    var e = e0.persist()
+    var prevSig = signature(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = star(star(e, largeStar = true), largeStar = false)
+        .localCheckpoint(true)
+        .persist()
+      val sig = signature(next)
+      e.unpersist(blocking = false)
+      e = next
+      it += 1
+      converged = sig == prevSig
+      prevSig = sig
+    }
+    if (!converged) throw new IllegalStateException(
+      s"large-star/small-star did not converge in $maxIters rounds")
+    // e is now a star forest: child -> component min. Singletons attach as
+    // their own component.
+    nodes.select(col(idCol).cast("long").as("node"))
+      .join(e.withColumnRenamed("c", "__n"), col("node") === col("__n"), "left")
+      .select(col("node"), coalesce(col("p"), col("node")).as("component_id"))
+  }
 }

@@ -28,6 +28,13 @@ class ConnectedComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  private def runStar(n: Int, edges: Seq[(Long, Long)], maxIters: Int = 25): Map[Long, Long] = {
+    val nodes = (0L until n.toLong).toDF("id")
+    val e = edges.toDF("src", "dst")
+    ConnectedComponents.labelComponentsStar(nodes, "id", e, "src", "dst", maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("seeded random graphs match driver-side union-find") {
     for (seed <- Seq(1, 7, 42)) {
       val rnd = new Random(seed)
@@ -56,6 +63,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(20, clique)
     (10L to 14L).foreach(i => assert(got(i) == 10L))
     ((0L to 9L) ++ (15L to 19L)).foreach(i => assert(got(i) == i))
+  }
+
+  test("large-star/small-star matches union-find on seeded random graphs") {
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new Random(seed)
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(runStar(n, edges) == unionFind(n, edges), s"seed=$seed")
+    }
+  }
+
+  test("large-star/small-star collapses a 64-node path within log-bounded rounds") {
+    // label propagation would need 63 rounds; the star variant must finish
+    // inside 12 two-step rounds or the O(log) claim is broken
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = runStar(64, edges, maxIters = 12)
+    assert(got.values.toSet == Set(0L), got.filterNot(_._2 == 0L).toString)
+  }
+
+  test("large-star/small-star: singletons, cliques, empty edges") {
+    assert(runStar(8, Seq.empty) == (0L until 8L).map(i => i -> i).toMap)
+    val clique = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val got = runStar(20, clique)
+    (10L to 14L).foreach(i => assert(got(i) == 10L))
+    ((0L to 9L) ++ (15L to 19L)).foreach(i => assert(got(i) == i))
+  }
+
+  test("both algorithms agree on a mixed graph") {
+    val rnd = new Random(5)
+    val edges = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b } ++ (50L until 59L).map(i => (i, i + 1))
+    assert(run(60, edges) == runStar(60, edges))
   }
 
   test("non-convergence guard raises past maxIters") {
