@@ -89,6 +89,19 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(r13 == want, "exact output must not depend on partitioning")
   }
 
+  test("two-pass plan: map-side partial sketch, broadcast candidates") {
+    val items = zipfStream(distinct = 20, scale = 100).toDF("item")
+      .withColumn("grp", lit("g"))
+    val out = SketchFunctions.exactHeavyHitters(
+      items, Seq("grp"), "item", capacity = 16, denom = 9)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_heavy_hitters"),
+      s"sketch pass must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"candidates must broadcast back to the item stream:\n$plan")
+  }
+
   test("exactHeavyHitters refuses a threshold below the MG guarantee") {
     val df = Seq("a", "b").toDF("item")
     val e = intercept[IllegalArgumentException] {
