@@ -46,11 +46,11 @@ object ConnectedComponents {
     // rejoin once at the end as their own component. At corpus scale this
     // is orders of magnitude less state per round (and the label table
     // usually shrinks under the broadcast threshold, making every round's
-    // joins broadcast-local).
+    // joins broadcast-local). Initial labels fold round 1 into the node
+    // extraction: min(self, direct neighbors) from one aggregation.
     var labels = bidir
-      .select(col("u").as("node"))
-      .distinct()
-      .withColumn("component_id", col("node"))
+      .groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), min(col("u"))).as("component_id"))
       .persist()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("component_id").cast(DecimalType(38, 0)))).head.getDecimal(0)
