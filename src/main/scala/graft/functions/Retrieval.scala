@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over a document corpus: inverted-index statistics and
+  * BM25 ranking (Robertson & Zaragoza 2009) — the lexical complement to the
+  * embedding ANN plane (hybrid search runs both and fuses).
+  *
+  * Scale shape: the posting table (term, doc_id, tf) is ONE
+  * map-side-combined aggregation over exploded tokens; everything
+  * query-time is driven off `term IN (query terms)` — a pushed-down filter
+  * that reads only the query terms' postings (the inverted-index access
+  * pattern; with the posting table landed partitioned-by-term-bucket it
+  * becomes partition pruning). Document-frequency and corpus stats are
+  * term-level aggregates, orders of magnitude smaller than the corpus.
+  */
+object Retrieval {
+
+  /** Posting-list statistics: one row per (term, doc) with the term
+    * frequency, the document length, and the term's document frequency —
+    * the complete sufficient statistics for TF-IDF/BM25 scoring.
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokens(lower(col(textCol))).as("__t"))
+    val postings = toks
+      .select(col("doc_id"), size(col("__t")).cast("long").as("doc_len"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("doc_len"))
+      .agg(count(lit(1)).as("tf"))
+    postings.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+  }
+
+  /** BM25 top-k documents for a bag-of-words query. Postings are filtered
+    * to the query terms FIRST (pushed-down scan predicate), so scoring
+    * touches |query terms| posting lists, never the corpus. Deterministic
+    * tie-break: rounded score desc, doc_id asc.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val stats = termStats(docs, idCol, textCol)
+      .filter(col("term").isin(queryTerms.map(_.toLowerCase): _*))
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(TextFunctions.tokenCount(lower(col(textCol)))).as("avgdl")).head
+    val nDocs = corpus.getLong(0)
+    val avgdl = corpus.getDouble(1)
+    // Robertson-Sparck Jones idf with the +1 smoothing (Lucene's form)
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / lit(avgdl)))
+    stats
+      .withColumn("__s", idf * tfNorm)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__s")).as("s"), count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"), TextFunctions.round4(col("s")).as("score"), col("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

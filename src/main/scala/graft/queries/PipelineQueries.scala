@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{DedupFunctions, ProductQuantization, Similarity, SketchFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, ProductQuantization, Retrieval, Similarity, SketchFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline operators (the north-star extensions beyond the
@@ -496,6 +496,22 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
     }),
 
+    // lexical retrieval, part 1: inverted-index sufficient statistics
+    // (tf, doc_len, df) for a fixed query-term set — `term IN (...)`
+    // pushes below the df window, so only those terms' postings are read
+    "q79_term_stats" -> ((s, dir) => {
+      Retrieval.termStats(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("term").isin("hash", "join", "scan", "window", "merge"))
+        .select(col("term"), col("doc_id"), col("doc_len"), col("tf"), col("df"))
+    }),
+
+    // lexical retrieval, part 2: BM25 top-10 for a bag-of-words query
+    // (rows-only: transcendental idf; ranking pinned by RetrievalSpec)
+    "q80_bm25" -> ((s, dir) => {
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("hash", "join", "scan"), k = 10)
+    }),
+
     // z-order layout evidence: land events z-ordered by (user_id, ts) and
     // by ts alone, then count how many files a (user-range × time-window)
     // box must read under each layout — the OPTIMIZE ZORDER story with the
@@ -966,6 +982,21 @@ object PipelineQueries {
         |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
         |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
         |FROM f""".stripMargin,
+
+    "q79_term_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), post AS (
+        |  SELECT term, doc_id, CAST(len(t) AS BIGINT) AS doc_len, count(*) AS tf
+        |  FROM (SELECT doc_id, t, unnest(t) AS term FROM tok)
+        |  GROUP BY term, doc_id, len(t)
+        |)
+        |SELECT term, doc_id, doc_len, tf,
+        |  count(*) OVER (PARTITION BY term) AS df
+        |FROM post
+        |WHERE term IN ('hash', 'join', 'scan', 'window', 'merge')""".stripMargin,
 
     // identical semantics to q67 (bloom is a lossless prefilter here)
     "q77_contamination_bloom" ->

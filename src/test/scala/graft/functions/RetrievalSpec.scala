@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry apple"))
+
+  test("termStats: tf, doc_len, df match hand counts") {
+    val got = Retrieval.termStats(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(("apple", 1L)) == ((3L, 2L, 2L)))   // doc_len 3, tf 2, df 2
+    assert(got(("apple", 3L)) == ((4L, 1L, 2L)))
+    assert(got(("banana", 2L)) == ((2L, 1L, 2L)))
+    assert(got(("cherry", 3L)) == ((4L, 3L, 2L)))
+    assert(got.size == 6, got.toString) // (apple,1)(apple,3)(banana,1)(banana,2)(cherry,2)(cherry,3)
+  }
+
+  test("bm25TopK matches an independent reference computation") {
+    val (k1, b) = (1.2, 0.75)
+    val n = 3.0
+    val avgdl = 3.0
+    def idf(df: Long): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def tfn(tf: Long, dl: Long): Double =
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expected = Seq(
+      (3L, r4(idf(2) * (tfn(1, 4) + tfn(3, 4))), 2L), // apple + cherry
+      (1L, r4(idf(2) * tfn(2, 3)), 1L),               // apple only
+      (2L, r4(idf(2) * tfn(1, 2)), 1L))               // cherry only
+    val got = Retrieval.bm25TopK(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("apple", "cherry"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == expected, s"$got != $expected")
+  }
+
+  test("query-term filter pushes below the df window (postings access pattern)") {
+    val q = graft.SparkEntry.queries("q79_term_stats")(spark, sfDir)
+    val plan = q.queryExecution.optimizedPlan.toString
+    val (iWin, iFil) = (plan.indexOf("Window"), plan.indexOf("Filter"))
+    assert(iWin >= 0 && iFil > iWin,
+      s"term IN (...) must sit BELOW the window (only query postings read):\n$plan")
+    assert(q.count() > 0)
+  }
+}
