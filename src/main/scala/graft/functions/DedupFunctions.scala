@@ -358,7 +358,9 @@ object DedupFunctions {
     * carries only true hits plus the bloom's false positives instead of
     * every train gram. The exact join on survivors removes false
     * positives, and blooms have no false negatives, so the result is
-    * EXACTLY [[contaminationNgramOverlap]] — only the wire bytes differ.
+    * EXACTLY [[contaminationNgramOverlap]] — only the wire bytes differ
+    * (measured by `graft.tools.BloomProbe` at sf0.1, broadcast disabled:
+    * 5.02 → 1.11 shuffle MB, 4.5×, identical 4818-row output).
     */
   def contaminationViaBloom(
       docs: DataFrame, idCol: String, textCol: String,
