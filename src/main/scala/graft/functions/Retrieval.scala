@@ -64,4 +64,27 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-search combiner: each input ranking contributes
+    * 1/(k0 + rank) per document, summed across rankings. Scale-free (no
+    * score normalization across heterogeneous scorers like BM25 vs
+    * cosine), commutative in its inputs, and tiny: rankings are top-k
+    * lists, so the fusion is a union + one aggregation over k·|rankings|
+    * rows regardless of corpus size.
+    *
+    * Each input must carry (`idCol`, `rank`) with rank starting at 1.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(k0.toDouble) + col("rank"))).as("__c")))
+      .reduce(_ unionAll _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("s"), count(lit(1)).as("n_lists"))
+      .select(col(idCol), TextFunctions.round4(col("s")).as("rrf_score"), col("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -512,6 +512,23 @@ object PipelineQueries {
         Seq("hash", "join", "scan"), k = 10)
     }),
 
+    // hybrid search: BM25 (lexical) and brute-force cosine (semantic)
+    // top-20 lists fused with reciprocal-rank fusion — the standard
+    // combiner for heterogeneous scorers. The synthetic corpus aligns
+    // vec_id with doc_id, so the fused id space is coherent.
+    "q81_hybrid_search" -> ((s, dir) => {
+      val lexical = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "scan"), k = 20)
+        .select(col("doc_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+      val semantic = Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir).filter(col("vec_id") === 0), "vec_id",
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lexical, semantic), "doc_id", k = 10)
+    }),
+
     // z-order layout evidence: land events z-ordered by (user_id, ts) and
     // by ts alone, then count how many files a (user-range × time-window)
     // box must read under each layout — the OPTIMIZE ZORDER story with the

@@ -43,6 +43,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expected, s"$got != $expected")
   }
 
+  test("rrfFuse: hand-computed fusion, commutative, single-list items kept") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expected = Seq(
+      (20L, r4(1.0 / 62 + 1.0 / 61), 2L), // in both lists → fused to the top
+      (10L, r4(1.0 / 61), 1L),            // rank 1 in a beats rank 2 in b
+      (40L, r4(1.0 / 62), 1L),
+      (30L, r4(1.0 / 63), 1L))
+    def run(lists: Seq[org.apache.spark.sql.DataFrame]) =
+      Retrieval.rrfFuse(lists, "doc_id", k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(run(Seq(a, b)) == expected, run(Seq(a, b)).toString)
+    assert(run(Seq(b, a)) == expected, "fusion must be commutative in its inputs")
+  }
+
   test("query-term filter pushes below the df window (postings access pattern)") {
     val q = graft.SparkEntry.queries("q79_term_stats")(spark, sfDir)
     val plan = q.queryExecution.optimizedPlan.toString

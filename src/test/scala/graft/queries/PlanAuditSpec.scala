@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     "q48_ann_recall", // includes the brute-force baseline above
     "q56_kmeans_ivf", // recall eval vs brute force over broadcast queries
     "q57_pq_recall",  // ADC + re-rank vs brute force, broadcast tables
-    "q71_ivfpq")      // recall report embeds the brute-force baseline
+    "q71_ivfpq",      // recall report embeds the brute-force baseline
+    "q81_hybrid_search") // semantic arm is the broadcast brute-force top-k
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
