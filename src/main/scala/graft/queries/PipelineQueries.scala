@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{DedupFunctions, ProductQuantization, Retrieval, Similarity, SketchFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, Monitoring, ProductQuantization, Retrieval, Similarity, SketchFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline operators (the north-star extensions beyond the
@@ -512,6 +512,38 @@ object PipelineQueries {
         Seq("hash", "join", "scan"), k = 10)
     }),
 
+    // feature monitoring, part 1: per-column profile (exact counts,
+    // exact-decimal mean) — the stats pane next to every materialized
+    // feature view; one mergeable agg per column
+    "q82_feature_profile" -> ((s, dir) => {
+      Monitoring.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    }),
+
+    // feature monitoring, part 2: train/serve drift histogram — exact
+    // per-bucket counts over a fixed-width grid on the observed range
+    // (boundaries are IEEE-double arithmetic, identical across engines)
+    "q83_drift_histogram" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("split",
+          when(col("event_id") % 2 === 0, "train").otherwise("serve"))
+      val r = ev.agg(min(col("value")), max(col("value"))).head
+      Monitoring.driftHistogram(ev, "split", "value",
+          r.getDouble(0), r.getDouble(1), nBuckets = 10)
+        .select(col("split"), col("bucket"), col("n"))
+    }),
+
+    // feature monitoring, part 3: PSI between the splits (rows-only:
+    // transcendental ln; the histogram feeding it is q83's exact oracle)
+    "q84_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("split",
+          when(col("event_id") % 2 === 0, "train").otherwise("serve"))
+      val r = ev.agg(min(col("value")), max(col("value"))).head
+      Monitoring.psi(ev, "split", "train", "serve", "value",
+        r.getDouble(0), r.getDouble(1), nBuckets = 10)
+    }),
+
     // hybrid search: BM25 (lexical) and brute-force cosine (semantic)
     // top-20 lists fused with reciprocal-rank fusion — the standard
     // combiner for heterogeneous scorers. The synthetic corpus aligns
@@ -999,6 +1031,31 @@ object PipelineQueries {
         |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
         |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
         |FROM f""".stripMargin,
+
+    "q82_feature_profile" ->
+      (Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |  floor(CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / count($c)
+           |    * 10000.0 + 0.5) / 10000.0 AS mean_v
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+
+    "q83_drift_histogram" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'train' ELSE 'serve' END AS split,
+        |    value
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT min(value) AS lo, max(value) AS hi FROM events
+        |)
+        |SELECT split,
+        |  GREATEST(0, LEAST(CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT), 9)) AS bucket,
+        |  count(*) AS n
+        |FROM s, r
+        |GROUP BY 1, 2""".stripMargin,
 
     "q79_term_stats" ->
       """WITH tok AS (

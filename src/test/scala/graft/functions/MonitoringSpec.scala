@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MonitoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: exact counts, nulls, distinct, mean") {
+    val df = Seq(Some(1.0), Some(2.0), Some(2.0), None, Some(5.0))
+      .toDF("x")
+    val r = Monitoring.profile(df, Seq("x")).head
+    assert(r.getString(0) == "x")
+    assert(r.getLong(1) == 5L && r.getLong(2) == 1L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 5.0)
+    assert(r.getDouble(6) == 2.5) // (1+2+2+5)/4
+  }
+
+  test("driftHistogram: hand-computed buckets incl. edge clamping") {
+    val df = Seq(("a", 0.0), ("a", 0.1), ("a", 0.95), ("a", 1.0), ("b", 0.5), ("b", -0.2))
+      .toDF("split", "v")
+    val got = Monitoring.driftHistogram(df, "split", "v", 0.0, 1.0, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("a", 0L)) == 1L)  // 0.0
+    assert(got(("a", 1L)) == 1L)  // 0.1
+    assert(got(("a", 9L)) == 2L)  // 0.95 and the clamped 1.0
+    assert(got(("b", 5L)) == 1L)
+    assert(got(("b", 0L)) == 1L)  // below-range value clamps into bucket 0
+  }
+
+  test("psi: ~0 for identical splits, large for disjoint splits, null-safe") {
+    val same = (1 to 500).flatMap(i => Seq(("train", i % 10 / 10.0), ("serve", i % 10 / 10.0)))
+      .toDF("split", "v")
+    val psiSame = Monitoring.psi(same, "split", "train", "serve", "v", 0.0, 1.0, 10)
+      .head.getDouble(3)
+    assert(psiSame == 0.0, s"identical distributions must have PSI 0, got $psiSame")
+    val shifted = ((1 to 500).map(i => ("train", i % 10 / 20.0)) ++
+      (1 to 500).map(i => ("serve", 0.5 + i % 10 / 20.0))).toDF("split", "v")
+    val psiShift = Monitoring.psi(shifted, "split", "train", "serve", "v", 0.0, 1.0, 10)
+      .head.getDouble(3)
+    assert(psiShift > 0.25, s"disjoint distributions must flag action, got $psiShift")
+  }
+}
