@@ -23,6 +23,12 @@ import graft.expressions.VecDot
   * DuckDB's list_sum fold, so oracles agree). Norms are computed ONCE per
   * row in a pre-join projection and carried as scalar columns; the join
   * never re-evaluates a per-element expression besides the single dot.
+  *
+  * Skew: every per-query top-k here is a `row_number() <= k` window, which
+  * Spark 4 plans as WindowGroupLimit Partial/Final — each map partition
+  * pre-trims to k rows per query BEFORE the exchange, so a hot query key
+  * receives at most k × partitions candidates, never its full candidate
+  * set (asserted against the executed plan in `PlanAuditSpec`).
   */
 object Similarity {
 

@@ -36,4 +36,18 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("ANN top-k windows keep the partial group-limit (hot-key bound)") {
+    // row_number() <= k must plan as WindowGroupLimit Partial/Final: each
+    // map partition pre-trims to k rows per query before the exchange, so
+    // a hot query key receives at most k x partitions candidates. Guards
+    // against restructurings that silently lose the rank-limit pushdown.
+    for (q <- Seq("q25_knn", "q26_knn_lsh")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        s"$q lost the partial window group limit:\n$plan")
+    }
+  }
 }
