@@ -61,6 +61,44 @@ object ZOrderLayout {
     greatest(lit(0L), least(bucket, lit(buckets - 1)))
   }
 
+  /** Quantile-boundary bucket rank for heavily skewed dimensions: uniform
+    * width puts most of a skewed column in one bucket (one curve slab =
+    * no pruning), so this variant buckets by the dimension's own
+    * distribution. Boundaries come from one `approxQuantile` pass
+    * (driver-side, model-scale — 2^bits doubles); assignment is a
+    * `bits`-step binary search built as a when/element_at expression tree,
+    * so it stays codegen'd and map-side like the uniform path.
+    */
+  def normalizeByQuantiles(c: Column, boundaries: Array[Double], bits: Int): Column = {
+    val buckets = 1 << bits
+    require(boundaries.length == buckets - 1,
+      s"need 2^bits-1 = ${buckets - 1} boundaries, got ${boundaries.length}")
+    val b = typedLit(boundaries)
+    // classic power-of-two binary search: idx accumulates set bits from the
+    // high end; boundaries are 1-indexed for element_at
+    var idx: Column = lit(0)
+    for (step <- (0 until bits).reverse) {
+      val probe = idx + lit(1 << step)
+      // element_at is probed CLAMPED (And does not short-circuit; an
+      // out-of-range 1-based index would throw under ANSI), while the
+      // validity check runs on the unclamped index
+      idx = when(probe <= lit(buckets - 1) &&
+        c.cast("double") >= element_at(b, least(probe, lit(buckets - 1))), probe)
+        .otherwise(idx)
+    }
+    idx.cast("long")
+  }
+
+  /** Quantile boundaries for [[normalizeByQuantiles]]: the (1/2^bits, ...,
+    * (2^bits-1)/2^bits) quantiles of `colName`, one approximate pass.
+    */
+  def quantileBoundaries(df: DataFrame, colName: String, bits: Int,
+      relativeError: Double = 0.001): Array[Double] = {
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    df.stat.approxQuantile(colName, probs, relativeError)
+  }
+
   /** The z-key for two long-castable dimension columns, min/max supplied
     * from a stats pass.
     */

@@ -29,6 +29,31 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(got(4) == 4095L, "late out-of-range rows clamp, not crash")
   }
 
+  test("normalizeByQuantiles: balanced buckets under heavy skew; uniform fails") {
+    // exponential-ish skew: 4096 values, 90% below 100, tail to 1e6
+    val skewed = spark.range(0, 4096)
+      .select((pow(lit(10.0), $"id" * 6.0 / 4096).cast("double")).as("v"))
+    val bits = 4
+    val bounds = ZOrderLayout.quantileBoundaries(skewed, "v", bits)
+    val byQuantile = skewed
+      .select(ZOrderLayout.normalizeByQuantiles($"v", bounds, bits).as("b"))
+      .groupBy($"b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byQuantile.keySet.size == 16, s"all 16 buckets populated: $byQuantile")
+    val ideal = 4096.0 / 16
+    byQuantile.values.foreach(c =>
+      assert(c < ideal * 2, s"quantile buckets must stay balanced: $byQuantile"))
+    val byUniform = skewed
+      .select(ZOrderLayout.normalize($"v".cast("long"), 1L, 1000000L, bits).as("b"))
+      .groupBy($"b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUniform(0L) > 4096 * 0.75,
+      s"uniform buckets collapse under skew (the motivation): $byUniform")
+    // exact rank semantics: bucket = number of boundaries <= value
+    val probe = Seq(bounds.head - 1e-9, bounds.head, bounds.last, bounds.last + 1).toDF("v")
+      .select(ZOrderLayout.normalizeByQuantiles($"v", bounds, bits).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe == Seq(0L, 1L, 15L, 15L), probe.toString)
+  }
+
   test("z-order layout prunes multi-dim box queries; linear layout cannot") {
     // uniform 256×256 grid — each layout writes the same 64 files
     val grid = spark.range(0, 256L * 256)
