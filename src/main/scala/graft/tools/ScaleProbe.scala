@@ -25,7 +25,7 @@ object ScaleProbe {
     // deterministic synthetic history: per key, ~nFeatures/nKeys snapshots
     val features = spark.range(nFeatures).select(
       (col("id") % nKeys).as("k"),
-      timestamp_micros(col("id") * 7919L % 86400000000L).as("fts"),
+      timestamp_micros(col("id") * 7919L * 1361L % 86400000000L).as("fts"),
       (col("id") % 1000).cast("double").as("f_val"))
     val spine = spark.range(nSpine).select(
       col("id").as("sid"),
@@ -41,11 +41,11 @@ object ScaleProbe {
     println(s"features=$nFeatures spine=$nSpine keys=$nKeys (~${nFeatures / nKeys} snapshots/key)")
     time("union-window") {
       AsOfJoin.joinAsOf(spine, features, Seq("k"), "sts", "fts",
-        Seq("f_val"), method = "union-window").count()
+        Seq("f_val"), method = "union-window").agg(count(col("f_val"))).head.getLong(0)
     }
     time("join-filter") {
       AsOfJoin.joinAsOf(spine, features, Seq("k"), "sts", "fts",
-        Seq("f_val"), method = "join-filter").count()
+        Seq("f_val"), method = "join-filter").agg(count(col("f_val"))).head.getLong(0)
     }
 
     // Hot-key skew: 20% of history and spine land on ONE key. AQE cannot
@@ -60,7 +60,7 @@ object ScaleProbe {
       when(c % 5 === 0, lit(0L)).otherwise(c % nKeys)
     val hotFeatures = spark.range(nFeatures).select(
       hot(col("id")).as("k"),
-      timestamp_micros(col("id") * 7919L % 86400000000L).as("fts"),
+      timestamp_micros(col("id") * 7919L * 1361L % 86400000000L).as("fts"),
       (col("id") % 1000).cast("double").as("f_val"))
     val hotSpine = spark.range(nSpine).select(
       col("id").as("sid"),
@@ -68,11 +68,11 @@ object ScaleProbe {
       timestamp_micros(lit(82800000000L) + (col("id") * 104729L) % 3600000000L).as("sts"))
     time("hot20-window") {
       AsOfJoin.joinAsOf(hotSpine, hotFeatures, Seq("k"), "sts", "fts",
-        Seq("f_val"), method = "union-window").count()
+        Seq("f_val"), method = "union-window").agg(count(col("f_val"))).head.getLong(0)
     }
     time("hot20-ttl-1h") {
       AsOfJoin.joinAsOf(hotSpine, hotFeatures, Seq("k"), "sts", "fts",
-        Seq("f_val"), method = "union-window", maxStaleness = Some("1 hour")).count()
+        Seq("f_val"), method = "union-window", maxStaleness = Some("1 hour")).agg(count(col("f_val"))).head.getLong(0)
     }
     spark.stop()
   }
