@@ -169,6 +169,22 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(hits.head, "inserted key must hit")
   }
 
+  test("sketch state survives serialization with unicode, empty, and long items") {
+    val items = Seq("", "héllo wörld", "日本語テキスト", "emoji 🎉🌍", "a" * 10000,
+      "", "héllo wörld", "日本語テキスト")
+    val est = sketchEntries(items, capacity = 16, parts = 5) // partial agg forces ser/de
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est == exact, s"$est != $exact")
+    val bloom = items.toDF("item").repartition(5)
+      .agg(SketchFunctions.bloomAgg($"item", 4096, 4)).head.getAs[Array[Byte]](0)
+    items.distinct.foreach { s =>
+      val hit = Seq(s).toDF("item")
+        .select(SketchFunctions.bloomMightContain(lit(bloom), $"item"))
+        .head.getBoolean(0)
+      assert(hit, s"bloom false negative for ${s.take(20)}")
+    }
+  }
+
   test("SQL surface: heavy_hitters registered and group-aggregates") {
     GraftFunctions.register(spark)
     zipfStream(distinct = 8, scale = 64).toDF("item").createOrReplaceTempView("hh_in")
