@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trailing time-range rolling features — the core online-feature
+  * engineering primitive (Feast/Tecton-style "sum of value over the last
+  * hour per user", evaluated AT EVERY EVENT, not on a fixed grid).
+  *
+  * Scale shape: ONE shuffle on the entity keys; Spark's range-frame
+  * window executor then computes every trailing frame in a single sorted
+  * pass per partition (two advancing pointers, O(n), no per-row rescans).
+  * Frames are defined on integer epoch-micros, so the boundaries are
+  * engine-portable; sums accumulate as exact decimals (order-independent
+  * — the cross-engine aggregate lesson). RANGE semantics make ties
+  * (equal timestamps) deterministic regardless of partition order: all
+  * rows at the frame's edge are in or out together.
+  */
+object WindowFeatures {
+
+  /** Append `cnt_<name>` and `sum_<name>` columns for each trailing
+    * window over `valueCol`, per `keyCols` entity, ordered by
+    * `tsMicrosCol` (long epoch micros). Window spec: `(name, micros)` —
+    * frame is `[ts - micros, ts]`, both ends inclusive (SQL RANGE
+    * PRECEDING..CURRENT ROW semantics).
+    */
+  def trailing(
+      df: DataFrame, keyCols: Seq[String], tsMicrosCol: String, valueCol: String,
+      windows: Seq[(String, Long)]): DataFrame =
+    windows.foldLeft(df) { case (acc, (name, micros)) =>
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(tsMicrosCol))
+        .rangeBetween(-micros, 0)
+      acc
+        .withColumn(s"cnt_$name", count(lit(1)).over(w))
+        .withColumn(s"sum_$name",
+          TextFunctions.round4(
+            sum(col(valueCol).cast(DecimalType(18, 6))).over(w).cast("double")))
+    }
+}

@@ -512,6 +512,19 @@ object PipelineQueries {
         Seq("hash", "join", "scan"), k = 10)
     }),
 
+    // rolling features: trailing time-range aggregates per entity at every
+    // event — the online feature-engineering primitive. Integer-micros
+    // frames and decimal sums keep both engines bit-aligned.
+    "q85_rolling_features" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      graft.functions.WindowFeatures.trailing(ev, Seq("user_id"), "ts_us", "value",
+          Seq(("1h", 3600000000L), ("15m", 900000000L)))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("cnt_1h"), col("sum_1h"), col("cnt_15m"), col("sum_15m"))
+    }),
+
     // feature monitoring, part 1: per-column profile (exact counts,
     // exact-decimal mean) — the stats pane next to every materialized
     // feature view; one mergeable agg per column
@@ -1031,6 +1044,21 @@ object PipelineQueries {
         |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
         |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
         |FROM f""".stripMargin,
+
+    "q85_rolling_features" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w1 AS cnt_1h,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w1 AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS sum_1h,
+        |  count(*) OVER w2 AS cnt_15m,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w2 AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS sum_15m
+        |FROM events
+        |WINDOW
+        |  w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        |  w2 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q82_feature_profile" ->
       (Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>

@@ -29,6 +29,27 @@ class MonitoringSpec extends SparkSpec {
     assert(got(("b", 0L)) == 1L)  // below-range value clamps into bucket 0
   }
 
+  test("trailing windows: inclusive frame edges, per-key isolation, tie handling") {
+    // key a: events at t=0, 50, 100, 160; 100-micros window
+    //   t=100's frame [0,100] includes t=0 (inclusive lower edge)
+    //   t=160's frame [60,160] drops t=0 and t=50... keeps 100,160
+    // key b: two events at the SAME t — RANGE includes both in each frame
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 50L, 2.0), ("a", 100L, 4.0), ("a", 160L, 8.0),
+      ("b", 100L, 10.0), ("b", 100L, 20.0)
+    ).toDF("k", "ts_us", "v")
+    val got = WindowFeatures.trailing(df, Seq("k"), "ts_us", "v", Seq(("w", 100L)))
+      .select($"k", $"ts_us", $"v", $"cnt_w", $"sum_w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("a", 0L, 1.0)) == ((1L, 1.0)))
+    assert(got(("a", 50L, 2.0)) == ((2L, 3.0)))
+    assert(got(("a", 100L, 4.0)) == ((3L, 7.0)), "lower edge t=0 is INSIDE [0,100]")
+    assert(got(("a", 160L, 8.0)) == ((2L, 12.0)))
+    assert(got(("b", 100L, 10.0)) == ((2L, 30.0)), "ties share the frame")
+    assert(got(("b", 100L, 20.0)) == ((2L, 30.0)))
+  }
+
   test("psi: ~0 for identical splits, large for disjoint splits, null-safe") {
     val same = (1 to 500).flatMap(i => Seq(("train", i % 10 / 10.0), ("serve", i % 10 / 10.0)))
       .toDF("split", "v")
