@@ -366,7 +366,10 @@ object DedupFunctions {
       docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, n: Int = 3,
       numBits: Long = 1L << 22, numHashes: Int = 5): DataFrame = {
-    val refGrams = explodedGrams(ref, Seq.empty, refTextCol, n).distinct()
+    // persisted: materialized once by the bloom-build action, reused as
+    // the exact join's right side (recomputing the reference tokenize +
+    // distinct — the expensive side by premise — would double the cost)
+    val refGrams = explodedGrams(ref, Seq.empty, refTextCol, n).distinct().persist()
     val bloomBytes = refGrams
       .agg(SketchFunctions.bloomAgg(col("gram"), numBits, numHashes))
       .head.getAs[Array[Byte]](0)

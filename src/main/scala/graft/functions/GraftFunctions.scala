@@ -18,15 +18,23 @@ import graft.expressions._
   *   simhash64(tokens)        — 64-bit SimHash
   *   token_fingerprint(tokens)— md5 of sorted distinct token set
   *   heavy_hitters(item[,cap])— Misra–Gries top-frequency summary (aggregate)
+  *   bloom_agg(item[,m[,k]])  — bloom-filter bytes over a group (aggregate)
+  *   bloom_might_contain(b,x) — membership probe against bloom_agg bytes
   *
   * Registered either per-session via [[GraftFunctions.register]] or for all
   * sessions via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftFunctions {
 
-  private def intArg(e: Expression, name: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  private def intArg(e: Expression, name: String): Int = longArg(e, name) match {
+    case v if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+    case v => throw new IllegalArgumentException(s"$name must fit in an int, got $v")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -44,7 +52,7 @@ object GraftFunctions {
     "heavy_hitters" -> (es => HeavyHittersAgg(es(0),
       if (es.length > 1) intArg(es(1), "capacity") else 64)),
     "bloom_agg" -> (es => BloomFilterAgg(es(0),
-      if (es.length > 1) intArg(es(1), "numBits").toLong else 1L << 20,
+      if (es.length > 1) longArg(es(1), "numBits") else 1L << 20,
       if (es.length > 2) intArg(es(2), "numHashes") else 5)),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 

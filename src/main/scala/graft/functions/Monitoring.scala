@@ -18,27 +18,53 @@ object Monitoring {
 
   /** Per-column profile over numeric (long/double-castable) columns: one
     * output row per column with exact counts and exact-decimal mean
-    * (order-independent — the cross-engine aggregate lesson). Shape:
-    * (column, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v).
+    * (order-independent — the cross-engine aggregate lesson). ONE scan:
+    * all columns' statistics run as a single aggregation (Spark plans the
+    * multiple distinct aggregates via expand), then pivot to rows. Shape:
+    * (col_name, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        count_distinct(col(c)).as("n_distinct"),
-        min(col(c).cast("double")).as("min_v"),
-        max(col(c).cast("double")).as("max_v"),
-        (sum(col(c).cast(DecimalType(28, 6))).cast("double") / count(col(c)))
-          .as("mean_v"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_v"), col("max_v"),
-          TextFunctions.round4(col("mean_v")).as("mean_v"))
-    }.reduce(_ unionAll _)
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c).cast("double")).as(s"${c}__min"),
+        max(col(c).cast("double")).as(s"${c}__max"),
+        TextFunctions.round4(
+          sum(col(c).cast(DecimalType(28, 6))).cast("double") / count(col(c)))
+          .as(s"${c}__mean"))
+    }
+    // ONE action; the per-column rows are then literals (a union of
+    // selects over the agg frame would re-run the scan per branch —
+    // DataFrame union branches don't share subplans)
+    val r = df.agg(count(lit(1)).as("__n"), aggs: _*).head
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("min_v", DoubleType), StructField("max_v", DoubleType),
+      StructField("mean_v", DoubleType)))
+    val rows = cols.map { c =>
+      Row(c, r.getAs[Long]("__n"), r.getAs[Long](s"${c}__nulls"),
+        r.getAs[Long](s"${c}__distinct"),
+        r.getAs[java.lang.Double](s"${c}__min"),
+        r.getAs[java.lang.Double](s"${c}__max"),
+        r.getAs[java.lang.Double](s"${c}__mean"))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
 
   /** Fixed-width histogram bucket index for `c` over [minV, maxV] —
-    * map-side, Decimal-exact (no double division), edge values clamped
-    * into the end buckets.
+    * map-side, edge values clamped into the end buckets. Boundary math is
+    * plain IEEE double (boundaries are a modeling choice on double-valued
+    * features; what must stay exact — and does — is the integer COUNT per
+    * bucket, and the op sequence matches the DuckDB oracle bit-for-bit).
     */
   def bucketOf(c: Column, minV: Double, maxV: Double, nBuckets: Int): Column = {
     val span = math.max(java.lang.Math.ulp(0.0), maxV - minV)
@@ -68,19 +94,34 @@ object Monitoring {
   def psi(
       df: DataFrame, splitCol: String, baseSplit: String, compareSplit: String,
       valueCol: String, minV: Double, maxV: Double, nBuckets: Int): DataFrame = {
-    val hist = driftHistogram(df, splitCol, valueCol, minV, maxV, nBuckets)
+    val spark = df.sparkSession
+    val observed = driftHistogram(df, splitCol, valueCol, minV, maxV, nBuckets)
       .groupBy(col("bucket"))
       .agg(
         sum(when(col("split") === baseSplit, col("n")).otherwise(0L)).as("n_base"),
         sum(when(col("split") === compareSplit, col("n")).otherwise(0L)).as("n_cmp"))
+      .persist() // two actions below (totals + the PSI sum)
+    // the Σ runs over ALL nBuckets: buckets empty in BOTH splits still
+    // contribute a (smoothed) term whenever the split totals differ
+    val hist = spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(observed, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cmp"), lit(0L)).as("n_cmp"))
     val tot = hist.agg(sum(col("n_base")), sum(col("n_cmp"))).head
     val (nb, nc) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
     val eps = 1.0 // Laplace count smoothing per bucket
     val p = (col("n_base") + lit(eps)) / lit(nb + eps * nBuckets)
     val q = (col("n_cmp") + lit(eps)) / lit(nc + eps * nBuckets)
-    hist.select(((p - q) * log(p / q)).as("__term"))
+    val out = hist.select(((p - q) * log(p / q)).as("__term"))
       .agg(TextFunctions.round4(sum(col("__term"))).as("psi"))
       .select(lit(valueCol).as("column"), lit(baseSplit).as("base"),
         lit(compareSplit).as("compare"), col("psi"))
+    val result = out.collect()
+    observed.unpersist(blocking = false)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(result.toSeq).asJava),
+      out.schema)
   }
 }

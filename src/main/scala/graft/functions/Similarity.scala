@@ -503,6 +503,7 @@ object Similarity {
       .withColumn("__n", norm(col("__v")))
     val assigned = assignTo(cents)(items, 1)
       .select(col("id"), col("__v"), col("__n"), col("centroid_id"))
+      .persist() // referenced three times (both self-join sides + flagged)
     val a = assigned.as("a")
     val b = assigned.as("b")
     val removed = a

@@ -123,19 +123,27 @@ object TextFunctions {
 
   /** Word n-grams (space-joined) over a token array — one entry per
     * position, duplicates kept (the multiset the repetition signals are
-    * defined on). Materialize the result into a column before feeding it
-    * to [[topGramChars]]/[[dupGramChars]]: array-lambda element access
-    * gets no CSE (the `contaminationNgramOverlap` lesson).
+    * defined on); empty for inputs shorter than n (a descending
+    * `sequence` would otherwise probe index 0 and throw). Materialize the
+    * result into a column before feeding it to
+    * [[topGramChars]]/[[dupGramChars]]: array-lambda element access gets
+    * no CSE (the `contaminationNgramOverlap` lesson).
     */
   def ngrams(tokens: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), size(tokens) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + lit(k))): _*))
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
 
-  /** Characters covered by the most frequent n-gram (count × gram length);
+  /** Character MASS of the most frequent n-gram (count × gram length);
     * ties broken by the lexicographically smallest gram so "the top gram"
-    * is well-defined across engines. Gopher's "top n-gram character
-    * fraction" numerator (Rae et al. 2021, Table A1). Map-side,
+    * is well-defined across engines. Divided by [[totalGramChars]] this
+    * is a bounded [0,1] analogue of Gopher's "top n-gram character
+    * fraction" (Rae et al. 2021, Table A1): gram occurrences are weighed
+    * by their full length rather than by distinct character positions, so
+    * the ratio upper-bounds the paper's position-coverage measure and the
+    * published thresholds act conservatively. Map-side,
     * O(|distinct| · |grams|) inside the row.
     */
   def topGramChars(grams: Column): Column = {
@@ -145,12 +153,21 @@ object TextFunctions {
     maxc * length(top)
   }
 
-  /** Characters at positions whose n-gram occurs more than once in the
-    * document — Gopher's "duplicate n-gram character fraction" numerator.
+  /** Character mass at positions whose n-gram occurs more than once in
+    * the document — the duplicated-gram numerator for the bounded
+    * mass-fraction analogue of Gopher's "duplicate n-gram character
+    * fraction" (see [[topGramChars]] for the relation to the paper's
+    * position-coverage definition).
     */
   def dupGramChars(grams: Column): Column =
     aggregate(grams, lit(0), (acc, g) =>
       acc + when(size(filter(grams, x => x === g)) > 1, length(g)).otherwise(0))
+
+  /** Total character mass across all n-gram positions — the denominator
+    * that makes the repetition signals bounded fractions in [0, 1].
+    */
+  def totalGramChars(grams: Column): Column =
+    aggregate(grams, lit(0), (acc, g) => acc + length(g))
 
   /** Default English-ish stopword list used by quality scoring. */
   val defaultStopwords: Seq[String] = Seq(

@@ -122,22 +122,24 @@ object ConnectedComponents {
       .select(greatest(col("c"), col("p")).as("c"), least(col("c"), col("p")).as("p"))
       .filter(col("c") =!= col("p"))
       .distinct()
-    // one star step over the closed neighborhood of each hub u; `bigOnly`
-    // restricts the neighbor set to v <= u (small-star's working set)
+    // one star step over the closed neighborhood of each hub u. State is
+    // kept as EDGES throughout (min-agg + join back), never a per-hub
+    // neighbor array — a collect_set would materialize a whole component
+    // in one row once the graph contracts toward its star form.
     def star(e: DataFrame, largeStar: Boolean): DataFrame = {
       val hubs =
         if (largeStar) e.select(col("c"), col("p"))
           .union(e.select(col("p").as("c"), col("c").as("p"))) // both directions
         else e // canonical: p <= c, hub is c
-      val grouped = hubs.groupBy(col("c").as("u"))
-        .agg(collect_set(col("p")).as("nbrs"))
-        .select(col("u"), array_min(array_union(col("nbrs"), array(col("u")))).as("m"),
-          col("nbrs"))
-      val out = grouped.select(col("u"), col("m"), explode(col("nbrs")).as("v"))
+      val mins = hubs.groupBy(col("c").as("u"))
+        .agg(least(min(col("p")), min(col("c"))).as("m")) // closed-neighborhood min
+      val out = hubs
+        .join(mins, col("c") === col("u"))
+        .select(col("c").as("u"), col("p").as("v"), col("m"))
       val repointed =
         if (largeStar) out.filter(col("v") > col("u")).select(col("v").as("c"), col("m").as("p"))
         else out.select(col("v").as("c"), col("m").as("p"))
-      canon(repointed.union(grouped.select(col("u").as("c"), col("m").as("p"))))
+      canon(repointed.union(mins.select(col("u").as("c"), col("m").as("p"))))
     }
     val e0 = canon(edges
       .select(col(srcCol).cast("long").as("c"), col(dstCol).cast("long").as("p")))

@@ -653,11 +653,13 @@ object PipelineQueries {
         nlist = 16, iters = 3, threshold = 0.32)
     }),
 
-    // Gopher-style repetition removal (Rae et al. 2021, Table A1): the
-    // n-gram repetition signals q66's word-level filters don't see —
-    // fraction of characters covered by the most frequent 3-gram and by
-    // duplicated 5-grams. Entirely map-side (array HOFs inside the row);
-    // the keep-rule thresholds are the published ones (0.18 / 0.15).
+    // Gopher-style repetition removal (after Rae et al. 2021, Table A1):
+    // the n-gram repetition signals q66's word-level filters don't see —
+    // the gram-char-mass share of the most frequent 3-gram and of
+    // duplicated 5-grams, both bounded [0,1] (numerator and denominator
+    // weigh each gram position by its full length, so the ratio
+    // upper-bounds the paper's position-coverage fraction and its
+    // thresholds act conservatively). Entirely map-side.
     "q74_repetition" -> ((s, dir) => {
       val t = col("t")
       def r4(c: org.apache.spark.sql.Column) = TextFunctions.round4(c)
@@ -670,8 +672,10 @@ object PipelineQueries {
           TextFunctions.ngrams(t, 5).as("g5"))
         .select(col("doc_id"),
           col("n_chars").cast("long").as("n_chars"),
-          r4(TextFunctions.topGramChars(col("g3")) / col("n_chars")).as("top3_frac"),
-          r4(TextFunctions.dupGramChars(col("g5")) / col("n_chars")).as("dup5_frac"))
+          r4(TextFunctions.topGramChars(col("g3"))
+            / TextFunctions.totalGramChars(col("g3"))).as("top3_frac"),
+          r4(TextFunctions.dupGramChars(col("g5"))
+            / TextFunctions.totalGramChars(col("g5"))).as("dup5_frac"))
         .withColumn("keep",
           (col("top3_frac") <= 0.18 && col("dup5_frac") <= 0.15).cast("long"))
     }),
@@ -1167,14 +1171,16 @@ object PipelineQueries {
         |  SELECT doc_id, n_chars, maxc3,
         |    list_aggregate(list_filter(list_distinct(g3),
         |      x -> len(list_filter(g3, y -> y = x)) = maxc3), 'min') AS top3,
+        |    list_aggregate(list_transform(g3, x -> len(x)), 'sum') AS tot3_chars,
         |    list_aggregate(list_transform(g5,
         |      x -> CASE WHEN len(list_filter(g5, y -> y = x)) > 1
-        |        THEN len(x) ELSE 0 END), 'sum') AS dup5_chars
+        |        THEN len(x) ELSE 0 END), 'sum') AS dup5_chars,
+        |    list_aggregate(list_transform(g5, x -> len(x)), 'sum') AS tot5_chars
         |  FROM m
         |), f AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        |    floor(CAST(maxc3 * len(top3) AS DOUBLE) / n_chars * 10000.0 + 0.5) / 10000.0 AS top3_frac,
-        |    floor(CAST(dup5_chars AS DOUBLE) / n_chars * 10000.0 + 0.5) / 10000.0 AS dup5_frac
+        |    floor(CAST(maxc3 * len(top3) AS DOUBLE) / tot3_chars * 10000.0 + 0.5) / 10000.0 AS top3_frac,
+        |    floor(CAST(dup5_chars AS DOUBLE) / tot5_chars * 10000.0 + 0.5) / 10000.0 AS dup5_frac
         |  FROM s
         |)
         |SELECT doc_id, n_chars, top3_frac, dup5_frac,

@@ -383,13 +383,22 @@ class FunctionsSpec extends SparkSpec {
         TextFunctions.ngrams($"t", 5).as("g5"))
       .select($"doc_id",
         TextFunctions.topGramChars($"g3").as("top3"),
-        TextFunctions.dupGramChars($"g5").as("dup5"))
-    val m = df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
-    assert(m(1L) == ((10, 0)), m.toString)   // "a b a"×2; the two 5-grams differ
-    assert(m(2L) == ((13, 0)), m.toString)   // all singletons: lex-min "four five six"
-    // 3-grams of doc 3: "x y x"×5, "y x y"×5 → top = "x y x" (5×5=25 chars);
+        TextFunctions.dupGramChars($"g5").as("dup5"),
+        TextFunctions.totalGramChars($"g3").as("tot3"),
+        TextFunctions.totalGramChars($"g5").as("tot5"))
+    val m = df.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(m(1L) == ((10, 0, 20, 18)), m.toString) // "a b a"×2; the two 5-grams differ
+    assert(m(2L) == ((13, 0, 55, 46)), m.toString) // singletons: lex-min "four five six"
+    // 3-grams of doc 3: "x y x"×5, "y x y"×5 → top = "x y x" (5×5=25 chars of 50);
     // 5-grams: "x y x y x"×4, "y x y x y"×4 → all 8 positions duplicated, 9 chars each
-    assert(m(3L) == ((25, 72)), m.toString)
+    assert(m(3L) == ((25, 72, 50, 72)), m.toString)
+    // mass fractions are bounded: dup5/tot5 = 1.0 for the fully repetitive doc
+    assert(m.values.forall { case (top, dup, t3, t5) => top <= t3 && dup <= t5 })
+    // short-input guard: fewer tokens than n yields an empty gram array
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(size(TextFunctions.ngrams(TextFunctions.tokens($"text"), 3)).as("n"))
+    assert(short.head.getInt(0) == 0, "ngrams on a 2-token doc must be empty, not throw")
     // end-to-end: q74 runs on the corpus and every row decides the rule
     val out = graft.SparkEntry.queries("q74_repetition")(spark, sfDir)
     assert(out.columns.toSeq ==
