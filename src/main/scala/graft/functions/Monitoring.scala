@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -84,6 +85,37 @@ object Monitoring {
       .groupBy(col(splitCol).as("split"),
         bucketOf(col(valueCol), minV, maxV, nBuckets).as("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  /** Kolmogorov–Smirnov drift statistic between two splits over the same
+    * fixed bucket grid: max over buckets of |CDF_base − CDF_cmp|. Unlike
+    * [[psi]] it needs no smoothing (empty buckets contribute their exact
+    * cumulative mass) and is plain arithmetic on exact counts, so the
+    * result is oracle-checkable. One aggregation + a buckets-sized window.
+    */
+  def ksDrift(
+      df: DataFrame, splitCol: String, baseSplit: String, compareSplit: String,
+      valueCol: String, minV: Double, maxV: Double, nBuckets: Int): DataFrame = {
+    val hist = driftHistogram(df, splitCol, valueCol, minV, maxV, nBuckets)
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("split") === baseSplit, col("n")).otherwise(0L)).as("n_base"),
+        sum(when(col("split") === compareSplit, col("n")).otherwise(0L)).as("n_cmp"))
+    // nBuckets rows total — the single-partition windows are deliberate
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .select(
+        (sum(col("n_base")).over(w)).as("cum_base"),
+        (sum(col("n_cmp")).over(w)).as("cum_cmp"),
+        (sum(col("n_base")).over(Window.partitionBy())).as("tot_base"),
+        (sum(col("n_cmp")).over(Window.partitionBy())).as("tot_cmp"))
+      .select(abs(
+        col("cum_base").cast("double") / col("tot_base")
+          - col("cum_cmp").cast("double") / col("tot_cmp")).as("gap"))
+      .agg(TextFunctions.round4(max(col("gap"))).as("ks"))
+      .select(lit(valueCol).as("column"), lit(baseSplit).as("base"),
+        lit(compareSplit).as("compare"), col("ks"))
+  }
 
   /** Population Stability Index between two splits of `valueCol`:
     * PSI = Σ_buckets (p_b − q_b) · ln(p_b / q_b), with Laplace smoothing so

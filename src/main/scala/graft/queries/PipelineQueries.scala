@@ -512,6 +512,18 @@ object PipelineQueries {
         Seq("hash", "join", "scan"), k = 10)
     }),
 
+    // feature monitoring, part 4: Kolmogorov–Smirnov drift — max CDF gap
+    // over the fixed bucket grid; exact-count arithmetic, so unlike PSI
+    // it gets a full oracle
+    "q86_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("split",
+          when(col("event_id") % 2 === 0, "train").otherwise("serve"))
+      val r = ev.agg(min(col("value")), max(col("value"))).head
+      Monitoring.ksDrift(ev, "split", "train", "serve", "value",
+        r.getDouble(0), r.getDouble(1), nBuckets = 10)
+    }),
+
     // rolling features: trailing time-range aggregates per entity at every
     // event — the online feature-engineering primitive. Integer-micros
     // frames and decimal sums keep both engines bit-aligned.
@@ -1048,6 +1060,36 @@ object PipelineQueries {
         |    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
         |    AND top_word_frac <= 0.2 AND dup_word_frac <= 0.85 AS BIGINT) AS keep
         |FROM f""".stripMargin,
+
+    "q86_ks_drift" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'train' ELSE 'serve' END AS split,
+        |    value
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT min(value) AS lo, max(value) AS hi FROM events
+        |), b AS (
+        |  SELECT split,
+        |    GREATEST(0, LEAST(CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT), 9)) AS bucket,
+        |    count(*) AS n
+        |  FROM s, r GROUP BY 1, 2
+        |), h AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN split = 'train' THEN n ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN split = 'serve' THEN n ELSE 0 END) AS n_cmp
+        |  FROM b GROUP BY bucket
+        |), c AS (
+        |  SELECT
+        |    sum(n_base) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_base,
+        |    sum(n_cmp) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cmp,
+        |    sum(n_base) OVER () AS tot_base,
+        |    sum(n_cmp) OVER () AS tot_cmp
+        |  FROM h
+        |)
+        |SELECT 'value' AS "column", 'train' AS base, 'serve' AS compare,
+        |  floor(max(abs(CAST(cum_base AS DOUBLE) / tot_base
+        |    - CAST(cum_cmp AS DOUBLE) / tot_cmp)) * 10000.0 + 0.5) / 10000.0 AS ks
+        |FROM c""".stripMargin,
 
     "q85_rolling_features" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -29,6 +29,17 @@ class MonitoringSpec extends SparkSpec {
     assert(got(("b", 0L)) == 1L)  // below-range value clamps into bucket 0
   }
 
+  test("ksDrift: 0 for identical splits, 1 for fully separated splits") {
+    val same = (1 to 500).flatMap(i => Seq(("train", i % 10 / 10.0), ("serve", i % 10 / 10.0)))
+      .toDF("split", "v")
+    assert(Monitoring.ksDrift(same, "split", "train", "serve", "v", 0.0, 1.0, 10)
+      .head.getDouble(3) == 0.0)
+    val disjoint = ((1 to 500).map(i => ("train", i % 10 / 20.0)) ++
+      (1 to 500).map(i => ("serve", 0.5 + i % 10 / 20.0))).toDF("split", "v")
+    assert(Monitoring.ksDrift(disjoint, "split", "train", "serve", "v", 0.0, 1.0, 10)
+      .head.getDouble(3) == 1.0, "fully separated distributions reach the max CDF gap")
+  }
+
   test("trailing windows: inclusive frame edges, per-key isolation, tie handling") {
     // key a: events at t=0, 50, 100, 160; 100-micros window
     //   t=100's frame [0,100] includes t=0 (inclusive lower edge)
