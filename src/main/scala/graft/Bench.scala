@@ -130,9 +130,25 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"${v.cal}%.4f".toDouble }.mkString("{", ",", "}")
     val throttled = results.filter(_._2.throttled).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.time).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+    // Field ORDER is load-bearing: the round-6 artifact was tail-truncated
+    // mid-line and the only map left visible was `cal` (uniform ~0.065 s
+    // probe times), which a reader mistook for query times. Put all the
+    // small metadata FIRST and the per-query map LAST so any tail window
+    // of the line contains real query times; also persist the full JSON
+    // to BENCH_LOCAL.json so a truncated capture is always recoverable.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
       s""","cal_nominal":${f"$calNominal%.4f".toDouble},"cal_spin_iters":$SpinIters""" +
-      s""","cal":$cals,"throttled":$throttled}""")
+      s""","throttled":$throttled,"cal":$cals,"queries":$qs}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    // Human/tail-readable per-query lines on stdout, one per line, before
+    // the machine-readable JSON line (which stays last for the driver).
+    results.sortBy(_._1).foreach { case (k, v) =>
+      println(f"[bench-q] $k%-24s ${v.time}%8.3f s${if (v.throttled) "  THROTTLED" else ""}")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -162,16 +162,22 @@ case class BloomMightContain(left: Expression, right: Expression)
         s"bloom_might_contain requires (binary, string), got ($l, $r)")
     }
 
-  @transient private var lastRef: AnyRef = _
-  @transient private var lastDecoded: BloomCodec.Decoded = _
+  // Single volatile memo pair: expression instances are shared across
+  // local[n] task threads (same lesson as BpeEncode's ConcurrentHashMap),
+  // so two separate mutable fields could interleave — one bloom's ref
+  // paired with another's decoded form would return wrong membership,
+  // including false negatives. Reading/writing ONE immutable tuple keeps
+  // the (ref, decoded) pair consistent; a lost race only costs a re-decode.
+  @transient @volatile private var memo: (AnyRef, BloomCodec.Decoded) = _
 
   override def nullSafeEval(bloom: Any, item: Any): Any = {
     val bytes = bloom.asInstanceOf[Array[Byte]]
-    if (!(bytes eq lastRef)) {
-      lastDecoded = BloomCodec.decode(bytes)
-      lastRef = bytes
+    var m = memo
+    if (m == null || !(m._1 eq bytes)) {
+      m = (bytes, BloomCodec.decode(bytes))
+      memo = m
     }
-    BloomCodec.contains(lastDecoded, item.asInstanceOf[UTF8String])
+    BloomCodec.contains(m._2, item.asInstanceOf[UTF8String])
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =

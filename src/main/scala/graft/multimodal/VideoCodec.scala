@@ -67,38 +67,50 @@ object VideoCodec {
       var fmt: Option[StreamFormat] = None
       val frames = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)] // (id, off, len)
 
-      // generic chunk walk; LIST children are walked recursively
-      def walk(start: Int, end: Int): Unit = {
-        var p = start
-        while (p + 8 <= end) {
+      // Generic chunk walk. ITERATIVE with an explicit range stack: the
+      // obvious recursive walk has depth linear in the number of nested
+      // LIST chunks, so a hostile payload of 8-byte LISTs could drive a
+      // StackOverflowError past the Exception handler below and kill the
+      // task — the decoder must be total on untrusted bytes.
+      // On LIST we push the continuation range, then the child, so the
+      // child is processed next — identical traversal (and frame) order
+      // to the recursive walk, bounded heap instead of unbounded stack.
+      val ranges = scala.collection.mutable.Stack[(Int, Int)]((12, bytes.length))
+      while (ranges.nonEmpty) {
+        var (p, end) = ranges.pop()
+        var ok = true
+        while (ok && p + 8 <= end) {
           val id = fourCC(buf, p)
           val len = buf.getInt(p + 4)
-          if (len < 0 || p + 8 + len > end) return // malformed: stop cleanly
-          id match {
-            case "LIST" =>
-              walk(p + 12, p + 8 + len) // skip the 4-byte list type
-            case "avih" =>
-              if (len >= 4) usPerFrame = buf.getInt(p + 8).toLong & 0xffffffffL
-            case "strh" =>
-              if (len >= 32 && fourCC(buf, p + 8) == "vids") {
-                scale = buf.getInt(p + 8 + 20).toLong & 0xffffffffL
-                rate = buf.getInt(p + 8 + 24).toLong & 0xffffffffL
-              }
-            case "strf" =>
-              if (len >= 40 && fmt.isEmpty)
-                fmt = Some(StreamFormat(
-                  width = buf.getInt(p + 8 + 4),
-                  height = buf.getInt(p + 8 + 8),
-                  bitCount = buf.getShort(p + 8 + 14).toInt & 0xffff,
-                  compression = buf.getInt(p + 8 + 16)))
-            case fid if fid.length == 4 && (fid.endsWith("db") || fid.endsWith("dc")) =>
-              if (len > 0) frames += ((fid, p + 8, len))
-            case _ => () // idx1, JUNK, unknown chunks: skipped
+          if (len < 0 || p + 8 + len > end) ok = false // malformed: stop this range cleanly
+          else {
+            id match {
+              case "LIST" =>
+                ranges.push((p + 8 + len + (len & 1), end)) // resume after this LIST
+                ranges.push((p + 12, p + 8 + len))          // child first (skip 4-byte list type)
+                ok = false                                  // descend now
+              case "avih" =>
+                if (len >= 4) usPerFrame = buf.getInt(p + 8).toLong & 0xffffffffL
+              case "strh" =>
+                if (len >= 32 && fourCC(buf, p + 8) == "vids") {
+                  scale = buf.getInt(p + 8 + 20).toLong & 0xffffffffL
+                  rate = buf.getInt(p + 8 + 24).toLong & 0xffffffffL
+                }
+              case "strf" =>
+                if (len >= 40 && fmt.isEmpty)
+                  fmt = Some(StreamFormat(
+                    width = buf.getInt(p + 8 + 4),
+                    height = buf.getInt(p + 8 + 8),
+                    bitCount = buf.getShort(p + 8 + 14).toInt & 0xffff,
+                    compression = buf.getInt(p + 8 + 16)))
+              case fid if fid.length == 4 && (fid.endsWith("db") || fid.endsWith("dc")) =>
+                if (len > 0) frames += ((fid, p + 8, len))
+              case _ => () // idx1, JUNK, unknown chunks: skipped
+            }
+            p += 8 + len + (len & 1) // chunks are word-aligned
           }
-          p += 8 + len + (len & 1) // chunks are word-aligned
         }
       }
-      walk(12, bytes.length)
 
       val f = fmt.getOrElse(return None)
       if (frames.isEmpty) return None

@@ -257,7 +257,17 @@ object VersionedTable {
             System.currentTimeMillis() - Files.getLastModifiedTime(snap).toMillis > LockTtlMs
           } catch { case _: java.io.IOException => false }
         if (!orphaned) throw lost()
-        Files.deleteIfExists(snap)
+        // Roll back ATOMICALLY: deleteIfExists+createFile would recreate the
+        // exact check-then-act window this claim exists to close (two
+        // recoverers both judge the marker stale; the slower delete removes
+        // the faster one's FRESH claim and both flip the same version).
+        // ATOMIC_MOVE to a unique graveyard name has exactly one winner —
+        // the loser's move throws NoSuchFileException and is a lost race.
+        val graveyard = Paths.get(path,
+          snap.getFileName.toString + s".orphan.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+        try Files.move(snap, graveyard, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.NoSuchFileException => throw lost() }
+        Files.deleteIfExists(graveyard)
         try Files.createFile(snap)
         catch { case _: java.nio.file.FileAlreadyExistsException => throw lost() }
     }
