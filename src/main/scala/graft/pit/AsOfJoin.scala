@@ -40,6 +40,30 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    explodes with deep feature history — only sensible when the feature
   *    side is tiny or broadcastable. Used as a cross-check oracle in tests.
   *
+  *  - **salted-window**: the hot-key-skew-safe completion of union-window.
+  *    An eager per-key count + ts-quantile detection job over a seeded
+  *    sample (`graft.asof.salt.sampleRate`, default 1%; map-side combined,
+  *    one small row per sampled distinct key) flags keys whose estimated
+  *    union row count exceeds `graft.asof.salt.hotKeyThreshold` (default
+  *    2M; top `graft.asof.salt.maxHotKeys`) and collects their in-key
+  *    ts-range boundaries (model-scale) for literal broadcast — no hot
+  *    keys ⇒ the plain union-window plan with zero further overhead. Hot keys'
+  *    rows are range-bucketed by ts into `graft.asof.salt.buckets`
+  *    (default 16) sub-partitions, the carry window runs per
+  *    `(key, bucket)` — so a hot key sorts in `buckets` parallel spillable
+  *    tasks instead of ONE — and a second, tiny window over the
+  *    (hotKeys × buckets) bucket summaries computes each bucket's
+  *    carry-in (the latest feature packet of all earlier buckets), merged
+  *    with `coalesce(localCarry, carryIn)`. Correct because buckets are
+  *    contiguous ts ranges: a same-bucket match is strictly later than any
+  *    earlier-bucket feature, and same-ts ties always share a bucket, so
+  *    the documented tie-break never crosses buckets. Keys below the
+  *    threshold get bucket 0 everywhere and reproduce the union-window
+  *    plan bit-for-bit. Costs one extra pass over the union (the
+  *    detection agg), so it is opt-in rather than the default; use it
+  *    when a key-frequency profile (e.g. HeavyHittersAgg) shows skew and
+  *    no `maxStaleness` horizon bounds hot-key history.
+  *
   * Ties *within* the feature side (same key, same ts) are broken
   * deterministically on EVERY strategy by preferring the greater value of
   * the last payload column (a tie-break sort key in the window orderings;
@@ -105,6 +129,7 @@ object AsOfJoin {
       maxStaleness: Option[String]): DataFrame = {
     method match {
       case "union-window" => unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
+      case "salted-window" => saltedUnionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
       case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hint = false)
       case "auto" =>
         // Catalyst-stats-based pick: a broadcastable feature side makes the
@@ -285,31 +310,34 @@ object AsOfJoin {
       df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
   }
 
-  private def unionWindow(
+  private val SIDE = "__graft_side"
+  private val TS = "__graft_ts"
+  private val PKT = "__graft_pkt"
+  private val FTS = "__graft_fts"
+
+  /** Shared tagging step of the window strategies: features → (keys, ts,
+    * side=0, pkt struct, null spine cols); spine → (keys, ts, side=1, null
+    * pkt, spine cols as `__sp_*`); unioned.
+    *
+    * The matched feature row travels as ONE struct (non-null exactly on
+    * feature rows), so `last(pkt, ignoreNulls)` attaches the latest
+    * qualifying row wholesale — a NULL field inside that row stays NULL
+    * (ASOF semantics) instead of being back-filled from an older row,
+    * which per-column carry-forward would do.
+    */
+  private def tagAndUnion(
       spine: DataFrame,
       features: DataFrame,
       joinKeys: Seq[String],
       spineTs: String,
       featureTs: String,
       payload: Seq[String],
-      includeFeatureTs: Option[String],
-      maxStaleness: Option[String] = None): DataFrame = {
-    val SIDE = "__graft_side"
-    val TS = "__graft_ts"
-    val PKT = "__graft_pkt"
-    val FTS = "__graft_fts"
+      maxStaleness: Option[String]): DataFrame = {
     val spineCols = spine.columns.toSeq
-
-    // The matched feature row travels as ONE struct (non-null exactly on
-    // feature rows), so `last(pkt, ignoreNulls)` attaches the latest
-    // qualifying row wholesale — a NULL field inside that row stays NULL
-    // (ASOF semantics) instead of being back-filled from an older row,
-    // which per-column carry-forward would do.
     val pktType = StructType(
       payload.map(c => StructField(c, fieldType(features, c))) :+
       StructField(FTS, fieldType(features, featureTs)))
 
-    // Feature side: (keys, ts, side=0, pkt=struct(payload..., fts), spine cols = null)
     val fSel: Seq[Column] =
       joinKeys.map(col) ++
       Seq(col(featureTs).as(TS), lit(0).as(SIDE),
@@ -319,12 +347,53 @@ object AsOfJoin {
       spineTs, featureTs, maxStaleness)
     val fTagged = fPruned.select(fSel: _*)
 
-    // Spine side: (keys, ts, side=1, pkt=null, spine cols)
     val sSel: Seq[Column] =
       joinKeys.map(col) ++
       Seq(col(spineTs).as(TS), lit(1).as(SIDE), lit(null).cast(pktType).as(PKT)) ++
       spineCols.filterNot(c => joinKeys.contains(c)).map(c => col(c).as(s"__sp_$c"))
     val sTagged = spine.select(sSel: _*)
+    fTagged.unionByName(sTagged)
+  }
+
+  /** Shared finishing step: keep spine rows, restore spine column names,
+    * apply the staleness TTL to the carried packet, unpack the payload.
+    * TTL: a carried row older than spineTs − staleness is no match at all —
+    * null the whole packet (the latest-≤ match is the freshest candidate,
+    * so there is nothing fresher to fall back to).
+    */
+  private def finishCarried(
+      carried: DataFrame,
+      spineCols: Seq[String],
+      joinKeys: Seq[String],
+      spineTs: String,
+      payload: Seq[String],
+      includeFeatureTs: Option[String],
+      maxStaleness: Option[String]): DataFrame = {
+    val out = carried.filter(col(SIDE) === 1).drop(SIDE)
+    val renamed = spineCols.filterNot(joinKeys.contains)
+      .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
+    val pkt = maxStaleness match {
+      case Some(iv) =>
+        when(col(PKT).getField(FTS) >= col(spineTs) - expr(s"INTERVAL $iv"), col(PKT))
+      case None => col(PKT)
+    }
+    renamed.select(
+      (spineCols.map(col) ++
+       payload.map(c => pkt.getField(c).as(c)) ++
+       includeFeatureTs.map(a => pkt.getField(FTS).as(a)).toSeq): _*)
+  }
+
+  private def unionWindow(
+      spine: DataFrame,
+      features: DataFrame,
+      joinKeys: Seq[String],
+      spineTs: String,
+      featureTs: String,
+      payload: Seq[String],
+      includeFeatureTs: Option[String],
+      maxStaleness: Option[String] = None): DataFrame = {
+    val spineCols = spine.columns.toSeq
+    val unioned = tagAndUnion(spine, features, joinKeys, spineTs, featureTs, payload, maxStaleness)
 
     // One shuffle: partition by keys, order by (ts, side) so features at the
     // same instant sort before the spine row → inclusive `<=` bound. The
@@ -336,29 +405,148 @@ object AsOfJoin {
         col(PKT).getField(payload.last).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = fTagged.unionByName(sTagged)
-      .select(
-        (Seq(col(SIDE)) ++
-         joinKeys.map(col) ++
-         spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
-         Seq(last(col(PKT), ignoreNulls = true).over(w).as(PKT))): _*)
+    val carried = unioned.select(
+      (Seq(col(SIDE)) ++
+       joinKeys.map(col) ++
+       spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
+       Seq(last(col(PKT), ignoreNulls = true).over(w).as(PKT))): _*)
 
-    val out = carried.filter(col(SIDE) === 1).drop(SIDE)
-    // restore original spine column names and order, unpack the matched row
-    val renamed = spineCols.filterNot(joinKeys.contains)
-      .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
-    // TTL: a carried row older than spineTs − staleness is no match at all —
-    // null the whole packet (the latest-≤ match is the freshest candidate,
-    // so there is nothing fresher to fall back to)
-    val pkt = maxStaleness match {
-      case Some(iv) =>
-        when(col(PKT).getField(FTS) >= col(spineTs) - expr(s"INTERVAL $iv"), col(PKT))
-      case None => col(PKT)
-    }
-    renamed.select(
-      (spineCols.map(col) ++
-       payload.map(c => pkt.getField(c).as(c)) ++
-       includeFeatureTs.map(a => pkt.getField(FTS).as(a)).toSeq): _*)
+    finishCarried(carried, spineCols, joinKeys, spineTs, payload, includeFeatureTs, maxStaleness)
+  }
+
+  /** Hot-key-skew-safe union-window (strategy `"salted-window"`; see the
+    * object scaladoc for the two-level design and its correctness argument).
+    *
+    * Scale notes: the detection aggregation is sampled and map-side
+    * combined, so its shuffle is one ~(key, count, boundaries) row per
+    * sampled distinct key — tiny bytes even at billions of keys — and the
+    * hot set it collects is by construction a bounded set of heavy
+    * hitters. Beyond union-window, the inputs are read twice more: the
+    * sampled detection job (eager, once per call) and the bucket-summary
+    * pass (lazy, pruned to hot-key feature rows by an inner broadcast
+    * join). At scale that trade — two extra cheap passes for never
+    * serializing a hot key in one task — is the right one, which is also
+    * why the strategy is explicit opt-in rather than the blanket default. Bucket boundaries
+    * come from `percentile_approx` over a monotone numeric image of the
+    * event time (`cast double`; a type with no such image degrades to
+    * bucket 0 = the unsalted plan, still correct). AQE cannot split window
+    * partitions, so this two-level carry is the only way to parallelize a
+    * hot key's sort.
+    */
+  private def saltedUnionWindow(
+      spine: DataFrame,
+      features: DataFrame,
+      joinKeys: Seq[String],
+      spineTs: String,
+      featureTs: String,
+      payload: Seq[String],
+      includeFeatureTs: Option[String],
+      maxStaleness: Option[String]): DataFrame = {
+    val BKT = "__graft_bkt"
+    val BOUNDS = "__graft_bounds"
+    val CIN = "__graft_cin"
+    val BPKT = "__graft_bpkt"
+    val spineCols = spine.columns.toSeq
+    val conf = spine.sparkSession.conf
+    val numBuckets = conf.get("graft.asof.salt.buckets", "16").toInt
+    val hotThreshold = conf.get("graft.asof.salt.hotKeyThreshold", "2000000").toLong
+    val sampleRate = conf.get("graft.asof.salt.sampleRate", "0.01").toDouble
+    val maxHotKeys = conf.get("graft.asof.salt.maxHotKeys", "1000").toInt
+    require(numBuckets >= 2, s"graft.asof.salt.buckets must be >= 2, got $numBuckets")
+
+    val unioned = tagAndUnion(spine, features, joinKeys, spineTs, featureTs, payload, maxStaleness)
+    val tsd = col(TS).cast("double")
+
+    // EAGER hot-key detection on a SEEDED SAMPLE (the one plan-build-time
+    // action; same precedent as IVF's trainCentroids): per-key sampled row
+    // count + in-key ts quantiles as bucket boundaries, keys whose
+    // estimated union row count clears the threshold only, capped at the
+    // maxHotKeys heaviest. Sampling keeps the pass cheap (a full-rate
+    // per-key percentile_approx was measured to DOUBLE the join's wall
+    // time) and is safe: engagement noise around the threshold is harmless
+    // because salting any key is always correct and missing a borderline
+    // key leaves the pre-existing single-task plan. Collecting the result
+    // is what lets every downstream use be a literal broadcast — leaving
+    // it lazy made Catalyst's per-branch column pruning produce five
+    // non-identical copies of the base-scan subtree (measured: no
+    // ReusedExchange fired). No hot keys → return the plain union-window
+    // plan: zero salting overhead beyond this detection job.
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val det = unioned
+      .sample(withReplacement = false, sampleRate, seed = 42)
+      .groupBy(joinKeys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"),
+        percentile_approx(tsd, typedLit(qs), lit(1000)).as(BOUNDS))
+      .filter(col("__graft_cnt") >= math.max(1L, math.round(hotThreshold * sampleRate)) &&
+        col(BOUNDS).isNotNull)
+      .orderBy(col("__graft_cnt").desc)
+      .limit(maxHotKeys)
+      .select(joinKeys.map(k => col(k).as(s"__hk_$k")) :+ col(BOUNDS): _*)
+    val hotRows = det.collect()
+    if (hotRows.isEmpty)
+      return unionWindow(spine, features, joinKeys, spineTs, featureTs, payload,
+        includeFeatureTs, maxStaleness)
+    val hotDf = spine.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), det.schema)
+
+    // bucket = #boundaries ≤ ts's numeric image: a monotone function of ts,
+    // so earlier buckets hold strictly earlier timestamps and same-ts rows
+    // share a bucket. Non-hot keys (no boundaries) land in bucket 0. `<=>`
+    // so a (legitimately matchless) NULL-keyed spine population can still
+    // be salted rather than serializing in one task.
+    def bucketize(df: DataFrame, joinType: String): DataFrame = df
+      .join(broadcast(hotDf), joinKeys.map(k => col(k) <=> col(s"__hk_$k")).reduce(_ && _), joinType)
+      .withColumn(BKT, coalesce(size(filter(col(BOUNDS), b => b <= tsd)), lit(0)))
+      .drop((joinKeys.map(k => s"__hk_$k") :+ BOUNDS): _*)
+
+    // Level 1: identical ordering and tie-break to union-window, but
+    // partitioned by (keys, bucket) — a hot key sorts in numBuckets
+    // parallel spillable tasks instead of ONE.
+    val w1 = Window.partitionBy((joinKeys.map(col) :+ col(BKT)): _*)
+      .orderBy(col(TS).asc, col(SIDE).asc,
+        col(PKT).getField(payload.last).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = bucketize(unioned, "left").select(
+      (Seq(col(SIDE), col(BKT)) ++
+       joinKeys.map(col) ++
+       spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
+       Seq(last(col(PKT), ignoreNulls = true).over(w1).as(PKT))): _*)
+
+    // Level 2: per-(hot key, bucket) winning feature packet — an inner
+    // broadcast join prunes this pass to hot-key FEATURE rows only, and the
+    // map-side-combined max_by (tie-break identical to the window ordering:
+    // greatest (ts, last-payload) wins) reduces it to a model-scale frame.
+    // Then every bucket's carry-in = the latest winner among all earlier
+    // buckets, computed over the dense (hotKeys × numBuckets) grid so
+    // spine-only buckets inherit a carry-in too.
+    val sums = bucketize(unioned.filter(col(SIDE) === 0), "inner")
+      .groupBy((joinKeys.map(col) :+ col(BKT)): _*)
+      .agg(max_by(col(PKT), struct(col(TS), col(PKT).getField(payload.last))).as(BPKT))
+    val allBuckets = hotDf
+      .select(joinKeys.map(k => col(s"__hk_$k").as(k)): _*)
+      .withColumn(BKT, explode(sequence(lit(0), lit(numBuckets - 1))))
+    val wb = Window.partitionBy(joinKeys.map(col): _*).orderBy(col(BKT).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cins = allBuckets.join(sums, joinKeys :+ BKT, "left")
+      .select((joinKeys.map(col) :+ col(BKT) :+
+        last(col(BPKT), ignoreNulls = true).over(wb).as(CIN)): _*)
+      .filter(col(CIN).isNotNull)
+      .select((joinKeys.map(k => col(k).as(s"__ci_$k")) :+
+        col(BKT).as("__ci_bkt") :+ col(CIN)): _*)
+
+    // coalesce is exact: a non-null local carry is a same-bucket feature,
+    // which is strictly later than any earlier-bucket feature.
+    val merged = carried
+      .join(broadcast(cins),
+        joinKeys.map(k => col(k) <=> col(s"__ci_$k")).reduce(_ && _) &&
+          col(BKT) === col("__ci_bkt"),
+        "left")
+      .drop((joinKeys.map(k => s"__ci_$k") :+ "__ci_bkt"): _*)
+      .withColumn(PKT, coalesce(col(PKT), col(CIN)))
+      .drop(CIN, BKT)
+
+    finishCarried(merged, spineCols, joinKeys, spineTs, payload, includeFeatureTs, maxStaleness)
   }
 
   private def joinFilter(

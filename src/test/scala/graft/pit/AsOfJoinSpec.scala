@@ -30,7 +30,7 @@ class AsOfJoinSpec extends SparkSpec {
     spine, features, Seq("customer_id"), "event_time", "updated_at",
     featureCols = Seq("age", "snap"), method = method)
 
-  for (m <- Seq("union-window", "join-filter")) {
+  for (m <- Seq("union-window", "join-filter", "salted-window")) {
     test(s"$m: every spine row matches the -10d snapshot (reference PIT semantics)") {
       val rows = run(m).collect()
       assert(rows.length == 10)
@@ -45,7 +45,7 @@ class AsOfJoinSpec extends SparkSpec {
   test("inclusive bound: feature at exactly the spine ts wins") {
     val f = Seq((1, daysAgo(7), 99, "exact"), (1, daysAgo(10), 31, "older"))
       .toDF("customer_id", "updated_at", "age", "snap")
-    for (m <- Seq("union-window", "join-filter")) {
+    for (m <- Seq("union-window", "join-filter", "salted-window")) {
       val out = AsOfJoin.joinAsOf(spine.filter($"customer_id" === 1), f,
         Seq("customer_id"), "event_time", "updated_at",
         featureCols = Seq("age", "snap"), method = m).collect()
@@ -55,7 +55,7 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("spine rows before all feature history get nulls (left-join semantics)") {
     val earlySpine = Seq((1, daysAgo(60), 0)).toDF("customer_id", "event_time", "label")
-    for (m <- Seq("union-window", "join-filter")) {
+    for (m <- Seq("union-window", "join-filter", "salted-window")) {
       val out = AsOfJoin.joinAsOf(earlySpine, features, Seq("customer_id"),
         "event_time", "updated_at", featureCols = Seq("age", "snap"), method = m).collect()
       assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("snap")), s"method=$m")
@@ -94,7 +94,7 @@ class AsOfJoinSpec extends SparkSpec {
       .toDF("customer_id", "region", "updated_at", "f_val")
     val sp = Seq((1, "A", daysAgo(7)), (1, "B", daysAgo(7)), (2, "B", daysAgo(7)))
       .toDF("customer_id", "region", "event_time")
-    for (m <- Seq("union-window", "join-filter")) {
+    for (m <- Seq("union-window", "join-filter", "salted-window")) {
       val out = AsOfJoin.joinAsOf(sp, f, Seq("customer_id", "region"),
         "event_time", "updated_at", featureCols = Seq("f_val"), method = m)
         .collect().map(r => (r.getInt(0), r.getString(1)) ->
@@ -113,7 +113,7 @@ class AsOfJoinSpec extends SparkSpec {
       (1, daysAgo(20), Some(31), "older"),
       (1, daysAgo(10), None, "latest"))
       .toDF("customer_id", "updated_at", "age", "snap")
-    for (m <- Seq("union-window", "join-filter")) {
+    for (m <- Seq("union-window", "join-filter", "salted-window")) {
       val out = AsOfJoin.joinAsOf(spine.filter($"customer_id" === 1), f,
         Seq("customer_id"), "event_time", "updated_at",
         featureCols = Seq("age", "snap"), method = m).collect()
@@ -161,7 +161,7 @@ class AsOfJoinSpec extends SparkSpec {
     // spine at -7d; latest match is the -10d snapshot → 3 days stale.
     // TTL "4 days" keeps it; TTL "2 days" nulls it; boundary "3 days" is
     // inclusive (ts - ttl <= fts) and keeps it.
-    for (m <- Seq("union-window", "join-filter")) {
+    for (m <- Seq("union-window", "join-filter", "salted-window")) {
       def withTtl(ttl: String) = AsOfJoin.joinAsOf(
         spine, features, Seq("customer_id"), "event_time", "updated_at",
         featureCols = Seq("age", "snap"), method = m, maxStaleness = Some(ttl))
@@ -208,7 +208,7 @@ class AsOfJoinSpec extends SparkSpec {
       (Some(1), daysAgo(7), 0),
       (None: Option[Int], daysAgo(7), 1))
       .toDF("customer_id", "event_time", "label")
-    for (m <- Seq("union-window", "join-filter", "auto"); pf <- Seq(true, false)) {
+    for (m <- Seq("union-window", "join-filter", "salted-window", "auto"); pf <- Seq(true, false)) {
       val out = AsOfJoin.joinAsOf(sp, f, Seq("customer_id"), "event_time",
         "updated_at", featureCols = Seq("age", "snap"), method = m,
         prefilterSpineKeys = pf)
@@ -230,7 +230,7 @@ class AsOfJoinSpec extends SparkSpec {
       (1, Some(daysAgo(7)), 0),
       (2, None: Option[Timestamp], 1))
       .toDF("customer_id", "event_time", "label")
-    for (m <- Seq("union-window", "join-filter")) {
+    for (m <- Seq("union-window", "join-filter", "salted-window")) {
       val out = AsOfJoin.joinAsOf(sp, f, Seq("customer_id"), "event_time",
         "updated_at", featureCols = Seq("age", "snap"), method = m)
         .orderBy("customer_id").collect()
@@ -239,6 +239,90 @@ class AsOfJoinSpec extends SparkSpec {
         s"$m: NULL-ts feature row must never be the match")
       assert(out(1).isNullAt(out(1).fieldIndex("snap")),
         s"$m: NULL-ts spine row must get null features")
+    }
+  }
+
+  /** Engaged-salting tests run with a tiny hot threshold and few buckets so
+    * the two-level path actually fires at test scale; conf restored after. */
+  private def withSaltConf(threshold: Long, buckets: Int)(body: => Unit): Unit = {
+    val c = spark.conf
+    c.set("graft.asof.salt.hotKeyThreshold", threshold.toString)
+    c.set("graft.asof.salt.buckets", buckets.toString)
+    // full-rate detection: at test scale a 1% sample could miss every row
+    // of a hot key and silently skip the code path under test
+    c.set("graft.asof.salt.sampleRate", "1.0")
+    try body finally {
+      c.unset("graft.asof.salt.hotKeyThreshold")
+      c.unset("graft.asof.salt.buckets")
+      c.unset("graft.asof.salt.sampleRate")
+    }
+  }
+
+  test("salted-window engaged: skewed corpus (one key = 50% of rows) matches both strategies") {
+    // Randomized property check incl. duplicate (key, ts) rows, so the
+    // documented greater-last-payload tie-break must agree across all three
+    // implementations (window ordering, max_by bucket summary, join-filter
+    // row_number) — snap values are globally unique, so the tie-break is
+    // total and the expected result deterministic.
+    val rnd = new scala.util.Random(42)
+    val f = (1 to 4000).map { i =>
+      val k = if (i % 2 == 0) 1 else 2 + rnd.nextInt(20)
+      (k, daysAgo(1 + rnd.nextInt(200)), rnd.nextInt(1000), f"s$i%05d")
+    }.toDF("customer_id", "updated_at", "age", "snap")
+    val sp = (1 to 500).map { i =>
+      val k = if (i % 2 == 0) 1 else 2 + rnd.nextInt(25)
+      (k, daysAgo(rnd.nextInt(210)), i)
+    }.toDF("customer_id", "event_time", "label")
+    def run(m: String) = AsOfJoin.joinAsOf(sp, f, Seq("customer_id"),
+      "event_time", "updated_at", featureCols = Seq("age", "snap"), method = m)
+    withSaltConf(threshold = 100, buckets = 4) {
+      val salted = run("salted-window")
+      val plain = run("union-window")
+      val jf = run("join-filter")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        "salted-window diverged from union-window on the skewed corpus")
+      assert(salted.exceptAll(jf).isEmpty && jf.exceptAll(salted).isEmpty,
+        "salted-window diverged from join-filter on the skewed corpus")
+    }
+  }
+
+  test("salted-window engaged: carry-in crosses bucket boundaries (spine-only late buckets)") {
+    // All feature history sits in the earliest ts range, spine rows spread
+    // across the whole timeline: with 4 buckets, the later buckets hold
+    // ONLY spine rows, so their match must arrive via the level-2 carry-in.
+    val f = (0 until 50).map(i => (1, daysAgo(300 - i % 5), 100 + i % 5, s"early${i % 5}"))
+      .toDF("customer_id", "updated_at", "age", "snap")
+    val sp = (1 to 50).map(i => (1, daysAgo(i * 5), i)).toDF("customer_id", "event_time", "label")
+    withSaltConf(threshold = 10, buckets = 4) {
+      val out = AsOfJoin.joinAsOf(sp, f, Seq("customer_id"), "event_time",
+        "updated_at", featureCols = Seq("age", "snap"), method = "salted-window").collect()
+      assert(out.length == 50)
+      // latest feature overall is daysAgo(296) (i%5==4): every spine row is
+      // later than all history, so all must carry that exact row
+      out.foreach { r =>
+        assert(r.getAs[String]("snap") == "early4" && r.getAs[Int]("age") == 104,
+          s"carry-in failed to cross buckets: $r")
+      }
+    }
+  }
+
+  test("salted-window engaged: maxStaleness TTL still applies across buckets") {
+    // all history at -296d (latest of a 5-snapshot pack); spine at -5d..-250d
+    // with TTL 100d: a spine row at -5i d is fresh iff 296 - 5i <= 100,
+    // i.e. i >= 40 — the TTL must null carried-in matches too.
+    val f = (0 until 50).map(i => (1, daysAgo(300 - i % 5), 100 + i % 5, s"early${i % 5}"))
+      .toDF("customer_id", "updated_at", "age", "snap")
+    val sp = (1 to 50).map(i => (1, daysAgo(i * 5), i)).toDF("customer_id", "event_time", "label")
+    withSaltConf(threshold = 10, buckets = 4) {
+      val out = AsOfJoin.joinAsOf(sp, f, Seq("customer_id"), "event_time",
+        "updated_at", featureCols = Seq("age", "snap"), method = "salted-window",
+        maxStaleness = Some("100 days")).collect()
+      assert(out.length == 50)
+      out.foreach { r =>
+        val i = r.getAs[Int]("label")
+        if (i >= 40) assert(r.getAs[String]("snap") == "early4", s"fresh match dropped: $r")
+        else assert(r.isNullAt(r.fieldIndex("snap")), s"stale match kept: $r")
+      }
     }
   }
 
