@@ -366,10 +366,13 @@ object DedupFunctions {
       docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, n: Int = 3,
       numBits: Long = 1L << 22, numHashes: Int = 5): DataFrame = {
-    // persisted: materialized once by the bloom-build action, reused as
-    // the exact join's right side (recomputing the reference tokenize +
-    // distinct — the expensive side by premise — would double the cost)
-    val refGrams = explodedGrams(ref, Seq.empty, refTextCol, n).distinct().persist()
+    // NOT persisted: the returned frame is lazy, so a persist here has no
+    // unpersist point and accumulates executor storage across invocations
+    // in a long-lived session (round-6/7 advice). The reference tokenize +
+    // distinct is therefore computed twice — once eagerly for the bloom
+    // build below, once per caller action as the exact join's right side —
+    // a bounded recompute instead of an unbounded leak.
+    val refGrams = explodedGrams(ref, Seq.empty, refTextCol, n).distinct()
     val bloomBytes = refGrams
       .agg(SketchFunctions.bloomAgg(col("gram"), numBits, numHashes))
       .head.getAs[Array[Byte]](0)

@@ -103,6 +103,10 @@ object Monitoring {
     // nBuckets rows total — the single-partition windows are deliberate
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Zero-total guard: an empty split would otherwise divide to NULL and
+    // downstream alerting silently skips. Convention: both splits empty →
+    // identical (degenerate) distributions, ks = 0; exactly one empty →
+    // maximal separation, ks = 1.
     hist
       .select(
         (sum(col("n_base")).over(w)).as("cum_base"),
@@ -110,11 +114,18 @@ object Monitoring {
         (sum(col("n_base")).over(Window.partitionBy())).as("tot_base"),
         (sum(col("n_cmp")).over(Window.partitionBy())).as("tot_cmp"))
       .select(abs(
-        col("cum_base").cast("double") / col("tot_base")
-          - col("cum_cmp").cast("double") / col("tot_cmp")).as("gap"))
-      .agg(TextFunctions.round4(max(col("gap"))).as("ks"))
+        when(col("tot_base") > 0, col("cum_base").cast("double") / col("tot_base"))
+          - when(col("tot_cmp") > 0, col("cum_cmp").cast("double") / col("tot_cmp")))
+        .as("gap"),
+        col("tot_base"), col("tot_cmp"))
+      .agg(TextFunctions.round4(max(col("gap"))).as("__ks0"),
+        coalesce(max(col("tot_base")), lit(0L)).as("__tb"),
+        coalesce(max(col("tot_cmp")), lit(0L)).as("__tc"))
       .select(lit(valueCol).as("column"), lit(baseSplit).as("base"),
-        lit(compareSplit).as("compare"), col("ks"))
+        lit(compareSplit).as("compare"),
+        when(col("__tb") > 0 && col("__tc") > 0, col("__ks0"))
+          .when(col("__tb") === 0 && col("__tc") === 0, lit(0.0))
+          .otherwise(lit(1.0)).as("ks"))
   }
 
   /** Population Stability Index between two splits of `valueCol`:
@@ -132,7 +143,6 @@ object Monitoring {
       .agg(
         sum(when(col("split") === baseSplit, col("n")).otherwise(0L)).as("n_base"),
         sum(when(col("split") === compareSplit, col("n")).otherwise(0L)).as("n_cmp"))
-      .persist() // two actions below (totals + the PSI sum)
     // the Σ runs over ALL nBuckets: buckets empty in BOTH splits still
     // contribute a (smoothed) term whenever the split totals differ
     val hist = spark.range(nBuckets).select(col("id").as("bucket"))
@@ -140,20 +150,17 @@ object Monitoring {
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cmp"), lit(0L)).as("n_cmp"))
-    val tot = hist.agg(sum(col("n_base")), sum(col("n_cmp"))).head
-    val (nb, nc) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+    // split totals via whole-frame windows over the nBuckets-sized frame
+    // (the ksDrift pattern) — one lazy plan, no driver action, no persist
+    val wAll = Window.partitionBy()
+    val nb = sum(col("n_base")).over(wAll).cast("double")
+    val nc = sum(col("n_cmp")).over(wAll).cast("double")
     val eps = 1.0 // Laplace count smoothing per bucket
-    val p = (col("n_base") + lit(eps)) / lit(nb + eps * nBuckets)
-    val q = (col("n_cmp") + lit(eps)) / lit(nc + eps * nBuckets)
-    val out = hist.select(((p - q) * log(p / q)).as("__term"))
+    val p = (col("n_base") + lit(eps)) / (nb + lit(eps * nBuckets))
+    val q = (col("n_cmp") + lit(eps)) / (nc + lit(eps * nBuckets))
+    hist.select(((p - q) * log(p / q)).as("__term"))
       .agg(TextFunctions.round4(sum(col("__term"))).as("psi"))
       .select(lit(valueCol).as("column"), lit(baseSplit).as("base"),
         lit(compareSplit).as("compare"), col("psi"))
-    val result = out.collect()
-    observed.unpersist(blocking = false)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(result.toSeq).asJava),
-      out.schema)
   }
 }

@@ -501,9 +501,14 @@ object Similarity {
     val items = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
+    // NOT persisted: the operator returns a lazy frame, so a persist here
+    // has no unpersist point and accumulates executor storage across
+    // invocations (round-6/7 advice). The assignment is a zero-shuffle
+    // narrow stage (literal-centroid argmax), so its three references
+    // (both self-join sides + flagged) cost three map passes and zero
+    // held storage.
     val assigned = assignTo(cents)(items, 1)
       .select(col("id"), col("__v"), col("__n"), col("centroid_id"))
-      .persist() // referenced three times (both self-join sides + flagged)
     val a = assigned.as("a")
     val b = assigned.as("b")
     val removed = a

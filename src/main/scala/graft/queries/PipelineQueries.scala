@@ -214,23 +214,32 @@ object PipelineQueries {
           lit(256L).as("bytes_uncompressed"))
     }),
 
-    // sketch aggregates (rows-only: approx algorithms aren't portably
-    // SQL-expressible) — HLL++ cardinality and GK approximate quantiles,
-    // WITH the exact values alongside so the sketch error is visible in the
-    // output. At 100 TB these are the planning primitives of the pipeline
-    // itself: dedup-rate estimation (distinct docs per shard) and value
-    // distribution without a sort — both one map-side-combined pass,
-    // mergeable sketch state, no shuffle of raw values.
+    // sketch aggregates — HLL++ cardinality and GK approximate quantiles.
+    // Sketch VALUES are engine-specific, so the output carries exact stats
+    // (counts, interpolated percentiles — portable) plus per-sketch
+    // accuracy booleans (sketch within its documented error band of the
+    // exact answer), which BOTH engines can evaluate against their own
+    // sketches — making the whole row hash-checkable while still
+    // exercising the sketch aggregates. At 100 TB these are the planning
+    // primitives of the pipeline itself: dedup-rate estimation (distinct
+    // docs per shard) and value distribution without a sort — both one
+    // map-side-combined pass, mergeable sketch state, no raw-value shuffle.
     "q61_sketches" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"),
-          TextFunctions.round4(
-            percentile_approx(col("value"), lit(0.5), lit(1000))).as("p50_value"),
-          TextFunctions.round4(
-            percentile_approx(col("value"), lit(0.95), lit(1000))).as("p95_value"))
+          (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+            <= countDistinct(col("user_id")).cast("double") * 0.05)
+            .cast("long").as("hll_users_ok"),
+          TextFunctions.round4(expr("percentile(value, 0.5D)")).as("p50_value"),
+          TextFunctions.round4(expr("percentile(value, 0.95D)")).as("p95_value"),
+          percentile_approx(col("value"), lit(0.5), lit(1000))
+            .between(expr("percentile(value, 0.45D)"), expr("percentile(value, 0.55D)"))
+            .cast("long").as("gk_p50_ok"),
+          percentile_approx(col("value"), lit(0.95), lit(1000))
+            .between(expr("percentile(value, 0.92D)"), expr("percentile(value, 0.98D)"))
+            .cast("long").as("gk_p95_ok"))
     }),
 
     // embedding-cosine near-dup pairs within LSH buckets (rows-only check)
@@ -505,8 +514,10 @@ object PipelineQueries {
         .select(col("term"), col("doc_id"), col("doc_len"), col("tf"), col("df"))
     }),
 
-    // lexical retrieval, part 2: BM25 top-10 for a bag-of-words query
-    // (rows-only: transcendental idf; ranking pinned by RetrievalSpec)
+    // lexical retrieval, part 2: BM25 top-10 for a bag-of-words query —
+    // full DuckDB oracle (integer tf/df/len statistics; round4 absorbs the
+    // engines' last-ulp ln() difference); ranking also pinned by
+    // RetrievalSpec
     "q80_bm25" -> ((s, dir) => {
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Seq("hash", "join", "scan"), k = 10)
@@ -558,8 +569,9 @@ object PipelineQueries {
         .select(col("split"), col("bucket"), col("n"))
     }),
 
-    // feature monitoring, part 3: PSI between the splits (rows-only:
-    // transcendental ln; the histogram feeding it is q83's exact oracle)
+    // feature monitoring, part 3: PSI between the splits — full DuckDB
+    // oracle (exact dense bucket counts, fixed smoothing, round4 over the
+    // ln terms); the histogram feeding it is q83's exact oracle
     "q84_psi" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("split",
@@ -1090,6 +1102,90 @@ object PipelineQueries {
         |  floor(max(abs(CAST(cum_base AS DOUBLE) / tot_base
         |    - CAST(cum_cmp AS DOUBLE) / tot_cmp)) * 10000.0 + 0.5) / 10000.0 AS ks
         |FROM c""".stripMargin,
+
+    // exact stats hash-checked; sketch columns are accuracy booleans each
+    // engine evaluates against its OWN sketch (both HLL / approx-quantile
+    // implementations sit well inside the 5% / decile bands used)
+    "q61_sketches" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    <= count(DISTINCT user_id) * 0.05 AS BIGINT) AS hll_users_ok,
+        |  floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_value,
+        |  floor(quantile_cont(value, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95_value,
+        |  CAST(approx_quantile(value, 0.5) BETWEEN quantile_cont(value, 0.45)
+        |    AND quantile_cont(value, 0.55) AS BIGINT) AS gk_p50_ok,
+        |  CAST(approx_quantile(value, 0.95) BETWEEN quantile_cont(value, 0.92)
+        |    AND quantile_cont(value, 0.98) AS BIGINT) AS gk_p95_ok
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
+
+    // full BM25 replication: integer tf/df/doc_len statistics, Lucene-form
+    // idf (ln is IEEE-double in both engines; round4 absorbs the last-ulp
+    // libm difference), same association order as Retrieval.bm25TopK
+    "q80_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), post AS (
+        |  SELECT term, doc_id, CAST(len(t) AS BIGINT) AS doc_len, count(*) AS tf
+        |  FROM (SELECT doc_id, t, unnest(t) AS term FROM tok)
+        |  GROUP BY term, doc_id, len(t)
+        |), stats AS (
+        |  SELECT term, doc_id, doc_len, tf, count(*) OVER (PARTITION BY term) AS df
+        |  FROM post
+        |  WHERE term IN ('hash', 'join', 'scan')
+        |), corpus AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS DOUBLE) / count(t) AS avgdl
+        |  FROM tok
+        |), scored AS (
+        |  SELECT doc_id,
+        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))) AS s,
+        |    count(*) AS n_terms_hit
+        |  FROM stats, corpus
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, floor(s * 10000.0 + 0.5) / 10000.0 AS score, n_terms_hit
+        |FROM scored
+        |ORDER BY floor(s * 10000.0 + 0.5) / 10000.0 DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
+
+    // PSI: exact dense bucket counts, Laplace smoothing eps=1, ln on
+    // IEEE doubles, round4 — same term order as Monitoring.psi
+    "q84_psi" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'train' ELSE 'serve' END AS split,
+        |    value
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT min(value) AS lo, max(value) AS hi FROM events
+        |), b AS (
+        |  SELECT split,
+        |    GREATEST(0, LEAST(CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT), 9)) AS bucket,
+        |    count(*) AS n
+        |  FROM s, r GROUP BY 1, 2
+        |), h0 AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN split = 'train' THEN n ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN split = 'serve' THEN n ELSE 0 END) AS n_cmp
+        |  FROM b GROUP BY bucket
+        |), h AS (
+        |  SELECT g.range AS bucket,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cmp, 0) AS n_cmp
+        |  FROM range(10) g LEFT JOIN h0 ON g.range = h0.bucket
+        |), t AS (
+        |  SELECT CAST(sum(n_base) AS DOUBLE) AS nb, CAST(sum(n_cmp) AS DOUBLE) AS nc FROM h
+        |), terms AS (
+        |  SELECT (n_base + 1.0) / (nb + 10.0) AS p, (n_cmp + 1.0) / (nc + 10.0) AS q
+        |  FROM h, t
+        |)
+        |SELECT 'value' AS "column", 'train' AS base, 'serve' AS compare,
+        |  floor(sum((p - q) * ln(p / q)) * 10000.0 + 0.5) / 10000.0 AS psi
+        |FROM terms""".stripMargin,
 
     "q85_rolling_features" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,

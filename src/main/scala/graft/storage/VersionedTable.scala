@@ -267,7 +267,41 @@ object VersionedTable {
           snap.getFileName.toString + s".orphan.${ProcessHandle.current().pid()}.${System.nanoTime()}")
         try Files.move(snap, graveyard, StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.NoSuchFileException => throw lost() }
+        // Re-validate on the MOVED file: its mtime travels with the move.
+        // The pre-move staleness check judged whatever was at `snap` THEN;
+        // between check and move another recoverer may have rolled back and
+        // re-claimed, so the move can grab a FRESH claim. A fresh mtime
+        // here means exactly that — restore it (best effort: the owner's
+        // content fill writes through the path with REPLACE_EXISTING, so a
+        // restore collision is harmless) and lose the race. Only a
+        // confirmed-stale moved file proceeds to delete + re-claim.
+        val stoleLive =
+          try System.currentTimeMillis() - Files.getLastModifiedTime(graveyard).toMillis <= LockTtlMs
+          catch { case _: java.io.IOException => false }
+        if (stoleLive) {
+          try Files.move(graveyard, snap, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => () }
+          throw lost()
+        }
         Files.deleteIfExists(graveyard)
+        // a crash between the move and the delete above leaks the uniquely
+        // named graveyard file — sweep stale `.orphan.` siblings of this
+        // version eagerly instead of relying on vacuum's `_MANIFEST-v`
+        // prefix filter to catch them past the retention horizon
+        try {
+          val ls = Files.list(Paths.get(path))
+          try {
+            val prefix = snap.getFileName.toString + ".orphan."
+            val it = ls.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val stale = p.getFileName.toString.startsWith(prefix) &&
+                (try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis > LockTtlMs
+                 catch { case _: java.io.IOException => false })
+              if (stale) { try Files.deleteIfExists(p) catch { case _: java.io.IOException => () } }
+            }
+          } finally ls.close()
+        } catch { case _: java.io.IOException => () }
         try Files.createFile(snap)
         catch { case _: java.nio.file.FileAlreadyExistsException => throw lost() }
     }

@@ -367,6 +367,26 @@ class FunctionsSpec extends SparkSpec {
     assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == ((7L, 3L, 4L)))
   }
 
+  test("semDedup and contaminationViaBloom hold no storage across invocations") {
+    // round-6/7 advice: a persist inside a lazily-returned operator has no
+    // unpersist point, so repeated calls in a long-lived session would
+    // accumulate executor storage memory without bound
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta eps"))
+      .toDF("doc_id", "text")
+    val ref = Seq(Tuple1("beta gamma delta")).toDF("text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Similarity.semDedup(vecs, "vec_id", "embedding",
+        nlist = 2, iters = 1, threshold = 0.95).collect()
+      DedupFunctions.contaminationViaBloom(docs, "doc_id", "text", ref, "text").collect()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"repeated invocations leaked persisted RDDs: $before -> $after")
+  }
+
   test("repetition signals: top/dup n-gram char counts match hand computation") {
     // "a b a b a b" → 3-grams: [a b a, b a b, a b a, b a b] — top gram
     // "a b a" (tie count 2, lexicographic min) covers 2*5 chars; every

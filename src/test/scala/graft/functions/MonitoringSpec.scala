@@ -40,6 +40,35 @@ class MonitoringSpec extends SparkSpec {
       .head.getDouble(3) == 1.0, "fully separated distributions reach the max CDF gap")
   }
 
+  test("ksDrift: empty splits guarded — one empty ⇒ 1.0, both empty ⇒ 0.0, no NULLs") {
+    // a missing split previously divided by a zero total → NULL ks → drift
+    // alerting silently skipped (round-7 advice)
+    val oneSided = (1 to 100).map(i => ("train", i % 10 / 10.0)).toDF("split", "v")
+    assert(Monitoring.ksDrift(oneSided, "split", "train", "serve", "v", 0.0, 1.0, 10)
+      .head.getDouble(3) == 1.0, "exactly one empty split must read as maximal drift")
+    assert(Monitoring.ksDrift(oneSided, "split", "serve", "train", "v", 0.0, 1.0, 10)
+      .head.getDouble(3) == 1.0, "guard must be symmetric in base/compare")
+    val neither = oneSided.filter($"split" === "nope")
+    assert(Monitoring.ksDrift(neither, "split", "train", "serve", "v", 0.0, 1.0, 10)
+      .head.getDouble(3) == 0.0, "both splits empty must read as no drift, not NULL")
+    // out-of-range values still clamp into end buckets, not vanish
+    val allNull = Seq(("train", Option.empty[Double]), ("serve", Option.empty[Double]))
+      .toDF("split", "v")
+    assert(Monitoring.ksDrift(allNull, "split", "train", "serve", "v", 0.0, 1.0, 10)
+      .head.getDouble(3) == 0.0, "all-NULL values filter to empty splits → 0.0")
+  }
+
+  test("psi is a single lazy plan (no driver round-trip) and matches its prior value") {
+    val shifted = ((1 to 500).map(i => ("train", i % 10 / 20.0)) ++
+      (1 to 500).map(i => ("serve", 0.5 + i % 10 / 20.0))).toDF("split", "v")
+    val df = Monitoring.psi(shifted, "split", "train", "serve", "v", 0.0, 1.0, 10)
+    // a LocalRelation output would mean the operator collected internally
+    assert(!df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LocalRelation")),
+      "psi must return the lazy plan, not a collected LocalRelation")
+    assert(df.head.getDouble(3) > 0.25)
+  }
+
   test("trailing windows: inclusive frame edges, per-key isolation, tie handling") {
     // key a: events at t=0, 50, 100, 160; 100-micros window
     //   t=100's frame [0,100] includes t=0 (inclusive lower edge)
