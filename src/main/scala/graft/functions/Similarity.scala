@@ -98,16 +98,29 @@ object Similarity {
     * sign-bucket, over `tables` independent hash tables (standard LSH
     * recall lever: a true neighbor is found if ANY table buckets it with
     * the query, so recall ≈ 1-(1-p^bits)^tables at ~tables× the candidate
-    * volume). The scale path — (table, bucket) is the join key, so each
-    * query touches ~tables·N/2^bits candidates instead of N; signatures are
-    * map-side literal projections and a pair colliding in several tables is
-    * deduped before scoring.
+    * volume). (table, bucket) is the join key, so each query touches
+    * ~tables·N/2^bits candidates instead of N; signatures are map-side
+    * literal projections and a pair colliding in several tables is deduped
+    * before scoring.
+    *
+    * **Regime guidance (measured, `graft.tools.LshTune` →
+    * `LSHTUNE_r08.json`).** Random-hyperplane LSH prunes in proportion to
+    * how similar true neighbors are: per-bit collision p = 1 − θ/π. On
+    * HIGH-similarity workloads (near-dup detection, cos ≳ 0.9 ⇒ p ≳ 0.9)
+    * the defaults below reach recall ≈ 1 while scoring a tiny corpus
+    * fraction. On weakly-similar corpora (near-orthogonal embeddings,
+    * cos ≈ 0.3–0.5 — the q48 harness, deliberately adversarial) ≥0.8
+    * recall costs ≥~0.6× the brute-force pair volume (best measured:
+    * bits=6, tables=32 → 0.88@5 at 0.58× brute) — at that point prefer
+    * the partition-pruned [[ivfTopK]]/IVF-PQ plane, which is this
+    * engine's primary ANN scale path and holds 0.92@5 on the same
+    * harness at a fraction of the scan.
     */
   def lshTopK(
       queries: DataFrame, qidCol: String,
       candidates: DataFrame, cidCol: String,
-      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64,
-      tables: Int = 1): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 6, dim: Int = 64,
+      tables: Int = 8): DataFrame = {
     def withBuckets(df: DataFrame): DataFrame = df
       .withColumn("__tb", explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), rhpSignature(col(df.columns(1)), bits, dim, t).as("b"))): _*)))
@@ -132,6 +145,27 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Diagnostic companion to [[lshTopK]]: the number of (query, candidate)
+    * pairs the bucket join scores for a config, BEFORE cross-table dedup —
+    * the work metric to judge a config against brute force's |Q|·N. Used
+    * by `graft.tools.LshTune` to decide recall/volume trade-offs.
+    */
+  def lshCandidatePairs(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, bits: Int, dim: Int, tables: Int): Long = {
+    def buckets(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), rhpSignature(col("__v"), bits, dim, t).as("b"))): _*)))
+      .select(col("__id"), col("__tb.t").as("__t"), col("__tb.b").as("__bucket"))
+    buckets(candidates, cidCol)
+      .join(broadcast(buckets(queries, qidCol).withColumnRenamed("__id", "__qid")),
+        Seq("__t", "__bucket"))
+      .filter(col("__qid") =!= col("__id"))
+      .count()
   }
 
   /** IVF-style approximate top-k: a coarse quantizer (nlist deterministic

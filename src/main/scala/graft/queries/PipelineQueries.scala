@@ -124,7 +124,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       val queriesDf = emb.filter(col("vec_id") < 10)
       Similarity.lshTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
-        k = 5, bits = 4, dim = 64, tables = 4)
+        k = 5, dim = 64) // library defaults (bits=6, tables=8) exercised as-is
     }),
 
     // IVF approximate top-k (coarse-quantizer inverted lists; rows-only)
@@ -154,8 +154,12 @@ object PipelineQueries {
       val queriesDf = emb.filter(col("vec_id") < 10)
       val k = 5
       val exact = Similarity.bruteForceTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k)
+      // bits=6/tables=32: the measured best ≥0.8-recall config on this
+      // deliberately adversarial near-orthogonal corpus (LshTune sweep,
+      // LSHTUNE_r08.json: 0.88@5 at 0.58× brute-force pair volume) — see
+      // the lshTopK scaladoc for the similarity-regime guidance
       val lsh = Similarity.lshTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
-        k, bits = 4, dim = 64, tables = 4)
+        k, bits = 6, dim = 64, tables = 32)
       val ivf = Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k, nlist = 16, nprobe = 4)
       Similarity.recallAtK(exact, lsh, k)
         .select(lit("lsh").as("method"), col("recall"))
