@@ -53,6 +53,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L), got.toString)
   }
 
+  test("path halving: a 64-node path converges within log-bounded rounds") {
+    // plain one-hop propagation needs 63 rounds; with the pointer jump the
+    // loop must finish inside 14 — maxIters doubles as the assertion
+    // (labelComponents throws if it fails to converge in the bound)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val nodes = (0L until 64L).toDF("id")
+    val got = ConnectedComponents.labelComponents(
+        nodes, "id", edges.toDF("src", "dst"), "src", "dst", maxIters = 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L), got.toString)
+  }
+
+  test("per-round joins broadcast the model-scale label table (no sort-merge)") {
+    val edges = (0L until 30L).map(i => (i, i + 1))
+    val nodes = (0L until 40L).toDF("id")
+    val out = ConnectedComponents.labelComponents(
+      nodes, "id", edges.toDF("src", "dst"), "src", "dst")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label joins must broadcast the tiny label table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no per-round shuffle-sort join expected on model-scale labels:\n$plan")
+  }
+
   test("no edges: every node is its own singleton component") {
     val got = run(8, Seq.empty)
     assert(got == (0L until 8L).map(i => i -> i).toMap)
