@@ -1,0 +1,177 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{DedupFunctions, Retrieval, Similarity}
+import graft.operators.ConnectedComponents
+import graft.pit.AsOfJoin
+
+/** 10× scale probe for the five flagship operators (VERDICT r7 task #5):
+  * as-of join, MinHash-LSH near-dup, connected components, IVF-PQ probe,
+  * BM25 — each measured at sf0.1 and at a synthetic 10× of it, recording
+  * wall time plus the executor-truth shuffle-write/read and input bytes
+  * from task metrics. The sf0.1 bench sits on Spark's per-query overhead
+  * floor; these byte counters are what make the 100 TB scale claims
+  * measurable: the pruned paths (TTL-pruned as-of, IVF-PQ partition-pruned
+  * probe, term-filtered BM25) must show shuffle bytes growing far slower
+  * than input bytes.
+  *
+  * The 10× corpus is DISJOINT replication — ids remapped per copy, every
+  * text token suffixed with the copy tag (so shingle/signature spaces do
+  * not collide across copies), per-copy source values — i.e. "ten more
+  * shards of similar data", the honest scaling shape; merged dup groups
+  * would instead grow quadratic pair work that says nothing about the
+  * operators' shuffle geometry.
+  *
+  * Usage: tools/run.sh graft.tools.ScaleSweep [sfDir] → SCALEPROBE_r08.json
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shufW = new AtomicLong(0); val shufR = new AtomicLong(0)
+    val inBytes = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          inBytes.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+    })
+
+    // ---- corpora -----------------------------------------------------
+    def copies(df: DataFrame, build: (DataFrame, Int) => DataFrame, n: Int): DataFrame =
+      (0 until n).map(k => build(df, k)).reduce(_ unionByName _)
+
+    def docsAt(scale: Int): DataFrame = {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      if (scale == 1) d
+      else copies(d, (df, k) => df.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("lang"),
+        concat(col("source"), lit(s"_c$k")).as("source"), col("n_chars"),
+        array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"_c$k"))), " ")
+          .as("text")), scale)
+    }
+    def eventsAt(scale: Int): DataFrame = {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      if (scale == 1) e
+      else copies(e, (df, k) => df.select(
+        (col("event_id") + lit(k * 100000000L)).as("event_id"),
+        (col("user_id") + lit(k * 10000000L)).as("user_id"),
+        col("event_type"), col("ts"), col("value")), scale)
+    }
+    def embAt(scale: Int): DataFrame = {
+      val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      if (scale == 1) v
+      else copies(v, (df, k) => df.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding")), scale)
+    }
+
+    // ---- measurement -------------------------------------------------
+    def r2(d: Double): Double = math.rint(d * 1e2) / 1e2
+    var results = List.empty[String]
+    // execute the EXACT physical plan (all columns): a bare .count() lets
+    // Catalyst prune unused projections — for the as-of join that deletes
+    // the window (and its shuffle) entirely and measures nothing
+    def runAll(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    def measure(op: String, scale: Int)(f: => Long): Unit = {
+      f // warm-up run: JIT + codegen + page cache, excluded from metrics
+      System.gc()
+      shufW.set(0); shufR.set(0); inBytes.set(0)
+      val t0 = System.nanoTime()
+      val rows = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1200) // listener events drain asynchronously
+      val j = s"""{"op":"$op","scale":$scale,"wall_sec":${r2(wall)},"rows":$rows,""" +
+        s""""shuffle_write":${shufW.get},"shuffle_read":${shufR.get},"input_read":${inBytes.get}}"""
+      println(j)
+      results ::= j
+    }
+
+    for (scale <- Seq(1, 10)) {
+      val docs = docsAt(scale).localCheckpoint(true) // corpus build cost excluded
+      val events = eventsAt(scale).localCheckpoint(true)
+      val emb = embAt(scale).localCheckpoint(true)
+
+      // 1. as-of join (union-window) over the full spine, and the
+      //    TTL-pruned variant on the training shape it exists for (spine =
+      //    recent labels, history = long tail): its shuffle must stay far
+      //    below the full join's as input grows
+      val spine = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = events.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("f_v"))
+      measure("asof_union_window", scale) {
+        runAll(AsOfJoin.joinAsOf(spine, views, Seq("user_id"), "ts", "ts", Seq("f_v")))
+      }
+      val tsMax = events.agg(max(col("ts"))).head.getTimestamp(0)
+      val spineRecent = spine.filter(
+        col("ts") >= lit(new java.sql.Timestamp(tsMax.getTime - 3600000L)))
+      measure("asof_recent_ttl_pruned", scale) {
+        runAll(AsOfJoin.joinAsOf(spineRecent, views, Seq("user_id"), "ts", "ts", Seq("f_v"),
+          maxStaleness = Some("1 hour")))
+      }
+
+      // 2. MinHash-LSH near-dup: banding shuffles (band, hash, id) triples,
+      //    never text payloads
+      measure("minhash_lsh", scale) {
+        runAll(DedupFunctions.nearDupMinHash(docs, "doc_id", "text", threshold = 0.8))
+      }
+
+      // 3. connected components over the q76 near-dup pair graph
+      val pairs = DedupFunctions.nearDupNgramJaccard(
+        docs.withColumn("len_bucket", floor(col("n_chars") / 100)),
+        "doc_id", "text", blockCols = Seq("lang", "source", "len_bucket"),
+        threshold = 0.06, n = 2)
+      measure("connected_components", scale) {
+        runAll(ConnectedComponents.labelComponents(docs, "doc_id", pairs, "id_a", "id_b"))
+      }
+
+      // 4. IVF-PQ probe against a persisted index (build excluded: it is
+      //    the once-per-index cost) — the partition-pruned scan path
+      val idxDir = Files.createTempDirectory(s"graft_scale_ivfpq_$scale").resolve("idx").toString
+      Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", idxDir, nlist = 16)
+      val queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      measure("ivfpq_probe", scale) {
+        runAll(Similarity.ivfPqTopK(queries, "vec_id", "embedding", idxDir, k = 5, nprobe = 4))
+      }
+
+      // 5. BM25 top-10: the query-term filter pushes below the df window,
+      //    so scoring shuffles 3 posting lists while the tokenize pass
+      //    reads the whole corpus — shuffle must stay flat as input grows
+      val terms = if (scale == 1) Seq("hash", "join", "scan")
+                  else Seq("hash_c0", "join_c0", "scan_c0")
+      measure("bm25_top10", scale) {
+        runAll(Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10))
+      }
+    }
+
+    val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
+      s""""note":"disjoint 10x replication; bytes from task metrics",""" +
+      s""""measurements":[${results.reverse.mkString(",")}]}"""
+    Files.write(Paths.get("/root/repo/SCALEPROBE_r08.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}
