@@ -105,7 +105,7 @@ object AsOfJoin {
       featureTs: String,
       featureCols: Seq[String] = Seq.empty,
       includeFeatureTs: Option[String] = None,
-      method: String = "union-window",
+      method: String = "default",
       maxStaleness: Option[String] = None,
       prefilterSpineKeys: Boolean = true): DataFrame = {
     val payload =
@@ -114,8 +114,17 @@ object AsOfJoin {
     val features1 =
       if (prefilterSpineKeys) prefilterBySpineKeys(spine, features, joinKeys) else features
     joinAsOfDispatch(spine, features1, joinKeys, spineTs, featureTs, payload,
-      includeFeatureTs, method, maxStaleness)
+      includeFeatureTs, resolveMethod(spine, method), maxStaleness)
   }
+
+  /** `"default"` resolves through the session conf `graft.asof.method`
+    * (falling back to union-window), so `generateDataset` and every other
+    * caller that doesn't pin a strategy can be routed to `salted-window`
+    * session-wide on skew-prone corpora without an API change. */
+  private def resolveMethod(spine: DataFrame, method: String): String =
+    if (method == "default")
+      spine.sparkSession.conf.get("graft.asof.method", "union-window")
+    else method
 
   private def joinAsOfDispatch(
       spine: DataFrame,
@@ -162,6 +171,14 @@ object AsOfJoin {
       val (f, fts, payload) = features.head
       return joinAsOf(spine, f, joinKeys, spineTs, fts, payload)
     }
+    // Session-routed salting (graft.asof.method=salted-window): the shared
+    // one-pass window has no two-level variant, so a skew-prone session
+    // trades the single shared shuffle for N chained salted joins — N
+    // skew-safe shuffles instead of one that serializes on the hot key.
+    if (resolveMethod(spine, "default") == "salted-window")
+      return features.foldLeft(spine) { case (acc, (f, fts, payload)) =>
+        joinAsOf(acc, f, joinKeys, spineTs, fts, payload)
+      }
     // same spine-key semi-join reduction as the single-FV path: every
     // feature table rides the shared window shuffle, so pruning each one by
     // the (broadcastable) spine key set shrinks the one big exchange

@@ -326,6 +326,30 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("graft.asof.method session conf routes the default strategy (single + multi FV)") {
+    val c = spark.conf
+    val expectSingle = run("union-window").collect().sortBy(_.getInt(0)).toSeq
+    val fvB = Seq((1, daysAgo(15), 7)).toDF("customer_id", "snap_ts", "f_b")
+    def multi() = AsOfJoin.joinAsOfMulti(spine,
+      Seq((features, "updated_at", Seq("age", "snap")), (fvB, "snap_ts", Seq("f_b"))),
+      Seq("customer_id"), "event_time")
+    val expectMulti = multi().collect().sortBy(_.getInt(0)).toSeq
+    c.set("graft.asof.method", "salted-window")
+    c.set("graft.asof.salt.hotKeyThreshold", "5")
+    c.set("graft.asof.salt.sampleRate", "1.0")
+    try {
+      // default-method call must now take the salted path and agree exactly
+      assert(run("default").collect().sortBy(_.getInt(0)).toSeq == expectSingle,
+        "conf-routed salted default diverged on the single-FV path")
+      assert(multi().collect().sortBy(_.getInt(0)).toSeq == expectMulti,
+        "conf-routed salted default diverged on the multi-FV chained path")
+    } finally {
+      c.unset("graft.asof.method")
+      c.unset("graft.asof.salt.hotKeyThreshold")
+      c.unset("graft.asof.salt.sampleRate")
+    }
+  }
+
   test("maxStaleness horizon pruning: plan prunes history below min(spine)-ttl, result exact") {
     // history spans -30d..-1d; spine at -7d with ttl 5 days ⇒ horizon -12d:
     // the -20d/-30d snapshots are pruned before the shuffle, and the result
