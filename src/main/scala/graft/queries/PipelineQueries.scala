@@ -1158,6 +1158,62 @@ object PipelineQueries {
         |ORDER BY floor(s * 10000.0 + 0.5) / 10000.0 DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
 
+    // hybrid search: q80's BM25 oracle (top-20 ranks) + q25's cosine
+    // oracle (top-20 ranks for query 0) fused with exact RRF arithmetic —
+    // each doc sums ≤2 doubles (order-free), round4 before the final rank
+    "q81_hybrid_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), post AS (
+        |  SELECT term, doc_id, CAST(len(t) AS BIGINT) AS doc_len, count(*) AS tf
+        |  FROM (SELECT doc_id, t, unnest(t) AS term FROM tok)
+        |  GROUP BY term, doc_id, len(t)
+        |), stats AS (
+        |  SELECT term, doc_id, doc_len, tf, count(*) OVER (PARTITION BY term) AS df
+        |  FROM post
+        |  WHERE term IN ('hash', 'join', 'scan')
+        |), corpus AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS DOUBLE) / count(t) AS avgdl
+        |  FROM tok
+        |), bm AS (
+        |  SELECT doc_id,
+        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))) AS s
+        |  FROM stats, corpus
+        |  GROUP BY doc_id
+        |), lex AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY floor(s * 10000.0 + 0.5) / 10000.0 DESC, doc_id ASC) AS rank
+        |  FROM bm
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0
+        |), cscored AS (
+        |  SELECT c.vec_id AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM embeddings c, q
+        |  WHERE c.vec_id <> q.query_id
+        |), sem AS (
+        |  SELECT neighbor_id AS doc_id, row_number() OVER (
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM cscored
+        |), fused AS (
+        |  SELECT doc_id, sum(1.0 / (60.0 + rank)) AS s, count(*) AS n_lists
+        |  FROM (SELECT doc_id, rank FROM lex WHERE rank <= 20
+        |        UNION ALL SELECT doc_id, rank FROM sem WHERE rank <= 20)
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, floor(s * 10000.0 + 0.5) / 10000.0 AS rrf_score, n_lists
+        |FROM fused
+        |ORDER BY floor(s * 10000.0 + 0.5) / 10000.0 DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
+
     // PSI: exact dense bucket counts, Laplace smoothing eps=1, ln on
     // IEEE doubles, round4 — same term order as Monitoring.psi
     "q84_psi" ->
