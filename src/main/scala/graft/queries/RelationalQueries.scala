@@ -183,6 +183,34 @@ object RelationalQueries {
         featureCols = Seq("f_view_value"))
     }),
 
+    // B17 ⭐ — the same point-in-time join on the salted-window strategy,
+    // with thresholds forced low enough that the two-level hot-key path
+    // actually ENGAGES at this sf (full-rate detection, every key over 40
+    // union rows bucketed 4-ways) — the driver hash-checks it against the
+    // identical DuckDB ASOF oracle as q14, so the skew-safe plan is pinned
+    // end-to-end, not only by the randomized spec
+    "q87_asof_salted" -> ((s, dir) => {
+      s.conf.set("graft.asof.salt.hotKeyThreshold", "40")
+      s.conf.set("graft.asof.salt.sampleRate", "1.0")
+      s.conf.set("graft.asof.salt.buckets", "4")
+      try {
+        val ev = Tables.events(s, dir)
+        val spine = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value").as("label"))
+        val features = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("f_view_value"))
+        // conf is read eagerly at plan-build (detection job included), so
+        // the settings can be restored before the lazy frame is returned
+        AsOfJoin.joinAsOf(spine, features, Seq("user_id"), "ts", "ts",
+          featureCols = Seq("f_view_value"), method = "salted-window")
+      } finally {
+        s.conf.unset("graft.asof.salt.hotKeyThreshold")
+        s.conf.unset("graft.asof.salt.sampleRate")
+        s.conf.unset("graft.asof.salt.buckets")
+      }
+    }),
+
     // B18 — multi-feature-view as-of join (left fold)
     "q15_asof_multi" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -495,6 +523,18 @@ object RelationalQueries {
         |SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     "q14_asof" ->
+      """WITH spine AS (
+        |  SELECT event_id, user_id, ts, value AS label FROM events WHERE event_type = 'purchase'
+        |), feat AS (
+        |  SELECT user_id, ts, max(value) AS f_view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts
+        |)
+        |SELECT s.event_id, s.user_id, s.ts, s.label, f.f_view_value
+        |FROM spine s ASOF LEFT JOIN feat f
+        |  ON s.user_id = f.user_id AND f.ts <= s.ts""".stripMargin,
+
+    // identical semantics to q14 — the strategies must be indistinguishable
+    "q87_asof_salted" ->
       """WITH spine AS (
         |  SELECT event_id, user_id, ts, value AS label FROM events WHERE event_type = 'purchase'
         |), feat AS (
