@@ -171,33 +171,24 @@ object AsOfJoin {
       val (f, fts, payload) = features.head
       return joinAsOf(spine, f, joinKeys, spineTs, fts, payload)
     }
-    // Session-routed salting (graft.asof.method=salted-window): the shared
-    // one-pass window has no two-level variant, so a skew-prone session
-    // trades the single shared shuffle for N chained salted joins — N
-    // skew-safe shuffles instead of one that serializes on the hot key.
-    if (resolveMethod(spine, "default") == "salted-window")
-      return features.foldLeft(spine) { case (acc, (f, fts, payload)) =>
-        joinAsOf(acc, f, joinKeys, spineTs, fts, payload)
-      }
     // same spine-key semi-join reduction as the single-FV path: every
     // feature table rides the shared window shuffle, so pruning each one by
     // the (broadcastable) spine key set shrinks the one big exchange
     val features0 = features.map { case (f, fts, payload) =>
       (prefilterBySpineKeys(spine, f, joinKeys), fts, payload)
     }
-    return joinAsOfMultiTagged(spine, features0, joinKeys, spineTs)
+    return joinAsOfMultiTagged(spine, features0, joinKeys, spineTs,
+      salted = resolveMethod(spine, "default") == "salted-window")
   }
 
   private def joinAsOfMultiTagged(
       spine: DataFrame,
       features: Seq[(DataFrame, String, Seq[String])],
       joinKeys: Seq[String],
-      spineTs: String): DataFrame = {
-    val SIDE = "__graft_side"
-    val TS = "__graft_ts"
-    val PKT = "__graft_pkt_"
+      spineTs: String,
+      salted: Boolean = false): DataFrame = {
+    val P = "__graft_pkt_"
     val spineCols = spine.columns.toSeq
-    val allPayload = features.flatMap(_._3)
 
     // One struct per feature view: the matched row travels wholesale (the
     // struct is non-null exactly on that FV's rows), so a NULL *inside* the
@@ -214,8 +205,8 @@ object AsOfJoin {
         (joinKeys.map(col) ++
          Seq(col(fts).as(TS), lit(0).as(SIDE)) ++
          features.indices.map { j =>
-           if (j == i) struct(payload.map(c => col(c).as(c)): _*).as(s"$PKT$j")
-           else lit(null).cast(pktTypes(j)).as(s"$PKT$j")
+           if (j == i) struct(payload.map(c => col(c).as(c)): _*).as(s"$P$j")
+           else lit(null).cast(pktTypes(j)).as(s"$P$j")
          } ++
          spineCols.filterNot(joinKeys.contains)
            .map(c => lit(null).cast(fieldType(spine, c)).as(s"__sp_$c"))): _*)
@@ -223,34 +214,97 @@ object AsOfJoin {
     val taggedSpine = spine.select(
       (joinKeys.map(col) ++
        Seq(col(spineTs).as(TS), lit(1).as(SIDE)) ++
-       features.indices.map(j => lit(null).cast(pktTypes(j)).as(s"$PKT$j")) ++
+       features.indices.map(j => lit(null).cast(pktTypes(j)).as(s"$P$j")) ++
        spineCols.filterNot(joinKeys.contains).map(c => col(c).as(s"__sp_$c"))): _*)
-
-    // N feature views, still ONE shuffle + ONE sort: every last() below
-    // shares the same window frame. One tie-break key per FV: a given FV's
-    // packet is null on every other relation's rows, so among same-(key,ts)
-    // rows of FV j only the j-th key discriminates — each FV gets the
-    // documented greater-last-payload tie-break independently.
-    val w = Window.partitionBy(joinKeys.map(col): _*)
-      .orderBy((Seq(col(TS).asc, col(SIDE).asc) ++
-        features.zipWithIndex.map { case ((_, _, payload), j) =>
-          col(s"$PKT$j").getField(payload.last).asc_nulls_first }): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
     val unioned = (taggedFeatures :+ taggedSpine).reduce(_ unionByName _)
-    val carried = unioned.select(
-      (Seq(col(SIDE)) ++
-       joinKeys.map(col) ++
-       spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
-       features.indices.map(j => last(col(s"$PKT$j"), ignoreNulls = true).over(w).as(s"$PKT$j"))): _*)
 
-    val out = carried.filter(col(SIDE) === 1).drop(SIDE)
-    val renamed = spineCols.filterNot(joinKeys.contains)
-      .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
-    val unpacked = features.zipWithIndex.flatMap { case ((_, _, payload), j) =>
-      payload.map(c => col(s"$PKT$j").getField(c).as(c))
+    // One tie-break key per FV: a given FV's packet is null on every other
+    // relation's rows, so among same-(key,ts) rows of FV j only the j-th
+    // key discriminates — each FV gets the documented greater-last-payload
+    // tie-break independently.
+    def tb(j: Int) = col(s"$P$j").getField(features(j)._3.last)
+    val orderCols = Seq(col(TS).asc, col(SIDE).asc) ++
+      features.indices.map(j => tb(j).asc_nulls_first)
+
+    def finishMulti(carried: DataFrame): DataFrame = {
+      val out = carried.filter(col(SIDE) === 1).drop(SIDE)
+      val renamed = spineCols.filterNot(joinKeys.contains)
+        .foldLeft(out)((df, c) => df.withColumnRenamed(s"__sp_$c", c))
+      val unpacked = features.zipWithIndex.flatMap { case ((_, _, payload), j) =>
+        payload.map(c => col(s"$P$j").getField(c).as(c))
+      }
+      renamed.select((spineCols.map(col) ++ unpacked): _*)
     }
-    renamed.select((spineCols.map(col) ++ unpacked): _*)
+
+    val hot = if (salted) detectHotKeys(unioned, joinKeys) else None
+    hot match {
+      case None =>
+        // N feature views, still ONE shuffle + ONE sort: every last()
+        // shares the same window frame.
+        val w = Window.partitionBy(joinKeys.map(col): _*)
+          .orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        finishMulti(unioned.select(
+          (Seq(col(SIDE)) ++
+           joinKeys.map(col) ++
+           spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
+           features.indices.map(j =>
+             last(col(s"$P$j"), ignoreNulls = true).over(w).as(s"$P$j"))): _*))
+
+      case Some((hotDf, numBuckets)) =>
+        // Two-level salted variant of the shared window — the same
+        // bucketing/carry-in construction as the single-FV salted path
+        // (see the object scaladoc for the correctness argument), with one
+        // packet column, one bucket-winner aggregate, and one carry-in per
+        // FV, all riding the SAME per-(key, bucket) sort and the same tiny
+        // grid window. Still one big shuffle + one detection pass + one
+        // hot-rows summary pass for N feature views.
+        val buckets = bucketize(hotDf, joinKeys) _
+        val w1 = Window.partitionBy((joinKeys.map(col) :+ col(BKT)): _*)
+          .orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val carried = buckets(unioned, "left").select(
+          (Seq(col(SIDE), col(BKT)) ++
+           joinKeys.map(col) ++
+           spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
+           features.indices.map(j =>
+             last(col(s"$P$j"), ignoreNulls = true).over(w1).as(s"$P$j"))): _*)
+
+        // Per-FV bucket winners in ONE aggregation. The max_by ordering is
+        // null-guarded per FV: rows of other FVs carry a null j-th packet
+        // AND a null ordering, so they can never displace a real FV-j row
+        // (and an all-null group correctly yields a null winner).
+        val sums = buckets(unioned.filter(col(SIDE) === 0), "inner")
+          .groupBy((joinKeys.map(col) :+ col(BKT)): _*)
+          .agg(
+            max_by(col(s"${P}0"), when(col(s"${P}0").isNotNull, struct(col(TS), tb(0))))
+              .as(s"__bp_0"),
+            features.indices.drop(1).map(j =>
+              max_by(col(s"$P$j"), when(col(s"$P$j").isNotNull, struct(col(TS), tb(j))))
+                .as(s"__bp_$j")): _*)
+        val wb = Window.partitionBy(joinKeys.map(col): _*).orderBy(col(BKT).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cins = bucketGrid(hotDf, joinKeys, numBuckets)
+          .join(sums, joinKeys :+ BKT, "left")
+          .select((joinKeys.map(col) :+ col(BKT)) ++
+            features.indices.map(j =>
+              last(col(s"__bp_$j"), ignoreNulls = true).over(wb).as(s"__ci_p$j")): _*)
+          .filter(features.indices.map(j => col(s"__ci_p$j").isNotNull).reduce(_ || _))
+          .select((joinKeys.map(k => col(k).as(s"__ci_$k")) :+
+            col(BKT).as("__ci_bkt")) ++
+            features.indices.map(j => col(s"__ci_p$j")): _*)
+
+        val joined = carried.join(broadcast(cins),
+          joinKeys.map(k => col(k) <=> col(s"__ci_$k")).reduce(_ && _) &&
+            col(BKT) === col("__ci_bkt"),
+          "left")
+          .drop((joinKeys.map(k => s"__ci_$k") :+ "__ci_bkt"): _*)
+        val merged = features.indices.foldLeft(joined) { (df, j) =>
+          df.withColumn(s"$P$j", coalesce(col(s"$P$j"), col(s"__ci_p$j")))
+            .drop(s"__ci_p$j")
+        }.drop(BKT)
+        finishMulti(merged)
+    }
   }
 
   /** Semi-join reduction of the feature side by the spine's key set — the
@@ -331,6 +385,69 @@ object AsOfJoin {
   private val TS = "__graft_ts"
   private val PKT = "__graft_pkt"
   private val FTS = "__graft_fts"
+  private val BKT = "__graft_bkt"
+  private val BOUNDS = "__graft_bounds"
+
+  /** Eager sampled hot-key detection shared by the salted strategies (the
+    * one plan-build-time action; same precedent as IVF's trainCentroids):
+    * per-key sampled union row count + in-key ts quantiles as bucket
+    * boundaries, keys whose estimated count clears the threshold only,
+    * capped at the maxHotKeys heaviest, collected (model-scale) for
+    * literal broadcast. Sampling keeps the pass cheap (a full-rate per-key
+    * percentile_approx was measured to DOUBLE the join's wall time) and is
+    * safe: engagement noise around the threshold is harmless because
+    * salting any key is always correct and missing a borderline key leaves
+    * the pre-existing single-task plan. Collecting is what lets every
+    * downstream use be a literal broadcast — a lazy hot frame made
+    * Catalyst's per-branch column pruning produce five non-identical
+    * copies of the base-scan subtree (measured: no ReusedExchange fired).
+    * None ⇒ no hot keys ⇒ caller keeps the plain one-level plan.
+    */
+  private def detectHotKeys(
+      unioned: DataFrame, joinKeys: Seq[String]): Option[(DataFrame, Int)] = {
+    val conf = unioned.sparkSession.conf
+    val numBuckets = conf.get("graft.asof.salt.buckets", "16").toInt
+    val hotThreshold = conf.get("graft.asof.salt.hotKeyThreshold", "2000000").toLong
+    val sampleRate = conf.get("graft.asof.salt.sampleRate", "0.01").toDouble
+    val maxHotKeys = conf.get("graft.asof.salt.maxHotKeys", "1000").toInt
+    require(numBuckets >= 2, s"graft.asof.salt.buckets must be >= 2, got $numBuckets")
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val det = unioned
+      .sample(withReplacement = false, sampleRate, seed = 42)
+      .groupBy(joinKeys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"),
+        percentile_approx(col(TS).cast("double"), typedLit(qs), lit(1000)).as(BOUNDS))
+      .filter(col("__graft_cnt") >= math.max(1L, math.round(hotThreshold * sampleRate)) &&
+        col(BOUNDS).isNotNull)
+      .orderBy(col("__graft_cnt").desc)
+      .limit(maxHotKeys)
+      .select(joinKeys.map(k => col(k).as(s"__hk_$k")) :+ col(BOUNDS): _*)
+    val hotRows = det.collect()
+    if (hotRows.isEmpty) None
+    else Some((unioned.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), det.schema), numBuckets))
+  }
+
+  /** bucket = #boundaries ≤ ts's numeric image: a monotone function of ts,
+    * so earlier buckets hold strictly earlier timestamps and same-ts rows
+    * share a bucket. Non-hot keys (no boundaries) land in bucket 0. `<=>`
+    * so a (legitimately matchless) NULL-keyed spine population can still
+    * be salted rather than serializing in one task. A ts type with no
+    * double image degrades to bucket 0 = the unsalted plan, still correct.
+    */
+  private def bucketize(hotDf: DataFrame, joinKeys: Seq[String])(
+      df: DataFrame, joinType: String): DataFrame = {
+    val tsd = col(TS).cast("double")
+    df.join(broadcast(hotDf), joinKeys.map(k => col(k) <=> col(s"__hk_$k")).reduce(_ && _), joinType)
+      .withColumn(BKT, coalesce(size(filter(col(BOUNDS), b => b <= tsd)), lit(0)))
+      .drop((joinKeys.map(k => s"__hk_$k") :+ BOUNDS): _*)
+  }
+
+  /** The dense (hotKeys × numBuckets) grid, so spine-only buckets inherit
+    * a carry-in too. Model-scale frame. */
+  private def bucketGrid(hotDf: DataFrame, joinKeys: Seq[String], numBuckets: Int): DataFrame =
+    hotDf.select(joinKeys.map(k => col(s"__hk_$k").as(k)): _*)
+      .withColumn(BKT, explode(sequence(lit(0), lit(numBuckets - 1))))
 
   /** Shared tagging step of the window strategies: features → (keys, ts,
     * side=0, pkt struct, null spine cols); spine → (keys, ts, side=1, null
@@ -459,62 +576,20 @@ object AsOfJoin {
       payload: Seq[String],
       includeFeatureTs: Option[String],
       maxStaleness: Option[String]): DataFrame = {
-    val BKT = "__graft_bkt"
-    val BOUNDS = "__graft_bounds"
     val CIN = "__graft_cin"
     val BPKT = "__graft_bpkt"
     val spineCols = spine.columns.toSeq
-    val conf = spine.sparkSession.conf
-    val numBuckets = conf.get("graft.asof.salt.buckets", "16").toInt
-    val hotThreshold = conf.get("graft.asof.salt.hotKeyThreshold", "2000000").toLong
-    val sampleRate = conf.get("graft.asof.salt.sampleRate", "0.01").toDouble
-    val maxHotKeys = conf.get("graft.asof.salt.maxHotKeys", "1000").toInt
-    require(numBuckets >= 2, s"graft.asof.salt.buckets must be >= 2, got $numBuckets")
-
     val unioned = tagAndUnion(spine, features, joinKeys, spineTs, featureTs, payload, maxStaleness)
-    val tsd = col(TS).cast("double")
 
-    // EAGER hot-key detection on a SEEDED SAMPLE (the one plan-build-time
-    // action; same precedent as IVF's trainCentroids): per-key sampled row
-    // count + in-key ts quantiles as bucket boundaries, keys whose
-    // estimated union row count clears the threshold only, capped at the
-    // maxHotKeys heaviest. Sampling keeps the pass cheap (a full-rate
-    // per-key percentile_approx was measured to DOUBLE the join's wall
-    // time) and is safe: engagement noise around the threshold is harmless
-    // because salting any key is always correct and missing a borderline
-    // key leaves the pre-existing single-task plan. Collecting the result
-    // is what lets every downstream use be a literal broadcast — leaving
-    // it lazy made Catalyst's per-branch column pruning produce five
-    // non-identical copies of the base-scan subtree (measured: no
-    // ReusedExchange fired). No hot keys → return the plain union-window
-    // plan: zero salting overhead beyond this detection job.
-    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
-    val det = unioned
-      .sample(withReplacement = false, sampleRate, seed = 42)
-      .groupBy(joinKeys.map(col): _*)
-      .agg(count(lit(1)).as("__graft_cnt"),
-        percentile_approx(tsd, typedLit(qs), lit(1000)).as(BOUNDS))
-      .filter(col("__graft_cnt") >= math.max(1L, math.round(hotThreshold * sampleRate)) &&
-        col(BOUNDS).isNotNull)
-      .orderBy(col("__graft_cnt").desc)
-      .limit(maxHotKeys)
-      .select(joinKeys.map(k => col(k).as(s"__hk_$k")) :+ col(BOUNDS): _*)
-    val hotRows = det.collect()
-    if (hotRows.isEmpty)
-      return unionWindow(spine, features, joinKeys, spineTs, featureTs, payload,
-        includeFeatureTs, maxStaleness)
-    val hotDf = spine.sparkSession.createDataFrame(
-      java.util.Arrays.asList(hotRows: _*), det.schema)
-
-    // bucket = #boundaries ≤ ts's numeric image: a monotone function of ts,
-    // so earlier buckets hold strictly earlier timestamps and same-ts rows
-    // share a bucket. Non-hot keys (no boundaries) land in bucket 0. `<=>`
-    // so a (legitimately matchless) NULL-keyed spine population can still
-    // be salted rather than serializing in one task.
-    def bucketize(df: DataFrame, joinType: String): DataFrame = df
-      .join(broadcast(hotDf), joinKeys.map(k => col(k) <=> col(s"__hk_$k")).reduce(_ && _), joinType)
-      .withColumn(BKT, coalesce(size(filter(col(BOUNDS), b => b <= tsd)), lit(0)))
-      .drop((joinKeys.map(k => s"__hk_$k") :+ BOUNDS): _*)
+    // No hot keys → the plain union-window plan: zero salting overhead
+    // beyond the detection job (see detectHotKeys).
+    val (hotDf, numBuckets) = detectHotKeys(unioned, joinKeys) match {
+      case None =>
+        return unionWindow(spine, features, joinKeys, spineTs, featureTs, payload,
+          includeFeatureTs, maxStaleness)
+      case Some(h) => h
+    }
+    val buckets = bucketize(hotDf, joinKeys) _
 
     // Level 1: identical ordering and tie-break to union-window, but
     // partitioned by (keys, bucket) — a hot key sorts in numBuckets
@@ -524,7 +599,7 @@ object AsOfJoin {
         col(PKT).getField(payload.last).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = bucketize(unioned, "left").select(
+    val carried = buckets(unioned, "left").select(
       (Seq(col(SIDE), col(BKT)) ++
        joinKeys.map(col) ++
        spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
@@ -535,17 +610,13 @@ object AsOfJoin {
     // map-side-combined max_by (tie-break identical to the window ordering:
     // greatest (ts, last-payload) wins) reduces it to a model-scale frame.
     // Then every bucket's carry-in = the latest winner among all earlier
-    // buckets, computed over the dense (hotKeys × numBuckets) grid so
-    // spine-only buckets inherit a carry-in too.
-    val sums = bucketize(unioned.filter(col(SIDE) === 0), "inner")
+    // buckets over the dense grid.
+    val sums = buckets(unioned.filter(col(SIDE) === 0), "inner")
       .groupBy((joinKeys.map(col) :+ col(BKT)): _*)
       .agg(max_by(col(PKT), struct(col(TS), col(PKT).getField(payload.last))).as(BPKT))
-    val allBuckets = hotDf
-      .select(joinKeys.map(k => col(s"__hk_$k").as(k)): _*)
-      .withColumn(BKT, explode(sequence(lit(0), lit(numBuckets - 1))))
     val wb = Window.partitionBy(joinKeys.map(col): _*).orderBy(col(BKT).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cins = allBuckets.join(sums, joinKeys :+ BKT, "left")
+    val cins = bucketGrid(hotDf, joinKeys, numBuckets).join(sums, joinKeys :+ BKT, "left")
       .select((joinKeys.map(col) :+ col(BKT) :+
         last(col(BPKT), ignoreNulls = true).over(wb).as(CIN)): _*)
       .filter(col(CIN).isNotNull)

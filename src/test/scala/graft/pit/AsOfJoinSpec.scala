@@ -326,6 +326,32 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("multi-FV salted: skewed corpus, one-pass two-level window matches unsalted") {
+    // one hot key (50% of rows) across TWO feature views with disjoint ts
+    // ranges, so each FV's carry-in must cross bucket boundaries
+    // independently; every row unique-payload so the result is total
+    val rnd = new scala.util.Random(7)
+    def key(i: Int) = if (i % 2 == 0) 1 else 2 + rnd.nextInt(10)
+    val fvA = (1 to 1500).map(i => (key(i), daysAgo(150 + rnd.nextInt(100)), f"a$i%05d"))
+      .toDF("customer_id", "ts_a", "f_a")
+    val fvB = (1 to 1500).map(i => (key(i), daysAgo(1 + rnd.nextInt(100)), f"b$i%05d"))
+      .toDF("customer_id", "ts_b", "f_b")
+    val sp = (1 to 400).map(i => (key(i), daysAgo(rnd.nextInt(260)), i))
+      .toDF("customer_id", "event_time", "label")
+    def multi() = AsOfJoin.joinAsOfMulti(sp,
+      Seq((fvA, "ts_a", Seq("f_a")), (fvB, "ts_b", Seq("f_b"))),
+      Seq("customer_id"), "event_time")
+    val plain = multi()
+    withSaltConf(threshold = 100, buckets = 4) {
+      spark.conf.set("graft.asof.method", "salted-window")
+      try {
+        val salted = multi()
+        assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+          "two-level multi-FV salted window diverged from the unsalted one-pass window")
+      } finally spark.conf.unset("graft.asof.method")
+    }
+  }
+
   test("graft.asof.method session conf routes the default strategy (single + multi FV)") {
     val c = spark.conf
     val expectSingle = run("union-window").collect().sortBy(_.getInt(0)).toSeq
@@ -342,7 +368,7 @@ class AsOfJoinSpec extends SparkSpec {
       assert(run("default").collect().sortBy(_.getInt(0)).toSeq == expectSingle,
         "conf-routed salted default diverged on the single-FV path")
       assert(multi().collect().sortBy(_.getInt(0)).toSeq == expectMulti,
-        "conf-routed salted default diverged on the multi-FV chained path")
+        "conf-routed salted default diverged on the multi-FV one-pass path")
     } finally {
       c.unset("graft.asof.method")
       c.unset("graft.asof.salt.hotKeyThreshold")
