@@ -252,58 +252,14 @@ object AsOfJoin {
              last(col(s"$P$j"), ignoreNulls = true).over(w).as(s"$P$j"))): _*))
 
       case Some((hotDf, numBuckets)) =>
-        // Two-level salted variant of the shared window — the same
-        // bucketing/carry-in construction as the single-FV salted path
-        // (see the object scaladoc for the correctness argument), with one
-        // packet column, one bucket-winner aggregate, and one carry-in per
-        // FV, all riding the SAME per-(key, bucket) sort and the same tiny
-        // grid window. Still one big shuffle + one detection pass + one
-        // hot-rows summary pass for N feature views.
-        val buckets = bucketize(hotDf, joinKeys) _
-        val w1 = Window.partitionBy((joinKeys.map(col) :+ col(BKT)): _*)
-          .orderBy(orderCols: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val carried = buckets(unioned, "left").select(
-          (Seq(col(SIDE), col(BKT)) ++
-           joinKeys.map(col) ++
-           spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
-           features.indices.map(j =>
-             last(col(s"$P$j"), ignoreNulls = true).over(w1).as(s"$P$j"))): _*)
-
-        // Per-FV bucket winners in ONE aggregation. The max_by ordering is
-        // null-guarded per FV: rows of other FVs carry a null j-th packet
-        // AND a null ordering, so they can never displace a real FV-j row
-        // (and an all-null group correctly yields a null winner).
-        val sums = buckets(unioned.filter(col(SIDE) === 0), "inner")
-          .groupBy((joinKeys.map(col) :+ col(BKT)): _*)
-          .agg(
-            max_by(col(s"${P}0"), when(col(s"${P}0").isNotNull, struct(col(TS), tb(0))))
-              .as(s"__bp_0"),
-            features.indices.drop(1).map(j =>
-              max_by(col(s"$P$j"), when(col(s"$P$j").isNotNull, struct(col(TS), tb(j))))
-                .as(s"__bp_$j")): _*)
-        val wb = Window.partitionBy(joinKeys.map(col): _*).orderBy(col(BKT).asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val cins = bucketGrid(hotDf, joinKeys, numBuckets)
-          .join(sums, joinKeys :+ BKT, "left")
-          .select((joinKeys.map(col) :+ col(BKT)) ++
-            features.indices.map(j =>
-              last(col(s"__bp_$j"), ignoreNulls = true).over(wb).as(s"__ci_p$j")): _*)
-          .filter(features.indices.map(j => col(s"__ci_p$j").isNotNull).reduce(_ || _))
-          .select((joinKeys.map(k => col(k).as(s"__ci_$k")) :+
-            col(BKT).as("__ci_bkt")) ++
-            features.indices.map(j => col(s"__ci_p$j")): _*)
-
-        val joined = carried.join(broadcast(cins),
-          joinKeys.map(k => col(k) <=> col(s"__ci_$k")).reduce(_ && _) &&
-            col(BKT) === col("__ci_bkt"),
-          "left")
-          .drop((joinKeys.map(k => s"__ci_$k") :+ "__ci_bkt"): _*)
-        val merged = features.indices.foldLeft(joined) { (df, j) =>
-          df.withColumn(s"$P$j", coalesce(col(s"$P$j"), col(s"__ci_p$j")))
-            .drop(s"__ci_p$j")
-        }.drop(BKT)
-        finishMulti(merged)
+        // Two-level salted variant of the shared window: the SAME
+        // saltedCarry pipeline as the single-FV strategy, with one packet
+        // + tie-break pair per FV all riding one per-(key, bucket) sort
+        // and one tiny grid window. Still one big shuffle + one detection
+        // pass + one hot-rows summary pass for N feature views.
+        finishMulti(saltedCarry(unioned, hotDf, numBuckets, joinKeys,
+          spineCols.filterNot(joinKeys.contains).map(c => s"__sp_$c"),
+          features.indices.map(j => (s"$P$j", tb(j)))))
     }
   }
 
@@ -449,6 +405,69 @@ object AsOfJoin {
     hotDf.select(joinKeys.map(k => col(s"__hk_$k").as(k)): _*)
       .withColumn(BKT, explode(sequence(lit(0), lit(numBuckets - 1))))
 
+  /** The shared two-level salted carry pipeline (single- and multi-FV):
+    *
+    * Level 1 — bucketize the tagged union and run the carry window per
+    * (keys, bucket) with the SAME ordering/tie-break as the unsalted
+    * window, so a hot key sorts in numBuckets parallel spillable tasks.
+    *
+    * Level 2 — per-(hot key, bucket) winning packet per feature view, ONE
+    * aggregation over the hot-key FEATURE rows only (inner broadcast
+    * join); the max_by ordering is null-guarded per packet so (in the
+    * multi case) other FVs' rows never displace a real winner. Every
+    * bucket's carry-in = the latest winner among all earlier buckets,
+    * computed over the dense (hotKeys × numBuckets) grid so spine-only
+    * buckets inherit one. The final coalesce(localCarry, carryIn) is exact
+    * because a non-null local carry is a same-bucket feature, strictly
+    * later than any earlier-bucket feature.
+    *
+    * @param pkts one (packetColumn, tieBreakColumn) per feature view
+    * @param spCols passthrough `__sp_*` spine column names
+    * @return frame with (SIDE, joinKeys, spCols, packet columns) — the
+    *         caller applies its own finishing step
+    */
+  private def saltedCarry(
+      unioned: DataFrame,
+      hotDf: DataFrame,
+      numBuckets: Int,
+      joinKeys: Seq[String],
+      spCols: Seq[String],
+      pkts: Seq[(String, Column)]): DataFrame = {
+    val buckets = bucketize(hotDf, joinKeys) _
+    val w1 = Window.partitionBy((joinKeys.map(col) :+ col(BKT)): _*)
+      .orderBy((Seq(col(TS).asc, col(SIDE).asc) ++ pkts.map(_._2.asc_nulls_first)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = buckets(unioned, "left").select(
+      (Seq(col(SIDE), col(BKT)) ++ joinKeys.map(col) ++ spCols.map(col) ++
+       pkts.map { case (p, _) => last(col(p), ignoreNulls = true).over(w1).as(p) }): _*)
+
+    val aggs = pkts.map { case (p, t) =>
+      max_by(col(p), when(col(p).isNotNull, struct(col(TS), t))).as(s"__bp_$p")
+    }
+    val sums = buckets(unioned.filter(col(SIDE) === 0), "inner")
+      .groupBy((joinKeys.map(col) :+ col(BKT)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val wb = Window.partitionBy(joinKeys.map(col): _*).orderBy(col(BKT).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cins = bucketGrid(hotDf, joinKeys, numBuckets)
+      .join(sums, joinKeys :+ BKT, "left")
+      .select(((joinKeys.map(col) :+ col(BKT)) ++
+        pkts.map { case (p, _) =>
+          last(col(s"__bp_$p"), ignoreNulls = true).over(wb).as(s"__ci_$p") }): _*)
+      .filter(pkts.map { case (p, _) => col(s"__ci_$p").isNotNull }.reduce(_ || _))
+      .select(((joinKeys.map(k => col(k).as(s"__ci_$k")) :+ col(BKT).as("__ci_bkt")) ++
+        pkts.map { case (p, _) => col(s"__ci_$p") }): _*)
+
+    val joined = carried.join(broadcast(cins),
+      joinKeys.map(k => col(k) <=> col(s"__ci_$k")).reduce(_ && _) &&
+        col(BKT) === col("__ci_bkt"),
+      "left")
+      .drop((joinKeys.map(k => s"__ci_$k") :+ "__ci_bkt"): _*)
+    pkts.foldLeft(joined) { case (df, (p, _)) =>
+      df.withColumn(p, coalesce(col(p), col(s"__ci_$p"))).drop(s"__ci_$p")
+    }.drop(BKT)
+  }
+
   /** Shared tagging step of the window strategies: features → (keys, ts,
     * side=0, pkt struct, null spine cols); spine → (keys, ts, side=1, null
     * pkt, spine cols as `__sp_*`); unioned.
@@ -576,8 +595,6 @@ object AsOfJoin {
       payload: Seq[String],
       includeFeatureTs: Option[String],
       maxStaleness: Option[String]): DataFrame = {
-    val CIN = "__graft_cin"
-    val BPKT = "__graft_bpkt"
     val spineCols = spine.columns.toSeq
     val unioned = tagAndUnion(spine, features, joinKeys, spineTs, featureTs, payload, maxStaleness)
 
@@ -589,51 +606,9 @@ object AsOfJoin {
           includeFeatureTs, maxStaleness)
       case Some(h) => h
     }
-    val buckets = bucketize(hotDf, joinKeys) _
-
-    // Level 1: identical ordering and tie-break to union-window, but
-    // partitioned by (keys, bucket) — a hot key sorts in numBuckets
-    // parallel spillable tasks instead of ONE.
-    val w1 = Window.partitionBy((joinKeys.map(col) :+ col(BKT)): _*)
-      .orderBy(col(TS).asc, col(SIDE).asc,
-        col(PKT).getField(payload.last).asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val carried = buckets(unioned, "left").select(
-      (Seq(col(SIDE), col(BKT)) ++
-       joinKeys.map(col) ++
-       spineCols.filterNot(joinKeys.contains).map(c => col(s"__sp_$c")) ++
-       Seq(last(col(PKT), ignoreNulls = true).over(w1).as(PKT))): _*)
-
-    // Level 2: per-(hot key, bucket) winning feature packet — an inner
-    // broadcast join prunes this pass to hot-key FEATURE rows only, and the
-    // map-side-combined max_by (tie-break identical to the window ordering:
-    // greatest (ts, last-payload) wins) reduces it to a model-scale frame.
-    // Then every bucket's carry-in = the latest winner among all earlier
-    // buckets over the dense grid.
-    val sums = buckets(unioned.filter(col(SIDE) === 0), "inner")
-      .groupBy((joinKeys.map(col) :+ col(BKT)): _*)
-      .agg(max_by(col(PKT), struct(col(TS), col(PKT).getField(payload.last))).as(BPKT))
-    val wb = Window.partitionBy(joinKeys.map(col): _*).orderBy(col(BKT).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cins = bucketGrid(hotDf, joinKeys, numBuckets).join(sums, joinKeys :+ BKT, "left")
-      .select((joinKeys.map(col) :+ col(BKT) :+
-        last(col(BPKT), ignoreNulls = true).over(wb).as(CIN)): _*)
-      .filter(col(CIN).isNotNull)
-      .select((joinKeys.map(k => col(k).as(s"__ci_$k")) :+
-        col(BKT).as("__ci_bkt") :+ col(CIN)): _*)
-
-    // coalesce is exact: a non-null local carry is a same-bucket feature,
-    // which is strictly later than any earlier-bucket feature.
-    val merged = carried
-      .join(broadcast(cins),
-        joinKeys.map(k => col(k) <=> col(s"__ci_$k")).reduce(_ && _) &&
-          col(BKT) === col("__ci_bkt"),
-        "left")
-      .drop((joinKeys.map(k => s"__ci_$k") :+ "__ci_bkt"): _*)
-      .withColumn(PKT, coalesce(col(PKT), col(CIN)))
-      .drop(CIN, BKT)
-
+    val merged = saltedCarry(unioned, hotDf, numBuckets, joinKeys,
+      spineCols.filterNot(joinKeys.contains).map(c => s"__sp_$c"),
+      Seq((PKT, col(PKT).getField(payload.last))))
     finishCarried(merged, spineCols, joinKeys, spineTs, payload, includeFeatureTs, maxStaleness)
   }
 

@@ -271,16 +271,27 @@ object VersionedTable {
         // The pre-move staleness check judged whatever was at `snap` THEN;
         // between check and move another recoverer may have rolled back and
         // re-claimed, so the move can grab a FRESH claim. A fresh mtime
-        // here means exactly that — restore it (best effort: the owner's
-        // content fill writes through the path with REPLACE_EXISTING, so a
-        // restore collision is harmless) and lose the race. Only a
-        // confirmed-stale moved file proceeds to delete + re-claim.
+        // here means exactly that — restore it and lose the race. The
+        // restore is `createLink` (atomic no-replace: link creation fails
+        // if `snap` exists again), NOT a rename, because a rename REPLACES
+        // the target: a third writer whose `createFile(snap)` landed during
+        // the absence window would have its fresh claim silently clobbered.
+        // If the link fails, that third writer owns the claim and the
+        // graveyard copy is left for the stale-orphan sweep below. Residual
+        // honesty: the absence window itself (moved-out live claim until
+        // restore) can still let one writer claim while the original
+        // believes it holds — reachable only when the commit LOCK was
+        // TTL-stolen twice concurrently during a live commit, i.e. when the
+        // LockTtlMs liveness assumption is already violated; a plain
+        // filesystem offers no compare-and-swap to close that last gap.
         val stoleLive =
           try System.currentTimeMillis() - Files.getLastModifiedTime(graveyard).toMillis <= LockTtlMs
           catch { case _: java.io.IOException => false }
         if (stoleLive) {
-          try Files.move(graveyard, snap, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.io.IOException => () }
+          try {
+            Files.createLink(snap, graveyard)
+            Files.deleteIfExists(graveyard)
+          } catch { case _: java.io.IOException => () }
           throw lost()
         }
         Files.deleteIfExists(graveyard)

@@ -96,7 +96,8 @@ object ScaleSweep {
     def runAll(df: DataFrame): Long = df.queryExecution.toRdd.count()
     def measure(op: String, scale: Int)(f: => Long): Unit = {
       f // warm-up run: JIT + codegen + page cache, excluded from metrics
-      System.gc()
+      Thread.sleep(1200) // drain warm-up listener events BEFORE the reset,
+      System.gc()        // or async stragglers land in the measured counters
       shufW.set(0); shufR.set(0); inBytes.set(0)
       val t0 = System.nanoTime()
       val rows = f

@@ -66,16 +66,35 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("per-round joins broadcast the model-scale label table (no sort-merge)") {
-    val edges = (0L until 30L).map(i => (i, i + 1))
-    val nodes = (0L until 40L).toDF("id")
-    val out = ConnectedComponents.labelComponents(
-      nodes, "id", edges.toDF("src", "dst"), "src", "dst")
-    out.count()
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"label joins must broadcast the tiny label table:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"no per-round shuffle-sort join expected on model-scale labels:\n$plan")
+    // The loop localCheckpoints every round, so the returned frame's plan
+    // only shows the final attach join — observe the PER-ROUND plans via a
+    // QueryExecutionListener over the loop's internal actions instead.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = (0L until 30L).map(i => (i, i + 1))
+      val nodes = (0L until 40L).toDF("id")
+      ConnectedComponents.labelComponents(
+        nodes, "id", edges.toDF("src", "dst"), "src", "dst").count()
+      // listener delivery is asynchronous; poll until the bus drains
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      Thread.sleep(1000)
+      val all = plans.toArray(Array.empty[String])
+      val roundPlans = all.filter(_.contains("BroadcastHashJoin"))
+      assert(roundPlans.nonEmpty,
+        s"no executed plan broadcast the label table (captured ${all.length} plans)")
+      val smj = all.filter(_.contains("SortMergeJoin"))
+      assert(smj.isEmpty,
+        s"per-round label joins fell back to sort-merge:\n${smj.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("no edges: every node is its own singleton component") {

@@ -14,7 +14,25 @@ import graft.SparkSpec
 class AsOfJoinFuzzSpec extends SparkSpec {
   import spark.implicits._
 
-  test("randomized corpora: both strategies x prefilter == driver-side reference") {
+  test("randomized corpora: all strategies x prefilter == driver-side reference") {
+    // salted-window runs ENGAGED (tiny threshold, full-rate detection):
+    // on these corpora the NULL-key populations are frequently hot, so the
+    // bucketize `<=>` join's NULL-key handling is genuinely exercised —
+    // with the default 2M threshold the salted path would silently degrade
+    // to plain union-window and this spec would pin nothing new.
+    val c = spark.conf
+    c.set("graft.asof.salt.hotKeyThreshold", "10")
+    c.set("graft.asof.salt.sampleRate", "1.0")
+    c.set("graft.asof.salt.buckets", "4")
+    try fuzzTrials()
+    finally {
+      c.unset("graft.asof.salt.hotKeyThreshold")
+      c.unset("graft.asof.salt.sampleRate")
+      c.unset("graft.asof.salt.buckets")
+    }
+  }
+
+  private def fuzzTrials(): Unit = {
     val rnd = new scala.util.Random(987654321L)
     for (trial <- 1 to 6) {
       val nK = 1 + rnd.nextInt(5)
@@ -42,7 +60,7 @@ class AsOfJoinFuzzSpec extends SparkSpec {
       val sDf = spine.toDF("sid", "k", "sts_l")
         .select(col("sid"), col("k"), timestamp_micros(col("sts_l")).as("sts"))
 
-      for (m <- Seq("union-window", "join-filter"); pf <- Seq(true, false)) {
+      for (m <- Seq("union-window", "join-filter", "salted-window"); pf <- Seq(true, false)) {
         val rows = AsOfJoin.joinAsOf(sDf, fDf, Seq("k"), "sts", "fts",
             method = m, prefilterSpineKeys = pf)
           .select("sid", "f_val").collect()
