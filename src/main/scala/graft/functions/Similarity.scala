@@ -565,6 +565,37 @@ object Similarity {
         sum((!col("kept")).cast("long")).as("n_removed"))
   }
 
+  /** Exact cosine near-dup pairs within deterministic blocks — the
+    * embedding analogue of the blocked n-gram Jaccard dedup: pairs are
+    * only formed inside equal-`blockCols` groups (a metadata partition the
+    * pipeline already trusts, e.g. a shard or cluster label), so the join
+    * is an equi-join on the block key and never an all-pairs product. At
+    * 100 TB the pair count is bounded by Σ block², the same envelope the
+    * Jaccard and SemDeDup paths ride; recall is exact WITHIN blocks by
+    * construction (cross-block near-dups are out of contract, which is
+    * what makes this variant oracle-checkable — contrast [[nearDupCosine]]
+    * whose sign-bucket blocking is probabilistic).
+    *
+    * Reference semantics: near-duplicate suppression over embedding
+    * columns; cf. dedup coverage driven by the reference's document
+    * tests (`tests/functional/test_feature_store.py`).
+    */
+  def nearDupCosineBlocked(
+      df: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = df.select((Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
+      blockCols.map(col)): _*)
+      .withColumn("n", norm(col("v")))
+    val a = base.as("a")
+    val b = base.as("b")
+    a.join(b,
+        blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def nearDupCosine(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 12, dim: Int = 64): DataFrame = {

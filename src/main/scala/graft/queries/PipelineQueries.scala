@@ -254,6 +254,15 @@ object PipelineQueries {
         Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.32, bits = 8, dim = 64)
     }),
 
+    // exact cosine near-dup pairs within label blocks — q27's semantics
+    // under a deterministic blocking, so a portable SQL oracle checks the
+    // full (pair, score) set exactly (same pattern as q87 vs q14)
+    "q88_cosine_neardup_exact" -> ((s, dir) => {
+      Similarity.nearDupCosineBlocked(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        blockCols = Seq("label"), threshold = 0.30)
+    }),
+
     // text analysis: token counts, quality scoring, language-ID heuristic
     "q28_text_analysis" -> ((s, dir) => {
       val sw = TextFunctions.defaultStopwords
@@ -872,6 +881,19 @@ object PipelineQueries {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q88_cosine_neardup_exact" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.30""".stripMargin,
 
     "q28_text_analysis" ->
       """WITH tok AS (

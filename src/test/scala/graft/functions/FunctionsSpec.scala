@@ -109,6 +109,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("nearDupCosineBlocked: exact within blocks, no cross-block pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.nearDupCosineBlocked(
+      emb, "vec_id", "embedding", blockCols = Seq("label"), threshold = 0.30)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine")))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, c) => a < b && c >= 0.30 })
+    // every reported pair shares a label, and the exhaustive within-block
+    // ground truth (brute-forced on the driver) matches the operator exactly
+    val rows = emb.select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).toArray, r.getAs[Int]("label")))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val truth = (for {
+      (ia, va, la) <- rows; (ib, vb, lb) <- rows
+      if la == lb && ia < ib
+      c = math.rint(cos(va, vb) * 1e6) / 1e6 if c >= 0.30
+    } yield (ia, ib)).toSet
+    assert(out.map(t => (t._1, t._2)).toSet == truth)
+  }
+
   test("approximate ANN (LSH + IVF) recalls a reasonable share of exact top-5") {
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.filter($"vec_id" < 10)
