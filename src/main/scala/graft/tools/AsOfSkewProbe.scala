@@ -79,20 +79,53 @@ object AsOfSkewProbe {
       spark.stop(); return
     }
 
+    // Multi-FV shared window on the same skewed corpus: a second feature
+    // view (different payload, same hot key distribution) rides the one
+    // shuffle; the strategy is routed via the session conf exactly as
+    // generateDataset routes it.
+    val features2 = spark.range(nFeatures / 2).select(
+      hot(col("id")).as("k"),
+      timestamp_micros(col("id") * 6007L * 911L % 86400000000L).as("fts2"),
+      (col("id") % 997).cast("double").as("g_val"))
+    def measureMulti(method: String): (Double, Double, Long) = {
+      maxTaskMs.set(0)
+      spark.conf.set("graft.asof.method", method)
+      val t0 = System.nanoTime()
+      val n = try AsOfJoin.joinAsOfMulti(spine,
+          Seq((features, "fts", Seq("f_val")), (features2, "fts2", Seq("g_val"))),
+          Seq("k"), "sts")
+          .agg(count(col("f_val")) + count(col("g_val"))).head.getLong(0)
+        finally spark.conf.unset("graft.asof.method")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500)
+      (wall, maxTaskMs.get / 1e3, n)
+    }
+
     measure("union-window") // warm-up: JIT + parquet-free codegen paths
     val runs = Seq("union-window", "salted-window").map { m =>
       val (wall, maxTask, rows) = measure(m)
       println(f"$m%-15s wall=$wall%7.2f s  max_task=$maxTask%7.2f s  rows=$rows")
       m -> (wall, maxTask, rows)
     }.toMap
+    val multiRuns = Seq("union-window", "salted-window").map { m =>
+      val (wall, maxTask, rows) = measureMulti(m)
+      println(f"multi/$m%-15s wall=$wall%7.2f s  max_task=$maxTask%7.2f s  rows=$rows")
+      m -> (wall, maxTask, rows)
+    }.toMap
 
     val (uw, st) = (runs("union-window"), runs("salted-window"))
     require(uw._3 == st._3, s"row-count mismatch: union=${uw._3} salted=${st._3}")
+    val (muw, mst) = (multiRuns("union-window"), multiRuns("salted-window"))
+    require(muw._3 == mst._3, s"multi row-count mismatch: union=${muw._3} salted=${mst._3}")
     val json =
       f"""{"corpus":{"features":$nFeatures,"spine":$nSpine,"keys":$nKeys,"hot_share":0.5},""" +
       f""""union_window":{"wall_sec":${r4(uw._1)},"max_task_sec":${r4(uw._2)}},""" +
       f""""salted_window":{"wall_sec":${r4(st._1)},"max_task_sec":${r4(st._2)}},""" +
-      f""""rows":${uw._3},"max_task_ratio":${r4(st._2 / math.max(uw._2, 1e-9))}}"""
+      f""""rows":${uw._3},"max_task_ratio":${r4(st._2 / math.max(uw._2, 1e-9))},""" +
+      f""""multi_fv":{"fv2_features":${nFeatures / 2},""" +
+      f""""union_window":{"wall_sec":${r4(muw._1)},"max_task_sec":${r4(muw._2)}},""" +
+      f""""salted_window":{"wall_sec":${r4(mst._1)},"max_task_sec":${r4(mst._2)}},""" +
+      f""""rows":${muw._3},"max_task_ratio":${r4(mst._2 / math.max(muw._2, 1e-9))}}}"""
     println(json)
     Files.write(Paths.get("/root/repo/ASOFPROBE_r08.json"),
       json.getBytes(StandardCharsets.UTF_8))
