@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pit.AsOfJoin
+import graft.storage.VersionedTable
+
+/** Streaming point-in-time enrichment: each micro-batch of spine events is
+  * as-of joined against the latest COMMITTED feature snapshot through the
+  * SAME batch operator training sets use (zero online/offline skew), with
+  * exactly-once appends and per-batch snapshot re-resolution.
+  */
+class StreamingEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def featV1 = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 10.0),
+    (1L, ts("2024-01-03 00:00:00"), 30.0),
+    (2L, ts("2024-01-02 00:00:00"), 20.0)).toDF("k", "fts", "score")
+
+  private def drain(srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      featPath: String, outPath: String): Unit = {
+    val q = StreamingEnrich.start(spark, srcDir, schema, Seq("k"), "ets",
+      featPath, "fts", outPath, availableNow = true)
+    q.awaitTermination(120000)
+  }
+
+  test("stream ≡ batch against the pinned snapshot; refresh picked up next tick; replay-safe") {
+    val srcDir = Files.createTempDirectory("graft_enrich_src_").toString
+    val featPath = Files.createTempDirectory("graft_enrich_").resolve("features").toString
+    val outPath = Files.createTempDirectory("graft_enrich_").resolve("out").toString
+    VersionedTable.overwrite(featPath)(dir => featV1.write.parquet(dir))
+
+    val events1 = Seq(
+      (100L, 1L, ts("2024-01-02 12:00:00")), // sees k=1 @ 01-01 → 10.0
+      (101L, 2L, ts("2024-01-02 12:00:00")), // sees k=2 @ 01-02 → 20.0
+      (102L, 3L, ts("2024-01-02 12:00:00"))) // no feature row → null
+      .toDF("event_id", "k", "ets")
+    val schema = events1.schema
+    events1.coalesce(1).write.mode("append").parquet(srcDir)
+    drain(srcDir, schema, featPath, outPath)
+
+    val out1 = VersionedTable.read(spark, outPath)
+    val expected1 = AsOfJoin.joinAsOf(events1, featV1, Seq("k"), "ets", "fts", Seq("score"))
+    assert(out1.collect().toSet == expected1.collect().toSet,
+      "stream output must equal the batch as-of join over the same snapshot")
+    assert(out1.filter($"event_id" === 100L).head.getAs[Double]("score") == 10.0)
+    assert(out1.filter($"event_id" === 102L).select($"score").head.isNullAt(0))
+
+    // a refresh commits BETWEEN ticks: the next batch sees the new snapshot
+    val featV2 = featV1.unionByName(
+      Seq((3L, ts("2024-01-01 06:00:00"), 99.0)).toDF("k", "fts", "score"))
+    VersionedTable.overwrite(featPath)(dir => featV2.write.parquet(dir))
+    val events2 = Seq((103L, 3L, ts("2024-01-02 12:00:00"))).toDF("event_id", "k", "ets")
+    events2.coalesce(1).write.mode("append").parquet(srcDir)
+    drain(srcDir, schema, featPath, outPath)
+
+    val out2 = VersionedTable.read(spark, outPath)
+    assert(out2.count() == 4)
+    assert(out2.filter($"event_id" === 103L).head.getAs[Double]("score") == 99.0,
+      "post-refresh batch must resolve against the NEW committed snapshot")
+
+    // replay safety: draining with no new files must not grow the output,
+    // and the manifest's batchId guard refuses a re-commit of batch 0
+    drain(srcDir, schema, featPath, outPath)
+    assert(VersionedTable.read(spark, outPath).count() == 4)
+    val m = VersionedTable.readManifest(outPath).get
+    assert(m.batchId >= 0, "streaming appends must record their batch id")
+  }
+
+  test("maxStaleness bounds served freshness in the stream") {
+    val srcDir = Files.createTempDirectory("graft_enrich_src2_").toString
+    val featPath = Files.createTempDirectory("graft_enrich2_").resolve("features").toString
+    val outPath = Files.createTempDirectory("graft_enrich2_").resolve("out").toString
+    VersionedTable.overwrite(featPath)(dir => featV1.write.parquet(dir))
+
+    val events = Seq(
+      (200L, 1L, ts("2024-01-10 00:00:00")), // latest k=1 is 7d stale → null
+      (201L, 1L, ts("2024-01-03 06:00:00"))) // 6h fresh → 30.0
+      .toDF("event_id", "k", "ets")
+    events.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamingEnrich.start(spark, srcDir, events.schema, Seq("k"), "ets",
+      featPath, "fts", outPath, maxStaleness = Some("1 day"), availableNow = true)
+    q.awaitTermination(120000)
+
+    val out = VersionedTable.read(spark, outPath)
+    assert(out.filter($"event_id" === 200L).select($"score").head.isNullAt(0))
+    assert(out.filter($"event_id" === 201L).head.getAs[Double]("score") == 30.0)
+  }
+}
