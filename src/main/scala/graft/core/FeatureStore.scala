@@ -493,6 +493,47 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
     } else out
   }
 
+  /** Streaming analogue of [[generateDataset]] — online feature serving:
+    * each micro-batch of spine events is enriched through the SAME
+    * catalog-resolved dataset path (collision checks, grouped one-pass
+    * multi-FV as-of joins, label passthrough) and appended exactly-once
+    * (batchId-guarded) to a versioned output table. Feature views are
+    * re-read from their manifests every tick, so a managed refresh that
+    * commits between batches is served from the next batch on; a batch
+    * mid-flight keeps its pinned snapshot. One code path for the 100 TB
+    * backfill and the live ingest — online/offline skew is zero by
+    * construction.
+    *
+    * @param sourceDir parquet directory to stream spine events from
+    * @param schema    spine schema (keys + event-time + passthrough cols)
+    * @param features  (fvName, version) pairs, as in [[generateDataset]]
+    * @param availableNow true = drain current files and stop (tests)
+    */
+  def enrichStream(
+      sourceDir: String,
+      schema: StructType,
+      features: Seq[(String, String)],
+      spineTimestampCol: Option[String],
+      outPath: String,
+      trigger: String = "1 minute",
+      availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val enriched = generateDataset(s"__enrich_stream", batch, features,
+          spineTimestampCol, save = false)
+          .localCheckpoint(true) // enrich once; the append re-reads it
+        graft.storage.VersionedTable.append(outPath, Some(bid))(dir =>
+          enriched.write.parquet(dir))
+        ()
+      }
+      .option("checkpointLocation", outPath + "__checkpoint")
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(trigger))
+      .start()
+  }
+
   def getDataset(name: String, version: String): DataFrame = {
     val d = catalog.getDataset(name, version)
       .getOrElse(throw new NoSuchElementException(s"dataset not found: $name$$$version"))

@@ -152,6 +152,28 @@ class FeatureStoreSpec extends SparkSpec {
     assert(grouped.exceptAll(chained).isEmpty && chained.exceptAll(grouped).isEmpty)
   }
 
+  test("enrichStream: streamed micro-batches equal generateDataset over the same spine") {
+    val fs = freshStore(); prep(fs)
+    fs.registerFeatureView(demoFv(), "1.0")
+    val spine = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("label"))
+    val srcDir = Files.createTempDirectory("graft_enrich_fs_src_").toString
+    val outPath = Files.createTempDirectory("graft_enrich_fs_").resolve("served").toString
+    spine.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val q = fs.enrichStream(srcDir, spine.schema, Seq(("fv_test", "1.0")),
+      Some("ts"), outPath, availableNow = true)
+    q.awaitTermination(120000)
+
+    val served = graft.storage.VersionedTable.read(spark, outPath)
+    val batch = fs.generateDataset("__cmp", spine, Seq(("fv_test", "1.0")),
+      Some("ts"), save = false)
+    assert(served.count() == spine.count())
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty,
+      "served rows must equal the batch dataset over the same spine")
+  }
+
   test("generateDataset rejects a spine missing the entity keys") {
     val fs = freshStore(); prep(fs)
     fs.registerFeatureView(demoFv(), "1.0")
