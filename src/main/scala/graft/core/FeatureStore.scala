@@ -516,23 +516,11 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       spineTimestampCol: Option[String],
       outPath: String,
       trigger: String = "1 minute",
-      availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.streaming.Trigger
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val enriched = generateDataset(s"__enrich_stream", batch, features,
-          spineTimestampCol, save = false)
-          .localCheckpoint(true) // enrich once; the append re-reads it
-        graft.storage.VersionedTable.append(outPath, Some(bid))(dir =>
-          enriched.write.parquet(dir))
-        ()
-      }
-      .option("checkpointLocation", outPath + "__checkpoint")
-      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(trigger))
-      .start()
-  }
+      availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamingEnrich.startForeachBatch(
+      spark, sourceDir, schema, outPath, trigger, availableNow) { batch =>
+      generateDataset("__enrich_stream", batch, features, spineTimestampCol, save = false)
+    }
 
   def getDataset(name: String, version: String): DataFrame = {
     val d = catalog.getDataset(name, version)

@@ -583,16 +583,21 @@ object Similarity {
   def nearDupCosineBlocked(
       df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val base = df.select((Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
+    require(blockCols.nonEmpty,
+      "nearDupCosineBlocked requires at least one block column — empty blocks " +
+        "would form an unbounded all-pairs product; use nearDupCosine for " +
+        "probabilistic (LSH) blocking instead")
+    val (id, v, n) = ("__graft_id", "__graft_v", "__graft_n")
+    val base = df.select((Seq(col(idCol).as(id), col(vecCol).as(v)) ++
       blockCols.map(col)): _*)
-      .withColumn("n", norm(col("v")))
+      .withColumn(n, norm(col(v)))
     val a = base.as("a")
     val b = base.as("b")
     a.join(b,
         blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6).as("cosine"))
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        round(dot(col(s"a.$v"), col(s"b.$v")) / (col(s"a.$n") * col(s"b.$n")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

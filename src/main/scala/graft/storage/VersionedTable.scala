@@ -288,10 +288,15 @@ object VersionedTable {
           try System.currentTimeMillis() - Files.getLastModifiedTime(graveyard).toMillis <= LockTtlMs
           catch { case _: java.io.IOException => false }
         if (stoleLive) {
+          // hard links may be unsupported (FAT/NFS/FUSE mounts) — that
+          // surfaces as UnsupportedOperationException, not IOException;
+          // either way the restore is best-effort and we lose the race
           try {
             Files.createLink(snap, graveyard)
             Files.deleteIfExists(graveyard)
-          } catch { case _: java.io.IOException => () }
+          } catch {
+            case _: java.io.IOException | _: UnsupportedOperationException => ()
+          }
           throw lost()
         }
         Files.deleteIfExists(graveyard)

@@ -57,19 +57,33 @@ object StreamingEnrich {
       featureCols: Seq[String] = Seq.empty,
       maxStaleness: Option[String] = None,
       trigger: String = "1 minute",
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false): StreamingQuery =
+    startForeachBatch(spark, sourceDir, schema, outPath, trigger, availableNow) { batch =>
+      // latest committed snapshot, pinned for this whole batch
+      val features = VersionedTable.read(spark, featurePath)
+      AsOfJoin.joinAsOf(batch, features, joinKeys, eventTs, featureTs,
+        featureCols, maxStaleness = maxStaleness)
+    }
+
+  /** Shared micro-batch scaffold ([[start]] and `FeatureStore.enrichStream`):
+    * parquet file stream → per-batch `enrich` → batchId-guarded exactly-once
+    * append to a versioned output table. `enrich` runs INSIDE the append's
+    * replay guard, so a replayed micro-batch is skipped before paying any
+    * enrichment cost.
+    */
+  private[graft] def startForeachBatch(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      outPath: String,
+      trigger: String,
+      availableNow: Boolean)(enrich: DataFrame => DataFrame): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        // latest committed snapshot, pinned for this whole batch
-        val features = VersionedTable.read(spark, featurePath)
-        val enriched = AsOfJoin.joinAsOf(
-          batch, features, joinKeys, eventTs, featureTs,
-          featureCols, maxStaleness = maxStaleness)
-          .localCheckpoint(true) // enrich once; the append re-reads it
         VersionedTable.append(outPath, Some(bid))(dir =>
-          enriched.write.parquet(dir))
+          enrich(batch).write.parquet(dir))
         ()
       }
       .option("checkpointLocation", outPath + "__checkpoint")

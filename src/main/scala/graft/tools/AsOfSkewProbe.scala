@@ -107,6 +107,7 @@ object AsOfSkewProbe {
       println(f"$m%-15s wall=$wall%7.2f s  max_task=$maxTask%7.2f s  rows=$rows")
       m -> (wall, maxTask, rows)
     }.toMap
+    measureMulti("union-window") // warm-up: multi-tagged plan shape JIT
     val multiRuns = Seq("union-window", "salted-window").map { m =>
       val (wall, maxTask, rows) = measureMulti(m)
       println(f"multi/$m%-15s wall=$wall%7.2f s  max_task=$maxTask%7.2f s  rows=$rows")

@@ -83,10 +83,16 @@ class ConnectedComponentsSpec extends SparkSpec {
       val nodes = (0L until 40L).toDF("id")
       ConnectedComponents.labelComponents(
         nodes, "id", edges.toDF("src", "dst"), "src", "dst").count()
-      // listener delivery is asynchronous; poll until the bus drains
+      // listener delivery is asynchronous; poll until the bus QUIESCES
+      // (stable count across a full second), not merely until the first
+      // event lands — a late per-round plan must not escape the capture
       val deadline = System.nanoTime() + 30_000_000_000L
-      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
-      Thread.sleep(1000)
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        val before = plans.size
+        Thread.sleep(1000)
+        settled = plans.size == before && before > 0
+      }
       val all = plans.toArray(Array.empty[String])
       val roundPlans = all.filter(_.contains("BroadcastHashJoin"))
       assert(roundPlans.nonEmpty,
