@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model perplexity filtering — the classic
+  * pretraining-corpus quality gate (train a small LM on a trusted reference
+  * split, drop documents whose perplexity under it is an outlier; cf.
+  * Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+  * Web Crawl Data", 2020). Reference-surface context: quality filtering over
+  * the documents table, alongside the heuristic scores in [[TextFunctions]].
+  *
+  * Model: bigram counts with add-one smoothing over the context vocabulary,
+  *   p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V),
+  * where c(w1) = Σ_w2 c(w1,w2) (exact context totals) and V = |{w1}| (the
+  * context vocabulary). Scoring emits the average negative log-probability
+  * per bigram (= log-perplexity; monotone in perplexity, so thresholds
+  * filter identically) — deliberately NOT exp()'d, keeping the oracle
+  * arithmetic to one cross-engine `ln` per term.
+  *
+  * 100 TB shape: training is one groupBy over exploded bigrams (map-side
+  * combined; the model table shuffles by gram and never visits the driver).
+  * Scoring joins exploded document bigrams against the model BY GRAM — the
+  * canonical map-reduce LM-scoring co-partitioning, no broadcast of the
+  * (potentially huge) model — then one groupBy(doc) for the per-document
+  * reduction. The only broadcast is the 1-row vocab-size frame, attached
+  * via a constant-key BroadcastHashJoin (never a nested-loop product).
+  */
+object NgramLm {
+
+  /** Tokenization shared with the rest of the text plane: lowercase,
+    * whitespace split, empties dropped.
+    */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** (w1, w2) bigram structs of a text column; empty below two tokens.
+    * A single-pass JVM expression — the declarative
+    * `transform(sequence(...))` spelling is ~20× slower (interpreted
+    * lambda per element; see [[graft.expressions.TokenBigrams]]).
+    */
+  private def bigrams(text: Column): Column =
+    graft.expressions.TextHashExpressions.tokenBigrams(toks(text))
+
+  /** Train: bigram count table (w1, w2, c12) — THE model. Context totals
+    * and the vocabulary size are derived from it at scoring time, so the
+    * persisted model is a single table.
+    */
+  def train(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(bigrams(col(textCol))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+
+  /** Score: per document, the average negative log-probability of its
+    * bigrams under the model (round4, the engine's oracle-stable rounding)
+    * plus a keep/drop verdict at `threshold`. Documents with fewer than two
+    * tokens have no bigrams and are excluded — they have no perplexity.
+    */
+  def scoreDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, threshold: Double): DataFrame = {
+    val uni = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vDf = uni.agg(count(lit(1)).cast("double").as("v"))
+      .withColumn("__one", lit(1))
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), explode(bigrams(col(textCol))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    pairs
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("__one", lit(1))
+      .join(broadcast(vDf), Seq("__one"))
+      .select(col("doc_id"),
+        log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        TextFunctions.round4(-sum(col("__lp")) / count(lit(1))).as("log_ppl"))
+      .withColumn("kept", (col("log_ppl") <= threshold).cast("long"))
+  }
+}

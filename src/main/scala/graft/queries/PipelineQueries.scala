@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{DedupFunctions, Monitoring, ProductQuantization, Retrieval, Similarity, SketchFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, Monitoring, NgramLm, ProductQuantization, Retrieval, Similarity, SketchFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline operators (the north-star extensions beyond the
@@ -261,6 +261,23 @@ object PipelineQueries {
       Similarity.nearDupCosineBlocked(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCols = Seq("label"), threshold = 0.30)
+    }),
+
+    // CCNet-style LM-perplexity quality gate: bigram model trained on the
+    // even-doc_id split, odd-doc_id docs scored by avg neg log-prob (exact
+    // integer counts + one ln per term, so the full result set is
+    // portable-SQL-checkable; threshold chosen inside the observed spread)
+    "q89_lm_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // the model is LANDED once and scored from the table (the q23/q49
+      // pattern): scoring derives context totals and the vocab size from
+      // the model in three plan branches, which would otherwise recompute
+      // the training aggregation three times over
+      val lmPath = scratchDir("ngram_lm").resolve("lm").toString
+      NgramLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        .write.mode("overwrite").parquet(lmPath)
+      NgramLm.scoreDocs(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        s.read.parquet(lmPath), threshold = 3.43)
     }),
 
     // text analysis: token counts, quality scoring, language-ID heuristic
@@ -894,6 +911,39 @@ object PipelineQueries {
         |    ON a.label = b.label AND a.vec_id < b.vec_id
         |)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.30""".stripMargin,
+
+    "q89_lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), train_bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)
+        |  WHERE doc_id % 2 = 0
+        |  GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT w1, sum(c12) AS c1 FROM train_bi GROUP BY 1
+        |), v AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+        |), pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)
+        |  WHERE doc_id % 2 = 1
+        |), scored AS (
+        |  SELECT p.doc_id,
+        |    ln((coalesce(b.c12, 0) + 1.0) / (coalesce(u.c1, 0) + v.v)) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN train_bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u ON p.w1 = u.w1
+        |  CROSS JOIN v
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    floor((-sum(lp) / count(*)) * 10000.0 + 0.5) / 10000.0 AS log_ppl
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams, log_ppl,
+        |  CAST(log_ppl <= 3.43 AS BIGINT) AS kept FROM agg""".stripMargin,
 
     "q28_text_analysis" ->
       """WITH tok AS (

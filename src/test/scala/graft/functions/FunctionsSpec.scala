@@ -109,6 +109,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NgramLm: hand-computed bigram model, scoring, and exclusions") {
+    val train = Seq((0L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = NgramLm.train(train, "text")
+    val counts = lm.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+
+    // model: c(a)=2, c(b)=1, V=|{a,b}|=2
+    //   "a b c": p(b|a)=3/4, p(c|b)=1/3 -> nll = (ln(4/3)+ln 3)/2 = ln 2 = 0.6931
+    //   "x y" (unseen context): p(y|x)=1/2 -> nll = ln 2 = 0.6931
+    //   "a" has no bigrams -> excluded
+    val eval = Seq((1L, "a b c"), (3L, "x y"), (5L, "a")).toDF("doc_id", "text")
+    val out = NgramLm.scoreDocs(eval, "doc_id", "text", lm, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("log_ppl"), r.getAs[Long]("kept")))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == ((2L, 0.6931, 0L)))
+    assert(out(3L) == ((1L, 0.6931, 0L)))
+  }
+
   test("nearDupCosineBlocked: exact within blocks, no cross-block pairs") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.nearDupCosineBlocked(

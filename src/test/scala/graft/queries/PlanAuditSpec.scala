@@ -23,7 +23,10 @@ class PlanAuditSpec extends SparkSpec {
     "q56_kmeans_ivf", // recall eval vs brute force over broadcast queries
     "q57_pq_recall",  // ADC + re-rank vs brute force, broadcast tables
     "q71_ivfpq",      // recall report embeds the brute-force baseline
-    "q81_hybrid_search") // semantic arm is the broadcast brute-force top-k
+    "q81_hybrid_search", // semantic arm is the broadcast brute-force top-k
+    "q89_lm_perplexity") // 1-row broadcast vocab-size attach: the constant
+                         // join key folds away, degenerating the hash join
+                         // to an NLJ over a single broadcast row — O(n * 1)
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
