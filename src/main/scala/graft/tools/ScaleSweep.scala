@@ -165,6 +165,19 @@ object ScaleSweep {
       measure("bm25_top10", scale) {
         runAll(Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10))
       }
+
+      // 6. LM-perplexity scoring against a landed bigram model (train
+      //    excluded: once-per-model cost) — the by-gram co-partitioned
+      //    join; shuffle grows with the document bigram volume, never
+      //    with the model's driver/broadcast footprint (there is none)
+      val lmDir = Files.createTempDirectory(s"graft_scale_lm_$scale").resolve("lm").toString
+      graft.functions.NgramLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        .write.mode("overwrite").parquet(lmDir)
+      val lmLanded = spark.read.parquet(lmDir)
+      measure("lm_perplexity_score", scale) {
+        runAll(graft.functions.NgramLm.scoreDocs(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lmLanded, 3.43))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
