@@ -382,4 +382,29 @@ object DedupFunctions {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Survivor selection — the final stage of a fuzzy-dedup pipeline: given
+    * component labels (e.g. [[graft.operators.ConnectedComponents]] over
+    * near-dup pairs), keep ONE canonical row per duplicate group, the one
+    * maximizing `preference` (ties broken inside the caller's preference
+    * expression). Emits every row with its group size and a survivor flag,
+    * so callers can either filter to survivors or audit what was dropped.
+    *
+    * Scale shape: the winner per group is a map-side-combined `max_by`
+    * aggregation, NOT a per-group window sort — a pathological giant
+    * duplicate group costs a merge of per-partition candidates instead of
+    * a single-task sort of the whole group.
+    */
+  def dedupSurvivors(
+      labels: DataFrame, docs: DataFrame, idCol: String,
+      preference: Column): DataFrame = {
+    val joined = labels.select(col("node").as(idCol), col("component_id"))
+      .join(docs, Seq(idCol))
+    val groups = joined.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("group_size"),
+        max_by(col(idCol), preference).as("__graft_surv"))
+    joined.join(groups, Seq("component_id"))
+      .withColumn("survivor", (col(idCol) === col("__graft_surv")).cast("long"))
+      .drop("__graft_surv")
+  }
 }

@@ -263,6 +263,24 @@ object PipelineQueries {
         blockCols = Seq("label"), threshold = 0.30)
     }),
 
+    // dedup survivor selection: q76's transitive dup groups, then one
+    // canonical doc per group (longest, ties to the lowest doc_id) via a
+    // map-side-combined max_by — the final stage of the fuzzy-dedup
+    // pipeline, oracle-checked end to end (CC recursive CTE + arg_max)
+    "q90_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val pairs = DedupFunctions.nearDupNgramJaccard(
+        docs, "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_bucket"), threshold = 0.06, n = 2)
+      val labels = graft.operators.ConnectedComponents
+        .labelComponents(docs, "doc_id", pairs, "id_a", "id_b")
+      DedupFunctions.dedupSurvivors(
+          labels, docs.select(col("doc_id"), col("n_chars")), "doc_id",
+          preference = col("n_chars") * lit(1000000000L) - col("doc_id"))
+        .select(col("doc_id"), col("component_id"), col("group_size"), col("survivor"))
+    }),
+
     // CCNet-style LM-perplexity quality gate: bigram model trained on the
     // even-doc_id split, odd-doc_id docs scored by avg neg log-prob (exact
     // integer counts + one ln per term, so the full result set is
@@ -1419,6 +1437,43 @@ object PipelineQueries {
         |  SELECT e.dst AS node, l.lab FROM lbl l JOIN edges e ON e.src = l.node
         |)
         |SELECT node AS doc_id, min(lab) AS component_id FROM lbl GROUP BY node""".stripMargin,
+
+    "q90_dedup_survivors" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, source, len_bucket,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM tok
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket
+        |    AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.06
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), lbl AS (
+        |  SELECT doc_id AS node, doc_id AS lab FROM tok
+        |  UNION
+        |  SELECT e.dst AS node, l.lab FROM lbl l JOIN edges e ON e.src = l.node
+        |), comp AS (
+        |  SELECT node AS doc_id, min(lab) AS component_id FROM lbl GROUP BY node
+        |), j AS (
+        |  SELECT c.doc_id, c.component_id, d.n_chars
+        |  FROM comp c JOIN documents d USING (doc_id)
+        |), g AS (
+        |  SELECT component_id, count(*) AS group_size,
+        |    arg_max(doc_id, n_chars * 1000000000 - doc_id) AS surv
+        |  FROM j GROUP BY component_id
+        |)
+        |SELECT j.doc_id, j.component_id, g.group_size,
+        |  CAST(j.doc_id = g.surv AS BIGINT) AS survivor
+        |FROM j JOIN g USING (component_id)""".stripMargin,
 
     "q74_repetition" ->
       """WITH tok AS (

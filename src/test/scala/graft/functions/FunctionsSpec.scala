@@ -109,6 +109,18 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("dedupSurvivors: longest doc wins its group, ties to the lowest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L)).toDF("node", "component_id")
+    val docs = Seq((1L, 200L), (2L, 200L), (5L, 100L), (3L, 50L)).toDF("doc_id", "n_chars")
+    val out = DedupFunctions.dedupSurvivors(labels, docs, "doc_id",
+        preference = col("n_chars") * lit(1000000000L) - col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("group_size"), r.getAs[Long]("survivor")))).toMap
+    // group 1 = {1, 2, 5}: docs 1 and 2 tie on length -> doc 1 survives
+    assert(out == Map(1L -> ((3L, 1L)), 2L -> ((3L, 0L)), 5L -> ((3L, 0L)),
+      3L -> ((1L, 1L))))
+  }
+
   test("NgramLm: hand-computed bigram model, scoring, and exclusions") {
     val train = Seq((0L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
     val lm = NgramLm.train(train, "text")
