@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    Mitigations: `maxStaleness` prunes history to the staleness horizon
   *    before the shuffle (a hot key then carries only its in-window rows),
   *    and a broadcastable feature side can route through join-filter
-  *    (`method = "auto"`), whose skew IS AQE-splittable.
+  *    (`method = "auto"`), whose skew IS AQE-splittable. `auto`'s
+  *    non-broadcastable branch runs the salted window, so hot keys are
+  *    detected (one sampled job) and split rather than serialized.
   *
   *  - **join-filter**: left join on keys + `fts <= sts`, keep the max `fts`
   *    per spine row via a window. Simple, but the intermediate join product
@@ -142,12 +144,16 @@ object AsOfJoin {
       case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hint = false)
       case "auto" =>
         // Catalyst-stats-based pick: a broadcastable feature side makes the
-        // non-equi join cheap (no shuffle of the spine at all); otherwise the
-        // union-window single-shuffle plan wins regardless of history depth.
+        // non-equi join cheap (no shuffle of the spine at all). Otherwise
+        // the single-shuffle window plan wins regardless of history depth —
+        // routed through the SALTED variant, which runs one sampled
+        // detection aggregation and degrades to the plain union window
+        // when no key clears the hot threshold: auto is skew-safe by
+        // construction at the cost of that one detection job.
         if (isBroadcastable(features))
           joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hint = true)
         else
-          unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
+          saltedUnionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
       case other => throw new IllegalArgumentException(s"unknown as-of method: $other")
     }
   }
