@@ -23,16 +23,18 @@ import org.apache.spark.sql.functions._
   * Scoring joins exploded document bigrams against the model BY GRAM — the
   * canonical map-reduce LM-scoring co-partitioning, no broadcast of the
   * (potentially huge) model — then one groupBy(doc) for the per-document
-  * reduction. The only broadcast is the 1-row vocab-size frame, attached
-  * via a constant-key BroadcastHashJoin (never a nested-loop product).
+  * reduction. The only broadcast is the 1-row vocab-size frame: a
+  * `crossJoin(broadcast(...))` that plans as a nested loop over exactly
+  * one broadcast row — O(n × 1), allowlisted by the plan audit alongside
+  * the exact-ANN broadcast fan-outs.
   */
 object NgramLm {
 
-  /** Tokenization shared with the rest of the text plane: lowercase,
-    * whitespace split, empties dropped.
+  /** Tokenization shared with the rest of the text plane (ONE definition,
+    * [[TextFunctions.tokens]]): lowercase, whitespace split, empties
+    * dropped.
     */
-  private def toks(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  private def toks(text: Column): Column = TextFunctions.tokens(lower(text))
 
   /** (w1, w2) bigram structs of a text column; empty below two tokens.
     * A single-pass JVM expression — the declarative
@@ -62,15 +64,13 @@ object NgramLm {
       lm: DataFrame, threshold: Double): DataFrame = {
     val uni = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vDf = uni.agg(count(lit(1)).cast("double").as("v"))
-      .withColumn("__one", lit(1))
     val pairs = docs
       .select(col(idCol).as("doc_id"), explode(bigrams(col(textCol))).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
     pairs
       .join(lm, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
-      .withColumn("__one", lit(1))
-      .join(broadcast(vDf), Seq("__one"))
+      .crossJoin(broadcast(vDf))
       .select(col("doc_id"),
         log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
           (coalesce(col("c1"), lit(0L)) + col("v"))).as("__lp"))

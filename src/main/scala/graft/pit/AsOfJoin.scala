@@ -62,9 +62,12 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    the documented tie-break never crosses buckets. Keys below the
   *    threshold get bucket 0 everywhere and reproduce the union-window
   *    plan bit-for-bit. Costs one extra pass over the union (the
-  *    detection agg), so it is opt-in rather than the default; use it
-  *    when a key-frequency profile (e.g. HeavyHittersAgg) shows skew and
-  *    no `maxStaleness` horizon bounds hot-key history.
+  *    detection agg, EAGER: it runs a sampled Spark job when the plan is
+  *    BUILT, not when it is executed), so the bare default stays
+  *    union-window; `auto` and explicit `salted-window` opt into the
+  *    detection cost. Use them when a key-frequency profile (e.g.
+  *    HeavyHittersAgg) shows skew and no `maxStaleness` horizon bounds
+  *    hot-key history.
   *
   * Ties *within* the feature side (same key, same ts) are broken
   * deterministically on EVERY strategy by preferring the greater value of
@@ -337,8 +340,11 @@ object AsOfJoin {
         s"column '$name' not found among [${df.columns.mkString(", ")}]")).dataType
 
   private def isBroadcastable(df: DataFrame): Boolean = {
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // The conf accepts a bare byte count (possibly -1 = disabled) or a
+    // size suffix; byteStringAsBytes rejects negatives, so try Long first.
+    val raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold = raw.trim.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
     threshold > 0 &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
   }
@@ -584,8 +590,10 @@ object AsOfJoin {
     * sampled detection job (eager, once per call) and the bucket-summary
     * pass (lazy, pruned to hot-key feature rows by an inner broadcast
     * join). At scale that trade — two extra cheap passes for never
-    * serializing a hot key in one task — is the right one, which is also
-    * why the strategy is explicit opt-in rather than the blanket default. Bucket boundaries
+    * serializing a hot key in one task — is the right one; the bare
+    * default remains union-window so plan construction stays lazy and
+    * job-free, while `auto` and `salted-window` accept the eager
+    * detection job as their documented cost. Bucket boundaries
     * come from `percentile_approx` over a monotone numeric image of the
     * event time (`cast double`; a type with no such image degrades to
     * bucket 0 = the unsalted plan, still correct). AQE cannot split window

@@ -30,6 +30,26 @@ class AsOfJoinSpec extends SparkSpec {
     spine, features, Seq("customer_id"), "event_time", "updated_at",
     featureCols = Seq("age", "snap"), method = method)
 
+  test("auto with a non-broadcastable feature side takes the salted branch, result exact") {
+    // force isBroadcastable=false so auto exercises its window branch (every
+    // other auto test uses tiny broadcastable fixtures and takes join-filter);
+    // engage detection so the salted path is genuinely entered
+    val c = spark.conf
+    val prev = c.get("spark.sql.autoBroadcastJoinThreshold")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.set("graft.asof.salt.hotKeyThreshold", "5")
+    c.set("graft.asof.salt.sampleRate", "1.0")
+    try {
+      val expected = run("union-window").collect().sortBy(_.getInt(0)).toSeq
+      assert(run("auto").collect().sortBy(_.getInt(0)).toSeq == expected,
+        "auto's non-broadcastable (salted) branch diverged from union-window")
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      c.unset("graft.asof.salt.hotKeyThreshold")
+      c.unset("graft.asof.salt.sampleRate")
+    }
+  }
+
   for (m <- Seq("union-window", "join-filter", "salted-window")) {
     test(s"$m: every spine row matches the -10d snapshot (reference PIT semantics)") {
       val rows = run(m).collect()
