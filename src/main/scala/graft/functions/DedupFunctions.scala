@@ -407,4 +407,90 @@ object DedupFunctions {
       .withColumn("survivor", (col(idCol) === col("__graft_surv")).cast("long"))
       .drop("__graft_surv")
   }
+
+  /** Exact duplicate-span (substring) dedup at whitespace-token
+    * granularity — the "ExactSubstr" operator of Lee et al. 2022
+    * (*Deduplicating Training Data Makes Language Models Better*): every
+    * token span of length `minSpan` that occurs at more than one
+    * (doc, position) in the corpus is removed from every occurrence except
+    * the globally first one (lowest `(doc_id, pos)`). Unlike doc-level
+    * dedup this cuts boilerplate passages REPEATED INSIDE otherwise-unique
+    * documents, which is where most training-corpus duplication lives.
+    *
+    * Matching is case- and whitespace-token-exact (no lowercasing); the
+    * rebuilt text is the kept tokens rejoined with single spaces, so
+    * original inter-token whitespace is normalized.
+    *
+    * Scale shape (never all-pairs, all passes linear in corpus tokens):
+    *  1. gram occurrences are built IN-ROW with array HOFs (slice +
+    *     xxhash64 over a `sequence`), so only (doc, pos, 8-byte hash)
+    *     triples — not text — reach the one content shuffle;
+    *  2. duplicated-gram detection is a hash groupBy on that 8-byte key
+    *     with map-side partial aggregation; the canonical occurrence is
+    *     `min(struct(doc, pos))` inside the same pass, and the join back
+    *     to occurrences is co-partitioned on the gram hash (exchange
+    *     reuse: one shuffle write, read twice);
+    *  3. span coverage is a per-doc running count over a
+    *     `rowsBetween(-(minSpan-1), 0)` window — positions are dense, so
+    *     the row frame is the (cheaper) equivalent of a range frame — and
+    *     the final rebuild groupBy reuses the window's hash partitioning.
+    * The window sorts one document's tokens per task, which is bounded by
+    * the corpus's max document length, not by corpus size. The reference
+    * stops at content-hash doc identity (`macros/utils.sql` MD5 keys);
+    * span-level dedup is part of the wider pipeline surface this engine
+    * targets. Grouping on the 64-bit gram hash instead of the gram text is
+    * the q20/minhash trade: negligible collision odds for a ~10^4× smaller
+    * shuffle payload.
+    *
+    * Returns one row per input doc: (idCol, text_dedup, n_tokens,
+    * n_removed); docs shorter than `minSpan` tokens pass through whole.
+    */
+  def exactSubstrDedup(
+      df: DataFrame, idCol: String, textCol: String, minSpan: Int = 50): DataFrame = {
+    require(minSpan >= 2, s"minSpan must be >= 2, got $minSpan")
+    val L = minSpan
+    val base = df.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+
+    // in-row (pos, gram-hash) structs; empty below L tokens
+    val gramStructs = when(size(col("__toks")) >= L,
+        transform(sequence(lit(0), size(col("__toks")) - L),
+          i => struct(i.as("pos"),
+            xxhash64(array_join(slice(col("__toks"), i + 1, lit(L)), " ")).as("gh"))))
+      .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
+    val occ = base.select(col("__id"), explode(gramStructs).as("g"))
+      .select(col("__id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+
+    val dup = occ.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("__id"), col("pos"))).as("__first"))
+      .filter(col("__c") > 1)
+
+    val badStarts = occ.join(dup, Seq("gh"))
+      .filter(struct(col("__id"), col("pos")) =!= col("__first"))
+      .select(col("__id"), col("pos"), lit(1).as("__bad"))
+
+    // _outer keeps zero-token docs as one (null, null) row, so every input
+    // doc reaches the output without a separate restore join/scan
+    val toks = base
+      .select(col("__id"), posexplode_outer(col("__toks")))
+      .toDF("__id", "pos", "tok")
+
+    // a token is covered iff some duplicated non-canonical span starts in
+    // the last L-1 positions (or at it); positions are dense per doc
+    val frame = Window.partitionBy(col("__id")).orderBy(col("pos"))
+      .rowsBetween(-(L - 1), 0)
+    toks.join(badStarts, Seq("__id", "pos"), "left")
+      .withColumn("__cov", count(col("__bad")).over(frame) > 0)
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("__cov") && col("tok").isNotNull,
+            struct(col("pos"), col("tok"))))),
+          s => s("tok"))).as("text_dedup"),
+        count(col("tok")).as("n_tokens"),
+        sum(col("__cov").cast("long")).as("n_removed"))
+      .select(col("__id").as(idCol), col("text_dedup"),
+        col("n_tokens"), col("n_removed"))
+  }
 }

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-sampling operators for training-data mixing.
+  *
+  * Training recipes are specified as per-domain TOKEN budgets ("this many
+  * tokens of web, this many of code"), not document counts — documents vary
+  * by 100× in length, so a doc-count quota (see q68's fixed-mixture draw)
+  * hits its token target only in expectation. [[tokenBudgetSample]] is the
+  * budget-exact greedy variant the epoch-mixing recipes actually use.
+  *
+  * Determinism: candidates are ordered by `(md5(id), id)` inside each
+  * group — a reproducible pseudo-random permutation whose ordering any SQL
+  * engine can replay (the q68 pattern), so draws are stable across runs,
+  * partitionings, and engines.
+  *
+  * Scale shape: ONE shuffle (the per-group running-total window); token
+  * counting and the budget filter are map-side. The window sorts one
+  * group's docs per task — at corpus scale, prefilter to ~2× the budget by
+  * hash threshold first (same trick documented on q68) so the sort sees
+  * only survivors.
+  */
+object Sampling {
+
+  /** Greedy per-group token-budget sample: within each value of
+    * `groupCol`, walk docs in `(md5(id), id)` order and keep a doc while
+    * the running token total BEFORE it is still under the group's budget
+    * (so the budget is overshot by at most one document, never
+    * undershot while docs remain — the standard greedy-prefix contract).
+    * Groups absent from `budgets` get budget 0 (drop everything).
+    *
+    * Returns one row per KEPT doc: (idCol, groupCol, n_tokens,
+    * cum_before) — `cum_before` is the running total ahead of the doc,
+    * handy for audit and for resuming a draw.
+    */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc) }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(groupCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
+}

@@ -281,6 +281,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("component_id"), col("group_size"), col("survivor"))
     }),
 
+    // exact duplicate-span (substring) dedup, Lee et al. 2022 semantics at
+    // token granularity: 8-token spans occurring at >1 (doc, pos) are cut
+    // everywhere except the globally-first occurrence; full DuckDB oracle
+    // (gram/window restatement) checks rebuilt text and counts exactly
+    "q91_substr_dedup" -> ((s, dir) => {
+      DedupFunctions.exactSubstrDedup(
+        Tables.documents(s, dir), "doc_id", "text", minSpan = 8)
+    }),
+
     // CCNet-style LM-perplexity quality gate: bigram model trained on the
     // even-doc_id split, odd-doc_id docs scored by avg neg log-prob (exact
     // integer counts + one ln per term, so the full result set is
@@ -844,6 +853,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("min_id"),
           sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // token-budget mixing: q68's fixed-mixture draw re-specified the way
+    // training recipes actually state it — per-domain TOKEN budgets, greedy
+    // prefix in the same reproducible md5 order; src2 has no budget (drops)
+    "q92_token_budget_mix" -> ((s, dir) => {
+      graft.functions.Sampling.tokenBudgetSample(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        Map("src0" -> 3000L, "src1" -> 1500L))
     }),
 
     // sequence packing: greedy document -> context-window assignment via a
@@ -1475,6 +1493,43 @@ object PipelineQueries {
         |  CAST(j.doc_id = g.surv AS BIGINT) AS survivor
         |FROM j JOIN g USING (component_id)""".stripMargin,
 
+    // literal SQL restatement of the duplicate-span semantics: zipped-unnest
+    // token/gram tables, canonical occurrence by min (doc,pos) surrogate
+    // (pos < 10^6 at every test sf), same 7-PRECEDING coverage window
+    "q91_substr_dedup" ->
+      """WITH ta AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(t) - 7)) AS pos,
+        |    unnest(list_transform(range(len(t) - 7), i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+        |  FROM ta WHERE len(t) >= 8
+        |), dup AS (
+        |  SELECT gram, min(doc_id * 1000000 + pos) AS firstk
+        |  FROM grams GROUP BY gram HAVING count(*) > 1
+        |), bad AS (
+        |  SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)
+        |  WHERE g.doc_id * 1000000 + g.pos <> d.firstk
+        |), toks AS (
+        |  SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos FROM ta
+        |), cov AS (
+        |  SELECT t.doc_id, t.pos, t.tok,
+        |    count(b.pos) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS nb
+        |  FROM toks t LEFT JOIN bad b ON t.doc_id = b.doc_id AND t.pos = b.pos
+        |), agg AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE nb = 0), '') AS text_dedup,
+        |    count(*) AS n_tokens,
+        |    CAST(coalesce(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+        |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "q74_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, length(text) AS n_chars,
@@ -1559,6 +1614,23 @@ object PipelineQueries {
         |WHERE rk <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
         |  WHEN 'src2' THEN 5 ELSE 0 END
         |GROUP BY source""".stripMargin,
+
+    "q92_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT)
+        |      AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens, cum_before FROM c
+        |WHERE cum_before < CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 1500
+        |  ELSE 0 END""".stripMargin,
 
     "q69_sequence_packing" ->
       """WITH t AS (

@@ -487,4 +487,95 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(4) == 0L || r.getLong(4) == 1L))
   }
+
+  test("exactSubstrDedup: first occurrence kept, later spans cut, within-doc repeats cut") {
+    val docs = Seq(
+      (1L, "a b c d e"),         // canonical owner of every shared span
+      (2L, "x y a b c z"),       // shares "a b c" → loses it
+      (3L, "a b c d e"),         // exact copy of doc 1 → fully covered
+      (4L, "p q"),               // shorter than minSpan → untouched
+      (5L, ""),                  // zero tokens → restored by the left join
+      (6L, "m n o k m n o")      // within-doc repeat: second "m n o" cut
+    ).toDF("doc_id", "text")
+    val out = DedupFunctions.exactSubstrDedup(docs, "doc_id", "text", minSpan = 3)
+    assert(out.columns.toSeq == Seq("doc_id", "text_dedup", "n_tokens", "n_removed"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L) == (("a b c d e", 5L, 0L)), m.toString)
+    assert(m(2L) == (("x y z", 6L, 3L)), m.toString)
+    assert(m(3L) == (("", 5L, 5L)), m.toString)
+    assert(m(4L) == (("p q", 2L, 0L)), m.toString)
+    assert(m(5L) == (("", 0L, 0L)), m.toString)
+    assert(m(6L) == (("m n o k", 7L, 3L)), m.toString)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay equi-join/window shaped:\n$plan")
+  }
+
+  test("exactSubstrDedup: randomized equivalence vs a driver-side reference") {
+    val L = 4
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector("k1", "k2", "k3", "k4", "k5", "k6")
+    val corpus = (0L until 40L).map { id =>
+      val n = 4 + rnd.nextInt(27)
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // reference: literal restatement of the semantics over (gram → occurrences)
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toVector }.toMap
+    val occs = toks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - L).map(p => (ts.slice(p, p + L).mkString(" "), id, p)) }
+    val bad = occs.groupBy(_._1).values.filter(_.size > 1).flatMap { os =>
+      val first = os.map(o => (o._2, o._3)).min
+      os.collect { case (_, id, p) if (id, p) != first => (id, p) }
+    }.toSet
+    val expected = corpus.map { case (id, _) =>
+      val ts = toks(id)
+      val cov = ts.indices.filter(p =>
+        ((p - L + 1).max(0) to p).exists(s => bad.contains((id, s)))).toSet
+      id -> ((ts.indices.filterNot(cov).map(ts).mkString(" "),
+        ts.length.toLong, cov.size.toLong))
+    }.toMap
+    val got = DedupFunctions
+      .exactSubstrDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", minSpan = L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      (got.toSeq.sortBy(_._1) zip expected.toSeq.sortBy(_._1))
+        .filter { case (a, b) => a != b }.take(3).toString)
+    // sanity: the fixture actually exercised removal
+    assert(expected.values.exists(_._3 > 0), "fixture produced no duplicated spans")
+  }
+
+  test("tokenBudgetSample: greedy md5-order prefix per group, budget-0 groups drop") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // token counts 1..6 across two budgeted groups and one unbudgeted
+    val docs = (1L to 18L).map { id =>
+      (id, Seq("a", "b", "c")((id % 3).toInt), ("t " * (1 + (id % 6)).toInt).trim)
+    }
+    val budgets = Map("a" -> 7L, "b" -> 4L)
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (g, ds) =>
+      val budget = budgets.getOrElse(g, 0L)
+      val ordered = ds.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+      ordered.foldLeft((0L, Vector.empty[(Long, String, Long, Long)])) {
+        case ((cum, acc), (id, _, t)) =>
+          val n = t.split(" ").count(_.nonEmpty).toLong
+          (cum + n, if (cum < budget) acc :+ ((id, g, n, cum)) else acc)
+      }._2
+    }.toSet
+    val got = Sampling.tokenBudgetSample(
+        docs.toDF("doc_id", "source", "text"), "doc_id", "text", "source", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(!got.exists(_._2 == "c"), "unbudgeted group must drop entirely")
+    // the greedy contract: budget overshoots by at most the last doc
+    for (g <- Seq("a", "b")) {
+      val kept = got.filter(_._2 == g).toSeq.sortBy(_._4)
+      assert(kept.nonEmpty)
+      val total = kept.map(_._3).sum
+      assert(kept.last._4 < budgets(g) && total >= budgets(g).min(
+        docs.filter(_._2 == g).map(_._3.split(" ").length.toLong).sum))
+    }
+  }
 }
