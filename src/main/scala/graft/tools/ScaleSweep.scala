@@ -178,6 +178,14 @@ object ScaleSweep {
         runAll(graft.functions.NgramLm.scoreDocs(
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lmLanded, 3.43))
       }
+
+      // 7. exact duplicate-span dedup: the dominant (gram) shuffle carries
+      //    8-byte hashes + (id, pos) per token position — bytes must grow
+      //    ~linearly with corpus tokens under disjoint copies (a
+      //    super-linear trend would mean cross-copy pair work leaked in)
+      measure("substr_dedup", scale) {
+        runAll(DedupFunctions.exactSubstrDedup(docs, "doc_id", "text", minSpan = 8))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
