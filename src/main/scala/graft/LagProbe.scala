@@ -11,11 +11,13 @@ import graft.refresh.RefreshManager
 
 /** Sustained target-lag evidence for the managed-refresh plane (C1 parity,
   * BASELINE.md: "sustain 1-minute lag on events"): runs a real INCREMENTAL
-  * refresh at `Trigger.ProcessingTime(targetLag)` for several minutes while
+  * refresh at the manager's target-lag tick (3/4 of the lag, reserving a
+  * processing allowance — see RefreshManager doc) for several minutes while
   * a feeder lands fresh source files, and samples the table's freshness lag
   * — wall-clock now minus the newest ingest timestamp visible through the
-  * committed manifest. The dynamic-table contract is lag ≤ target + one
-  * batch; the probe passes when max observed lag < 2× target.
+  * committed manifest. `within_target` records the strict dynamic-table
+  * contract (max lag ≤ target); the hard pass floor stays at 2× target so
+  * a transiently contended sandbox can't fail the artifact outright.
   *
   * Usage:  tools/run.sh graft.LagProbe [sfDir]
   * Env:    SPARK_GRAFT_PROBE_SECS   run duration   (default 180)
@@ -118,7 +120,8 @@ object LagProbe {
     val nBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
     println(
       s"""{"target_lag_sec":$targetLagSec,"max_lag_sec":${f"$maxLag%.1f"},""" +
-      s""""mean_lag_sec":${f"$meanLag%.1f"},"n_batches":$nBatches,"pass":${maxLag < 2 * targetLagSec},""" +
+      s""""mean_lag_sec":${f"$meanLag%.1f"},"n_batches":$nBatches,""" +
+      s""""within_target":${maxLag <= targetLagSec},"pass":${maxLag < 2 * targetLagSec},""" +
       s""""samples":[${use.map(s => f"${s._2}%.1f").mkString(",")}]}""")
     spark.stop()
     if (maxLag >= 2 * targetLagSec) sys.exit(1)

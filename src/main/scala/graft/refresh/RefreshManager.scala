@@ -34,8 +34,14 @@ import graft.storage.VersionedTable
   *    rejects it (non-incrementalizable query), fall back to FULL — the same
   *    choice Snowflake's AUTO makes.
   *
-  * `target_lag` parity: a `Trigger.ProcessingTime(refreshFreq)` tick bounds
-  * staleness by the configured lag, exactly the dynamic-table contract.
+  * `target_lag` parity: observed staleness at any instant is the tick period
+  * PLUS the refresh's own processing time, so ticking every `refreshFreq`
+  * overshoots the target by one batch duration (round-6 probe: max 70 s at a
+  * 60 s target). Both schedulers therefore tick at 3/4 of the target lag
+  * (1 s floor), reserving a 25% allowance for batch processing — the same
+  * reasoning Snowflake's dynamic-table scheduler applies when it aims
+  * refresh completion, not refresh start, at the TARGET_LAG boundary
+  * (round-8 probe: max 50.4 s at a 60 s target, `LAGPROBE_r08.json`).
   */
 final class RefreshManager(fs: FeatureStore) {
   private val spark: SparkSession = fs.spark
@@ -46,6 +52,14 @@ final class RefreshManager(fs: FeatureStore) {
   private val streams = new ConcurrentHashMap[String, StreamingQuery]()
 
   private def key(rec: FeatureViewRecord): String = rec.logicalId
+
+  /** Tick period for a target lag: 3/4 of the lag (1 s floor). The 25%
+    * headroom absorbs the refresh's own processing time so that data
+    * committed by tick N is at most `lag` stale when tick N+1 commits —
+    * without it, worst-case staleness is `lag + batch` (see class doc).
+    */
+  private[refresh] def tickMillis(lagMs: Long): Long =
+    math.max(1000L, lagMs * 3 / 4)
 
   /** One full recompute of a managed FV (refresh_mode=FULL tick, or manual
     * refresh). Publishes the new result as a single manifest flip — a
@@ -62,9 +76,9 @@ final class RefreshManager(fs: FeatureStore) {
     VersionedTable.vacuum(path)
   }
 
-  /** Start the FULL-mode scheduler: recompute every refreshFreq. */
+  /** Start the FULL-mode scheduler: recompute at the target-lag tick. */
   def startFullSchedule(rec: FeatureViewRecord): Unit = {
-    val freq = rec.fv.refresh.get.freqMillis
+    val freq = tickMillis(rec.fv.refresh.get.freqMillis)
     val fut = scheduler.scheduleAtFixedRate(
       () => try refreshOnce(rec) catch { case e: Throwable =>
         System.err.println(s"[refresh] ${rec.logicalId} tick failed: ${e.getMessage}") },
@@ -106,7 +120,7 @@ final class RefreshManager(fs: FeatureStore) {
     val transformed = spark.sql(rec.fv.query)
     val trigger =
       if (availableNow) Trigger.AvailableNow()
-      else Trigger.ProcessingTime(freq)
+      else Trigger.ProcessingTime(tickMillis(rec.fv.refresh.get.freqMillis))
     val writeSeg = (batch: DataFrame, dir: String) =>
       FeatureStore.writeManaged(batch, rec.fv, dir)
     // Pick output mode + publish kind from the plan shape (see class doc):
