@@ -864,6 +864,17 @@ object PipelineQueries {
         Map("src0" -> 3000L, "src1" -> 1500L))
     }),
 
+    // purged time-series K-fold with embargo (leakage-safe CV over event
+    // data): role counts per (fold, role) cell — see TemporalSplit doc
+    "q93_purged_split" -> ((s, dir) => {
+      graft.operators.TemporalSplit.assignPurgedFolds(
+          Tables.events(s, dir), "ts", nFolds = 5,
+          embargoMicros = 3600000000L) // 1 hour
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // sequence packing: greedy document -> context-window assignment via a
     // per-language running token total; pack_id = floor(cumsum_before /
     // ctx). One window shuffle on (lang), map-side everything else — the
@@ -1631,6 +1642,27 @@ object PipelineQueries {
         |SELECT doc_id, source, n_tokens, cum_before FROM c
         |WHERE cum_before < CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 1500
         |  ELSE 0 END""".stripMargin,
+
+    "q93_purged_split" ->
+      """WITH mm AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) + 1 AS hi FROM events
+        |), w AS (
+        |  SELECT lo, hi, greatest(1, (hi - lo + 4) // 5) AS width FROM mm
+        |), folds AS (
+        |  SELECT k AS fold, lo + k * width AS fs,
+        |    least(hi, lo + k * width + width) AS fe
+        |  FROM w, unnest(range(0, 5)) AS t(k)
+        |), lab AS (
+        |  SELECT f.fold, e.user_id,
+        |    CASE WHEN epoch_us(e.ts) >= f.fs AND epoch_us(e.ts) < f.fe THEN 'valid'
+        |         WHEN epoch_us(e.ts) >= f.fs - 3600000000
+        |              AND epoch_us(e.ts) < f.fe + 3600000000 THEN 'purged'
+        |         ELSE 'train' END AS role
+        |  FROM events e CROSS JOIN folds f
+        |)
+        |SELECT fold, role, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM lab GROUP BY 1, 2""".stripMargin,
 
     "q69_sequence_packing" ->
       """WITH t AS (

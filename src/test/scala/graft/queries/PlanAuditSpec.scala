@@ -24,9 +24,11 @@ class PlanAuditSpec extends SparkSpec {
     "q57_pq_recall",  // ADC + re-rank vs brute force, broadcast tables
     "q71_ivfpq",      // recall report embeds the brute-force baseline
     "q81_hybrid_search", // semantic arm is the broadcast brute-force top-k
-    "q89_lm_perplexity") // 1-row broadcast vocab-size attach: the constant
+    "q89_lm_perplexity", // 1-row broadcast vocab-size attach: the constant
                          // join key folds away, degenerating the hash join
                          // to an NLJ over a single broadcast row — O(n * 1)
+    "q93_purged_split")  // fold assignment: crossJoin(broadcast(folds)) by
+                         // construction — nFolds-row local table, O(n * k)
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
