@@ -40,6 +40,11 @@ object TemporalSplit {
       embargoMicros: Long): DataFrame = {
     require(nFolds >= 2, s"nFolds must be >= 2, got $nFolds")
     require(embargoMicros >= 0, s"embargoMicros must be >= 0, got $embargoMicros")
+    val reserved = Seq("fold", "role", "__fs", "__fe")
+    val clash = df.columns.filter(c => reserved.contains(c))
+    require(clash.isEmpty,
+      s"assignPurgedFolds: input columns ${clash.mkString(", ")} collide with " +
+        s"output/internal names (${reserved.mkString(", ")}) — rename them first")
     val spark = df.sparkSession
     val us = unix_micros(col(tsCol))
     val mm = df.agg(min(us).as("lo"), max(us).as("hi")).head
@@ -52,10 +57,15 @@ object TemporalSplit {
       val fs = lo + k.toLong * width
       (k.toLong, fs, math.min(hiEx, fs + width))
     }.toDF("fold", "__fs", "__fe")
+    // When nFolds exceeds the distinct-time-unit range, ceil width leaves
+    // trailing folds with an EMPTY validation block (fs >= fe); such a fold
+    // must not purge anything — every row is train, rather than silently
+    // losing rows to an embargo band around a phantom block.
+    val nonEmpty = col("__fs") < col("__fe")
     df.crossJoin(broadcast(folds))
       .withColumn("role",
-        when(us >= col("__fs") && us < col("__fe"), "valid")
-          .when(us >= col("__fs") - embargoMicros &&
+        when(nonEmpty && us >= col("__fs") && us < col("__fe"), "valid")
+          .when(nonEmpty && us >= col("__fs") - embargoMicros &&
             us < col("__fe") + embargoMicros, "purged")
           .otherwise("train"))
       .drop("__fs", "__fe")

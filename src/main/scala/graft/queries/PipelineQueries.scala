@@ -1654,8 +1654,9 @@ object PipelineQueries {
         |  FROM w, unnest(range(0, 5)) AS t(k)
         |), lab AS (
         |  SELECT f.fold, e.user_id,
-        |    CASE WHEN epoch_us(e.ts) >= f.fs AND epoch_us(e.ts) < f.fe THEN 'valid'
-        |         WHEN epoch_us(e.ts) >= f.fs - 3600000000
+        |    CASE WHEN f.fs < f.fe AND epoch_us(e.ts) >= f.fs
+        |              AND epoch_us(e.ts) < f.fe THEN 'valid'
+        |         WHEN f.fs < f.fe AND epoch_us(e.ts) >= f.fs - 3600000000
         |              AND epoch_us(e.ts) < f.fe + 3600000000 THEN 'purged'
         |         ELSE 'train' END AS role
         |  FROM events e CROSS JOIN folds f

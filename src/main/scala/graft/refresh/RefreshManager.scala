@@ -38,7 +38,8 @@ import graft.storage.VersionedTable
   * PLUS the refresh's own processing time, so ticking every `refreshFreq`
   * overshoots the target by one batch duration (round-6 probe: max 70 s at a
   * 60 s target). Both schedulers therefore tick at 3/4 of the target lag
-  * (1 s floor), reserving a 25% allowance for batch processing — the same
+  * (1 s floor, never above the lag itself — see [[RefreshManager.tickMillis]]),
+  * reserving a 25% allowance for batch processing — the same
   * reasoning Snowflake's dynamic-table scheduler applies when it aims
   * refresh completion, not refresh start, at the TARGET_LAG boundary
   * (round-8 probe: max 50.4 s at a 60 s target, `LAGPROBE_r08.json`).
@@ -52,14 +53,6 @@ final class RefreshManager(fs: FeatureStore) {
   private val streams = new ConcurrentHashMap[String, StreamingQuery]()
 
   private def key(rec: FeatureViewRecord): String = rec.logicalId
-
-  /** Tick period for a target lag: 3/4 of the lag (1 s floor). The 25%
-    * headroom absorbs the refresh's own processing time so that data
-    * committed by tick N is at most `lag` stale when tick N+1 commits —
-    * without it, worst-case staleness is `lag + batch` (see class doc).
-    */
-  private[refresh] def tickMillis(lagMs: Long): Long =
-    math.max(1000L, lagMs * 3 / 4)
 
   /** One full recompute of a managed FV (refresh_mode=FULL tick, or manual
     * refresh). Publishes the new result as a single manifest flip — a
@@ -78,7 +71,7 @@ final class RefreshManager(fs: FeatureStore) {
 
   /** Start the FULL-mode scheduler: recompute at the target-lag tick. */
   def startFullSchedule(rec: FeatureViewRecord): Unit = {
-    val freq = tickMillis(rec.fv.refresh.get.freqMillis)
+    val freq = RefreshManager.tickMillis(rec.fv.refresh.get.freqMillis)
     val fut = scheduler.scheduleAtFixedRate(
       () => try refreshOnce(rec) catch { case e: Throwable =>
         System.err.println(s"[refresh] ${rec.logicalId} tick failed: ${e.getMessage}") },
@@ -120,7 +113,7 @@ final class RefreshManager(fs: FeatureStore) {
     val transformed = spark.sql(rec.fv.query)
     val trigger =
       if (availableNow) Trigger.AvailableNow()
-      else Trigger.ProcessingTime(tickMillis(rec.fv.refresh.get.freqMillis))
+      else Trigger.ProcessingTime(RefreshManager.tickMillis(rec.fv.refresh.get.freqMillis))
     val writeSeg = (batch: DataFrame, dir: String) =>
       FeatureStore.writeManaged(batch, rec.fv, dir)
     // Pick output mode + publish kind from the plan shape (see class doc):
@@ -243,4 +236,18 @@ final class RefreshManager(fs: FeatureStore) {
     scheduled.values().forEach(f => f.cancel(false)); scheduled.clear()
     streams.values().forEach(q => try q.stop() catch { case _: Throwable => }); streams.clear()
   }
+}
+
+object RefreshManager {
+  /** Tick period for a target lag: 3/4 of the lag, floored at 1 s but never
+    * above the lag itself. The 25% headroom absorbs the refresh's own
+    * processing time so that data committed by tick N is at most `lag`
+    * stale when tick N+1 commits — without it, worst-case staleness is
+    * `lag + batch` (see class doc). Sub-1 s lags tick at the lag itself:
+    * below the floor there is no headroom to reserve, and the lag+batch
+    * overshoot regime applies (not the contract's target regime — the
+    * reference's tested values are minutes to hours).
+    */
+  private[refresh] def tickMillis(lagMs: Long): Long =
+    math.max(math.min(1000L, lagMs), lagMs * 3 / 4)
 }

@@ -11,7 +11,11 @@ object ExplainOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val name = args.headOption.getOrElse(
+      sys.error("usage: ExplainOne <queryName> [sfDir]"))
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    graft.SparkEntry.queries(args(0))(spark, dir).explain("formatted")
+    val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(
+      s"unknown query '$name'; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    fn(spark, dir).explain("formatted")
   }
 }

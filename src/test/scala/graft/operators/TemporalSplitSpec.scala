@@ -47,7 +47,30 @@ class TemporalSplitSpec extends SparkSpec {
     val one = TemporalSplit.assignPurgedFolds(events, "ts", nFolds = 4,
       embargoMicros = 1L).filter(col("fold") === 2L)
     assert(one.count() == 10)
-    // the filter reaches the fold-table side: no row with fold != 2 survives
-    assert(one.select(col("fold")).distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // pin the PLAN, not just the result: Catalyst must fold the fold-id
+    // filter into the local fold relation, so the broadcast side carries
+    // exactly one row before the join (not all nFolds copies post-join)
+    // the events fixture is itself a 10-row LocalRelation; the fold table
+    // must show up pruned to 1 row, never at its full 4 rows
+    val localSizes = one.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.size
+    }
+    assert(localSizes.contains(1) && !localSizes.contains(4),
+      s"fold filter did not prune the local fold table: $localSizes\n" +
+        one.queryExecution.optimizedPlan.toString)
+  }
+
+  test("folds beyond the time range have empty validation blocks that purge nothing") {
+    // 3 events at micros 0,1,2 (range 3) with nFolds=4 → width 1, fold 3's
+    // block is empty; every row must be train there, never purged
+    val tiny = Seq(0L, 1L, 2L).map(us => (us, us)).toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).as("ts"))
+    val out = TemporalSplit.assignPurgedFolds(tiny, "ts", nFolds = 4,
+      embargoMicros = 10L)
+    val f3 = out.filter(col("fold") === 3L)
+      .select(col("role")).distinct().collect().map(_.getString(0)).toSeq
+    assert(f3 == Seq("train"), s"phantom fold 3 produced roles: $f3")
+    // folds 0..2 each hold exactly one valid row
+    assert(out.filter(col("role") === "valid").count() == 3)
   }
 }

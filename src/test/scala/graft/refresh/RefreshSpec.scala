@@ -344,11 +344,10 @@ class RefreshSpec extends SparkSpec {
   }
 
   test("target-lag tick reserves a 25% processing allowance with a 1 s floor") {
-    val mgr = new RefreshManager(freshStore())
-    assert(mgr.tickMillis(60000L) == 45000L)    // '1 minute' → 45 s tick
-    assert(mgr.tickMillis(3600000L) == 2700000L) // '1 hour' → 45 min tick
-    assert(mgr.tickMillis(2000L) == 1500L)
-    assert(mgr.tickMillis(1000L) == 1000L)       // floor: never sub-second
-    mgr.stopAll()
+    assert(RefreshManager.tickMillis(60000L) == 45000L)    // '1 minute' → 45 s
+    assert(RefreshManager.tickMillis(3600000L) == 2700000L) // '1 hour' → 45 min
+    assert(RefreshManager.tickMillis(2000L) == 1500L)
+    assert(RefreshManager.tickMillis(1000L) == 1000L) // floor: never sub-second
+    assert(RefreshManager.tickMillis(500L) == 500L)   // …but never above the lag
   }
 }
