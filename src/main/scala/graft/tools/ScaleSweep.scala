@@ -186,6 +186,17 @@ object ScaleSweep {
       measure("substr_dedup", scale) {
         runAll(DedupFunctions.exactSubstrDedup(docs, "doc_id", "text", minSpan = 8))
       }
+
+      // 8. purged K-fold split: map-only broadcast cross-join + partial-agg
+      //    rollup — shuffle bytes are count partials only (bounded by
+      //    partitions x cells, orders of magnitude under input; data rows
+      //    must never reach the exchange)
+      measure("purged_split", scale) {
+        runAll(graft.operators.TemporalSplit
+          .assignPurgedFolds(events, "ts", nFolds = 5, embargoMicros = 3600000000L)
+          .groupBy(col("fold"), col("role"))
+          .agg(count(lit(1)).as("n_rows")))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
