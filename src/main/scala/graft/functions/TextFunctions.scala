@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -173,4 +173,43 @@ object TextFunctions {
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
     "with", "at", "by", "from", "as", "that", "this", "it", "be")
+
+  /** Sliding-window document chunking — the embedding/retrieval prep step
+    * (fixed-size token windows with overlap, the shape RAG indexers and
+    * long-document embedding pipelines consume). Chunk k covers token
+    * positions [k·stride, k·stride + chunkTokens) with
+    * stride = chunkTokens − overlapTokens; windows start at every stride
+    * multiple below the token count, so the final chunk may be shorter
+    * (and, when stride < chunkTokens, more overlapped) than the rest.
+    * Empty documents produce no chunks.
+    *
+    * Scale shape: chunk windows are built IN-ROW (a `sequence` of starts +
+    * `slice` per start) and row-expanded with `posexplode` — map-only,
+    * zero shuffle, stays inside WholeStageCodegen; output volume is
+    * input tokens × (chunkTokens / stride) by construction.
+    *
+    * Returns (idCol, chunk_id, chunk_text, n_tokens); chunk_text rejoins
+    * tokens with single spaces (inter-token whitespace is normalized,
+    * same as [[graft.functions.DedupFunctions.exactSubstrDedup]]).
+    */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_id", "__st")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__st") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__st")).cast("long")
+          .as("n_tokens"))
+  }
 }

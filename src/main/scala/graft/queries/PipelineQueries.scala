@@ -864,6 +864,14 @@ object PipelineQueries {
         Map("src0" -> 3000L, "src1" -> 1500L))
     }),
 
+    // sliding-window chunking (embedding/RAG prep): 64-token windows with
+    // 16-token overlap — map-only in-row construction, see chunkDocs doc
+    "q94_chunking" -> ((s, dir) => {
+      graft.functions.TextFunctions.chunkDocs(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+    }),
+
     // purged time-series K-fold with embargo (leakage-safe CV over event
     // data): role counts per (fold, role) cell — see TemporalSplit doc
     "q93_purged_split" -> ((s, dir) => {
@@ -1642,6 +1650,20 @@ object PipelineQueries {
         |SELECT doc_id, source, n_tokens, cum_before FROM c
         |WHERE cum_before < CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 1500
         |  ELSE 0 END""".stripMargin,
+
+    "q94_chunking" ->
+      """WITH ta AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, t, len(t) AS n FROM ta WHERE len(t) > 0
+        |)
+        |SELECT doc_id,
+        |  CAST(st // 48 AS BIGINT) AS chunk_id,
+        |  array_to_string(t[st+1 : st+64], ' ') AS chunk_text,
+        |  CAST(least(64, n - st) AS BIGINT) AS n_tokens
+        |FROM s, unnest(range(0, n, 48)) AS u(st)""".stripMargin,
 
     "q93_purged_split" ->
       """WITH mm AS (

@@ -578,4 +578,28 @@ class FunctionsSpec extends SparkSpec {
         docs.filter(_._2 == g).map(_._3.split(" ").length.toLong).sum))
     }
   }
+
+  test("chunking: sliding windows with overlap match hand computation") {
+    // 10 tokens, chunk=4 overlap=1 → stride 3, starts 0,3,6,9:
+    // [t1..t4] [t4..t7] [t7..t10] [t10] — last chunk short
+    val toks = (1 to 10).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.chunkDocs(df, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val expected = Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L),
+      (3L, 0L, "solo", 1L)) // empty doc 2 produces no chunks
+    assert(got == expected, s"got $got")
+    // zero overlap: chunks partition the tokens exactly
+    val flat = TextFunctions.chunkDocs(df.filter($"doc_id" === 1L), "doc_id",
+        "text", chunkTokens = 4, overlapTokens = 0)
+      .agg(sum($"n_tokens")).head.getLong(0)
+    assert(flat == 10L)
+  }
 }
