@@ -872,6 +872,41 @@ object PipelineQueries {
         chunkTokens = 64, overlapTokens = 16)
     }),
 
+    // end-to-end corpus-prep composite — the ops COMPOSE: q66's quality
+    // gate (in-row) → exact-text dedup keeping the min-id row (one
+    // map-side-combined agg) → q94's chunking (map-only) → per-source
+    // rollup. One text shuffle (dedup) + one id join; everything else
+    // stays inside the scan-side pipeline.
+    "q95_corpus_prep" -> ((s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
+      val t = col("__t")
+      val n = size(t)
+      val nd = size(array_distinct(t))
+      val maxc = array_max(transform(array_distinct(t),
+        w => size(filter(t, x => x === w))))
+      val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+      def r4(c: org.apache.spark.sql.Column) = TextFunctions.round4(c)
+      val gated = Tables.documents(s, dir)
+        .withColumn("__t", toks)
+        .filter(size(t) > 0)
+        .filter(n.cast("long") >= 5 && n.cast("long") <= 100000 &&
+          r4(sumLen.cast("double") / n) >= 2.0 &&
+          r4(sumLen.cast("double") / n) <= 12.0 &&
+          r4(maxc.cast("double") / n) <= 0.2 &&
+          r4(lit(1.0) - nd.cast("double") / n) <= 0.85)
+        .drop("__t")
+      val canon = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("source"), col("doc_id")).as("source"))
+      graft.functions.TextFunctions
+        .chunkDocs(canon, "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .join(canon.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // purged time-series K-fold with embargo (leakage-safe CV over event
     // data): role counts per (fold, role) cell — see TemporalSplit doc
     "q93_purged_split" -> ((s, dir) => {
@@ -1664,6 +1699,42 @@ object PipelineQueries {
         |  array_to_string(t[st+1 : st+64], ' ') AS chunk_text,
         |  CAST(least(64, n - st) AS BIGINT) AS n_tokens
         |FROM s, unnest(range(0, n, 48)) AS u(st)""".stripMargin,
+
+    "q95_corpus_prep" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source, text, len(t) AS n,
+        |    len(list_distinct(t)) AS nd,
+        |    list_aggregate(list_transform(list_distinct(t),
+        |      w -> len(list_filter(t, x -> x = w))), 'max') AS maxc,
+        |    list_aggregate(list_transform(t, x -> len(x)), 'sum') AS sum_len
+        |  FROM tok WHERE len(t) > 0
+        |), gated AS (
+        |  SELECT doc_id, source, text FROM m
+        |  WHERE n >= 5 AND n <= 100000
+        |    AND floor((CAST(sum_len AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 >= 2.0
+        |    AND floor((CAST(sum_len AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 <= 12.0
+        |    AND floor((CAST(maxc AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 <= 0.2
+        |    AND floor((1.0 - CAST(nd AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 <= 0.85
+        |), canon AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source, text
+        |  FROM gated GROUP BY text
+        |), ct AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM canon
+        |), cs AS (
+        |  SELECT doc_id, source, t, len(t) AS n FROM ct WHERE len(t) > 0
+        |), chunks AS (
+        |  SELECT doc_id, source, CAST(least(64, n - st) AS BIGINT) AS n_tokens
+        |  FROM cs, unnest(range(0, n, 48)) AS u(st)
+        |)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM chunks GROUP BY source""".stripMargin,
 
     "q93_purged_split" ->
       """WITH mm AS (
