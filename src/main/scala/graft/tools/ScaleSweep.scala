@@ -197,6 +197,14 @@ object ScaleSweep {
           .groupBy(col("fold"), col("role"))
           .agg(count(lit(1)).as("n_rows")))
       }
+
+      // 9. sliding-window chunking: in-row window construction + posexplode
+      //    — the plan has NO exchange at all, so shuffle bytes must be zero
+      //    at every scale while rows amplify by the overlap factor
+      measure("chunking", scale) {
+        runAll(graft.functions.TextFunctions
+          .chunkDocs(docs, "doc_id", "text", chunkTokens = 64, overlapTokens = 16))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
