@@ -188,28 +188,36 @@ object TextFunctions {
     * zero shuffle, stays inside WholeStageCodegen; output volume is
     * input tokens × (chunkTokens / stride) by construction.
     *
-    * Returns (idCol, chunk_id, chunk_text, n_tokens); chunk_text rejoins
-    * tokens with single spaces (inter-token whitespace is normalized,
-    * same as [[graft.functions.DedupFunctions.exactSubstrDedup]]).
+    * Returns (idCol, carryCols…, chunk_id, chunk_text, n_tokens);
+    * chunk_text rejoins tokens with single spaces (inter-token whitespace
+    * is normalized, same as
+    * [[graft.functions.DedupFunctions.exactSubstrDedup]]). `carryCols`
+    * ride through to every chunk row — carrying a per-doc attribute here
+    * costs one duplicated value per chunk, where joining it back
+    * afterwards would re-run the whole upstream plan a second time (no
+    * exchange reuse across differently-shaped consumers; measured on the
+    * q95 composite: the gate + dedup shuffle ran twice).
     */
   def chunkDocs(
       df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+      chunkTokens: Int, overlapTokens: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val carried = carryCols.map(col)
+    df.select(col(idCol) +: carried :+ tokens(col(textCol)).as("__toks"): _*)
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
-      .select(col(idCol), col("__toks"), col("__n"),
+      .select(col(idCol) +: carried :+ col("__toks") :+ col("__n") :+
         posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
-          .as(Seq("chunk_id", "__st")))
-      .select(col(idCol),
-        col("chunk_id").cast("long").as("chunk_id"),
+          .as(Seq("chunk_id", "__st")): _*)
+      .select(col(idCol) +: carried :+
+        col("chunk_id").cast("long").as("chunk_id") :+
         array_join(slice(col("__toks"), col("__st") + 1, lit(chunkTokens)), " ")
-          .as("chunk_text"),
+          .as("chunk_text") :+
         least(lit(chunkTokens), col("__n") - col("__st")).cast("long")
-          .as("n_tokens"))
+          .as("n_tokens"): _*)
   }
 }

@@ -898,9 +898,11 @@ object PipelineQueries {
       val canon = gated.groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("source"), col("doc_id")).as("source"))
+      // source rides THROUGH the chunker (carryCols): a join-back would
+      // recompute the whole gate + dedup upstream a second time
       graft.functions.TextFunctions
-        .chunkDocs(canon, "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
-        .join(canon.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .chunkDocs(canon, "doc_id", "text", chunkTokens = 64,
+          overlapTokens = 16, carryCols = Seq("source"))
         .groupBy(col("source"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_chunks"),

@@ -601,5 +601,12 @@ class FunctionsSpec extends SparkSpec {
         "text", chunkTokens = 4, overlapTokens = 0)
       .agg(sum($"n_tokens")).head.getLong(0)
     assert(flat == 10L)
+    // carryCols ride through to every chunk row (single-pass attribution)
+    val carried = TextFunctions.chunkDocs(
+        df.withColumn("src", concat(lit("s"), $"doc_id")), "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1, carryCols = Seq("src"))
+      .select($"doc_id", $"src", $"chunk_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(carried.length == 5 && carried.forall { case (id, s) => s == s"s$id" })
   }
 }
