@@ -233,7 +233,9 @@ object PipelineQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("exact_users"),
-          (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+          // rsd 0.01 so the 5% acceptance bound is ~5 sigma — the default
+          // 5% rsd made this a 1-sigma coin flip (failed at sf0.1 'click')
+          (abs(approx_count_distinct(col("user_id"), 0.01) - countDistinct(col("user_id")))
             <= countDistinct(col("user_id")).cast("double") * 0.05)
             .cast("long").as("hll_users_ok"),
           TextFunctions.round4(expr("percentile(value, 0.5D)")).as("p50_value"),
