@@ -174,6 +174,36 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
     "with", "at", "by", "from", "as", "that", "this", "it", "be")
 
+  /** Gopher/C4-style keep thresholds — single-sourced for q66 (signal
+    * report + keep flag) and the q95 corpus-prep composite (gate filter),
+    * so a tuning change cannot silently diverge the two. The DuckDB
+    * oracles restate these literally; change them together.
+    */
+  val QualityMinTokens = 5L
+  val QualityMaxTokens = 100000L
+  val QualityMinMeanWordLen = 2.0
+  val QualityMaxMeanWordLen = 12.0
+  val QualityMaxTopWordFrac = 0.2
+  val QualityMaxDupWordFrac = 0.85
+
+  /** The keep rule over a MATERIALIZED lowercased token-array column
+    * (materialize first — array-lambda element access gets no CSE, see
+    * [[ngrams]]). Signals are round4-ed before comparison, exactly as
+    * q66 reports them, so `keep` here ≡ q66's `keep` flag.
+    */
+  def qualityKeep(t: Column): Column = {
+    val n = size(t)
+    val nd = size(array_distinct(t))
+    val maxc = array_max(transform(array_distinct(t),
+      w => size(filter(t, x => x === w))))
+    val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    n.cast("long") >= QualityMinTokens && n.cast("long") <= QualityMaxTokens &&
+      round4(sumLen.cast("double") / n) >= QualityMinMeanWordLen &&
+      round4(sumLen.cast("double") / n) <= QualityMaxMeanWordLen &&
+      round4(maxc.cast("double") / n) <= QualityMaxTopWordFrac &&
+      round4(lit(1.0) - nd.cast("double") / n) <= QualityMaxDupWordFrac
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval prep step
     * (fixed-size token windows with overlap, the shape RAG indexers and
     * long-document embedding pipelines consume). Chunk k covers token
@@ -191,12 +221,16 @@ object TextFunctions {
     * Returns (idCol, carryCols…, chunk_id, chunk_text, n_tokens);
     * chunk_text rejoins tokens with single spaces (inter-token whitespace
     * is normalized, same as
-    * [[graft.functions.DedupFunctions.exactSubstrDedup]]). `carryCols`
-    * ride through to every chunk row — carrying a per-doc attribute here
-    * costs one duplicated value per chunk, where joining it back
-    * afterwards would re-run the whole upstream plan a second time (no
-    * exchange reuse across differently-shaped consumers; measured on the
-    * q95 composite: the gate + dedup shuffle ran twice).
+    * [[graft.functions.DedupFunctions.exactSubstrDedup]]). Window starts
+    * stop at the last window that contributes a NEW token (starts below
+    * `max(n − overlapTokens, 1)`): a trailing window whose tokens are all
+    * inside the previous one would be a 100%-duplicate chunk — wasted
+    * embedding compute and retrieval noise downstream. `carryCols` ride
+    * through to every chunk row — carrying a per-doc attribute here costs
+    * one duplicated value per chunk, where joining it back afterwards
+    * would re-run the whole upstream plan a second time (no exchange
+    * reuse across differently-shaped consumers; measured on the q95
+    * composite: the gate + dedup shuffle ran twice).
     */
   def chunkDocs(
       df: DataFrame, idCol: String, textCol: String,
@@ -205,13 +239,19 @@ object TextFunctions {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val reserved = Seq("chunk_id", "chunk_text", "n_tokens", "__toks", "__n", "__st")
+    val clash = (idCol +: carryCols).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"chunkDocs: column(s) ${clash.mkString(", ")} collide with " +
+        s"output/internal names (${reserved.mkString(", ")}) — rename them first")
     val stride = chunkTokens - overlapTokens
     val carried = carryCols.map(col)
     df.select(col(idCol) +: carried :+ tokens(col(textCol)).as("__toks"): _*)
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
       .select(col(idCol) +: carried :+ col("__toks") :+ col("__n") :+
-        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+        posexplode(sequence(lit(0),
+          greatest(col("__n") - overlapTokens - 1, lit(0)), lit(stride)))
           .as(Seq("chunk_id", "__st")): _*)
       .select(col(idCol) +: carried :+
         col("chunk_id").cast("long").as("chunk_id") :+

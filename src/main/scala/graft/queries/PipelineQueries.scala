@@ -546,9 +546,12 @@ object PipelineQueries {
           r4(maxc.cast("double") / n).as("top_word_frac"),
           r4(sumLen.cast("double") / n).as("mean_word_len"))
         .withColumn("keep",
-          (col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
-            col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
-            col("top_word_frac") <= 0.2 && col("dup_word_frac") <= 0.85)
+          (col("n_tokens") >= TextFunctions.QualityMinTokens &&
+            col("n_tokens") <= TextFunctions.QualityMaxTokens &&
+            col("mean_word_len") >= TextFunctions.QualityMinMeanWordLen &&
+            col("mean_word_len") <= TextFunctions.QualityMaxMeanWordLen &&
+            col("top_word_frac") <= TextFunctions.QualityMaxTopWordFrac &&
+            col("dup_word_frac") <= TextFunctions.QualityMaxDupWordFrac)
             .cast("long"))
     }),
 
@@ -875,27 +878,17 @@ object PipelineQueries {
     }),
 
     // end-to-end corpus-prep composite — the ops COMPOSE: q66's quality
-    // gate (in-row) → exact-text dedup keeping the min-id row (one
-    // map-side-combined agg) → q94's chunking (map-only) → per-source
-    // rollup. One text shuffle (dedup) + one id join; everything else
-    // stays inside the scan-side pipeline.
+    // gate (in-row, the SHARED TextFunctions.qualityKeep rule) →
+    // exact-text dedup keeping the min-id row (one map-side-combined agg)
+    // → q94's chunking with carryCols attribution (map-only) → per-source
+    // rollup. ONE text shuffle total, no join; everything else stays
+    // inside the scan-side pipeline.
     "q95_corpus_prep" -> ((s, dir) => {
       val toks = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
-      val t = col("__t")
-      val n = size(t)
-      val nd = size(array_distinct(t))
-      val maxc = array_max(transform(array_distinct(t),
-        w => size(filter(t, x => x === w))))
-      val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
-      def r4(c: org.apache.spark.sql.Column) = TextFunctions.round4(c)
       val gated = Tables.documents(s, dir)
         .withColumn("__t", toks)
-        .filter(size(t) > 0)
-        .filter(n.cast("long") >= 5 && n.cast("long") <= 100000 &&
-          r4(sumLen.cast("double") / n) >= 2.0 &&
-          r4(sumLen.cast("double") / n) <= 12.0 &&
-          r4(maxc.cast("double") / n) <= 0.2 &&
-          r4(lit(1.0) - nd.cast("double") / n) <= 0.85)
+        .filter(size(col("__t")) > 0)
+        .filter(TextFunctions.qualityKeep(col("__t")))
         .drop("__t")
       val canon = gated.groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"),
@@ -1702,7 +1695,7 @@ object PipelineQueries {
         |  CAST(st // 48 AS BIGINT) AS chunk_id,
         |  array_to_string(t[st+1 : st+64], ' ') AS chunk_text,
         |  CAST(least(64, n - st) AS BIGINT) AS n_tokens
-        |FROM s, unnest(range(0, n, 48)) AS u(st)""".stripMargin,
+        |FROM s, unnest(range(0, greatest(n - 16, 1), 48)) AS u(st)""".stripMargin,
 
     "q95_corpus_prep" ->
       """WITH tok AS (
@@ -1734,7 +1727,7 @@ object PipelineQueries {
         |  SELECT doc_id, source, t, len(t) AS n FROM ct WHERE len(t) > 0
         |), chunks AS (
         |  SELECT doc_id, source, CAST(least(64, n - st) AS BIGINT) AS n_tokens
-        |  FROM cs, unnest(range(0, n, 48)) AS u(st)
+        |  FROM cs, unnest(range(0, greatest(n - 16, 1), 48)) AS u(st)
         |)
         |SELECT source, count(DISTINCT doc_id) AS n_docs,
         |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens

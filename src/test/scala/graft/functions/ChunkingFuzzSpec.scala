@@ -21,7 +21,9 @@ class ChunkingFuzzSpec extends SparkSpec {
       (id, text) <- docs
       toks = text.split("\\s+").filter(_.nonEmpty).toSeq
       if toks.nonEmpty
-      (st, k) <- (0 until toks.size by stride).zipWithIndex
+      // starts stop at the last window contributing a new token: a window
+      // fully inside the previous one is suppressed by design
+      (st, k) <- (0 until math.max(toks.size - overlap, 1) by stride).zipWithIndex
     } yield {
       val slice = toks.slice(st, st + chunk)
       (id, k.toLong, slice.mkString(" "), slice.size.toLong)

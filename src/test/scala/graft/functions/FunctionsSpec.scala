@@ -580,8 +580,9 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("chunking: sliding windows with overlap match hand computation") {
-    // 10 tokens, chunk=4 overlap=1 → stride 3, starts 0,3,6,9:
-    // [t1..t4] [t4..t7] [t7..t10] [t10] — last chunk short
+    // 10 tokens, chunk=4 overlap=1 → stride 3, starts below max(10-1,1):
+    // 0,3,6 → [t1..t4] [t4..t7] [t7..t10]; a start at 9 would yield [t10],
+    // a strict subset of the previous window — suppressed by design
     val toks = (1 to 10).map(i => s"t$i")
     val df = Seq((1L, toks.mkString(" ")), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")
@@ -593,7 +594,6 @@ class FunctionsSpec extends SparkSpec {
       (1L, 0L, "t1 t2 t3 t4", 4L),
       (1L, 1L, "t4 t5 t6 t7", 4L),
       (1L, 2L, "t7 t8 t9 t10", 4L),
-      (1L, 3L, "t10", 1L),
       (3L, 0L, "solo", 1L)) // empty doc 2 produces no chunks
     assert(got == expected, s"got $got")
     // zero overlap: chunks partition the tokens exactly
@@ -607,6 +607,11 @@ class FunctionsSpec extends SparkSpec {
         chunkTokens = 4, overlapTokens = 1, carryCols = Seq("src"))
       .select($"doc_id", $"src", $"chunk_id").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    assert(carried.length == 5 && carried.forall { case (id, s) => s == s"s$id" })
+    assert(carried.length == 4 && carried.forall { case (id, s) => s == s"s$id" })
+    // reserved-name collisions are rejected up front, not silently clobbered
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkDocs(df.withColumn("chunk_id", lit(1)), "doc_id",
+        "text", chunkTokens = 4, overlapTokens = 1, carryCols = Seq("chunk_id"))
+    }
   }
 }
