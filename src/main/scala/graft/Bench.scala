@@ -72,11 +72,18 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1)
 
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (elapsedSec, Some(errorMessage) if the query threw). Round-8
+    // lesson: swallowing the exception here timed 21 analysis-broken queries
+    // as ~0.05 s "successes" and the artifact reported them as the fastest
+    // entries in the run. A failed attempt must be marked, excluded from
+    // totals, and flagged in the headline.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
 
     // Best spin time observed anywhere in the run = the unthrottled-speed
@@ -129,44 +136,64 @@ object Bench {
     def isClean(spin: Double, sp: Double): Boolean =
       spin <= 2.0 * calNominal && sp <= 3.0 * sparkNominal
     case class QResult(time: Double, cal: Double, calSpark: Double,
-        throttled: Boolean, attempts: Int)
+        throttled: Boolean, attempts: Int, err: Option[String])
     val results = selected.map { case (name, fn) =>
-      // (queryTime, worstAdjacentSpin, worstAdjacentSparkProbe)
-      var attempts = List.empty[(Double, Double, Double)]
+      // (queryTime, worstAdjacentSpin, worstAdjacentSparkProbe, err)
+      var attempts = List.empty[(Double, Double, Double, Option[String])]
       var nClean = 0
       var n = 0
-      while (n < maxAttempts && nClean < runs) {
+      var failedFast = false
+      while (n < maxAttempts && nClean < runs && !failedFast) {
         val calBefore = probe()
         val spBefore = sparkProbe()
-        val d = timeOne(name, fn)
+        val (d, err) = timeOne(name, fn)
         hygiene(spark)
         val calAfter = probe()
         val spAfter = sparkProbe()
         val worst = math.max(calBefore, calAfter)
         val worstSp = math.max(spBefore, spAfter)
-        attempts ::= ((d, worst, worstSp))
-        if (isClean(worst, worstSp)) nClean += 1
+        attempts ::= ((d, worst, worstSp, err))
+        if (err.isDefined) failedFast = true // deterministic failure — no point retrying
+        else if (isClean(worst, worstSp)) nClean += 1
         n += 1
       }
       // nominal may have improved after early cleanness decisions; re-judge
       // all attempts against the final nominal for the recorded artifact
-      val clean = attempts.filter(a => isClean(a._2, a._3))
-      val chosen = (if (clean.nonEmpty) clean else attempts).minBy(_._1)
-      val r = QResult(chosen._1, chosen._2, chosen._3, clean.isEmpty, n)
-      val flag = if (r.throttled) "  THROTTLED" else ""
+      val ok = attempts.filter(_._4.isEmpty)
+      val clean = ok.filter(a => isClean(a._2, a._3))
+      val pool = if (clean.nonEmpty) clean else if (ok.nonEmpty) ok else attempts
+      val chosen = pool.minBy(_._1)
+      val r = QResult(chosen._1, chosen._2, chosen._3,
+        clean.isEmpty && chosen._4.isEmpty, n, chosen._4)
+      val flag =
+        if (r.err.isDefined) "  FAILED" else if (r.throttled) "  THROTTLED" else ""
       System.err.println(
         f"[bench] $name%-22s ${r.time}%8.2f s  (cal ${r.cal}%.3f/${calNominal}%.3f, spark ${r.calSpark}%.3f/${sparkNominal}%.3f, ${r.attempts} attempts)$flag")
       name -> r
     }
 
-    val qs = results.sortBy(_._1)
+    // Failed queries are EXCLUDED from the per-query time map and the total
+    // (a crash time is not a query time) and surfaced twice: a `failed` name
+    // list and an `errors` map, both in the headline portion of the line.
+    val okResults = results.filter(_._2.err.isEmpty)
+    val qs = okResults.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v.time }.mkString("{", ",", "}")
-    val cals = results.sortBy(_._1)
+    val cals = okResults.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r4(v.cal) }.mkString("{", ",", "}")
-    val calsSpark = results.sortBy(_._1)
+    val calsSpark = okResults.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r4(v.calSpark) }.mkString("{", ",", "}")
     val throttled = results.filter(_._2.throttled).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2.time).sum
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val failedNames = results.filter(_._2.err.isDefined).map(r => jstr(r._1))
+      .mkString("[", ",", "]")
+    val errors = results.collect { case (k, v) if v.err.isDefined =>
+      jstr(k) + ":" + jstr(v.err.get) }.mkString("{", ",", "}")
+    val total = okResults.map(_._2.time).sum
+    if (results.exists(_._2.err.isDefined))
+      System.err.println(s"[bench] WARNING: ${results.count(_._2.err.isDefined)} queries FAILED — excluded from total")
     // Field ORDER is load-bearing: the round-6 artifact was tail-truncated
     // mid-line and the only map left visible was `cal` (uniform ~0.065 s
     // probe times), which a reader mistook for query times. Put all the
@@ -174,6 +201,9 @@ object Bench {
     // of the line contains real query times; also persist the full JSON
     // to BENCH_LOCAL.json so a truncated capture is always recoverable.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
+      s""","ok_count":${okResults.size},"failed_count":${results.size - okResults.size}""" +
+      s""","failed":$failedNames,"errors":$errors""" +
+      s""","corpus":${CorpusFingerprint.json(spark, sfDir)}""" +
       s""","cal_nominal":${r4(calNominal)},"cal_spin_iters":$SpinIters""" +
       s""","cal_spark_nominal":${r4(sparkNominal)}""" +
       s""","throttled":$throttled,"cal":$cals,"cal_spark":$calsSpark,"queries":$qs}"""
@@ -184,7 +214,9 @@ object Bench {
     // Human/tail-readable per-query lines on stdout, one per line, before
     // the machine-readable JSON line (which stays last for the driver).
     results.sortBy(_._1).foreach { case (k, v) =>
-      println(f"[bench-q] $k%-24s ${v.time}%8.3f s${if (v.throttled) "  THROTTLED" else ""}")
+      val flag =
+        if (v.err.isDefined) "  FAILED" else if (v.throttled) "  THROTTLED" else ""
+      println(f"[bench-q] $k%-24s ${v.time}%8.3f s$flag")
     }
     println(json)
     try {

@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — read as long, normalized
-      // in graft.Tables (matches DuckDB's ns→µs truncation)
+      // harmless if events.parquet is already TIMESTAMP_MICROS; if a corpus
+      // regen reverts to TIMESTAMP(NANOS) this reads ns-as-long, which
+      // graft.Tables normalizes (matches DuckDB's ns→µs truncation)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write µs timestamps (not INT96) so DuckDB reads identical values
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -30,11 +31,17 @@ object Verify {
         else col(f.name)
       }.toSeq: _*)
     }
+    // Collect failures so breakage is a first-class artifact (round 8: the
+    // driver simply omitted errored queries from CORRECTNESS and 21 failures
+    // were invisible until the judge diffed the query inventory).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failures += name ->
+          Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -52,6 +59,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Corpus identity + failure manifest alongside the dumps, so the exact
+    // input corpus and any broken query are visible in the round artifacts.
+    val manifest =
+      s"""{"corpus":${CorpusFingerprint.json(spark, sfDir)}""" +
+      s""","query_count":${SparkEntry.queries.size}""" +
+      s""","failed_count":${failures.size}""" +
+      s""","failures":${failures.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manifest)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] WARNING: ${failures.size}/${SparkEntry.queries.size} queries FAILED")
     spark.stop()
   }
 }

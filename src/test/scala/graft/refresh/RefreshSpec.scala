@@ -130,7 +130,10 @@ class RefreshSpec extends SparkSpec {
     // stays far below 60s — the lag the reference's test pins.
     val fs = freshStore()
     val dir = "/root/testdata/sf0.1"
-    val raw = spark.read.parquet(s"$dir/events.parquet")  // nanosAsLong → ts:long
+    // Raw read on purpose: only user_id/count are used, so the ts physical
+    // type (ns-as-long or TIMESTAMP_MICROS NTZ, depending on corpus vintage)
+    // doesn't matter — the streaming source just carries it through.
+    val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.createOrReplaceTempView("lag_src")
     fs.registerEntity(Entity("user", Seq("user_id")))
     fs.registerFeatureView(FeatureView("fv_lag", Seq(Entity("user", Seq("user_id"))),
