@@ -122,13 +122,17 @@ object AsOfJoin {
       includeFeatureTs, resolveMethod(spine, method), maxStaleness)
   }
 
-  /** `"default"` resolves through the session conf `graft.asof.method`
-    * (falling back to union-window), so `generateDataset` and every other
-    * caller that doesn't pin a strategy can be routed to `salted-window`
-    * session-wide on skew-prone corpora without an API change. */
+  /** `"default"` resolves through the session conf `graft.asof.method`,
+    * falling back to salted-window: the skew probe showed the salted plan
+    * is a pure win on hot-key corpora (max-task ratio 0.13-0.20 vs
+    * unsalted) and when no key clears the hot threshold the salted
+    * strategy degrades to the plain union window, so the only default-path
+    * cost is one sampled detection aggregation. Pin
+    * `graft.asof.method=union-window` to skip even that (e.g. many tiny
+    * as-of calls on corpora known to be skew-free). */
   private def resolveMethod(spine: DataFrame, method: String): String =
     if (method == "default")
-      spine.sparkSession.conf.get("graft.asof.method", "union-window")
+      spine.sparkSession.conf.get("graft.asof.method", "salted-window")
     else method
 
   private def joinAsOfDispatch(

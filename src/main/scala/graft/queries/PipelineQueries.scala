@@ -967,6 +967,20 @@ object PipelineQueries {
         |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5""".stripMargin,
 
+    // MinHash/LSH graduated from rows-only to a full hash oracle: the whole
+    // pipeline — Spark-compatible xxhash64 over shingles (HUGEINT modular
+    // arithmetic, see DuckDbXxHash64), the (a·h+b) mod 2^31-1 permutation
+    // family, 8×4 banding, exact-Jaccard verification — is restated in
+    // DuckDB SQL, so the pair set AND scores are engine-independently
+    // reproduced.
+    "q23_minhash" -> DuckDbXxHash64.nearDupMinHashOracle(0.5),
+
+    "q50_minhash_incremental" -> DuckDbXxHash64.nearDupMinHashIncrementalOracle(0.5),
+
+    "q24_simhash" -> DuckDbXxHash64.nearDupSimHashOracle(3),
+
+    "q51_winnowing" -> DuckDbXxHash64.nearDupWinnowingOracle(0.3, 50),
+
     "q25_knn" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10

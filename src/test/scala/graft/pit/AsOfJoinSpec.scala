@@ -50,6 +50,38 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("default method engages salting on a skewed corpus, result identical to union-window") {
+    // No graft.asof.method set: the default must route to salted-window,
+    // and with a cleared hot threshold the skewed key must genuinely
+    // engage the two-level carry (observable as the __graft_bounds
+    // detection column in the executed plan), with results unchanged.
+    val c = spark.conf
+    c.unset("graft.asof.method")
+    c.set("graft.asof.salt.hotKeyThreshold", "20")
+    c.set("graft.asof.salt.sampleRate", "1.0")
+    try {
+      // key 1 is hot: 200 feature snapshots; keys 2-5 have 5 each
+      val skewedFeatures = ((1 to 200).map(i => (1, daysAgo(230 - i), 100 + i, s"h$i")) ++
+        (for { cid <- 2 to 5; d <- Seq(30, 20, 10, 5, 1) }
+          yield (cid, daysAgo(d), 20 + cid, s"snap$d")))
+        .toDF("customer_id", "updated_at", "age", "snap")
+      val sk = (1 to 5).map(cid => (cid, daysAgo(7), cid % 2))
+        .toDF("customer_id", "event_time", "label")
+      def go(method: String) = AsOfJoin.joinAsOf(
+        sk, skewedFeatures, Seq("customer_id"), "event_time", "updated_at",
+        featureCols = Seq("age", "snap"), method = method)
+      val expected = go("union-window").collect().sortBy(_.getInt(0)).toSeq
+      val defaultRun = go("default")
+      assert(defaultRun.queryExecution.executedPlan.toString.contains("__graft_bounds"),
+        "default as-of path did not engage the salted two-level carry on a skewed corpus")
+      assert(defaultRun.collect().sortBy(_.getInt(0)).toSeq == expected,
+        "default (salted) as-of result diverged from union-window")
+    } finally {
+      c.unset("graft.asof.salt.hotKeyThreshold")
+      c.unset("graft.asof.salt.sampleRate")
+    }
+  }
+
   for (m <- Seq("union-window", "join-filter", "salted-window")) {
     test(s"$m: every spine row matches the -10d snapshot (reference PIT semantics)") {
       val rows = run(m).collect()

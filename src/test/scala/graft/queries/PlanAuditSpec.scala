@@ -42,6 +42,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("q95 corpus prep stays single-pass: at most 3 shuffle exchanges") {
+    // The chunker's carry-through columns let the four pipeline stages ride
+    // ONE scan of the corpus with ONE corpus-scale text shuffle; the other
+    // two exchanges are the final stats aggregation's two-phase
+    // count-distinct on already-chunked (post-reduction) rows — constant
+    // small data, not a scale concern. A restructuring that re-joins
+    // intermediate stages (losing the carryCols win) would add corpus-scale
+    // Exchange nodes and push the count past 3. Broadcast/reused exchanges
+    // are excluded: broadcasts are the intended small-side shape and a
+    // ReusedExchange reads an already-counted shuffle.
+    val plan = SparkEntry.queries("q95_corpus_prep")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shuffles = raw"(?m)^\s*(?:\+- |:- |\s)*Exchange (hash|range|single)"
+      .r.findAllIn(plan).size
+    assert(shuffles <= 3, s"q95 grew to $shuffles shuffle exchanges:\n$plan")
+  }
+
   test("ANN top-k windows keep the partial group-limit (hot-key bound)") {
     // row_number() <= k must plan as WindowGroupLimit Partial/Final: each
     // map partition pre-trims to k rows per query before the exchange, so
