@@ -485,8 +485,8 @@ object Similarity {
     * replicate [[rhpSignature]] bit-for-bit (oracle parity for the LSH
     * path — the planes are compile-time constants, not a trained model).
     */
-  def planeLiterals(bits: Int, dim: Int): Seq[String] =
-    signMatrix(bits, dim).toSeq.map(
+  def planeLiterals(bits: Int, dim: Int, table: Int = 0): Seq[String] =
+    signMatrix(bits, dim, table).toSeq.map(
       _.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
 
   /** recall@k of an approximate top-k result against the exact one:

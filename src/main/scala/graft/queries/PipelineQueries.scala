@@ -936,6 +936,422 @@ object PipelineQueries {
           min(col("doc_id")).as("first_doc"))
     }))
 
+  /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
+    * SELECT per table (each with its literal plane set): DuckDB evaluates
+    * every branch of a CASE expression per row, so the CASE-over-tables
+    * spelling cost 15× more (measured 49.8 s vs 3.4 s for 32 tables at
+    * sf0.01). The planes come from Similarity.planeLiterals, so every
+    * bucket matches rhpSignature bit-for-bit.
+    */
+  private def lshSigSelects(bits: Int, dim: Int, tables: Int): String = {
+    def dotLit(p: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), j -> CAST(embedding[j] AS DOUBLE) * ($p)[j]))"
+    (0 until tables).map { t =>
+      val b = Similarity.planeLiterals(bits, dim, t).zipWithIndex
+        .map { case (p, i) => s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)" }
+        .mkString(" + ")
+      s"SELECT vec_id, $t AS t, $b AS bucket FROM embeddings"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** q48 oracle: recall@5 of the LSH (bits=6, tables=32) and seed-IVF arms
+    * against brute-force exact — both approximate pipelines fully restated.
+    */
+  private val annRecallOracle: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+       |  FROM embeddings
+       |), sig AS MATERIALIZED (
+       |  ${lshSigSelects(6, 64, 32)}
+       |), lsh_scored AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65), j -> CAST(bc.embedding[j] AS DOUBLE) * CAST(bq.embedding[j] AS DOUBLE)))
+       |      / (bq.n * bc.n), 6) AS cosine
+       |  FROM sig c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+       |  JOIN base bq ON bq.vec_id = q.vec_id JOIN base bc ON bc.vec_id = c.vec_id
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), lsh_approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM lsh_scored) WHERE rank <= 5
+       |), cents AS MATERIALIZED (
+       |  SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), sims AS MATERIALIZED (
+       |  SELECT b.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), j -> CAST(b.embedding[j] AS DOUBLE) * c.cv[j])) / (b.n * c.cn) DESC,
+       |      c.centroid_id ASC) AS r
+       |  FROM base b, cents c
+       |), ivf_scored AS (
+       |  SELECT p.vec_id AS query_id, ca.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65), j -> CAST(bq.embedding[j] AS DOUBLE) * CAST(bc.embedding[j] AS DOUBLE)))
+       |      / (bq.n * bc.n), 6) AS cosine
+       |  FROM (SELECT vec_id, centroid_id FROM sims WHERE r <= 4 AND vec_id < 10) p
+       |  JOIN (SELECT vec_id, centroid_id FROM sims WHERE r = 1) ca
+       |    ON p.centroid_id = ca.centroid_id AND ca.vec_id <> p.vec_id
+       |  JOIN base bq ON bq.vec_id = p.vec_id JOIN base bc ON bc.vec_id = ca.vec_id
+       |), ivf_approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM ivf_scored) WHERE rank <= 5
+       |), exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65), j -> CAST(q.embedding[j] AS DOUBLE) * CAST(c.embedding[j] AS DOUBLE)))
+       |          / (q.n * c.n), 6) DESC, c.vec_id ASC) AS rank
+       |    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank <= 5
+       |), rec AS (
+       |  SELECT 'lsh' AS method, e.query_id, coalesce(h.n_hits, 0) / 5.0 AS recall
+       |  FROM (SELECT DISTINCT query_id FROM exact) e
+       |  LEFT JOIN (SELECT e2.query_id, count(*) AS n_hits FROM exact e2 JOIN lsh_approx a
+       |    ON e2.query_id = a.query_id AND e2.neighbor_id = a.neighbor_id GROUP BY 1) h
+       |  ON e.query_id = h.query_id
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, e.query_id, coalesce(h.n_hits, 0) / 5.0 AS recall
+       |  FROM (SELECT DISTINCT query_id FROM exact) e
+       |  LEFT JOIN (SELECT e2.query_id, count(*) AS n_hits FROM exact e2 JOIN ivf_approx a
+       |    ON e2.query_id = a.query_id AND e2.neighbor_id = a.neighbor_id GROUP BY 1) h
+       |  ON e.query_id = h.query_id
+       |)
+       |SELECT method, count(*) AS n_queries,
+       |  floor(avg(recall) * 10000.0 + 0.5) / 10000.0 AS mean_recall
+       |FROM rec GROUP BY method""".stripMargin
+
+  /** Shared q44/q49 oracle: IVF with the deterministic seed quantizer
+    * (nlist=16 lowest-id vectors, trainIters=0), nprobe=4, k=5. q49 probes
+    * the PERSISTED index, which by construction holds the same inverted
+    * lists, so one oracle covers both.
+    */
+  private val ivfSeedOracle: String =
+    """WITH cents AS MATERIALIZED (
+      |  SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+      |  FROM embeddings ORDER BY vec_id LIMIT 16
+      |), base AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      |  FROM embeddings
+      |), sims AS MATERIALIZED (
+      |  SELECT b.vec_id, c.centroid_id,
+      |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, 65), j -> CAST(b.embedding[j] AS DOUBLE) * c.cv[j])) / (b.n * c.cn) DESC,
+      |      c.centroid_id ASC) AS r
+      |  FROM base b, cents c
+      |), cand AS (
+      |  SELECT vec_id, centroid_id FROM sims WHERE r = 1
+      |), probe AS (
+      |  SELECT vec_id, centroid_id FROM sims WHERE r <= 4 AND vec_id < 10
+      |), scored AS (
+      |  SELECT p.vec_id AS query_id, ca.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, 65), j -> CAST(bq.embedding[j] AS DOUBLE) * CAST(bc.embedding[j] AS DOUBLE)))
+      |      / (bq.n * bc.n), 6) AS cosine
+      |  FROM probe p
+      |  JOIN cand ca ON p.centroid_id = ca.centroid_id AND ca.vec_id <> p.vec_id
+      |  JOIN base bq ON bq.vec_id = p.vec_id
+      |  JOIN base bc ON bc.vec_id = ca.vec_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** One unrolled Lloyd iteration of the exact-decimal spherical k-means
+    * (Similarity.trainCentroids restated): cosine argmax assignment against
+    * `prev` (tie-break sim desc, centroid asc — assignTo's sort key),
+    * per-(centroid, dim) means via DECIMAL(20,10) sums (the same
+    * order-independent exact accumulation; divided as DOUBLE like
+    * `getDecimal.doubleValue / cnt`), empty clusters keep their previous
+    * vector and norm.
+    */
+  private def lloydIterCte(prev: String, it: Int): String =
+    s""", asg$it AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT b.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 65), j -> CAST(b.embedding[j] AS DOUBLE) * c.cv[j])) / (b.n * c.cn) DESC,
+       |        c.centroid_id ASC) AS r
+       |    FROM base b, $prev c) WHERE r = 1
+       |), sums$it AS (
+       |  SELECT a.centroid_id, p.pos,
+       |    CAST(sum(CAST(b.embedding[p.pos] AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS val
+       |  FROM asg$it a JOIN base b ON a.vec_id = b.vec_id,
+       |    (SELECT unnest(range(1, 65)) AS pos) p
+       |  GROUP BY 1, 2
+       |), cvec$it AS (
+       |  SELECT centroid_id, list_transform(range(1, 65), j -> list_extract(list_sort(list_zip(pl, vl)), j)[2]) AS cv
+       |  FROM (SELECT centroid_id, list(pos) AS pl, list(val) AS vl FROM sums$it GROUP BY 1)
+       |), cents$it AS MATERIALIZED (
+       |  SELECT o.centroid_id,
+       |    coalesce(n.cv, o.cv) AS cv,
+       |    CASE WHEN n.cv IS NULL THEN o.cn
+       |         ELSE sqrt(list_sum(list_transform(n.cv, x -> x * x))) END AS cn
+       |  FROM $prev o LEFT JOIN cvec$it n ON o.centroid_id = n.centroid_id
+       |)""".stripMargin
+
+  /** q56 oracle: the FULL trained-quantizer recall pipeline — seed
+    * centroids, two unrolled exact-decimal Lloyd iterations, IVF probe
+    * (nprobe=4), brute-force exact top-5, recall@5 per query, round4 mean.
+    */
+  private val kmeansIvfRecallOracle: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+       |  FROM embeddings
+       |), cents0 AS MATERIALIZED (
+       |  SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |)${lloydIterCte("cents0", 1)}${lloydIterCte("cents1", 2)}
+       |, fsims AS MATERIALIZED (
+       |  SELECT b.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), j -> CAST(b.embedding[j] AS DOUBLE) * c.cv[j])) / (b.n * c.cn) DESC,
+       |      c.centroid_id ASC) AS r
+       |  FROM base b, cents2 c
+       |), cand AS (SELECT vec_id, centroid_id FROM fsims WHERE r = 1),
+       |probe AS (SELECT vec_id, centroid_id FROM fsims WHERE r <= 4 AND vec_id < 10),
+       |scored AS (
+       |  SELECT p.vec_id AS query_id, ca.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65), j -> CAST(bq.embedding[j] AS DOUBLE) * CAST(bc.embedding[j] AS DOUBLE)))
+       |      / (bq.n * bc.n), 6) AS cosine
+       |  FROM probe p JOIN cand ca ON p.centroid_id = ca.centroid_id AND ca.vec_id <> p.vec_id
+       |  JOIN base bq ON bq.vec_id = p.vec_id JOIN base bc ON bc.vec_id = ca.vec_id
+       |), approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM scored) WHERE rank <= 5
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65), j -> CAST(q.embedding[j] AS DOUBLE) * CAST(c.embedding[j] AS DOUBLE)))
+       |          / (q.n * c.n), 6) DESC, c.vec_id ASC) AS rank
+       |    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank <= 5
+       |), recall AS (
+       |  SELECT e.query_id, coalesce(h.n_hits, 0) / 5.0 AS recall
+       |  FROM (SELECT DISTINCT query_id FROM exact) e
+       |  LEFT JOIN (SELECT e2.query_id, count(*) AS n_hits FROM exact e2 JOIN approx a
+       |    ON e2.query_id = a.query_id AND e2.neighbor_id = a.neighbor_id GROUP BY 1) h
+       |  ON e.query_id = h.query_id
+       |)
+       |SELECT 'ivf_kmeans' AS method, count(*) AS n_queries,
+       |  floor(avg(recall) * 10000.0 + 0.5) / 10000.0 AS mean_recall
+       |FROM recall""".stripMargin
+
+  /** q75 oracle: SemDeDup — three unrolled exact-decimal Lloyd iterations
+    * (same restated training as q56), final assignment, within-cluster
+    * higher-id-removed dedup at cosine ≥ 0.32, per-cluster counts.
+    */
+  private val semDedupOracle: String = {
+    val finalAssign =
+      s"""fasg AS MATERIALIZED (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT b.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65), j -> CAST(b.embedding[j] AS DOUBLE) * c.cv[j])) / (b.n * c.cn) DESC,
+         |        c.centroid_id ASC) AS r
+         |    FROM base b, cents3 c) WHERE r = 1
+         |)""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+       |  FROM embeddings
+       |), cents0 AS MATERIALIZED (
+       |  SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |)${lloydIterCte("cents0", 1)}${lloydIterCte("cents1", 2)}${lloydIterCte("cents2", 3)}
+       |, $finalAssign, removed AS (
+       |  SELECT DISTINCT a.vec_id AS id
+       |  FROM fasg a JOIN fasg b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+       |  JOIN base ba ON ba.vec_id = a.vec_id JOIN base bb ON bb.vec_id = b.vec_id
+       |  WHERE round(list_sum(list_transform(range(1, 65), j -> CAST(ba.embedding[j] AS DOUBLE) * CAST(bb.embedding[j] AS DOUBLE)))
+       |    / (ba.n * bb.n), 6) >= 0.32
+       |)
+       |SELECT f.centroid_id, count(*) AS n_items,
+       |  CAST(sum(CASE WHEN r.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN r.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+       |FROM fasg f LEFT JOIN removed r ON f.vec_id = r.id
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** One unrolled PQ training iteration (ProductQuantization.train
+    * restated): per-(vector, subspace) nearest-code by the
+    * dot(sub,c)/n − ½‖c‖² objective (tie → lowest code, matching the
+    * array_position-of-max argmax), then per-(subspace, code, position)
+    * exact-decimal means of the NORMALIZED components.
+    */
+  private def pqIterCte(prev: String, it: Int): String =
+    s""", sc$it AS (
+       |  SELECT b.vec_id, cb.j, cb.k,
+       |    row_number() OVER (PARTITION BY b.vec_id, cb.j ORDER BY
+       |      list_sum(list_transform(range(1, 9), d -> CAST(b.embedding[cb.j * 8 + d] AS DOUBLE) * cb.cv[d])) / b.n
+       |        - 0.5 * list_sum(list_transform(cb.cv, x -> x * x)) DESC,
+       |      cb.k ASC) AS r
+       |  FROM base b, $prev cb
+       |), code$it AS (
+       |  SELECT vec_id, j, k AS code FROM sc$it WHERE r = 1
+       |), sums$it AS (
+       |  SELECT c.j, c.code, p.pos,
+       |    CAST(sum(CAST(CAST(b.embedding[c.j * 8 + p.pos] AS DOUBLE) / b.n AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS val
+       |  FROM code$it c JOIN base b ON c.vec_id = b.vec_id,
+       |    (SELECT unnest(range(1, 9)) AS pos) p
+       |  GROUP BY 1, 2, 3
+       |), cvec$it AS (
+       |  SELECT j, code AS k, list_transform(range(1, 9), d -> list_extract(list_sort(list_zip(pl, vl)), d)[2]) AS cv
+       |  FROM (SELECT j, code, list(pos) AS pl, list(val) AS vl FROM sums$it GROUP BY 1, 2)
+       |), cb$it AS MATERIALIZED (
+       |  SELECT o.j, o.k, coalesce(n.cv, o.cv) AS cv
+       |  FROM $prev o LEFT JOIN cvec$it n ON o.j = n.j AND o.k = n.k
+       |)""".stripMargin
+
+  /** Shared PQ-pipeline CTE prefix (base/seed/2 training iterations/final
+    * codes/query unit vectors/per-query ADC dot tables). The ADC sum is
+    * `list_sum(list(v ORDER BY j))` — a plain SUM leaves float addition
+    * order unspecified, and ADC must fold the m lookups in subspace order
+    * to reproduce adcScore's reduce exactly.
+    */
+  private val pqPrefixCte: String =
+    s"""base AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+       |  FROM embeddings
+       |), seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS un
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), cb0 AS MATERIALIZED (
+       |  SELECT jj.j, k, un[jj.j * 8 + 1 : jj.j * 8 + 8] AS cv
+       |  FROM seed, (SELECT unnest(range(0, 8)) AS j) jj
+       |)${pqIterCte("cb0", 1)}${pqIterCte("cb1", 2)}
+       |, codes AS MATERIALIZED (
+       |  SELECT vec_id, j, k AS code FROM (
+       |    SELECT b.vec_id, cb.j, cb.k,
+       |      row_number() OVER (PARTITION BY b.vec_id, cb.j ORDER BY
+       |        list_sum(list_transform(range(1, 9), d -> CAST(b.embedding[cb.j * 8 + d] AS DOUBLE) * cb.cv[d])) / b.n
+       |          - 0.5 * list_sum(list_transform(cb.cv, x -> x * x)) DESC,
+       |        cb.k ASC) AS r
+       |    FROM base b, cb2 cb) WHERE r = 1
+       |), qunit AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS qu
+       |  FROM base WHERE vec_id < 10
+       |), dt AS MATERIALIZED (
+       |  SELECT q.query_id, cb.j, cb.k,
+       |    list_sum(list_transform(range(1, 9), d -> q.qu[cb.j * 8 + d] * cb.cv[d])) AS v
+       |  FROM qunit q, cb2 cb
+       |), exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65), d -> CAST(q.embedding[d] AS DOUBLE) * CAST(c.embedding[d] AS DOUBLE)))
+       |          / (q.n * c.n), 6) DESC, c.vec_id ASC) AS rank
+       |    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank <= 5
+       |)""".stripMargin
+
+  private def recallArm(method: String, approxRel: String): String =
+    s"""SELECT '$method' AS method, e.query_id, coalesce(h.n_hits, 0) / 5.0 AS recall
+       |  FROM (SELECT DISTINCT query_id FROM exact) e
+       |  LEFT JOIN (SELECT e2.query_id, count(*) AS n_hits FROM exact e2 JOIN $approxRel a
+       |    ON e2.query_id = a.query_id AND e2.neighbor_id = a.neighbor_id GROUP BY 1) h
+       |  ON e.query_id = h.query_id""".stripMargin
+
+  /** q57 oracle: PQ ADC and ADC+exact-rerank recall vs brute force — the
+    * full two-iteration exact-decimal PQ training restated.
+    */
+  private val pqRecallOracle: String =
+    s"""WITH $pqPrefixCte, adc AS MATERIALIZED (
+       |  SELECT d.query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list(d.v ORDER BY d.j)), 6) AS adc_cosine
+       |  FROM codes c JOIN dt d ON c.j = d.j AND c.code = d.k
+       |  WHERE d.query_id <> c.vec_id
+       |  GROUP BY 1, 2
+       |), pq_approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rank
+       |    FROM adc) WHERE rank <= 5
+       |), shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS r
+       |    FROM adc) WHERE r <= 40
+       |), rr_approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65), d -> CAST(bq.embedding[d] AS DOUBLE) * CAST(bc.embedding[d] AS DOUBLE)))
+       |          / (bq.n * bc.n), 6) DESC, s.neighbor_id ASC) AS rank
+       |    FROM shortlist s JOIN base bq ON bq.vec_id = s.query_id JOIN base bc ON bc.vec_id = s.neighbor_id
+       |  ) WHERE rank <= 5
+       |), rec AS (
+       |  ${recallArm("pq_adc", "pq_approx")}
+       |  UNION ALL
+       |  ${recallArm("pq_adc_rerank", "rr_approx")}
+       |)
+       |SELECT method, count(*) AS n_queries,
+       |  floor(avg(recall) * 10000.0 + 0.5) / 10000.0 AS mean_recall,
+       |  CAST(4 AS BIGINT) AS bytes_per_vector, CAST(256 AS BIGINT) AS bytes_uncompressed
+       |FROM rec GROUP BY method""".stripMargin
+
+  /** q71 oracle: the persisted IVF-PQ index — seed coarse quantizer, PQ
+    * codes, partition-pruned probe (candidates restricted to each query's
+    * nprobe=4 lists), ADC shortlist of 25, exact re-rank, recall@5.
+    */
+  private val ivfPqOracle: String =
+    s"""WITH $pqPrefixCte, cents AS MATERIALIZED (
+       |  SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), sims AS MATERIALIZED (
+       |  SELECT b.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), j -> CAST(b.embedding[j] AS DOUBLE) * c.cv[j])) / (b.n * c.cn) DESC,
+       |      c.centroid_id ASC) AS r
+       |  FROM base b, cents c
+       |), cand AS (SELECT vec_id, centroid_id FROM sims WHERE r = 1),
+       |probe AS (SELECT vec_id AS query_id, centroid_id FROM sims WHERE r <= 4 AND vec_id < 10),
+       |adc AS MATERIALIZED (
+       |  SELECT p.query_id, ca.vec_id AS neighbor_id,
+       |    round(list_sum(list(d.v ORDER BY d.j)), 6) AS adc_cosine
+       |  FROM (SELECT DISTINCT query_id, centroid_id FROM probe) p
+       |  JOIN cand ca ON ca.centroid_id = p.centroid_id
+       |  JOIN codes c ON c.vec_id = ca.vec_id
+       |  JOIN dt d ON c.j = d.j AND c.code = d.k AND d.query_id = p.query_id
+       |  WHERE p.query_id <> ca.vec_id
+       |  GROUP BY 1, 2
+       |), shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS r
+       |    FROM adc) WHERE r <= 25
+       |), rr_approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65), d -> CAST(bq.embedding[d] AS DOUBLE) * CAST(bc.embedding[d] AS DOUBLE)))
+       |          / (bq.n * bc.n), 6) DESC, s.neighbor_id ASC) AS rank
+       |    FROM shortlist s JOIN base bq ON bq.vec_id = s.query_id JOIN base bc ON bc.vec_id = s.neighbor_id
+       |  ) WHERE rank <= 5
+       |), rec AS (
+       |  ${recallArm("ivfpq", "rr_approx")}
+       |)
+       |SELECT count(*) AS n_queries,
+       |  floor(avg(recall) * 10000.0 + 0.5) / 10000.0 AS mean_recall
+       |FROM rec""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -980,6 +1396,81 @@ object PipelineQueries {
     "q24_simhash" -> DuckDbXxHash64.nearDupSimHashOracle(3),
 
     "q51_winnowing" -> DuckDbXxHash64.nearDupWinnowingOracle(0.3, 50),
+
+    // multi-table LSH ANN top-k graduated to a full oracle: all 8 tables'
+    // ±1 planes are deterministic literals, so DuckDB reproduces every
+    // sign bucket, the cross-table candidate union, the cosine scores, and
+    // the (cosine desc, neighbor asc) ranking exactly
+    "q26_knn_lsh" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+         |  FROM embeddings
+         |), sig AS MATERIALIZED (
+         |  ${lshSigSelects(6, 64, 8)}
+         |), scored AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), j -> CAST(bc.embedding[j] AS DOUBLE) * CAST(bq.embedding[j] AS DOUBLE)))
+         |      / (bq.n * bc.n), 6) AS cosine
+         |  FROM sig c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+         |  JOIN base bq ON bq.vec_id = q.vec_id JOIN base bc ON bc.vec_id = c.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q48_ann_recall" -> PipelineQueries.annRecallOracle,
+
+    // IVF top-k graduated to a full oracle (q44 inline, q49 via the
+    // persisted index — identical results by construction): coarse
+    // centroids are the DETERMINISTIC seed set (16 lowest-id vectors, no
+    // training for these queries), so assignment, probing, scoring, and
+    // ranking are all restatable — argmax tie-break (sim desc, centroid asc)
+    // matches assignTo's sort key exactly
+    "q44_knn_ivf" -> PipelineQueries.ivfSeedOracle,
+    "q49_knn_ivf_indexed" -> PipelineQueries.ivfSeedOracle,
+
+    // trained-quantizer IVF recall graduated: the exact-decimal Lloyd
+    // training is order-independent by design, which is precisely what
+    // makes it RESTATABLE in another engine — two unrolled iterations in
+    // SQL reproduce the centroids bit-for-bit, and the recall follows
+    "q56_kmeans_ivf" -> PipelineQueries.kmeansIvfRecallOracle,
+
+    "q75_semdedup" -> PipelineQueries.semDedupOracle,
+
+    // PQ / IVF-PQ graduated: exact-decimal PQ training is restatable for
+    // the same reason the k-means quantizer is; the ADC fold order is
+    // pinned with list(v ORDER BY j)
+    "q57_pq_recall" -> PipelineQueries.pqRecallOracle,
+    "q71_ivfpq" -> PipelineQueries.ivfPqOracle,
+
+    // random-hyperplane cosine LSH graduated to a full oracle: the ±1
+    // planes are deterministic compile-time literals (Similarity
+    // .planeLiterals), so DuckDB reproduces the sign buckets bit-for-bit
+    // and the pair set + cosines follow exactly (round(,6) parity as q88)
+    "q27_cosine_neardup" -> {
+      val planes = Similarity.planeLiterals(8, 64)
+      def dotLit(p: String): String =
+        s"list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($p)[j]))"
+      val bucket = planes.zipWithIndex
+        .map { case (p, i) => s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)" }
+        .mkString(" + ")
+      val pairDot =
+        "list_sum(list_transform(range(1, 65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))"
+      s"""WITH sig AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))) AS n,
+         |    $bucket AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($pairDot / (a.n * b.n), 6) AS cosine
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round($pairDot / (a.n * b.n), 6) >= 0.32""".stripMargin
+    },
 
     "q25_knn" ->
       """WITH q AS (

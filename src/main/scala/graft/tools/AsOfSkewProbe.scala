@@ -16,7 +16,7 @@ import graft.pit.AsOfJoin
   * split window partitions) and that task bounds wall-clock. The probe runs
   * union-window and salted-window on the same corpus, records wall time and
   * the LONGEST single task of each run (a straggler detector), and writes
-  * one JSON line to stdout + ASOFPROBE_r08.json. The salted run must show
+  * one JSON line to stdout + ASOFPROBE_r09.json (override via GRAFT_PROBE_OUT). The salted run must show
   * the max task no longer dominating its wall time.
   *
   * Usage: tools/run.sh graft.tools.AsOfSkewProbe [nFeatures nSpine nKeys]
@@ -128,7 +128,8 @@ object AsOfSkewProbe {
       f""""salted_window":{"wall_sec":${r4(mst._1)},"max_task_sec":${r4(mst._2)}},""" +
       f""""rows":${muw._3},"max_task_ratio":${r4(mst._2 / math.max(muw._2, 1e-9))}}}"""
     println(json)
-    Files.write(Paths.get("/root/repo/ASOFPROBE_r08.json"),
+    Files.write(
+      Paths.get(sys.env.getOrElse("GRAFT_PROBE_OUT", "/root/repo/ASOFPROBE_r09.json")),
       json.getBytes(StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -30,7 +30,7 @@ import graft.pit.AsOfJoin
   * would instead grow quadratic pair work that says nothing about the
   * operators' shuffle geometry.
   *
-  * Usage: tools/run.sh graft.tools.ScaleSweep [sfDir] → SCALEPROBE_r08.json
+  * Usage: tools/run.sh graft.tools.ScaleSweep [sfDir] → SCALEPROBE_r09.json (override via GRAFT_PROBE_OUT)
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
@@ -208,9 +208,11 @@ object ScaleSweep {
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
+      s""""corpus":${graft.CorpusFingerprint.json(spark, sfDir)},""" +
       s""""note":"disjoint 10x replication; bytes from task metrics",""" +
       s""""measurements":[${results.reverse.mkString(",")}]}"""
-    Files.write(Paths.get("/root/repo/SCALEPROBE_r08.json"),
+    Files.write(
+      Paths.get(sys.env.getOrElse("GRAFT_PROBE_OUT", "/root/repo/SCALEPROBE_r09.json")),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()
