@@ -383,6 +383,22 @@ object AsOfJoin {
     val sampleRate = conf.get("graft.asof.salt.sampleRate", "0.01").toDouble
     val maxHotKeys = conf.get("graft.asof.salt.maxHotKeys", "1000").toInt
     require(numBuckets >= 2, s"graft.asof.salt.buckets must be >= 2, got $numBuckets")
+    // Stats short-circuit: a hot key needs >= hotThreshold rows, so a
+    // relation that provably holds fewer rows cannot contain one and the
+    // sampled detection job is pure overhead (measured: the job floor
+    // added ~0.6 s per DEFAULT-path as-of call at bench scale). Catalyst's
+    // rowCount is used when available; otherwise sizeInBytes with a
+    // conservative 2-bytes-per-row floor — a (keys, ts, payload) row
+    // below 2 parquet-compressed bytes would need near-constant columns
+    // INCLUDING the timestamp, which the as-of contract precludes. Any
+    // production-scale input exceeds the cutoff trivially, so this only
+    // fires where it should: small unions that cannot be skewed enough
+    // to matter.
+    val stats = unioned.queryExecution.optimizedPlan.stats
+    val minBytesPerRow = conf.get("graft.asof.salt.minBytesPerRow", "2").toLong
+    val provablySmall = stats.rowCount.exists(_ < hotThreshold) ||
+      stats.sizeInBytes < BigInt(hotThreshold) * minBytesPerRow
+    if (provablySmall) return None
     val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val det = unioned
       .sample(withReplacement = false, sampleRate, seed = 42)
