@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Round-end validation — run as the LAST act of a round (verdict r8 #3: the
+# round-8 snapshot shipped "FAILURES: 0" claims that were stale within
+# minutes of a mid-round testdata regen). Re-drives the full correctness
+# gate against whatever the testdata is RIGHT NOW and prints the corpus
+# fingerprint so the artifacts record which corpus they certify.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:-/root/testdata/sf0.01}"
+OUT="${2:-/tmp/graft_roundcheck}"
+
+echo "== compile =="
+sbt -batch compile | tail -1
+
+echo "== verify @ ${SF_DIR} =="
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" tools/run.sh graft.Verify "$SF_DIR" "$OUT" 2>/tmp/roundcheck_verify_err.log
+grep '\[verify\]' /tmp/roundcheck_verify_err.log || true
+
+echo "== corpus fingerprint =="
+python3 -c "import json; print(json.dumps(json.load(open('$OUT/verify_manifest.json')), indent=1))"
+
+echo "== duckdb oracle compare =="
+python3 tools/check.py "$SF_DIR" "$OUT" | tail -5
