@@ -1352,6 +1352,72 @@ object PipelineQueries {
        |  floor(avg(recall) * 10000.0 + 0.5) / 10000.0 AS mean_recall
        |FROM rec""".stripMargin
 
+  /** q70 oracle: full BPE (Sennrich) restated. Training's 40 merge rounds
+    * unroll as CTE stages over the (word, count) dictionary — per stage:
+    * adjacent-pair counts, argmax with the count-desc/(a,b)-lex-asc
+    * tie-break, stop encoded as an empty best-pair relation (words then
+    * pass through unchanged, keeping later stages empty exactly like the
+    * driver loop's break). Encoding is the standard min-rank greedy loop
+    * as a recursive CTE (length strictly decreases, so it terminates);
+    * merge application is a left-to-right non-overlapping fold over the
+    * space-joined symbol string (symbols never contain whitespace — they
+    * are concatenations of characters of whitespace-split tokens).
+    */
+  private def bpeOracle(numMerges: Int): String = {
+    // apply merge (a, b) to the space-joined symbol string s
+    def applyFold(s: String, a: String, b: String): String =
+      s"ltrim(list_reduce(list_prepend('', string_split($s, ' ')), (acc, x) -> " +
+        s"CASE WHEN acc = '' THEN x " +
+        s"WHEN x = $b AND regexp_extract(acc, '[^ ]*$$') = $a " +
+        s"THEN CASE WHEN strpos(acc, ' ') = 0 THEN acc || x " +
+        s"     ELSE left(acc, len(acc) - len(regexp_extract(acc, '[^ ]*$$')) - 1) || ' ' || regexp_extract(acc, '[^ ]*$$') || x END " +
+        s"ELSE acc || ' ' || x END))"
+    def stage(k: Int): String =
+      s""", p$k AS (
+         |  SELECT s[i] AS a, s[i+1] AS b, sum(c) AS cnt
+         |  FROM (SELECT string_split(syms, ' ') AS s, c FROM w${k - 1}), LATERAL (SELECT unnest(range(1, len(s))) AS i)
+         |  GROUP BY 1, 2
+         |), b$k AS (SELECT a, b FROM p$k WHERE cnt >= 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w, c, CASE WHEN b$k.a IS NULL THEN syms ELSE ${applyFold("syms", s"b$k.a", s"b$k.b")} END AS syms
+         |  FROM w${k - 1} LEFT JOIN b$k ON TRUE
+         |)""".stripMargin
+    val stages = (1 to numMerges).map(stage).mkString
+    val mergesUnion = (1 to numMerges)
+      .map(k => s"SELECT $k AS rank, a, b FROM b$k").mkString(" UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents
+       |), wc AS (
+       |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+       |), w0 AS MATERIALIZED (
+       |  SELECT w, c, array_to_string(list_append(string_split(w, ''), '</w>'), ' ') AS syms FROM wc
+       |)$stages
+       |, merges AS MATERIALIZED ($mergesUnion)
+       |, enc AS (
+       |  WITH RECURSIVE st AS (
+       |    SELECT w, array_to_string(list_append(string_split(w, ''), '</w>'), ' ') AS syms FROM wc
+       |    UNION ALL
+       |    SELECT w, ${applyFold("st.syms", "m.a", "m.b")} AS syms
+       |    FROM st JOIN merges m ON m.rank = (
+       |      SELECT min(m2.rank) FROM merges m2, (SELECT string_split(st.syms, ' ') AS s) ss,
+       |        LATERAL (SELECT unnest(range(1, len(ss.s))) AS i) ii
+       |      WHERE ss.s[ii.i] = m2.a AND ss.s[ii.i+1] = m2.b)
+       |  )
+       |  SELECT w, min(len(string_split(syms, ' '))) AS n_sub FROM st GROUP BY w
+       |), per_doc AS (
+       |  SELECT d.doc_id, sum(e.n_sub) AS s
+       |  FROM (SELECT doc_id, t FROM tok) d, LATERAL (SELECT unnest(d.t) AS w) u
+       |  JOIN enc e ON u.w = e.w
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT t.doc_id,
+       |  CAST(len(t.t) AS BIGINT) AS n_words,
+       |  CAST(coalesce(p.s, 0) AS BIGINT) AS n_bpe_tokens,
+       |  floor(CAST(coalesce(p.s, 0) AS DOUBLE) / greatest(len(t.t), 1) * 10000.0 + 0.5) / 10000.0 AS subwords_per_word
+       |FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1446,6 +1512,11 @@ object PipelineQueries {
     // pinned with list(v ORDER BY j)
     "q57_pq_recall" -> PipelineQueries.pqRecallOracle,
     "q71_ivfpq" -> PipelineQueries.ivfPqOracle,
+
+    // BPE graduated: training's merge loop unrolls (deterministic
+    // lexicographic tie-breaks were DESIGNED for reproducibility, which
+    // also makes them restatable), encoding is a recursive CTE
+    "q70_bpe_tokenize" -> PipelineQueries.bpeOracle(40),
 
     // random-hyperplane cosine LSH graduated to a full oracle: the ±1
     // planes are deterministic compile-time literals (Similarity
