@@ -249,7 +249,10 @@ object AsOfJoin {
       renamed.select((spineCols.map(col) ++ unpacked): _*)
     }
 
-    val hot = if (salted) detectHotKeys(unioned, joinKeys) else None
+    val hot =
+      if (salted) detectHotKeys(unioned, joinKeys,
+        statsFrames = spine +: features.map(_._1))
+      else None
     hot match {
       case None =>
         // N feature views, still ONE shuffle + ONE sort: every last()
@@ -376,7 +379,8 @@ object AsOfJoin {
     * None ⇒ no hot keys ⇒ caller keeps the plain one-level plan.
     */
   private def detectHotKeys(
-      unioned: DataFrame, joinKeys: Seq[String]): Option[(DataFrame, Int)] = {
+      unioned: DataFrame, joinKeys: Seq[String],
+      statsFrames: Seq[DataFrame] = Seq.empty): Option[(DataFrame, Int)] = {
     val conf = unioned.sparkSession.conf
     val numBuckets = conf.get("graft.asof.salt.buckets", "16").toInt
     val hotThreshold = conf.get("graft.asof.salt.hotKeyThreshold", "2000000").toLong
@@ -393,11 +397,17 @@ object AsOfJoin {
     // INCLUDING the timestamp, which the as-of contract precludes. Any
     // production-scale input exceeds the cutoff trivially, so this only
     // fires where it should: small unions that cannot be skewed enough
-    // to matter.
-    val stats = unioned.queryExecution.optimizedPlan.stats
+    // to matter. `statsFrames` lets the multi-FV path bound from its RAW
+    // sides: the packed union's width estimate inflates with one struct
+    // per feature view, which defeated the bound while the true row count
+    // (= Σ side rows) was far below the threshold.
     val minBytesPerRow = conf.get("graft.asof.salt.minBytesPerRow", "2").toLong
-    val provablySmall = stats.rowCount.exists(_ < hotThreshold) ||
-      stats.sizeInBytes < BigInt(hotThreshold) * minBytesPerRow
+    val provablySmall = {
+      val frames = if (statsFrames.nonEmpty) statsFrames else Seq(unioned)
+      val st = frames.map(_.queryExecution.optimizedPlan.stats)
+      if (st.forall(_.rowCount.isDefined)) st.map(_.rowCount.get).sum < hotThreshold
+      else st.map(_.sizeInBytes).sum < BigInt(hotThreshold) * minBytesPerRow
+    }
     if (provablySmall) return None
     val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val det = unioned
@@ -633,8 +643,10 @@ object AsOfJoin {
     val unioned = tagAndUnion(spine, features, joinKeys, spineTs, featureTs, payload, maxStaleness)
 
     // No hot keys → the plain union-window plan: zero salting overhead
-    // beyond the detection job (see detectHotKeys).
-    val (hotDf, numBuckets) = detectHotKeys(unioned, joinKeys) match {
+    // beyond the detection job (see detectHotKeys). Bound from the raw
+    // sides: the packed union's struct width inflates its size estimate.
+    val (hotDf, numBuckets) = detectHotKeys(unioned, joinKeys,
+        statsFrames = Seq(spine, features)) match {
       case None =>
         return unionWindow(spine, features, joinKeys, spineTs, featureTs, payload,
           includeFeatureTs, maxStaleness)
