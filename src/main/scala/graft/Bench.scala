@@ -142,8 +142,8 @@ object Bench {
       var attempts = List.empty[(Double, Double, Double, Option[String])]
       var nClean = 0
       var n = 0
-      var failedFast = false
-      while (n < maxAttempts && nClean < runs && !failedFast) {
+      var consecErrs = 0
+      while (n < maxAttempts && nClean < runs && consecErrs < 2) {
         val calBefore = probe()
         val spBefore = sparkProbe()
         val (d, err) = timeOne(name, fn)
@@ -153,8 +153,12 @@ object Bench {
         val worst = math.max(calBefore, calAfter)
         val worstSp = math.max(spBefore, spAfter)
         attempts ::= ((d, worst, worstSp, err))
-        if (err.isDefined) failedFast = true // deterministic failure — no point retrying
-        else if (isClean(worst, worstSp)) nClean += 1
+        // fail-fast only after TWO CONSECUTIVE errors: a deterministic
+        // failure (AnalysisException etc.) reproduces immediately, while a
+        // transient one (executor OOM, FS hiccup) gets exactly one more
+        // chance instead of permanently marking the query FAILED
+        if (err.isDefined) consecErrs += 1
+        else { consecErrs = 0; if (isClean(worst, worstSp)) nClean += 1 }
         n += 1
       }
       // nominal may have improved after early cleanness decisions; re-judge
@@ -176,8 +180,11 @@ object Bench {
     // (a crash time is not a query time) and surfaced twice: a `failed` name
     // list and an `errors` map, both in the headline portion of the line.
     val okResults = results.filter(_._2.err.isEmpty)
+    // 4-decimal times: sub-0.1ms resolution is noise, and a compact line
+    // matters — the driver scrapes a bounded tail window of sbt stdout and
+    // round-9's full-precision line truncated mid-map (64/93 queries)
     val qs = okResults.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v.time }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + r4(v.time) }.mkString("{", ",", "}")
     val cals = okResults.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r4(v.cal) }.mkString("{", ",", "}")
     val calsSpark = okResults.sortBy(_._1)
@@ -200,16 +207,22 @@ object Bench {
     // small metadata FIRST and the per-query map LAST so any tail window
     // of the line contains real query times; also persist the full JSON
     // to BENCH_LOCAL.json so a truncated capture is always recoverable.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
+    val head = s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir"""" +
       s""","ok_count":${okResults.size},"failed_count":${results.size - okResults.size}""" +
       s""","failed":$failedNames,"errors":$errors""" +
       s""","corpus":${CorpusFingerprint.json(spark, sfDir)}""" +
       s""","cal_nominal":${r4(calNominal)},"cal_spin_iters":$SpinIters""" +
       s""","cal_spark_nominal":${r4(sparkNominal)}""" +
-      s""","throttled":$throttled,"cal":$cals,"cal_spark":$calsSpark,"queries":$qs}"""
+      s""","throttled":$throttled"""
+    // stdout line: headline + the per-query map ONLY, so the driver's
+    // bounded tail capture holds all 93 queries; the per-query calibration
+    // maps (diagnostics) live in BENCH_LOCAL.json, which is committed and
+    // always whole
+    val json = head + s""","queries":$qs}"""
+    val fullJson = head + s""","cal":$cals,"cal_spark":$calsSpark,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     // Human/tail-readable per-query lines on stdout, one per line, before
     // the machine-readable JSON line (which stays last for the driver).

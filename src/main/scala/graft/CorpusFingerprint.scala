@@ -28,6 +28,17 @@ object CorpusFingerprint {
     val eventsTs =
       try spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType.typeName
       catch { case _: Throwable => "unavailable" }
-    s"""{"events_ts_type":"$eventsTs","rows":{${counts.mkString(",")}}}"""
+    // ts range AS NORMALIZED by graft.Tables (µs timestamps): if a corpus
+    // regen changes the physical UNIT (e.g. ns-long → µs-long) without
+    // changing the type name, the 1000x-shifted range is self-evident here
+    // — the type name alone cannot show a unit mismatch.
+    val tsRange =
+      try {
+        import org.apache.spark.sql.functions.{col, min, max, unix_micros}
+        val r = Tables.events(spark, sfDir)
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+        s""","events_ts_us_min":${r.getLong(0)},"events_ts_us_max":${r.getLong(1)}"""
+      } catch { case _: Throwable => "" }
+    s"""{"events_ts_type":"$eventsTs"$tsRange,"rows":{${counts.mkString(",")}}}"""
   }
 }

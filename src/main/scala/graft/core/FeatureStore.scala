@@ -451,7 +451,21 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
               .filterNot(c => keys.contains(c.toLowerCase) || c.toLowerCase == fts).toSeq
             (fvDf, fts, payload)
           }
-          AsOfJoin.joinAsOfMulti(acc, parts, keys, sts)
+          // Hot-key detection verdicts are memoized per committed snapshot:
+          // the key is (every FV's manifest version, join keys), so repeated
+          // dataset generations — and enrichStream's per-micro-batch calls —
+          // on unchanged snapshots run ZERO detection jobs after the first,
+          // and any refresh commit naturally invalidates (new version ⇒ new
+          // key). Query-defined FVs (no manifest) have no stable snapshot
+          // identity ⇒ no caching.
+          val snapIds = group.toSeq.map(rec => rec.physicalPath.flatMap(p =>
+            graft.storage.VersionedTable.readManifest(p)
+              .map(m => s"${rec.logicalId}@${m.version}")))
+          val cacheKey =
+            if (snapIds.forall(_.isDefined))
+              Some(s"asof:${snapIds.flatten.mkString("+")}:keys=${keys.mkString(",")}")
+            else None
+          AsOfJoin.joinAsOfMulti(acc, parts, keys, sts, hotKeyCacheKey = cacheKey)
         case _ =>
           val rec = group.head
           val fvDf = readFeatureView(rec.fv.name, rec.version)

@@ -31,13 +31,37 @@ object BpeTokenizer {
 
   /** Learn `numMerges` merges from the corpus. Stops early when no pair
     * occurs at least twice (merging singletons is pure vocabulary bloat).
+    *
+    * The driver-side dictionary is BOUNDED, not trusted to be model-scale:
+    * on a 100 TB web corpus distinct "words" (unicode noise, URLs, code
+    * tokens) run to 10^8+ and an unfiltered collect is a driver OOM.
+    *  - `minCount` (default 2, standard BPE trainer practice) drops
+    *    hapax words map-side BEFORE the collect — they are overwhelmingly
+    *    the noise tail, and cutting them is a deliberate, documented
+    *    training choice (the oracle applies the same cut);
+    *  - `maxDictSize` is a hard cap: if the filtered dictionary still
+    *    exceeds it, training REFUSES with guidance instead of silently
+    *    truncating (a truncated dictionary would train nondeterministically)
+    *    or OOMing the driver.
+    * The cap costs no extra job: collecting maxDictSize+1 rows detects
+    * overflow, and when under the cap the collect is already complete.
     */
-  def train(df: DataFrame, textCol: Column, numMerges: Int): Seq[(String, String)] = {
-    val wordCounts = df
+  def train(df: DataFrame, textCol: Column, numMerges: Int,
+      minCount: Long = 2L, maxDictSize: Int = 5000000): Seq[(String, String)] = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxDictSize >= 1, s"maxDictSize must be >= 1, got $maxDictSize")
+    val rows = df
       .select(explode(TextFunctions.tokens(lower(textCol))).as("w"))
       .groupBy("w").count()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainFromCounts(wordCounts, numMerges)
+      .filter(col("count") >= minCount)
+      .limit(maxDictSize + 1)
+      .collect()
+    require(rows.length <= maxDictSize,
+      s"BPE training dictionary exceeds maxDictSize=$maxDictSize distinct words " +
+        s"(with minCount=$minCount). Raise minCount to cut the noise tail, raise " +
+        s"maxDictSize, or train on a sampled corpus — refusing rather than " +
+        s"truncating nondeterministically or exhausting driver memory.")
+    trainFromCounts(rows.map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges)
   }
 
   /** The merge loop over a (word, count) dictionary. Exposed for specs and

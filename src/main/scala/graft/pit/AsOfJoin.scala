@@ -1,6 +1,6 @@
 package graft.pit
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -112,14 +112,15 @@ object AsOfJoin {
       includeFeatureTs: Option[String] = None,
       method: String = "default",
       maxStaleness: Option[String] = None,
-      prefilterSpineKeys: Boolean = true): DataFrame = {
+      prefilterSpineKeys: Boolean = true,
+      hotKeyCacheKey: Option[String] = None): DataFrame = {
     val payload =
       if (featureCols.nonEmpty) featureCols
       else features.columns.filterNot(c => joinKeys.contains(c) || c == featureTs).toSeq
     val features1 =
       if (prefilterSpineKeys) prefilterBySpineKeys(spine, features, joinKeys) else features
     joinAsOfDispatch(spine, features1, joinKeys, spineTs, featureTs, payload,
-      includeFeatureTs, resolveMethod(spine, method), maxStaleness)
+      includeFeatureTs, resolveMethod(spine, method), maxStaleness, hotKeyCacheKey)
   }
 
   /** `"default"` resolves through the session conf `graft.asof.method`,
@@ -144,10 +145,11 @@ object AsOfJoin {
       payload: Seq[String],
       includeFeatureTs: Option[String],
       method: String,
-      maxStaleness: Option[String]): DataFrame = {
+      maxStaleness: Option[String],
+      hotKeyCacheKey: Option[String] = None): DataFrame = {
     method match {
       case "union-window" => unionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
-      case "salted-window" => saltedUnionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
+      case "salted-window" => saltedUnionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hotKeyCacheKey)
       case "join-filter" => joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hint = false)
       case "auto" =>
         // Catalyst-stats-based pick: a broadcastable feature side makes the
@@ -160,7 +162,8 @@ object AsOfJoin {
         if (isBroadcastable(features))
           joinFilter(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness, hint = true)
         else
-          saltedUnionWindow(spine, features, joinKeys, spineTs, featureTs, payload, includeFeatureTs, maxStaleness)
+          saltedUnionWindow(spine, features, joinKeys, spineTs, featureTs, payload,
+            includeFeatureTs, maxStaleness, hotKeyCacheKey)
       case other => throw new IllegalArgumentException(s"unknown as-of method: $other")
     }
   }
@@ -178,11 +181,13 @@ object AsOfJoin {
       spine: DataFrame,
       features: Seq[(DataFrame, String, Seq[String])],
       joinKeys: Seq[String],
-      spineTs: String): DataFrame = {
+      spineTs: String,
+      hotKeyCacheKey: Option[String] = None): DataFrame = {
     if (features.isEmpty) return spine
     if (features.size == 1) {
       val (f, fts, payload) = features.head
-      return joinAsOf(spine, f, joinKeys, spineTs, fts, payload)
+      return joinAsOf(spine, f, joinKeys, spineTs, fts, payload,
+        hotKeyCacheKey = hotKeyCacheKey)
     }
     // same spine-key semi-join reduction as the single-FV path: every
     // feature table rides the shared window shuffle, so pruning each one by
@@ -191,7 +196,8 @@ object AsOfJoin {
       (prefilterBySpineKeys(spine, f, joinKeys), fts, payload)
     }
     return joinAsOfMultiTagged(spine, features0, joinKeys, spineTs,
-      salted = resolveMethod(spine, "default") == "salted-window")
+      salted = resolveMethod(spine, "default") == "salted-window",
+      hotKeyCacheKey = hotKeyCacheKey)
   }
 
   private def joinAsOfMultiTagged(
@@ -199,7 +205,8 @@ object AsOfJoin {
       features: Seq[(DataFrame, String, Seq[String])],
       joinKeys: Seq[String],
       spineTs: String,
-      salted: Boolean = false): DataFrame = {
+      salted: Boolean = false,
+      hotKeyCacheKey: Option[String] = None): DataFrame = {
     val P = "__graft_pkt_"
     val spineCols = spine.columns.toSeq
 
@@ -251,7 +258,7 @@ object AsOfJoin {
 
     val hot =
       if (salted) detectHotKeys(unioned, joinKeys,
-        statsFrames = spine +: features.map(_._1))
+        statsFrames = spine +: features.map(_._1), cacheKey = hotKeyCacheKey)
       else None
     hot match {
       case None =>
@@ -363,6 +370,33 @@ object AsOfJoin {
   private val BKT = "__graft_bkt"
   private val BOUNDS = "__graft_bounds"
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.pit.AsOfJoin")
+
+  /** Number of sampled hot-key detection JOBS actually submitted (test
+    * hook: the enrichStream amortization spec asserts this stays flat
+    * across micro-batches on an unchanged snapshot). */
+  private[graft] val detectionJobs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Hot-key detection verdicts memoized per caller-supplied snapshot
+    * identity (FV manifest versions + join keys — see
+    * `FeatureStore.generateDataset`): `enrichStream` rebuilds the same
+    * as-of plan EVERY micro-batch against the same committed feature
+    * snapshot, and without the memo each batch re-pays the sampled
+    * detection job. Values are the model-scale collected rows (not
+    * DataFrames), so entries are session-agnostic. Invalidation is
+    * structural: a refresh commits a new manifest version ⇒ a new key.
+    * The spine's contribution to detection varies per batch, but reusing
+    * the first batch's verdict is safe: salting any key is always correct,
+    * and a missed borderline key leaves the pre-existing unsalted plan
+    * (a micro-batch spine is bounded by the trigger interval anyway).
+    * Conf knobs are folded into the key so a retuned threshold is a miss.
+    * Bounded: cleared wholesale past 256 entries (keys churn only when
+    * refreshes commit).
+    */
+  private val hotKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Array[Row], StructType, Int)]]()
+  private[graft] def clearHotKeyCache(): Unit = hotKeyCache.clear()
+
   /** Eager sampled hot-key detection shared by the salted strategies (the
     * one plan-build-time action; same precedent as IVF's trainCentroids):
     * per-key sampled union row count + in-key ts quantiles as bucket
@@ -380,7 +414,33 @@ object AsOfJoin {
     */
   private def detectHotKeys(
       unioned: DataFrame, joinKeys: Seq[String],
-      statsFrames: Seq[DataFrame] = Seq.empty): Option[(DataFrame, Int)] = {
+      statsFrames: Seq[DataFrame] = Seq.empty,
+      cacheKey: Option[String] = None): Option[(DataFrame, Int)] = {
+    def rebuild(raw: Option[(Array[Row], StructType, Int)]): Option[(DataFrame, Int)] =
+      raw.map { case (rows, schema, nb) =>
+        (unioned.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema), nb)
+      }
+    cacheKey match {
+      case Some(k0) =>
+        val conf = unioned.sparkSession.conf
+        val k = k0 + "|" + Seq("buckets", "hotKeyThreshold", "sampleRate", "maxHotKeys")
+          .map(s => conf.get(s"graft.asof.salt.$s", "")).mkString(",")
+        val hit = hotKeyCache.get(k)
+        if (hit != null) rebuild(hit)
+        else {
+          val raw = detectHotKeysUncached(unioned, joinKeys, statsFrames)
+          if (hotKeyCache.size > 256) hotKeyCache.clear()
+          hotKeyCache.put(k, raw)
+          rebuild(raw)
+        }
+      case None => rebuild(detectHotKeysUncached(unioned, joinKeys, statsFrames))
+    }
+  }
+
+  private def detectHotKeysUncached(
+      unioned: DataFrame, joinKeys: Seq[String],
+      statsFrames: Seq[DataFrame]): Option[(Array[Row], StructType, Int)] = {
     val conf = unioned.sparkSession.conf
     val numBuckets = conf.get("graft.asof.salt.buckets", "16").toInt
     val hotThreshold = conf.get("graft.asof.salt.hotKeyThreshold", "2000000").toLong
@@ -405,10 +465,21 @@ object AsOfJoin {
     val provablySmall = {
       val frames = if (statsFrames.nonEmpty) statsFrames else Seq(unioned)
       val st = frames.map(_.queryExecution.optimizedPlan.stats)
-      if (st.forall(_.rowCount.isDefined)) st.map(_.rowCount.get).sum < hotThreshold
-      else st.map(_.sizeInBytes).sum < BigInt(hotThreshold) * minBytesPerRow
+      val small =
+        if (st.forall(_.rowCount.isDefined)) st.map(_.rowCount.get).sum < hotThreshold
+        else st.map(_.sizeInBytes).sum < BigInt(hotThreshold) * minBytesPerRow
+      // diagnosable bypass: a heavily-RLE-compressed skewed corpus could
+      // fall under the bytes fallback and silently skip the skew
+      // mitigation — leave the evidence in the log
+      if (small && log.isDebugEnabled)
+        log.debug(s"hot-key detection short-circuited: ${st.size} frame(s), " +
+          s"rowCounts=${st.map(_.rowCount).mkString(",")}, " +
+          s"sizeInBytes=${st.map(_.sizeInBytes).mkString(",")}, " +
+          s"threshold=$hotThreshold (minBytesPerRow=$minBytesPerRow)")
+      small
     }
     if (provablySmall) return None
+    detectionJobs.incrementAndGet()
     val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val det = unioned
       .sample(withReplacement = false, sampleRate, seed = 42)
@@ -422,8 +493,7 @@ object AsOfJoin {
       .select(joinKeys.map(k => col(k).as(s"__hk_$k")) :+ col(BOUNDS): _*)
     val hotRows = det.collect()
     if (hotRows.isEmpty) None
-    else Some((unioned.sparkSession.createDataFrame(
-      java.util.Arrays.asList(hotRows: _*), det.schema), numBuckets))
+    else Some((hotRows, det.schema, numBuckets))
   }
 
   /** bucket = #boundaries ≤ ts's numeric image: a monotone function of ts,
@@ -638,7 +708,8 @@ object AsOfJoin {
       featureTs: String,
       payload: Seq[String],
       includeFeatureTs: Option[String],
-      maxStaleness: Option[String]): DataFrame = {
+      maxStaleness: Option[String],
+      hotKeyCacheKey: Option[String] = None): DataFrame = {
     val spineCols = spine.columns.toSeq
     val unioned = tagAndUnion(spine, features, joinKeys, spineTs, featureTs, payload, maxStaleness)
 
@@ -646,7 +717,7 @@ object AsOfJoin {
     // beyond the detection job (see detectHotKeys). Bound from the raw
     // sides: the packed union's struct width inflates its size estimate.
     val (hotDf, numBuckets) = detectHotKeys(unioned, joinKeys,
-        statsFrames = Seq(spine, features)) match {
+        statsFrames = Seq(spine, features), cacheKey = hotKeyCacheKey) match {
       case None =>
         return unionWindow(spine, features, joinKeys, spineTs, featureTs, payload,
           includeFeatureTs, maxStaleness)

@@ -663,11 +663,18 @@ object PipelineQueries {
     // z-order layout evidence: land events z-ordered by (user_id, ts) and
     // by ts alone, then count how many files a (user-range × time-window)
     // box must read under each layout — the OPTIMIZE ZORDER story with the
-    // pruning numbers in the result (rows-only: file boundaries come from
-    // range-partitioner sampling).
+    // pruning numbers in the result. File assignment is DETERMINISTIC
+    // (exact cumulative-count boundaries, not range-partitioner sampling),
+    // so the per-file envelope hit counts are a pure function of the data
+    // and the oracle restates them from the same arithmetic.
     "q78_zorder_layout" -> ((s, dir) => {
+      // the experiment scans the projected events ~8x (stats, two boundary
+      // passes, two layout writes); cache the 3-column projection for its
+      // duration (model-scale here; a production layout write is ONE pass
+      // over its input and would not cache)
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts").cast("long").as("ts_l"), col("value"))
+        .persist()
       val stats = ev.agg(
         min(col("user_id")), max(col("user_id")),
         min(col("ts_l")), max(col("ts_l"))).head
@@ -679,8 +686,10 @@ object PipelineQueries {
       val zPath = scratchDir("zorder_ev").resolve("z").toString
       val linPath = scratchDir("zorder_ev").resolve("lin").toString
       graft.storage.ZOrderLayout.writeZOrdered(ev, "user_id", "ts_l", zPath, numFiles = 32)
-      ev.repartitionByRange(32, col("ts_l")).sortWithinPartitions(col("ts_l"))
-        .write.mode("overwrite").parquet(linPath)
+      // linear comparator: same deterministic bucketing, keyed on ts alone.
+      // (ts_l is epoch seconds — bounded cardinality at any corpus scale;
+      // an unbounded key would quantize via normalize() first.)
+      graft.storage.ZOrderLayout.writeRangeBucketed(ev, col("ts_l"), linPath, numFiles = 32)
       // three box shapes: a single-column sort only prunes its own column;
       // z-order prunes on either (paying curve-boundary slop on the box)
       val boxes = Seq(
@@ -688,13 +697,15 @@ object PipelineQueries {
         ("ts_only", u0, u1, bt0, bt1),
         ("both_dims", bu0, bu1, bt0, bt1))
       import s.implicits._
-      boxes.flatMap { case (name, x0, x1, y0, y1) =>
+      val hits = boxes.flatMap { case (name, x0, x1, y0, y1) =>
         val (zHit, zTot) = graft.storage.ZOrderLayout.filesIntersectingBox(
           s, zPath, "user_id", "ts_l", x0, x1, y0, y1)
         val (lHit, lTot) = graft.storage.ZOrderLayout.filesIntersectingBox(
           s, linPath, "user_id", "ts_l", x0, x1, y0, y1)
         Seq(("zorder", name, zHit, zTot), ("ts_linear", name, lHit, lTot))
-      }.toDF("layout", "box", "files_read", "files_total")
+      }
+      ev.unpersist() // hit counts are already collected scalars
+      hits.toDF("layout", "box", "files_read", "files_total")
     }),
 
     // decontamination at reference-set scale: bloom-prefilter train grams
@@ -1362,8 +1373,11 @@ object PipelineQueries {
     * merge application is a left-to-right non-overlapping fold over the
     * space-joined symbol string (symbols never contain whitespace — they
     * are concatenations of characters of whitespace-split tokens).
+    * `minCount` mirrors the trainer's hapax cut: the TRAINING dictionary
+    * (w0) drops words occurring fewer than minCount times, while encoding
+    * (enc) still covers every word.
     */
-  private def bpeOracle(numMerges: Int): String = {
+  private def bpeOracle(numMerges: Int, minCount: Long = 2L): String = {
     // apply merge (a, b) to the space-joined symbol string s
     def applyFold(s: String, a: String, b: String): String =
       s"ltrim(list_reduce(list_prepend('', string_split($s, ' ')), (acc, x) -> " +
@@ -1391,7 +1405,8 @@ object PipelineQueries {
        |), wc AS (
        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
        |), w0 AS MATERIALIZED (
-       |  SELECT w, c, array_to_string(list_append(string_split(w, ''), '</w>'), ' ') AS syms FROM wc
+       |  SELECT w, c, array_to_string(list_append(string_split(w, ''), '</w>'), ' ') AS syms
+       |  FROM wc WHERE c >= $minCount
        |)$stages
        |, merges AS MATERIALIZED ($mergesUnion)
        |, enc AS (
@@ -1418,7 +1433,76 @@ object PipelineQueries {
        |FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id""".stripMargin
   }
 
+  /** q78 oracle: the deterministic layout MODEL restated end-to-end. File
+    * assignment is a pure function of the data (exact cumulative-count
+    * boundaries — `ZOrderLayout.writeRangeBucketed`), so DuckDB reproduces
+    * every physical file's envelope without writing a file: z = the same
+    * bit-interleave of the same exact-integer normalize ranks, bucket =
+    * floor(rows-before * numFiles / total) over distinct keys, per-bucket
+    * min/max envelopes, then the same box-intersection counts. All
+    * arithmetic is BIGINT (Spark side runs Decimal(38,0) for the scale
+    * step; both floor, both exact at these magnitudes).
+    */
+  private def zorderOracle(numFiles: Int, bits: Int): String = {
+    val buckets = 1L << bits
+    val bmax = buckets - 1
+    def norm(v: String, lo: String, hi: String): String =
+      s"LEAST($bmax, (($v - $lo) * $buckets) // GREATEST($hi - $lo, 1))"
+    val zExpr = (0 until bits).map { i =>
+      s"(((nu >> $i) & 1) << ${2 * i}) | (((nt >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    def bucketed(src: String, key: String): String =
+      s"""SELECT $key AS k,
+         |    (coalesce(sum(c) OVER (ORDER BY $key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      * $numFiles) // n AS bkt
+         |  FROM (SELECT $key, count(*) AS c FROM $src GROUP BY 1), (SELECT count(*) AS n FROM $src)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // 1000000 AS ts_l FROM events
+       |), st AS (
+       |  SELECT min(user_id) AS u0, max(user_id) AS u1,
+       |         min(ts_l) AS t0, max(ts_l) AS t1 FROM ev
+       |), evz AS MATERIALIZED (
+       |  SELECT user_id, ts_l, $zExpr AS z FROM (
+       |    SELECT user_id, ts_l,
+       |      ${norm("user_id", "u0", "u1")} AS nu,
+       |      ${norm("ts_l", "t0", "t1")} AS nt
+       |    FROM ev, st)
+       |), zb AS (
+       |  ${bucketed("evz", "z")}
+       |), zenv AS (
+       |  SELECT bkt, min(user_id) AS min1, max(user_id) AS max1,
+       |         min(ts_l) AS min2, max(ts_l) AS max2
+       |  FROM evz JOIN zb ON evz.z = zb.k GROUP BY bkt
+       |), lb AS (
+       |  ${bucketed("ev", "ts_l")}
+       |), lenv AS (
+       |  SELECT bkt, min(user_id) AS min1, max(user_id) AS max1,
+       |         min(ts_l) AS min2, max(ts_l) AS max2
+       |  FROM ev JOIN lb ON ev.ts_l = lb.k GROUP BY bkt
+       |), boxes AS (
+       |  SELECT 'user_only' AS box, u0 + (u1-u0)*7//16 AS x0, u0 + (u1-u0)*9//16 AS x1,
+       |         t0 AS y0, t1 AS y1 FROM st
+       |  UNION ALL
+       |  SELECT 'ts_only', u0, u1, t0 + (t1-t0)*7//16, t0 + (t1-t0)*9//16 FROM st
+       |  UNION ALL
+       |  SELECT 'both_dims', u0 + (u1-u0)*7//16, u0 + (u1-u0)*9//16,
+       |         t0 + (t1-t0)*7//16, t0 + (t1-t0)*9//16 FROM st
+       |), env AS (
+       |  SELECT 'zorder' AS layout, * FROM zenv
+       |  UNION ALL
+       |  SELECT 'ts_linear', * FROM lenv
+       |)
+       |SELECT e.layout, b.box,
+       |  count(*) FILTER (WHERE e.max1 >= b.x0 AND e.min1 <= b.x1
+       |    AND e.max2 >= b.y0 AND e.min2 <= b.y1) AS files_read,
+       |  count(*) AS files_total
+       |FROM env e CROSS JOIN boxes b
+       |GROUP BY e.layout, b.box""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q78_zorder_layout" -> zorderOracle(32, 12),
+
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -108,9 +108,88 @@ object ZOrderLayout {
       normalize(d2, s2._1, s2._2, bits),
       bits)
 
+  /** Exact, DETERMINISTIC range-bucket boundaries for a bounded-cardinality
+    * long sort key. `repartitionByRange` samples with a seed derived from
+    * the RDD id, so PHYSICAL file assignment differs run to run even on
+    * identical data — which makes any file-level evidence (pruning counts,
+    * envelopes) non-portable across sessions and impossible to oracle.
+    * These boundaries are instead a pure function of the data:
+    *
+    *   before(v) = number of rows with key < v   (exact, from a grouped
+    *               count + one cumulative window over DISTINCT keys)
+    *   bucket(v) = floor(before(v) * numBuckets / total)
+    *   boundary_i = min { v : bucket(v) >= i },  i in 1 .. numBuckets-1
+    *
+    * so assignment (= number of boundaries <= v) reproduces bucket(v)
+    * exactly, ties stay together, and any engine can restate it.
+    *
+    * Scale note: the cumulative window runs UNPARTITIONED, i.e. a
+    * single-partition sort over the DISTINCT keys — which is why this
+    * requires a bounded-cardinality key. The z-key is bounded by
+    * construction (< 2^(2*bits) = 16.7M at the default bits=12, ~130 MB of
+    * longs), so the cost is independent of corpus size; callers with an
+    * unbounded raw key should quantize first ([[normalize]]).
+    * Overflow bound: before * numBuckets must fit a long — total rows
+    * <= Long.MaxValue / numBuckets (2.8e17 at 32 files), checked.
+    */
+  def exactRangeBoundaries(df: DataFrame, key: String, numBuckets: Int): Array[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key).cast("long").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .persist()
+    try {
+      val total = counts.agg(sum(col("__c"))).head.getLong(0)
+      require(total <= Long.MaxValue / math.max(1, numBuckets),
+        s"row count $total * $numBuckets buckets overflows long bucket arithmetic")
+      val w = Window.orderBy(col("__k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perBucket = counts
+        .withColumn("__before", coalesce(sum(col("__c")).over(w), lit(0L)))
+        .withColumn("__bkt", expr(s"(__before * $numBuckets) div $total"))
+        .groupBy(col("__bkt")).agg(min(col("__k")).as("__minv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // a bucket index can be skipped entirely when one heavy key jumps the
+      // cumulative count; its boundary is the first key of the next
+      // occupied bucket, so counting boundaries <= v still lands v in
+      // bucket(v)
+      (1 until numBuckets).flatMap { i =>
+        perBucket.find(_._1 >= i).map(_._2)
+      }.toArray
+    } finally counts.unpersist()
+  }
+
+  /** Bucket assignment from [[exactRangeBoundaries]]: the number of
+    * boundaries <= v — a flat chain of long compares/adds that stays inside
+    * WholeStageCodegen (boundaries are at most numFiles-1 literals).
+    */
+  def bucketByBoundaries(c: Column, boundaries: Array[Long]): Column =
+    if (boundaries.isEmpty) lit(0L)
+    else boundaries.map(b => when(c.cast("long") >= lit(b), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Deterministically land `df` sorted by a bounded-cardinality long
+    * `sortKey` into (at most) `numFiles` parquet files, one contiguous key
+    * range per file: exact boundaries -> map-side bucket assignment ->
+    * one hash shuffle on the bucket -> `partitionBy` write (every bucket
+    * lives wholly in one task, so each bucket is exactly one file).
+    * Identical data => identical file contents, any session, any engine.
+    */
+  def writeRangeBucketed(
+      df: DataFrame, sortKey: Column, path: String, numFiles: Int): Array[Long] = {
+    val keyed = df.withColumn("__gk", sortKey.cast("long"))
+    val bounds = exactRangeBoundaries(keyed, "__gk", numFiles)
+    keyed.withColumn("__bucket", bucketByBoundaries(col("__gk"), bounds))
+      .repartition(numFiles, col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col("__gk"))
+      .drop("__gk")
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    bounds
+  }
+
   /** Write `df` z-ordered by two long-castable columns into `numFiles`
-    * parquet files (one curve segment per file). Returns the collected
-    * (min, max) per dimension from the stats pass.
+    * parquet files (one curve segment per file, deterministic assignment —
+    * see [[writeRangeBucketed]]). Returns the collected (min, max) per
+    * dimension from the stats pass.
     */
   def writeZOrdered(
       df: DataFrame, col1: String, col2: String,
@@ -120,11 +199,7 @@ object ZOrderLayout {
       min(col(col2).cast("long")), max(col(col2).cast("long"))).head
     val s1 = (stats.getLong(0), stats.getLong(1))
     val s2 = (stats.getLong(2), stats.getLong(3))
-    df.withColumn("__z", zkey(col(col1), s1, col(col2), s2, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    writeRangeBucketed(df, zkey(col(col1), s1, col(col2), s2, bits), path, numFiles)
     (s1, s2)
   }
 

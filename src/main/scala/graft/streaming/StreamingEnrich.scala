@@ -59,10 +59,14 @@ object StreamingEnrich {
       trigger: String = "1 minute",
       availableNow: Boolean = false): StreamingQuery =
     startForeachBatch(spark, sourceDir, schema, outPath, trigger, availableNow) { batch =>
-      // latest committed snapshot, pinned for this whole batch
+      // latest committed snapshot, pinned for this whole batch; hot-key
+      // detection is memoized on the snapshot's manifest version, so an
+      // unchanged feature table costs zero detection jobs after batch 1
       val features = VersionedTable.read(spark, featurePath)
+      val snapKey = VersionedTable.readManifest(featurePath)
+        .map(m => s"asof:$featurePath@${m.version}:keys=${joinKeys.mkString(",")}")
       AsOfJoin.joinAsOf(batch, features, joinKeys, eventTs, featureTs,
-        featureCols, maxStaleness = maxStaleness)
+        featureCols, maxStaleness = maxStaleness, hotKeyCacheKey = snapKey)
     }
 
   /** Shared micro-batch scaffold ([[start]] and `FeatureStore.enrichStream`):

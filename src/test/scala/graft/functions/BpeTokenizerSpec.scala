@@ -47,6 +47,28 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(a == b, "merge list must not depend on dictionary order")
   }
 
+  test("minCount hapax cut leaves >=2-count training unchanged; dict cap refuses, not truncates") {
+    // repeated words drive every merge; noise words are single unique
+    // characters disjoint from the repeated alphabet, so no pair they
+    // contribute can ever reach count 2 — training must be identical with
+    // the hapax cut on or off
+    val text = (Seq.fill(6)("low lower lowest") ++ "0123456789".map(_.toString)).mkString(" ")
+    val df = Seq(text).toDF("text")
+    val unfiltered = BpeTokenizer.train(df, col("text"), numMerges = 10, minCount = 1)
+    val filtered = BpeTokenizer.train(df, col("text"), numMerges = 10) // default minCount = 2
+    assert(filtered.nonEmpty)
+    assert(unfiltered == filtered,
+      s"hapax cut changed >=2-count training: $unfiltered vs $filtered")
+    // past the cap: REFUSE with guidance (silent truncation would train on
+    // a nondeterministic dictionary subset; no cap is a driver OOM at scale)
+    val ex = intercept[IllegalArgumentException] {
+      BpeTokenizer.train(df, col("text"), numMerges = 10, minCount = 1, maxDictSize = 3)
+    }
+    assert(ex.getMessage.contains("maxDictSize") && ex.getMessage.contains("minCount"))
+    // under the cap: unaffected
+    assert(BpeTokenizer.train(df, col("text"), numMerges = 10, maxDictSize = 100) == filtered)
+  }
+
   test("expression encode == driver encode; trained words compress") {
     val docs = graft.Tables.documents(spark, sfDir)
     val merges = BpeTokenizer.train(docs, col("text"), numMerges = 30)

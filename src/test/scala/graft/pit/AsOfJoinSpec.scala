@@ -56,6 +56,7 @@ class AsOfJoinSpec extends SparkSpec {
     // engage the two-level carry (observable as the __graft_bounds
     // detection column in the executed plan), with results unchanged.
     val c = spark.conf
+    val prevMethod = c.getOption("graft.asof.method")
     c.unset("graft.asof.method")
     c.set("graft.asof.salt.hotKeyThreshold", "20")
     c.set("graft.asof.salt.sampleRate", "1.0")
@@ -77,6 +78,7 @@ class AsOfJoinSpec extends SparkSpec {
       assert(defaultRun.collect().sortBy(_.getInt(0)).toSeq == expected,
         "default (salted) as-of result diverged from union-window")
     } finally {
+      prevMethod.foreach(c.set("graft.asof.method", _))
       c.unset("graft.asof.salt.hotKeyThreshold")
       c.unset("graft.asof.salt.sampleRate")
     }

@@ -54,9 +54,25 @@ class PlanAuditSpec extends SparkSpec {
     // ReusedExchange reads an already-counted shuffle.
     val plan = SparkEntry.queries("q95_corpus_prep")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val shuffles = raw"(?m)^\s*(?:\+- |:- |\s)*Exchange (hash|range|single)"
+    // case-insensitive: single-partition shuffles print as
+    // "Exchange SinglePartition" — a case-sensitive (hash|range|single)
+    // never counted them and a regression introducing one would slip by
+    val shuffles = raw"(?mi)^\s*(?:\+- |:- |\s)*Exchange (hash|range|single)"
       .r.findAllIn(plan).size
     assert(shuffles <= 3, s"q95 grew to $shuffles shuffle exchanges:\n$plan")
+  }
+
+  test("q90 survivor selection never sorts inside per-group aggregation") {
+    // survivor pick is a map-side-combined max_by aggregation; a
+    // restructuring through row_number()/rank() would plan a Sort inside
+    // each (possibly giant) duplicate group — the single-task wall the
+    // design avoids. A Sort feeding a Window over the group key is the
+    // signature to reject; the iterative CC rounds inside q90 are
+    // aggregations and broadcast joins only.
+    val plan = SparkEntry.queries("q90_dedup_survivors")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q90 grew a window (group-sort) in its survivor path:\n$plan")
   }
 
   test("ANN top-k windows keep the partial group-limit (hot-key bound)") {

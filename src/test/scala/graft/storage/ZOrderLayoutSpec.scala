@@ -54,6 +54,56 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(probe == Seq(0L, 1L, 15L, 15L), probe.toString)
   }
 
+  test("writeZOrdered: file assignment is a pure function of the data (portable across sessions)") {
+    // the old repartitionByRange path seeded its sampler from the RDD id, so
+    // even two writes of the SAME data in the SAME session landed different
+    // file boundaries — which made file-level pruning evidence un-oracleable.
+    // Non-uniform data (quadratic x, clustered y) so boundary placement
+    // actually depends on the distribution, not just the row count.
+    val data = spark.range(0, 20000)
+      .select(($"id" * $"id" % 4099).as("x"), ($"id" % 37 * 111).as("y"))
+    def fileMap(path: String): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy($"__bucket".cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), sum($"x" * 4099 + $"y").as("s"), min($"x").as("m"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val p1 = tmp("zdet1_")
+    val p2 = tmp("zdet2_")
+    ZOrderLayout.writeZOrdered(data, "x", "y", p1, numFiles = 16, bits = 8)
+    // second write through a fresh session: no shared driver state may
+    // influence assignment
+    val s2 = spark.newSession()
+    ZOrderLayout.writeZOrdered(
+      s2.range(0, 20000).select((col("id") * col("id") % 4099).as("x"),
+        (col("id") % 37 * 111).as("y")),
+      "x", "y", p2, numFiles = 16, bits = 8)
+    val m1 = fileMap(p1)
+    assert(m1 == fileMap(p2), "identical data must land identical file assignment")
+    assert(m1.size == 16, s"all 16 buckets populated: ${m1.size}")
+  }
+
+  test("exactRangeBoundaries: heavy-tie keys stay together, skipped buckets still assign correctly") {
+    // one key holding half the rows jumps the cumulative count across
+    // several bucket indices; boundary back-fill must keep assignment ==
+    // floor(before * numBuckets / total) for every key
+    val df = (Seq.fill(500)(50L) ++ (0L until 500L)).toDF("k")
+    val bounds = ZOrderLayout.exactRangeBoundaries(df, "k", 8)
+    val got = df.select($"k", ZOrderLayout.bucketByBoundaries($"k", bounds).as("b"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference model computed directly
+    val counts = (Seq.fill(500)(50L) ++ (0L until 500L)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val total = 1000L
+    val sortedKeys = counts.keys.toSeq.sorted
+    var before = 0L
+    val expect = sortedKeys.map { k =>
+      val b = before * 8 / total; before += counts(k); k -> b
+    }.toMap
+    assert(got == expect, "bucket assignment must equal the exact cumulative model")
+    // the heavy key spans buckets 0->4: ties stay in ONE bucket
+    assert(got(50L) == expect(50L))
+  }
+
   test("z-order layout prunes multi-dim box queries; linear layout cannot") {
     // uniform 256×256 grid — each layout writes the same 64 files
     val grid = spark.range(0, 256L * 256)

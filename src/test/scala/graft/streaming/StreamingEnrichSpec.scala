@@ -75,6 +75,52 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(m.batchId >= 0, "streaming appends must record their batch id")
   }
 
+  test("hot-key detection runs ONCE per committed snapshot across micro-batches") {
+    // Without the snapshot-keyed memo, every micro-batch re-paid the sampled
+    // detection aggregation against the same committed feature table. The
+    // memo must hold the job count at one per snapshot, and a refresh commit
+    // (new manifest version) must invalidate it — exactly one more job.
+    val srcDir = Files.createTempDirectory("graft_enrich_src3_").toString
+    val featPath = Files.createTempDirectory("graft_enrich3_").resolve("features").toString
+    val outPath = Files.createTempDirectory("graft_enrich3_").resolve("out").toString
+    VersionedTable.overwrite(featPath)(dir => featV1.write.parquet(dir))
+    val c = spark.conf
+    // clear the stats short-circuit so detection genuinely submits a job,
+    // and sample at full rate so the tiny fixture is deterministic
+    c.set("graft.asof.salt.hotKeyThreshold", "1")
+    c.set("graft.asof.salt.sampleRate", "1.0")
+    AsOfJoin.clearHotKeyCache()
+    try {
+      val schema = Seq((0L, 0L, ts("2024-01-01 00:00:00")))
+        .toDF("event_id", "k", "ets").schema
+      val before = AsOfJoin.detectionJobs.get()
+      (0 until 3).foreach { i =>
+        Seq((100L + i, 1L, ts("2024-01-02 12:00:00"))).toDF("event_id", "k", "ets")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        drain(srcDir, schema, featPath, outPath)
+      }
+      assert(AsOfJoin.detectionJobs.get() - before == 1,
+        s"expected exactly 1 detection job across 3 micro-batches on one snapshot, " +
+          s"got ${AsOfJoin.detectionJobs.get() - before}")
+      // a refresh commits a NEW manifest version: the memo key changes and
+      // detection runs exactly once more
+      VersionedTable.overwrite(featPath)(dir => featV1.write.parquet(dir))
+      Seq((110L, 1L, ts("2024-01-02 12:00:00"))).toDF("event_id", "k", "ets")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      drain(srcDir, schema, featPath, outPath)
+      assert(AsOfJoin.detectionJobs.get() - before == 2,
+        "a refresh commit must invalidate the detection memo (one more job, not zero, not N)")
+      // results stay correct throughout (k=1 latest-<= match at 2024-01-01)
+      val out = VersionedTable.read(spark, outPath)
+      assert(out.count() == 4)
+      assert(out.filter($"event_id" === 100L).head.getAs[Double]("score") == 10.0)
+    } finally {
+      c.unset("graft.asof.salt.hotKeyThreshold")
+      c.unset("graft.asof.salt.sampleRate")
+      AsOfJoin.clearHotKeyCache()
+    }
+  }
+
   test("maxStaleness bounds served freshness in the stream") {
     val srcDir = Files.createTempDirectory("graft_enrich_src2_").toString
     val featPath = Files.createTempDirectory("graft_enrich2_").resolve("features").toString
