@@ -28,8 +28,12 @@ import graft.storage.VersionedTable
   *      - no aggregation → **append** output mode; each batch's new rows
   *        land as an append segment (O(batch)) — a batch must never
   *        overwrite the sink, that silently drops all history;
-  *      - aggregation whose grouping keys can't be named → **complete**
-  *        mode, atomic whole-table publish per tick (write O(result)).
+  *      - aggregation whose grouping keys can't be named from the plan →
+  *        try the FV's DECLARED entity join keys (+ timestamp col) as the
+  *        upsert key (update mode), guarded by a structural check and a
+  *        one-time uniqueness dry-run ([[electEntityKeys]]); only if that
+  *        fails → **complete** mode, atomic whole-table publish per tick
+  *        (write O(result) — the scale cliff the rescue exists to avoid).
   *  - AUTO: try the streaming plan; if Spark's unsupported-operation checker
   *    rejects it (non-incrementalizable query), fall back to FULL — the same
   *    choice Snowflake's AUTO makes.
@@ -51,6 +55,14 @@ final class RefreshManager(fs: FeatureStore) {
   })
   private val scheduled = new ConcurrentHashMap[String, ScheduledFuture[_]]()
   private val streams = new ConcurrentHashMap[String, StreamingQuery]()
+  private val elected = new ConcurrentHashMap[String, String]()
+
+  /** Output mode the last `startIncremental` elected for this FV
+    * ("append" | "update" | "complete") — observability for status
+    * surfaces, specs, and the lag probe.
+    */
+  def electedMode(rec: FeatureViewRecord): Option[String] =
+    Option(elected.get(key(rec)))
 
   private def key(rec: FeatureViewRecord): String = rec.logicalId
 
@@ -97,6 +109,13 @@ final class RefreshManager(fs: FeatureStore) {
     val path = rec.physicalPath.getOrElse(
       throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
     val freq = rec.fv.refresh.get.refreshFreq
+    // Entity-key rescue needs a BATCH run of the FV query over the current
+    // source data (uniqueness dry-run), so probe it before the streaming
+    // view swap below. Only pay the batch job when the plan-derived key
+    // election is actually going to fail (see electEntityKeys).
+    val batchReader = spark.read.schema(sourceSchema)
+    pathGlobFilter.foreach(g => batchReader.option("pathGlobFilter", g))
+    val batchView = scala.util.Try(batchReader.parquet(sourceDir)).toOption
     val reader = spark.readStream.schema(sourceSchema)
     pathGlobFilter.foreach(g => reader.option("pathGlobFilter", g))
     val raw = reader.parquet(sourceDir)
@@ -119,12 +138,29 @@ final class RefreshManager(fs: FeatureStore) {
     // Pick output mode + publish kind from the plan shape (see class doc):
     // update→upsert / append→append / complete→atomic overwrite. Append-mode
     // batches contain ONLY new rows, so they must never overwrite the sink.
-    val aggKeys = if (transformed.isStreaming && hasAggregate(transformed))
-      groupingKeyNames(transformed) else None
+    // When the plan can't NAME its grouping keys (expression-grouped), fall
+    // back to the FV's DECLARED entity join keys (+ timestamp col) before
+    // resorting to complete-mode whole-table publish — the declaration is
+    // metadata the plan introspection doesn't have, and it turns an
+    // O(result)-per-tick rewrite into an O(changed keys) upsert.
+    val isStreamingAgg = transformed.isStreaming && hasAggregate(transformed)
+    val aggKeys =
+      if (!isStreamingAgg) None
+      else groupingKeyNames(transformed)
+        .orElse {
+          val ks = electEntityKeys(rec, transformed, batchView, sourceName)
+          // the dry-run re-bound the source view to batch data; restore the
+          // streaming binding for anything that resolves the view later
+          stream.createOrReplaceTempView(sourceName)
+          ks
+        }
     val outMode =
-      if (!(transformed.isStreaming && hasAggregate(transformed))) "append"
+      if (!isStreamingAgg) "append"
       else if (aggKeys.isDefined) "update"
       else "complete"
+    elected.put(key(rec), outMode)
+    System.err.println(s"[refresh] ${rec.logicalId} output mode = $outMode" +
+      aggKeys.map(ks => s" (upsert keys: ${ks.mkString(",")})").getOrElse(""))
     // the micro-batch id rides into the manifest commit: foreachBatch
     // replays the last batch on checkpoint recovery, and the sink skips a
     // batchId it has already committed — exactly-once despite at-least-once
@@ -186,6 +222,60 @@ final class RefreshManager(fs: FeatureStore) {
         Some(names.map(_.get))
       else None
     }.flatten
+  }
+
+  /** Entity-key fallback for expression-grouped aggregations: when the plan
+    * can't name its grouping keys, the FV's declared entity join keys
+    * (+ timestamp column for time-series FVs) are still a valid upsert key
+    * IF the FV honors its one-row-per-key contract. Two guards, both paid
+    * once at stream start (never per tick):
+    *   1. structural — the aggregate must have exactly as many grouping
+    *      expressions as candidate key columns; a finer grouping (e.g.
+    *      user_id, category with entity key user_id) would make upsert
+    *      silently drop sibling rows, so it stays complete-mode;
+    *   2. empirical — one batch dry-run of the FV query over the CURRENT
+    *      source data must show the candidate key is unique. An empty
+    *      source trusts the declaration (registration already validated the
+    *      key columns exist in the output).
+    * Returns the candidate keys in output-column case, or None → complete.
+    */
+  private def electEntityKeys(
+      rec: FeatureViewRecord,
+      transformed: DataFrame,
+      batchView: Option[DataFrame],
+      sourceName: String): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val candidate = rec.fv.joinKeys ++ rec.fv.timestampCol.toSeq
+    val outCols = transformed.columns
+    val resolved = candidate.map(k => outCols.find(_.equalsIgnoreCase(k)))
+    if (candidate.isEmpty || resolved.exists(_.isEmpty)) return None
+    val keys = resolved.map(_.get)
+    val nGrouping = transformed.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a.groupingExpressions.size
+    }
+    if (!nGrouping.contains(keys.size)) return None
+    val unique = batchView.forall { bv =>
+      // re-bind the source view to batch data for the dry-run, restore after
+      bv.createOrReplaceTempView(sourceName)
+      try {
+        val dups = spark.sql(rec.fv.query)
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count()
+        dups == 0
+      } catch { case _: Throwable => false }
+    }
+    if (unique) {
+      System.err.println(s"[refresh] ${rec.logicalId} grouping keys not " +
+        s"derivable from the plan; rescued to update-mode upsert on declared " +
+        s"entity keys (${keys.mkString(",")}) after uniqueness dry-run")
+      Some(keys)
+    } else {
+      System.err.println(s"[refresh] ${rec.logicalId} declared keys " +
+        s"(${keys.mkString(",")}) are NOT unique in the FV output — " +
+        s"complete-mode whole-table publish")
+      None
+    }
   }
 
   /** AUTO mode: INCREMENTAL if the plan streams, else FULL schedule —

@@ -287,6 +287,103 @@ class RefreshSpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("expression-grouped aggregation is rescued to update mode on declared entity keys") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_resc_").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("user_id") =!= 1).limit(400).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("resc_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    // the alias child (`expr + 0`) is not semanticEquals to the grouping
+    // expression, so plan introspection can't name the key — pre-rescue
+    // this was a complete-mode whole-table rewrite per tick
+    fs.registerFeatureView(FeatureView("fv_resc", Seq(Entity("user", Seq("user_id"))),
+      """SELECT user_id % 1000000 + 0 AS user_id, count(*) AS f_n
+        |FROM resc_src GROUP BY user_id % 1000000""".stripMargin,
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_resc", "1")
+    val q1 = mgr.startIncremental(rec, "resc_src", srcDir, ev.schema, availableNow = true)
+    q1.awaitTermination(120000)
+    assert(mgr.electedMode(rec).contains("update"),
+      s"expected entity-key rescue to update mode, got ${mgr.electedMode(rec)}")
+    val path = rec.physicalPath.get
+    val baselineKeys = fs.readFeatureView("fv_resc", "1").count()
+    assert(baselineKeys > 10)
+    // second tick touches exactly ONE key — the upsert segment must be
+    // O(changed keys), which is the point of the rescue
+    ev.filter(col("user_id") === 1).limit(5).write.mode("append").parquet(srcDir)
+    val q2 = mgr.startIncremental(rec, "resc_src", srcDir, ev.schema, availableNow = true)
+    q2.awaitTermination(120000)
+    val manifest = graft.storage.VersionedTable.readManifest(path).get
+    assert(manifest.keys.map(_.toLowerCase) == Seq("user_id"))
+    val lastSeg = manifest.segments.last
+    val segRows = spark.read.parquet(s"$path/$lastSeg").count()
+    assert(segRows < baselineKeys / 2,
+      s"rescued tick wrote $segRows rows — should be O(changed keys), baseline=$baselineKeys")
+    val merged = fs.readFeatureView("fv_resc", "1")
+    val batch = spark.read.parquet(srcDir).groupBy("user_id").count()
+      .withColumnRenamed("count", "f_n")
+    assert(merged.exceptAll(batch).isEmpty && batch.exceptAll(merged).isEmpty)
+    mgr.stopAll()
+  }
+
+  test("grouping finer than the declared entity keys stays complete-mode (structural guard)") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_comp_").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.limit(300).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("comp_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    // grouped by (user_id, ceil(value)): two grouping expressions vs one
+    // declared key, and ceil(value) isn't in the output — upsert on user_id
+    // would drop sibling rows, so the rescue must refuse
+    fs.registerFeatureView(FeatureView("fv_comp", Seq(Entity("user", Seq("user_id"))),
+      """SELECT user_id, count(*) AS f_n, sum(value) AS f_sum
+        |FROM comp_src GROUP BY user_id, ceil(value)""".stripMargin,
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_comp", "1")
+    val q = mgr.startIncremental(rec, "comp_src", srcDir, ev.schema, availableNow = true)
+    q.awaitTermination(120000)
+    assert(mgr.electedMode(rec).contains("complete"),
+      s"expected complete-mode for finer grouping, got ${mgr.electedMode(rec)}")
+    val out = fs.readFeatureView("fv_comp", "1")
+    val batch = spark.read.parquet(srcDir)
+      .groupBy(col("user_id"), ceil(col("value")))
+      .agg(count(lit(1)).as("f_n"), sum("value").as("f_sum"))
+      .select("user_id", "f_n", "f_sum")
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+    mgr.stopAll()
+  }
+
+  test("entity-key rescue refuses when the dry-run finds duplicate keys (empirical guard)") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_dup_").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.limit(300).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("dup_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    // structurally fine (one grouping expr, one key) but the output key
+    // folds two distinct groups onto one value (… % 20 grouped, % 10
+    // emitted), so rows are NOT unique per user_id — only the batch
+    // dry-run can catch this
+    fs.registerFeatureView(FeatureView("fv_dup", Seq(Entity("user", Seq("user_id"))),
+      """SELECT user_id % 20 % 10 + 0 AS user_id, count(*) AS f_n
+        |FROM dup_src GROUP BY user_id % 20""".stripMargin,
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_dup", "1")
+    val q = mgr.startIncremental(rec, "dup_src", srcDir, ev.schema, availableNow = true)
+    q.awaitTermination(120000)
+    assert(mgr.electedMode(rec).contains("complete"),
+      s"expected dry-run to refuse the rescue, got ${mgr.electedMode(rec)}")
+    mgr.stopAll()
+  }
+
   test("upsert tables compact back to one segment (bounded read amplification)") {
     val dir = Files.createTempDirectory("graft_vt_").toString
     import spark.implicits._
