@@ -361,6 +361,28 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
     graft.storage.VersionedTable.vacuum(path)
   }
 
+  /** OPTIMIZE a managed feature view's table — compact its accumulated
+    * micro-batch segments into `numFiles` files, optionally Z-ORDERed by
+    * two columns for multi-dimensional scan pruning (the lakehouse
+    * `OPTIMIZE [ZORDER BY]` maintenance op; Snowflake's analog is
+    * automatic clustering on a dynamic table). Logical content, upsert
+    * keys, and the streaming exactly-once batch watermark are preserved;
+    * event-time segment stats are refolded so `readFeatureViewRange` keeps
+    * pruning. Safe to run between refresh ticks: the commit is the same
+    * optimistic CAS every writer uses, so a racing tick makes one of the
+    * two the loser with an error, never a lost update.
+    */
+  def optimizeFeatureView(
+      name: String, version: String,
+      numFiles: Int = 32,
+      zorderBy: Option[(String, String)] = None): Unit = {
+    val rec = getFeatureView(name, version)
+    val path = rec.physicalPath.getOrElse(throw new IllegalArgumentException(
+      s"${rec.logicalId} is not a managed feature view — nothing to optimize"))
+    graft.storage.VersionedTable.optimize(spark, path, numFiles, zorderBy,
+      statsCol = rec.fv.timestampCol)
+  }
+
   /** Admin/migration op (reference scripts/cleanup_old_metadata.py, SURVEY
     * §2.A11): remove catalog records in an old/corrupt format (files that no
     * longer parse or validate) plus parsed records with a blank query.

@@ -697,12 +697,17 @@ object PipelineQueries {
         ("ts_only", u0, u1, bt0, bt1),
         ("both_dims", bu0, bu1, bt0, bt1))
       import s.implicits._
+      // envelopes are O(files) metadata: collect each layout's ONCE and
+      // probe all boxes driver-side (the old per-box filesIntersectingBox
+      // re-scanned the written data twice per call — 12 full scans)
+      val zEnv = graft.storage.ZOrderLayout.collectEnvelopes(s, zPath, "user_id", "ts_l")
+      val lEnv = graft.storage.ZOrderLayout.collectEnvelopes(s, linPath, "user_id", "ts_l")
       val hits = boxes.flatMap { case (name, x0, x1, y0, y1) =>
-        val (zHit, zTot) = graft.storage.ZOrderLayout.filesIntersectingBox(
-          s, zPath, "user_id", "ts_l", x0, x1, y0, y1)
-        val (lHit, lTot) = graft.storage.ZOrderLayout.filesIntersectingBox(
-          s, linPath, "user_id", "ts_l", x0, x1, y0, y1)
-        Seq(("zorder", name, zHit, zTot), ("ts_linear", name, lHit, lTot))
+        Seq(
+          ("zorder", name,
+            graft.storage.ZOrderLayout.boxHits(zEnv, x0, x1, y0, y1), zEnv.length.toLong),
+          ("ts_linear", name,
+            graft.storage.ZOrderLayout.boxHits(lEnv, x0, x1, y0, y1), lEnv.length.toLong))
       }
       ev.unpersist() // hit counts are already collected scalars
       hits.toDF("layout", "box", "files_read", "files_total")

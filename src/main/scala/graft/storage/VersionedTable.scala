@@ -435,6 +435,78 @@ object VersionedTable {
         }
     }
 
+  /** OPTIMIZE — rewrite the committed table into ONE fresh segment of (at
+    * most) `numFiles` files: bin-packing compaction for the thousands of
+    * micro-batch segments a streaming sink accumulates, optionally Z-ORDERed
+    * by two dimension columns (`zorderBy`) so parquet footer min/max stats
+    * prune multi-dimensional box scans afterwards — the lakehouse
+    * `OPTIMIZE [ZORDER BY]` maintenance operation, manifest-native.
+    *
+    * Logical content is untouched: what gets rewritten is the committed
+    * MERGED view (latest-wins merge-on-read for upsert tables), `keys` are
+    * preserved (an optimized upsert table keeps accepting upserts), and the
+    * committed `batchId` watermark carries over so a streaming sink's
+    * exactly-once replay guard survives an optimize between micro-batches.
+    * Event-time stats for the new segment fold the old per-segment
+    * envelopes (min of mins / max of maxes — conservative: an upsert merge
+    * can only narrow the true range, and a too-wide envelope keeps a
+    * segment, never wrongly prunes one); segments lacking stats fall back
+    * to one O(result) aggregation when `statsCol` is given.
+    *
+    * Layout note: the z-order write here uses `repartitionByRange` on the
+    * interleaved key — one range shuffle, sampling-based file SPLITS. That
+    * nondeterminism is fine for physical maintenance (pruning quality, not
+    * file identity, is the contract); evidence queries that must be
+    * portable across sessions use [[ZOrderLayout.writeRangeBucketed]]'s
+    * exact boundaries instead.
+    *
+    * Concurrency: the same optimistic CAS as every commit — racing with a
+    * writer makes one of them the loser with an error; no lost update.
+    * Crash between segment write and manifest flip leaves an orphan dir
+    * for vacuum, never a partial table.
+    */
+  def optimize(
+      spark: SparkSession,
+      path: String,
+      numFiles: Int,
+      zorderBy: Option[(String, String)] = None,
+      statsCol: Option[String] = None,
+      bits: Int = 12): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val m = readManifest(path).getOrElse(throw new IllegalArgumentException(
+      s"no manifest at $path — nothing to optimize"))
+    val df = read(spark, path)
+    val laidOut = zorderBy match {
+      case Some((c1, c2)) =>
+        val stats = df.agg(
+          min(col(c1).cast("long")), max(col(c1).cast("long")),
+          min(col(c2).cast("long")), max(col(c2).cast("long"))).head
+        if (stats.isNullAt(0) || stats.isNullAt(2)) df.repartition(numFiles)
+        else df
+          .withColumn("__z", ZOrderLayout.zkey(
+            col(c1), (stats.getLong(0), stats.getLong(1)),
+            col(c2), (stats.getLong(2), stats.getLong(3)), bits))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case None => df.repartition(numFiles)
+    }
+    val segStats = statsCol.flatMap { c =>
+      val have = m.segments.flatMap(s => m.stats.get(s))
+        .filter(_.col.equalsIgnoreCase(c))
+      if (have.nonEmpty && have.size == m.segments.size)
+        Some(SegStats(c, have.map(_.min).min, have.map(_.max).max))
+      else SegStats.of(df, c)
+    }
+    val v = m.version + 1
+    val seg = newSegName(v)
+    laidOut.write.parquet(segDir(path, seg))
+    commitManifest(path, Some(m.version),
+      Manifest(v, if (m.kind == "upsert") "upsert" else "full", m.keys,
+        Seq(seg), m.batchId, segStats.map(seg -> _).toMap))
+    vacuum(path)
+  }
+
   /** Time-range read with manifest-level segment skipping: only segments
     * whose `statsCol` envelope intersects [loMicros, hiMicros] enter the
     * scan plan — the others are never listed, opened, or scheduled. The

@@ -214,16 +214,31 @@ object ZOrderLayout {
         min(col(col1).cast("long")).as("min1"), max(col(col1).cast("long")).as("max1"),
         min(col(col2).cast("long")).as("min2"), max(col(col2).cast("long")).as("max2"))
 
+  /** Per-file envelopes collected to the driver — file-count-scale metadata
+    * (a planner consults footers the same way), so probing many boxes
+    * against one layout is driver arithmetic, not repeated full scans.
+    */
+  final case class Envelope(file: String, min1: Long, max1: Long, min2: Long, max2: Long)
+
+  def collectEnvelopes(
+      spark: SparkSession, path: String, col1: String, col2: String): Array[Envelope] =
+    fileEnvelopes(spark, path, col1, col2).collect().map(r =>
+      Envelope(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  /** Files whose envelope intersects the box `[lo1,hi1] x [lo2,hi2]`. */
+  def boxHits(envs: Array[Envelope],
+      lo1: Long, hi1: Long, lo2: Long, hi2: Long): Long =
+    envs.count(e =>
+      e.max1 >= lo1 && e.min1 <= hi1 && e.max2 >= lo2 && e.min2 <= hi2).toLong
+
   /** How many files a box predicate `[lo1,hi1] x [lo2,hi2]` must read under
-    * the layout at `path` — the pruning evidence number.
+    * the layout at `path` — the pruning evidence number. One-shot
+    * convenience; probing several boxes should [[collectEnvelopes]] once.
     */
   def filesIntersectingBox(
       spark: SparkSession, path: String, col1: String, col2: String,
       lo1: Long, hi1: Long, lo2: Long, hi2: Long): (Long, Long) = {
-    val env = fileEnvelopes(spark, path, col1, col2)
-    val hits = env.filter(
-      col("max1") >= lo1 && col("min1") <= hi1 &&
-        col("max2") >= lo2 && col("min2") <= hi2)
-    (hits.count(), env.count())
+    val envs = collectEnvelopes(spark, path, col1, col2)
+    (boxHits(envs, lo1, hi1, lo2, hi2), envs.length.toLong)
   }
 }

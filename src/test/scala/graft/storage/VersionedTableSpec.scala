@@ -354,4 +354,77 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("latest-wins"))
   }
+
+  test("optimize compacts append segments into one, rows intact, stats refolded") {
+    val dir = tmp()
+    val slices = Seq(
+      Seq((1, "2024-01-10 00:00:00"), (2, "2024-01-20 00:00:00")),
+      Seq((3, "2024-02-10 00:00:00")),
+      Seq((4, "2024-03-05 00:00:00"), (5, "2024-03-25 00:00:00")))
+    slices.foreach(s => VersionedTable.append(dir, stats = tsStats(s))(writeTsSeg(s)))
+    val before = VersionedTable.read(spark, dir).select("k").as[Int].collect().toSet
+    VersionedTable.optimize(spark, dir, numFiles = 2, statsCol = Some("ts"))
+    val m = VersionedTable.readManifest(dir).get
+    assert(m.segments.size == 1 && m.kind == "full")
+    // stats refolded from the old envelopes: min of mins, max of maxes
+    val st = m.stats(m.segments.head)
+    assert(st.col == "ts" &&
+      st.min == micros("2024-01-10 00:00:00") && st.max == micros("2024-03-25 00:00:00"))
+    assert(VersionedTable.read(spark, dir).select("k").as[Int].collect().toSet == before)
+    // pruning still works: an out-of-range query skips the only segment
+    val (kept, skipped) = VersionedTable.segmentsInRange(
+      dir, "ts", micros("2025-01-01 00:00:00"), micros("2025-12-31 00:00:00"))
+    assert(kept.isEmpty && skipped.size == 1)
+  }
+
+  test("optimize preserves upsert keys and the exactly-once batch watermark") {
+    val dir = tmp()
+    val compact = (df: org.apache.spark.sql.DataFrame, d: String) => df.write.parquet(d)
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = compact,
+      batchId = Some(0))(writeSeg(Seq((1, 10), (2, 20))))
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = compact,
+      batchId = Some(1))(writeSeg(Seq((2, 21))))
+    VersionedTable.optimize(spark, dir, numFiles = 1)
+    val m = VersionedTable.readManifest(dir).get
+    assert(m.segments.size == 1 && m.kind == "upsert" && m.keys == Seq("k") && m.batchId == 1)
+    // replay of batch 1 must STILL be skipped after the optimize
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = compact,
+      batchId = Some(1))(writeSeg(Seq((2, 99))))
+    assert(VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet ==
+      Set((1, 10), (2, 21)))
+    // and a genuinely new batch keeps upserting on the preserved keys
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = compact,
+      batchId = Some(2))(writeSeg(Seq((1, 11))))
+    assert(VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet ==
+      Set((1, 11), (2, 21)))
+  }
+
+  test("optimize zorderBy yields multi-dimensional file pruning the append layout lacks") {
+    val dir = tmp()
+    // 32x32 grid landed as 16 random row-order appends: every file spans
+    // the full range of both dims, so a box query reads everything
+    val n = 32
+    val rnd = new scala.util.Random(7)
+    val cells = rnd.shuffle((0 until n).flatMap(x => (0 until n).map(y => (x, y))).toVector)
+    cells.grouped(cells.size / 16).foreach { slice =>
+      VersionedTable.append(dir)(d =>
+        slice.toDF("x", "y").coalesce(1).write.parquet(d))
+    }
+    def envelopes(): Array[ZOrderLayout.Envelope] = {
+      val m = VersionedTable.readManifest(dir).get
+      m.segments.toArray.flatMap(s =>
+        ZOrderLayout.collectEnvelopes(spark, java.nio.file.Paths.get(dir, s).toString, "x", "y"))
+    }
+    val (lo, hi) = (n * 7 / 16, n * 9 / 16) // central 1/8 box on both dims
+    val before = envelopes()
+    assert(ZOrderLayout.boxHits(before, lo, hi, lo, hi) == before.length.toLong,
+      "random append layout should have zero pruning on a central box")
+    VersionedTable.optimize(spark, dir, numFiles = 16, zorderBy = Some(("x", "y")), bits = 5)
+    val after = envelopes()
+    val hits = ZOrderLayout.boxHits(after, lo, hi, lo, hi)
+    assert(after.length > 1 && hits < after.length,
+      s"z-ordered layout must prune the central box: $hits of ${after.length} files hit")
+    // content unchanged by the rewrite
+    assert(VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet == cells.toSet)
+  }
 }
