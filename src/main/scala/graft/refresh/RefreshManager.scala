@@ -46,7 +46,8 @@ import graft.storage.VersionedTable
   * reserving a 25% allowance for batch processing — the same
   * reasoning Snowflake's dynamic-table scheduler applies when it aims
   * refresh completion, not refresh start, at the TARGET_LAG boundary
-  * (round-8 probe: max 50.4 s at a 60 s target, `LAGPROBE_r08.json`).
+  * (round-10 matrix: every sink mode × feed scale cell within a 60 s
+  * target, `LAGPROBE_r10.json`).
   */
 final class RefreshManager(fs: FeatureStore) {
   private val spark: SparkSession = fs.spark
@@ -110,12 +111,14 @@ final class RefreshManager(fs: FeatureStore) {
       throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
     val freq = rec.fv.refresh.get.refreshFreq
     // Entity-key rescue needs a BATCH run of the FV query over the current
-    // source data (uniqueness dry-run), so probe it before the streaming
-    // view swap below. Only pay the batch job when the plan-derived key
-    // election is actually going to fail (see electEntityKeys).
-    val batchReader = spark.read.schema(sourceSchema)
-    pathGlobFilter.foreach(g => batchReader.option("pathGlobFilter", g))
-    val batchView = scala.util.Try(batchReader.parquet(sourceDir)).toOption
+    // source data (uniqueness dry-run). Lazy thunk: the relation (and its
+    // file listing) is only built when the plan-derived key election has
+    // actually failed (see electEntityKeys) — the common path pays nothing.
+    val batchView = () => scala.util.Try {
+      val batchReader = spark.read.schema(sourceSchema)
+      pathGlobFilter.foreach(g => batchReader.option("pathGlobFilter", g))
+      batchReader.parquet(sourceDir)
+    }.toOption
     val reader = spark.readStream.schema(sourceSchema)
     pathGlobFilter.foreach(g => reader.option("pathGlobFilter", g))
     val raw = reader.parquet(sourceDir)
@@ -242,7 +245,7 @@ final class RefreshManager(fs: FeatureStore) {
   private def electEntityKeys(
       rec: FeatureViewRecord,
       transformed: DataFrame,
-      batchView: Option[DataFrame],
+      batchView: () => Option[DataFrame],
       sourceName: String): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     import org.apache.spark.sql.functions.{col, count, lit}
@@ -255,7 +258,7 @@ final class RefreshManager(fs: FeatureStore) {
       case a: Aggregate => a.groupingExpressions.size
     }
     if (!nGrouping.contains(keys.size)) return None
-    val unique = batchView.forall { bv =>
+    val unique = batchView().forall { bv =>
       // re-bind the source view to batch data for the dry-run, restore after
       bv.createOrReplaceTempView(sourceName)
       try {

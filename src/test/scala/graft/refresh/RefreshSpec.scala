@@ -251,6 +251,49 @@ class RefreshSpec extends SparkSpec {
     assert(got == expected && got > 0)
   }
 
+  test("optimizeFeatureView compacts accumulated segments; range pruning and content survive") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_opt_").toString
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_id", "ts", "value")
+    val half = to_timestamp(lit("2024-01-15 00:00:00"))
+    ev.filter(col("ts") < half).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("opt_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_opt", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, event_id, ts, value FROM opt_src",
+      timestampCol = Some("ts"),
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_opt", "1")
+    val schema = spark.read.parquet(srcDir).schema
+    mgr.startIncremental(rec, "opt_src", srcDir, schema, availableNow = true)
+      .awaitTermination(120000)
+    ev.filter(col("ts") >= half).write.mode("append").parquet(srcDir)
+    mgr.startIncremental(rec, "opt_src", srcDir, schema, availableNow = true)
+      .awaitTermination(120000)
+    mgr.stopAll()
+    val before = fs.readFeatureView("fv_opt", "1")
+    val beforeCount = before.count()
+    fs.optimizeFeatureView("fv_opt", "1", numFiles = 4, zorderBy = Some(("user_id", "ts")))
+    val path = rec.physicalPath.get
+    val m = graft.storage.VersionedTable.readManifest(path).get
+    assert(m.segments.size == 1, s"expected one compacted segment, got ${m.segments}")
+    val after = fs.readFeatureView("fv_opt", "1")
+    assert(after.count() == beforeCount)
+    def micros(s: String): Long =
+      spark.sql(s"SELECT unix_micros(CAST('$s' AS TIMESTAMP))").head().getLong(0)
+    // stats were refolded, so an out-of-range range-read sees zero segments
+    val (kept, _) = graft.storage.VersionedTable.segmentsInRange(
+      path, "ts", micros("2030-01-01 00:00:00"), micros("2030-12-31 00:00:00"))
+    assert(kept.isEmpty, "refolded stats must prune a disjoint range")
+    // and an in-range read is row-exact
+    val expected = after.filter(col("ts") < to_timestamp(lit("2024-01-14 00:00:00"))).count()
+    val got = fs.readFeatureViewRange("fv_opt", "1",
+      micros("2024-01-01 00:00:00"), micros("2024-01-14 00:00:00") - 1).count()
+    assert(got == expected && got > 0)
+  }
+
   test("update-mode INCREMENTAL writes O(changed keys) per tick, not the full result") {
     val fs = freshStore()
     val srcDir = Files.createTempDirectory("graft_src_ups_").toString
