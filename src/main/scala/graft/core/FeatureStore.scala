@@ -375,7 +375,7 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
   def optimizeFeatureView(
       name: String, version: String,
       numFiles: Int = 32,
-      zorderBy: Option[(String, String)] = None): Unit = {
+      zorderBy: Seq[String] = Seq.empty): Unit = {
     val rec = getFeatureView(name, version)
     val path = rec.physicalPath.getOrElse(throw new IllegalArgumentException(
       s"${rec.logicalId} is not a managed feature view — nothing to optimize"))

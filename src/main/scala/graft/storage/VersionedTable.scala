@@ -469,28 +469,33 @@ object VersionedTable {
       spark: SparkSession,
       path: String,
       numFiles: Int,
-      zorderBy: Option[(String, String)] = None,
+      zorderBy: Seq[String] = Seq.empty,
       statsCol: Option[String] = None,
       bits: Int = 12): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val m = readManifest(path).getOrElse(throw new IllegalArgumentException(
       s"no manifest at $path — nothing to optimize"))
     val df = read(spark, path)
-    val laidOut = zorderBy match {
-      case Some((c1, c2)) =>
+    val laidOut =
+      if (zorderBy.isEmpty) df.repartition(numFiles)
+      else {
+        // per-dim bit budget shrinks so the N-dim Morton code fits a long;
+        // 62/N bits of rank per dimension is far beyond file-level
+        // resolution anyway (even 1000 files only need ~10 curve bits)
+        val effBits = math.min(bits, 62 / zorderBy.size)
         val stats = df.agg(
-          min(col(c1).cast("long")), max(col(c1).cast("long")),
-          min(col(c2).cast("long")), max(col(c2).cast("long"))).head
-        if (stats.isNullAt(0) || stats.isNullAt(2)) df.repartition(numFiles)
+          zorderBy.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long")))).head,
+          zorderBy.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long")))).tail: _*).head
+        if (zorderBy.indices.exists(i => stats.isNullAt(2 * i))) df.repartition(numFiles)
         else df
-          .withColumn("__z", ZOrderLayout.zkey(
-            col(c1), (stats.getLong(0), stats.getLong(1)),
-            col(c2), (stats.getLong(2), stats.getLong(3)), bits))
+          .withColumn("__z", ZOrderLayout.zkeyN(
+            zorderBy.zipWithIndex.map { case (c, i) =>
+              (col(c), (stats.getLong(2 * i), stats.getLong(2 * i + 1)))
+            }, effBits))
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
-      case None => df.repartition(numFiles)
-    }
+      }
     val segStats = statsCol.flatMap { c =>
       val have = m.segments.flatMap(s => m.stats.get(s))
         .filter(_.col.equalsIgnoreCase(c))

@@ -29,16 +29,29 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ZOrderLayout {
 
+  /** Interleave the low `bits` of N non-negative int columns: result bit
+    * (i·N + j) = column j's bit i — the N-dimensional Morton code (Delta's
+    * `ZORDER BY (c1, …, cN)` key). Still a flat shiftleft/AND/OR expression
+    * tree, N·bits terms, fully inside WholeStageCodegen.
+    */
+  def interleaveBitsN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "need at least one column to interleave")
+    require(bits >= 1 && n * bits <= 62,
+      s"$n dims x $bits bits = ${n * bits} result bits — must fit a positive long (<= 62)")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _)
+  }
+
   /** Interleave the low `bits` of two non-negative int columns:
     * result bit 2i = a bit i, bit 2i+1 = b bit i.
     */
   def interleaveBits(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { i =>
-      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-      abit.bitwiseOR(bbit)
-    }.reduce(_ bitwiseOR _)
+    interleaveBitsN(Seq(a, b), bits)
   }
 
   /** Map `c` (long-castable) onto a 0 .. 2^bits-1 integer rank given the
@@ -107,6 +120,14 @@ object ZOrderLayout {
       normalize(d1, s1._1, s1._2, bits),
       normalize(d2, s2._1, s2._2, bits),
       bits)
+
+  /** N-dimensional z-key: each dimension normalized to its `bits`-wide rank
+    * (min/max from a stats pass), then Morton-interleaved. The 2-dim [[zkey]]
+    * is the N=2 case of this.
+    */
+  def zkeyN(dims: Seq[(Column, (Long, Long))], bits: Int): Column =
+    interleaveBitsN(
+      dims.map { case (c, (lo, hi)) => normalize(c, lo, hi, bits) }, bits)
 
   /** Exact, DETERMINISTIC range-bucket boundaries for a bounded-cardinality
     * long sort key. `repartitionByRange` samples with a seed derived from

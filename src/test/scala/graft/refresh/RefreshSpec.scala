@@ -275,7 +275,7 @@ class RefreshSpec extends SparkSpec {
     mgr.stopAll()
     val before = fs.readFeatureView("fv_opt", "1")
     val beforeCount = before.count()
-    fs.optimizeFeatureView("fv_opt", "1", numFiles = 4, zorderBy = Some(("user_id", "ts")))
+    fs.optimizeFeatureView("fv_opt", "1", numFiles = 4, zorderBy = Seq("user_id", "ts"))
     val path = rec.physicalPath.get
     val m = graft.storage.VersionedTable.readManifest(path).get
     assert(m.segments.size == 1, s"expected one compacted segment, got ${m.segments}")

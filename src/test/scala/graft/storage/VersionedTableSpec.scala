@@ -419,12 +419,40 @@ class VersionedTableSpec extends SparkSpec {
     val before = envelopes()
     assert(ZOrderLayout.boxHits(before, lo, hi, lo, hi) == before.length.toLong,
       "random append layout should have zero pruning on a central box")
-    VersionedTable.optimize(spark, dir, numFiles = 16, zorderBy = Some(("x", "y")), bits = 5)
+    VersionedTable.optimize(spark, dir, numFiles = 16, zorderBy = Seq("x", "y"), bits = 5)
     val after = envelopes()
     val hits = ZOrderLayout.boxHits(after, lo, hi, lo, hi)
     assert(after.length > 1 && hits < after.length,
       s"z-ordered layout must prune the central box: $hits of ${after.length} files hit")
     // content unchanged by the rewrite
     assert(VersionedTable.read(spark, dir).as[(Int, Int)].collect().toSet == cells.toSet)
+  }
+
+  test("optimize with three z-order dims prunes a slab on ANY single dimension") {
+    val dir = tmp()
+    val n = 16
+    val rnd = new scala.util.Random(3)
+    val cells = rnd.shuffle((for {
+      x <- 0 until n; y <- 0 until n; z <- 0 until n
+    } yield (x, y, z)).toVector)
+    cells.grouped(cells.size / 8).foreach(s =>
+      VersionedTable.append(dir)(d => s.toDF("x", "y", "z").coalesce(1).write.parquet(d)))
+    // 64 files over 16^3 cells = 64 codes/file = one aligned 4x4x4 subcube
+    // each (±range-sampling slop); at 16 files each file spans a half-cube
+    // on one axis and a central slab would hit everything
+    VersionedTable.optimize(spark, dir, numFiles = 64, zorderBy = Seq("x", "y", "z"), bits = 4)
+    val m = VersionedTable.readManifest(dir).get
+    assert(m.segments.size == 1)
+    val seg = Paths.get(dir, m.segments.head).toString
+    val (lo, hi) = (n * 3L / 8, n * 5L / 8) // central 1/4 slab
+    // a slab constraining ONE dim (others unconstrained) must prune files
+    // on every dimension — the property a 1-dim sort only has for itself
+    for ((d1, d2) <- Seq(("x", "y"), ("y", "z"), ("z", "x"))) {
+      val env = ZOrderLayout.collectEnvelopes(spark, seg, d1, d2)
+      val hits = ZOrderLayout.boxHits(env, lo, hi, 0L, n.toLong)
+      assert(env.length > 1 && hits < env.length,
+        s"slab on $d1 must prune: $hits of ${env.length} files hit")
+    }
+    assert(VersionedTable.read(spark, dir).as[(Int, Int, Int)].collect().toSet == cells.toSet)
   }
 }

@@ -17,6 +17,27 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 27L))
   }
 
+  test("interleaveBitsN: 3-dim hand-computed codes; 2-dim case matches interleaveBits") {
+    // (a,b,c)=(5,3,1): a=101, b=011, c=001 → bit layout per level i:
+    // (c_i b_i a_i) at positions (3i+2, 3i+1, 3i) → levels: i0=(1,1,1)=7<<0,
+    // i1=(0,1,0)=2<<3, i2=(0,0,1)=1<<6 → 7 + 16 + 64 = 87
+    val df = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (5L, 3L, 1L))
+      .toDF("a", "b", "c")
+      .select(ZOrderLayout.interleaveBitsN(Seq($"a", $"b", $"c"), 3).as("z"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L, 87L))
+    // N=2 must reproduce the 2-dim operator exactly (q78's oracle depends on it)
+    val pairs = Seq((5L, 3L), (12L, 9L), (1023L, 511L)).toDF("a", "b")
+    val both = pairs.select(
+      ZOrderLayout.interleaveBits($"a", $"b", 10).as("z2"),
+      ZOrderLayout.interleaveBitsN(Seq($"a", $"b"), 10).as("zn"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // result-width guard: 21 dims x 3 bits = 63 > 62 must refuse
+    intercept[IllegalArgumentException] {
+      ZOrderLayout.interleaveBitsN(Seq.fill(21)($"a"), 3)
+    }
+  }
+
   test("normalize: exact edge buckets, wide spans, clamping") {
     val minV = -1000000000000L
     val maxV = 1000000000000L // 2e12 span × 4096 buckets would overflow double precision
