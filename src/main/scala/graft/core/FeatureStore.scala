@@ -383,6 +383,28 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       statsCol = rec.fv.timestampCol)
   }
 
+  /** Retention tick for a managed FV's event history: expire (delete) all
+    * rows with event time strictly before `beforeMicros` — the TTL
+    * maintenance op for log-shaped feature tables. Segment-skipping DELETE
+    * ([[graft.storage.VersionedTable.deleteRange]]): fully-expired segments
+    * leave via a manifest edit (no data IO), at most the one straddling
+    * segment is rewritten, everything newer is untouched — so a daily
+    * retention tick on a table of thousands of micro-batch segments costs
+    * O(one segment), not O(table). Requires the FV to declare its
+    * timestamp column. Returns (kept, dropped, rewritten) segment counts.
+    */
+  def expireFeatureViewData(
+      name: String, version: String, beforeMicros: Long): (Int, Int, Int) = {
+    val rec = getFeatureView(name, version)
+    val path = rec.physicalPath.getOrElse(throw new IllegalArgumentException(
+      s"${rec.logicalId} is not a managed feature view — nothing to expire"))
+    val tsCol = rec.fv.timestampCol.getOrElse(throw new IllegalArgumentException(
+      s"${rec.logicalId} declares no timestamp column — retention needs event time"))
+    require(beforeMicros > Long.MinValue, "beforeMicros underflows the range bound")
+    graft.storage.VersionedTable.deleteRange(
+      spark, path, tsCol, Long.MinValue, beforeMicros - 1)
+  }
+
   /** Admin/migration op (reference scripts/cleanup_old_metadata.py, SURVEY
     * §2.A11): remove catalog records in an old/corrupt format (files that no
     * longer parse or validate) plus parsed records with a blank query.

@@ -512,6 +512,85 @@ object VersionedTable {
     vacuum(path)
   }
 
+  /** Range DELETE with manifest-level segment skipping — the retention /
+    * TTL operation for event-history tables ("expire rows older than X"),
+    * shaped like Delta's file-skipping DELETE: per committed segment,
+    *   - `statsCol` envelope DISJOINT from [loMicros, hiMicros] → kept
+    *     verbatim (same directory, zero IO);
+    *   - envelope fully INSIDE the range → dropped from the manifest (a
+    *     whole-segment delete costs one manifest edit, no data touched);
+    *   - straddling (or stat-less — conservatively treated as straddling)
+    *     → rewritten with the range filtered out, exact stats recomputed
+    *     on the surviving rows.
+    * For a contiguous expiry range that is at most two segment rewrites no
+    * matter how large the table — the cost profile that makes daily
+    * retention ticks viable on a table of thousands of segments. Keyed
+    * upsert tables take the conservative whole-table path (merge-on-read
+    * first, then filter: a pruned segment there could resurrect a
+    * superseded key), preserving keys. The commit is one CAS manifest
+    * flip; `batchId` carries over so streaming replay guards survive.
+    * Returns (segments kept verbatim, dropped, rewritten).
+    */
+  def deleteRange(
+      spark: SparkSession,
+      path: String,
+      statsCol: String,
+      loMicros: Long,
+      hiMicros: Long): (Int, Int, Int) = {
+    val m = readManifest(path).getOrElse(throw new IllegalArgumentException(
+      s"no manifest at $path — nothing to delete from"))
+    val v = m.version + 1
+    val keep = not(unix_micros(col(statsCol)).between(loMicros, hiMicros))
+    if (m.keys.nonEmpty) {
+      // upsert table: merge first (latest-wins), then filter — O(table),
+      // but correct under superseded keys; keys/kind preserved
+      val merged = read(spark, path).filter(keep)
+      val seg = newSegName(v)
+      merged.write.parquet(segDir(path, seg))
+      val st = SegStats.of(spark.read.parquet(segDir(path, seg)), statsCol)
+      commitManifest(path, Some(m.version),
+        Manifest(v, "upsert", m.keys, Seq(seg), m.batchId, st.map(seg -> _).toMap))
+      vacuum(path)
+      return (0, 0, 1)
+    }
+    var kept, dropped, rewritten = 0
+    val (newSegs, newStats) = m.segments.foldLeft(
+      (Seq.empty[String], Map.empty[String, SegStats])) { case ((segs, stats), s) =>
+      m.stats.get(s).filter(_.col.equalsIgnoreCase(statsCol)) match {
+        case Some(st) if st.max < loMicros || st.min > hiMicros =>
+          kept += 1
+          (segs :+ s, stats ++ m.stats.get(s).map(s -> _))
+        case Some(st) if st.min >= loMicros && st.max <= hiMicros =>
+          dropped += 1
+          (segs, stats) // whole segment expires — manifest edit only
+        case _ => // straddling, or no usable stats: rewrite filtered
+          val remaining = spark.read.parquet(segDir(path, s)).filter(keep)
+          if (remaining.isEmpty) { dropped += 1; (segs, stats) }
+          else {
+            rewritten += 1
+            val ns = newSegName(v)
+            remaining.write.parquet(segDir(path, ns))
+            val nst = SegStats.of(spark.read.parquet(segDir(path, ns)), statsCol)
+            (segs :+ ns, stats ++ nst.map(ns -> _))
+          }
+      }
+    }
+    // a delete that empties the table still needs one (empty) segment so
+    // readers keep resolving the schema
+    val (finalSegs, finalStats) =
+      if (newSegs.nonEmpty) (newSegs, newStats)
+      else {
+        val ns = newSegName(v)
+        spark.read.parquet(segDir(path, m.segments.head)).limit(0)
+          .write.parquet(segDir(path, ns))
+        (Seq(ns), Map.empty[String, SegStats])
+      }
+    commitManifest(path, Some(m.version),
+      Manifest(v, m.kind, m.keys, finalSegs, m.batchId, finalStats))
+    vacuum(path)
+    (kept, dropped, rewritten)
+  }
+
   /** Time-range read with manifest-level segment skipping: only segments
     * whose `statsCol` envelope intersects [loMicros, hiMicros] enter the
     * scan plan — the others are never listed, opened, or scheduled. The

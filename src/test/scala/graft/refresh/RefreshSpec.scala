@@ -294,6 +294,46 @@ class RefreshSpec extends SparkSpec {
     assert(got == expected && got > 0)
   }
 
+  test("expireFeatureViewData drops fully-expired segments without touching newer ones") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_exp_").toString
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_id", "ts", "value")
+    val half = to_timestamp(lit("2024-01-15 00:00:00"))
+    ev.filter(col("ts") < half).write.mode("overwrite").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("exp_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_exp", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, event_id, ts, value FROM exp_src",
+      timestampCol = Some("ts"),
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    val mgr = new RefreshManager(fs)
+    val rec = fs.getFeatureView("fv_exp", "1")
+    val schema = spark.read.parquet(srcDir).schema
+    mgr.startIncremental(rec, "exp_src", srcDir, schema, availableNow = true)
+      .awaitTermination(120000)
+    ev.filter(col("ts") >= half).write.mode("append").parquet(srcDir)
+    mgr.startIncremental(rec, "exp_src", srcDir, schema, availableNow = true)
+      .awaitTermination(120000)
+    mgr.stopAll()
+    val path = rec.physicalPath.get
+    val newerSeg = graft.storage.VersionedTable.readManifest(path).get.segments.last
+    def micros(s: String): Long =
+      spark.sql(s"SELECT unix_micros(CAST('$s' AS TIMESTAMP))").head().getLong(0)
+    // retention tick: expire everything before the half boundary — the
+    // first-half segment leaves via a manifest edit, the newer one is
+    // untouched (same directory)
+    val (kept, dropped, rewritten) =
+      fs.expireFeatureViewData("fv_exp", "1", micros("2024-01-15 00:00:00"))
+    assert(dropped == 1 && kept == 1 && rewritten == 0,
+      s"($kept, $dropped, $rewritten)")
+    val m = graft.storage.VersionedTable.readManifest(path).get
+    assert(m.segments == Seq(newerSeg), "newer segment must keep its directory")
+    val remaining = fs.readFeatureView("fv_exp", "1")
+    assert(remaining.filter(col("ts") < half).count() == 0)
+    assert(remaining.count() == ev.filter(col("ts") >= half).count())
+  }
+
   test("update-mode INCREMENTAL writes O(changed keys) per tick, not the full result") {
     val fs = freshStore()
     val srcDir = Files.createTempDirectory("graft_src_ups_").toString

@@ -355,6 +355,69 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("latest-wins"))
   }
 
+  test("deleteRange: disjoint segments kept verbatim, covered dropped free, straddler rewritten") {
+    val dir = tmp()
+    val jan = Seq((1, "2024-01-10 00:00:00"), (2, "2024-01-20 00:00:00"))
+    val feb = Seq((3, "2024-02-10 00:00:00"), (4, "2024-02-20 00:00:00"))
+    val mar = Seq((5, "2024-03-05 00:00:00"), (6, "2024-03-25 00:00:00"))
+    val apr = Seq((7, "2024-04-10 00:00:00"))
+    Seq(jan, feb, mar, apr).foreach(s =>
+      VersionedTable.append(dir, stats = tsStats(s))(writeTsSeg(s)))
+    val segsBefore = VersionedTable.readManifest(dir).get.segments
+    // expire [Feb 1, Mar 15]: Jan/Apr disjoint, Feb fully covered, Mar straddles
+    val (kept, dropped, rewritten) = VersionedTable.deleteRange(spark, dir, "ts",
+      micros("2024-02-01 00:00:00"), micros("2024-03-15 00:00:00"))
+    assert((kept, dropped, rewritten) == (2, 1, 1), s"($kept, $dropped, $rewritten)")
+    val m = VersionedTable.readManifest(dir).get
+    // untouched segments keep their directories — zero IO on them
+    assert(m.segments.contains(segsBefore.head) && m.segments.contains(segsBefore.last))
+    assert(!m.segments.contains(segsBefore(1)) && !m.segments.contains(segsBefore(2)))
+    assert(VersionedTable.read(spark, dir).select("k").as[Int].collect().toSet ==
+      Set(1, 2, 6, 7))
+    // the rewritten straddler's stats are exact over its surviving row
+    val rewrittenSeg = m.segments.filterNot(segsBefore.contains).head
+    val st = m.stats(rewrittenSeg)
+    assert(st.min == micros("2024-03-25 00:00:00") && st.max == st.min)
+  }
+
+  test("deleteRange that empties the table leaves a readable empty table") {
+    val dir = tmp()
+    val jan = Seq((1, "2024-01-10 00:00:00"))
+    VersionedTable.append(dir, stats = tsStats(jan))(writeTsSeg(jan))
+    VersionedTable.deleteRange(spark, dir, "ts",
+      micros("2024-01-01 00:00:00"), micros("2024-12-31 00:00:00"))
+    val df = VersionedTable.read(spark, dir)
+    assert(df.count() == 0 && df.columns.toSeq == Seq("k", "ts"))
+    // and the table keeps accepting appends
+    val feb = Seq((2, "2024-02-01 00:00:00"))
+    VersionedTable.append(dir, stats = tsStats(feb))(writeTsSeg(feb))
+    assert(VersionedTable.read(spark, dir).count() == 1)
+  }
+
+  test("deleteRange on a keyed upsert table merges first and preserves keys") {
+    val dir = tmp()
+    val writeTs = (rows: Seq[(Int, String)]) => (d: String) =>
+      rows.toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts").write.parquet(d)
+    val compact = (df: org.apache.spark.sql.DataFrame, d: String) => df.write.parquet(d)
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = compact)(
+      writeTs(Seq((1, "2024-01-10 00:00:00"), (2, "2024-03-10 00:00:00"))))
+    // k=1 superseded by a NEWER row outside the delete range — merge-on-read
+    // first means the key survives (a naive per-segment delete would drop
+    // the old row AND keep serving it from nowhere)
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = compact)(
+      writeTs(Seq((1, "2024-03-20 00:00:00"))))
+    VersionedTable.deleteRange(spark, dir, "ts",
+      micros("2024-01-01 00:00:00"), micros("2024-01-31 00:00:00"))
+    val m = VersionedTable.readManifest(dir).get
+    assert(m.keys == Seq("k") && m.kind == "upsert")
+    val rows = VersionedTable.read(spark, dir).select("k").as[Int].collect().toSet
+    assert(rows == Set(1, 2), s"latest k=1 row is outside the range and must survive: $rows")
+    // keys preserved → upserts keep working
+    VersionedTable.upsert(spark, dir, Seq("k"), compactWrite = compact)(
+      writeTs(Seq((2, "2024-04-01 00:00:00"))))
+    assert(VersionedTable.read(spark, dir).count() == 2)
+  }
+
   test("optimize compacts append segments into one, rows intact, stats refolded") {
     val dir = tmp()
     val slices = Seq(
