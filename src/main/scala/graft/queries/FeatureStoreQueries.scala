@@ -24,6 +24,31 @@ object FeatureStoreQueries {
   private def tempStore(spark: SparkSession): FeatureStore =
     FeatureStore(spark, Files.createTempDirectory("graft_fs_").toString)
 
+  private def tsMicros(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+  /** Events (user_id, ts, value) landed as weekly stats-bearing append
+    * segments — the micro-batch shape the round-10 storage maintenance ops
+    * (q96 retention, q97 optimize) operate on. Boundary envelopes are the
+    * slice bounds (conservative-wide is valid for skipping).
+    */
+  private def slicedEventsTable(s: SparkSession, dir: String): String = {
+    val path = Files.createTempDirectory("graft_fs_sliced_").toString
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val bounds = Seq("2024-01-01 00:00:00", "2024-01-08 00:00:00",
+      "2024-01-15 00:00:00", "2024-01-22 00:00:00", "2024-02-01 00:00:00")
+    bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      val slice = ev.filter(
+        col("ts") >= to_timestamp(lit(lo)) && col("ts") < to_timestamp(lit(hi)))
+      graft.storage.VersionedTable.append(path,
+        stats = Some(graft.storage.VersionedTable.SegStats(
+          "ts", tsMicros(lo), tsMicros(hi) - 1)))(
+        d => slice.coalesce(1).write.parquet(d))
+    }
+    path
+  }
+
   /** Register the standard demo objects used by the FS queries:
     * entity user(user_id); a static FV of per-user view-history and a
     * derived FV chained on it (reference FV-chaining,
@@ -205,6 +230,36 @@ object FeatureStoreQueries {
 
     // C2 INCREMENTAL — Structured Streaming maintains the managed FV; the
     // drained stream must equal the batch recompute (dynamic-table parity)
+    // retention (round-10 storage op): land events as four stats-bearing
+    // time-slice append segments, expire everything before Jan 15 via the
+    // segment-skipping range DELETE, and return the per-user aggregate of
+    // what remains — the oracle recomputes it from raw events with the same
+    // cutoff, so dropping too much OR too little hash-fails.
+    "q96_fs_retention" -> ((s, dir) => {
+      val path = slicedEventsTable(s, dir)
+      graft.storage.VersionedTable.deleteRange(
+        s, path, "ts", Long.MinValue, tsMicros("2024-01-15 00:00:00") - 1)
+      graft.storage.VersionedTable.read(s, path)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("f_n"),
+          sum(dec(col("value"))).cast("double").as("f_sum"))
+    }),
+
+    // OPTIMIZE (round-10 storage op): same sliced table, compacted with a
+    // 2-dim ZORDER rewrite — the result must be byte-identical content
+    // (the oracle aggregates ALL raw events) and exactly one live segment.
+    "q97_fs_optimize" -> ((s, dir) => {
+      val path = slicedEventsTable(s, dir)
+      graft.storage.VersionedTable.optimize(
+        s, path, numFiles = 8, zorderBy = Seq("user_id", "ts"), statsCol = Some("ts"))
+      val m = graft.storage.VersionedTable.readManifest(path).get
+      graft.storage.VersionedTable.read(s, path)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("f_n"),
+          sum(dec(col("value"))).cast("double").as("f_sum"))
+        .withColumn("n_segments", lit(m.segments.size))
+    }),
+
     "q37_fs_incremental" -> ((s, dir) => {
       val fs = tempStore(s)
       // batch view first so registration-time validation can analyze the query
@@ -310,5 +365,18 @@ object FeatureStoreQueries {
       """SELECT user_id, event_type,
         |  count(*) AS f_n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
-        |FROM events GROUP BY user_id, event_type""".stripMargin)
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "q96_fs_retention" ->
+      """SELECT user_id, count(*) AS f_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY user_id""".stripMargin,
+
+    "q97_fs_optimize" ->
+      """SELECT user_id, count(*) AS f_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum,
+        |  CAST(1 AS INTEGER) AS n_segments
+        |FROM events GROUP BY user_id""".stripMargin)
 }
