@@ -9,9 +9,10 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * `queries` is the operator inventory of SURVEY.md §2 (catalog plane A,
   * relational plane B incl. the point-in-time as-of join B17/B18, managed
   * plane C) plus the training-data-pipeline extensions (dedup, similarity
-  * search, text analysis, multimodal). Every SQL-expressible query has a
-  * DuckDB oracle in `oracleSql`; hash-family ops (MinHash/SimHash/LSH) are
-  * deterministic but engine-specific → rows-only check.
+  * search, text analysis, multimodal) and the storage maintenance ops
+  * (q96 retention, q97 optimize). Every query — including the hash-family
+  * ops, restated in DuckDB SQL — has an oracle in `oracleSql` (95/95 as
+  * of round 10).
   */
 object SparkEntry {
   /** Flagship: end-to-end feature-store dataset generation (catalog
