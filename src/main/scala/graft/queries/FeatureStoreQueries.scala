@@ -24,29 +24,28 @@ object FeatureStoreQueries {
   private def tempStore(spark: SparkSession): FeatureStore =
     FeatureStore(spark, Files.createTempDirectory("graft_fs_").toString)
 
-  private def tsMicros(s: String): Long =
-    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-
-  /** Events (user_id, ts, value) landed as weekly stats-bearing append
-    * segments — the micro-batch shape the round-10 storage maintenance ops
-    * (q96 retention, q97 optimize) operate on. Boundary envelopes are the
-    * slice bounds (conservative-wide is valid for skipping).
+  /** Events (user_id, ts, value) landed as four stats-bearing append
+    * segments on the QUARTILE boundaries of the corpus's own ts range —
+    * the micro-batch shape the round-10 storage maintenance ops (q96
+    * retention, q97 optimize) operate on. Boundaries derive from the data
+    * (min/max + integer arithmetic restated identically in the DuckDB
+    * oracles), so a corpus regeneration with a different time range
+    * cannot silently diverge the two sides. Returns (path, boundaries) —
+    * 5 epoch-micros values; boundaries(2) is q96's retention cutoff.
     */
-  private def slicedEventsTable(s: SparkSession, dir: String): String = {
+  private def slicedEventsTable(s: SparkSession, dir: String): (String, Seq[Long]) = {
     val path = Files.createTempDirectory("graft_fs_sliced_").toString
     val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
-    val bounds = Seq("2024-01-01 00:00:00", "2024-01-08 00:00:00",
-      "2024-01-15 00:00:00", "2024-01-22 00:00:00", "2024-02-01 00:00:00")
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    val (t0, t1) = (r.getLong(0), r.getLong(1))
+    val bounds = (0 to 4).map(i => t0 + (t1 - t0 + 1) * i / 4)
     bounds.sliding(2).foreach { case Seq(lo, hi) =>
-      val slice = ev.filter(
-        col("ts") >= to_timestamp(lit(lo)) && col("ts") < to_timestamp(lit(hi)))
+      val slice = ev.filter(unix_micros(col("ts")).between(lo, hi - 1))
       graft.storage.VersionedTable.append(path,
-        stats = Some(graft.storage.VersionedTable.SegStats(
-          "ts", tsMicros(lo), tsMicros(hi) - 1)))(
+        stats = Some(graft.storage.VersionedTable.SegStats("ts", lo, hi - 1)))(
         d => slice.coalesce(1).write.parquet(d))
     }
-    path
+    (path, bounds)
   }
 
   /** Register the standard demo objects used by the FS queries:
@@ -236,9 +235,9 @@ object FeatureStoreQueries {
     // what remains — the oracle recomputes it from raw events with the same
     // cutoff, so dropping too much OR too little hash-fails.
     "q96_fs_retention" -> ((s, dir) => {
-      val path = slicedEventsTable(s, dir)
+      val (path, bounds) = slicedEventsTable(s, dir)
       graft.storage.VersionedTable.deleteRange(
-        s, path, "ts", Long.MinValue, tsMicros("2024-01-15 00:00:00") - 1)
+        s, path, "ts", Long.MinValue, bounds(2) - 1)
       graft.storage.VersionedTable.read(s, path)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("f_n"),
@@ -249,7 +248,7 @@ object FeatureStoreQueries {
     // 2-dim ZORDER rewrite — the result must be byte-identical content
     // (the oracle aggregates ALL raw events) and exactly one live segment.
     "q97_fs_optimize" -> ((s, dir) => {
-      val path = slicedEventsTable(s, dir)
+      val (path, _) = slicedEventsTable(s, dir)
       graft.storage.VersionedTable.optimize(
         s, path, numFiles = 8, zorderBy = Seq("user_id", "ts"), statsCol = Some("ts"))
       val m = graft.storage.VersionedTable.readManifest(path).get
@@ -367,11 +366,16 @@ object FeatureStoreQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
         |FROM events GROUP BY user_id, event_type""".stripMargin,
 
+    // cutoff = the median quartile boundary of the corpus's OWN ts range,
+    // restated with the same integer arithmetic as slicedEventsTable —
+    // corpus-adaptive, so a testdata regeneration can't diverge the sides
     "q96_fs_retention" ->
-      """SELECT user_id, count(*) AS f_n,
+      """WITH r AS (
+        |  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events)
+        |SELECT user_id, count(*) AS f_n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
-        |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |FROM events, r
+        |WHERE epoch_us(ts) >= t0 + (t1 - t0 + 1) * 2 // 4
         |GROUP BY user_id""".stripMargin,
 
     "q97_fs_optimize" ->
