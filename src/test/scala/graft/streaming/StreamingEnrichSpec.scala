@@ -121,6 +121,56 @@ class StreamingEnrichSpec extends SparkSpec {
     }
   }
 
+  test("optimize and retention between ticks: serving tracks the maintained snapshot") {
+    val srcDir = Files.createTempDirectory("graft_enrich_src4_").toString
+    val featPath = Files.createTempDirectory("graft_enrich4_").resolve("features").toString
+    val outPath = Files.createTempDirectory("graft_enrich4_").resolve("out").toString
+    def micros(s: String): Long =
+      spark.sql(s"SELECT unix_micros(CAST('$s' AS TIMESTAMP))").head().getLong(0)
+    // feature history as two stats-bearing append segments (the sink shape
+    // maintenance operates on)
+    val old = Seq((1L, ts("2024-01-01 00:00:00"), 10.0),
+      (2L, ts("2024-01-02 00:00:00"), 20.0)).toDF("k", "fts", "score")
+    val newer = Seq((1L, ts("2024-01-03 00:00:00"), 30.0)).toDF("k", "fts", "score")
+    VersionedTable.append(featPath,
+      stats = VersionedTable.SegStats.of(old, "fts"))(d => old.write.parquet(d))
+    VersionedTable.append(featPath,
+      stats = VersionedTable.SegStats.of(newer, "fts"))(d => newer.write.parquet(d))
+
+    val events1 = Seq((200L, 1L, ts("2024-01-04 00:00:00")),
+      (201L, 2L, ts("2024-01-04 00:00:00"))).toDF("event_id", "k", "ets")
+    val schema = events1.schema
+    events1.coalesce(1).write.mode("append").parquet(srcDir)
+    drain(srcDir, schema, featPath, outPath)
+    val out1 = VersionedTable.read(spark, outPath)
+    assert(out1.filter($"event_id" === 200L).head.getAs[Double]("score") == 30.0)
+    assert(out1.filter($"event_id" === 201L).head.getAs[Double]("score") == 20.0)
+
+    // OPTIMIZE between ticks: content must be invisible to serving
+    VersionedTable.optimize(spark, featPath, numFiles = 2,
+      zorderBy = Seq("k", "fts"), statsCol = Some("fts"))
+    assert(VersionedTable.readManifest(featPath).get.segments.size == 1)
+    Seq((202L, 1L, ts("2024-01-04 00:00:00"))).toDF("event_id", "k", "ets")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    drain(srcDir, schema, featPath, outPath)
+    assert(VersionedTable.read(spark, outPath)
+      .filter($"event_id" === 202L).head.getAs[Double]("score") == 30.0,
+      "post-optimize batch must serve identical features")
+
+    // RETENTION between ticks: expired history must stop being servable
+    VersionedTable.deleteRange(spark, featPath, "fts",
+      Long.MinValue, micros("2024-01-03 00:00:00") - 1)
+    Seq((203L, 2L, ts("2024-01-04 00:00:00")),
+      (204L, 1L, ts("2024-01-04 00:00:00"))).toDF("event_id", "k", "ets")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    drain(srcDir, schema, featPath, outPath)
+    val out3 = VersionedTable.read(spark, outPath)
+    assert(out3.filter($"event_id" === 203L).select($"score").head.isNullAt(0),
+      "expired feature history must no longer serve")
+    assert(out3.filter($"event_id" === 204L).head.getAs[Double]("score") == 30.0,
+      "unexpired rows keep serving")
+  }
+
   test("maxStaleness bounds served freshness in the stream") {
     val srcDir = Files.createTempDirectory("graft_enrich_src2_").toString
     val featPath = Files.createTempDirectory("graft_enrich2_").resolve("features").toString
