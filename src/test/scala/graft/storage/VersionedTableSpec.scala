@@ -355,6 +355,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("latest-wins"))
   }
 
+  test("fuzz: deleteRange == plain filter and optimize preserves content, any segmentation") {
+    val rnd = new scala.util.Random(20240814)
+    val baseUs = 1700000000000000L // fixed epoch-µs origin, determinism
+    (1 to 12).foreach { trial =>
+      val dir = tmp()
+      val nRows = 30 + rnd.nextInt(120)
+      val rows = (0 until nRows).map { i =>
+        (i, baseUs + rnd.nextInt(1000000) * 1000000L) // ts in a ~11.5-day window
+      }
+      // random segmentation; each segment randomly does or doesn't carry stats
+      val shuffled = rnd.shuffle(rows)
+      val nSegs = 1 + rnd.nextInt(6)
+      shuffled.grouped(math.max(1, shuffled.size / nSegs)).foreach { seg =>
+        val df = seg.toDF("k", "us").selectExpr("k", "timestamp_micros(us) AS ts")
+        val stats = if (rnd.nextBoolean()) VersionedTable.SegStats.of(df, "ts") else None
+        VersionedTable.append(dir, stats = stats)(d => df.coalesce(1).write.parquet(d))
+      }
+      // random delete range (sometimes empty, sometimes everything)
+      val a = baseUs + rnd.nextInt(1200000) * 1000000L - 100000000000L
+      val b = a + rnd.nextInt(1400000) * 1000000L
+      val (kept, dropped, rewritten) = VersionedTable.deleteRange(spark, dir, "ts", a, b)
+      val expected = rows.filter { case (_, us) => us < a || us > b }.map(_._1).toSet
+      val got = VersionedTable.read(spark, dir).select("k").as[Int].collect().toSet
+      assert(got == expected,
+        s"trial $trial: deleteRange([$a,$b]) diverged from filter " +
+          s"(kept=$kept dropped=$dropped rewritten=$rewritten): " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+      // optimize afterwards must not change content (z-ordered, any numFiles)
+      VersionedTable.optimize(spark, dir, numFiles = 1 + rnd.nextInt(8),
+        zorderBy = Seq("k", "ts"), statsCol = Some("ts"))
+      val afterOpt = VersionedTable.read(spark, dir).select("k").as[Int].collect().toSet
+      assert(afterOpt == expected, s"trial $trial: optimize changed content")
+    }
+  }
+
   test("optimize racing a writer: one loses with an error, never a lost commit") {
     val dir = tmp()
     (1 to 4).foreach(i => VersionedTable.append(dir)(writeSeg(Seq((i, i)))))
