@@ -182,6 +182,7 @@ final class RefreshManager(fs: FeatureStore) {
                   f.dataType == org.apache.spark.sql.types.TimestampType))
               .flatMap(tc => graft.storage.VersionedTable.SegStats.of(batch, tc))
             VersionedTable.append(path, Some(bid), stats)(dir => writeSeg(batch, dir))
+            maybeAutoOptimize(rec, path)
           case "update" =>
             VersionedTable.upsert(spark, path, aggKeys.get,
               compactWrite = (merged, dir) => writeSeg(merged, dir),
@@ -198,6 +199,36 @@ final class RefreshManager(fs: FeatureStore) {
       .start()
     Option(streams.put(key(rec), q)).foreach(_.stop())
     q
+  }
+
+  /** Opportunistic auto-compaction for append-mode sinks — the upsert sink
+    * compacts every `compactEvery` commits; append sinks otherwise
+    * accumulate one segment per micro-batch forever (the read-amplification
+    * cliff `OPTPROBE_r10.json` measures: a 64-segment table scans ~20×
+    * slower than its compacted form). After each append commit, if the
+    * live segment count has reached `graft.refresh.autoOptimize.segments`
+    * (default 64; 0 disables), the table is rewritten into
+    * `graft.refresh.autoOptimize.numFiles` files with range-pruning stats
+    * refolded. Runs inline on the micro-batch thread — the same trade the
+    * upsert compaction makes: one slower tick instead of every read paying
+    * the amplification. A concurrent writer winning the CAS just means
+    * this tick skips; the next qualifying tick retries.
+    */
+  private[refresh] def maybeAutoOptimize(
+      rec: FeatureViewRecord, path: String): Unit = {
+    val threshold = spark.conf.get("graft.refresh.autoOptimize.segments", "64").toInt
+    if (threshold <= 0) return
+    val segs = VersionedTable.readManifest(path).map(_.segments.size).getOrElse(0)
+    if (segs >= threshold) {
+      val numFiles = spark.conf.get("graft.refresh.autoOptimize.numFiles", "32").toInt
+      try {
+        VersionedTable.optimize(spark, path, numFiles, statsCol = rec.fv.timestampCol)
+        System.err.println(s"[refresh] ${rec.logicalId} auto-optimized: " +
+          s"$segs segments -> 1 ($numFiles files)")
+      } catch {
+        case _: VersionedTable.ConcurrentCommitException => () // racer won; retry next tick
+      }
+    }
   }
 
   private def hasAggregate(df: DataFrame): Boolean =

@@ -294,6 +294,42 @@ class RefreshSpec extends SparkSpec {
     assert(got == expected && got > 0)
   }
 
+  test("append sinks auto-optimize at the segment threshold (conf-gated, race-tolerant)") {
+    val fs = freshStore()
+    import spark.implicits._
+    Seq((1L, 1L, 1.0)).toDF("user_id", "event_id", "value")
+      .createOrReplaceTempView("auto_opt_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    fs.registerFeatureView(FeatureView("fv_auto_opt", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, event_id, value FROM auto_opt_src",
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnSchedule))), "1")
+    // build the segment pile directly (driving 64 micro-batches is slow);
+    // maybeAutoOptimize only looks at the manifest
+    val mgr = new RefreshManager(fs)
+    val rec0 = fs.getFeatureView("fv_auto_opt", "1")
+    val path = java.nio.file.Files.createTempDirectory("graft_auto_opt_").toString
+    (1 to 64).foreach(i => graft.storage.VersionedTable.append(path)(d =>
+      Seq((i.toLong, i.toLong, i.toDouble)).toDF("user_id", "event_id", "value")
+        .coalesce(1).write.parquet(d)))
+    // below threshold: untouched
+    spark.conf.set("graft.refresh.autoOptimize.segments", "65")
+    try {
+      mgr.maybeAutoOptimize(rec0, path)
+      assert(graft.storage.VersionedTable.readManifest(path).get.segments.size == 64)
+      // disabled: untouched
+      spark.conf.set("graft.refresh.autoOptimize.segments", "0")
+      mgr.maybeAutoOptimize(rec0, path)
+      assert(graft.storage.VersionedTable.readManifest(path).get.segments.size == 64)
+      // at threshold: compacts to one segment, content intact
+      spark.conf.set("graft.refresh.autoOptimize.segments", "64")
+      mgr.maybeAutoOptimize(rec0, path)
+      val m = graft.storage.VersionedTable.readManifest(path).get
+      assert(m.segments.size == 1, s"expected auto-compaction, got ${m.segments.size} segments")
+      assert(graft.storage.VersionedTable.read(spark, path).count() == 64)
+    } finally spark.conf.unset("graft.refresh.autoOptimize.segments")
+  }
+
   test("expireFeatureViewData drops fully-expired segments without touching newer ones") {
     val fs = freshStore()
     val srcDir = Files.createTempDirectory("graft_src_exp_").toString
