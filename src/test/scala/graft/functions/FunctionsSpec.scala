@@ -579,6 +579,124 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: A-Res selection matches driver-side reference; exact k; rank order") {
+    val docs = (1L to 200L).map(id => (id, 1L + id % 17)) // weights 1..17
+    val df = docs.toDF("doc_id", "w")
+    val k = 25
+    // reference: same u = (xxh64(id) mod 2^48 + 1)/2^48 (hashes read back
+    // from the engine's own xxhash64 so the reference only re-implements
+    // the SELECTION, not the hash), keys ln(u)/w, top-k
+    val hashes = df.select($"doc_id", xxhash64($"doc_id".cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two48 = 281474976710656L
+    val expected = docs.map { case (id, w) =>
+      val m = ((hashes(id) % two48) + two48) % two48
+      val u = (m + 1).toDouble / two48.toDouble
+      (id, w, math.log(u) / w.toDouble)
+    }.sortBy { case (id, _, key) => (-key, id) }.take(k)
+      .zipWithIndex.map { case ((id, w, _), i) => (id, w, (i + 1).toLong) }
+    val got = Sampling.weightedSample(df, "doc_id", $"w", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // determinism across invocations (fresh plan, different partitioning)
+    val again = Sampling.weightedSample(df.repartition(7), "doc_id", $"w", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(again == expected, "selection must be partitioning-independent")
+  }
+
+  test("dsirScores: log-likelihood-ratio scores match driver-side reference") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ate the food"),
+      (3L, "de", "der hund und die katze"),
+      (4L, "de", "the cat und der mat"), // mixed: mid score
+      (5L, "es", "")) // zero tokens: dropped
+      .toDF("doc_id", "lang", "text")
+    val b = 64
+    // reference re-implements the MODEL (counts + smoothing + ln ratio)
+    // over engine-read bucket ids, so it is independent of the Spark plan
+    val inst = docs.select($"doc_id", $"lang",
+        explode(TextFunctions.tokens(lower($"text"))).as("w"))
+      .select($"doc_id", $"lang", pmod(xxhash64($"w"), lit(b.toLong)).as("bkt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val cr = inst.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = inst.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (tr, tt) = (inst.size.toLong, inst.count(_._2 == "en").toLong)
+    def lr(bkt: Long): Double =
+      math.log((ct.getOrElse(bkt, 0L) + 1).toDouble / (tt + b).toDouble) -
+        math.log((cr(bkt) + 1).toDouble / (tr + b).toDouble)
+    val expected = inst.groupBy(_._1).view.mapValues { rows =>
+      BigDecimal(rows.map(r => lr(r._3)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = ImportanceSampling.dsirScores(docs, "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"got keys ${got.keySet}")
+    for ((id, s) <- expected) assert(math.abs(got(id) - s) < 1e-9, s"doc $id: ${got(id)} vs $s")
+    // targets score above non-targets; the mixed doc lands between
+    assert(got(1L) > got(4L) && got(2L) > got(4L), "pure-target docs must outrank mixed")
+    assert(got(4L) > got(3L), "mixed doc must outrank pure-raw")
+  }
+
+  test("scalarQuantizedTopK: integer scores match driver reference; codes bounded") {
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.tabulate(8)(d => math.sin(id * 1.7 + d * 0.9) * (d + 1)))
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val queries = df.filter($"vec_id" < 3)
+    val got = Similarity.scalarQuantizedTopK(queries, "vec_id", df, "vec_id", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // driver reference: same scales / floor(x/s*127+0.5) codes / int dot
+    val scales = (0 until 8).map(d => vecs.map(v => math.abs(v._2(d))).max)
+      .map(s => if (s == 0.0) 1.0 else s)
+    def code(v: Array[Double]): Array[Long] =
+      v.zipWithIndex.map { case (x, d) => math.floor(x / scales(d) * 127.0 + 0.5).toLong }
+    val codes = vecs.map { case (id, v) => id -> code(v) }.toMap
+    assert(codes.values.flatten.forall(c => c >= -127L && c <= 127L))
+    val expected = (0L until 3L).flatMap { q =>
+      vecs.filter(_._1 != q).map { case (c, _) =>
+        (q, c, codes(q).zip(codes(c)).map { case (a, b2) => a * b2 }.sum)
+      }.sortBy { case (_, c, s) => (-s, c) }.take(4)
+        .zipWithIndex.map { case ((qq, c, s), i) => (qq, c, s, (i + 1).toLong) }
+    }.toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("nearDupEditDistance: equals naive all-pairs within blocks; gate never drops a match") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val docs = Seq(
+      (1L, "g1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "g1", "the quick brown fox jumped over the lazy dog"), // 2 edits
+      (3L, "g1", "a completely different document body here with nothing shared"),
+      (4L, "g2", "the quick brown fox jumps over the lazy dog"), // other block
+      (5L, "g2", "the quick brown fox jumps over the lazy dog"), // exact dup of 4
+      (6L, "g1", "short"))
+      .toDF("doc_id", "blk", "text")
+    val maxDist = 5
+    val got = DedupFunctions.nearDupEditDistance(docs, "doc_id", "text",
+        blockCols = Seq("blk"), prefixLen = 64, maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = (for {
+      a <- rows; b2 <- rows
+      if a._2 == b2._2 && a._1 < b2._1
+      d = lev(a._3.take(64), b2._3.take(64))
+      if d <= maxDist
+    } yield (a._1, b2._1, d.toLong)).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.contains((1L, 2L, 2L)), "near pair must surface with its exact distance")
+    assert(got.contains((4L, 5L, 0L)), "exact dup in its own block")
+    assert(!got.exists(p => Set(p._1, p._2) == Set(1L, 4L)), "no cross-block pairs")
+  }
+
   test("chunking: sliding windows with overlap match hand computation") {
     // 10 tokens, chunk=4 overlap=1 → stride 3, starts below max(10-1,1):
     // 0,3,6 → [t1..t4] [t4..t7] [t7..t10]; a start at 9 would yield [t10],

@@ -27,8 +27,12 @@ class PlanAuditSpec extends SparkSpec {
     "q89_lm_perplexity", // 1-row broadcast vocab-size attach: the constant
                          // join key folds away, degenerating the hash join
                          // to an NLJ over a single broadcast row — O(n * 1)
-    "q93_purged_split")  // fold assignment: crossJoin(broadcast(folds)) by
+    "q93_purged_split",  // fold assignment: crossJoin(broadcast(folds)) by
                          // construction — nFolds-row local table, O(n * k)
+    "q99_dsir",          // 1-row broadcast totals attach onto the B-row
+                         // model table — O(B * 1), the q89 shape
+    "q100_sq_topk")      // int8 SQ scoring: broadcast quantized queries,
+                         // same crossJoin(broadcast) shape as q25
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
