@@ -656,6 +656,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SQ shortlist + exact re-rank — the production shape for int8 codes:
+    * integer dot products over the 1/4-width codes pick a `shortlist`
+    * per query (the only pass that touches every candidate, reading 1/4
+    * the bytes), then the shortlist re-ranks by EXACT cosine via an
+    * id-equi-join back to the float vectors (touches `shortlist` rows per
+    * query, not the corpus). Output matches [[bruteForceTopK]]'s shape so
+    * recall is directly comparable; re-ranking also removes the
+    * dot-vs-cosine metric gap on unnormalized corpora.
+    */
+  def sqTopKReranked(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = scalarQuantizedTopK(queries, qidCol, candidates, cidCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val rescored = short
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def nearDupCosine(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 12, dim: Int = 64): DataFrame = {

@@ -162,10 +162,17 @@ object PipelineQueries {
       val lsh = Similarity.lshTopK(queriesDf, "vec_id", emb, "vec_id", "embedding",
         k, bits = 6, dim = 64, tables = 32)
       val ivf = Similarity.ivfTopK(queriesDf, "vec_id", emb, "vec_id", "embedding", k, nlist = 16, nprobe = 4)
+      // sq: int8 coarse scoring over 1/4-width codes -> 4k shortlist ->
+      // exact cosine re-rank (the q100 codes; recall isolates quantization
+      // loss because the re-rank uses the true metric)
+      val sq = Similarity.sqTopKReranked(queriesDf, "vec_id", emb, "vec_id", "embedding",
+        k, shortlist = 4 * k)
       Similarity.recallAtK(exact, lsh, k)
         .select(lit("lsh").as("method"), col("recall"))
         .unionByName(Similarity.recallAtK(exact, ivf, k)
           .select(lit("ivf").as("method"), col("recall")))
+        .unionByName(Similarity.recallAtK(exact, sq, k)
+          .select(lit("sq").as("method"), col("recall")))
         .groupBy("method")
         .agg(count(lit(1)).as("n_queries"),
           TextFunctions.round4(avg(col("recall"))).as("mean_recall"))
@@ -1059,6 +1066,34 @@ object PipelineQueries {
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |    FROM ivf_scored) WHERE rank <= 5
+       |), sqsc AS (
+       |  SELECT j AS d, max(abs(CAST(embedding[j] AS DOUBLE))) AS s
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(j)
+       |  GROUP BY 1
+       |), sqsl AS (
+       |  SELECT list(CASE WHEN s = 0 THEN 1.0 ELSE s END ORDER BY d) AS sc FROM sqsc
+       |), sqz AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      j -> CAST(floor(CAST(embedding[j] AS DOUBLE) / sc[j] * 127.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, sqsl
+       |), sq_short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(c.q) + 1), j -> qs.q[j] * c.q[j])) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM sqz c JOIN sqz qs ON c.vec_id <> qs.vec_id
+       |    WHERE qs.vec_id < 10) WHERE rank <= 20
+       |), sq_approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65), j -> CAST(bq.embedding[j] AS DOUBLE) * CAST(bc.embedding[j] AS DOUBLE)))
+       |          / (bq.n * bc.n), 6) DESC, s.neighbor_id ASC) AS rank
+       |    FROM sq_short s
+       |    JOIN base bq ON bq.vec_id = s.query_id JOIN base bc ON bc.vec_id = s.neighbor_id
+       |  ) WHERE rank <= 5
        |), exact AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1077,6 +1112,12 @@ object PipelineQueries {
        |  SELECT 'ivf' AS method, e.query_id, coalesce(h.n_hits, 0) / 5.0 AS recall
        |  FROM (SELECT DISTINCT query_id FROM exact) e
        |  LEFT JOIN (SELECT e2.query_id, count(*) AS n_hits FROM exact e2 JOIN ivf_approx a
+       |    ON e2.query_id = a.query_id AND e2.neighbor_id = a.neighbor_id GROUP BY 1) h
+       |  ON e.query_id = h.query_id
+       |  UNION ALL
+       |  SELECT 'sq' AS method, e.query_id, coalesce(h.n_hits, 0) / 5.0 AS recall
+       |  FROM (SELECT DISTINCT query_id FROM exact) e
+       |  LEFT JOIN (SELECT e2.query_id, count(*) AS n_hits FROM exact e2 JOIN sq_approx a
        |    ON e2.query_id = a.query_id AND e2.neighbor_id = a.neighbor_id GROUP BY 1) h
        |  ON e.query_id = h.query_id
        |)

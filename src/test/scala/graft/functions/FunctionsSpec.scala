@@ -182,6 +182,11 @@ class FunctionsSpec extends SparkSpec {
     // here is shape + overlap, not production recall
     assert((ivf & exact).size >= 10, s"IVF recall too low: ${(ivf & exact).size}/50")
     assert((lsh & exact).size >= 10, s"LSH recall too low: ${(lsh & exact).size}/50")
+    // int8 SQ with exact re-rank loses almost nothing: a 4k shortlist must
+    // recover (nearly) the full exact top-5 even on this adversarial corpus
+    val sq = pairs(Similarity.sqTopKReranked(qs, "vec_id", emb, "vec_id", "embedding",
+      5, shortlist = 20))
+    assert((sq & exact).size >= 45, s"SQ-rerank recall too low: ${(sq & exact).size}/50")
   }
 
   test("langId picks the best-covered language deterministically") {
