@@ -110,28 +110,32 @@ object DuckDbXxHash64 {
     s"list_reduce(list_prepend(h7, list_transform(range($start+1, n+1), k -> b[k])), (a, x) -> $step)"
   }
 
-  /** CTE chain (names xh1..xh9) computing `xxh` = xxhash64(strcol) as a
-    * signed BIGINT for every row of `src`, carrying `keep` columns through.
-    * Splice after a `WITH`: the caller continues from relation `xh9`
-    * (columns: keep ++ (s, xxh)).
+  /** CTE chain (names {p}1..{p}9, default xh1..xh9) computing
+    * `xxh` = xxhash64(strcol) as a signed BIGINT for every row of `src`,
+    * carrying `keep` columns through. Splice after a `WITH`: the caller
+    * continues from relation `{p}9` (columns: keep ++ (s, xxh)). Pass a
+    * distinct `prefix` to splice TWO chains into one query (e.g. token
+    * bucketing + id-keyed sampling in the DSIR-resample oracle).
     */
-  def xxh64Cte(src: String, strcol: String, keep: Seq[String]): String = {
+  def xxh64Cte(src: String, strcol: String, keep: Seq[String],
+      prefix: String = "xh"): String = {
     val k = if (keep.isEmpty) "" else keep.mkString(", ") + ", "
+    val p = prefix
     val smallInit = (Seed + P5) % M64
-    s"""xh1 AS (SELECT $k$strcol AS s, upper(hex(encode($strcol))) AS hx,
+    s"""${p}1 AS (SELECT $k$strcol AS s, upper(hex(encode($strcol))) AS hx,
        |        octet_length(encode($strcol)) AS n FROM $src),
-       |xh2 AS (SELECT ${k}s, n, $byteList AS b FROM xh1),
-       |xh3 AS (SELECT ${k}s, n, b, $wordList AS w FROM xh2),
-       |xh4 AS (SELECT ${k}s, n, b, w,
-       |        CASE WHEN n >= 32 THEN $stripeReduce ELSE NULL END AS st FROM xh3),
-       |xh5 AS (SELECT ${k}s, n, b, w,
-       |        ((CASE WHEN n >= 32 THEN $bigH ELSE $smallInit::HUGEINT END) + n) % $M64 AS h5 FROM xh4),
-       |xh6 AS (SELECT ${k}s, n, b, w, $tail8Reduce AS h6 FROM xh5),
-       |xh7 AS (SELECT ${k}s, n, b,
-       |        CASE WHEN n % 8 >= 4 THEN $tail4Step ELSE h6 END AS h7 FROM xh6),
-       |xh8 AS (SELECT ${k}s, $tailByteReduce AS h8 FROM xh7),
-       |xh9 AS (SELECT ${k}s, CAST(CASE WHEN hav >= 9223372036854775808 THEN hav - $M64 ELSE hav END AS BIGINT) AS xxh
-       |        FROM (SELECT ${k}s, ${avalanche("h8")} AS hav FROM xh8))""".stripMargin
+       |${p}2 AS (SELECT ${k}s, n, $byteList AS b FROM ${p}1),
+       |${p}3 AS (SELECT ${k}s, n, b, $wordList AS w FROM ${p}2),
+       |${p}4 AS (SELECT ${k}s, n, b, w,
+       |        CASE WHEN n >= 32 THEN $stripeReduce ELSE NULL END AS st FROM ${p}3),
+       |${p}5 AS (SELECT ${k}s, n, b, w,
+       |        ((CASE WHEN n >= 32 THEN $bigH ELSE $smallInit::HUGEINT END) + n) % $M64 AS h5 FROM ${p}4),
+       |${p}6 AS (SELECT ${k}s, n, b, w, $tail8Reduce AS h6 FROM ${p}5),
+       |${p}7 AS (SELECT ${k}s, n, b,
+       |        CASE WHEN n % 8 >= 4 THEN $tail4Step ELSE h6 END AS h7 FROM ${p}6),
+       |${p}8 AS (SELECT ${k}s, $tailByteReduce AS h8 FROM ${p}7),
+       |${p}9 AS (SELECT ${k}s, CAST(CASE WHEN hav >= 9223372036854775808 THEN hav - $M64 ELSE hav END AS BIGINT) AS xxh
+       |        FROM (SELECT ${k}s, ${avalanche("h8")} AS hav FROM ${p}8))""".stripMargin
   }
 
   /** MinHash permutation constants b_i = floorMod(GOLD + i·STEP, P) with

@@ -991,6 +991,21 @@ object PipelineQueries {
         emb, "vec_id", "embedding", k = 5)
     }),
 
+    // DSIR importance RESAMPLING end to end — the ops COMPOSE: q99's
+    // log-likelihood scores become A-Res weights w = exp(score) (the
+    // likelihood ratio itself, as the DSIR paper resamples) and q98's
+    // deterministic reservoir draws 100 docs ∝ w. exp runs on the ROUNDED
+    // score so both engines exponentiate the identical double.
+    "q102_dsir_resample" -> ((s, dir) => {
+      val scored = graft.functions.ImportanceSampling.dsirScores(
+        Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 1024)
+      graft.functions.Sampling.weightedSample(
+          scored, "doc_id", exp(col("dsir_score")), 100)
+        .join(scored, Seq("doc_id"))
+        .select(col("doc_id"), col("dsir_score"), col("rank"))
+    }),
+
     // edit-distance fuzzy near-dup: Levenshtein over 64-char prefixes
     // inside (lang, source, length-bucket) blocks, length-delta lower
     // bound pruning pairs before any DP runs
@@ -2608,6 +2623,52 @@ object PipelineQueries {
         |)
         |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // DSIR resampling composition: q99's model chain to per-doc rounded
+    // scores, then the q98 sampler with w = exp(score) — a SECOND xxh64
+    // chain (prefix ih) keys the reservoir on the doc id
+    "q102_dsir_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w0
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT DISTINCT w0 AS v FROM tok
+         |), ${DuckDbXxHash64.xxh64Cte("vocab", "v", Seq())},
+         |vb AS (
+         |  SELECT s AS v, ((xxh % 1024) + 1024) % 1024 AS b FROM xh9
+         |), ti AS MATERIALIZED (
+         |  SELECT t.doc_id, t.lang, vb.b FROM tok t JOIN vb ON t.w0 = vb.v
+         |), cr AS (
+         |  SELECT b, count(*) AS c FROM ti GROUP BY 1
+         |), ct AS (
+         |  SELECT b, count(*) AS c FROM ti WHERE lang = 'en' GROUP BY 1
+         |), tots AS (
+         |  SELECT count(*) AS tr,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt
+         |  FROM ti
+         |), lr AS (
+         |  SELECT cr.b,
+         |    ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) / CAST(tots.tt + 1024 AS DOUBLE))
+         |      - ln(CAST(cr.c + 1 AS DOUBLE) / CAST(tots.tr + 1024 AS DOUBLE)) AS lr
+         |  FROM cr LEFT JOIN ct USING (b), tots
+         |), scdoc AS (
+         |  SELECT ti.doc_id, round(sum(lr.lr), 6) AS dsir_score
+         |  FROM ti JOIN lr USING (b)
+         |  GROUP BY ti.doc_id
+         |), ${DuckDbXxHash64.xxh64Cte("scdoc", "CAST(doc_id AS VARCHAR)", Seq("doc_id", "dsir_score"), "ih")},
+         |keyed AS (
+         |  SELECT doc_id, dsir_score,
+         |    ln(CAST(((xxh % 281474976710656) + 281474976710656) % 281474976710656 + 1 AS DOUBLE)
+         |       / 281474976710656.0) / exp(dsir_score) AS key
+         |  FROM ih9
+         |), ranked AS (
+         |  SELECT doc_id, dsir_score,
+         |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+         |  FROM keyed
+         |)
+         |SELECT doc_id, dsir_score, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 100""".stripMargin,
 
     // Levenshtein fuzzy near-dup: both engines' built-in edit distance over
     // 64-char prefixes; integer outputs

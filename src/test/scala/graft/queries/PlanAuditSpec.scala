@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
                          // construction — nFolds-row local table, O(n * k)
     "q99_dsir",          // 1-row broadcast totals attach onto the B-row
                          // model table — O(B * 1), the q89 shape
+    "q102_dsir_resample", // embeds q99's model chain (same 1-row attach)
     "q100_sq_topk")      // int8 SQ scoring: broadcast quantized queries,
                          // same crossJoin(broadcast) shape as q25
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
