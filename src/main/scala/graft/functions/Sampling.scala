@@ -69,13 +69,23 @@ object Sampling {
     * globally and never shuffles data rows; the only cross-task traffic is
     * the k-row heads. Weights must be strictly positive.
     */
+  /** The A-Res key ln(u)/w (larger = better), with u = (xxh64(id) mod 2^48
+    * + 1)/2^48 — a pure function of (id, weight), which is what makes the
+    * sample associative: top-k of a union equals union-then-top-k, so the
+    * same draw falls out of any batching/arrival order (the streaming
+    * reservoir in [[graft.streaming.StreamingSample]] relies on this).
+    */
+  def aresKey(id: Column, weight: Column): Column = {
+    val two48 = 281474976710656L // 2^48
+    val u = (pmod(xxhash64(id.cast("string")), lit(two48)).cast("double") + lit(1.0)) /
+      lit(two48.toDouble)
+    log(u) / weight.cast("double")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val two48 = 281474976710656L // 2^48
-    val u = (pmod(xxhash64(col(idCol).cast("string")), lit(two48)).cast("double") + lit(1.0)) /
-      lit(two48.toDouble)
     // ln(u)/w in (-inf, 0]: larger is better; ties broken by id
-    val key = log(u) / weight.cast("double")
+    val key = aresKey(col(idCol), weight)
     val top = df
       .select(col(idCol), weight.cast("long").as("weight"), key.as("__key"))
       .orderBy(col("__key").desc, col(idCol).asc)
