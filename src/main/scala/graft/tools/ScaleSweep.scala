@@ -235,10 +235,22 @@ object ScaleSweep {
       // 13. edit-distance fuzzy near-dup: the self-join shuffles one
       //     64-char prefix per row on the block key; disjoint copies keep
       //     per-block sizes constant, so pair work and shuffle bytes must
-      //     grow ~linearly (quadratic growth = blocking leaked)
+      //     grow ~linearly (quadratic growth = blocking leaked). Copies
+      //     keep the ORIGINAL text here (cross-copy pairs are already
+      //     blocked by the per-copy source value) — the token-suffix
+      //     variant used by the shingle ops would shrink prefix distances
+      //     within a copy and inflate the matched-pair count artificially.
+      val plainDocs =
+        if (scale == 1) docs
+        else copies(Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text")),
+          (df, k) => df.select(
+            (col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("lang"),
+            concat(col("source"), lit(s"_c$k")).as("source"), col("n_chars"),
+            col("text")), scale).localCheckpoint(true)
       measure("fuzzy_editdist", scale) {
         runAll(DedupFunctions.nearDupEditDistance(
-          docs.withColumn("len_bucket", floor(col("n_chars") / 40)),
+          plainDocs.withColumn("len_bucket", floor(col("n_chars") / 40)),
           "doc_id", "text", blockCols = Seq("lang", "source", "len_bucket"),
           prefixLen = 64, maxDist = 30))
       }
