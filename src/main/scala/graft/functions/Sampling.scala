@@ -96,4 +96,26 @@ object Sampling {
         Window.orderBy(col("__key").desc, col(idCol).asc)).cast("long"))
       .select(col(idCol), col("weight"), col("rank"))
   }
+
+  /** Stratified A-Res: an independent weighted k-draw WITHIN each value of
+    * `groupCol` (per-domain reservoirs — "keep 10k docs ∝ quality from
+    * every source"). Same deterministic key as [[weightedSample]]; the
+    * per-group top-k plans as a WindowGroupLimit with a PARTIAL pre-trim,
+    * so each map partition forwards at most k rows per group to the one
+    * group-key exchange — a giant domain never sorts in one task beyond
+    * its pre-trimmed k×partitions survivors (the ANN top-k shape,
+    * `PlanAuditSpec`-guarded).
+    */
+  def weightedSampleByGroup(
+      df: DataFrame, idCol: String, groupCol: String,
+      weight: Column, kPerGroup: Int): DataFrame = {
+    require(kPerGroup >= 1, s"kPerGroup must be >= 1, got $kPerGroup")
+    val key = aresKey(col(idCol), weight)
+    df.select(col(idCol), col(groupCol), weight.cast("long").as("weight"), key.as("__key"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__key").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= kPerGroup)
+      .select(col(idCol), col(groupCol), col("weight"), col("rank"))
+  }
 }

@@ -991,6 +991,15 @@ object PipelineQueries {
         emb, "vec_id", "embedding", k = 5)
     }),
 
+    // stratified A-Res: an independent 20-doc weighted draw per source —
+    // WindowGroupLimit partial pre-trim, never a whole-domain one-task sort
+    "q103_stratified_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(TextFunctions.tokenCount(col("text")) > 0)
+      graft.functions.Sampling.weightedSampleByGroup(
+        docs, "doc_id", "source", TextFunctions.tokenCount(col("text")), 20)
+    }),
+
     // DSIR importance RESAMPLING end to end — the ops COMPOSE: q99's
     // log-likelihood scores become A-Res weights w = exp(score) (the
     // likelihood ratio itself, as the DSIR paper resamples) and q98's
@@ -2623,6 +2632,27 @@ object PipelineQueries {
         |)
         |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // stratified A-Res: the q98 key, ranked within source
+    "q103_stratified_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS wt
+         |  FROM documents
+         |  WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) > 0
+         |), ${DuckDbXxHash64.xxh64Cte("d", "CAST(doc_id AS VARCHAR)", Seq("doc_id", "source", "wt"))},
+         |keyed AS (
+         |  SELECT doc_id, source, wt,
+         |    ln(CAST(((xxh % 281474976710656) + 281474976710656) % 281474976710656 + 1 AS DOUBLE)
+         |       / 281474976710656.0) / CAST(wt AS DOUBLE) AS key
+         |  FROM xh9
+         |), ranked AS (
+         |  SELECT doc_id, source, wt AS weight,
+         |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rank
+         |  FROM keyed
+         |)
+         |SELECT doc_id, source, CAST(weight AS BIGINT) AS weight, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 20""".stripMargin,
 
     // DSIR resampling composition: q99's model chain to per-doc rounded
     // scores, then the q98 sampler with w = exp(score) — a SECOND xxh64

@@ -609,6 +609,20 @@ class FunctionsSpec extends SparkSpec {
     assert(again == expected, "selection must be partitioning-independent")
   }
 
+  test("weightedSampleByGroup: independent per-group draws match per-group weightedSample") {
+    val docs = (1L to 90L).map(id => (id, Seq("a", "b", "c")((id % 3).toInt), 1L + id % 7))
+    val df = docs.toDF("doc_id", "grp", "w")
+    val got = Sampling.weightedSampleByGroup(df, "doc_id", "grp", $"w", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._3).toSeq).toMap
+    // stratification contract: each group's draw IS that group's solo draw
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Sampling.weightedSample(df.filter($"grp" === g), "doc_id", $"w", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+      assert(got(g) == solo, s"group $g: ${got(g)} vs solo $solo")
+    }
+  }
+
   test("dsirScores: log-likelihood-ratio scores match driver-side reference") {
     val docs = Seq(
       (1L, "en", "the cat sat on the mat"),

@@ -85,12 +85,23 @@ class PlanAuditSpec extends SparkSpec {
     // map partition pre-trims to k rows per query before the exchange, so
     // a hot query key receives at most k x partitions candidates. Guards
     // against restructurings that silently lose the rank-limit pushdown.
-    for (q <- Seq("q25_knn", "q26_knn_lsh")) {
+    for (q <- Seq("q25_knn", "q26_knn_lsh", "q103_stratified_sample")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
         s"$q lost the partial window group limit:\n$plan")
     }
+  }
+
+  test("q98 weighted sample never sorts globally: TakeOrderedAndProject plan") {
+    // orderBy(key).limit(k) must stay a TakeOrderedAndProject (per-task
+    // size-k heaps, k-row heads as the only cross-task traffic) — a
+    // restructuring through a global Sort + Limit would shuffle every
+    // candidate row and break the operator's 100 TB contract
+    val plan = SparkEntry.queries("q98_weighted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q98 lost the TakeOrderedAndProject top-k:\n$plan")
   }
 }
