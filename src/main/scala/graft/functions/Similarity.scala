@@ -656,6 +656,86 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dims: the
+    * Rademacher (±1) construction — proj_p = (v · plane_p)/√outDim with the
+    * same seeded sign matrix as the LSH plane (an independent `table` seed),
+    * so the transform is a compile-time constant an external engine can
+    * replay from [[planeLiterals]]. Map-side, scan-stage codegen, no model.
+    *
+    * Where [[scalarQuantizedTopK]] shrinks bits-per-dim (×4), JL shrinks
+    * DIMS (64 → 16 = ×4 again, composable to ×16) at a distance-distortion
+    * bound of O(√(ln n / outDim)) — the standard coarse-scoring tier when
+    * the corpus outgrows even int8 scan budgets.
+    *
+    * Regime guidance (measured, `FunctionsSpec`): the distortion bound only
+    * separates neighbors that ARE similar. On planted clusters
+    * (cos ≈ 0.95 within) a 16-dim projection + 20-shortlist + exact
+    * re-rank recovers ≥45/50 of exact top-5; on the deliberately
+    * near-orthogonal `embeddings` harness it recovers ~9/50 — the same
+    * low-similarity wall documented on [[lshTopK]]. Near-dup/cluster
+    * workloads: use JL; weakly-similar ranking: use [[ivfTopK]]/IVF-PQ.
+    */
+  def jlProject(vec: Column, outDim: Int, dim: Int, table: Int = 1): Column = {
+    val planes = signMatrix(outDim, dim, table)
+    val scale = math.sqrt(outDim.toDouble)
+    array((0 until outDim).map(p => dot(vec, typedLit(planes(p))) / lit(scale)): _*)
+  }
+
+  /** JL shortlist + exact re-rank: dot products over `outDim`-dim
+    * projections (rounded 6 dp, the cosine contract) pick `shortlist`
+    * candidates per query; the shortlist re-ranks by exact cosine via an
+    * id-equi-join back to the full vectors. Same output shape as
+    * [[bruteForceTopK]] for direct recall comparison.
+    */
+  def jlTopKReranked(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, k: Int, shortlist: Int,
+      outDim: Int = 16, dim: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(col(qidCol).as("query_id"),
+      jlProject(col(vecCol), outDim, dim).as("__qp"))
+    val c = candidates.select(col(cidCol).as("neighbor_id"),
+      jlProject(col(vecCol), outDim, dim).as("__cp"))
+    val coarse = aggregate(
+      zip_with(col("__qp"), col("__cp"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(coarse, 6).as("__s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("neighbor_id").asc)
+    val short = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(short, queries, qidCol, candidates, cidCol, vecCol, k)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist: broadcast
+    * the queries, equi-join candidates by id (touches shortlist rows, not
+    * the corpus), emit [[bruteForceTopK]]'s (query_id, neighbor_id, cosine,
+    * rank) shape. Shared by the SQ and JL coarse-scoring tiers.
+    */
+  private def rerankExact(
+      short: DataFrame,
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val rescored = short
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** SQ shortlist + exact re-rank — the production shape for int8 codes:
     * integer dot products over the 1/4-width codes pick a `shortlist`
     * per query (the only pass that touches every candidate, reading 1/4
@@ -672,19 +752,7 @@ object Similarity {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val short = scalarQuantizedTopK(queries, qidCol, candidates, cidCol, vecCol, shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qn", norm(col("__qv")))
-    val c = candidates.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cn", norm(col("__cv")))
-    val rescored = short
-      .join(broadcast(q), Seq("query_id"))
-      .join(c, Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rerankExact(short, queries, qidCol, candidates, cidCol, vecCol, k)
   }
 
   def nearDupCosine(

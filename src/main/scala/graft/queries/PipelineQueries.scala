@@ -991,6 +991,16 @@ object PipelineQueries {
         emb, "vec_id", "embedding", k = 5)
     }),
 
+    // JL random-projection ANN: 64 -> 16 dims (x4 scan cut, composable with
+    // SQ's x4 byte cut), coarse dot on projections -> 20-shortlist -> exact
+    // cosine re-rank; planes are compile-time literals (table=1 seed)
+    "q104_jl_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.functions.Similarity.jlTopKReranked(
+        emb.filter(col("vec_id") < 10), "vec_id",
+        emb, "vec_id", "embedding", k = 5, shortlist = 20)
+    }),
+
     // stratified A-Res: an independent 20-doc weighted draw per source —
     // WindowGroupLimit partial pre-trim, never a whole-domain one-task sort
     "q103_stratified_sample" -> ((s, dir) => {
@@ -2632,6 +2642,48 @@ object PipelineQueries {
         |)
         |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // JL ANN: per-plane projection sums (the table=1 literal sign rows,
+    // scaled by exactly 1/4 = 1/sqrt(16)), coarse score rounded 6 dp,
+    // exact-cosine re-rank of the 20-shortlist
+    "q104_jl_topk" -> {
+      val planes = graft.functions.Similarity.planeLiterals(16, 64, table = 1)
+      val projs = planes.map(p =>
+        s"list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($p)[j])) / 4.0")
+        .mkString("[", ",\n        ", "]")
+      s"""WITH proj AS MATERIALIZED (
+         |  SELECT vec_id,
+         |      $projs AS pv
+         |  FROM embeddings
+         |), qs AS (
+         |  SELECT vec_id AS query_id, pv AS qpv FROM proj WHERE vec_id < 10
+         |), coarse AS (
+         |  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 17), p -> qs.qpv[p] * c.pv[p])), 6) AS s
+         |  FROM proj c, qs WHERE c.vec_id <> qs.query_id
+         |), short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS r
+         |    FROM coarse) WHERE r <= 20
+         |), base AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+         |  FROM embeddings
+         |), rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), j -> CAST(bq.embedding[j] AS DOUBLE) * CAST(bc.embedding[j] AS DOUBLE)))
+         |      / (bq.n * bc.n), 6) AS cosine
+         |  FROM short s
+         |  JOIN base bq ON bq.vec_id = s.query_id JOIN base bc ON bc.vec_id = s.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM rr
+         |)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
 
     // stratified A-Res: the q98 key, ranked within source
     "q103_stratified_sample" ->

@@ -683,6 +683,39 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("jlTopKReranked: projections match driver reference; rerank recovers most of exact top-5") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter($"vec_id" < 10)
+    // projection parity: engine pv == driver-side literal-plane dot / 4
+    val planes = Similarity.planeLiterals(16, 64, table = 1)
+      .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toDouble))
+    val one = emb.filter($"vec_id" === 0)
+      .select($"embedding", Similarity.jlProject($"embedding", 16, 64).as("pv"))
+      .collect().head
+    val v = one.getSeq[Float](0).map(_.toDouble).toArray
+    val pv = one.getSeq[Double](1).toArray
+    val want = planes.map(p => p.zip(v).map { case (a, b) => a * b }.sum / 4.0)
+    pv.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9, s"$g vs $w") }
+    // recall: JL's distortion bound O(sqrt(ln n / outDim)) only separates
+    // neighbors that ARE similar — so plant 10 clusters of genuinely-close
+    // vectors (cos ≈ 0.95 within, ≈ random across) and require the
+    // 20-shortlist + exact re-rank to recover (almost) all of exact top-5.
+    // (On the deliberately near-orthogonal `embeddings` corpus 16 dims is
+    // too coarse by design — the LSH regime note applies to JL too.)
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(64)(rng.nextGaussian()))
+    val clustered = (0L until 100L).map { id =>
+      val c = centers((id % 10).toInt)
+      (id, c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cq = clustered.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(cq, "vec_id", clustered, "vec_id", "embedding", 5))
+    val jl = pairs(Similarity.jlTopKReranked(cq, "vec_id", clustered, "vec_id", "embedding", 5, 20))
+    assert((jl & exact).size >= 45, s"JL-rerank recall too low: ${(jl & exact).size}/50")
+  }
+
   test("nearDupEditDistance: equals naive all-pairs within blocks; gate never drops a match") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
