@@ -633,6 +633,9 @@ object Similarity {
       .select(posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy(col("d")).agg(max(abs(col("v").cast("double"))).as("s"))
       .collect()
+    require(scaleRows.nonEmpty,
+      "scalarQuantizedTopK: candidate corpus is empty (or vectors are empty) — " +
+        "no per-dimension scales can be derived")
     val scales: Array[Double] = scaleRows
       .map(r => (r.getInt(0), r.getDouble(1)))
       .sortBy(_._1)
