@@ -12,9 +12,11 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * search, text analysis, multimodal) and the storage maintenance ops
   * (q96 retention, q97 optimize) and the data-selection/sampling plane
   * (q98 A-Res weighted sampling, q99 DSIR, q100 int8 SQ ANN, q101
-  * edit-distance fuzzy dedup, q102 DSIR resampling, q103 stratified sampling, q104 JL ANN). Every query — including the hash-family
-  * ops, restated in DuckDB SQL — has an oracle in `oracleSql` (102/102 as
-  * of round 10).
+  * edit-distance fuzzy dedup, q102 DSIR resampling, q103 stratified
+  * sampling, q104 JL ANN, q105 trained quality classifier, q106 its
+  * k-fold CV evaluation). Every query — including the hash-family ops,
+  * restated in DuckDB SQL — has an oracle in `oracleSql` (104/104 as of
+  * round 10).
   */
 object SparkEntry {
   /** Flagship: end-to-end feature-store dataset generation (catalog

@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering: a linear text classifier over hashed
+  * bag-of-words features — the public fastText-shaped recipe behind
+  * "quality classifier" gates in LLM data pipelines (GPT-3 / LLaMA train a
+  * cheap linear model on heuristic or reference-corpus labels, then score
+  * the whole crawl). The reference surface has no trained model; this
+  * extends the text-analysis plane (SURVEY §7) with the training step, not
+  * just fixed heuristics. q105 distills the token-count quality gate into
+  * the model (this synthetic corpus's vocabulary is uniform across
+  * langs/sources — length is its only learnable bag-of-words signal).
+  *
+  * Algorithm: **online averaged perceptron** (Collins 2002, the standard
+  * NLP trainer): one sequential pass order (doc id ascending), update
+  * `w += y·x` on every margin violation (`y·(w·x+b) ≤ 0`), and score with
+  * the SUM of the per-step iterates (same sign as the average — avoids a
+  * division, keeping everything integer). Batch-summed perceptron updates
+  * were tried first and diverge on this task (lr=1 full-batch gradients
+  * oscillate; measured 0.45 accuracy vs 0.91 for the averaged online
+  * pass) — the online/averaged variant is not a stylistic choice.
+  *
+  * Architecture (the fastText split, and the 100 TB story):
+  *  - the FEATURE PROJECTION is distributed: tokenize → xxhash64-bucket →
+  *    per-(doc,bucket) counts, one map-side-combined agg over the corpus;
+  *  - the OPTIMIZATION LOOP runs on a driver-collected sample of hashed
+  *    count vectors, BOUNDED like the BPE dictionary: `maxTrainDocs`
+  *    REFUSES (never truncates) past the cap. At corpus scale you train on
+  *    a deterministic sample (e.g. an md5-order limit, the q68 mixing
+  *    pattern) — fastText itself is a single-node trainer; the corpus-scale
+  *    part of a quality gate is scoring, not training;
+  *  - SCORING is fully distributed with ZERO joins: the B+1 integer model
+  *    ships as a literal map, so a scored doc costs one map-side lookup-sum
+  *    plus the single per-doc aggregation (the q99 DSIR shape).
+  *
+  * Determinism (the oracle story): counts, weights, margins are all
+  * INTEGERS and the pass order is a total order on ids, so training and
+  * scoring are exact — like the int8-SQ ANN (q100), the DuckDB oracle
+  * (a `list_reduce` fold over the same id-ordered dense vectors) carries
+  * NO rounding contract and reproduces the model bit-for-bit.
+  */
+object QualityClassifier {
+
+  /** `weights`/`bias`: final iterate. `avgWeights`/`avgBias`: per-step sum
+    * of iterates (Collins averaging, unnormalized — sign-equivalent to the
+    * mean). `updates`: margin violations seen (diagnostics).
+    */
+  case class PerceptronModel(
+      buckets: Int,
+      weights: Array[Long], bias: Long,
+      avgWeights: Array[Long], avgBias: Long,
+      updates: Long)
+
+  /** (__id, __b, __c) hashed-unigram count instances — the distributed
+    * feature projection shared by training and scoring.
+    */
+  private def instances(
+      docs: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("__w"))
+      .select(col("__id"), pmod(xxhash64(col("__w")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** Train an online averaged perceptron. `label` is a boolean Column over
+    * `docs` (true → +1). Docs with zero tokens train on bias alone. The
+    * pass order is id ascending (ids must be orderable and unique — the
+    * usual doc-id contract).
+    */
+  def trainPerceptron(
+      docs: DataFrame, idCol: String, textCol: String, label: Column,
+      buckets: Int = 64, passes: Int = 10,
+      maxTrainDocs: Int = 100000): PerceptronModel = {
+    require(buckets >= 2 && buckets <= 4096, s"buckets must be in [2,4096], got $buckets")
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    require(maxTrainDocs >= 1, s"maxTrainDocs must be >= 1, got $maxTrainDocs")
+    // labels: one bounded collect, id-ordered (the pass order). cap+1 rows
+    // detects overflow without an extra count job (the BPE-cap pattern).
+    val lblRows = docs
+      .select(col(idCol).as("__id"), when(label, 1L).otherwise(-1L).as("__y"))
+      .orderBy(col("__id"))
+      .limit(maxTrainDocs + 1)
+      .collect()
+    require(lblRows.length <= maxTrainDocs,
+      s"perceptron training set exceeds maxTrainDocs=$maxTrainDocs docs. Train on a " +
+        s"bounded deterministic sample (md5-order limit, the q68 mixing pattern) or " +
+        s"raise the cap — refusing rather than truncating or exhausting driver memory.")
+    // hashed count vectors: the data-scale work happens HERE, distributed
+    // (tokenize + one map-side-combined agg); only ≤ cap×B count rows land
+    // on the driver.
+    val instRows = instances(docs, idCol, textCol, buckets).collect()
+    val dense = scala.collection.mutable.HashMap.empty[Any, Array[Long]]
+    instRows.foreach { r =>
+      val x = dense.getOrElseUpdate(r.get(0), Array.fill(buckets)(0L))
+      x(r.getLong(1).toInt) += r.getLong(2)
+    }
+    val empty = Array.fill(buckets)(0L)
+    val w = Array.fill(buckets)(0L)
+    val avgW = Array.fill(buckets)(0L)
+    var bias = 0L
+    var avgBias = 0L
+    var updates = 0L
+    for (_ <- 1 to passes; row <- lblRows) {
+      val y = row.getLong(1)
+      val x = dense.getOrElse(row.get(0), empty)
+      var m = bias
+      var b = 0
+      while (b < buckets) { m += w(b) * x(b); b += 1 }
+      if (y * m <= 0L) {
+        b = 0
+        while (b < buckets) { w(b) += y * x(b); b += 1 }
+        bias += y
+        updates += 1L
+      }
+      b = 0
+      while (b < buckets) { avgW(b) += w(b); b += 1 }
+      avgBias += bias
+    }
+    PerceptronModel(buckets, w, bias, avgW, avgBias, updates)
+  }
+
+  /** Score docs with a trained model: (idCol, margin, pred, label) — all
+    * BIGINT, hash-exact. Uses the AVERAGED weights. Zero joins: the weight
+    * lookup is a broadcast literal map, the only exchange is the per-doc
+    * margin agg — this is the corpus-scale pass.
+    */
+  def scorePerceptron(
+      docs: DataFrame, idCol: String, textCol: String, label: Column,
+      model: PerceptronModel): DataFrame = {
+    val wMap = typedLit(
+      model.avgWeights.zipWithIndex.map { case (v, b) => b.toLong -> v }.toMap)
+    val perDoc = instances(docs, idCol, textCol, model.buckets)
+      .groupBy(col("__id"))
+      .agg(sum(element_at(wMap, col("__b")) * col("__c")).as("__m0"))
+    docs.select(col(idCol).as("__id"), when(label, 1L).otherwise(-1L).as("__y"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        (coalesce(col("__m0"), lit(0L)) + lit(model.avgBias)).as("margin"),
+        when(coalesce(col("__m0"), lit(0L)) + lit(model.avgBias) > 0L, 1L)
+          .otherwise(-1L).as("pred"),
+        col("__y").as("label"))
+  }
+
+  /** Train + score in one call (the q105 shape). */
+  def trainAndScore(
+      docs: DataFrame, idCol: String, textCol: String, label: Column,
+      buckets: Int = 64, passes: Int = 10): DataFrame = {
+    val m = trainPerceptron(docs, idCol, textCol, label, buckets, passes)
+    scorePerceptron(docs, idCol, textCol, label, m)
+  }
+
+  /** K-fold cross-validated evaluation (the q106 shape): for each fold f,
+    * train on every OTHER fold and score fold f's holdout, emitting the
+    * integer confusion counts — the eval protocol that decides whether a
+    * quality gate is trustworthy before it filters a corpus. `foldCol`
+    * must be a deterministic pure function of the row (q106 uses the q43
+    * md5-bucket split, so fold membership is reproducible across engines).
+    * Output: (fold, n_docs, tp, fp, tn, fn), one row per fold, all BIGINT.
+    */
+  def crossValidate(
+      docs: DataFrame, idCol: String, textCol: String, label: Column,
+      foldCol: Column, folds: Int = 3,
+      buckets: Int = 64, passes: Int = 10): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    val withFold = docs.withColumn("__fold", foldCol)
+    val perFold = (0 until folds).map { f =>
+      val model = trainPerceptron(
+        withFold.filter(col("__fold") =!= f), idCol, textCol, label, buckets, passes)
+      scorePerceptron(
+          withFold.filter(col("__fold") === f), idCol, textCol, label, model)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === 1L && col("label") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1L && col("label") === -1L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pred") === -1L && col("label") === -1L, 1L).otherwise(0L)).as("tn"),
+          sum(when(col("pred") === -1L && col("label") === 1L, 1L).otherwise(0L)).as("fn"))
+        .select(lit(f.toLong).as("fold"), col("n_docs"), col("tp"),
+          col("fp"), col("tn"), col("fn"))
+    }
+    perFold.reduce(_.unionAll(_))
+  }
+}

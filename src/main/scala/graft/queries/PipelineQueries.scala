@@ -1035,6 +1035,31 @@ object PipelineQueries {
         docs, "doc_id", "text",
         blockCols = Seq("lang", "source", "len_bucket"),
         prefixLen = 64, maxDist = 30)
+    }),
+
+    // trained quality classifier: online averaged perceptron over hashed
+    // unigram counts, distilling the token-count quality gate into a
+    // model — all-integer training and scoring, so the list_reduce-fold
+    // oracle is hash-exact with no rounding contract (see QualityClassifier)
+    "q105_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.QualityClassifier.trainAndScore(
+        docs, "doc_id", "text",
+        label = graft.functions.TextFunctions.tokenCount(lower(col("text"))) >= 60,
+        buckets = 64, passes = 10)
+    }),
+
+    // k-fold cross-validated eval of the trained gate: the q43 md5-bucket
+    // split assigns folds, each fold's model trains on the other folds and
+    // reports holdout confusion counts — the protocol that decides whether
+    // a quality gate is trustworthy before it filters a corpus
+    "q106_cv_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.QualityClassifier.crossValidate(
+        docs, "doc_id", "text",
+        label = graft.functions.TextFunctions.tokenCount(lower(col("text"))) >= 60,
+        foldCol = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 3,
+        folds = 3, buckets = 64, passes = 10)
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -2764,5 +2789,146 @@ object PipelineQueries {
         |    AND a.doc_id < b.doc_id
         |    AND abs(len(substr(a.text, 1, 64)) - len(substr(b.text, 1, 64))) <= 30
         |)
-        |SELECT id_a, id_b, edit_dist FROM p WHERE edit_dist <= 30""".stripMargin)
+        |SELECT id_a, id_b, edit_dist FROM p WHERE edit_dist <= 30""".stripMargin,
+
+    "q105_quality_classifier" -> perceptronOracle(buckets = 64, passes = 10, threshold = 60),
+
+    "q106_cv_classifier" -> cvPerceptronOracle(
+      buckets = 64, passes = 10, threshold = 60, folds = 3))
+
+  /** q105 oracle: the online averaged perceptron restated end-to-end. The
+    * sequential training pass (doc-id order, `passes` repetitions) is a
+    * `list_reduce` fold over id-ordered dense count vectors; the
+    * accumulator carries (w, Σw, bias, Σbias) PACKED INTO ONE BIGINT list
+    * of length 2B+2 — layout [w(1..B), Σw(B+1..2B), bias, Σbias] — and doc
+    * elements ride the same layout as [x(1..B), 0.., y, 0]. The packing is
+    * load-bearing: DuckDB 1.0's list_reduce mis-evaluates nested lambdas
+    * that reference TWO different list fields of a struct accumulator
+    * (minimal repro: an Σw-style field tracking a w-style field comes out
+    * 1.5× its true value), while a single-list accumulator folds
+    * correctly — validated element-for-element against the driver loop.
+    * Like the q100 SQ oracle there is NO rounding contract: counts,
+    * weights, and margins are all integers, exact in both engines.
+    */
+  private def perceptronOracle(buckets: Int, passes: Int, threshold: Int): String = {
+    val B = buckets
+    s"""WITH ${perceptronPrefixCtes(B, threshold)},
+       |${perceptronFoldCtes(B, passes, tag = "", trainFilter = "")}
+       |SELECT l.doc_id,
+       |  coalesce(s.m, 0) + b.bias AS margin,
+       |  CAST(CASE WHEN coalesce(s.m, 0) + b.bias > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  CAST(l.y AS BIGINT) AS label
+       |FROM lbl l
+       |LEFT JOIN (
+       |  SELECT i.doc_id, CAST(sum(w.w * i.c) AS BIGINT) AS m
+       |  FROM inst i JOIN wavg w USING (b) GROUP BY 1) s USING (doc_id)
+       |CROSS JOIN bsavg b""".stripMargin
+  }
+
+  /** Shared q105/q106 oracle prefix: tokenize, label (token count ≥
+    * threshold), xxh64-bucket the vocab, per-(doc,bucket) counts, and the
+    * id-ordered dense count vectors.
+    */
+  private def perceptronPrefixCtes(B: Int, threshold: Int): String =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w0
+       |  FROM documents
+       |), lblc AS (
+       |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+       |), lbl AS (
+       |  SELECT d.doc_id, CASE WHEN coalesce(c.n, 0) >= $threshold THEN 1 ELSE -1 END AS y
+       |  FROM documents d LEFT JOIN lblc c USING (doc_id)
+       |), vocab AS (
+       |  SELECT DISTINCT w0 AS v FROM tok
+       |), ${DuckDbXxHash64.xxh64Cte("vocab", "v", Seq())},
+       |vb AS (
+       |  SELECT s AS v, ((xxh % $B) + $B) % $B AS b FROM xh9
+       |), inst AS MATERIALIZED (
+       |  SELECT t.doc_id, vb.b, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok t JOIN vb ON t.w0 = vb.v GROUP BY 1, 2
+       |), docmaps AS (
+       |  SELECT doc_id, map(list(b ORDER BY b), list(c ORDER BY b)) AS m
+       |  FROM inst GROUP BY 1
+       |), dense AS (
+       |  SELECT l.doc_id, l.y,
+       |    list_transform(range(0, $B), bb -> CAST(coalesce(map_extract(dm.m, bb)[1], 0) AS BIGINT)) AS x
+       |  FROM lbl l LEFT JOIN docmaps dm USING (doc_id)
+       |)""".stripMargin
+
+  /** One training fold: doclist$tag → folded$tag → wavg$tag/bsavg$tag.
+    * `trainFilter` restricts the training docs (q106's leave-fold-out).
+    */
+  private def perceptronFoldCtes(
+      B: Int, passes: Int, tag: String, trainFilter: String): String = {
+    val y = s"d[${2 * B + 1}]" // element slot 2B+1 carries the label
+    s"""doclist$tag AS (
+       |  SELECT list(
+       |    list_concat(list_concat(x, list_transform(range(0, $B), j -> CAST(0 AS BIGINT))),
+       |                [CAST(y AS BIGINT), CAST(0 AS BIGINT)]) ORDER BY doc_id) AS dl
+       |  FROM dense $trainFilter
+       |), folded$tag AS (
+       |  SELECT list_reduce(
+       |    list_prepend(list_transform(range(0, ${2 * B + 2}), j -> CAST(0 AS BIGINT)),
+       |      flatten(list_transform(range(0, $passes), p -> dl))),
+       |    (acc, d) -> CASE WHEN $y * (list_sum(list_transform(range(1, ${B + 1}), j -> acc[j] * d[j])) + acc[${2 * B + 1}]) <= 0
+       |      THEN list_transform(range(1, ${2 * B + 3}), j -> CASE
+       |             WHEN j <= $B THEN acc[j] + $y * d[j]
+       |             WHEN j <= ${2 * B} THEN acc[j] + acc[j - $B] + $y * d[j - $B]
+       |             WHEN j = ${2 * B + 1} THEN acc[j] + $y
+       |             ELSE acc[j] + acc[${2 * B + 1}] + $y END)
+       |      ELSE list_transform(range(1, ${2 * B + 3}), j -> CASE
+       |             WHEN j <= $B THEN acc[j]
+       |             WHEN j <= ${2 * B} THEN acc[j] + acc[j - $B]
+       |             WHEN j = ${2 * B + 1} THEN acc[j]
+       |             ELSE acc[j] + acc[${2 * B + 1}] END)
+       |    END) AS v
+       |  FROM doclist$tag
+       |), wavg$tag AS (
+       |  SELECT CAST(t.bb AS BIGINT) AS b, f.v[$B + t.bb + 1] AS w FROM folded$tag f, range(0, $B) t(bb)
+       |), bsavg$tag AS (
+       |  SELECT f.v[${2 * B + 2}] AS bias FROM folded$tag f
+       |)""".stripMargin
+  }
+
+  /** q106 oracle: the q43 md5-bucket fold assignment, then one
+    * [[perceptronFoldCtes]] training fold per leave-out fold and the
+    * holdout confusion counts — integers end to end, no rounding contract.
+    */
+  private def cvPerceptronOracle(
+      buckets: Int, passes: Int, threshold: Int, folds: Int): String = {
+    val B = buckets
+    val foldExpr =
+      """((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1))""".stripMargin
+    val foldCtes = (0 until folds).map { f =>
+      perceptronFoldCtes(B, passes, tag = s"_$f",
+        trainFilter = s"JOIN fold USING (doc_id) WHERE fold.f <> $f")
+    }.mkString(",\n")
+    val confs = (0 until folds).map { f =>
+      s"""SELECT CAST($f AS BIGINT) AS fold,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN m > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN m > 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN m <= 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN m <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |FROM (
+         |  SELECT l.y, coalesce(s.m, 0) + b.bias AS m
+         |  FROM lbl l
+         |  JOIN fold USING (doc_id)
+         |  LEFT JOIN (
+         |    SELECT i.doc_id, CAST(sum(w.w * i.c) AS BIGINT) AS m
+         |    FROM inst i JOIN wavg_$f w USING (b) GROUP BY 1) s USING (doc_id)
+         |  CROSS JOIN bsavg_$f b
+         |  WHERE fold.f = $f)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${perceptronPrefixCtes(B, threshold)},
+       |fold AS (
+       |  SELECT doc_id, $foldExpr % $folds AS f FROM documents
+       |),
+       |$foldCtes
+       |$confs""".stripMargin
+  }
 }

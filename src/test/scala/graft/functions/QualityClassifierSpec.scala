@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two disjoint word pools → a linearly separable concept with real margin
+  private def plantedCorpus(n: Int) = {
+    val good = Array("alpha", "beta", "gamma", "delta")
+    val bad = Array("omega", "sigma", "tau", "rho")
+    (0 until n).map { i =>
+      val pool = if (i % 2 == 0) good else bad
+      val words = (0 until 5 + i % 7).map(j => pool((i + j) % pool.length))
+      (i.toLong, words.mkString(" "), i % 2 == 0)
+    }.toDF("doc_id", "text", "is_good")
+  }
+
+  test("planted separable concept: training converges and classifies perfectly") {
+    val docs = plantedCorpus(40)
+    val model = QualityClassifier.trainPerceptron(
+      docs, "doc_id", "text", col("is_good"), buckets = 32, passes = 10)
+    val scored = QualityClassifier.scorePerceptron(
+        docs, "doc_id", "text", col("is_good"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(scored.length == 40)
+    assert(scored.forall { case (_, _, pred, label) => pred == label },
+      s"planted concept must be learned exactly: ${scored.filter(t => t._3 != t._4).toSeq}")
+    // separable + enough passes → the perceptron stops updating well before
+    // the pass budget (convergence, not just accuracy)
+    assert(model.updates < 10L * 40,
+      s"updates should stop after convergence, got ${model.updates}")
+  }
+
+  test("model is invariant to input partitioning (training order is the id order)") {
+    val docs = plantedCorpus(30)
+    val m1 = QualityClassifier.trainPerceptron(
+      docs.repartition(1), "doc_id", "text", col("is_good"), buckets = 16, passes = 3)
+    val m7 = QualityClassifier.trainPerceptron(
+      docs.repartition(7, col("text")), "doc_id", "text", col("is_good"),
+      buckets = 16, passes = 3)
+    assert(m1.weights.toSeq == m7.weights.toSeq && m1.bias == m7.bias)
+    assert(m1.avgWeights.toSeq == m7.avgWeights.toSeq && m1.avgBias == m7.avgBias)
+  }
+
+  test("maxTrainDocs refuses past the cap instead of truncating") {
+    val docs = plantedCorpus(30)
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.trainPerceptron(
+        docs, "doc_id", "text", col("is_good"), buckets = 16, maxTrainDocs = 10)
+    }
+    assert(e.getMessage.contains("maxTrainDocs"))
+  }
+
+  test("scored margins equal a driver-side recompute with the model weights") {
+    val docs = plantedCorpus(25)
+    val model = QualityClassifier.trainPerceptron(
+      docs, "doc_id", "text", col("is_good"), buckets = 16, passes = 4)
+    val scored = QualityClassifier.scorePerceptron(
+        docs, "doc_id", "text", col("is_good"), model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute margins from raw tokens + the spark-side hash (xxhash64)
+    val toks = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+      .select(col("doc_id"), pmod(xxhash64(col("w")), lit(16L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = toks.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.map(t => model.avgWeights(t._2.toInt)).sum + model.avgBias)
+    }
+    expected.foreach { case (id, m) => assert(scored(id) == m, s"doc $id") }
+  }
+
+  test("real corpus: the distilled token-count gate beats the majority class") {
+    val docs = Tables.documents(spark, sfDir)
+    val label = TextFunctions.tokenCount(lower(col("text"))) >= 60
+    val scored = QualityClassifier.trainAndScore(
+      docs, "doc_id", "text", label, buckets = 64, passes = 10).cache()
+    try {
+      val n = scored.count().toDouble
+      val acc = scored.filter(col("pred") === col("label")).count() / n
+      val majority = math.max(
+        scored.filter(col("label") === 1L).count() / n,
+        scored.filter(col("label") === -1L).count() / n)
+      // batch-summed perceptron updates degenerate to the majority class on
+      // this task (measured 0.45); the averaged online pass must do clearly
+      // better — the "does it actually learn" regression guard
+      assert(acc > majority + 0.2, s"acc=$acc majority=$majority")
+    } finally scored.unpersist(blocking = false)
+  }
+
+  test("crossValidate: folds partition the corpus, confusion counts are complete, holdout learns") {
+    val docs = plantedCorpus(60)
+    val out = QualityClassifier.crossValidate(
+        docs, "doc_id", "text", col("is_good"),
+        foldCol = pmod(col("doc_id"), lit(3L)), folds = 3,
+        buckets = 32, passes = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_._2).sum == 60, "folds must partition the corpus")
+    out.foreach { case (f, n, tp, fp, tn, fn) =>
+      assert(tp + fp + tn + fn == n, s"fold $f confusion must be complete")
+      // the planted concept is separable; a model trained on the OTHER
+      // folds must classify this fold's unseen docs perfectly
+      assert(fp == 0 && fn == 0, s"fold $f: fp=$fp fn=$fn")
+    }
+  }
+
+  test("scoring plan: zero joins on the feature path, weights ride as a literal map") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = QualityClassifier.PerceptronModel(
+      64, Array.fill(64)(1L), 0L, Array.fill(64)(1L), 0L, 0L)
+    val scored = QualityClassifier.scorePerceptron(
+      docs, "doc_id", "text", lit(true), model)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the margin side must not join a weights relation — one agg, then the
+    // label attach; any BroadcastHashJoin beyond the single label join
+    // means the literal-map scoring regressed to a join
+    val joins = "(?i)join".r.findAllIn(plan).size
+    assert(joins <= 2, s"scoring should have only the label-attach join:\n$plan")
+  }
+}
