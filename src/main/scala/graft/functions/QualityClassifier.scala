@@ -123,25 +123,30 @@ object QualityClassifier {
   }
 
   /** Score docs with a trained model: (idCol, margin, pred, label) — all
-    * BIGINT, hash-exact. Uses the AVERAGED weights. Zero joins: the weight
-    * lookup is a broadcast literal map, the only exchange is the per-doc
-    * margin agg — this is the corpus-scale pass.
+    * BIGINT, hash-exact. Uses the AVERAGED weights. The margin is a
+    * per-row HOF fold over the token array against the literal weight
+    * map, so scoring is pure scan → map: NO join, NO aggregation, NO
+    * exchange of any kind (`QualityClassifierSpec` pins the plan) — this
+    * is the corpus-scale pass. Integer sums in document token order equal
+    * the oracle's any-order integer sums exactly.
     */
   def scorePerceptron(
       docs: DataFrame, idCol: String, textCol: String, label: Column,
       model: PerceptronModel): DataFrame = {
     val wMap = typedLit(
       model.avgWeights.zipWithIndex.map { case (v, b) => b.toLong -> v }.toMap)
-    val perDoc = instances(docs, idCol, textCol, model.buckets)
-      .groupBy(col("__id"))
-      .agg(sum(element_at(wMap, col("__b")) * col("__c")).as("__m0"))
-    docs.select(col(idCol).as("__id"), when(label, 1L).otherwise(-1L).as("__y"))
-      .join(perDoc, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        (coalesce(col("__m0"), lit(0L)) + lit(model.avgBias)).as("margin"),
-        when(coalesce(col("__m0"), lit(0L)) + lit(model.avgBias) > 0L, 1L)
-          .otherwise(-1L).as("pred"),
-        col("__y").as("label"))
+    // coalesce: a null text scores on bias alone, matching the trainer's
+    // zero-token handling (and the oracle's LEFT JOIN + coalesce)
+    val margin = aggregate(
+      transform(
+        coalesce(TextFunctions.tokens(lower(col(textCol))),
+          typedLit(Seq.empty[String])),
+        w => element_at(wMap, pmod(xxhash64(w), lit(model.buckets.toLong)))),
+      lit(0L), (acc, x) => acc + x) + lit(model.avgBias)
+    docs.select(col(idCol),
+      margin.as("margin"),
+      when(margin > 0L, 1L).otherwise(-1L).as("pred"),
+      when(label, 1L).otherwise(-1L).as("label"))
   }
 
   /** Train + score in one call (the q105 shape). */

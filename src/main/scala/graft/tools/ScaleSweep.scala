@@ -254,6 +254,19 @@ object ScaleSweep {
           "doc_id", "text", blockCols = Seq("lang", "source", "len_bucket"),
           prefixLen = 64, maxDist = 30))
       }
+
+      // 14. quality-classifier scoring: the frozen B+1-integer model rides
+      //     as a literal map (no weights relation, no join) — like DSIR,
+      //     shuffle carries only compact per-doc margin partials, far below
+      //     token volume; training is excluded (bounded driver sample, not
+      //     a scale path — the corpus-scale part of a quality gate is
+      //     scoring)
+      val clfModel = graft.functions.QualityClassifier.PerceptronModel(
+        64, Array.fill(64)(1L), -59L, Array.fill(64)(1L), -59L, 0L)
+      measure("classifier_score", scale) {
+        runAll(graft.functions.QualityClassifier.scorePerceptron(
+          docs, "doc_id", "text", lit(true), clfModel))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +

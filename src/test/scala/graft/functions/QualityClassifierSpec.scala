@@ -109,17 +109,49 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
-  test("scoring plan: zero joins on the feature path, weights ride as a literal map") {
+  test("frozen gate scores a stream unchanged: stream ≡ batch, across micro-batches") {
+    // scoring is a stateless select, so the SAME scorePerceptron call must
+    // run as a Structured Streaming stage — batch backfill and live ingest
+    // share one code path
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_clf_src_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_clf_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_clf_out_").toString
+    val all = plantedCorpus(30)
+    val model = QualityClassifier.trainPerceptron(
+      all, "doc_id", "text", col("is_good"), buckets = 32, passes = 5)
+    val schema = all.schema
+    all.filter(col("doc_id") < 15).coalesce(1).write.mode("append").parquet(srcDir)
+    def drain(): Unit = {
+      val q = QualityClassifier.scorePerceptron(
+          spark.readStream.schema(schema).parquet(srcDir),
+          "doc_id", "text", col("is_good"), model)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    all.filter(col("doc_id") >= 15).coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val batch = QualityClassifier.scorePerceptron(all, "doc_id", "text", col("is_good"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("scoring plan: pure scan→map — no exchange, no join, weights ride as a literal map") {
     val docs = Tables.documents(spark, sfDir)
     val model = QualityClassifier.PerceptronModel(
       64, Array.fill(64)(1L), 0L, Array.fill(64)(1L), 0L, 0L)
     val scored = QualityClassifier.scorePerceptron(
       docs, "doc_id", "text", lit(true), model)
     val plan = scored.queryExecution.executedPlan.toString
-    // the margin side must not join a weights relation — one agg, then the
-    // label attach; any BroadcastHashJoin beyond the single label join
-    // means the literal-map scoring regressed to a join
-    val joins = "(?i)join".r.findAllIn(plan).size
-    assert(joins <= 2, s"scoring should have only the label-attach join:\n$plan")
+    // the margin is a per-row HOF fold against the literal weight map:
+    // the corpus-scale scoring pass must shuffle NOTHING — an Exchange or
+    // a join here means it regressed to a weights relation or a per-doc agg
+    assert(!plan.contains("Exchange"), s"scoring must be exchange-free:\n$plan")
+    assert(!"(?i)join".r.findFirstIn(plan).isDefined, s"scoring must be join-free:\n$plan")
   }
 }
