@@ -51,6 +51,64 @@ object Sampling {
       .filter(col("cum_before") < budget)
   }
 
+  /** Temperature-scaled domain quotas — the α-sampling recipe of
+    * multilingual/multi-domain pre-training (T5/mT5, XLM-R): a domain with
+    * corpus share s gets budget share ∝ s^α, α<1 flattening the mixture so
+    * big domains can't drown small ones. Quotas are apportioned by the
+    * LARGEST-REMAINDER method so they sum to exactly `budget`.
+    *
+    * Determinism (the oracle story): the ONLY floating-point step is
+    * pow(share, α), immediately quantized to integer billionths
+    * (`round(·×1e9)` — share itself is an exact IEEE division of two
+    * counts, identical in every engine). Everything after is integer
+    * arithmetic: base = budget·p9 div Σp9, remainders ranked
+    * (rem DESC, domain ASC) hand out the leftover seats. All window/agg
+    * work happens on the DOMAIN table (model-scale rows), not the corpus.
+    */
+  def temperatureQuotas(
+      docs: DataFrame, domainCol: String, alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val cnt = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cnt.agg(sum(col("n_docs")).as("__nt"))
+    val p = cnt.crossJoin(broadcast(tot))
+      .withColumn("__p9",
+        round(pow(col("n_docs").cast("double") / col("__nt").cast("double"), alpha)
+          * lit(1e9)).cast("long"))
+    val s = p.agg(sum(col("__p9")).as("__sp"))
+    val base = p.crossJoin(broadcast(s))
+      .withColumn("__base", expr(s"($budget * __p9) div __sp"))
+      .withColumn("__rem", expr(s"($budget * __p9) % __sp"))
+    val k = base.agg((lit(budget) - sum(col("__base"))).as("__k"))
+    base.crossJoin(broadcast(k))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("domain"))))
+      .select(col("domain"), col("n_docs"),
+        (col("__base") + when(col("__rk") <= col("__k"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
+  /** Draw each domain's temperature quota in the reproducible `(md5(id),
+    * id)` order (the q68 pattern): returns the KEPT docs (idCol, domain).
+    * A domain smaller than its quota contributes everything it has.
+    */
+  def temperatureMix(
+      docs: DataFrame, idCol: String, domainCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    // internal aliases so a caller whose domain column is literally named
+    // "domain" doesn't collide with the quota table's output column
+    val quotas = temperatureQuotas(docs, domainCol, alpha, budget)
+      .select(col("domain").as("__dom"), col("quota"))
+    val w = Window.partitionBy(col("__dom"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(domainCol).as("__dom"))
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("__dom"))
+      .filter(col("__rk") <= col("quota"))
+      .select(col(idCol), col("__dom").as("domain"), col("quota"))
+  }
+
   /** Weighted reservoir sample WITHOUT replacement, k items, inclusion
     * probability proportional to `weight` — Efraimidis–Spirakis A-Res
     * ("Weighted random sampling with a reservoir", IPL 2006): draw

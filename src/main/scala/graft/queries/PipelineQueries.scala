@@ -1060,6 +1060,20 @@ object PipelineQueries {
         label = graft.functions.TextFunctions.tokenCount(lower(col("text"))) >= 60,
         foldCol = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 3,
         folds = 3, buckets = 64, passes = 10)
+    }),
+
+    // temperature-scaled (α=0.3) language mixing: quota ∝ share^α with
+    // largest-remainder apportionment to a 200-doc budget, drawn in the
+    // reproducible md5 order — the T5/mT5 α-sampling recipe (see
+    // Sampling.temperatureQuotas)
+    "q107_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val picked = graft.functions.Sampling.temperatureMix(
+        docs, "doc_id", "lang", alpha = 0.3, budget = 200L)
+      picked.groupBy(col("domain").as("lang"))
+        .agg(max(col("quota")).as("quota"),
+          count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).as("sum_ids"))
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -2794,7 +2808,43 @@ object PipelineQueries {
     "q105_quality_classifier" -> perceptronOracle(buckets = 64, passes = 10, threshold = 60),
 
     "q106_cv_classifier" -> cvPerceptronOracle(
-      buckets = 64, passes = 10, threshold = 60, folds = 3))
+      buckets = 64, passes = 10, threshold = 60, folds = 3),
+
+    // temperature mixing: pow(share, 0.3) is the ONLY float op, quantized
+    // to integer billionths immediately (share is an exact IEEE count
+    // division); base/remainder apportionment and the md5-order draw are
+    // pure integer/string arithmetic — no other rounding contract
+    "q107_temperature_mix" ->
+      """WITH cnt AS (
+        |  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt FROM cnt
+        |), p AS (
+        |  SELECT domain, n,
+        |    CAST(round(pow(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 0.3) * 1e9, 0) AS BIGINT) AS p9
+        |  FROM cnt, tot
+        |), s AS (
+        |  SELECT CAST(sum(p9) AS BIGINT) AS sp FROM p
+        |), base AS (
+        |  SELECT domain, n, (200 * p9) // sp AS b, (200 * p9) % sp AS rem FROM p, s
+        |), kk AS (
+        |  SELECT 200 - CAST(sum(b) AS BIGINT) AS k FROM base
+        |), quota AS (
+        |  SELECT domain, n,
+        |    b + CASE WHEN row_number() OVER (ORDER BY rem DESC, domain) <= k
+        |        THEN 1 ELSE 0 END AS q
+        |  FROM base, kk
+        |), ranked AS (
+        |  SELECT lang AS domain, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT q.domain AS lang, CAST(q.q AS BIGINT) AS quota,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(r.doc_id) AS BIGINT) AS sum_ids
+        |FROM quota q JOIN ranked r ON r.domain = q.domain AND r.rk <= q.q
+        |GROUP BY 1, 2""".stripMargin)
 
   /** q105 oracle: the online averaged perceptron restated end-to-end. The
     * sequential training pass (doc-id order, `passes` repetitions) is a

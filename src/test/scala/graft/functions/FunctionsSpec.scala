@@ -623,6 +623,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureQuotas: sums to budget, alpha=1 is proportional, alpha<1 flattens") {
+    // skewed domains: 60/30/10
+    val docs = ((1L to 60L).map((_, "web")) ++ (61L to 90L).map((_, "code")) ++
+      (91L to 100L).map((_, "math"))).toDF("doc_id", "domain")
+    def quotas(alpha: Double) = Sampling.temperatureQuotas(docs, "domain", alpha, 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val prop = quotas(1.0)
+    assert(prop.values.sum == 50L, s"largest-remainder must hit the budget: $prop")
+    assert(prop == Map("web" -> 30L, "code" -> 15L, "math" -> 5L), prop.toString)
+    val flat = quotas(0.3)
+    assert(flat.values.sum == 50L, flat.toString)
+    // alpha<1: the big domain gives up share, the small one gains
+    assert(flat("web") < prop("web") && flat("math") > prop("math"),
+      s"alpha=0.3 must flatten: $flat vs $prop")
+    // driver-side reference for the full apportionment arithmetic
+    val n = Map("web" -> 60L, "code" -> 30L, "math" -> 10L)
+    val p9 = n.view.mapValues(c =>
+      math.round(math.pow(c.toDouble / 100.0, 0.3) * 1e9)).toMap
+    val sp = p9.values.sum
+    val base = p9.view.mapValues(v => 50L * v / sp).toMap
+    val rem = p9.map { case (d, v) => d -> 50L * v % sp }
+    val k = 50L - base.values.sum
+    val seats = rem.toSeq.sortBy { case (d, r) => (-r, d) }.take(k.toInt).map(_._1).toSet
+    val expect = base.map { case (d, b) => d -> (b + (if (seats(d)) 1L else 0L)) }
+    assert(flat == expect, s"$flat vs reference $expect")
+  }
+
+  test("temperatureMix: md5-order draw honors quotas; small domains cap at their size") {
+    val docs = ((1L to 40L).map((_, "web")) ++ (41L to 43L).map((_, "tiny")))
+      .toDF("doc_id", "domain")
+    val picked = Sampling.temperatureMix(docs, "doc_id", "domain", alpha = 0.5, budget = 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDom = picked.groupBy(_._2)
+    // quota respected per domain; a domain smaller than its quota gives all
+    byDom.foreach { case (d, rows) =>
+      assert(rows.length <= rows.head._3, s"$d over quota")
+    }
+    assert(byDom("tiny").length == 3, "tiny domain must contribute everything it has")
+    // reproducible: the same call returns the identical id set
+    val again = Sampling.temperatureMix(
+        docs.repartition(7), "doc_id", "domain", alpha = 0.5, budget = 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(picked.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("dsirScores: log-likelihood-ratio scores match driver-side reference") {
     val docs = Seq(
       (1L, "en", "the cat sat on the mat"),
