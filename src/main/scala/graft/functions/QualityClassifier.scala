@@ -74,13 +74,27 @@ object QualityClassifier {
       docs: DataFrame, idCol: String, textCol: String, label: Column,
       buckets: Int = 64, passes: Int = 10,
       maxTrainDocs: Int = 100000): PerceptronModel = {
+    val (rows, dense) =
+      collectDense(docs, idCol, textCol, label, lit(0L), buckets, maxTrainDocs)
+    trainFromDense(rows.map(t => (t._1, t._2)), dense, buckets, passes)
+  }
+
+  /** One bounded driver collect of the training matrix: id-ordered
+    * (id, label, tag) rows plus the dense hashed count vectors. The
+    * data-scale work is distributed (tokenize + one map-side-combined
+    * agg); only ≤ cap×B count rows land on the driver. cap+1 rows detect
+    * overflow without an extra count job (the BPE-cap pattern); past the
+    * cap the collect REFUSES, never truncates.
+    */
+  private def collectDense(
+      docs: DataFrame, idCol: String, textCol: String, label: Column,
+      tag: Column, buckets: Int, maxTrainDocs: Int)
+      : (Array[(Any, Long, Long)], collection.Map[Any, Array[Long]]) = {
     require(buckets >= 2 && buckets <= 4096, s"buckets must be in [2,4096], got $buckets")
-    require(passes >= 1, s"passes must be >= 1, got $passes")
     require(maxTrainDocs >= 1, s"maxTrainDocs must be >= 1, got $maxTrainDocs")
-    // labels: one bounded collect, id-ordered (the pass order). cap+1 rows
-    // detects overflow without an extra count job (the BPE-cap pattern).
     val lblRows = docs
-      .select(col(idCol).as("__id"), when(label, 1L).otherwise(-1L).as("__y"))
+      .select(col(idCol).as("__id"), when(label, 1L).otherwise(-1L).as("__y"),
+        tag.cast("long").as("__tag"))
       .orderBy(col("__id"))
       .limit(maxTrainDocs + 1)
       .collect()
@@ -88,24 +102,29 @@ object QualityClassifier {
       s"perceptron training set exceeds maxTrainDocs=$maxTrainDocs docs. Train on a " +
         s"bounded deterministic sample (md5-order limit, the q68 mixing pattern) or " +
         s"raise the cap — refusing rather than truncating or exhausting driver memory.")
-    // hashed count vectors: the data-scale work happens HERE, distributed
-    // (tokenize + one map-side-combined agg); only ≤ cap×B count rows land
-    // on the driver.
     val instRows = instances(docs, idCol, textCol, buckets).collect()
     val dense = scala.collection.mutable.HashMap.empty[Any, Array[Long]]
     instRows.foreach { r =>
       val x = dense.getOrElseUpdate(r.get(0), Array.fill(buckets)(0L))
       x(r.getLong(1).toInt) += r.getLong(2)
     }
+    (lblRows.map(r => (r.get(0), r.getLong(1), r.getLong(2))), dense)
+  }
+
+  /** The driver-side optimization loop over an id-ordered (id, label)
+    * sequence and its dense vectors. */
+  private def trainFromDense(
+      ordered: Seq[(Any, Long)], dense: collection.Map[Any, Array[Long]],
+      buckets: Int, passes: Int): PerceptronModel = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
     val empty = Array.fill(buckets)(0L)
     val w = Array.fill(buckets)(0L)
     val avgW = Array.fill(buckets)(0L)
     var bias = 0L
     var avgBias = 0L
     var updates = 0L
-    for (_ <- 1 to passes; row <- lblRows) {
-      val y = row.getLong(1)
-      val x = dense.getOrElse(row.get(0), empty)
+    for (_ <- 1 to passes; (id, y) <- ordered) {
+      val x = dense.getOrElse(id, empty)
       var m = bias
       var b = 0
       while (b < buckets) { m += w(b) * x(b); b += 1 }
@@ -171,9 +190,15 @@ object QualityClassifier {
       buckets: Int = 64, passes: Int = 10): DataFrame = {
     require(folds >= 2, s"folds must be >= 2, got $folds")
     val withFold = docs.withColumn("__fold", foldCol)
+    // ONE collect of the feature matrix (not one per fold): every fold's
+    // training set is a driver-side filter of the same id-ordered rows, so
+    // k-fold training costs the same corpus passes as training once
+    val (rows, dense) = collectDense(
+      withFold, idCol, textCol, label, col("__fold"), buckets, 100000)
     val perFold = (0 until folds).map { f =>
-      val model = trainPerceptron(
-        withFold.filter(col("__fold") =!= f), idCol, textCol, label, buckets, passes)
+      val model = trainFromDense(
+        rows.collect { case (id, y, fd) if fd != f => (id, y) },
+        dense, buckets, passes)
       scorePerceptron(
           withFold.filter(col("__fold") === f), idCol, textCol, label, model)
         .agg(
