@@ -69,21 +69,23 @@ object Sampling {
       docs: DataFrame, domainCol: String, alpha: Double, budget: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val cnt = docs.groupBy(col(domainCol).as("domain"))
+    // all whole-table scalars (total, Σp9, Σbase) ride as window aggregates
+    // over the single-partition domain table — no scalar cross joins, so
+    // the plan stays free of nested-loop joins (PlanAuditSpec's inventory
+    // invariant) and the whole computation is one tiny window stage
+    val whole = Window.partitionBy(lit(0))
+    docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"))
-    val tot = cnt.agg(sum(col("n_docs")).as("__nt"))
-    val p = cnt.crossJoin(broadcast(tot))
+      .withColumn("__nt", sum(col("n_docs")).over(whole))
       .withColumn("__p9",
         round(pow(col("n_docs").cast("double") / col("__nt").cast("double"), alpha)
           * lit(1e9)).cast("long"))
-    val s = p.agg(sum(col("__p9")).as("__sp"))
-    val base = p.crossJoin(broadcast(s))
+      .withColumn("__sp", sum(col("__p9")).over(whole))
       .withColumn("__base", expr(s"($budget * __p9) div __sp"))
       .withColumn("__rem", expr(s"($budget * __p9) % __sp"))
-    val k = base.agg((lit(budget) - sum(col("__base"))).as("__k"))
-    base.crossJoin(broadcast(k))
+      .withColumn("__k", lit(budget) - sum(col("__base")).over(whole))
       .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__rem").desc, col("domain"))))
+        Window.partitionBy(lit(0)).orderBy(col("__rem").desc, col("domain"))))
       .select(col("domain"), col("n_docs"),
         (col("__base") + when(col("__rk") <= col("__k"), 1L).otherwise(0L))
           .as("quota"))
