@@ -14,9 +14,10 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * (q98 A-Res weighted sampling, q99 DSIR, q100 int8 SQ ANN, q101
   * edit-distance fuzzy dedup, q102 DSIR resampling, q103 stratified
   * sampling, q104 JL ANN, q105 trained quality classifier, q106 its
-  * k-fold CV evaluation, q107 temperature-scaled domain mixing). Every
-  * query — including the hash-family ops, restated in DuckDB SQL — has
-  * an oracle in `oracleSql` (105/105 as of round 10).
+  * k-fold CV evaluation, q107 temperature-scaled domain mixing, q108
+  * uncertainty sampling, q109 self-training). Every query — including
+  * the hash-family ops, restated in DuckDB SQL — has an oracle in
+  * `oracleSql` (107/107 as of round 10).
   */
 object SparkEntry {
   /** Flagship: end-to-end feature-store dataset generation (catalog

@@ -176,6 +176,49 @@ object QualityClassifier {
     scorePerceptron(docs, idCol, textCol, label, m)
   }
 
+  /** Uncertainty sampling (active learning): the k docs the model is LEAST
+    * sure about — smallest |margin|, id tie-break — are the ones worth
+    * human labels next; the standard active-labeling loop for quality
+    * gates. Plans as TakeOrderedAndProject over the shuffle-free scoring
+    * pass (per-task size-k heaps, k-row driver merge — no global sort).
+    */
+  def uncertaintySample(
+      docs: DataFrame, idCol: String, textCol: String, label: Column,
+      model: PerceptronModel, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    scorePerceptron(docs, idCol, textCol, label, model)
+      .orderBy(abs(col("margin")), col(idCol))
+      .limit(k)
+  }
+
+  /** Self-training (pseudo-label distillation): train a teacher on the
+    * `isLabeled` slice, let it label everything else, retrain a student on
+    * the union — the standard semi-supervised recipe for stretching a
+    * small labeled set over a large corpus. Returns (teacher, student).
+    * Deterministic end to end: pseudo-labels are integer-margin signs and
+    * both training runs are the id-ordered integer loop.
+    */
+  def selfTrain(
+      docs: DataFrame, idCol: String, textCol: String, label: Column,
+      isLabeled: Column, buckets: Int = 64,
+      passes: Int = 10): (PerceptronModel, PerceptronModel) = {
+    val teacher = trainPerceptron(
+      docs.filter(isLabeled), idCol, textCol, label, buckets, passes)
+    // the label arg is unused for pseudo-labeling (pred comes from margins)
+    val pseudo = scorePerceptron(
+        docs.filter(!isLabeled), idCol, textCol, lit(false), teacher)
+      .select(col(idCol), (col("pred") === 1L).as("__lbl"))
+    val stage2 = docs.filter(isLabeled)
+      .select(col(idCol), col(textCol), label.as("__lbl"))
+      .unionByName(
+        docs.filter(!isLabeled).select(col(idCol), col(textCol))
+          .join(pseudo, Seq(idCol))
+          .select(col(idCol), col(textCol), col("__lbl")))
+    val student = trainPerceptron(
+      stage2, idCol, textCol, col("__lbl"), buckets, passes)
+    (teacher, student)
+  }
+
   /** K-fold cross-validated evaluation (the q106 shape): for each fold f,
     * train on every OTHER fold and score fold f's holdout, emitting the
     * integer confusion counts — the eval protocol that decides whether a

@@ -1074,6 +1074,43 @@ object PipelineQueries {
         .agg(max(col("quota")).as("quota"),
           count(lit(1)).as("n_sampled"),
           sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // uncertainty sampling (active learning): the 25 docs the trained gate
+    // is least sure about — smallest |margin|, id tie-break — the ones
+    // worth human labels next; plans as TakeOrderedAndProject over the
+    // shuffle-free scoring pass
+    "q108_uncertainty_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val label = graft.functions.TextFunctions.tokenCount(lower(col("text"))) >= 60
+      val m = graft.functions.QualityClassifier.trainPerceptron(
+        docs, "doc_id", "text", label, buckets = 64, passes = 10)
+      graft.functions.QualityClassifier.uncertaintySample(
+        docs, "doc_id", "text", label, m, k = 25)
+    }),
+
+    // self-training: teacher trained on the md5-bucket labeled half,
+    // pseudo-labels the other half, student retrains on the union; output
+    // compares both models' confusion against the true gate over ALL docs
+    "q109_self_training" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val label = graft.functions.TextFunctions.tokenCount(lower(col("text"))) >= 60
+      val isLabeled =
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100 < 50
+      val (teacher, student) = graft.functions.QualityClassifier.selfTrain(
+        docs, "doc_id", "text", label, isLabeled, buckets = 64, passes = 10)
+      def conf(stage: Long, m: graft.functions.QualityClassifier.PerceptronModel) =
+        graft.functions.QualityClassifier
+          .scorePerceptron(docs, "doc_id", "text", label, m)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("pred") === 1L && col("label") === 1L, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("pred") === 1L && col("label") === -1L, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("pred") === -1L && col("label") === -1L, 1L).otherwise(0L)).as("tn"),
+            sum(when(col("pred") === -1L && col("label") === 1L, 1L).otherwise(0L)).as("fn"))
+          .select(lit(stage).as("stage"), col("n_docs"), col("tp"),
+            col("fp"), col("tn"), col("fn"))
+      conf(1L, teacher).unionAll(conf(2L, student))
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -2810,6 +2847,18 @@ object PipelineQueries {
     "q106_cv_classifier" -> cvPerceptronOracle(
       buckets = 64, passes = 10, threshold = 60, folds = 3),
 
+    // uncertainty sampling: the q105 scored relation, smallest |margin|
+    // first with id tie-break — the LIMIT set is exact because the
+    // ordering is a total order
+    "q108_uncertainty_sample" ->
+      s"""SELECT doc_id, margin, pred, label FROM (
+         |${perceptronOracle(buckets = 64, passes = 10, threshold = 60)}
+         |) scored
+         |ORDER BY abs(margin), doc_id
+         |LIMIT 25""".stripMargin,
+
+    "q109_self_training" -> selfTrainOracle(buckets = 64, passes = 10, threshold = 60),
+
     // temperature mixing: pow(share, 0.3) is the ONLY float op, quantized
     // to integer billionths immediately (share is an exact IEEE count
     // division); base/remainder apportionment and the md5-order draw are
@@ -2907,16 +2956,19 @@ object PipelineQueries {
        |)""".stripMargin
 
   /** One training fold: doclist$tag → folded$tag → wavg$tag/bsavg$tag.
-    * `trainFilter` restricts the training docs (q106's leave-fold-out).
+    * `trainFilter` restricts the training docs (q106's leave-fold-out);
+    * `src` swaps the dense-vector source (q109 trains its second stage on
+    * a pseudo-labeled variant of `dense`).
     */
   private def perceptronFoldCtes(
-      B: Int, passes: Int, tag: String, trainFilter: String): String = {
+      B: Int, passes: Int, tag: String, trainFilter: String,
+      src: String = "dense"): String = {
     val y = s"d[${2 * B + 1}]" // element slot 2B+1 carries the label
     s"""doclist$tag AS (
        |  SELECT list(
        |    list_concat(list_concat(x, list_transform(range(0, $B), j -> CAST(0 AS BIGINT))),
        |                [CAST(y AS BIGINT), CAST(0 AS BIGINT)]) ORDER BY doc_id) AS dl
-       |  FROM dense $trainFilter
+       |  FROM $src $trainFilter
        |), folded$tag AS (
        |  SELECT list_reduce(
        |    list_prepend(list_transform(range(0, ${2 * B + 2}), j -> CAST(0 AS BIGINT)),
@@ -2941,6 +2993,69 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** Spark's `conv(substring(md5(text),1,4),16,10)` restated as strpos
+    * nibble arithmetic (the q43 pattern) — the md5 bucket both the CV fold
+    * assignment (q106) and the labeled/unlabeled split (q109) ride on.
+    * A `def`, not a `val`: the oracle map initializes before later vals in
+    * this object, and a forward val reference interpolates as "null".
+    */
+  private def md5BucketExpr: String =
+    """((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+      | + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+      | + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+      | + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1))""".stripMargin
+
+  /** q109 oracle: teacher fold on the labeled md5-half, pseudo-labels from
+    * its averaged margins, a `dense2` relation swapping in the pseudo
+    * labels for the unlabeled half, a student fold over `dense2`, and both
+    * models' confusion counts against the TRUE gate over all docs —
+    * integers end to end, no rounding contract.
+    */
+  private def selfTrainOracle(buckets: Int, passes: Int, threshold: Int): String = {
+    val B = buckets
+    def conf(stage: Int, tag: String) =
+      s"""SELECT CAST($stage AS BIGINT) AS stage,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN m > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN m > 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN m <= 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN m <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |FROM (
+         |  SELECT l.y, coalesce(s.m, 0) + b.bias AS m
+         |  FROM lbl l
+         |  LEFT JOIN (
+         |    SELECT i.doc_id, CAST(sum(w.w * i.c) AS BIGINT) AS m
+         |    FROM inst i JOIN wavg$tag w USING (b) GROUP BY 1) s USING (doc_id)
+         |  CROSS JOIN bsavg$tag b)""".stripMargin
+    s"""WITH ${perceptronPrefixCtes(B, threshold)},
+       |half AS (
+       |  SELECT doc_id, ($md5BucketExpr % 100) < 50 AS lab FROM documents
+       |),
+       |${perceptronFoldCtes(B, passes, tag = "_1",
+          trainFilter = "JOIN half USING (doc_id) WHERE half.lab")},
+       |pseudo AS (
+       |  SELECT de.doc_id,
+       |    CAST(CASE WHEN coalesce(s.m, 0) + b.bias > 0 THEN 1 ELSE -1 END AS BIGINT) AS py
+       |  FROM dense de
+       |  JOIN half h USING (doc_id)
+       |  LEFT JOIN (
+       |    SELECT i.doc_id, CAST(sum(w.w * i.c) AS BIGINT) AS m
+       |    FROM inst i JOIN wavg_1 w USING (b) GROUP BY 1) s USING (doc_id)
+       |  CROSS JOIN bsavg_1 b
+       |  WHERE NOT h.lab
+       |),
+       |dense2 AS (
+       |  SELECT d.doc_id, CASE WHEN h.lab THEN d.y ELSE p.py END AS y, d.x
+       |  FROM dense d
+       |  JOIN half h USING (doc_id)
+       |  LEFT JOIN pseudo p USING (doc_id)
+       |),
+       |${perceptronFoldCtes(B, passes, tag = "_2", trainFilter = "", src = "dense2")}
+       |${conf(1, "_1")}
+       |UNION ALL
+       |${conf(2, "_2")}""".stripMargin
+  }
+
   /** q106 oracle: the q43 md5-bucket fold assignment, then one
     * [[perceptronFoldCtes]] training fold per leave-out fold and the
     * holdout confusion counts — integers end to end, no rounding contract.
@@ -2948,11 +3063,7 @@ object PipelineQueries {
   private def cvPerceptronOracle(
       buckets: Int, passes: Int, threshold: Int, folds: Int): String = {
     val B = buckets
-    val foldExpr =
-      """((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
-        | + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
-        | + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
-        | + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1))""".stripMargin
+    val foldExpr = md5BucketExpr
     val foldCtes = (0 until folds).map { f =>
       perceptronFoldCtes(B, passes, tag = s"_$f",
         trainFilter = s"JOIN fold USING (doc_id) WHERE fold.f <> $f")

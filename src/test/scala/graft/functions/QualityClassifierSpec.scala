@@ -109,6 +109,38 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("uncertaintySample: exactly the k smallest |margin| docs, heap plan (no global sort)") {
+    val docs = Tables.documents(spark, sfDir)
+    val label = TextFunctions.tokenCount(lower(col("text"))) >= 60
+    val model = QualityClassifier.trainPerceptron(
+      docs, "doc_id", "text", label, buckets = 64, passes = 5)
+    val picked = QualityClassifier.uncertaintySample(
+      docs, "doc_id", "text", label, model, k = 10)
+    val got = picked.collect().map(r => (r.getLong(0), math.abs(r.getLong(1))))
+    assert(got.length == 10)
+    // the selected set IS the 10 smallest |margin| (with id tie-break)
+    val all = QualityClassifier.scorePerceptron(docs, "doc_id", "text", label, model)
+      .collect().map(r => (math.abs(r.getLong(1)), r.getLong(0))).sorted.take(10)
+    assert(got.map(_._2).sorted.toSeq == all.map(_._1).sorted.toSeq,
+      s"picked ${got.toSeq} vs expected ${all.toSeq}")
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"uncertainty top-k must plan per-task heaps, not a global sort:\n$plan")
+  }
+
+  test("selfTrain: on a separable corpus the teacher's pseudo-labels are right, student perfect") {
+    val docs = plantedCorpus(60)
+    val (teacher, student) = QualityClassifier.selfTrain(
+      docs, "doc_id", "text", col("is_good"),
+      isLabeled = col("doc_id") < 30, buckets = 32, passes = 10)
+    // the teacher saw only ids < 30; both models must classify EVERYTHING
+    for ((m, name) <- Seq((teacher, "teacher"), (student, "student"))) {
+      val wrong = QualityClassifier.scorePerceptron(docs, "doc_id", "text", col("is_good"), m)
+        .filter(col("pred") =!= col("label")).count()
+      assert(wrong == 0, s"$name misclassifies $wrong docs of the planted concept")
+    }
+  }
+
   test("frozen gate scores a stream unchanged: stream ≡ batch, across micro-batches") {
     // scoring is a stateless select, so the SAME scorePerceptron call must
     // run as a Structured Streaming stage — batch backfill and live ingest
