@@ -102,6 +102,13 @@ object QualityClassifier {
       s"perceptron training set exceeds maxTrainDocs=$maxTrainDocs docs. Train on a " +
         s"bounded deterministic sample (md5-order limit, the q68 mixing pattern) or " +
         s"raise the cap — refusing rather than truncating or exhausting driver memory.")
+    // a null tag (e.g. a fold expression over null text) would NPE below
+    // and, worse, silently vanish from every holdout filter — refuse it
+    lblRows.find(_.isNullAt(2)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"fold/tag column is NULL for doc id ${r.get(0)} — the fold expression " +
+          s"must be total (non-null) over every doc; coalesce it at the call site.")
+    }
     val instRows = instances(docs, idCol, textCol, buckets).collect()
     val dense = scala.collection.mutable.HashMap.empty[Any, Array[Long]]
     instRows.foreach { r =>
@@ -224,20 +231,23 @@ object QualityClassifier {
     * integer confusion counts — the eval protocol that decides whether a
     * quality gate is trustworthy before it filters a corpus. `foldCol`
     * must be a deterministic pure function of the row (q106 uses the q43
-    * md5-bucket split, so fold membership is reproducible across engines).
+    * md5-bucket split, so fold membership is reproducible across engines)
+    * and must evaluate NON-NULL on every doc — a null fold would silently
+    * drop its doc from every holdout, so the collect refuses it instead.
     * Output: (fold, n_docs, tp, fp, tn, fn), one row per fold, all BIGINT.
     */
   def crossValidate(
       docs: DataFrame, idCol: String, textCol: String, label: Column,
       foldCol: Column, folds: Int = 3,
-      buckets: Int = 64, passes: Int = 10): DataFrame = {
+      buckets: Int = 64, passes: Int = 10,
+      maxTrainDocs: Int = 100000): DataFrame = {
     require(folds >= 2, s"folds must be >= 2, got $folds")
     val withFold = docs.withColumn("__fold", foldCol)
     // ONE collect of the feature matrix (not one per fold): every fold's
     // training set is a driver-side filter of the same id-ordered rows, so
     // k-fold training costs the same corpus passes as training once
     val (rows, dense) = collectDense(
-      withFold, idCol, textCol, label, col("__fold"), buckets, 100000)
+      withFold, idCol, textCol, label, col("__fold"), buckets, maxTrainDocs)
     val perFold = (0 until folds).map { f =>
       val model = trainFromDense(
         rows.collect { case (id, y, fd) if fd != f => (id, y) },

@@ -17,13 +17,30 @@ import org.apache.spark.sql.functions._
   * engine can replay (the q68 pattern), so draws are stable across runs,
   * partitionings, and engines.
   *
-  * Scale shape: ONE shuffle (the per-group running-total window); token
-  * counting and the budget filter are map-side. The window sorts one
-  * group's docs per task — at corpus scale, prefilter to ~2× the budget by
-  * hash threshold first (same trick documented on q68) so the sort sees
-  * only survivors.
+  * Scale shape: every per-group window here is pre-trimmed with a LITERAL
+  * rank bound so it plans as a WindowGroupLimit with a PARTIAL pre-trim —
+  * each map partition forwards at most `bound` rows per group to the
+  * group-key exchange, so the dominant group never sorts its full doc set
+  * in a single task (`PlanAuditSpec` pins the plan shape for q92, q103,
+  * q107).
   */
 object Sampling {
+
+  /** Spark only rewrites `row_number() <= k` into a WindowGroupLimit when
+    * k is at or below `spark.sql.optimizer.windowGroupLimitThreshold`
+    * (default 1000) — a mixing budget routinely exceeds that, silently
+    * dropping the PARTIAL pre-trim and re-growing the single-task
+    * full-domain sort. The pre-trim is the whole point of these
+    * operators, so they raise the threshold to cover their own bound
+    * (raise-only: a session that already set it higher is untouched; for
+    * row_number the partial trim buffers nothing beyond the local sort
+    * the final window needs anyway).
+    */
+  private def ensureGroupLimitThreshold(df: DataFrame, bound: Long): Unit = {
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val cur = df.sparkSession.conf.get(key, "1000").toLong
+    if (cur >= 0 && cur < bound) df.sparkSession.conf.set(key, bound)
+  }
 
   /** Greedy per-group token-budget sample: within each value of
     * `groupCol`, walk docs in `(md5(id), id)` order and keep a doc while
@@ -35,17 +52,41 @@ object Sampling {
     * Returns one row per KEPT doc: (idCol, groupCol, n_tokens,
     * cum_before) — `cum_before` is the running total ahead of the doc,
     * handy for audit and for resuming a draw.
+    *
+    * Scale shape: a doc with >=1 token can only be kept while fewer than
+    * `budget` positive-token docs precede it (each adds >=1 to the running
+    * total), so positive-token docs are pre-trimmed with a LITERAL
+    * `row_number() <= maxBudget` rank filter — planning as a
+    * WindowGroupLimit with a PARTIAL pre-trim, the q103/ANN shape: each
+    * map partition forwards at most maxBudget rows per group, and the
+    * dominant group never sorts its full doc set in one task. The exact
+    * running-total window then runs over survivors only (<= maxBudget
+    * docs per group, plus zero-token docs, which pass the pre-trim
+    * unconditionally since they never advance the total — empty docs are
+    * assumed rare; an all-empty corpus degrades to the unprefixed sort).
     */
   def tokenBudgetSample(
       df: DataFrame, idCol: String, textCol: String, groupCol: String,
       budgets: Map[String, Long]): DataFrame = {
     val budget = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
       when(col(groupCol) === g, lit(b)).otherwise(acc) }
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val maxBudget = budgets.values.foldLeft(0L)(math.max)
+    ensureGroupLimitThreshold(df, maxBudget)
+    val ord = Seq(md5(col(idCol).cast("string")), col(idCol))
+    val toks = df.select(col(idCol), col(groupCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // literal rank pre-trim on the positive-token docs (WindowGroupLimit);
+    // zero-token docs can sit arbitrarily deep in the prefix (they never
+    // consume budget) so they bypass the trim and rejoin before the exact
+    // running-total pass
+    val posTrimmed = toks.filter(col("n_tokens") > 0L)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(ord: _*)))
+      .filter(col("__rk") <= lit(maxBudget))
+      .drop("__rk")
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(groupCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    posTrimmed.unionByName(toks.filter(col("n_tokens") === 0L))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
@@ -94,18 +135,35 @@ object Sampling {
   /** Draw each domain's temperature quota in the reproducible `(md5(id),
     * id)` order (the q68 pattern): returns the KEPT docs (idCol, domain).
     * A domain smaller than its quota contributes everything it has.
+    *
+    * Scale shape: the per-domain rank window is pre-trimmed with a
+    * LITERAL `row_number() <= maxQuota` bound so it plans as a
+    * WindowGroupLimit with a PARTIAL pre-trim (the q103/ANN shape,
+    * `PlanAuditSpec`-guarded) — without it the dominant domain (40–50% of
+    * a web corpus, exactly what α-sampling exists to tame) sorts its full
+    * doc set in ONE task. maxQuota comes from collecting the quota table,
+    * which is model-scale by construction (one row per domain, the IVF
+    * trainCentroids precedent); the exact per-domain `quota` filter then
+    * applies after the broadcast join, over pre-trimmed rows only.
     */
   def temperatureMix(
       docs: DataFrame, idCol: String, domainCol: String,
       alpha: Double, budget: Long): DataFrame = {
     // internal aliases so a caller whose domain column is literally named
     // "domain" doesn't collide with the quota table's output column
-    val quotas = temperatureQuotas(docs, domainCol, alpha, budget)
-      .select(col("domain").as("__dom"), col("quota"))
+    val quotasDf = temperatureQuotas(docs, domainCol, alpha, budget)
+    val maxQuota = quotasDf.select(max(col("quota")))
+      .collect().headOption.flatMap(r => Option(r.get(0))) match {
+      case Some(q: Long) => q
+      case _             => 0L // empty corpus: nothing to draw
+    }
+    ensureGroupLimitThreshold(docs, maxQuota)
+    val quotas = quotasDf.select(col("domain").as("__dom"), col("quota"))
     val w = Window.partitionBy(col("__dom"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     docs.select(col(idCol), col(domainCol).as("__dom"))
       .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= lit(maxQuota))
       .join(broadcast(quotas), Seq("__dom"))
       .filter(col("__rk") <= col("quota"))
       .select(col(idCol), col("__dom").as("domain"), col("quota"))

@@ -390,11 +390,21 @@ object AsOfJoin {
     * and a missed borderline key leaves the pre-existing unsalted plan
     * (a micro-batch spine is bounded by the trigger interval anyway).
     * Conf knobs are folded into the key so a retuned threshold is a miss.
-    * Bounded: cleared wholesale past 256 entries (keys churn only when
-    * refreshes commit).
+    * Bounded: access-order LRU capped at 256 entries — eviction drops the
+    * coldest verdict only, so a long-running serving session's actively
+    * reused hot entries survive cache churn (an all-or-nothing clear
+    * would dump every live feature view's verdict and re-run a detection
+    * job per view on the next tick).
     */
-  private val hotKeyCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[(Array[Row], StructType, Int)]]()
+  private val hotKeyCacheCap = 256
+  private val hotKeyCache: java.util.Map[String, Option[(Array[Row], StructType, Int)]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[(Array[Row], StructType, Int)]](
+          64, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[(Array[Row], StructType, Int)]]): Boolean =
+          size() > hotKeyCacheCap
+      })
   private[graft] def clearHotKeyCache(): Unit = hotKeyCache.clear()
 
   /** Eager sampled hot-key detection shared by the salted strategies (the
@@ -430,8 +440,7 @@ object AsOfJoin {
         if (hit != null) rebuild(hit)
         else {
           val raw = detectHotKeysUncached(unioned, joinKeys, statsFrames)
-          if (hotKeyCache.size > 256) hotKeyCache.clear()
-          hotKeyCache.put(k, raw)
+          hotKeyCache.put(k, raw) // LRU-bounded: evicts coldest past the cap
           rebuild(raw)
         }
       case None => rebuild(detectHotKeysUncached(unioned, joinKeys, statsFrames))

@@ -865,10 +865,11 @@ object PipelineQueries {
     // weight table, members picked deterministically by md5 order so the
     // draw is reproducible AND uniform-ish within a source. One shuffle
     // (the per-source rank window); quotas are literals, no driver loop.
-    // 100 TB note: ranking a whole source to take a quota sorts the full
-    // source; at corpus scale, prefilter to ~2x the quota by hash
-    // threshold (md5 < quota/count bound from a cheap count agg) and rank
-    // only the survivors — same deterministic result, 50x less sort.
+    // 100 TB note: the LITERAL `rk <= maxQuota` pre-trim plans as a
+    // WindowGroupLimit Partial (PlanAuditSpec-guarded), so each map
+    // partition forwards at most maxQuota rows per source and the biggest
+    // source never sorts fully in one task; the exact per-source CASE
+    // quota then filters the survivors.
     "q68_domain_mix" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val weights = Map("src0" -> 15, "src1" -> 10, "src2" -> 5)
@@ -877,7 +878,7 @@ object PipelineQueries {
       Tables.documents(s, dir)
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("source")).orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-        .filter(col("rk") <= quota)
+        .filter(col("rk") <= lit(weights.values.max) && col("rk") <= quota)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("min_id"),
@@ -2964,10 +2965,14 @@ object PipelineQueries {
       B: Int, passes: Int, tag: String, trainFilter: String,
       src: String = "dense"): String = {
     val y = s"d[${2 * B + 1}]" // element slot 2B+1 carries the label
+    // coalesce: an empty training slice makes list() aggregate to NULL,
+    // which would fold to NULL margins — the Scala trainer returns a
+    // well-defined zero model on zero docs, so the oracle must too
     s"""doclist$tag AS (
-       |  SELECT list(
+       |  SELECT coalesce(list(
        |    list_concat(list_concat(x, list_transform(range(0, $B), j -> CAST(0 AS BIGINT))),
-       |                [CAST(y AS BIGINT), CAST(0 AS BIGINT)]) ORDER BY doc_id) AS dl
+       |                [CAST(y AS BIGINT), CAST(0 AS BIGINT)]) ORDER BY doc_id),
+       |    CAST([] AS BIGINT[][])) AS dl
        |  FROM $src $trainFilter
        |), folded$tag AS (
        |  SELECT list_reduce(

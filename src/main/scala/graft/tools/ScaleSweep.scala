@@ -256,11 +256,11 @@ object ScaleSweep {
       }
 
       // 14. quality-classifier scoring: the frozen B+1-integer model rides
-      //     as a literal map (no weights relation, no join) — like DSIR,
-      //     shuffle carries only compact per-doc margin partials, far below
-      //     token volume; training is excluded (bounded driver sample, not
-      //     a scale path — the corpus-scale part of a quality gate is
-      //     scoring)
+      //     as a literal map (no weights relation, no join) — the pass is
+      //     pure scan→map with ZERO shuffle (plan-pinned join-free and
+      //     exchange-free; the measurement records 0 shuffle bytes);
+      //     training is excluded (bounded driver sample, not a scale
+      //     path — the corpus-scale part of a quality gate is scoring)
       val clfModel = graft.functions.QualityClassifier.PerceptronModel(
         64, Array.fill(64)(1L), -59L, Array.fill(64)(1L), -59L, 0L)
       measure("classifier_score", scale) {

@@ -87,7 +87,12 @@ class PlanAuditSpec extends SparkSpec {
     // map partition pre-trims to k rows per query before the exchange, so
     // a hot query key receives at most k x partitions candidates. Guards
     // against restructurings that silently lose the rank-limit pushdown.
-    for (q <- Seq("q25_knn", "q26_knn_lsh", "q103_stratified_sample")) {
+    // The mixing draws (q68/q92/q107) are in the list because their
+    // dominant domain is exactly the hot key α-sampling exists to tame:
+    // losing the literal pre-trim re-grows the single-task full-domain
+    // sort (the round-10 q107 finding).
+    for (q <- Seq("q25_knn", "q26_knn_lsh", "q103_stratified_sample",
+        "q68_domain_mix", "q92_token_budget_mix", "q107_temperature_mix")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
