@@ -15,9 +15,10 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * edit-distance fuzzy dedup, q102 DSIR resampling, q103 stratified
   * sampling, q104 JL ANN, q105 trained quality classifier, q106 its
   * k-fold CV evaluation, q107 temperature-scaled domain mixing, q108
-  * uncertainty sampling, q109 self-training). Every query — including
-  * the hash-family ops, restated in DuckDB SQL — has an oracle in
-  * `oracleSql` (107/107 as of round 10).
+  * uncertainty sampling, q109 self-training) and the crawl front door
+  * (q110 WARC ingest + boilerplate main-text extraction, q111 URL/domain
+  * filtering). Every query — including the hash-family ops, restated in
+  * DuckDB SQL — has an oracle in `oracleSql` (109/109 as of round 11).
   */
 object SparkEntry {
   /** Flagship: end-to-end feature-store dataset generation (catalog

@@ -204,6 +204,92 @@ object TextFunctions {
       round4(lit(1.0) - nd.cast("double") / n) <= QualityMaxDupWordFrac
   }
 
+  // ---- HTML boilerplate removal (crawl main-text extraction) ----
+
+  /** Non-content containers dropped wholesale before block splitting.
+    * RE2-compatible (no backrefs — `</script>` is spelled out rather than
+    * `</\1>`) so the SAME pattern runs under Java regex and any RE2
+    * oracle engine.
+    */
+  val htmlDropPattern: String =
+    "(?is)<script(?:\\s[^>]*)?>.*?</script>|<style(?:\\s[^>]*)?>.*?</style>|<!--.*?-->"
+
+  /** Block-level tag boundary — where jusText-style extraction cuts the
+    * document into candidate blocks. Opening, closing, and self-closing
+    * forms with arbitrary attributes all match.
+    */
+  val htmlBlockTagPattern: String =
+    "(?i)</?(?:html|head|body|title|p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|section|article|header|footer|nav|aside|main|figure|figcaption|blockquote|form|fieldset|pre|address|center)(?:\\s[^>]*)?/?>"
+
+  /** Anchor bodies (group 1) — the link-density numerator. */
+  val htmlAnchorPattern: String = "(?is)<a(?:\\s[^>]*)?>(.*?)</a>"
+
+  /** Strip remaining inline tags and normalize whitespace — the plain
+    * text of one block. (HTML entities are NOT decoded — a corpus-scale
+    * extractor treats `&amp;` as a token character; document-level
+    * normalization owns entity handling if a pipeline needs it.)
+    */
+  def htmlBlockPlain(b: Column): Column =
+    trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Candidate blocks of an HTML document: drop script/style/comments,
+    * split on block-level tag boundaries. Raw fragments (inline tags
+    * still present) — score with [[mainTextBlocks]].
+    */
+  def htmlBlocks(html: Column): Column =
+    split(regexp_replace(html, htmlDropPattern, " "), htmlBlockTagPattern)
+
+  /** jusText-style main-content blocks (Pomikálek 2011; the Gopher/C4
+    * crawl-cleaning shape): a block is CONTENT when it is long enough
+    * (`minTokens`), link-light (anchor-text chars ≤ `maxLinkPct`% of its
+    * plain chars — navigation/footer rows are link-dense), and, when
+    * `minStopPct` > 0, function-word-bearing (stopword tokens ≥
+    * `minStopPct`% — headline fragments and code dumps fail it).
+    * Thresholds are integer percents compared with integer cross
+    * products, so any engine agrees exactly.
+    *
+    * Returns the ARRAY of kept blocks' plain texts, in document order.
+    * Pure map-side Column composition (split + higher-order functions):
+    * zero shuffle, linear in the document, no UDFs.
+    */
+  def mainTextBlocks(
+      html: Column, minTokens: Int = 5, maxLinkPct: Int = 30,
+      stopwords: Seq[String] = Nil, minStopPct: Int = 0): Column = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"maxLinkPct must be in [0,100], got $maxLinkPct")
+    require(minStopPct >= 0 && minStopPct <= 100,
+      s"minStopPct must be in [0,100], got $minStopPct")
+    require(minStopPct == 0 || stopwords.nonEmpty,
+      "minStopPct > 0 needs a non-empty stopword list")
+    val sw = lit(stopwords.toArray)
+    def keep(b: Column): Column = {
+      val plain = htmlBlockPlain(b)
+      val t = tokens(plain)
+      val linkChars = aggregate(
+        regexp_extract_all(b, lit(htmlAnchorPattern), lit(1)),
+        lit(0), (acc, a) => acc + length(htmlBlockPlain(a)))
+      val stopOk =
+        if (minStopPct == 0) lit(true)
+        else size(filter(t, x => array_contains(sw, lower(x)))) * 100 >=
+          size(t) * minStopPct
+      size(t) >= minTokens &&
+        linkChars * 100 <= length(plain) * maxLinkPct &&
+        stopOk
+    }
+    transform(filter(htmlBlocks(html), b => keep(b)), b => htmlBlockPlain(b))
+  }
+
+  /** The extracted main text: kept blocks joined with single spaces —
+    * the first transform a crawl pipeline applies after WARC parse
+    * ([[graft.sources.WarcIO]]), feeding language ID, quality gates, and
+    * dedup downstream.
+    */
+  def extractMainText(
+      html: Column, minTokens: Int = 5, maxLinkPct: Int = 30,
+      stopwords: Seq[String] = Nil, minStopPct: Int = 0): Column =
+    array_join(mainTextBlocks(html, minTokens, maxLinkPct, stopwords, minStopPct), " ")
+
   /** Sliding-window document chunking — the embedding/retrieval prep step
     * (fixed-size token windows with overlap, the shape RAG indexers and
     * long-document embedding pipelines consume). Chunk k covers token

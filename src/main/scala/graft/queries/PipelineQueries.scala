@@ -1112,6 +1112,90 @@ object PipelineQueries {
           .select(lit(stage).as("stage"), col("n_docs"), col("tp"),
             col("fp"), col("tn"), col("fn"))
       conf(1L, teacher).unionAll(conf(2L, student))
+    }),
+
+    // crawl front door, end to end: synthesize a deterministic WARC
+    // fixture (one gzip member per record — the Common-Crawl convention)
+    // whose HTML wraps each document's text in a template of link-dense
+    // nav/footer and short header/promo blocks, land it, re-read it
+    // through the streaming WARC parser (binaryFiles + incremental record
+    // framing), split the HTTP payload, extract jusText-style main text,
+    // and run the token quality gate. Ground truth is closed-form in
+    // (doc_id, text) — the q62 pattern: every boilerplate block in the
+    // template is short (<5 tokens) or link-dense (>30%) BY CONSTRUCTION,
+    // so the kept main text is exactly the whitespace-normalized document
+    // text, and any framing/gzip/extraction defect breaks the hash.
+    "q110_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_").toString
+      Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .repartition(4)
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          val recs = it.map { case (id, text) =>
+            val html =
+              s"""<html><head><title>Doc $id</title><style>p{color:red}</style></head><body>
+                 |<div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>
+                 |<h1>Title $id</h1>
+                 |<p>$text</p>
+                 |<div>Short promo <a href="/buy">Buy now</a></div>
+                 |<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer>
+                 |</body></html>""".stripMargin
+            graft.sources.WarcCodec.WarcRecord(
+              warcType = "response",
+              targetUri = s"http://crawl.example.org/doc/$id",
+              date = "2026-01-01T00:00:00Z",
+              contentType = "application/http; msgtype=response",
+              payload = graft.sources.WarcCodec.httpResponsePayload(
+                200, "OK", "text/html; charset=utf-8",
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }.toSeq
+          if (recs.nonEmpty) {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp,
+                f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc.gz"),
+              graft.sources.WarcCodec.encodeGzip(recs))
+            ()
+          }
+        }
+      graft.sources.WarcIO.read(s, tmp + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .withColumn("doc_id",
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+        .withColumn("__kept", graft.functions.TextFunctions.mainTextBlocks(
+          decode(col("body"), "UTF-8")))
+        .withColumn("__main", array_join(col("__kept"), " "))
+        .select(col("doc_id"), col("url"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type").as("content_type"),
+          size(col("__kept")).cast("long").as("n_blocks"),
+          md5(col("__main")).as("main_md5"),
+          graft.functions.TextFunctions.tokenCount(col("__main"))
+            .cast("long").as("n_tokens"),
+          (graft.functions.TextFunctions.tokenCount(col("__main")) >= 60)
+            .cast("long").as("passes_gate"))
+    }),
+
+    // URL/domain front-door filter (C4-style): synthesize a deterministic
+    // URL per doc (scheme/host drawn by id arithmetic so ftp and blocked
+    // ad/spam domains are sprinkled in), then keep only
+    // http/https + non-blocklisted registered domains — scheme rules and
+    // host parsing map-side, the blocklist a broadcast LEFT ANTI join
+    "q111_url_filter" -> ((s, dir) => {
+      val hosts = array(
+        lit("news.example.com"), lit("blog.example.org"), lit("code.example.io"),
+        lit("spam.badsite.net"), lit("cdn.ads.io"), lit("shop.example.com"),
+        lit("wiki.example.org"), lit("tracker.ads.io"))
+      val schemes = array(lit("https"), lit("http"), lit("ftp"))
+      val withUrl = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(
+            element_at(schemes, (col("doc_id") % 3).cast("int") + 1), lit("://"),
+            element_at(hosts, (col("doc_id") % 8).cast("int") + 1),
+            lit("/p"), col("doc_id") % 5, lit("/doc"), col("doc_id")).as("url"))
+      graft.functions.UrlFunctions.filterUrls(
+        withUrl, "url", Seq("badsite.net", "ads.io"))
+        .select(col("doc_id"), col("url"), col("scheme"), col("host"), col("domain"))
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -2894,7 +2978,55 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_sampled,
         |  CAST(sum(r.doc_id) AS BIGINT) AS sum_ids
         |FROM quota q JOIN ranked r ON r.domain = q.domain AND r.rk <= q.q
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // WARC → extract → gate: the template's boilerplate blocks are
+    // short/link-dense by construction, so ground truth is the
+    // whitespace-normalized document text — the oracle checks the WHOLE
+    // ingest chain (gzip members, record framing, HTTP split, block
+    // scoring) against a closed form, the q62 codec-oracle pattern
+    "q110_warc_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id < 300
+        |), tok AS (
+        |  SELECT doc_id, norm,
+        |    CAST(len(list_filter(string_split(norm, ' '), x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  'http://crawl.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  'text/html; charset=utf-8' AS content_type,
+        |  CAST(CASE WHEN nt >= 5 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
+        |  CASE WHEN nt >= 5 THEN md5(norm) ELSE md5('') END AS main_md5,
+        |  CASE WHEN nt >= 5 THEN nt ELSE 0 END AS n_tokens,
+        |  CAST(CASE WHEN nt >= 60 THEN 1 ELSE 0 END AS BIGINT) AS passes_gate
+        |FROM tok""".stripMargin,
+
+    "q111_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (['https','http','ftp'])[CAST(doc_id % 3 AS INT) + 1] || '://' ||
+        |    (['news.example.com','blog.example.org','code.example.io',
+        |      'spam.badsite.net','cdn.ads.io','shop.example.com',
+        |      'wiki.example.org','tracker.ads.io'])[CAST(doc_id % 8 AS INT) + 1] ||
+        |    '/p' || CAST(doc_id % 5 AS VARCHAR) || '/doc' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+        |  FROM u
+        |), dom AS (
+        |  SELECT *, CASE WHEN host LIKE '%.%'
+        |    THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
+        |  FROM parts
+        |)
+        |SELECT doc_id, url, scheme, host, domain FROM dom
+        |WHERE scheme IN ('http','https') AND host <> ''
+        |  AND domain NOT IN ('badsite.net','ads.io')""".stripMargin)
 
   /** q105 oracle: the online averaged perceptron restated end-to-end. The
     * sequential training pass (doc-id order, `passes` repetitions) is a
