@@ -290,6 +290,39 @@ object TextFunctions {
       stopwords: Seq[String] = Nil, minStopPct: Int = 0): Column =
     array_join(mainTextBlocks(html, minTokens, maxLinkPct, stopwords, minStopPct), " ")
 
+  /** `<title>` text, whitespace-normalized ("" when absent). */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1), "\\s+", " "))
+
+  /** `<meta name=… content=…>` value for `name` (case-insensitive), ""
+    * when absent; both attribute orders handled. Attribute values must be
+    * quoted (the overwhelmingly dominant form in real markup).
+    */
+  def htmlMeta(html: Column, name: String): Column = {
+    val n = java.util.regex.Pattern.quote(name.toLowerCase)
+    val nameFirst = regexp_extract(html,
+      s"""(?is)<meta\\s[^>]*name\\s*=\\s*["']$n["'][^>]*content\\s*=\\s*["']([^"']*)["']""", 1)
+    val contentFirst = regexp_extract(html,
+      s"""(?is)<meta\\s[^>]*content\\s*=\\s*["']([^"']*)["'][^>]*name\\s*=\\s*["']$n["']""", 1)
+    when(nameFirst =!= "", nameFirst).otherwise(contentFirst)
+  }
+
+  /** `lang` attribute of the `<html>` tag, lowercased ("" when absent). */
+  def htmlLang(html: Column): Column =
+    lower(regexp_extract(html, """(?is)<html\s[^>]*lang\s*=\s*["']?([A-Za-z-]+)""", 1))
+
+  /** `rel=canonical` link href ("" when absent) — the URL-dedup key
+    * crawl pipelines prefer over the fetched URL.
+    */
+  def htmlCanonical(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      """(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']*)["']""", 1)
+    val hrefFirst = regexp_extract(html,
+      """(?is)<link\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']canonical["']""", 1)
+    when(relFirst =!= "", relFirst).otherwise(hrefFirst)
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval prep step
     * (fixed-size token windows with overlap, the shape RAG indexers and
     * long-document embedding pipelines consume). Chunk k covers token

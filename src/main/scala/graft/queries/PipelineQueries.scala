@@ -1196,6 +1196,61 @@ object PipelineQueries {
       graft.functions.UrlFunctions.filterUrls(
         withUrl, "url", Seq("badsite.net", "ads.io"))
         .select(col("doc_id"), col("url"), col("scheme"), col("host"), col("domain"))
+    }),
+
+    // robots.txt politeness gate (RFC 9309): four hosts exercising group
+    // selection (UA-specific group shadowing a catch-all Disallow-/),
+    // wildcard + $-anchored rules, allow-beats-disallow on longer match,
+    // empty-value no-ops, and the no-robots default-allow — the verdict
+    // for every synthesized URL is closed-form in doc_id, so the oracle
+    // checks parsing, group choice, AND longest-match scoring end to end
+    "q112_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        "host0.example.com" ->
+          """# graftbot gets its own group; the catch-all below must not apply
+            |User-agent: graftbot
+            |Disallow: /p1
+            |Allow: /p1/doc1*
+            |User-agent: *
+            |Disallow: /""".stripMargin,
+        "host1.example.com" ->
+          """User-agent: *
+            |Disallow: /p2*
+            |Disallow: /p4/doc*4$
+            |Allow:""".stripMargin,
+        "host2.example.com" ->
+          """User-agent: otherbot
+            |Disallow: /""".stripMargin).toDF("host", "body")
+      val rules = graft.functions.RobotsFunctions.parseRules(
+        robots, "host", "body", "graftbot")
+      val urls = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("https://host"), col("doc_id") % 4,
+          lit(".example.com/p"), col("doc_id") % 5,
+          lit("/doc"), col("doc_id")).as("url"))
+      graft.functions.RobotsFunctions.isAllowed(urls, "doc_id", "url", rules)
+        .select(col("doc_id"), col("url"), col("host"),
+          col("allowed").cast("long").as("allowed"))
+    }),
+
+    // HTML metadata extraction (title / meta description / html lang /
+    // canonical link): the fields a crawl pipeline keys dedup and
+    // language routing on, pulled from a deterministic in-engine template
+    // so every extracted value is closed-form in (doc_id, lang)
+    "q113_html_meta" -> ((s, dir) => {
+      val html = concat(
+        lit("<html lang=\""), col("lang"), lit("\"><head><title>Doc "),
+        col("doc_id"), lit(" \n notes</title><meta name=\"description\" content=\"summary "),
+        col("doc_id"), lit("\"><link rel=\"canonical\" href=\"https://canon.example.org/d/"),
+        col("doc_id"), lit("\"></head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      Tables.documents(s, dir)
+        .withColumn("__h", html)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.htmlTitle(col("__h")).as("title"),
+          graft.functions.TextFunctions.htmlMeta(col("__h"), "description").as("description"),
+          graft.functions.TextFunctions.htmlLang(col("__h")).as("html_lang"),
+          graft.functions.TextFunctions.htmlCanonical(col("__h")).as("canonical"))
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -3026,7 +3081,36 @@ object PipelineQueries {
         |)
         |SELECT doc_id, url, scheme, host, domain FROM dom
         |WHERE scheme IN ('http','https') AND host <> ''
-        |  AND domain NOT IN ('badsite.net','ads.io')""".stripMargin)
+        |  AND domain NOT IN ('badsite.net','ads.io')""".stripMargin,
+
+    // robots verdicts restated as the fixture's closed-form decision
+    // table: host0 = UA-specific group (Disallow /p1 overridden by the
+    // longer Allow /p1/doc1*), host1 = catch-all wildcard + $-anchor
+    // rules, host2 = foreign-UA group only (allow all), host3 = no
+    // robots (allow all)
+    "q112_robots_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://host' || CAST(doc_id % 4 AS VARCHAR) || '.example.com/p' ||
+        |      CAST(doc_id % 5 AS VARCHAR) || '/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |    'host' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' AS host,
+        |    doc_id % 4 AS g, doc_id % 5 AS p, CAST(doc_id AS VARCHAR) AS ids
+        |  FROM documents
+        |)
+        |SELECT doc_id, url, host,
+        |  CAST(CASE
+        |    WHEN g = 0 AND p = 1 AND ids NOT LIKE '1%' THEN 0
+        |    WHEN g = 1 AND (p = 2 OR doc_id % 10 = 4) THEN 0
+        |    ELSE 1 END AS BIGINT) AS allowed
+        |FROM u""".stripMargin,
+
+    "q113_html_meta" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' notes' AS title,
+        |  'summary ' || CAST(doc_id AS VARCHAR) AS description,
+        |  lower(lang) AS html_lang,
+        |  'https://canon.example.org/d/' || CAST(doc_id AS VARCHAR) AS canonical
+        |FROM documents""".stripMargin)
 
   /** q105 oracle: the online averaged perceptron restated end-to-end. The
     * sequential training pass (doc-id order, `passes` repetitions) is a

@@ -267,6 +267,53 @@ object ScaleSweep {
         runAll(graft.functions.QualityClassifier.scorePerceptron(
           docs, "doc_id", "text", lit(true), clfModel))
       }
+
+      // 15. WARC parse → main-text extraction → token gate (the q110
+      //     crawl front door): fixture landing is excluded (once-per-crawl
+      //     cost); the measured pass is binaryFiles + streaming record
+      //     framing + block scoring — pure scan→flatMap→map, expected
+      //     shuffle 0 B at every scale, input tracking the corpus
+      val warcDir = Files.createTempDirectory(s"graft_scale_warc_$scale").toString
+      docs.select(col("doc_id"), col("text"))
+        .repartition(32)
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val recs = it.map { r =>
+            val (id, text) = (r.getLong(0), r.getString(1))
+            val html = s"<html><body><div><a href='/'>Home</a> <a href='/a'>About</a></div>" +
+              s"<p>$text</p><footer><a href='/t'>Terms</a></footer></body></html>"
+            graft.sources.WarcCodec.WarcRecord(
+              "response", s"http://crawl.example.org/doc/$id", "2026-01-01T00:00:00Z",
+              "application/http; msgtype=response",
+              graft.sources.WarcCodec.httpResponsePayload(200, "OK", "text/html",
+                html.getBytes(StandardCharsets.UTF_8)))
+          }.toSeq
+          if (recs.nonEmpty) {
+            Files.write(
+              Paths.get(warcDir,
+                f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc.gz"),
+              graft.sources.WarcCodec.encodeGzip(recs))
+            ()
+          }
+        }
+      measure("warc_extract", scale) {
+        val main = graft.functions.TextFunctions.extractMainText(
+          expr("decode(body, 'UTF-8')"))
+        runAll(graft.sources.WarcIO.read(spark, warcDir + "/*.warc.gz", minPartitions = 32)
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            (graft.functions.TextFunctions.tokenCount(main) >= 60).as("keep")))
+      }
+
+      // 16. URL front-door filter: regex parse map-side + broadcast LEFT
+      //     ANTI blocklist — shuffle 0 B by construction (the blocklist
+      //     rides the broadcast, never an exchange)
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 1000, lit(".example"),
+          col("doc_id") % 7, lit(".com/p/"), col("doc_id")).as("url"))
+      measure("url_filter", scale) {
+        runAll(graft.functions.UrlFunctions.filterUrls(
+          urls, "url", Seq("example0.com", "example1.com")))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
