@@ -536,4 +536,52 @@ object DedupFunctions {
       .select(col("__id").as(idCol), col("text_dedup"),
         col("n_tokens"), col("n_removed"))
   }
+
+  /** CCNet-style boilerplate LINE removal (Wenzek et al. 2020 §3.1): a
+    * line appearing verbatim in `minDupDocs`+ DISTINCT documents is
+    * boilerplate (cookie banners, nav text, copyright footers — the
+    * highest-volume crawl noise after tag markup) and is dropped from
+    * every document; unique lines survive. Whitespace-only lines are
+    * always dropped (they carry no content and would otherwise tie
+    * documents together through shared blank lines).
+    *
+    * Scale shape: one exact distinct-doc count per line value (two-phase
+    * hash aggregation — duplicate lines within one doc collapse map-side)
+    * and a flag LEFT join of the line relation against the boilerplate
+    * lines, co-partitioned on the line value; reassembly plus both
+    * counters ride ONE per-doc aggregation whose in-group work is bounded
+    * by the document's own line count. Matching is by the raw line STRING
+    * (not a 64-bit
+    * hash): the join key IS the shuffle payload here, and exact equality
+    * keeps the operator hash-oracle-able with zero collision caveats.
+    *
+    * Returns one row per doc that keeps >= 1 line: (idCol, clean_text —
+    * surviving lines re-joined with '\n' in original order, n_kept,
+    * n_dropped). Docs whose every line is boilerplate disappear (they ARE
+    * pure boilerplate — the C4/CCNet behavior).
+    */
+  def dedupBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDupDocs: Int): DataFrame = {
+    require(minDupDocs >= 2, s"minDupDocs must be >= 2, got $minDupDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+      .filter(trim(col("__line")) =!= "")
+    val boiler = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDupDocs)
+      .select(col("__line"), lit(1).as("__b"))
+    // flag-join (not anti-join) so ONE per-doc aggregation yields the
+    // cleaned text and both counters without re-scanning the line relation
+    lines.join(boiler, Seq("__line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__b").isNull,
+            struct(col("__idx"), col("__line"))))),
+          s => s.getField("__line")), "\n").as("clean_text"),
+        sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
 }

@@ -1251,6 +1251,26 @@ object PipelineQueries {
           graft.functions.TextFunctions.htmlMeta(col("__h"), "description").as("description"),
           graft.functions.TextFunctions.htmlLang(col("__h")).as("html_lang"),
           graft.functions.TextFunctions.htmlCanonical(col("__h")).as("canonical"))
+    }),
+
+    // CCNet-style boilerplate line dedup: every doc gets a shared cookie
+    // banner and a per-source copyright footer wrapped around its
+    // content; with minDupDocs=10 the banner (all docs) and each source's
+    // footer (hundreds of docs per source) are identified as boilerplate
+    // and stripped, content lines survive. The oracle restates the FULL
+    // computation (distinct-doc counts included), so even accidental
+    // cross-doc content collisions stay hash-identical.
+    "q114_line_dedup" -> ((s, dir) => {
+      val withLines = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          concat(lit("Subscribe to our newsletter today"), lit("\n"),
+            col("text"), lit("\n"),
+            lit("Copyright "), col("source"), lit(" all rights reserved"))
+            .as("page"))
+      graft.functions.DedupFunctions.dedupBoilerplateLines(
+        withLines, "doc_id", "page", minDupDocs = 10)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -3110,7 +3130,32 @@ object PipelineQueries {
         |  'summary ' || CAST(doc_id AS VARCHAR) AS description,
         |  lower(lang) AS html_lang,
         |  'https://canon.example.org/d/' || CAST(doc_id AS VARCHAR) AS canonical
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // full restatement (not closed-form): the same line explode,
+    // distinct-doc counts, boilerplate threshold, and in-order reassembly
+    "q114_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'Subscribe to our newsletter today' || chr(10) || text || chr(10) ||
+        |      'Copyright ' || source || ' all rights reserved' AS page
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS idx
+        |  FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM d) t
+        |), nz AS (
+        |  SELECT * FROM l WHERE trim(line) <> ''
+        |), boiler AS (
+        |  SELECT line FROM nz GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+        |)
+        |SELECT nz.doc_id,
+        |  md5(string_agg(CASE WHEN b.line IS NULL THEN nz.line END,
+        |    chr(10) ORDER BY nz.idx)) AS clean_md5,
+        |  CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM nz LEFT JOIN boiler b ON nz.line = b.line
+        |GROUP BY 1
+        |HAVING sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) > 0""".stripMargin)
 
   /** q105 oracle: the online averaged perceptron restated end-to-end. The
     * sequential training pass (doc-id order, `passes` repetitions) is a

@@ -829,4 +829,38 @@ class FunctionsSpec extends SparkSpec {
         "text", chunkTokens = 4, overlapTokens = 1, carryCols = Seq("chunk_id"))
     }
   }
+
+  test("dedupBoilerplateLines: shared lines drop, unique lines survive in order") {
+    import spark.implicits._
+    val banner = "accept cookies"
+    val docs = Seq(
+      (1L, s"$banner\nunique alpha\n\n  \nshared tail"),
+      (2L, s"$banner\nunique beta\nshared tail"),
+      (3L, s"$banner\nunique gamma"),
+      (4L, s"$banner\nshared tail"), // both lines boilerplate → disappears
+      (5L, banner)                   // pure boilerplate: must disappear
+    ).toDF("doc_id", "text")
+    // banner in 5 docs ≥ 3 → drops; 'shared tail' in 3 docs ≥ 3 → drops;
+    // blank/whitespace lines always drop
+    val out = DedupFunctions.dedupBoilerplateLines(docs, "doc_id", "text", minDupDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // 4 and 5 are pure boilerplate
+    assert(out(1L) == (("unique alpha", 1L, 2L)))
+    assert(out(2L) == (("unique beta", 1L, 2L)))
+    assert(out(3L) == (("unique gamma", 1L, 1L)))
+  }
+
+  test("dedupBoilerplateLines: below-threshold repeats and in-doc repeats survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "twice seen\nown repeat\nown repeat"),
+      (2L, "twice seen\nother content here")
+    ).toDF("doc_id", "text")
+    // 'twice seen' is in only 2 distinct docs < 3 → kept; a line repeated
+    // within ONE doc counts once toward the distinct-doc threshold
+    val out = DedupFunctions.dedupBoilerplateLines(docs, "doc_id", "text", minDupDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "twice seen\nown repeat\nown repeat")
+    assert(out(2L) == "twice seen\nother content here")
+  }
 }
