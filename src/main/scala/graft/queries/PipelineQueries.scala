@@ -1271,6 +1271,72 @@ object PipelineQueries {
         withLines, "doc_id", "page", minDupDocs = 10)
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_kept"), col("n_dropped"))
+    }),
+
+    // the crawl front door END TO END in one query: WARC parse → URL
+    // scheme/blocklist filter → robots.txt verdict → main-text extraction
+    // → token quality gate. Scheme (ftp every 10th), registered domain
+    // (ads.io every 4th), and robots rules (/p1 on alpha for graftbot,
+    // /p2* on beta for everyone) are all drawn by id arithmetic, so the
+    // surviving set and every extracted field are closed-form — one hash
+    // oracle certifies the whole composed pipeline
+    "q115_crawl_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_crawl_").toString
+      Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .repartition(4)
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          val hosts = Seq("news.alpha.com", "blog.beta.org", "docs.gamma.net", "spam.ads.io")
+          val recs = it.map { case (id, text) =>
+            val scheme = if (id % 10 == 0) "ftp" else "https"
+            val url = s"$scheme://${hosts((id % 4).toInt)}/p${id % 5}/doc$id"
+            val html =
+              s"""<html><head><title>Doc $id</title></head><body>
+                 |<div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>
+                 |<p>$text</p>
+                 |<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer>
+                 |</body></html>""".stripMargin
+            graft.sources.WarcCodec.WarcRecord(
+              "response", url, "2026-01-01T00:00:00Z",
+              "application/http; msgtype=response",
+              graft.sources.WarcCodec.httpResponsePayload(200, "OK",
+                "text/html; charset=utf-8",
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }.toSeq
+          if (recs.nonEmpty) {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp,
+                f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc.gz"),
+              graft.sources.WarcCodec.encodeGzip(recs))
+            ()
+          }
+        }
+      val robots = Seq(
+        "news.alpha.com" -> "User-agent: graftbot\nDisallow: /p1",
+        "blog.beta.org" -> "User-agent: *\nDisallow: /p2*").toDF("host", "body")
+      val rules = graft.functions.RobotsFunctions.parseRules(
+        robots, "host", "body", "graftbot")
+      val recs = graft.sources.WarcIO.read(s, tmp + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .withColumn("doc_id",
+          regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long"))
+      val urlsOk = graft.functions.UrlFunctions.filterUrls(
+        recs.select(col("doc_id"), col("url")), "url", Seq("ads.io"))
+      val allowed = graft.functions.RobotsFunctions.isAllowed(
+        urlsOk, "doc_id", "url", rules)
+        .filter(col("allowed"))
+      val main = graft.functions.TextFunctions.extractMainText(
+        decode(col("body"), "UTF-8"))
+      allowed.select(col("doc_id"), col("url"), col("host"))
+        .join(recs.select(col("doc_id"), col("body")), Seq("doc_id"))
+        .withColumn("__main", main)
+        .select(col("doc_id"), col("url"), col("host"),
+          md5(col("__main")).as("main_md5"),
+          graft.functions.TextFunctions.tokenCount(col("__main"))
+            .cast("long").as("n_tokens"),
+          (graft.functions.TextFunctions.tokenCount(col("__main")) >= 60)
+            .cast("long").as("passes_gate"))
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -3155,7 +3221,32 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM nz LEFT JOIN boiler b ON nz.line = b.line
         |GROUP BY 1
-        |HAVING sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) > 0""".stripMargin)
+        |HAVING sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    // every gate decision is id arithmetic; the extracted text is the
+    // q110 closed form — the oracle is the pipeline's decision table
+    "q115_crawl_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+        |    doc_id % 4 AS g, doc_id % 5 AS p,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'ftp' ELSE 'https' END AS scheme,
+        |    (['news.alpha.com','blog.beta.org','docs.gamma.net','spam.ads.io'])
+        |      [CAST(doc_id % 4 AS INT) + 1] AS host
+        |  FROM documents WHERE doc_id < 400
+        |), tok AS (
+        |  SELECT *, CAST(len(list_filter(string_split(norm, ' '), x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  scheme || '://' || host || '/p' || CAST(p AS VARCHAR) || '/doc' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  host,
+        |  CASE WHEN nt >= 5 THEN md5(norm) ELSE md5('') END AS main_md5,
+        |  CASE WHEN nt >= 5 THEN nt ELSE 0 END AS n_tokens,
+        |  CAST(CASE WHEN nt >= 60 THEN 1 ELSE 0 END AS BIGINT) AS passes_gate
+        |FROM tok
+        |WHERE scheme = 'https' AND g <> 3
+        |  AND NOT (g = 0 AND p = 1) AND NOT (g = 1 AND p = 2)""".stripMargin)
 
   /** q105 oracle: the online averaged perceptron restated end-to-end. The
     * sequential training pass (doc-id order, `passes` repetitions) is a
