@@ -17,8 +17,10 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * k-fold CV evaluation, q107 temperature-scaled domain mixing, q108
   * uncertainty sampling, q109 self-training) and the crawl front door
   * (q110 WARC ingest + boilerplate main-text extraction, q111 URL/domain
-  * filtering). Every query — including the hash-family ops, restated in
-  * DuckDB SQL — has an oracle in `oracleSql` (109/109 as of round 11).
+  * filtering, q112 robots.txt compliance, q113 HTML metadata, q114
+  * boilerplate line dedup, q115 the composed crawl pipeline). Every
+  * query — including the hash-family ops, restated in DuckDB SQL — has
+  * an oracle in `oracleSql` (113/113 as of round 11).
   */
 object SparkEntry {
   /** Flagship: end-to-end feature-store dataset generation (catalog
