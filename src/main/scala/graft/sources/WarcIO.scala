@@ -266,19 +266,26 @@ object WarcIO {
       else spark.sparkContext.defaultMinPartitions
     spark.sparkContext.binaryFiles(path, parts)
       .flatMap { case (file, pds) =>
-        val in = pds.open()
-        WarcCodec.parse(in).zipWithIndex.map { case (r, i) =>
-          val (status, httpCt, body) =
-            if (r.contentType.toLowerCase.startsWith("application/http"))
-              WarcCodec.splitHttp(r.payload)
-            else (0, "", r.payload)
-          WarcRow(file, i.toLong, r.warcType, r.targetUri, r.date,
-            r.contentType, status, httpCt, body)
-        }
+        toRows(file, WarcCodec.parse(pds.open()))
         // stream closes with the task via PortableDataStream's underlying
         // input; records are consumed lazily within the flatMap
       }
       .toDS()
       .toDF()
   }
+
+  /** Record → row projection shared by the batch reader and the streaming
+    * ingest ([[graft.streaming.CrawlStream]]) so both land the identical
+    * shape.
+    */
+  private[graft] def toRows(
+      file: String, recs: Iterator[WarcCodec.WarcRecord]): Iterator[WarcRow] =
+    recs.zipWithIndex.map { case (r, i) =>
+      val (status, httpCt, body) =
+        if (r.contentType.toLowerCase.startsWith("application/http"))
+          WarcCodec.splitHttp(r.payload)
+        else (0, "", r.payload)
+      WarcRow(file, i.toLong, r.warcType, r.targetUri, r.date,
+        r.contentType, status, httpCt, body)
+    }
 }
