@@ -314,6 +314,32 @@ object ScaleSweep {
         runAll(graft.functions.UrlFunctions.filterUrls(
           urls, "url", Seq("example0.com", "example1.com")))
       }
+
+      // 17. robots verdict over the URL corpus: 1000-host synthetic rules
+      //     relation (compiled once, broadcast) + per-URL match/max —
+      //     shuffle carries only the (id, url, host) verdict grouping,
+      //     never rule or page payloads
+      val robotsBodies = spark.range(1000).select(
+        concat(lit("h"), col("id"), lit(".example"), col("id") % 7, lit(".com")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /p/"), col("id") % 10,
+          lit("\nAllow: /p/"), col("id") % 10, lit("0")).as("body"))
+      val robotRules = graft.functions.RobotsFunctions.parseRules(
+        robotsBodies, "host", "body", "graftbot").localCheckpoint(true)
+      measure("robots_verdict", scale) {
+        runAll(graft.functions.RobotsFunctions.isAllowed(
+          urls, "doc_id", "url", robotRules))
+      }
+
+      // 18. boilerplate line dedup: the one crawl-plane op with a
+      //     corpus-scale shuffle by design — per-line distinct-doc counts
+      //     + the co-partitioned flag join; shuffle tracks line volume
+      val pages = docs.select(col("doc_id"),
+        concat(lit("Subscribe to our newsletter today\n"), col("text"),
+          lit("\nCopyright "), col("source"), lit(" all rights reserved")).as("page"))
+      measure("line_dedup", scale) {
+        runAll(graft.functions.DedupFunctions.dedupBoilerplateLines(
+          pages, "doc_id", "page", minDupDocs = 10))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +

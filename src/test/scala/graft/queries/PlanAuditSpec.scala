@@ -101,6 +101,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("crawl extraction queries stay exchange-free (pure scan→map)") {
+    // q110 (WARC parse → extract → gate) and q113 (HTML metadata) are the
+    // scan-stage claim behind SCALEPROBE's 0-shuffle-bytes rows: all work
+    // is flatMap/regex/HOF projection. Any Exchange here means extraction
+    // grew a shuffle — at crawl scale that is a new corpus-wide stage.
+    for (q <- Seq("q110_warc_extract", "q113_html_meta")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val shuffles = raw"(?mi)^\s*(?:\+- |:- |\s)*Exchange (hash|range|single)"
+        .r.findAllIn(plan).size
+      assert(shuffles == 0, s"$q grew $shuffles shuffle exchange(s):\n$plan")
+    }
+  }
+
   test("q98 weighted sample never sorts globally: TakeOrderedAndProject plan") {
     // orderBy(key).limit(k) must stay a TakeOrderedAndProject (per-task
     // size-k heaps, k-row heads as the only cross-task traffic) — a
