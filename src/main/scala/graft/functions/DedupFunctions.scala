@@ -559,18 +559,27 @@ object DedupFunctions {
     * surviving lines re-joined with '\n' in original order, n_kept,
     * n_dropped). Docs whose every line is boilerplate disappear (they ARE
     * pure boilerplate — the C4/CCNet behavior).
+    *
+    * `broadcastBoiler = true` ships the post-threshold boilerplate set to
+    * every executor instead of co-partition-joining it — removing the
+    * second corpus-scale line shuffle entirely (only the count agg and
+    * the per-doc reassembly exchange remain). Safe when the boilerplate
+    * HEAD is broadcast-sized (a high threshold keeps only the banner/
+    * footer head of the line distribution); the default stays the
+    * shuffled join, which holds for any threshold.
     */
   def dedupBoilerplateLines(
       df: DataFrame, idCol: String, textCol: String,
-      minDupDocs: Int): DataFrame = {
+      minDupDocs: Int, broadcastBoiler: Boolean = false): DataFrame = {
     require(minDupDocs >= 2, s"minDupDocs must be >= 2, got $minDupDocs")
     val lines = df
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
       .filter(trim(col("__line")) =!= "")
-    val boiler = lines.groupBy(col("__line"))
+    val boiler0 = lines.groupBy(col("__line"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDupDocs)
       .select(col("__line"), lit(1).as("__b"))
+    val boiler = if (broadcastBoiler) broadcast(boiler0) else boiler0
     // flag-join (not anti-join) so ONE per-doc aggregation yields the
     // cleaned text and both counters without re-scanning the line relation
     lines.join(boiler, Seq("__line"), "left")

@@ -863,4 +863,18 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1L) == "twice seen\nown repeat\nown repeat")
     assert(out(2L) == "twice seen\nother content here")
   }
+
+  test("dedupBoilerplateLines: broadcast-boiler lever matches the shuffled join, and broadcasts") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"shared banner line\nunique content $i\nshared footer line")).toDF("doc_id", "text")
+    def run(hint: Boolean) = DedupFunctions
+      .dedupBoilerplateLines(docs, "doc_id", "text", minDupDocs = 10, broadcastBoiler = hint)
+    val a = run(false).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = run(true).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a.forall { case (i, t) => t == s"unique content $i" })
+    val plan = run(true).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
