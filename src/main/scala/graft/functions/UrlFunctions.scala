@@ -53,6 +53,42 @@ object UrlFunctions {
   /** Final DNS label (`example.org` → `org`); empty for dotless hosts. */
   def urlTld(host: Column): Column = regexp_extract(host, "\\.([A-Za-z0-9-]+)$", 1)
 
+  /** Query-parameter names stripped by [[normalizeUrl]] — tracking noise
+    * that splinters one logical page into many crawl URLs.
+    */
+  val TrackingParamPattern = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)="
+
+  /** Canonical URL form — the URL-level dedup key a crawl pipeline groups
+    * on before fetching or after (same page, many spellings):
+    * scheme/host lowercased, userinfo and fragment dropped, default ports
+    * (http:80, https:443) dropped, empty path → `/`, tracking query
+    * params ([[TrackingParamPattern]]) removed and the rest SORTED (query
+    * order is almost never semantic; the collision risk is the accepted
+    * trade every crawler makes). Non-absolute URLs come back unchanged —
+    * refusing to guess. Pure string expressions, zero shuffle.
+    */
+  def normalizeUrl(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val auth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = regexp_extract(auth, "^(?:[^@]*@)?(.*)$", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path0 = urlPath(u)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
+    val params = filter(split(q, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamPattern))
+    val qs = array_join(array_sort(params), "&")
+    when(scheme === "" || host === "", u).otherwise(concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
   /** The front-door filter: keep rows whose `urlCol` has an allowlisted
     * scheme, a non-empty host, and a registered domain NOT in
     * `blockedDomains` (single column `domain`). Appends `scheme`, `host`,

@@ -1337,6 +1337,26 @@ object PipelineQueries {
             .cast("long").as("n_tokens"),
           (graft.functions.TextFunctions.tokenCount(col("__main")) >= 60)
             .cast("long").as("passes_gate"))
+    }),
+
+    // URL canonicalization + URL-level dedup: every logical page arrives
+    // as TWO spellings (mixed case, explicit default port, tracking
+    // params, fragment, shuffled query order); normalizeUrl collapses
+    // each pair to one canonical key and the groupBy counts prove it —
+    // the canonical form, group size, and min raw id are all closed-form
+    "q116_url_normalize" -> ((s, dir) => {
+      val k = (col("doc_id") / 2).cast("long")
+      val messy = when(col("doc_id") % 2 === 0,
+        concat(lit("https://SITE"), k % 50, lit(".Example.COM:443/page/"), k,
+          lit("?b=2&utm_source=x&a=1#frag")))
+        .otherwise(
+          concat(lit("HTTPS://site"), k % 50, lit(".example.com/page/"), k,
+            lit("?a=1&b=2")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), messy.as("raw_url"))
+        .withColumn("url", graft.functions.UrlFunctions.normalizeUrl(col("raw_url")))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("min_id"))
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -3246,7 +3266,18 @@ object PipelineQueries {
         |  CAST(CASE WHEN nt >= 60 THEN 1 ELSE 0 END AS BIGINT) AS passes_gate
         |FROM tok
         |WHERE scheme = 'https' AND g <> 3
-        |  AND NOT (g = 0 AND p = 1) AND NOT (g = 1 AND p = 2)""".stripMargin)
+        |  AND NOT (g = 0 AND p = 1) AND NOT (g = 1 AND p = 2)""".stripMargin,
+
+    "q116_url_normalize" ->
+      """WITH k AS (
+        |  SELECT DISTINCT doc_id // 2 AS k FROM documents
+        |)
+        |SELECT
+        |  'https://site' || CAST(k % 50 AS VARCHAR) || '.example.com/page/' ||
+        |    CAST(k AS VARCHAR) || '?a=1&b=2' AS url,
+        |  CAST(2 AS BIGINT) AS n_raw,
+        |  CAST(k * 2 AS BIGINT) AS min_id
+        |FROM k""".stripMargin)
 
   /** q105 oracle: the online averaged perceptron restated end-to-end. The
     * sequential training pass (doc-id order, `passes` repetitions) is a

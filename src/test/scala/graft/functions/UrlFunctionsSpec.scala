@@ -69,6 +69,21 @@ class UrlFunctionsSpec extends SparkSpec {
       filterUrls(df, "url", bad)).getMessage.contains("domain"))
   }
 
+  test("normalizeUrl canonicalizes case, ports, fragments, tracking params, and query order") {
+    import spark.implicits._
+    def n(url: String): String =
+      Seq(url).toDF("u").select(normalizeUrl(col("u"))).head().getString(0)
+    assert(n("HTTPS://User:pw@Example.COM:443/A/B?b=2&a=1#frag") ==
+      "https://example.com/A/B?a=1&b=2")             // path case preserved
+    assert(n("http://site.org:80/") == "http://site.org/")
+    assert(n("http://site.org:8080/x") == "http://site.org:8080/x") // non-default port kept
+    assert(n("https://site.org") == "https://site.org/")            // empty path → /
+    assert(n("https://s.org/p?utm_source=x&utm_medium=y&fbclid=z") == "https://s.org/p")
+    assert(n("https://s.org/p?gclid=1&real=2") == "https://s.org/p?real=2")
+    assert(n("ftp://Files.Org:21/d") == "ftp://files.org:21/d")     // only http/https defaults drop
+    assert(n("not a url") == "not a url")                           // non-absolute: unchanged
+  }
+
   test("the blocklist anti-join broadcasts (plan shape)") {
     import spark.implicits._
     val df = Seq(1L -> "https://a.example.com/x").toDF("id", "url")
