@@ -79,4 +79,39 @@ object NgramLm {
         TextFunctions.round4(-sum(col("__lp")) / count(lit(1))).as("log_ppl"))
       .withColumn("kept", (col("log_ppl") <= threshold).cast("long"))
   }
+
+  /** CCNet head/middle/tail selection (Wenzek et al. 2020 §4.4): within
+    * each language, the best-scoring third of documents is "head", the
+    * next "middle", the rest "tail" — the split that decides what
+    * actually enters the corpus (head+middle, typically).
+    *
+    * Buckets are cut on the round4 ppl GRID, cells atomic: per
+    * (lang, ppl) counts, a running total over the cell table, and a cell
+    * goes to head/middle/tail by `3·cum_before < n` / `< 2n`. Equal-ppl
+    * docs land in the same bucket by construction (no float-threshold
+    * tie ambiguity), and — the 100 TB point — the ONLY window rides the
+    * model-scale cell table (#langs × distinct round4 scores), never the
+    * corpus: a dominant language costs a cell-table sort, not a
+    * single-task sort of its full document set (the q107 lesson). Docs
+    * reach their bucket through a co-partitioned (or broadcastable)
+    * (lang, ppl) join.
+    *
+    * Input: a scored relation (from [[scoreDocs]] joined with a language
+    * column); output: input + `bucket`.
+    */
+  def pplBuckets(scored: DataFrame, langCol: String, pplCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(langCol)).orderBy(col(pplCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col(langCol))
+    val cells = scored.groupBy(col(langCol), col(pplCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .select(col(langCol), col(pplCol),
+        when(col("__cum") * 3 < col("__n"), "head")
+          .when(col("__cum") * 3 < col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.join(cells, Seq(langCol, pplCol))
+  }
 }

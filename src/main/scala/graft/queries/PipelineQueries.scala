@@ -1357,6 +1357,26 @@ object PipelineQueries {
         .withColumn("url", graft.functions.UrlFunctions.normalizeUrl(col("raw_url")))
         .groupBy(col("url"))
         .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("min_id"))
+    }),
+
+    // CCNet head/middle/tail selection: per-language terciles of the q89
+    // LM log-perplexity, cut on the round4 ppl grid (cells atomic, the
+    // only window on the model-scale cell table — never a per-language
+    // corpus sort); output is the per-(lang, bucket) census
+    "q117_ccnet_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lmPath = scratchDir("ngram_lm_sel").resolve("lm").toString
+      NgramLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        .write.mode("overwrite").parquet(lmPath)
+      val scored = NgramLm.scoreDocs(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", s.read.parquet(lmPath), threshold = 3.43)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      NgramLm.pplBuckets(scored, "lang", "log_ppl")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("log_ppl")).as("min_ppl"),
+          max(col("log_ppl")).as("max_ppl"))
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -3277,7 +3297,64 @@ object PipelineQueries {
         |    CAST(k AS VARCHAR) || '?a=1&b=2' AS url,
         |  CAST(2 AS BIGINT) AS n_raw,
         |  CAST(k * 2 AS BIGINT) AS min_id
-        |FROM k""".stripMargin)
+        |FROM k""".stripMargin,
+
+    // q89's scored relation (same CTE chain), then the round4-grid
+    // tercile cut: the window runs on the (lang, log_ppl) cell table
+    "q117_ccnet_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), train_bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)
+        |  WHERE doc_id % 2 = 0
+        |  GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT w1, sum(c12) AS c1 FROM train_bi GROUP BY 1
+        |), v AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+        |), pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)
+        |  WHERE doc_id % 2 = 1
+        |), scored AS (
+        |  SELECT p.doc_id,
+        |    ln((coalesce(b.c12, 0) + 1.0) / (coalesce(u.c1, 0) + v.v)) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN train_bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u ON p.w1 = u.w1
+        |  CROSS JOIN v
+        |), agg AS (
+        |  SELECT doc_id,
+        |    floor((-sum(lp) / count(*)) * 10000.0 + 0.5) / 10000.0 AS log_ppl
+        |  FROM scored GROUP BY doc_id
+        |), j AS (
+        |  SELECT a.doc_id, d.lang, a.log_ppl
+        |  FROM agg a JOIN documents d USING (doc_id)
+        |), cells AS (
+        |  SELECT lang, log_ppl, count(*) AS c FROM j GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT lang, log_ppl,
+        |    coalesce(sum(c) OVER (PARTITION BY lang ORDER BY log_ppl
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM cells
+        |), b AS (
+        |  SELECT lang, log_ppl,
+        |    CASE WHEN cum * 3 < n THEN 'head'
+        |         WHEN cum * 3 < n * 2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM cc
+        |)
+        |SELECT j.lang, b.bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(j.doc_id) AS BIGINT) AS sum_ids,
+        |  min(j.log_ppl) AS min_ppl,
+        |  max(j.log_ppl) AS max_ppl
+        |FROM j JOIN b ON j.lang = b.lang AND j.log_ppl = b.log_ppl
+        |GROUP BY 1, 2""".stripMargin)
 
   /** q105 oracle: the online averaged perceptron restated end-to-end. The
     * sequential training pass (doc-id order, `passes` repetitions) is a

@@ -864,6 +864,28 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2L) == "twice seen\nother content here")
   }
 
+  test("pplBuckets: grid terciles per language; equal-score cells stay atomic") {
+    import spark.implicits._
+    val scored = (
+      Seq(1.0, 1.0, 1.0, 2.0, 3.0, 3.0, 4.0, 5.0, 6.0).zipWithIndex
+        .map { case (p, i) => (i.toLong, "xx", p) } ++
+      Seq(1.0, 1.0, 1.0, 1.0, 2.0, 3.0).zipWithIndex
+        .map { case (p, i) => (100L + i, "yy", p) }
+    ).toDF("doc_id", "lang", "log_ppl")
+    val out = NgramLm.pplBuckets(scored, "lang", "log_ppl")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("log_ppl")) ->
+        r.getAs[String]("bucket")).toMap
+    // xx: 9 docs → exact thirds on this grid
+    assert(out(("xx", 1.0)) == "head")
+    assert(out(("xx", 2.0)) == "middle" && out(("xx", 3.0)) == "middle")
+    assert(Seq(4.0, 5.0, 6.0).forall(p => out(("xx", p)) == "tail"))
+    // yy: the 4-doc ppl-1.0 cell overflows the tercile but stays ATOMIC
+    // (equal scores can never straddle a bucket boundary)
+    assert(out(("yy", 1.0)) == "head")
+    assert(out(("yy", 2.0)) == "tail" && out(("yy", 3.0)) == "tail")
+  }
+
   test("dedupBoilerplateLines: broadcast-boiler lever matches the shuffled join, and broadcasts") {
     import spark.implicits._
     val docs = (0L until 40L).map(i =>
