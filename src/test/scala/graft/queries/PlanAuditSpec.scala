@@ -34,8 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     "q102_dsir_resample", // embeds q99's model chain (same 1-row attach)
     "q100_sq_topk",      // int8 SQ scoring: broadcast quantized queries,
                          // same crossJoin(broadcast) shape as q25
-    "q104_jl_topk")      // JL coarse scoring: broadcast projected queries,
+    "q104_jl_topk",      // JL coarse scoring: broadcast projected queries,
                          // same shape; re-rank is an id equi-join
+    "q117_ccnet_select") // embeds q89's scoring chain (the 1-row
+                         // broadcast vocab-size attach — O(n * 1))
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
