@@ -189,6 +189,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r4(v.cal) }.mkString("{", ",", "}")
     val calsSpark = okResults.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r4(v.calSpark) }.mkString("{", ",", "}")
+    // Host-drift-normalized times: query time ÷ the RUN-LEVEL spark
+    // calibration nominal (scan-agg probe median). Deliberately not the
+    // per-query floor: each per-query calSpark is a single probe shot and
+    // its run-to-run noise (±30%) swamps the host drift it would correct —
+    // r10→r11 the per-query floors moved 0.24→0.19 median while the raw
+    // query medians moved 0.995×. Cross-round comparisons should use
+    // normalized[k]_new / normalized[k]_old.
+    val normalized = okResults.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r4(v.time / sparkNominal) }
+      .mkString("{", ",", "}")
     val throttled = results.filter(_._2.throttled).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -219,7 +229,8 @@ object Bench {
     // maps (diagnostics) live in BENCH_LOCAL.json, which is committed and
     // always whole
     val json = head + s""","queries":$qs}"""
-    val fullJson = head + s""","cal":$cals,"cal_spark":$calsSpark,"queries":$qs}"""
+    val fullJson = head +
+      s""","cal":$cals,"cal_spark":$calsSpark,"normalized":$normalized,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullJson + "\n").getBytes("UTF-8"))

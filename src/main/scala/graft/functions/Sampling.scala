@@ -73,20 +73,29 @@ object Sampling {
     val maxBudget = budgets.values.foldLeft(0L)(math.max)
     ensureGroupLimitThreshold(df, maxBudget)
     val ord = Seq(md5(col(idCol).cast("string")), col(idCol))
-    val toks = df.select(col(idCol), col(groupCol),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // tokenCount(text) == 0 iff text is all-whitespace (anchored-regex
+    // test, early-exit at the first non-ws char) — so only the positive
+    // branch pays the full regex tokenization; the zero branch's second
+    // corpus scan is a scan+rlike, never a second split. NULL text drops
+    // from both branches under either predicate (null filter semantics),
+    // matching the old n_tokens-based split exactly.
+    val isBlank = col(textCol).rlike("^\\s*$")
     // literal rank pre-trim on the positive-token docs (WindowGroupLimit);
     // zero-token docs can sit arbitrarily deep in the prefix (they never
     // consume budget) so they bypass the trim and rejoin before the exact
     // running-total pass
-    val posTrimmed = toks.filter(col("n_tokens") > 0L)
+    val posTrimmed = df.filter(!isBlank)
+      .select(col(idCol), col(groupCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(ord: _*)))
       .filter(col("__rk") <= lit(maxBudget))
       .drop("__rk")
+    val zeros = df.filter(isBlank)
+      .select(col(idCol), col(groupCol), lit(0L).as("n_tokens"))
     val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    posTrimmed.unionByName(toks.filter(col("n_tokens") === 0L))
+    posTrimmed.unionByName(zeros)
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
