@@ -18,9 +18,13 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * uncertainty sampling, q109 self-training) and the crawl front door
   * (q110 WARC ingest + boilerplate main-text extraction, q111 URL/domain
   * filtering, q112 robots.txt compliance, q113 HTML metadata, q114
-  * boilerplate line dedup, q115 the composed crawl pipeline, q116 URL canonicalization + URL-level dedup, q117 CCNet perplexity-bucket selection). Every
+  * boilerplate line dedup, q115 the composed crawl pipeline, q116 URL
+  * canonicalization + URL-level dedup, q117 CCNet perplexity-bucket
+  * selection) and the training-export plane (q118 deterministic shard
+  * packing + checksummed manifests, q119 epoch-seeded data order, q120
+  * epoch-repetition mixing recipe). Every
   * query — including the hash-family ops, restated in DuckDB SQL — has
-  * an oracle in `oracleSql` (115/115 as of round 11).
+  * an oracle in `oracleSql` (118/118 as of round 11).
   */
 object SparkEntry {
   /** Flagship: end-to-end feature-store dataset generation (catalog

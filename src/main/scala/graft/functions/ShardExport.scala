@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-export plane: the last mile of a pre-training data pipeline —
+  * carve the curated corpus into fixed-token-budget shards, stamp each
+  * shard with an order-independent content checksum, and derive the
+  * per-epoch read order — all as pure functions of the data, so a re-run
+  * on a different partitioning (or a different engine) reproduces the
+  * same shards and the same order bit-for-bit.
+  *
+  * Scale shape (the 100 TB story): the corpus is first hash-bucketed by
+  * `xxhash64(id)` — the ONE full-data exchange any deterministic packing
+  * needs — and every subsequent step (running-total packing, manifest
+  * aggregation, epoch ranking) is per-bucket, so parallelism is the
+  * bucket count. `buckets` is the sizing lever: pick it so one bucket
+  * (corpus/buckets bytes) fits a single task's external sort — 1024
+  * buckets at 100 TB is ~100 GB/bucket; the tests' 8 keeps the oracle
+  * tractable. Within a bucket the running token total is inherently
+  * sequential (that is what "packed in a defined order" means), which is
+  * why the bucketing exists at all: it bounds the sequential extent
+  * without giving up determinism, the same trade the md5-ordered mixing
+  * draws in [[Sampling]] make.
+  */
+object ShardExport {
+
+  /** Deterministic shard assignment: bucket = xxhash64(id) mod `buckets`,
+    * then docs packed in `(md5(id), id)` order (a reproducible
+    * pseudo-random permutation) into consecutive shards of
+    * `budgetTokens` tokens — `shard_seq = cum_before div budget`, so a
+    * shard overshoots its budget by at most one document (the greedy
+    * packing contract of [[Sampling.tokenBudgetSample]]).
+    *
+    * Returns one row per doc: (idCol, n_tokens, bucket, cum_before,
+    * shard_seq). NULL/all-whitespace text counts 0 tokens and rides
+    * along (it lands in a shard but consumes no budget).
+    */
+  def shardAssign(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, budgetTokens: Long): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val base = df.select(col(idCol),
+      coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+        .as("n_tokens"))
+      .withColumn("bucket",
+        pmod(xxhash64(col(idCol).cast("string")), lit(buckets.toLong)))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_seq",
+        expr(s"cum_before div CAST($budgetTokens AS BIGINT)"))
+  }
+
+  /** Per-shard manifest over a [[shardAssign]] output: doc count, token
+    * sum, first doc, and an ORDER-INDEPENDENT content checksum —
+    * `bit_xor(xxhash64(id:n_tokens))` — so two exports of the same data
+    * produce byte-identical manifests no matter how tasks interleaved,
+    * and a reader can verify a shard without re-sorting it. XOR (not a
+    * wrapping sum) because it is overflow-free under ANSI mode and
+    * self-inverse: a corrupted manifest localizes to the damaged shard.
+    */
+  def shardManifest(assigned: DataFrame, idCol: String): DataFrame =
+    assigned.groupBy(col("bucket"), col("shard_seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        expr(s"bit_xor(xxhash64(concat(cast($idCol as string), ':', " +
+          "cast(n_tokens as string))))").as("checksum"),
+        min(col(idCol)).as("first_doc"))
+
+  /** First `k` positions of the epoch-`epochSeed` training order without
+    * a global sort: rank docs inside each xxhash64 bucket by
+    * `(md5(seed:id), id)` — a fresh pseudo-random permutation per seed —
+    * and interleave buckets round-robin:
+    * `epoch_pos = (bucket_rank - 1) * buckets + bucket`.
+    *
+    * The per-bucket rank bound `ceil(k / buckets)` is a LITERAL, so the
+    * window plans as a WindowGroupLimit with a PARTIAL pre-trim (the
+    * q103 shape): each map partition forwards at most that many rows per
+    * bucket and no task ever sorts a full bucket to answer a head-of-
+    * order read. Streaming the WHOLE epoch order is the degenerate
+    * k = corpus case — there the full per-bucket sort is the work being
+    * asked for, and `buckets` is again the parallelism lever.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochSeed: String,
+      buckets: Int, k: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(k > 0, s"k must be positive, got $k")
+    val perBucket = (k + buckets - 1) / buckets
+    val ord = Seq(
+      md5(concat(lit(epochSeed + ":"), col(idCol).cast("string"))),
+      col(idCol))
+    df.select(col(idCol))
+      .withColumn("bucket",
+        pmod(xxhash64(col(idCol).cast("string")), lit(buckets.toLong)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(ord: _*)))
+      .filter(col("__rk") <= lit(perBucket))
+      .withColumn("bucket_rank", col("__rk").cast("long"))
+      .withColumn("epoch_pos",
+        (col("bucket_rank") - 1L) * lit(buckets.toLong) + col("bucket"))
+      .filter(col("epoch_pos") < lit(k.toLong))
+      .select(col(idCol), col("bucket"), col("bucket_rank"), col("epoch_pos"))
+  }
+
+  /** Epoch-repetition mixing recipe (the public pre-training data-recipe
+    * shape: per-domain target weights realized as whole-corpus epochs
+    * plus one greedy partial epoch). For each domain in `weights`:
+    * desired = totalTokens * w / Σw (integer floor), full epochs =
+    * desired div natural-tokens, remainder = desired mod natural-tokens
+    * drawn as the md5-order greedy prefix via
+    * [[Sampling.tokenBudgetSample]] — so the manifest is exact to the
+    * token (each domain's partial epoch overshoots by at most one doc,
+    * the greedy contract) and pure integer arithmetic end to end.
+    *
+    * Returns one row per (domain, epoch): epochs 0..full-1 are whole
+    * passes (all docs, natural token total); epoch = full is the partial
+    * prefix (absent when the remainder is 0 or rounds to no docs).
+    *
+    * Scale shape: the per-domain natural totals are a model-scale
+    * aggregate (one row per weighted domain) collected to the driver to
+    * turn data-dependent remainders into the LITERAL budgets the
+    * group-limit pre-trim in tokenBudgetSample needs — the q107 quota
+    * pattern. Full-epoch rows are driver-built literals (#domains ×
+    * epochs rows); only the partial-epoch draw touches the corpus again.
+    */
+  def mixRecipe(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, weights: Map[String, Long],
+      totalTokens: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    val doms = weights.keys.toSeq.sorted
+    val weightSum = weights.values.sum
+    val scoped = df.filter(col(groupCol).isin(doms: _*))
+    val nat = scoped
+      .select(col(groupCol),
+        coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("nat_tokens"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // (domain, natural docs, natural tokens, full epochs, remainder tokens)
+    val recipe = doms.flatMap { d =>
+      nat.get(d).filter(_._2 > 0L).map { case (nd, td) =>
+        val desired = totalTokens * weights(d) / weightSum
+        (d, nd, td, desired / td, desired % td)
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fullDf = recipe
+      .flatMap { case (d, nd, td, full, _) => (0L until full).map(e => (d, e, nd, td)) }
+      .toDF(groupCol, "epoch", "n_docs", "epoch_tokens")
+    val remBudgets = recipe.collect { case (d, _, _, _, rem) if rem > 0 => d -> rem }.toMap
+    if (remBudgets.isEmpty) fullDf
+    else {
+      val epochOf = recipe.foldLeft(lit(-1L)) { case (acc, (d, _, _, full, _)) =>
+        when(col(groupCol) === d, lit(full)).otherwise(acc) }
+      val partial = Sampling.tokenBudgetSample(
+          df.filter(col(groupCol).isin(remBudgets.keys.toSeq: _*)),
+          idCol, textCol, groupCol, remBudgets)
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("epoch_tokens"))
+        .withColumn("epoch", epochOf)
+        .select(col(groupCol), col("epoch"), col("n_docs"), col("epoch_tokens"))
+      fullDf.unionByName(partial)
+    }
+  }
+}

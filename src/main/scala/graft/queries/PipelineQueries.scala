@@ -1377,6 +1377,39 @@ object PipelineQueries {
           sum(col("doc_id")).as("sum_ids"),
           min(col("log_ppl")).as("min_ppl"),
           max(col("log_ppl")).as("max_ppl"))
+    }),
+
+    // deterministic shard export: xxhash64-bucketed token-budget packing
+    // (1000 tokens/shard, 8 buckets) + per-shard manifest with an
+    // order-independent bit_xor(xxhash64) content checksum — one full-data
+    // exchange (the bucket hash), everything after is per-bucket
+    "q118_shard_export" -> ((s, dir) => {
+      val assigned = graft.functions.ShardExport.shardAssign(
+        Tables.documents(s, dir), "doc_id", "text",
+        buckets = 8, budgetTokens = 1000L)
+      graft.functions.ShardExport.shardManifest(assigned, "doc_id")
+    }),
+
+    // epoch-seeded training order head: first 100 positions of epoch
+    // "e1"'s deterministic order — per-bucket md5(seed:id) rank with a
+    // LITERAL ceil(k/B) bound (WindowGroupLimit pre-trim), round-robin
+    // interleave; no task ever sorts a full bucket for a head read
+    "q119_epoch_order" -> ((s, dir) => {
+      graft.functions.ShardExport.epochOrder(
+        Tables.documents(s, dir), "doc_id", epochSeed = "e1",
+        buckets = 8, k = 100)
+    }),
+
+    // epoch-repetition mixing recipe: 3 weighted domains realized as
+    // whole-corpus epochs + one greedy md5-prefix partial epoch, exact to
+    // the token (integer arithmetic end to end; model-scale driver
+    // collect turns remainders into the literal budgets the pre-trim
+    // needs — the q107 quota pattern)
+    "q120_mix_recipe" -> ((s, dir) => {
+      graft.functions.ShardExport.mixRecipe(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        weights = Map("src0" -> 5000L, "src1" -> 3000L, "src2" -> 2000L),
+        totalTokens = 500000L)
     }))
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
@@ -3354,7 +3387,110 @@ object PipelineQueries {
         |  min(j.log_ppl) AS min_ppl,
         |  max(j.log_ppl) AS max_ppl
         |FROM j JOIN b ON j.lang = b.lang AND j.log_ppl = b.log_ppl
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // shard export: the xxh64 restatement drives BOTH hashes — the bucket
+    // (hash of the id string) and the per-doc checksum term (hash of
+    // "id:n_tokens") — and bit_xor is order-independent in any engine, so
+    // the whole manifest is hash-exact with no float anywhere
+    "q118_shard_export" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), ${DuckDbXxHash64.xxh64Cte("d0", "CAST(doc_id AS VARCHAR)",
+             Seq("doc_id", "n_tokens"), "bh")},
+         |d1 AS (
+         |  SELECT doc_id, n_tokens, ((xxh % 8) + 8) % 8 AS bucket,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM bh9
+         |), d2 AS (
+         |  SELECT doc_id, n_tokens, bucket,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      // 1000 AS shard_seq
+         |  FROM d1
+         |), ${DuckDbXxHash64.xxh64Cte("d2",
+             "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
+             Seq("doc_id", "n_tokens", "bucket", "shard_seq"), "ck")}
+         |SELECT bucket, shard_seq,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  bit_xor(xxh) AS checksum,
+         |  min(doc_id) AS first_doc
+         |FROM ck9
+         |GROUP BY bucket, shard_seq""".stripMargin,
+
+    // epoch order head: xxh64 bucket + md5('e1:'||id) rank; the literal
+    // interleave arithmetic makes the first-k filter closed-form
+    "q119_epoch_order" ->
+      s"""WITH ${DuckDbXxHash64.xxh64Cte("documents", "CAST(doc_id AS VARCHAR)",
+             Seq("doc_id"), "bh")},
+         |b AS (
+         |  SELECT doc_id, ((xxh % 8) + 8) % 8 AS bucket,
+         |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM bh9
+         |), r AS (
+         |  SELECT doc_id, bucket,
+         |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+         |      AS BIGINT) AS bucket_rank
+         |  FROM b
+         |)
+         |SELECT doc_id, bucket, bucket_rank,
+         |  (bucket_rank - 1) * 8 + bucket AS epoch_pos
+         |FROM r
+         |WHERE (bucket_rank - 1) * 8 + bucket < 100""".stripMargin,
+
+    // mix recipe: natural totals -> integer desired/full/remainder, full
+    // epochs unnested from range(), the partial epoch re-derived as the
+    // same greedy md5-prefix tokenBudgetSample replays (q92's contract)
+    "q120_mix_recipe" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')
+        |), wts AS (
+        |  SELECT * FROM (VALUES ('src0', 5000), ('src1', 3000), ('src2', 2000))
+        |    w(source, wt)
+        |), nat AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS nat_tokens
+        |  FROM t GROUP BY source
+        |), rec AS (
+        |  SELECT n.source, n.n_docs, n.nat_tokens,
+        |    (CAST(500000 AS BIGINT) * w.wt) // 10000 AS desired
+        |  FROM nat n JOIN wts w USING (source)
+        |  WHERE n.nat_tokens > 0
+        |), rec2 AS (
+        |  SELECT source, n_docs, nat_tokens,
+        |    desired // nat_tokens AS full_e, desired % nat_tokens AS rem
+        |  FROM rec
+        |), fulls AS (
+        |  SELECT source, unnest(range(full_e)) AS epoch,
+        |    n_docs, nat_tokens AS epoch_tokens
+        |  FROM rec2
+        |), cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM t
+        |), partials AS (
+        |  SELECT c.source, r.full_e AS epoch,
+        |    count(*) AS n_docs, CAST(sum(c.n_tokens) AS BIGINT) AS epoch_tokens
+        |  FROM cum c JOIN rec2 r USING (source)
+        |  WHERE r.rem > 0 AND c.cum_before < r.rem
+        |  GROUP BY c.source, r.full_e
+        |)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(epoch_tokens AS BIGINT) AS epoch_tokens
+        |FROM (SELECT * FROM fulls UNION ALL SELECT * FROM partials)""".stripMargin)
 
   /** q105 oracle: the online averaged perceptron restated end-to-end. The
     * sequential training pass (doc-id order, `passes` repetitions) is a

@@ -340,6 +340,40 @@ object ScaleSweep {
         runAll(graft.functions.DedupFunctions.dedupBoilerplateLines(
           pages, "doc_id", "page", minDupDocs = 10))
       }
+
+      // 19. temperature mix on a dominant-domain corpus (50% hot — the
+      //     shape α-sampling exists to tame): the literal maxQuota
+      //     pre-trim (WindowGroupLimit, the round-10 fix) bounds what any
+      //     task sorts for the hot domain; shuffle carries only compact
+      //     (id, domain) draw candidates, never text
+      val skewed = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("dom_hot"))
+          .otherwise(concat(lit("dom"), col("doc_id") % 10)).as("domain"))
+      measure("temperature_mix", scale) {
+        runAll(graft.functions.Sampling.temperatureMix(
+          skewed, "doc_id", "domain", alpha = 0.5, budget = 2000L))
+      }
+
+      // 20. shard export: the ONE bucket-hash exchange carries compact
+      //     (id, n_tokens, bucket) rows — text never shuffles (tokenCount
+      //     is computed scan-side), so shuffle bytes track doc COUNT at
+      //     ~tens of bytes/doc while input bytes track payload
+      measure("shard_export", scale) {
+        runAll(graft.functions.ShardExport.shardManifest(
+          graft.functions.ShardExport.shardAssign(
+            docs, "doc_id", "text", buckets = 8, budgetTokens = 1000L),
+          "doc_id"))
+      }
+
+      // 21. epoch order head: the WindowGroupLimit partial pre-trim means
+      //     cross-task traffic is at most ceil(k/B) rows per bucket per
+      //     MAP PARTITION — bounded by partition count, independent of
+      //     row count (measured: ~46 KB at 10×, tracking the 10× input
+      //     partition fan, not the 10× rows)
+      measure("epoch_order", scale) {
+        runAll(graft.functions.ShardExport.epochOrder(
+          docs, "doc_id", epochSeed = "e1", buckets = 8, k = 100))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ShardExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int, tokensOf: Long => Int) =
+    (0L until n.toLong).map(i => (i, Seq.fill(tokensOf(i))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+
+  /** Brute-force reference: bucket by xxhash64, pack in (md5, id) order. */
+  private def referenceAssign(df: org.apache.spark.sql.DataFrame,
+      buckets: Int, budget: Long): Map[Long, (Long, Long)] = {
+    val rows = df.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id").cast("string")), lit(buckets.toLong)),
+        md5(col("doc_id").cast("string")),
+        coalesce(TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    rows.groupBy(_._2).toSeq.flatMap { case (bucket, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._3, r._1)).toSeq.map { case (id, _, _, t) =>
+        val seq = cum / budget
+        cum += t
+        id -> (bucket, seq)
+      }
+    }.toMap
+  }
+
+  test("shardAssign: matches the brute-force greedy packing, budget overshoot <= one doc") {
+    val df = docs(200, i => (i % 17 + 1).toInt)
+    val got = ShardExport.shardAssign(df, "doc_id", "text", buckets = 4, budgetTokens = 50L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("shard_seq"))).toMap
+    assert(got == referenceAssign(df, 4, 50L))
+    // budget contract: a doc STARTS in a shard only while the running
+    // total is under budget, so cum_before within a shard is < budget
+    val over = ShardExport.shardAssign(df, "doc_id", "text", 4, 50L)
+      .filter(expr("cum_before - (shard_seq * 50) >= 50")).count()
+    assert(over == 0L)
+  }
+
+  test("shardAssign: deterministic under repartitioning; blank/NULL text counts zero") {
+    val base = docs(100, i => (i % 7 + 1).toInt)
+    val messy = Seq((200L, null: String), (201L, "   \t\n "), (202L, "one two")).toDF("doc_id", "text")
+    val df = base.unionByName(messy)
+    val a = ShardExport.shardAssign(df, "doc_id", "text", 4, 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val b = ShardExport.shardAssign(df.repartition(13, col("text")), "doc_id", "text", 4, 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(a == b, "assignment must be a pure function of the data")
+    val zeroTok = ShardExport.shardAssign(df, "doc_id", "text", 4, 30L)
+      .filter(col("doc_id") >= 200L && col("doc_id") <= 201L)
+      .select("n_tokens").collect().map(_.getLong(0)).toSeq
+    assert(zeroTok == Seq(0L, 0L) || zeroTok == Seq(0L, 0L).reverse)
+  }
+
+  test("shardManifest: checksum is order-independent and shard-local") {
+    val df = docs(120, i => (i % 5 + 1).toInt)
+    val assigned = ShardExport.shardAssign(df, "doc_id", "text", 4, 40L)
+    val m1 = ShardExport.shardManifest(assigned, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val m2 = ShardExport.shardManifest(assigned.repartition(7), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(m1 == m2, "manifest must not depend on task interleaving")
+    // bit_xor localization: dropping one doc changes EXACTLY its shard's
+    // checksum (xor is self-inverse), leaving every other shard's intact
+    val victim = assigned.orderBy("doc_id").limit(1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).head
+    val m3 = ShardExport.shardManifest(assigned.filter(col("doc_id") =!= victim._1), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val changed = m1.keySet.filter(k => m3.get(k) != m1.get(k))
+    assert(changed == Set((victim._2, victim._3)), s"only the victim's shard may change: $changed")
+  }
+
+  test("epochOrder: positions are slots of a per-bucket md5(seed:id) rank; seeds decorrelate") {
+    val df = docs(300, _ => 1)
+    val e1 = ShardExport.epochOrder(df, "doc_id", "e1", buckets = 8, k = 64)
+      .collect().map(r => r.getLong(3) -> r.getLong(0)).toMap
+    // enough docs per bucket: slots 0..63 all filled, each doc at most once
+    assert(e1.keySet == (0L until 64L).toSet)
+    assert(e1.values.toSet.size == 64)
+    // slot arithmetic: pos mod buckets == bucket, rank = pos div buckets + 1
+    val rows = ShardExport.epochOrder(df, "doc_id", "e1", 8, 64).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) % 8 == r.getLong(1))
+      assert(r.getLong(3) / 8 + 1 == r.getLong(2))
+    }
+    val e2 = ShardExport.epochOrder(df, "doc_id", "e2", buckets = 8, k = 64)
+      .collect().map(r => r.getLong(3) -> r.getLong(0)).toMap
+    assert(e1 != e2, "different seeds must yield different orders")
+    // same bucket membership either epoch (bucket is seed-independent);
+    // k = buckets * n so even the most ragged bucket fits every slot
+    val b1 = ShardExport.epochOrder(df, "doc_id", "e1", 8, 2400)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = ShardExport.epochOrder(df, "doc_id", "e2", 8, 2400)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1.size == 300 && b1 == b2)
+  }
+
+  test("mixRecipe: integer recipe exact to the token; partial epoch is the greedy md5 prefix") {
+    val df = (0L until 60L).map { i =>
+      (i, Seq.fill((i % 9 + 1).toInt)("w").mkString(" "),
+        if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")
+    }.toDF("doc_id", "text", "source")
+    val natTok = df.select(col("source"), TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("nt"), count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val weights = Map("a" -> 600L, "b" -> 300L, "c" -> 100L)
+    val total = 1000L
+    val out = ShardExport.mixRecipe(df, "doc_id", "text", "source", weights, total)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    weights.foreach { case (d, w) =>
+      val (nt, nd) = natTok(d)
+      val desired = total * w / 1000L
+      val full = desired / nt
+      val rem = desired % nt
+      (0L until full).foreach { e =>
+        assert(out((d, e)) == (nd, nt), s"full epoch $e of $d")
+      }
+      if (rem > 0) {
+        val (pd, pt) = out((d, full))
+        // greedy contract: kept while cum_before < rem, so the partial
+        // epoch has >= rem tokens but overshoots by at most one doc
+        assert(pt >= rem || pd == nd, s"partial of $d must cover the remainder (pt=$pt rem=$rem)")
+        assert(pt - rem < 10L, s"overshoot bounded by one doc's tokens (pt=$pt rem=$rem)")
+      } else assert(!out.contains((d, full)))
+      // realized tokens across epochs land within one doc of desired
+      val realized = out.collect { case ((`d`, _), (_, t)) => t }.sum
+      assert(realized >= desired && realized - desired < 10L,
+        s"$d realized=$realized desired=$desired")
+    }
+  }
+}

@@ -94,7 +94,8 @@ class PlanAuditSpec extends SparkSpec {
     // losing the literal pre-trim re-grows the single-task full-domain
     // sort (the round-10 q107 finding).
     for (q <- Seq("q25_knn", "q26_knn_lsh", "q103_stratified_sample",
-        "q68_domain_mix", "q92_token_budget_mix", "q107_temperature_mix")) {
+        "q68_domain_mix", "q92_token_budget_mix", "q107_temperature_mix",
+        "q119_epoch_order")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -115,6 +116,19 @@ class PlanAuditSpec extends SparkSpec {
         .r.findAllIn(plan).size
       assert(shuffles == 0, s"$q grew $shuffles shuffle exchange(s):\n$plan")
     }
+  }
+
+  test("q118 shard export shuffles the corpus exactly once") {
+    // the bucket-hash exchange is the ONE full-data shuffle deterministic
+    // packing needs; the manifest aggregation must reuse that
+    // partitioning (grouping on (bucket, shard_seq) is satisfied by
+    // hash(bucket)) — a second Exchange means the export doubled its
+    // corpus-wide traffic
+    val plan = SparkEntry.queries("q118_shard_export")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shuffles = raw"(?mi)^\s*(?:\+- |:- |\s)*Exchange (hash|range|single)"
+      .r.findAllIn(plan).size
+    assert(shuffles == 1, s"q118 must shuffle exactly once, saw $shuffles:\n$plan")
   }
 
   test("q98 weighted sample never sorts globally: TakeOrderedAndProject plan") {
