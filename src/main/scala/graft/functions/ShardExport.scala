@@ -72,6 +72,42 @@ object ShardExport {
           "cast(n_tokens as string))))").as("checksum"),
         min(col(idCol)).as("first_doc"))
 
+  /** Structural diff of two [[shardManifest]] tables — the incremental-
+    * publish read of the checksum design: a re-export only re-uploads the
+    * shards this diff names. `added` = shard exists only in `next`,
+    * `removed` = only in `prev`, `changed` = same (bucket, shard_seq) but
+    * a different (checksum, n_docs, shard_tokens) triple. The checksum
+    * covers (id, n_tokens) per doc — membership and sizes — so the diff
+    * sees adds/removes/resizes; a same-length in-place text edit needs a
+    * content-hash manifest variant (deliberately out of scope: the
+    * manifest is the PACKING's signature, and the packing is a pure
+    * function of (id, n_tokens)).
+    *
+    * Scale shape: manifests are corpus/budget rows (model-scale next to
+    * the corpus); the full-outer join is co-keyed on (bucket, shard_seq)
+    * and never touches document data. Because packing is cumulative
+    * within a bucket, one resized doc legitimately re-cuts every later
+    * shard in its bucket — the diff reports that cascade honestly (it is
+    * exactly what a publisher must re-upload), and is why the streaming
+    * exporter ([[graft.streaming.ShardStream]]) packs per wave instead of
+    * re-cutting.
+    */
+  def manifestDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val keys = Seq("bucket", "shard_seq")
+    val p = prev.select(col("bucket"), col("shard_seq"),
+      struct(col("checksum"), col("n_docs"), col("shard_tokens")).as("__p"))
+    val n = next.select(col("bucket"), col("shard_seq"),
+      struct(col("checksum"), col("n_docs"), col("shard_tokens")).as("__n"))
+    p.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("__p").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .when(col("__p") =!= col("__n"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("bucket"), col("shard_seq"), col("status"))
+  }
+
   /** First `k` positions of the epoch-`epochSeed` training order without
     * a global sort: rank docs inside each xxhash64 bucket by
     * `(md5(seed:id), id)` — a fresh pseudo-random permutation per seed —

@@ -1410,7 +1410,62 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text", "source",
         weights = Map("src0" -> 5000L, "src1" -> 3000L, "src2" -> 2000L),
         totalTokens = 500000L)
+    }),
+
+    // incremental publish: diff the manifests of two corpus versions
+    // (v2 drops every 101st doc and grows every 97th by two tokens) —
+    // only the named shards re-upload; the within-bucket re-cut cascade
+    // downstream of each edit is reported honestly
+    "q121_export_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v2 = docs.filter(col("doc_id") % 101 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 97 === 0,
+            concat(col("text"), lit(" extra token")))
+            .otherwise(col("text")))
+      val m1 = graft.functions.ShardExport.shardManifest(
+        graft.functions.ShardExport.shardAssign(docs, "doc_id", "text", 8, 1000L),
+        "doc_id")
+      val m2 = graft.functions.ShardExport.shardManifest(
+        graft.functions.ShardExport.shardAssign(v2, "doc_id", "text", 8, 1000L),
+        "doc_id")
+      graft.functions.ShardExport.manifestDiff(m1, m2)
     }))
+
+  /** q118's manifest chain as a reusable CTE block over `src` (which must
+    * expose (doc_id, n_tokens)): bucket = xxh64(id) mod 8, md5-order
+    * cumulative packing at 1000 tokens/shard, bit_xor(xxh64(id:n_tokens))
+    * checksum. Emits CTEs ending in `<pfx>m` aliased as `<pfx>m AS
+    * (...bucket, shard_seq, n_docs, shard_tokens, checksum, first_doc)`.
+    * Distinct prefixes let the q121 diff oracle replay the chain over two
+    * corpus versions in one statement.
+    */
+  private def shardManifestCtes(src: String, pfx: String): String =
+    s"""${DuckDbXxHash64.xxh64Cte(src, "CAST(doc_id AS VARCHAR)",
+         Seq("doc_id", "n_tokens"), pfx + "bh")},
+       |${pfx}d1 AS (
+       |  SELECT doc_id, n_tokens, ((xxh % 8) + 8) % 8 AS bucket,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM ${pfx}bh9
+       |), ${pfx}d2 AS (
+       |  SELECT doc_id, n_tokens, bucket,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      // 1000 AS shard_seq
+       |  FROM ${pfx}d1
+       |), ${DuckDbXxHash64.xxh64Cte(pfx + "d2",
+         "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
+         Seq("doc_id", "n_tokens", "bucket", "shard_seq"), pfx + "ck")},
+       |${pfx}m AS (
+       |  SELECT bucket, shard_seq,
+       |    count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |    bit_xor(xxh) AS checksum,
+       |    min(doc_id) AS first_doc
+       |  FROM ${pfx}ck9
+       |  GROUP BY bucket, shard_seq
+       |)""".stripMargin
 
   /** Per-(vector, table) LSH sign-bucket relation as a UNION ALL of one
     * SELECT per table (each with its literal plane set): DuckDB evaluates
@@ -3399,29 +3454,41 @@ object PipelineQueries {
          |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
          |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
          |  FROM documents
-         |), ${DuckDbXxHash64.xxh64Cte("d0", "CAST(doc_id AS VARCHAR)",
-             Seq("doc_id", "n_tokens"), "bh")},
-         |d1 AS (
-         |  SELECT doc_id, n_tokens, ((xxh % 8) + 8) % 8 AS bucket,
-         |    md5(CAST(doc_id AS VARCHAR)) AS h
-         |  FROM bh9
-         |), d2 AS (
-         |  SELECT doc_id, n_tokens, bucket,
-         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
-         |      ORDER BY h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      // 1000 AS shard_seq
-         |  FROM d1
-         |), ${DuckDbXxHash64.xxh64Cte("d2",
-             "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
-             Seq("doc_id", "n_tokens", "bucket", "shard_seq"), "ck")}
-         |SELECT bucket, shard_seq,
-         |  count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-         |  bit_xor(xxh) AS checksum,
-         |  min(doc_id) AS first_doc
-         |FROM ck9
-         |GROUP BY bucket, shard_seq""".stripMargin,
+         |), ${shardManifestCtes("d0", "a")}
+         |SELECT bucket, shard_seq, n_docs, shard_tokens, checksum, first_doc
+         |FROM am""".stripMargin,
+
+    // export diff: the manifest chain replayed over BOTH corpus versions,
+    // full-outer joined on the shard key; 'changed' on any of
+    // (checksum, n_docs, shard_tokens)
+    "q121_export_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), v2 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(
+         |      CASE WHEN doc_id % 97 = 0 THEN text || ' extra token' ELSE text END,
+         |      '\\s+'), x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id % 101 <> 0
+         |), ${shardManifestCtes("v1", "a")},
+         |${shardManifestCtes("v2", "b")},
+         |j AS (
+         |  SELECT coalesce(am.bucket, bm.bucket) AS bucket,
+         |    coalesce(am.shard_seq, bm.shard_seq) AS shard_seq,
+         |    CASE WHEN am.checksum IS NULL THEN 'added'
+         |         WHEN bm.checksum IS NULL THEN 'removed'
+         |         WHEN am.checksum <> bm.checksum OR am.n_docs <> bm.n_docs
+         |              OR am.shard_tokens <> bm.shard_tokens THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM am FULL OUTER JOIN bm
+         |    ON am.bucket = bm.bucket AND am.shard_seq = bm.shard_seq
+         |)
+         |SELECT bucket, shard_seq, status FROM j
+         |WHERE status <> 'unchanged'""".stripMargin,
 
     // epoch order head: xxh64 bucket + md5('e1:'||id) rank; the literal
     // interleave arithmetic makes the first-k filter closed-form

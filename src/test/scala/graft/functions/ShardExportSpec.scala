@@ -79,6 +79,38 @@ class ShardExportSpec extends SparkSpec {
     assert(changed == Set((victim._2, victim._3)), s"only the victim's shard may change: $changed")
   }
 
+  test("manifestDiff: statuses match a brute-force manifest compare; cascade stays in the edited buckets") {
+    val v1 = docs(150, i => (i % 9 + 1).toInt)
+    // v2: drop doc 30, grow doc 77 by three tokens
+    val v2 = v1.filter(col("doc_id") =!= 30L)
+      .withColumn("text",
+        when(col("doc_id") === 77L, concat(col("text"), lit(" x y z")))
+          .otherwise(col("text")))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      ShardExport.shardManifest(
+        ShardExport.shardAssign(df, "doc_id", "text", 4, 40L), "doc_id")
+    val m1 = manifest(v1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getLong(2), r.getLong(3))).toMap
+    val m2 = manifest(v2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getLong(2), r.getLong(3))).toMap
+    val expected =
+      (m2.keySet -- m1.keySet).map(k => (k._1, k._2, "added")) ++
+      (m1.keySet -- m2.keySet).map(k => (k._1, k._2, "removed")) ++
+      (m1.keySet & m2.keySet).filter(k => m1(k) != m2(k))
+        .map(k => (k._1, k._2, "changed"))
+    val got = ShardExport.manifestDiff(manifest(v1), manifest(v2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.nonEmpty, "the edits must surface")
+    // cumulative packing re-cuts only downstream of an edit, so every
+    // diff row lives in one of the two edited docs' buckets
+    val editedBuckets = ShardExport.shardAssign(v1, "doc_id", "text", 4, 40L)
+      .filter(col("doc_id").isin(30L, 77L))
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).subsetOf(editedBuckets),
+      s"diff leaked outside buckets $editedBuckets: $got")
+  }
+
   test("epochOrder: positions are slots of a per-bucket md5(seed:id) rank; seeds decorrelate") {
     val df = docs(300, _ => 1)
     val e1 = ShardExport.epochOrder(df, "doc_id", "e1", buckets = 8, k = 64)
