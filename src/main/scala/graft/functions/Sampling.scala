@@ -36,7 +36,7 @@ object Sampling {
     * row_number the partial trim buffers nothing beyond the local sort
     * the final window needs anyway).
     */
-  private def ensureGroupLimitThreshold(df: DataFrame, bound: Long): Unit = {
+  private[functions] def ensureGroupLimitThreshold(df: DataFrame, bound: Long): Unit = {
     val key = "spark.sql.optimizer.windowGroupLimitThreshold"
     val cur = df.sparkSession.conf.get(key, "1000").toLong
     if (cur >= 0 && cur < bound) df.sparkSession.conf.set(key, bound)

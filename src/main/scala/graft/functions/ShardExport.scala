@@ -127,6 +127,10 @@ object ShardExport {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(k > 0, s"k must be positive, got $k")
     val perBucket = (k + buckets - 1) / buckets
+    // a deep head (k/B past the optimizer's windowGroupLimitThreshold,
+    // default 1000) would silently drop the pre-trim rewrite — raise it
+    // to cover the literal bound, the Sampling ops' own guard
+    Sampling.ensureGroupLimitThreshold(df, perBucket.toLong)
     val ord = Seq(
       md5(concat(lit(epochSeed + ":"), col(idCol).cast("string"))),
       col(idCol))
