@@ -198,6 +198,49 @@ object QualityClassifier {
       .limit(k)
   }
 
+  /** Domain-calibrated quality gate: keep the top `permille`‰ of docs PER
+    * DOMAIN by margin. A single global threshold starves whole domains —
+    * a domain whose score distribution sits low loses everything while a
+    * high-sitting one sails through untrimmed — so production corpus
+    * filters cut per-domain percentiles instead. quota_d =
+    * floor(n_d · permille / 1000), exact integer arithmetic; ties broken
+    * by (md5(id), id) so the cut is deterministic on any engine.
+    *
+    * Scale shape (the q107 pattern): the per-domain doc counts are a
+    * model-scale aggregate collected to the driver to turn quotas into
+    * the LITERAL rank bound the WindowGroupLimit pre-trim needs — rank
+    * per domain by (margin desc, md5(id), id), pre-trim at the literal
+    * max quota, broadcast-join the quota table, exact filter after. The
+    * dominant domain never single-task sorts its full corpus slice.
+    * `scored` must carry (idCol, domainCol, margin) — the
+    * [[scorePerceptron]] output joined to the domain column.
+    */
+  def keepTopPerDomain(
+      scored: DataFrame, idCol: String, domainCol: String,
+      permille: Long): DataFrame = {
+    require(permille > 0 && permille <= 1000,
+      s"permille must be in (0, 1000], got $permille")
+    val counts = scored.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val quotaRows = counts
+      .map { case (d, n) => (d, n * permille / 1000L) }
+      .filter(_._2 > 0L).toSeq
+    val maxQ = quotaRows.map(_._2).foldLeft(0L)(math.max)
+    Sampling.ensureGroupLimitThreshold(scored, maxQ)
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val quotas = quotaRows.toDF("__dom", "__quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__dom"))
+      .orderBy(col("margin").desc, md5(col(idCol).cast("string")), col(idCol))
+    scored.select(col(idCol), col(domainCol).as("__dom"), col("margin"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= lit(maxQ))
+      .join(broadcast(quotas), Seq("__dom"))
+      .filter(col("__rk") <= col("__quota"))
+      .select(col(idCol), col("__dom").as(domainCol), col("margin"),
+        col("__rk").cast("long").as("domain_rank"), col("__quota").as("quota"))
+  }
+
   /** Self-training (pseudo-label distillation): train a teacher on the
     * `isLabeled` slice, let it label everything else, retrain a student on
     * the union — the standard semi-supervised recipe for stretching a

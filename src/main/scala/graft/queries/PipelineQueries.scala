@@ -1430,6 +1430,26 @@ object PipelineQueries {
         graft.functions.ShardExport.shardAssign(v2, "doc_id", "text", 8, 1000L),
         "doc_id")
       graft.functions.ShardExport.manifestDiff(m1, m2)
+    }),
+
+    // domain-calibrated quality gate: top 300‰ of docs per source by the
+    // q105 classifier margin (a global threshold starves whole domains) —
+    // literal-max-quota pre-trim + broadcast quota join, the q107 shape;
+    // census per source, all integers
+    "q122_domain_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.functions.QualityClassifier.trainAndScore(
+        docs, "doc_id", "text",
+        label = graft.functions.TextFunctions.tokenCount(lower(col("text"))) >= 60,
+        buckets = 64, passes = 10)
+      val withDom = scored.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.functions.QualityClassifier.keepTopPerDomain(
+          withDom, "doc_id", "source", permille = 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("margin")).as("min_margin"),
+          sum(col("doc_id")).as("sum_ids"),
+          max(col("quota")).as("quota"))
     }))
 
   /** q118's manifest chain as a reusable CTE block over `src` (which must
@@ -3489,6 +3509,40 @@ object PipelineQueries {
          |)
          |SELECT bucket, shard_seq, status FROM j
          |WHERE status <> 'unchanged'""".stripMargin,
+
+    // domain gate: q105's margin relation (same prefix + fold replay),
+    // joined to source, integer quota = floor(n·300/1000), rank cut on
+    // (margin desc, md5, id) — census hash-exact, no float anywhere
+    "q122_domain_gate" ->
+      s"""WITH ${perceptronPrefixCtes(64, 60)},
+         |${perceptronFoldCtes(64, 10, tag = "", trainFilter = "")},
+         |marg AS (
+         |  SELECT l.doc_id, coalesce(s.m, 0) + b.bias AS margin
+         |  FROM lbl l
+         |  LEFT JOIN (
+         |    SELECT i.doc_id, CAST(sum(w.w * i.c) AS BIGINT) AS m
+         |    FROM inst i JOIN wavg w USING (b) GROUP BY 1) s USING (doc_id)
+         |  CROSS JOIN bsavg b
+         |), md AS (
+         |  SELECT m.doc_id, m.margin, d.source,
+         |    md5(CAST(m.doc_id AS VARCHAR)) AS h
+         |  FROM marg m JOIN documents d USING (doc_id)
+         |), qn AS (
+         |  SELECT source, (count(*) * 300) // 1000 AS quota
+         |  FROM md GROUP BY source
+         |), rk AS (
+         |  SELECT doc_id, margin, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY margin DESC, h, doc_id) AS rk
+         |  FROM md
+         |)
+         |SELECT r.source, count(*) AS n_kept,
+         |  CAST(min(r.margin) AS BIGINT) AS min_margin,
+         |  CAST(sum(r.doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(max(q.quota) AS BIGINT) AS quota
+         |FROM rk r JOIN qn q USING (source)
+         |WHERE r.rk <= q.quota AND q.quota > 0
+         |GROUP BY r.source""".stripMargin,
 
     // epoch order head: xxh64 bucket + md5('e1:'||id) rank; the literal
     // interleave arithmetic makes the first-k filter closed-form

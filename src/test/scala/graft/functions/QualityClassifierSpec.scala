@@ -186,4 +186,33 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must be exchange-free:\n$plan")
     assert(!"(?i)join".r.findFirstIn(plan).isDefined, s"scoring must be join-free:\n$plan")
   }
+
+  test("keepTopPerDomain: per-domain cut, integer quotas, md5 ties, quota-0 domains drop") {
+    import org.apache.spark.sql.functions._
+    // dom a: margins 1..10, quota floor(10*300/1000)=3 -> margins 10,9,8
+    // dom b: 5 docs, ALL margins equal, quota 1 -> the md5-order winner
+    // dom c: 2 docs, quota floor(2*300/1000)=0 -> domain fully dropped
+    val rows =
+      (1L to 10L).map(i => (i, "a", i)) ++
+      (11L to 15L).map(i => (i, "b", 7L)) ++
+      (16L to 17L).map(i => (i, "c", 99L))
+    val scored = rows.toDF("doc_id", "source", "margin")
+    val got = QualityClassifier.keepTopPerDomain(scored, "doc_id", "source", 300L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val aKept = got.filter(_._1 == "a")
+    assert(aKept.map(_._3).toSeq == Seq(10L, 9L, 8L), aKept.toSeq.toString)
+    assert(aKept.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    val bWinner = spark.range(11, 16)
+      .select(col("id"), md5(col("id").cast("string")).as("h"))
+      .orderBy("h", "id").limit(1).collect().head.getLong(0)
+    assert(got.filter(_._1 == "b").map(_._2).toSeq == Seq(bWinner))
+    assert(!got.exists(_._1 == "c"), "quota-0 domain must drop entirely")
+    // determinism under repartitioning
+    val again = QualityClassifier.keepTopPerDomain(
+        scored.repartition(7, col("margin")), "doc_id", "source", 300L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(again.toSeq == got.toSeq)
+  }
 }

@@ -95,7 +95,7 @@ class PlanAuditSpec extends SparkSpec {
     // sort (the round-10 q107 finding).
     for (q <- Seq("q25_knn", "q26_knn_lsh", "q103_stratified_sample",
         "q68_domain_mix", "q92_token_budget_mix", "q107_temperature_mix",
-        "q119_epoch_order")) {
+        "q119_epoch_order", "q122_domain_gate")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
