@@ -23,9 +23,10 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * selection) and the training-export plane (q118 deterministic shard
   * packing + checksummed manifests, q119 epoch-seeded data order, q120
   * epoch-repetition mixing recipe, q121 manifest diff for incremental
-  * publish, q122 domain-calibrated quality gate). Every
+  * publish, q122 domain-calibrated quality gate, q123 the corpus-prep →
+  * publish composition). Every
   * query — including the hash-family ops, restated in DuckDB SQL — has
-  * an oracle in `oracleSql` (120/120 as of round 11).
+  * an oracle in `oracleSql` (121/121 as of round 11).
   */
 object SparkEntry {
   /** Flagship: end-to-end feature-store dataset generation (catalog

@@ -1450,6 +1450,26 @@ object PipelineQueries {
           min(col("margin")).as("min_margin"),
           sum(col("doc_id")).as("sum_ids"),
           max(col("quota")).as("quota"))
+    }),
+
+    // the corpus-prep → publish handoff in ONE query: q95's quality gate
+    // → exact dedup (min-id canon per text) → q118's shard packing +
+    // checksummed manifest. Gate and dedup stay scan-side/one text
+    // shuffle; packing adds its single bucket exchange over compact
+    // (id, n_tokens) rows — the curated corpus goes from raw documents to
+    // publishable shards without landing anywhere in between
+    "q123_publish" -> ((s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
+      val gated = Tables.documents(s, dir)
+        .withColumn("__t", toks)
+        .filter(size(col("__t")) > 0)
+        .filter(TextFunctions.qualityKeep(col("__t")))
+        .drop("__t")
+      val canon = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      graft.functions.ShardExport.shardManifest(
+        graft.functions.ShardExport.shardAssign(canon, "doc_id", "text", 8, 1000L),
+        "doc_id")
     }))
 
   /** q118's manifest chain as a reusable CTE block over `src` (which must
@@ -3543,6 +3563,36 @@ object PipelineQueries {
          |FROM rk r JOIN qn q USING (source)
          |WHERE r.rk <= q.quota AND q.quota > 0
          |GROUP BY r.source""".stripMargin,
+
+    // publish composition: q95's gate CTEs (lowered tokens — lowercasing
+    // never moves a whitespace boundary, so len(t) == the engine's
+    // raw-text tokenCount) → min-id canon per text → the shared manifest
+    // chain
+    "q123_publish" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, text, len(t) AS n,
+         |    len(list_distinct(t)) AS nd,
+         |    list_aggregate(list_transform(list_distinct(t),
+         |      w -> len(list_filter(t, x -> x = w))), 'max') AS maxc,
+         |    list_aggregate(list_transform(t, x -> len(x)), 'sum') AS sum_len
+         |  FROM tok WHERE len(t) > 0
+         |), gated AS (
+         |  SELECT doc_id, text, n FROM m
+         |  WHERE n >= 5 AND n <= 100000
+         |    AND floor((CAST(sum_len AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 >= 2.0
+         |    AND floor((CAST(sum_len AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 <= 12.0
+         |    AND floor((CAST(maxc AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 <= 0.2
+         |    AND floor((1.0 - CAST(nd AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 <= 0.85
+         |), canon AS MATERIALIZED (
+         |  SELECT min(doc_id) AS doc_id, CAST(min(n) AS BIGINT) AS n_tokens
+         |  FROM gated GROUP BY text
+         |), ${shardManifestCtes("canon", "a")}
+         |SELECT bucket, shard_seq, n_docs, shard_tokens, checksum, first_doc
+         |FROM am""".stripMargin,
 
     // epoch order head: xxh64 bucket + md5('e1:'||id) rank; the literal
     // interleave arithmetic makes the first-k filter closed-form
