@@ -131,6 +131,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 1, s"q118 must shuffle exactly once, saw $shuffles:\n$plan")
   }
 
+  test("q123 publish composition holds at two exchanges") {
+    // gate is scan-side, exact dedup is the text shuffle, packing is the
+    // bucket shuffle, and the manifest aggregation reuses the bucket
+    // partitioning — raw docs to publishable shards in exactly two
+    // corpus-wide exchanges; a third means a stage regressed
+    val plan = SparkEntry.queries("q123_publish")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shuffles = raw"(?mi)^\s*(?:\+- |:- |\s)*Exchange (hash|range|single)"
+      .r.findAllIn(plan).size
+    assert(shuffles == 2, s"q123 must shuffle exactly twice, saw $shuffles:\n$plan")
+  }
+
   test("q98 weighted sample never sorts globally: TakeOrderedAndProject plan") {
     // orderBy(key).limit(k) must stay a TakeOrderedAndProject (per-task
     // size-k heaps, k-row heads as the only cross-task traffic) — a
