@@ -24,9 +24,9 @@ import graft.queries.{FeatureStoreQueries, PipelineQueries, RelationalQueries}
   * packing + checksummed manifests, q119 epoch-seeded data order, q120
   * epoch-repetition mixing recipe, q121 manifest diff for incremental
   * publish, q122 domain-calibrated quality gate, q123 the corpus-prep →
-  * publish composition). Every
+  * publish composition, q124 contrastive negative mining). Every
   * query — including the hash-family ops, restated in DuckDB SQL — has
-  * an oracle in `oracleSql` (121/121 as of round 11).
+  * an oracle in `oracleSql` (122/122 as of round 11).
   */
 object SparkEntry {
   /** Flagship: end-to-end feature-store dataset generation (catalog

@@ -178,6 +178,43 @@ object Sampling {
       .select(col(idCol), col("__dom").as("domain"), col("quota"))
   }
 
+  /** Deterministic negative sampling for contrastive pairs: for each
+    * anchor, the k corpus docs from a DIFFERENT domain ranked first by
+    * `md5(anchor:candidate)` — a fresh pseudo-random permutation PER
+    * ANCHOR (so anchors don't share negatives systematically), fully
+    * reproducible across runs and engines. The standard mining step for
+    * contrastive/embedding training data.
+    *
+    * Scale shape: the anchor set is broadcast (model-scale — dozens to
+    * thousands of anchors), the corpus streams through map-side against
+    * it (the q25 broadcast-ANN plan shape, BNLJ-by-construction), and the
+    * per-anchor rank carries a LITERAL k bound so it plans as a
+    * WindowGroupLimit PARTIAL pre-trim: each map partition forwards at
+    * most k candidates per anchor, cross-task traffic is
+    * anchors × k × partitions — never the pair space.
+    */
+  def negativeSample(
+      anchors: DataFrame, anchorIdCol: String, anchorDomainCol: String,
+      corpus: DataFrame, idCol: String, domainCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    ensureGroupLimitThreshold(corpus, k.toLong)
+    val a = anchors.select(col(anchorIdCol).as("anchor_id"),
+      col(anchorDomainCol).as("__adom"))
+    val ord = Seq(
+      md5(concat(col("anchor_id").cast("string"), lit(":"),
+        col(idCol).cast("string"))),
+      col(idCol))
+    corpus.select(col(idCol), col(domainCol).as("__cdom"))
+      .crossJoin(broadcast(a))
+      .filter(col("__cdom") =!= col("__adom"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("anchor_id")).orderBy(ord: _*)))
+      .filter(col("__rk") <= lit(k))
+      .select(col("anchor_id"), col(idCol).as("negative_id"),
+        col("__cdom").as("negative_domain"), col("__rk").cast("long").as("rank"))
+  }
+
   /** Weighted reservoir sample WITHOUT replacement, k items, inclusion
     * probability proportional to `weight` — Efraimidis–Spirakis A-Res
     * ("Weighted random sampling with a reservoir", IPL 2006): draw

@@ -1470,6 +1470,18 @@ object PipelineQueries {
       graft.functions.ShardExport.shardManifest(
         graft.functions.ShardExport.shardAssign(canon, "doc_id", "text", 8, 1000L),
         "doc_id")
+    }),
+
+    // contrastive negative mining: 5 cross-source negatives per anchor
+    // (first 40 docs), ranked by md5(anchor:candidate) — a fresh
+    // permutation per anchor; broadcast anchors × map-side corpus scan
+    // with a literal-k WindowGroupLimit pre-trim (the q25 plan shape)
+    "q124_negative_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Sampling.negativeSample(
+        docs.filter(col("doc_id") < 40).select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        docs, "doc_id", "source", k = 5)
     }))
 
   /** q118's manifest chain as a reusable CTE block over `src` (which must
@@ -3593,6 +3605,24 @@ object PipelineQueries {
          |), ${shardManifestCtes("canon", "a")}
          |SELECT bucket, shard_seq, n_docs, shard_tokens, checksum, first_doc
          |FROM am""".stripMargin,
+
+    // negative mining: per-anchor md5(anchor:cand) rank over the
+    // cross-domain pair relation — closed-form, integer/hash-exact
+    "q124_negative_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS anchor_id, source AS adom FROM documents WHERE doc_id < 40
+        |), p AS (
+        |  SELECT a.anchor_id, d.doc_id AS negative_id, d.source AS negative_domain,
+        |    md5(CAST(a.anchor_id AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM a JOIN documents d ON d.source <> a.adom
+        |), r AS (
+        |  SELECT anchor_id, negative_id, negative_domain,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY h, negative_id) AS BIGINT) AS rank
+        |  FROM p
+        |)
+        |SELECT anchor_id, negative_id, negative_domain, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // epoch order head: xxh64 bucket + md5('e1:'||id) rank; the literal
     // interleave arithmetic makes the first-k filter closed-form

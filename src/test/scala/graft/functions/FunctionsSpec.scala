@@ -551,6 +551,38 @@ class FunctionsSpec extends SparkSpec {
     assert(expected.values.exists(_._3 > 0), "fixture produced no duplicated spans")
   }
 
+  test("negativeSample: k cross-domain picks per anchor, per-anchor permutations, deterministic") {
+    val corpus = (0L until 60L)
+      .map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "source")
+    val anchors = corpus.filter($"doc_id" < 6)
+    val got = Sampling.negativeSample(anchors, "doc_id", "source",
+        corpus, "doc_id", "source", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // every anchor gets exactly k, never from its own domain, ranks 1..k
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == (0L until 6L).toSet)
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.length == 4 && rows.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      val aDom = if (a % 3 == 0) "a" else if (a % 3 == 1) "b" else "c"
+      assert(rows.forall(_._3 != aDom), s"anchor $a drew own-domain negative")
+    }
+    // brute-force reference: md5(anchor:cand) rank over the pair space
+    val expect = corpus.as("c").crossJoin(anchors.select($"doc_id".as("aid"), $"source".as("ad")))
+      .filter($"source" =!= $"ad")
+      .select($"aid", $"doc_id",
+        md5(concat($"aid".cast("string"), lit(":"), $"doc_id".cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).toSeq.flatMap { case (a, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(4).zipWithIndex
+          .map { case ((_, c, _), i) => (a, c, i + 1L) }
+      }.toSet
+    assert(got.map(t => (t._1, t._2, t._4)).toSet == expect)
+    // anchors must not share a systematic negative order: the rank-1 pick
+    // differs across at least some anchors
+    assert(byAnchor.values.map(_.minBy(_._4)._2).toSet.size > 1)
+  }
+
   test("tokenBudgetSample: greedy md5-order prefix per group, budget-0 groups drop") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -36,8 +36,10 @@ class PlanAuditSpec extends SparkSpec {
                          // same crossJoin(broadcast) shape as q25
     "q104_jl_topk",      // JL coarse scoring: broadcast projected queries,
                          // same shape; re-rank is an id equi-join
-    "q117_ccnet_select") // embeds q89's scoring chain (the 1-row
+    "q117_ccnet_select", // embeds q89's scoring chain (the 1-row
                          // broadcast vocab-size attach — O(n * 1))
+    "q124_negative_sample") // broadcast anchors × map-side corpus scan,
+                         // the q25 shape; group-limit bounds the fan-out
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -95,7 +97,7 @@ class PlanAuditSpec extends SparkSpec {
     // sort (the round-10 q107 finding).
     for (q <- Seq("q25_knn", "q26_knn_lsh", "q103_stratified_sample",
         "q68_domain_mix", "q92_token_budget_mix", "q107_temperature_mix",
-        "q119_epoch_order", "q122_domain_gate")) {
+        "q119_epoch_order", "q122_domain_gate", "q124_negative_sample")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
