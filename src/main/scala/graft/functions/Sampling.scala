@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   * group-key exchange, so the dominant group never sorts its full doc set
   * in a single task (`PlanAuditSpec` pins the plan shape for q92, q103,
   * q107).
+  *
+  * SESSION-CONFIG NOTE: the budgeted operators here (and
+  * [[ShardExport.epochOrder]]) RAISE
+  * `spark.sql.optimizer.windowGroupLimitThreshold` for the whole session
+  * when their literal rank bound exceeds it — see
+  * [[ensureGroupLimitThreshold]] for why the raise cannot be scoped and why
+  * raise-only keeps it monotone (plans can only GAIN pre-trims, never lose
+  * one).
   */
 object Sampling {
 
@@ -35,6 +43,17 @@ object Sampling {
     * (raise-only: a session that already set it higher is untouched; for
     * row_number the partial trim buffers nothing beyond the local sort
     * the final window needs anyway).
+    *
+    * This is a deliberate SESSION-WIDE, PERSISTENT raise, not a scoped
+    * override. It cannot be save/restored around DataFrame construction:
+    * the optimizer reads the conf lazily at ACTION time (and again on
+    * every downstream composition over the returned frame), so a restore
+    * would silently drop the pre-trim from exactly the plans this guard
+    * exists to protect. Raise-only makes the mutation monotone — a query
+    * planned after a large-budget draw can only GAIN WindowGroupLimit
+    * rewrites it was previously denied, never lose one — so plan shapes
+    * are order-dependent only in the safe direction. Callers that need a
+    * pristine threshold should run sampling in its own session.
     */
   private[functions] def ensureGroupLimitThreshold(df: DataFrame, bound: Long): Unit = {
     val key = "spark.sql.optimizer.windowGroupLimitThreshold"
@@ -48,6 +67,9 @@ object Sampling {
     * (so the budget is overshot by at most one document, never
     * undershot while docs remain — the standard greedy-prefix contract).
     * Groups absent from `budgets` get budget 0 (drop everything).
+    * NULL/all-whitespace text counts 0 tokens and rides along while its
+    * group's budget is unexhausted (the [[ShardExport.shardAssign]] / q120
+    * oracle contract: zero-token docs never consume budget).
     *
     * Returns one row per KEPT doc: (idCol, groupCol, n_tokens,
     * cum_before) — `cum_before` is the running total ahead of the doc,
@@ -73,25 +95,27 @@ object Sampling {
     val maxBudget = budgets.values.foldLeft(0L)(math.max)
     ensureGroupLimitThreshold(df, maxBudget)
     val ord = Seq(md5(col(idCol).cast("string")), col(idCol))
-    // tokenCount(text) == 0 iff text is all-whitespace (anchored-regex
-    // test, early-exit at the first non-ws char) — so only the positive
-    // branch pays the full regex tokenization; the zero branch's second
-    // corpus scan is a scan+rlike, never a second split. NULL text drops
-    // from both branches under either predicate (null filter semantics),
-    // matching the old n_tokens-based split exactly.
-    val isBlank = col(textCol).rlike("^\\s*$")
+    // tokenCount(text) == 0 iff text is NULL or all-whitespace (anchored-
+    // regex test, early-exit at the first non-ws char) — so only the
+    // positive branch pays the full regex tokenization; the zero branch's
+    // second corpus scan is a scan+rlike, never a second split. NULL text
+    // must be routed EXPLICITLY into the zero branch (rlike is NULL on
+    // NULL input, which a bare filter drops from BOTH branches): it rides
+    // along as an n_tokens=0 doc, the same contract as shardAssign and the
+    // manifest oracles.
+    val isZero = col(textCol).isNull || col(textCol).rlike("^\\s*$")
     // literal rank pre-trim on the positive-token docs (WindowGroupLimit);
     // zero-token docs can sit arbitrarily deep in the prefix (they never
     // consume budget) so they bypass the trim and rejoin before the exact
     // running-total pass
-    val posTrimmed = df.filter(!isBlank)
+    val posTrimmed = df.filter(!isZero)
       .select(col(idCol), col(groupCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(ord: _*)))
       .filter(col("__rk") <= lit(maxBudget))
       .drop("__rk")
-    val zeros = df.filter(isBlank)
+    val zeros = df.filter(isZero)
       .select(col(idCol), col(groupCol), lit(0L).as("n_tokens"))
     val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -3429,14 +3429,18 @@ object PipelineQueries {
         |  AND NOT (g = 0 AND p = 1) AND NOT (g = 1 AND p = 2)""".stripMargin,
 
     "q116_url_normalize" ->
+      // per-k membership computed, not assumed: an odd total doc count
+      // leaves the last k-group with only its even spelling (n_raw = 1,
+      // min_id = the even id), which a literal n_raw = 2 would mis-assert
       """WITH k AS (
-        |  SELECT DISTINCT doc_id // 2 AS k FROM documents
+        |  SELECT doc_id // 2 AS k, count(*) AS n_raw, min(doc_id) AS min_id
+        |  FROM documents GROUP BY 1
         |)
         |SELECT
         |  'https://site' || CAST(k % 50 AS VARCHAR) || '.example.com/page/' ||
         |    CAST(k AS VARCHAR) || '?a=1&b=2' AS url,
-        |  CAST(2 AS BIGINT) AS n_raw,
-        |  CAST(k * 2 AS BIGINT) AS min_id
+        |  CAST(n_raw AS BIGINT) AS n_raw,
+        |  CAST(min_id AS BIGINT) AS min_id
         |FROM k""".stripMargin,
 
     // q89's scored relation (same CTE chain), then the round4-grid

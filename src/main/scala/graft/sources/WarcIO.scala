@@ -94,7 +94,10 @@ object WarcCodec {
     records.foreach { r =>
       val gz = new GZIPOutputStream(out)
       gz.write(encodeRecord(r))
-      gz.finish()
+      // close() (not just finish()) releases the Deflater's native memory
+      // immediately instead of holding it until GC; the underlying
+      // ByteArrayOutputStream is unaffected by the close
+      gz.close()
     }
     out.toByteArray
   }
@@ -266,9 +269,15 @@ object WarcIO {
       else spark.sparkContext.defaultMinPartitions
     spark.sparkContext.binaryFiles(path, parts)
       .flatMap { case (file, pds) =>
-        toRows(file, WarcCodec.parse(pds.open()))
-        // stream closes with the task via PortableDataStream's underlying
-        // input; records are consumed lazily within the flatMap
+        // records are consumed lazily within the flatMap; the stream is
+        // closed by a task-completion listener, which fires even when the
+        // iterator is only partially drained (downstream limit/take) — a
+        // bare pds.open() would leak one file handle per such task
+        val in = pds.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
+        toRows(file, WarcCodec.parse(in))
       }
       .toDS()
       .toDF()

@@ -146,19 +146,34 @@ object ZOrderLayout {
     *
     * Scale note: the cumulative window runs UNPARTITIONED, i.e. a
     * single-partition sort over the DISTINCT keys — which is why this
-    * requires a bounded-cardinality key. The z-key is bounded by
-    * construction (< 2^(2*bits) = 16.7M at the default bits=12, ~130 MB of
-    * longs), so the cost is independent of corpus size; callers with an
-    * unbounded raw key should quantize first ([[normalize]]).
+    * requires a bounded-cardinality key, and why the bound is ENFORCED,
+    * not advisory: the distinct-key count is measured (free — the grouped
+    * counts frame is already persisted) and anything over
+    * `maxDistinctKeys` is refused with an error naming the fix. The
+    * default budget is 2^24 = 16.7M keys (~130 MB of longs, the
+    * cumulative sort's single task stays comfortable) — exactly the z-key
+    * space of the default bits=12; a caller interleaving at bits=24 would
+    * otherwise reach this with a silent 2^48-key single-task sort.
+    * Callers with an unbounded raw key should quantize first
+    * ([[normalize]]).
     * Overflow bound: before * numBuckets must fit a long — total rows
     * <= Long.MaxValue / numBuckets (2.8e17 at 32 files), checked.
     */
-  def exactRangeBoundaries(df: DataFrame, key: String, numBuckets: Int): Array[Long] = {
+  val DefaultMaxDistinctKeys: Long = 1L << 24
+
+  def exactRangeBoundaries(df: DataFrame, key: String, numBuckets: Int,
+      maxDistinctKeys: Long = DefaultMaxDistinctKeys): Array[Long] = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(key).cast("long").as("__k"))
       .agg(count(lit(1)).as("__c"))
       .persist()
     try {
+      val distinctKeys = counts.count()
+      require(distinctKeys <= maxDistinctKeys,
+        s"exactRangeBoundaries: $distinctKeys distinct keys exceed the " +
+          s"single-task boundary-sort budget of $maxDistinctKeys — quantize " +
+          "the key to fewer values (ZOrderLayout.normalize / fewer bits) or " +
+          "raise maxDistinctKeys explicitly if the executor can sort that")
       val total = counts.agg(sum(col("__c"))).head.getLong(0)
       require(total <= Long.MaxValue / math.max(1, numBuckets),
         s"row count $total * $numBuckets buckets overflows long bucket arithmetic")

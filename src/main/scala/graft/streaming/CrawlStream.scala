@@ -40,7 +40,10 @@ object CrawlStream {
       decode(col("body"), "UTF-8"), minBlockTokens, maxLinkPct)
     records
       .filter(col("warc_type") === "response" && col("http_status") === 200 &&
-        col("http_content_type").startsWith("text/html"))
+        // HTTP header values carry arbitrary case in the wild (Text/HTML,
+        // TEXT/html) — compare case-folded; warc_type values are lowercase
+        // by the WARC spec's controlled vocabulary, so no fold needed there
+        lower(col("http_content_type")).startsWith("text/html"))
       .withColumn("main_text", main)
       .withColumn("n_tokens", TextFunctions.tokenCount(col("main_text")).cast("long"))
       .filter(col("n_tokens") >= gateMinTokens)

@@ -616,6 +616,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSample: NULL text rides along as a zero-token doc (never silently dropped)") {
+    // NULL is neither matched nor rejected by the blank-text rlike (SQL
+    // three-valued logic) — the operator must route it into the zeros
+    // branch explicitly, the shardAssign/q120-oracle contract
+    val docs = Seq(
+      (1L, "a", "one two three"),
+      (2L, "a", null.asInstanceOf[String]),
+      (3L, "a", "   "),
+      (4L, "a", "four five")).toDF("doc_id", "source", "text")
+    val got = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+        Map("a" -> 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"all docs kept under budget: $got")
+    assert(got(2L) == 0L && got(3L) == 0L, "NULL and blank text count zero tokens")
+  }
+
   test("weightedSample: A-Res selection matches driver-side reference; exact k; rank order") {
     val docs = (1L to 200L).map(id => (id, 1L + id % 17)) // weights 1..17
     val df = docs.toDF("doc_id", "w")

@@ -125,6 +125,20 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(got(50L) == expect(50L))
   }
 
+  test("exactRangeBoundaries: distinct-key budget is enforced, not advisory") {
+    // the boundary pass sorts DISTINCT keys in one task; a key space wider
+    // than the budget (e.g. interleaveBits at bits=24 → 2^48 keys) must be
+    // refused with a diagnostic, never silently single-task-sorted
+    val df = (0L until 100L).toDF("k")
+    val err = intercept[IllegalArgumentException] {
+      ZOrderLayout.exactRangeBoundaries(df, "k", 8, maxDistinctKeys = 50L)
+    }
+    assert(err.getMessage.contains("distinct keys exceed"))
+    // at (or under) the budget the same data passes
+    val bounds = ZOrderLayout.exactRangeBoundaries(df, "k", 8, maxDistinctKeys = 100L)
+    assert(bounds.length == 7)
+  }
+
   test("z-order layout prunes multi-dim box queries; linear layout cannot") {
     // uniform 256×256 grid — each layout writes the same 64 files
     val grid = spark.range(0, 256L * 256)
