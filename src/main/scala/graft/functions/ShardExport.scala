@@ -1,8 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.storage.VersionedTable
 
 /** Training-export plane: the last mile of a pre-training data pipeline —
   * carve the curated corpus into fixed-token-budget shards, stamp each
@@ -38,12 +40,22 @@ object ShardExport {
     * along (it lands in a shard but consumes no budget).
     */
   def shardAssign(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int, budgetTokens: Long): DataFrame = {
+      buckets: Int, budgetTokens: Long): DataFrame =
+    assignCore(df, idCol, textCol, buckets, budgetTokens, carry = Seq.empty)
+
+  /** [[shardAssign]] with pass-through columns (`carry`) kept on every
+    * row — the physical writer needs the document text to travel with its
+    * assignment without a second join back to the corpus (at 100 TB a
+    * re-join on id is a full extra shuffle; here the text simply rides the
+    * one bucket exchange the packing already pays).
+    */
+  private def assignCore(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, budgetTokens: Long, carry: Seq[String]): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
-    val base = df.select(col(idCol),
+    val base = df.select(col(idCol) +: carry.map(col) :+
       coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
-        .as("n_tokens"))
+        .as("n_tokens"): _*)
       .withColumn("bucket",
         pmod(xxhash64(col(idCol).cast("string")), lit(buckets.toLong)))
     val w = Window.partitionBy(col("bucket"))
@@ -211,5 +223,144 @@ object ShardExport {
         .select(col(groupCol), col("epoch"), col("n_docs"), col("epoch_tokens"))
       fullDf.unionByName(partial)
     }
+  }
+
+  /** A shard file failed its manifest verification on read: the message
+    * names each damaged (wave, bucket, shard_seq) and which of the four
+    * checks diverged — the checksum localizes corruption to the shard.
+    */
+  final class ShardIntegrityException(msg: String) extends RuntimeException(msg)
+
+  private def dataPath(exportRoot: String): String =
+    java.nio.file.Paths.get(exportRoot, "data").toString
+  private def manifestTablePath(exportRoot: String): String =
+    java.nio.file.Paths.get(exportRoot, "manifest").toString
+
+  /** Per-shard verification aggregate RECOMPUTED from document rows —
+    * nothing is trusted from write time: `n_tokens` is re-derived from the
+    * stored text, the packing checksum re-hashed from (id, re-derived
+    * tokens), and `content_checksum` (bit_xor over xxhash64(id:text))
+    * covers byte-level text damage the token-count signature cannot see
+    * (a same-token-count in-place edit).
+    */
+  private def recomputedManifest(data: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ntok = coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+    data
+      .withColumn("__nt", ntok)
+      .groupBy(col("wave"), col("bucket"), col("shard_seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("shard_tokens"),
+        expr(s"bit_xor(xxhash64(concat(cast($idCol as string), ':', " +
+          "cast(__nt as string))))").as("checksum"),
+        expr(s"bit_xor(xxhash64(concat(cast($idCol as string), ':', " +
+          s"coalesce($textCol, ''))))").as("content_checksum"),
+        min(col(idCol)).as("first_doc"))
+  }
+
+  /** Materialize the export: land ONE immutable parquet file per
+    * (bucket, shard_seq), rows in `(md5(id), id)` packing order, under a
+    * [[graft.storage.VersionedTable]] CAS commit at `exportRoot/data`, then
+    * recompute the manifest FROM THE COMMITTED FILES (not from the input
+    * frame — the manifest certifies what readers will actually scan) and
+    * commit it to `exportRoot/manifest`. Returns this wave's committed
+    * manifest rows.
+    *
+    * One-file-per-shard is by construction, not configuration: a hash
+    * `repartition` on (bucket, shard_seq) places each shard wholly in one
+    * task, and the `partitionBy` write then emits exactly one part file
+    * per shard directory from that task; `sortWithinPartitions` on
+    * (bucket, shard_seq, md5(id), id) makes the file's row order the
+    * packing order, so a sequential reader streams documents exactly as
+    * the epoch/packing contract defines. Parallelism is the shard count —
+    * at 100 TB with 1 GB shards that is ~100k concurrent-able file writes,
+    * and no task ever holds more than `corpus/shards` rows.
+    *
+    * Crash/replay safety (the streaming contract): both commits carry the
+    * wave as their idempotence key when `guarded` — a replayed wave skips
+    * the data append (already committed) and the manifest recompute then
+    * reads the wave's rows back from the committed table, so the pair
+    * converges without double-packing. Shards are immutable once written
+    * (waves only APPEND segments); a re-export is a new wave, never a
+    * rewrite — the [[graft.streaming.ShardStream]] invariant.
+    */
+  def writeShards(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, budgetTokens: Long, exportRoot: String,
+      wave: Long = 0L, guarded: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val batchId = if (guarded) Some(wave) else None
+    val assigned = assignCore(df, idCol, textCol, buckets, budgetTokens,
+        carry = Seq(textCol))
+      .withColumn("wave", lit(wave))
+    var writtenDir: Option[String] = None
+    VersionedTable.append(dataPath(exportRoot), batchId) { dir =>
+      writtenDir = Some(dir)
+      assigned
+        // partitionBy consumes its columns into directory names; duplicate
+        // them so the data file keeps typed bucket/shard_seq rows (read
+        // back without partition-type inference fragility)
+        .withColumn("pb", col("bucket")).withColumn("ps", col("shard_seq"))
+        .repartition(col("pb"), col("ps"))
+        .sortWithinPartitions(col("pb"), col("ps"),
+          md5(col(idCol).cast("string")), col(idCol))
+        .write.partitionBy("pb", "ps").parquet(dir)
+    }
+    // manifest from the WRITTEN files: the freshly committed segment when
+    // this call did the write, the committed table's wave slice when a
+    // replayed wave skipped it
+    val landed = writtenDir match {
+      case Some(dir) => spark.read.parquet(dir).drop("pb", "ps")
+      case None => VersionedTable.read(spark, dataPath(exportRoot))
+        .filter(col("wave") === wave)
+    }
+    val manifest = recomputedManifest(landed, idCol, textCol)
+    VersionedTable.append(manifestTablePath(exportRoot), batchId)(
+      dir => manifest.write.parquet(dir))
+    VersionedTable.read(spark, manifestTablePath(exportRoot))
+      .filter(col("wave") === wave)
+  }
+
+  /** The committed manifest table: one row per immutable shard, all waves. */
+  def shardManifests(spark: SparkSession, exportRoot: String): DataFrame =
+    VersionedTable.read(spark, manifestTablePath(exportRoot))
+
+  /** Read the exported documents back, VERIFYING every shard against its
+    * manifest first (default on): n_docs, shard_tokens and the packing
+    * checksum are recomputed from the stored text, plus the byte-level
+    * `content_checksum` — any divergence (or a shard missing from either
+    * side) throws [[ShardIntegrityException]] naming the damaged shards.
+    * The verification aggregate shuffles only (wave, bucket, shard_seq,
+    * four longs) — manifest-scale, corpus/budget rows — and the mismatch
+    * set collected to the driver is at most that.
+    */
+  def readShards(spark: SparkSession, exportRoot: String, idCol: String,
+      textCol: String, verify: Boolean = true): DataFrame = {
+    val data = VersionedTable.read(spark, dataPath(exportRoot))
+    if (verify) {
+      val rec = recomputedManifest(data, idCol, textCol)
+        .withColumnRenamed("n_docs", "r_docs")
+        .withColumnRenamed("shard_tokens", "r_tokens")
+        .withColumnRenamed("checksum", "r_checksum")
+        .withColumnRenamed("content_checksum", "r_content")
+        .drop("first_doc")
+      val stored = shardManifests(spark, exportRoot)
+      val bad = stored.join(rec, Seq("wave", "bucket", "shard_seq"), "full_outer")
+        .filter(col("n_docs").isNull || col("r_docs").isNull ||
+          col("n_docs") =!= col("r_docs") ||
+          col("shard_tokens") =!= col("r_tokens") ||
+          col("checksum") =!= col("r_checksum") ||
+          col("content_checksum") =!= col("r_content"))
+        .select(col("wave"), col("bucket"), col("shard_seq"),
+          col("n_docs"), col("r_docs"), col("checksum"), col("r_checksum"),
+          col("content_checksum"), col("r_content"))
+        .limit(20).collect()
+      if (bad.nonEmpty)
+        throw new ShardIntegrityException(
+          "shard verification failed for (wave, bucket, shard_seq): " +
+            bad.map(r => s"(${r.get(0)}, ${r.get(1)}, ${r.get(2)})").mkString(", ") +
+            s" — first divergence: ${bad.head}")
+    }
+    data
   }
 }

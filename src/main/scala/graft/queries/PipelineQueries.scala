@@ -1482,6 +1482,27 @@ object PipelineQueries {
         docs.filter(col("doc_id") < 40).select(col("doc_id"), col("source")),
         "doc_id", "source",
         docs, "doc_id", "source", k = 5)
+    }),
+
+    // PHYSICAL shard materialization: writeShards lands one immutable
+    // parquet file per (bucket, shard_seq) — rows in md5 packing order —
+    // under a VersionedTable CAS commit, recomputes the manifest FROM THE
+    // WRITTEN FILES, and the verified read-back (readShards) re-derives
+    // every count/token-sum/checksum from the landed bytes; the manifest
+    // this query returns is therefore certified against the files a
+    // training job would actually stream, and must still equal q118's
+    // pure-function packing oracle
+    "q125_shard_write" -> ((s, dir) => {
+      val root = scratchDir("shard_write").toString
+      val docs = Tables.documents(s, dir)
+      graft.functions.ShardExport.writeShards(
+        docs, "doc_id", "text", buckets = 8, budgetTokens = 1000L, root)
+      // eager verification: throws ShardIntegrityException on any
+      // data/manifest divergence before the manifest is returned
+      graft.functions.ShardExport.readShards(s, root, "doc_id", "text")
+      graft.functions.ShardExport.shardManifests(s, root)
+        .select(col("bucket"), col("shard_seq"), col("n_docs"),
+          col("shard_tokens"), col("checksum"), col("first_doc"))
     }))
 
   /** q118's manifest chain as a reusable CTE block over `src` (which must
@@ -3505,6 +3526,20 @@ object PipelineQueries {
     // "id:n_tokens") — and bit_xor is order-independent in any engine, so
     // the whole manifest is hash-exact with no float anywhere
     "q118_shard_export" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), ${shardManifestCtes("d0", "a")}
+         |SELECT bucket, shard_seq, n_docs, shard_tokens, checksum, first_doc
+         |FROM am""".stripMargin,
+
+    // physical write: the committed, file-verified manifest must equal the
+    // same pure-function packing q118 oracles — identical CTE chain; the
+    // write/verify side effects have no oracle analogue (DuckDB sees only
+    // the arithmetic contract, the spec sees the corruption catch)
+    "q125_shard_write" ->
       s"""WITH d0 AS (
          |  SELECT doc_id,
          |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),

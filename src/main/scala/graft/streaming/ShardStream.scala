@@ -9,12 +9,13 @@ import graft.functions.ShardExport
 import graft.storage.VersionedTable
 
 /** Continuous training-export — the streaming composition of
-  * [[graft.functions.ShardExport]] with the manifest table: each
-  * micro-batch of newly-landed documents is packed by the SAME
-  * `shardAssign`/`shardManifest` the batch exporter uses, with shards
-  * namespaced by the wave (the micro-batch id), and the per-shard
-  * manifest rows appended through a batchId-guarded commit (a replayed
-  * wave can never double-pack).
+  * [[graft.functions.ShardExport.writeShards]] with the manifest table:
+  * each micro-batch of newly-landed documents is packed and MATERIALIZED
+  * by the SAME physical writer the batch exporter uses (one immutable
+  * parquet file per shard, rows in packing order, manifest recomputed
+  * from the committed files), with shards namespaced by the wave (the
+  * micro-batch id) and both commits batchId-guarded (a replayed wave can
+  * never double-pack or double-land).
   *
   * Packing is PER-WAVE by design, not an approximation to fix later:
   * the batch exporter's global md5-order packing is not incrementally
@@ -31,8 +32,10 @@ import graft.storage.VersionedTable
 object ShardStream {
 
   /** Start packing newly-landed parquet documents under `sourceDir` into
-    * per-wave shard manifests at `manifestPath`.
-    * `availableNow = true` drains currently-landed files and stops.
+    * per-wave physical shards + manifests under `exportRoot` (the
+    * [[ShardExport.writeShards]] layout: `data/` + `manifest/`, both
+    * VersionedTables). `availableNow = true` drains currently-landed
+    * files and stops.
     */
   def start(
       spark: SparkSession,
@@ -42,7 +45,7 @@ object ShardStream {
       textCol: String,
       buckets: Int,
       budgetTokens: Long,
-      manifestPath: String,
+      exportRoot: String,
       trigger: String = "1 minute",
       availableNow: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
@@ -53,25 +56,26 @@ object ShardStream {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val manifest = ShardExport.shardManifest(
-            ShardExport.shardAssign(batch, idCol, textCol, buckets, budgetTokens),
-            idCol)
-          .withColumn("wave", lit(bid))
-        // batchId-guarded: a replayed wave is skipped, never re-packed
-        VersionedTable.append(manifestPath, Some(bid))(
-          dir => manifest.write.parquet(dir))
+        // the batch writer end to end: land one immutable file per shard,
+        // recompute the manifest from the committed files, commit both
+        // under the wave's batchId guard (replay-safe)
+        ShardExport.writeShards(batch, idCol, textCol, buckets, budgetTokens,
+          exportRoot, wave = bid, guarded = true)
         ()
       }
-      .option("checkpointLocation", manifestPath + "__checkpoint")
+      .option("checkpointLocation",
+        java.nio.file.Paths.get(exportRoot, "__checkpoint").toString)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(trigger))
       .start()
   }
 
   /** The manifest table so far: (wave, bucket, shard_seq, n_docs,
-    * shard_tokens, checksum, first_doc) — one row per immutable shard.
+    * shard_tokens, checksum, first_doc) — one row per immutable shard
+    * (the byte-level `content_checksum` stays in the full
+    * [[ShardExport.shardManifests]] relation).
     */
-  def manifests(spark: SparkSession, manifestPath: String): DataFrame =
-    VersionedTable.read(spark, manifestPath)
+  def manifests(spark: SparkSession, exportRoot: String): DataFrame =
+    ShardExport.shardManifests(spark, exportRoot)
       .select(col("wave"), col("bucket"), col("shard_seq"), col("n_docs"),
         col("shard_tokens"), col("checksum"), col("first_doc"))
 }

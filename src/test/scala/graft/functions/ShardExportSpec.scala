@@ -169,4 +169,116 @@ class ShardExportSpec extends SparkSpec {
         s"$d realized=$realized desired=$desired")
     }
   }
+
+  test("writeShards: one immutable file per shard, rows in packing order, " +
+      "manifest recomputed from the written files matches shardManifest") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shard_write_").toString
+    val df = docs(300, i => (i % 13 + 1).toInt)
+    val committed = ShardExport.writeShards(df, "doc_id", "text",
+      buckets = 4, budgetTokens = 60L, exportRoot = root)
+
+    // the committed manifest must equal the pure-function manifest of the
+    // same input — writeShards certifies the WRITTEN bytes, so equality
+    // here proves the landed files carry exactly the assigned packing
+    def six(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("bucket"), r.getAs[Long]("shard_seq"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("shard_tokens"), r.getAs[Long]("checksum"), r.getAs[Long]("first_doc"))
+    val expected = ShardExport.shardManifest(
+      ShardExport.shardAssign(df, "doc_id", "text", 4, 60L), "doc_id")
+      .collect().map(six).toSet
+    assert(committed.collect().map(six).toSet == expected)
+
+    // exactly ONE part file per (bucket, shard_seq) directory
+    val dataDir = new java.io.File(root, "data")
+    val segs = dataDir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+    assert(segs.length == 1)
+    val shardDirs = for {
+      pb <- segs.head.listFiles().toSeq if pb.isDirectory
+      ps <- pb.listFiles().toSeq if ps.isDirectory
+    } yield ps
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"shard dir ${d} must hold exactly one file, got ${parts.length}")
+    }
+    assert(shardDirs.size == expected.size, "one directory per manifest shard")
+
+    // within a shard file, row order IS the packing order: cum_before is
+    // nondecreasing as stored (single file read in one split => file order)
+    shardDirs.foreach { d =>
+      val rows = spark.read.parquet(d.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toString)
+        .select("cum_before").collect().map(_.getLong(0)).toSeq
+      assert(rows == rows.sorted, s"packing order violated in $d")
+    }
+
+    // verified read-back returns the corpus intact
+    val back = ShardExport.readShards(spark, root, "doc_id", "text")
+    assert(back.count() == 300L)
+  }
+
+  test("writeShards: a corrupted shard file is caught by the checksum on read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shard_corrupt_").toString
+    val df = docs(200, i => (i % 9 + 1).toInt)
+    ShardExport.writeShards(df, "doc_id", "text", 4, 50L, root)
+
+    // corrupt ONE shard: rewrite its single part file with one document's
+    // text altered (token count preserved on one variant would only be
+    // caught by content_checksum; this variant changes the count too)
+    val dataDir = new java.io.File(root, "data")
+    val seg = dataDir.listFiles().filter(_.getName.startsWith("seg-")).head
+    val victim = (for {
+      pb <- seg.listFiles().toSeq if pb.isDirectory
+      ps <- pb.listFiles().toSeq if ps.isDirectory
+      f <- ps.listFiles().toSeq if f.getName.endsWith(".parquet")
+    } yield f).head
+    val rows = spark.read.parquet(victim.toString)
+    val tampered = rows.withColumn("text",
+      when(col("doc_id") === rows.select(min("doc_id")).head.getLong(0),
+        concat(col("text"), lit(" smuggled tokens"))).otherwise(col("text")))
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft_tamper_").toString
+    tampered.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val newPart = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(newPart.toPath, victim.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop Hadoop's local-FS CRC sidecar so the read exercises THIS
+    // layer's verification, not the transport checksum (object stores
+    // have no such sidecar; the manifest checksum is the end-to-end guard)
+    java.nio.file.Files.deleteIfExists(
+      victim.toPath.resolveSibling("." + victim.getName + ".crc"))
+
+    val err = intercept[ShardExport.ShardIntegrityException] {
+      ShardExport.readShards(spark, root, "doc_id", "text").count()
+    }
+    assert(err.getMessage.contains("shard verification failed"))
+
+    // a same-token-count in-place edit slips past the packing checksum but
+    // not the byte-level content checksum
+    val root2 = java.nio.file.Files.createTempDirectory("graft_shard_corrupt2_").toString
+    ShardExport.writeShards(df, "doc_id", "text", 4, 50L, root2)
+    val seg2 = new java.io.File(root2, "data").listFiles()
+      .filter(_.getName.startsWith("seg-")).head
+    val victim2 = (for {
+      pb <- seg2.listFiles().toSeq if pb.isDirectory
+      ps <- pb.listFiles().toSeq if ps.isDirectory
+      f <- ps.listFiles().toSeq if f.getName.endsWith(".parquet")
+    } yield f).head
+    val rows2 = spark.read.parquet(victim2.toString)
+    val sameLen = rows2.withColumn("text",
+      when(col("doc_id") === rows2.select(min("doc_id")).head.getLong(0),
+        regexp_replace(col("text"), "^w", "X")).otherwise(col("text")))
+    val tmpOut2 = java.nio.file.Files.createTempDirectory("graft_tamper2_").toString
+    sameLen.coalesce(1).write.mode("overwrite").parquet(tmpOut2)
+    val newPart2 = new java.io.File(tmpOut2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(newPart2.toPath, victim2.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.deleteIfExists(
+      victim2.toPath.resolveSibling("." + victim2.getName + ".crc"))
+    intercept[ShardExport.ShardIntegrityException] {
+      ShardExport.readShards(spark, root2, "doc_id", "text").count()
+    }
+  }
 }

@@ -27,13 +27,14 @@ class ShardStreamSpec extends SparkSpec {
 
   test("stream manifests == per-wave batch manifests; late wave appends; replay-safe") {
     val srcDir = Files.createTempDirectory("graft_shard_stream_src_").toString
+    val exportRoot = Files.createTempDirectory("graft_shard_stream_").toString
     val manifestPath =
-      Files.createTempDirectory("graft_shard_stream_").resolve("manifest").toString
+      java.nio.file.Paths.get(exportRoot, "manifest").toString
     val schema = docRows(0 to 0).toDF("doc_id", "text").schema
 
     def drain(): Unit = {
       val q = ShardStream.start(spark, srcDir, schema, "doc_id", "text",
-        buckets = 4, budgetTokens = 60L, manifestPath = manifestPath,
+        buckets = 4, budgetTokens = 60L, exportRoot = exportRoot,
         availableNow = true, maxFilesPerTrigger = Some(1))
       q.awaitTermination(120000)
     }
@@ -51,7 +52,7 @@ class ShardStreamSpec extends SparkSpec {
         ShardExport.shardAssign(rows.toDF("doc_id", "text"), "doc_id", "text", 4, 60L),
         "doc_id"))
 
-    val got = ShardStream.manifests(spark, manifestPath)
+    val got = ShardStream.manifests(spark, exportRoot)
     val byWave = got.collect().groupBy(_.getLong(0))
     assert(byWave.keySet.size == 2, s"expected 2 waves, got ${byWave.keySet}")
     // wave ids follow landing order under maxFilesPerTrigger=1
@@ -66,7 +67,7 @@ class ShardStreamSpec extends SparkSpec {
     val w2 = docRows(150 until 190)
     w2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
     drain()
-    val after = ShardStream.manifests(spark, manifestPath)
+    val after = ShardStream.manifests(spark, exportRoot)
     assert(after.filter(col("wave").isin(byWave.keySet.toSeq: _*)).count() ==
       got.count(), "prior waves' shards must be immutable")
     val lateWave = after.collect().groupBy(_.getLong(0)).keySet -- byWave.keySet
@@ -84,5 +85,12 @@ class ShardStreamSpec extends SparkSpec {
         .write.parquet(dir))
     assert(VersionedTable.read(spark, manifestPath).count() == before,
       "replayed batch id must be skipped")
+
+    // the stream lands PHYSICAL shards through the same writer: the
+    // verified read-back (checksums recomputed from the committed files)
+    // returns every doc of every wave intact
+    val data = ShardExport.readShards(spark, exportRoot, "doc_id", "text")
+    assert(data.count() == (w0 ++ w1 ++ w2).size.toLong,
+      "every streamed doc must be present in the materialized shards")
   }
 }
