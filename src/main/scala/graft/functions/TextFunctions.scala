@@ -83,8 +83,10 @@ object TextFunctions {
 
   /** Language-ID heuristic: pick the language whose marker-word list covers
     * the largest fraction of the document's tokens (ties → lexicographically
-    * first language code, deterministic). Real systems use char n-gram
-    * profiles; the scaffold is the same shape — per-language score + argmax —
+    * first language code, deterministic). The PRODUCTION path is the
+    * TRAINED char-n-gram classifier in [[LangId]] (multi-class averaged
+    * perceptron, q126/q127) — this marker scaffold remains as the cheap
+    * zero-model baseline with the same per-language-score + argmax shape,
     * and runs entirely map-side.
     */
   def langId(text: Column, markers: Map[String, Seq[String]]): Column = {

@@ -38,6 +38,30 @@ object PipelineQueries {
   private def scratchDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
 
+  /** q126/q127 shared: the per-language vowel-rotated synthetic text
+    * (the corpus's raw text is vocabulary-uniform across lang labels, so
+    * the orthography signal is synthesized deterministically) and the
+    * trained multi-class language-ID predictions — B=64, 5 passes,
+    * every-10th-doc training slice, constants mirrored by the oracles.
+    * Returns (synth docs with (doc_id, lang, t), predictions with
+    * (doc_id, pred_lang, score_*)).
+    */
+  private def langIdPredictions(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val base = lower(coalesce(col("text"), lit("")))
+    val t = when(col("lang") === "de", translate(base, "aeiou", "iouae"))
+      .when(col("lang") === "es", translate(base, "aeiou", "ouaei"))
+      .when(col("lang") === "fr", translate(base, "aeiou", "eioua"))
+      .when(col("lang") === "zh", translate(base, "aeiou", "uaeio"))
+      .otherwise(base)
+    val synth = docs.select(col("doc_id"), col("lang"), t.as("t"))
+    val model = graft.functions.LangId.train(
+      synth.filter(col("doc_id") % 10 === 0), "doc_id", "t", "lang",
+      Seq("de", "en", "es", "fr", "zh"), buckets = 64, passes = 5, maxChars = 96)
+    (synth, graft.functions.LangId.predict(synth, "doc_id", "t", model))
+  }
+
   private val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "und"),
     "en" -> Seq("the", "a", "and"),
@@ -1482,6 +1506,48 @@ object PipelineQueries {
         docs.filter(col("doc_id") < 40).select(col("doc_id"), col("source")),
         "doc_id", "source",
         docs, "doc_id", "source", k = 5)
+    }),
+
+    // TRAINED language ID (the q28 marker-heuristic's production
+    // replacement): the corpus's text is vocabulary-uniform across its
+    // lang labels, so the query synthesizes per-language orthography — a
+    // deterministic vowel rotation per lang — then trains the multi-class
+    // averaged perceptron on hashed char 2–4-grams of every 10th doc and
+    // predicts ALL docs; the confusion census (true × predicted) with
+    // integer score sums is hash-exact, and accuracy is a model property,
+    // not an oracle assumption (the oracle replays training bit-for-bit)
+    "q126_langid_trained" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val (synth, pred) = langIdPredictions(s, dir)
+      pred
+        .join(synth.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(greatest(langs.map(l => col(s"score_$l")): _*)).as("sum_score"))
+    }),
+
+    // q117's CCNet selection re-run on PREDICTED (not given) language
+    // labels: the trained q126 model assigns each doc its language, and
+    // the per-language perplexity terciles are cut over those predicted
+    // cells — where the model errs, the bucket boundaries genuinely
+    // shift, and the oracle (which replays the trained fold AND the ppl
+    // chain) shifts with them; the census is exact either way
+    "q127_ccnet_predicted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, pred) = langIdPredictions(s, dir)
+      val lmPath = scratchDir("ngram_lm_pred").resolve("lm").toString
+      NgramLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        .write.mode("overwrite").parquet(lmPath)
+      val scored = NgramLm.scoreDocs(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", s.read.parquet(lmPath), threshold = 3.43)
+        .join(pred.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+      NgramLm.pplBuckets(scored, "pred_lang", "log_ppl")
+        .groupBy(col("pred_lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("log_ppl")).as("min_ppl"),
+          max(col("log_ppl")).as("max_ppl"))
     }),
 
     // PHYSICAL shard materialization: writeShards lands one immutable
@@ -3535,6 +3601,76 @@ object PipelineQueries {
          |SELECT bucket, shard_seq, n_docs, shard_tokens, checksum, first_doc
          |FROM am""".stripMargin,
 
+    // trained language ID: the multi-class fold replayed bit-for-bit —
+    // confusion census over (true, predicted) with integer score sums
+    "q126_langid_trained" -> langIdOracle(B = 64, passes = 5, trainMod = 10),
+
+    // q117's ppl terciles cut over PREDICTED language cells: the trained
+    // fold (q126 chain, ends at pr) labels each doc, the bigram-ppl chain
+    // (q117's CTEs verbatim) scores the odd half, and the tercile window
+    // runs per predicted language — both model replays in one statement,
+    // joined only at the (doc_id, label) boundary (pr is MATERIALIZED so
+    // the two heavy chains never re-inline into each other)
+    "q127_ccnet_predicted" ->
+      s"""WITH ${langIdFoldCtes(B = 64, passes = 5, trainMod = 10)},
+         |plang AS (
+         |  SELECT doc_id, CASE pcls WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+         |    WHEN 2 THEN 'es' WHEN 3 THEN 'fr' ELSE 'zh' END AS pred_lang
+         |  FROM pr
+         |), tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents
+         |), train_bi AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |  WHERE doc_id % 2 = 0
+         |  GROUP BY 1, 2
+         |), uni AS (
+         |  SELECT w1, sum(c12) AS c1 FROM train_bi GROUP BY 1
+         |), v AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+         |), pairs AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |  WHERE doc_id % 2 = 1
+         |), ppl_scored AS (
+         |  SELECT p.doc_id,
+         |    ln((coalesce(b.c12, 0) + 1.0) / (coalesce(u.c1, 0) + v.v)) AS lp
+         |  FROM pairs p
+         |  LEFT JOIN train_bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+         |  LEFT JOIN uni u ON p.w1 = u.w1
+         |  CROSS JOIN v
+         |), agg AS (
+         |  SELECT doc_id,
+         |    floor((-sum(lp) / count(*)) * 10000.0 + 0.5) / 10000.0 AS log_ppl
+         |  FROM ppl_scored GROUP BY doc_id
+         |), j AS (
+         |  SELECT a.doc_id, p.pred_lang, a.log_ppl
+         |  FROM agg a JOIN plang p USING (doc_id)
+         |), cells AS (
+         |  SELECT pred_lang, log_ppl, count(*) AS c FROM j GROUP BY 1, 2
+         |), cc AS (
+         |  SELECT pred_lang, log_ppl,
+         |    coalesce(sum(c) OVER (PARTITION BY pred_lang ORDER BY log_ppl
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    sum(c) OVER (PARTITION BY pred_lang) AS n
+         |  FROM cells
+         |), b AS (
+         |  SELECT pred_lang, log_ppl,
+         |    CASE WHEN cum * 3 < n THEN 'head'
+         |         WHEN cum * 3 < n * 2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM cc
+         |)
+         |SELECT j.pred_lang, b.bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(j.doc_id) AS BIGINT) AS sum_ids,
+         |  min(j.log_ppl) AS min_ppl,
+         |  max(j.log_ppl) AS max_ppl
+         |FROM j JOIN b ON j.pred_lang = b.pred_lang AND j.log_ppl = b.log_ppl
+         |GROUP BY 1, 2""".stripMargin,
+
     // physical write: the committed, file-verified manifest must equal the
     // same pure-function packing q118 oracles — identical CTE chain; the
     // write/verify side effects have no oracle analogue (DuckDB sees only
@@ -3833,6 +3969,141 @@ object PipelineQueries {
        |  SELECT f.v[${2 * B + 2}] AS bias FROM folded$tag f
        |)""".stripMargin
   }
+
+  /** q126 oracle: the MULTI-CLASS (C=5) online averaged perceptron over
+    * hashed char 2–4-grams, restated end-to-end. Same skeleton as
+    * [[perceptronOracle]] — id-ordered dense vectors, a `list_reduce`
+    * fold, everything integer — generalized to C weight vectors PACKED
+    * INTO ONE BIGINT list of length 2·C·(B+1): layout
+    * [w_0..w_4 (C·B), bias_0..bias_4 (C), Σw_0..Σw_4, Σbias_0..Σbias_4],
+    * elements [x (B), y]. The argmax (first-index tie-break, exactly the
+    * trainer's `>` rule) appears once per outer CASE branch; the update
+    * branch for predicted class p adds +x to w_y and −x to w_p with the
+    * class of slot j recovered arithmetically ((j−1) // B), so the whole
+    * step stays one list_transform. Single-list packing is load-bearing
+    * (the DuckDB 1.0 struct-accumulator lambda bug, see
+    * [[perceptronOracle]]).
+    */
+  private def langIdOracle(B: Int, passes: Int, trainMod: Int): String =
+    s"""WITH ${langIdFoldCtes(B, passes, trainMod)}
+       |SELECT lang,
+       |  CASE pcls WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+       |    WHEN 3 THEN 'fr' ELSE 'zh' END AS pred_lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       |  CAST(sum(score) AS BIGINT) AS sum_score
+       |FROM pr GROUP BY 1, 2""".stripMargin
+
+  /** The q126 chain as reusable CTEs ending at `pr` (doc_id, lang, pcls,
+    * score) — q127 replays the same trained model to label q117's ppl
+    * buckets with PREDICTED languages.
+    */
+  private def langIdFoldCtes(B: Int, passes: Int, trainMod: Int): String = {
+    val C = 5
+    val L = 2 * C * (B + 1)
+    val wEnd = C * B         // w slots 1..5B
+    val bEnd = C * B + C     // bias slots 5B+1..5B+5
+    val awEnd = bEnd + C * B // Σw slots 5B+6..10B+5; Σbias 10B+6..10B+10
+    def score(c: Int) =
+      s"(list_sum(list_transform(range(1, ${B + 1}), j -> acc[${c * B} + j] * d[j])) + acc[${wEnd + c + 1}])"
+    val predExpr = {
+      val branches = (0 until C - 1).map { c =>
+        val conds = (c + 1 until C).map(k => s"${score(c)} >= ${score(k)}").mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }.mkString(" ")
+      s"(CASE $branches ELSE ${C - 1} END)"
+    }
+    val y = s"d[${B + 1}]"
+    val noUpd =
+      s"""list_transform(range(1, ${L + 1}), j -> CASE
+         |        WHEN j <= $bEnd THEN acc[j] ELSE acc[j] + acc[j - $bEnd] END)""".stripMargin
+    def upd(p: Int) =
+      s"""list_transform(range(1, ${L + 1}), j -> CASE
+         |        WHEN j <= $wEnd THEN acc[j] + CASE WHEN (j-1)//$B = $y THEN d[((j-1)%$B)+1] WHEN (j-1)//$B = $p THEN -d[((j-1)%$B)+1] ELSE 0 END
+         |        WHEN j <= $bEnd THEN acc[j] + CASE WHEN j - ${wEnd + 1} = $y THEN 1 WHEN j - ${wEnd + 1} = $p THEN -1 ELSE 0 END
+         |        WHEN j <= $awEnd THEN acc[j] + acc[j - $bEnd] + CASE WHEN (j - $bEnd - 1)//$B = $y THEN d[((j - $bEnd - 1)%$B)+1] WHEN (j - $bEnd - 1)//$B = $p THEN -d[((j - $bEnd - 1)%$B)+1] ELSE 0 END
+         |        ELSE acc[j] + acc[j - $bEnd] + CASE WHEN j - ${awEnd + 1} = $y THEN 1 WHEN j - ${awEnd + 1} = $p THEN -1 ELSE 0 END END)""".stripMargin
+    s"""${langIdPrefixCtes(B)},
+       |doclist AS (
+       |  SELECT coalesce(list(list_concat(x, [CAST(y AS BIGINT)]) ORDER BY doc_id),
+       |    CAST([] AS BIGINT[][])) AS dl
+       |  FROM dense WHERE doc_id % $trainMod = 0
+       |), folded AS (
+       |  SELECT list_reduce(
+       |    list_prepend(list_transform(range(0, $L), j -> CAST(0 AS BIGINT)),
+       |      flatten(list_transform(range(0, $passes), p -> dl))),
+       |    (acc, d) -> CASE
+       |      WHEN $predExpr = $y THEN $noUpd
+       |      WHEN $predExpr = 0 THEN ${upd(0)}
+       |      WHEN $predExpr = 1 THEN ${upd(1)}
+       |      WHEN $predExpr = 2 THEN ${upd(2)}
+       |      WHEN $predExpr = 3 THEN ${upd(3)}
+       |      ELSE ${upd(4)} END) AS v
+       |  FROM doclist
+       |), wavg AS (
+       |  SELECT cc.cls AS cls, t.bb AS b, f.v[$bEnd + cc.cls * $B + t.bb + 1] AS w
+       |  FROM folded f, range(0, $C) cc(cls), range(0, $B) t(bb)
+       |), bavg AS (
+       |  SELECT cc.cls AS cls, f.v[$awEnd + cc.cls + 1] AS bias
+       |  FROM folded f, range(0, $C) cc(cls)
+       |), msum AS (
+       |  SELECT i.doc_id, w.cls, CAST(sum(w.w * i.cnt) AS BIGINT) AS m
+       |  FROM inst i JOIN wavg w USING (b) GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT p.doc_id, p.lang, b.cls, coalesce(m.m, 0) + b.bias AS score
+       |  FROM pfx p
+       |  CROSS JOIN bavg b
+       |  LEFT JOIN msum m ON m.doc_id = p.doc_id AND m.cls = b.cls
+       |), pr AS MATERIALIZED (
+       |  SELECT doc_id, lang, cls AS pcls, score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, cls ASC) AS rn FROM sc)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** q126's feature plane: per-language vowel-rotated text, 96-char
+    * prefix, char 2–4-grams, xxh64 buckets, per-(doc,bucket) counts, and
+    * the dense vectors — the [[perceptronPrefixCtes]] shape with char
+    * grams instead of word tokens. Ends at `pfx` (doc_id, y, lang, t),
+    * `inst` (doc_id, b, cnt) and `dense` (doc_id, y, x).
+    */
+  private def langIdPrefixCtes(B: Int): String =
+    s"""synth AS (
+       |  SELECT doc_id, lang,
+       |    CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+       |      WHEN 'fr' THEN 3 ELSE 4 END AS y,
+       |    CASE lang
+       |      WHEN 'de' THEN translate(lower(coalesce(text, '')), 'aeiou', 'iouae')
+       |      WHEN 'es' THEN translate(lower(coalesce(text, '')), 'aeiou', 'ouaei')
+       |      WHEN 'fr' THEN translate(lower(coalesce(text, '')), 'aeiou', 'eioua')
+       |      WHEN 'zh' THEN translate(lower(coalesce(text, '')), 'aeiou', 'uaeio')
+       |      ELSE lower(coalesce(text, '')) END AS t0
+       |  FROM documents
+       |), pfx AS (
+       |  SELECT doc_id, y, lang, substr(t0, 1, 96) AS t FROM synth
+       |), gr AS (
+       |  SELECT doc_id, unnest(flatten([
+       |    list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> substr(t, i, 2)),
+       |    list_transform(range(1, greatest(len(t) - 2, 0) + 1), i -> substr(t, i, 3)),
+       |    list_transform(range(1, greatest(len(t) - 3, 0) + 1), i -> substr(t, i, 4))])) AS g
+       |  FROM pfx
+       |), vocab AS (
+       |  SELECT DISTINCT g FROM gr
+       |), ${DuckDbXxHash64.xxh64Cte("vocab", "g", Seq())},
+       |vb AS (
+       |  SELECT s AS g, ((xxh % $B) + $B) % $B AS b FROM xh9
+       |), inst AS MATERIALIZED (
+       |  SELECT gg.doc_id, vb.b, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM gr gg JOIN vb ON gg.g = vb.g GROUP BY 1, 2
+       |), docmaps AS (
+       |  SELECT doc_id, map(list(b ORDER BY b), list(cnt ORDER BY b)) AS m
+       |  FROM inst GROUP BY 1
+       |), dense AS (
+       |  SELECT p.doc_id, p.y,
+       |    list_transform(range(0, $B), bb -> CAST(coalesce(map_extract(dm.m, bb)[1], 0) AS BIGINT)) AS x
+       |  FROM pfx p LEFT JOIN docmaps dm USING (doc_id)
+       |)""".stripMargin
 
   /** Spark's `conv(substring(md5(text),1,4),16,10)` restated as strpos
     * nibble arithmetic (the q43 pattern) — the md5 bucket both the CV fold
