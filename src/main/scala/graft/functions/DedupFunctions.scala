@@ -572,17 +572,42 @@ object DedupFunctions {
       df: DataFrame, idCol: String, textCol: String,
       minDupDocs: Int, broadcastBoiler: Boolean = false): DataFrame = {
     require(minDupDocs >= 2, s"minDupDocs must be >= 2, got $minDupDocs")
-    val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
-      .filter(trim(col("__line")) =!= "")
+    val lines = explodeLines(df, idCol, textCol)
     val boiler0 = lines.groupBy(col("__line"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDupDocs)
-      .select(col("__line"), lit(1).as("__b"))
+      .select(col("__line"))
     val boiler = if (broadcastBoiler) broadcast(boiler0) else boiler0
+    cleanAgainstBoilerplate(df, idCol, textCol, boiler)
+      .filter(col("n_kept") > 0)
+  }
+
+  /** The non-blank line relation of `df`: (idCol, __idx, __line) — shared
+    * by the batch dedup above and the incremental maintenance in
+    * [[graft.streaming.CrawlStream]] (which accumulates the per-line
+    * distinct-doc counts across waves instead of recomputing them).
+    */
+  def explodeLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+      .filter(trim(col("__line")) =!= "")
+
+  /** Re-gate docs against an EXTERNALLY supplied boilerplate set
+    * (`boiler` must expose `__line`): one flag-join + one per-doc
+    * aggregation yields (idCol, clean_text, n_kept, n_dropped) — the
+    * [[dedupBoilerplateLines]] core with the count stage factored out, so
+    * the streaming maintainer can clean only AFFECTED docs against counts
+    * it accumulates incrementally. Rows with n_kept = 0 are KEPT here
+    * (the stream upserts them as tombstones; the batch entry point
+    * filters them).
+    */
+  def cleanAgainstBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      boiler: DataFrame): DataFrame = {
+    val lines = explodeLines(df, idCol, textCol)
+    val flagged = boiler.select(col("__line"), lit(1).as("__b"))
     // flag-join (not anti-join) so ONE per-doc aggregation yields the
     // cleaned text and both counters without re-scanning the line relation
-    lines.join(boiler, Seq("__line"), "left")
+    lines.join(flagged, Seq("__line"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(
@@ -591,6 +616,5 @@ object DedupFunctions {
           s => s.getField("__line")), "\n").as("clean_text"),
         sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
-      .filter(col("n_kept") > 0)
   }
 }

@@ -33,11 +33,17 @@ object CrawlStream {
     * `text/html`, extract jusText-style main text, and accept docs with
     * at least `gateMinTokens` whitespace tokens. Returns
     * (warc_file, url, warc_date, main_text, n_tokens).
+    *
+    * `main_text` joins the accepted blocks with NEWLINES — one extracted
+    * paragraph per line — so the downstream CCNet line dedup
+    * ([[maintainLineDedup]]) operates on the paragraph structure the
+    * extractor already recovered (a space join would collapse each doc to
+    * one undeduplicable line).
     */
   def extractAccepted(records: DataFrame, gateMinTokens: Int = 60,
       minBlockTokens: Int = 5, maxLinkPct: Int = 30): DataFrame = {
-    val main = TextFunctions.extractMainText(
-      decode(col("body"), "UTF-8"), minBlockTokens, maxLinkPct)
+    val main = array_join(TextFunctions.mainTextBlocks(
+      decode(col("body"), "UTF-8"), minBlockTokens, maxLinkPct), "\n")
     records
       .filter(col("warc_type") === "response" && col("http_status") === 200 &&
         // HTTP header values carry arbitrary case in the wild (Text/HTML,
@@ -55,6 +61,15 @@ object CrawlStream {
     * appending accepted docs to the manifest table at `corpusPath`.
     * `availableNow = true` drains the currently-landed files and stops
     * (tests/backfill); otherwise ticks at `trigger`.
+    *
+    * `lineDedupMinDocs > 0` additionally maintains the CCNet boilerplate
+    * line dedup INCREMENTALLY (see [[maintainLineDedup]]): per-line
+    * distinct-doc counts accumulate in a keyed VersionedTable, and each
+    * wave re-gates only the wave's docs plus the prior docs whose lines
+    * just crossed the threshold — never the whole corpus. Read the result
+    * with [[cleanDocs]]; stream ≡ batch
+    * ([[graft.functions.DedupFunctions.dedupBoilerplateLines]] over the
+    * accumulated corpus) is pinned by `CrawlStreamSpec`.
     */
   def start(
       spark: SparkSession,
@@ -63,7 +78,8 @@ object CrawlStream {
       gateMinTokens: Int = 60,
       maxFilesPerTrigger: Int = 16,
       trigger: String = "1 minute",
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      lineDedupMinDocs: Int = 0): StreamingQuery = {
     import spark.implicits._
     // the binaryFile source's schema is FIXED by the format; the stream
     // API still demands it be stated (no inference pass on a stream)
@@ -87,10 +103,121 @@ object CrawlStream {
         // batchId-guarded: a replayed batch is skipped, never re-appended
         VersionedTable.append(corpusPath, Some(bid))(
           dir => accepted.write.parquet(dir))
+        if (lineDedupMinDocs > 0)
+          maintainLineDedup(spark, corpusPath, accepted, bid, lineDedupMinDocs)
         ()
       }
       .option("checkpointLocation", corpusPath + "__checkpoint")
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(trigger))
       .start()
   }
+
+  /** Incremental CCNet boilerplate-line dedup — the streaming form of
+    * [[graft.functions.DedupFunctions.dedupBoilerplateLines]], which is
+    * batch-GLOBAL (distinct-doc counts over the whole corpus) and so
+    * cannot simply re-run per wave. State lives in three tables next to
+    * the corpus (the q50 incremental-MinHash pattern):
+    *
+    *  - `<corpus>_lines`   (upsert, key `__line`): accumulated per-line
+    *    distinct-doc counts — each wave adds its (deterministic, per-wave
+    *    distinct) contribution and upserts ONLY the touched lines;
+    *  - `<corpus>_linedocs` (append): the (line, url) inverted index, the
+    *    device that makes re-gating TARGETED — when a line crosses the
+    *    threshold this wave, the index names exactly the prior docs that
+    *    contain it;
+    *  - `<corpus>_clean`   (upsert, key `url`): the cleaned corpus;
+    *    all-boilerplate docs stay as n_kept = 0 tombstones (an upsert
+    *    table cannot delete), [[cleanDocs]] filters them.
+    *
+    * Per-wave cost: O(wave lines) for the count merge and index append,
+    * O(affected docs) for the re-clean — affected = this wave's docs plus
+    * the crossing lines' prior docs; the whole corpus is NEVER re-gated.
+    * The count merge reads the counts table once per wave (co-keyed
+    * full-outer join against the wave's counts); at 100 TB that table is
+    * the line-frequency head and tail, sharded by the same key the join
+    * uses, so the merge stays one co-partitioned exchange.
+    *
+    * Crash/replay: every commit carries the wave's batchId, so a replayed
+    * wave re-commits nothing. A crash BETWEEN the three commits replays
+    * into a partially-advanced state; the count read compensates by
+    * subtracting the wave's (recomputable) contribution when `_lines`
+    * already committed this wave — all downstream derivations then see
+    * the same pre-wave state the crashed run saw, and the remaining
+    * commits land identically.
+    */
+  private[streaming] def maintainLineDedup(
+      spark: SparkSession, corpusPath: String, accepted: DataFrame,
+      bid: Long, minDupDocs: Int): Unit = {
+    import graft.functions.DedupFunctions
+    import spark.implicits._
+    val linesPath = corpusPath + "_lines"
+    val lineDocsPath = corpusPath + "_linedocs"
+    val cleanPath = corpusPath + "_clean"
+
+    val waveDocs = accepted.select(col("url"), col("main_text")).persist()
+    val waveLines = DedupFunctions.explodeLines(waveDocs, "url", "main_text")
+      .select(col("__line"), col("url")).distinct().persist()
+    try {
+      val waveCounts = waveLines.groupBy(col("__line"))
+        .agg(count(lit(1)).as("__wn"))
+      val prevRaw =
+        if (VersionedTable.exists(linesPath)) VersionedTable.read(spark, linesPath)
+        else Seq.empty[(String, Long)].toDF("__line", "n_docs")
+      // replay compensation: if this wave's count upsert already landed
+      // (crash between commits), subtract the wave's recomputable
+      // contribution to recover the pre-wave counts
+      val linesCommitted = VersionedTable.readManifest(linesPath).exists(_.batchId >= bid)
+      val prev =
+        if (!linesCommitted) prevRaw
+        else prevRaw.join(waveCounts, Seq("__line"), "left")
+          .select(col("__line"),
+            (col("n_docs") - coalesce(col("__wn"), lit(0L))).as("n_docs"))
+          .filter(col("n_docs") > 0)
+      val merged = prev.join(waveCounts, Seq("__line"), "full_outer")
+        .select(col("__line"),
+          coalesce(col("n_docs"), lit(0L)).as("__old"),
+          coalesce(col("__wn"), lit(0L)).as("__wn"))
+        .withColumn("n_docs", col("__old") + col("__wn"))
+        .persist()
+      try {
+        VersionedTable.upsert(spark, linesPath, Seq("__line"),
+          compactWrite = (df, dir) => df.write.parquet(dir),
+          batchId = Some(bid))(dir =>
+          merged.filter(col("__wn") > 0).select(col("__line"), col("n_docs"))
+            .write.parquet(dir))
+        // prior docs whose lines crossed the threshold THIS wave — the
+        // only old docs whose clean_text changes
+        val crossed = merged
+          .filter(col("__old") < minDupDocs && col("n_docs") >= minDupDocs)
+          .select(col("__line"))
+        val priorAffected =
+          (if (VersionedTable.exists(lineDocsPath))
+             VersionedTable.read(spark, lineDocsPath)
+               .join(crossed, Seq("__line")).select(col("url")).distinct()
+               .except(waveDocs.select(col("url")))
+           else Seq.empty[String].toDF("url"))
+        VersionedTable.append(lineDocsPath, Some(bid))(dir =>
+          waveLines.write.parquet(dir))
+        val priorDocs = VersionedTable.read(spark, corpusPath)
+          .select(col("url"), col("main_text"))
+          .join(priorAffected, Seq("url"))
+        val boiler = merged.filter(col("n_docs") >= minDupDocs).select(col("__line"))
+        val cleaned = DedupFunctions.cleanAgainstBoilerplate(
+          waveDocs.unionByName(priorDocs), "url", "main_text", boiler)
+        VersionedTable.upsert(spark, cleanPath, Seq("url"),
+          compactWrite = (df, dir) => df.write.parquet(dir),
+          batchId = Some(bid))(dir => cleaned.write.parquet(dir))
+      } finally merged.unpersist()
+    } finally { waveLines.unpersist(); waveDocs.unpersist() }
+    ()
+  }
+
+  /** The incrementally-maintained cleaned corpus: (url, clean_text,
+    * n_kept, n_dropped), all-boilerplate tombstones filtered — row-for-row
+    * what the batch [[graft.functions.DedupFunctions.dedupBoilerplateLines]]
+    * returns over the accumulated corpus.
+    */
+  def cleanDocs(spark: SparkSession, corpusPath: String): DataFrame =
+    VersionedTable.read(spark, corpusPath + "_clean")
+      .filter(col("n_kept") > 0)
 }

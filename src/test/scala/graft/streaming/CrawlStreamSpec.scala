@@ -78,6 +78,58 @@ class CrawlStreamSpec extends SparkSpec {
     assert(VersionedTable.read(spark, corpus).count() == 3)
   }
 
+  test("incremental line dedup: stream == batch after every wave; a line crossing " +
+      "the threshold re-gates PRIOR docs") {
+    val warcDir = Files.createTempDirectory("crawl_ld_in_")
+    val corpus = Files.createTempDirectory("crawl_ld_out_").resolve("corpus").toString
+    val banner = (0 until 6).map(i => s"banner$i").mkString(" ")
+    // one record = banner paragraph + a unique 70-token paragraph — each
+    // extracted block is one LINE of main_text
+    def bdoc(id: Int): WarcCodec.WarcRecord = {
+      val body = (0 until 70).map(w => s"uniq${id}w$w").mkString(" ")
+      val html = s"<html><body><p>$banner</p><p>$body</p></body></html>"
+      WarcCodec.WarcRecord(
+        "response", s"http://crawl.test/doc/$id", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        WarcCodec.httpResponsePayload(200, "OK", "text/html; charset=utf-8",
+          html.getBytes(UTF_8)))
+    }
+    def drainLd(): Unit = {
+      val q = CrawlStream.start(spark, warcDir.toString, corpus,
+        gateMinTokens = 60, availableNow = true, lineDedupMinDocs = 3)
+      q.awaitTermination(120000)
+    }
+    def cleanSet() = CrawlStream.cleanDocs(spark, corpus)
+      .select("url", "clean_text", "n_kept", "n_dropped")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    def batchSet() = graft.functions.DedupFunctions.dedupBoilerplateLines(
+        VersionedTable.read(spark, corpus), "url", "main_text", minDupDocs = 3)
+      .select("url", "clean_text", "n_kept", "n_dropped")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    // wave 1: banner in two docs (below threshold 3) — everything kept
+    land(warcDir, "w1.warc.gz", Seq(bdoc(1), bdoc(2)))
+    drainLd()
+    val c1 = cleanSet()
+    assert(c1 == batchSet(), "wave 1: stream must equal the batch dedup")
+    assert(c1.forall(d => d._2.contains("banner0") && d._3 == 2L && d._4 == 0L),
+      s"below threshold the banner line survives: $c1")
+
+    // wave 2: a third banner doc crosses the threshold — the PRIOR docs'
+    // clean_text must lose the banner too, not just the new doc's
+    land(warcDir, "w2.warc.gz", Seq(bdoc(3)))
+    drainLd()
+    val c2 = cleanSet()
+    assert(c2 == batchSet(), "wave 2: stream must equal the batch dedup")
+    assert(c2.size == 3)
+    assert(c2.forall(d => !d._2.contains("banner0") && d._3 == 1L && d._4 == 1L),
+      s"crossing the threshold must strip the banner from every doc: $c2")
+
+    // replay: nothing new landed → state unchanged
+    drainLd()
+    assert(cleanSet() == c2)
+  }
+
   test("non-html and non-200 responses never enter the corpus") {
     val warcDir = Files.createTempDirectory("crawl_in3_")
     val corpus = Files.createTempDirectory("crawl_out3_").resolve("corpus").toString
