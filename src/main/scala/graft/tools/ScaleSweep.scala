@@ -374,6 +374,56 @@ object ScaleSweep {
         runAll(graft.functions.ShardExport.epochOrder(
           docs, "doc_id", epochSeed = "e1", buckets = 8, k = 100))
       }
+
+      // 22. contrastive negative mining (q124): the anchor set is
+      //     broadcast-by-construction (constant 40 rows at every scale)
+      //     and the per-anchor literal-k WindowGroupLimit pre-trims
+      //     map-side, so cross-task traffic is bounded by
+      //     anchors × k × map partitions — the corpus side streams
+      //     map-only; shuffle must stay ~flat while input grows 10×
+      measure("negative_sample", scale) {
+        // anchors held CONSTANT across scales (only copy 0 has ids < 40):
+        // the q124 shape is a fixed probe set against a growing corpus,
+        // so the broadcast side must stay 40 rows while the corpus 10×es
+        val anchors = docs.filter(col("doc_id") < 40L)
+          .select(col("doc_id"), col("source"))
+        runAll(graft.functions.Sampling.negativeSample(
+          anchors, "doc_id", "source",
+          docs.select(col("doc_id"), col("source")), "doc_id", "source", k = 5))
+      }
+
+      // 23. the q123 publish composition (gate → exact-dedup canon →
+      //     shard manifest): gate is scan-side, the dedup group-by is the
+      //     ONE text-payload shuffle, packing adds its compact
+      //     (id, n_tokens) bucket exchange — plan-guarded at two
+      //     exchanges, so shuffle must track text volume ~linearly and
+      //     never blow past it (a third corpus-scale exchange = the
+      //     composition regressed)
+      measure("publish", scale) {
+        val toks = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
+        val gated = docs
+          .withColumn("__t", toks)
+          .filter(size(col("__t")) > 0)
+          .filter(graft.functions.TextFunctions.qualityKeep(col("__t")))
+          .drop("__t")
+        val canon = gated.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        runAll(graft.functions.ShardExport.shardManifest(
+          graft.functions.ShardExport.shardAssign(canon, "doc_id", "text", 8, 1000L),
+          "doc_id"))
+      }
+
+      // 24. trained language-ID scoring (q126): the C literal weight maps
+      //     ride the closure, prediction is pure scan→map (plan-pinned
+      //     join- and exchange-free in LangIdSpec) — shuffle must be 0 B
+      //     at every scale; training is excluded (bounded driver sample,
+      //     same rationale as classifier_score)
+      val lidModel = graft.functions.LangId.LangIdModel(
+        64, 96, Seq("de", "en", "es", "fr", "zh"),
+        Array.fill(5)(Array.tabulate(64)(b => (b % 7 - 3).toLong)),
+        Array(1L, 2L, -1L, 0L, -2L), 0L)
+      measure("langid_score", scale) {
+        runAll(graft.functions.LangId.predict(docs, "doc_id", "text", lidModel))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
