@@ -88,6 +88,38 @@ class LangIdSpec extends SparkSpec {
     }
   }
 
+  test("LangIdScoresExpr == the built-in HOF spelling, bit for bit (incl. multibyte text)") {
+    val docs = corpus(60)
+      .unionByName(Seq(
+        (900L, "de", "naïve café über straße — größer"), // multibyte chars
+        (901L, "en", "MIXED Case And\tTabs  plus\nnewlines"),
+        (902L, "es", "xy"), // shorter than the largest gram width
+        (903L, "fr", "")).toDF("doc_id", "lang", "text"))
+    val model = LangId.train(corpus(60), "doc_id", "text", "lang", classes,
+      buckets = 64, passes = 3)
+    // reference: the interpreted spelling this expression replaced —
+    // charGrams -> per-gram xxhash64 bucket -> per-class literal-array add
+    val wArr = typedLit(
+      (0 until model.buckets).map { b =>
+        classes.indices.map(ci => model.avgWeights(ci)(b))
+      })
+    val hofSums = aggregate(
+      LangId.charGrams($"text", model.maxChars),
+      typedLit(classes.indices.map(ci => model.avgBias(ci))),
+      (acc, g) => zip_with(acc,
+        element_at(wArr,
+          (pmod(xxhash64(g), lit(model.buckets.toLong)) + lit(1L)).cast("int")),
+        (a, w) => a + w))
+    val exprSums = graft.expressions.LangIdScoresExpr.scores(
+      coalesce($"text", lit("")), model.avgWeights, model.avgBias,
+      model.buckets, model.maxChars)
+    val rows = docs.select($"doc_id", hofSums.as("h"), exprSums.as("e")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.get(0)}: HOF ${r.getSeq[Long](1)} != expr ${r.getSeq[Long](2)}")
+    }
+  }
+
   test("prediction plan is scan-only: no exchange, no join (the corpus-scale pass)") {
     val docs = corpus(50)
     val model = LangId.train(docs, "doc_id", "text", "lang", classes, buckets = 32, passes = 2)
