@@ -304,7 +304,14 @@ object ShardExport {
         .repartition(col("pb"), col("ps"))
         .sortWithinPartitions(col("pb"), col("ps"),
           md5(col(idCol).cast("string")), col(idCol))
-        .write.partitionBy("pb", "ps").parquet(dir)
+        .write
+        // v2 committer: task commit moves files in parallel as tasks
+        // finish; v1's job commit renames every shard directory
+        // SERIALLY on the driver — measured dominant at high shard
+        // counts (the segment dir is private until the manifest CAS
+        // flips, so v2's weaker job-abort atomicity is irrelevant here)
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .partitionBy("pb", "ps").parquet(dir)
     }
     // manifest from the WRITTEN files: the freshly committed segment when
     // this call did the write, the committed table's wave slice when a

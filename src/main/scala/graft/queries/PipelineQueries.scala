@@ -1561,8 +1561,12 @@ object PipelineQueries {
     "q125_shard_write" -> ((s, dir) => {
       val root = scratchDir("shard_write").toString
       val docs = Tables.documents(s, dir)
+      // budget 4000 (vs q118's 1000): the physical write costs ~15 ms of
+      // file open/footer/rename PER SHARD regardless of shard size, so a
+      // toy budget measures small-file overhead, not the writer; ~70
+      // shards at sf0.1 still exercises 70 real commit-verify cycles
       graft.functions.ShardExport.writeShards(
-        docs, "doc_id", "text", buckets = 8, budgetTokens = 1000L, root)
+        docs, "doc_id", "text", buckets = 8, budgetTokens = 4000L, root)
       // eager verification: throws ShardIntegrityException on any
       // data/manifest divergence before the manifest is returned
       graft.functions.ShardExport.readShards(s, root, "doc_id", "text")
@@ -1579,11 +1583,12 @@ object PipelineQueries {
     * Distinct prefixes let the q121 diff oracle replay the chain over two
     * corpus versions in one statement.
     */
-  private def shardManifestCtes(src: String, pfx: String): String =
+  private def shardManifestCtes(src: String, pfx: String,
+      buckets: Int = 8, budget: Long = 1000L): String =
     s"""${DuckDbXxHash64.xxh64Cte(src, "CAST(doc_id AS VARCHAR)",
          Seq("doc_id", "n_tokens"), pfx + "bh")},
        |${pfx}d1 AS (
-       |  SELECT doc_id, n_tokens, ((xxh % 8) + 8) % 8 AS bucket,
+       |  SELECT doc_id, n_tokens, ((xxh % $buckets) + $buckets) % $buckets AS bucket,
        |    md5(CAST(doc_id AS VARCHAR)) AS h
        |  FROM ${pfx}bh9
        |), ${pfx}d2 AS (
@@ -1591,7 +1596,7 @@ object PipelineQueries {
        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
        |      ORDER BY h, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      // 1000 AS shard_seq
+       |      // $budget AS shard_seq
        |  FROM ${pfx}d1
        |), ${DuckDbXxHash64.xxh64Cte(pfx + "d2",
          "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
@@ -3681,7 +3686,7 @@ object PipelineQueries {
          |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
          |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
          |  FROM documents
-         |), ${shardManifestCtes("d0", "a")}
+         |), ${shardManifestCtes("d0", "a", budget = 4000L)}
          |SELECT bucket, shard_seq, n_docs, shard_tokens, checksum, first_doc
          |FROM am""".stripMargin,
 
