@@ -332,6 +332,53 @@ object ShardExport {
   def shardManifests(spark: SparkSession, exportRoot: String): DataFrame =
     VersionedTable.read(spark, manifestTablePath(exportRoot))
 
+  /** Per-epoch SHARD order — the WebDataset/TFRecord consumption pattern:
+    * shuffle the shard LIST each epoch (cheap, model-scale) and stream
+    * every shard sequentially in its packing order (the read pattern the
+    * one-file-per-shard layout exists for). Rank = `md5(seed:bucket:seq)`
+    * — a fresh deterministic permutation per seed, reproducible on any
+    * engine. Adds `shard_rank` (1-based) and `pos_base` (docs in all
+    * earlier-ranked shards), so `pos_base + within-shard rank` is the
+    * doc's global position in the epoch stream.
+    *
+    * The windows here are UNPARTITIONED by design: they run on the
+    * MANIFEST relation (corpus/budget rows — ~100k rows for 1 GB shards
+    * at 100 TB), never on documents.
+    */
+  def epochShardOrder(manifests: DataFrame, epochSeed: String): DataFrame = {
+    val keyCols = (if (manifests.columns.contains("wave"))
+      Seq(col("wave")) else Seq.empty) ++ Seq(col("bucket"), col("shard_seq"))
+    val key = md5(concat_ws(":", lit(epochSeed) +: keyCols: _*))
+    val ord = Window.orderBy(key +: keyCols: _*)
+    manifests
+      .withColumn("shard_rank", row_number().over(ord).cast("long"))
+      .withColumn("pos_base", coalesce(
+        sum(col("n_docs")).over(
+          Window.orderBy(col("shard_rank"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+  }
+
+  /** Read a written export in epoch-`epochSeed` order: every doc row
+    * carries `shard_rank`, its 1-based `within_shard` packing rank, and
+    * its global `epoch_pos` — a training job sorts/iterates by
+    * (shard_rank, within_shard), which on this layout means streaming
+    * whole files sequentially. The shard-order relation broadcasts
+    * (model-scale); the within-shard rank window is bounded by the shard
+    * budget, so no task ever sorts more than one shard's docs.
+    */
+  def readEpoch(spark: SparkSession, exportRoot: String, idCol: String,
+      textCol: String, epochSeed: String, verify: Boolean = false): DataFrame = {
+    val data = readShards(spark, exportRoot, idCol, textCol, verify)
+    val order = epochShardOrder(shardManifests(spark, exportRoot), epochSeed)
+      .select(col("wave"), col("bucket"), col("shard_seq"),
+        col("shard_rank"), col("pos_base"))
+    val w = Window.partitionBy(col("wave"), col("bucket"), col("shard_seq"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    data.join(broadcast(order), Seq("wave", "bucket", "shard_seq"))
+      .withColumn("within_shard", row_number().over(w).cast("long"))
+      .withColumn("epoch_pos", col("pos_base") + col("within_shard"))
+  }
+
   /** Read the exported documents back, VERIFYING every shard against its
     * manifest first (default on): n_docs, shard_tokens and the packing
     * checksum are recomputed from the stored text, plus the byte-level

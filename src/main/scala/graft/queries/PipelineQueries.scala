@@ -1550,6 +1550,29 @@ object PipelineQueries {
           max(col("log_ppl")).as("max_ppl"))
     }),
 
+    // epoch shard-stream head: the consumer side of the export plane —
+    // shuffle the SHARD list per epoch (md5(seed:bucket:seq) rank over
+    // the model-scale manifest, the WebDataset pattern), stream each
+    // shard in packing order; global position = earlier shards' doc
+    // count + within-shard rank. First 100 positions of epoch "e1";
+    // within-shard windows are bounded by the shard budget
+    "q128_epoch_stream" -> ((s, dir) => {
+      val assigned = graft.functions.ShardExport.shardAssign(
+        Tables.documents(s, dir), "doc_id", "text", 8, 1000L)
+      val manifest = graft.functions.ShardExport.shardManifest(assigned, "doc_id")
+      val order = graft.functions.ShardExport.epochShardOrder(manifest, "e1")
+        .select(col("bucket"), col("shard_seq"), col("shard_rank"), col("pos_base"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"), col("shard_seq"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      assigned.join(broadcast(order), Seq("bucket", "shard_seq"))
+        .withColumn("within_shard", row_number().over(w).cast("long"))
+        .withColumn("epoch_pos", col("pos_base") + col("within_shard"))
+        .filter(col("epoch_pos") <= 100L)
+        .select(col("epoch_pos"), col("doc_id"), col("bucket"),
+          col("shard_seq"), col("shard_rank"))
+    }),
+
     // PHYSICAL shard materialization: writeShards lands one immutable
     // parquet file per (bucket, shard_seq) — rows in md5 packing order —
     // under a VersionedTable CAS commit, recomputes the manifest FROM THE
@@ -3675,6 +3698,37 @@ object PipelineQueries {
          |  max(j.log_ppl) AS max_ppl
          |FROM j JOIN b ON j.pred_lang = b.pred_lang AND j.log_ppl = b.log_ppl
          |GROUP BY 1, 2""".stripMargin,
+
+    // epoch shard stream: q118's packing chain + md5 shard shuffle +
+    // cumulative doc-count bases + within-shard packing rank
+    "q128_epoch_stream" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), ${shardManifestCtes("d0", "a")},
+         |so AS (
+         |  SELECT bucket, shard_seq, n_docs,
+         |    CAST(row_number() OVER (ORDER BY
+         |      md5('e1:' || CAST(bucket AS VARCHAR) || ':' || CAST(shard_seq AS VARCHAR)),
+         |      bucket, shard_seq) AS BIGINT) AS shard_rank
+         |  FROM am
+         |), sb AS (
+         |  SELECT bucket, shard_seq, shard_rank,
+         |    CAST(coalesce(sum(n_docs) OVER (ORDER BY shard_rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos_base
+         |  FROM so
+         |), within AS (
+         |  SELECT d.doc_id, d.bucket, d.shard_seq,
+         |    CAST(row_number() OVER (PARTITION BY d.bucket, d.shard_seq
+         |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) AS within_shard
+         |  FROM ad2 d
+         |)
+         |SELECT sb.pos_base + w.within_shard AS epoch_pos, w.doc_id,
+         |  w.bucket, w.shard_seq, sb.shard_rank
+         |FROM within w JOIN sb ON w.bucket = sb.bucket AND w.shard_seq = sb.shard_seq
+         |WHERE sb.pos_base + w.within_shard <= 100""".stripMargin,
 
     // physical write: the committed, file-verified manifest must equal the
     // same pure-function packing q118 oracles — identical CTE chain; the

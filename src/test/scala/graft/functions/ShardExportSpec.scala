@@ -218,6 +218,42 @@ class ShardExportSpec extends SparkSpec {
     assert(back.count() == 300L)
   }
 
+  test("readEpoch: physical epoch stream == the pure-function shard-shuffled order") {
+    val root = java.nio.file.Files.createTempDirectory("graft_epoch_read_").toString
+    val df = docs(200, i => (i % 7 + 1).toInt)
+    ShardExport.writeShards(df, "doc_id", "text", 4, 40L, root)
+
+    val got = ShardExport.readEpoch(spark, root, "doc_id", "text", "e1")
+      .select("epoch_pos", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: the same math on the pure-function relations, wave key
+    // included (the written manifest carries wave = 0)
+    val assigned = ShardExport.shardAssign(df, "doc_id", "text", 4, 40L)
+      .withColumn("wave", lit(0L))
+    val manifest = ShardExport.shardManifest(
+      ShardExport.shardAssign(df, "doc_id", "text", 4, 40L), "doc_id")
+      .withColumn("wave", lit(0L))
+    val order = ShardExport.epochShardOrder(manifest, "e1")
+      .select(col("bucket"), col("shard_seq"), col("pos_base"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard_seq"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val expect = assigned.join(order, Seq("bucket", "shard_seq"))
+      .withColumn("pos", col("pos_base") + row_number().over(w))
+      .select("pos", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "physical read must replay the deterministic epoch order")
+    // the epoch stream is a permutation: positions 1..N, every doc once
+    assert(got.keySet == (1L to 200L).toSet)
+    assert(got.values.toSet.size == 200)
+    // different seed, different shard order (same membership)
+    val e2 = ShardExport.readEpoch(spark, root, "doc_id", "text", "e2")
+      .select("epoch_pos", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e2 != got && e2.values.toSet == got.values.toSet)
+  }
+
   test("writeShards: a corrupted shard file is caught by the checksum on read") {
     val root = java.nio.file.Files.createTempDirectory("graft_shard_corrupt_").toString
     val df = docs(200, i => (i % 9 + 1).toInt)
