@@ -38,6 +38,8 @@ class PlanAuditSpec extends SparkSpec {
                          // same shape; re-rank is an id equi-join
     "q117_ccnet_select", // embeds q89's scoring chain (the 1-row
                          // broadcast vocab-size attach — O(n * 1))
+    "q127_ccnet_predicted", // q117's chain on predicted labels — same
+                         // 1-row broadcast vocab-size attach
     "q124_negative_sample") // broadcast anchors × map-side corpus scan,
                          // the q25 shape; group-limit bounds the fan-out
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
