@@ -424,6 +424,20 @@ object ScaleSweep {
       measure("langid_score", scale) {
         runAll(graft.functions.LangId.predict(docs, "doc_id", "text", lidModel))
       }
+
+      // 25. PHYSICAL shard write (q125): unlike the manifest-only
+      //     shard_export cell, materialization must move each shard's
+      //     TEXT to its writer task — the export's one inherent
+      //     text-payload exchange — so shuffle tracks text volume
+      //     ~linearly while wall stays sub-linear (writers parallelize
+      //     with the shard count); budget scales with the corpus so the
+      //     cell measures the writer, not per-file open/close overhead
+      measure("shard_write", scale) {
+        val root = Files.createTempDirectory(s"graft_scale_shardw_$scale").toString
+        graft.functions.ShardExport.writeShards(
+          docs, "doc_id", "text", buckets = 8,
+          budgetTokens = 4000L * scale, exportRoot = root).count()
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
