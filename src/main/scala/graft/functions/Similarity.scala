@@ -771,4 +771,54 @@ object Similarity {
         round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix/
+    * WikiMatrix parallel-corpus step): a source/target pair is a
+    * translation candidate when its cosine stands OUT of both sides'
+    * neighborhoods — `margin(x,y) = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)`,
+    * the "ratio" margin — which suppresses hub vectors that are close to
+    * everything (raw cosine's failure mode in cross-lingual spaces).
+    * Emits, per source, its best target by (margin, cosine) with
+    * `margin >= threshold`.
+    *
+    * Scale/determinism shape:
+    *  - both kNN passes are [[bruteForceTopK]] (broadcast side = the
+    *    query set, candidate side scanned once; at corpus scale swap in
+    *    the IVF probe path — the margin arithmetic is unchanged);
+    *  - neighborhood averages sum the ROUND6 cosines as DECIMAL(20,10)
+    *    (the q56 trick) so the sum is partitioning-independent, then one
+    *    double division — both engines compute the identical double;
+    *  - the final margin is round6; per-source winner ties break by
+    *    (margin desc, cosine desc, target id), fully deterministic.
+    */
+  def bitextMine(
+      src: DataFrame, srcIdCol: String,
+      tgt: DataFrame, tgtIdCol: String,
+      vecCol: String, k: Int, threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = DecimalType(20, 10)
+    def nnAvg(queries: DataFrame, qid: String, cands: DataFrame, cid: String,
+        outId: String, outAvg: String): DataFrame =
+      bruteForceTopK(queries, qid, cands, cid, vecCol, k, excludeSelf = false)
+        .groupBy(col("query_id"))
+        .agg((sum(col("cosine").cast(dec)).cast("double") / lit(k.toDouble)).as(outAvg))
+        .select(col("query_id").as(outId), col(outAvg))
+    val fwd = bruteForceTopK(src, srcIdCol, tgt, tgtIdCol, vecCol, k,
+      excludeSelf = false)
+    val avgS = nnAvg(src, srcIdCol, tgt, tgtIdCol, "__sid", "__avg_s")
+    val avgT = nnAvg(tgt, tgtIdCol, src, srcIdCol, "__tid", "__avg_t")
+    val margins = fwd
+      .join(avgS, col("query_id") === col("__sid"))
+      .join(avgT, col("neighbor_id") === col("__tid"))
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cosine"),
+        round(col("cosine") / ((col("__avg_s") + col("__avg_t")) / lit(2.0)), 6)
+          .as("margin"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("cosine").desc, col("tgt_id"))
+    margins
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && col("margin") >= threshold)
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+  }
 }

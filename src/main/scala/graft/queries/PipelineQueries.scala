@@ -1573,6 +1573,20 @@ object PipelineQueries {
           col("shard_seq"), col("shard_rank"))
     }),
 
+    // margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix
+    // parallel-corpus step): embeddings split into two synthetic
+    // "languages" by id parity; each source's best target by ratio margin
+    // cos/((avgNN_k(src)+avgNN_k(tgt))/2), kept at margin >= 1 — the
+    // hub-suppression arithmetic certified exactly (round6 cosines,
+    // decimal neighborhood sums, deterministic tie-breaks)
+    "q129_bitext_margin" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 400)
+      graft.functions.Similarity.bitextMine(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id",
+        "embedding", k = 4, threshold = 1.0)
+    }),
+
     // PHYSICAL shard materialization: writeShards lands one immutable
     // parquet file per (bucket, shard_seq) — rows in md5 packing order —
     // under a VersionedTable CAS commit, recomputes the manifest FROM THE
@@ -3729,6 +3743,53 @@ object PipelineQueries {
          |  w.bucket, w.shard_seq, sb.shard_rank
          |FROM within w JOIN sb ON w.bucket = sb.bucket AND w.shard_seq = sb.shard_seq
          |WHERE sb.pos_base + w.within_shard <= 100""".stripMargin,
+
+    // bitext margin: both kNN directions share one cosine relation (dot
+    // is order-symmetric term by term, so the engine's two passes agree
+    // bitwise); neighborhood sums ride DECIMAL(20,10) (q56), margins and
+    // cosines round6
+    "q129_bitext_margin" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400
+        |), s AS (
+        |  SELECT vec_id, embedding FROM e WHERE vec_id % 2 = 0
+        |), t AS (
+        |  SELECT vec_id, embedding FROM e WHERE vec_id % 2 = 1
+        |), cos AS MATERIALIZED (
+        |  SELECT s.vec_id AS sid, t.vec_id AS tid,
+        |    round(
+        |      list_sum(list_transform(range(1, len(s.embedding)+1), i -> CAST(s.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(s.embedding)+1), i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(t.embedding)+1), i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM s, t
+        |), fwd AS (
+        |  SELECT sid, tid, cosine,
+        |    row_number() OVER (PARTITION BY sid ORDER BY cosine DESC, tid ASC) AS rk
+        |  FROM cos
+        |), avg_s AS (
+        |  SELECT sid, CAST(sum(CAST(cosine AS DECIMAL(20,10))) AS DOUBLE) / 4 AS a
+        |  FROM fwd WHERE rk <= 4 GROUP BY sid
+        |), bwd AS (
+        |  SELECT tid, sid, cosine,
+        |    row_number() OVER (PARTITION BY tid ORDER BY cosine DESC, sid ASC) AS rk
+        |  FROM cos
+        |), avg_t AS (
+        |  SELECT tid, CAST(sum(CAST(cosine AS DECIMAL(20,10))) AS DOUBLE) / 4 AS a
+        |  FROM bwd WHERE rk <= 4 GROUP BY tid
+        |), m AS (
+        |  SELECT f.sid, f.tid, f.cosine,
+        |    round(f.cosine / ((a_s.a + a_t.a) / 2), 6) AS margin
+        |  FROM fwd f JOIN avg_s a_s USING (sid) JOIN avg_t a_t USING (tid)
+        |  WHERE f.rk <= 4
+        |), best AS (
+        |  SELECT sid, tid, cosine, margin,
+        |    row_number() OVER (PARTITION BY sid
+        |      ORDER BY margin DESC, cosine DESC, tid ASC) AS brk
+        |  FROM m
+        |)
+        |SELECT sid AS src_id, tid AS tgt_id, cosine, margin
+        |FROM best WHERE brk = 1 AND margin >= 1.0""".stripMargin,
 
     // physical write: the committed, file-verified manifest must equal the
     // same pure-function packing q118 oracles — identical CTE chain; the

@@ -109,6 +109,40 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bitextMine: planted translations mined; the hub vector is margin-suppressed") {
+    // 8-dim space, deterministic pseudo-noise; src i and tgt 100+i are
+    // planted near-duplicates (translations); tgt 999 is a HUB — close to
+    // everything (the all-ones direction every vector shares) — which raw
+    // cosine would pick for many sources but the ratio margin must not
+    def noise(seed: Long, d: Int): Float = {
+      var z = seed * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      ((z >>> 40).toInt % 97) / 2000.0f
+    }
+    def base(i: Long): Seq[Float] =
+      (0 until 8).map(d => (if (d == (i % 8).toInt) 1.0f else 0.15f) + noise(i, d))
+    val src = (0L until 8L).map(i => (i, base(i))).toDF("vec_id", "embedding")
+    val tgt = ((0L until 8L).map(i => (100L + i, base(i).map(_ + noise(i + 50, 1) * 0.1f))) :+
+      (999L, Seq.fill(8)(0.55f))).toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMine(src, "vec_id", tgt, "vec_id",
+        "embedding", k = 3, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every source finds its planted translation, never the hub
+    (0L until 8L).foreach { i =>
+      assert(mined.get(i).contains(100L + i),
+        s"src $i should mine tgt ${100 + i}, got ${mined.get(i)}")
+    }
+    assert(!mined.values.toSet.contains(999L), "the hub must never win a margin contest")
+    // determinism under repartitioning
+    val again = Similarity.bitextMine(src.repartition(5), "vec_id",
+        tgt.repartition(3), "vec_id", "embedding", k = 3, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val first = Similarity.bitextMine(src, "vec_id", tgt, "vec_id",
+        "embedding", k = 3, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(again == first)
+  }
+
   test("dedupSurvivors: longest doc wins its group, ties to the lowest id") {
     val labels = Seq((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L)).toDF("node", "component_id")
     val docs = Seq((1L, 200L), (2L, 200L), (5L, 100L), (3L, 50L)).toDF("doc_id", "n_chars")

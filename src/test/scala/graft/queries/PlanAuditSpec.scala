@@ -40,8 +40,10 @@ class PlanAuditSpec extends SparkSpec {
                          // broadcast vocab-size attach — O(n * 1))
     "q127_ccnet_predicted", // q117's chain on predicted labels — same
                          // 1-row broadcast vocab-size attach
-    "q124_negative_sample") // broadcast anchors × map-side corpus scan,
+    "q124_negative_sample", // broadcast anchors × map-side corpus scan,
                          // the q25 shape; group-limit bounds the fan-out
+    "q129_bitext_margin") // both kNN directions are q25's broadcast
+                         // brute-force shape (crossJoin(broadcast))
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
