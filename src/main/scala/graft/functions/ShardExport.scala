@@ -273,9 +273,12 @@ object ShardExport {
     * per shard directory from that task; `sortWithinPartitions` on
     * (bucket, shard_seq, md5(id), id) makes the file's row order the
     * packing order, so a sequential reader streams documents exactly as
-    * the epoch/packing contract defines. Parallelism is the shard count —
-    * at 100 TB with 1 GB shards that is ~100k concurrent-able file writes,
-    * and no task ever holds more than `corpus/shards` rows.
+    * the epoch/packing contract defines. Write parallelism is
+    * min(`spark.sql.shuffle.partitions`, shard count): each task holds
+    * whole shards and writes them sequentially — at 100 TB with ~100k
+    * 1 GB shards, size shuffle.partitions toward the cluster's executor
+    * slots so every slot streams its own run of shards; no task ever
+    * holds more than its shards' rows.
     *
     * Crash/replay safety (the streaming contract): both commits carry the
     * wave as their idempotence key when `guarded` — a replayed wave skips
