@@ -301,8 +301,12 @@ object ShardExport {
       writtenDir = Some(dir)
       assigned
         // partitionBy consumes its columns into directory names; duplicate
-        // them so the data file keeps typed bucket/shard_seq rows (read
-        // back without partition-type inference fragility)
+        // them so the data file keeps typed wave/bucket/shard_seq rows
+        // (read back without partition-type inference fragility). The
+        // pw/pb/ps directory triple makes every shard's single file
+        // ADDRESSABLE BY PATH — the device publishIncremental's byte-copy
+        // publish stands on
+        .withColumn("pw", col("wave"))
         .withColumn("pb", col("bucket")).withColumn("ps", col("shard_seq"))
         .repartition(col("pb"), col("ps"))
         .sortWithinPartitions(col("pb"), col("ps"),
@@ -314,13 +318,13 @@ object ShardExport {
         // counts (the segment dir is private until the manifest CAS
         // flips, so v2's weaker job-abort atomicity is irrelevant here)
         .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .partitionBy("pb", "ps").parquet(dir)
+        .partitionBy("pw", "pb", "ps").parquet(dir)
     }
     // manifest from the WRITTEN files: the freshly committed segment when
     // this call did the write, the committed table's wave slice when a
     // replayed wave skipped it
     val landed = writtenDir match {
-      case Some(dir) => spark.read.parquet(dir).drop("pb", "ps")
+      case Some(dir) => spark.read.parquet(dir).drop("pw", "pb", "ps")
       case None => VersionedTable.read(spark, dataPath(exportRoot))
         .filter(col("wave") === wave)
     }
@@ -334,6 +338,166 @@ object ShardExport {
   /** The committed manifest table: one row per immutable shard, all waves. */
   def shardManifests(spark: SparkSession, exportRoot: String): DataFrame =
     VersionedTable.read(spark, manifestTablePath(exportRoot))
+
+  /** Incremental PHYSICAL publish — q121's manifest diff made real: bring
+    * a flat publish directory (`destRoot/shards/w{wave}-b{bucket}-s{seq}
+    * .parquet` + `_manifest.parquet`, the object-store layout a training
+    * job consumes) up to date with the export at `exportRoot` by
+    * landing ONLY the shards the diff names — `added`/`changed` files
+    * are BYTE-COPIED from their immutable export file (every shard is
+    * one file addressable by its `pw=/pb=/ps=` directory path, the
+    * [[writeShards]] layout contract), `removed` files are deleted,
+    * untouched shards are never read or written. No Spark restaging:
+    * at object-store scale the copy is a server-side request per
+    * changed shard.
+    *
+    * Every named source file is VERIFIED before any destination file is
+    * replaced: its (n_docs, shard_tokens, packing checksum, content
+    * checksum) are recomputed from the bytes and compared to the export
+    * manifest — a divergence throws [[ShardIntegrityException]] and
+    * leaves the destination untouched. Each landed file is copied to a
+    * temp name and atomically renamed (a concurrent reader sees either
+    * the old or the new whole file), and `_manifest.parquet` flips LAST,
+    * so readers always resolve a consistent set.
+    *
+    * Scale shape: the diff is manifest-scale; the verification read
+    * scans exactly the changed shards' files (an explicit file list —
+    * untouched directories never enter the plan), so work is O(changed
+    * shards), never O(corpus). The per-file copies are a driver loop
+    * over the changed-shard count (the same order as the upload
+    * requests an object-store publisher would issue).
+    *
+    * Returns one row per diff entry: (wave, bucket, shard_seq, status,
+    * n_docs, shard_tokens, checksum) — values from the CURRENT manifest
+    * for added/changed (certified against the published bytes), from the
+    * PREVIOUS manifest for removed.
+    */
+  def publishIncremental(spark: SparkSession, exportRoot: String,
+      destRoot: String, idCol: String, textCol: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val shardsDir = Paths.get(destRoot, "shards")
+    Files.createDirectories(shardsDir)
+    val manifestDir = Paths.get(destRoot, "_manifest.parquet")
+
+    val cur = shardManifests(spark, exportRoot)
+    // materialized EAGERLY (localCheckpoint): the previous manifest's
+    // files are deleted when the new manifest flips below, but its rows
+    // are still needed for the removed-shard report afterwards
+    val prev =
+      if (Files.exists(manifestDir))
+        spark.read.parquet(manifestDir.toString).localCheckpoint(true)
+      else cur.filter(lit(false))
+    val keys = Seq("wave", "bucket", "shard_seq")
+    val p = prev.select(col("wave"), col("bucket"), col("shard_seq"),
+      struct(col("checksum"), col("n_docs"), col("shard_tokens")).as("__p"))
+    val n = cur.select(col("wave"), col("bucket"), col("shard_seq"),
+      struct(col("checksum"), col("n_docs"), col("shard_tokens")).as("__n"))
+    val diff = p.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("__p").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .when(col("__p") =!= col("__n"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("wave"), col("bucket"), col("shard_seq"), col("status"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    def fileName(w: Long, b: Long, s: Long) = s"w$w-b$b-s$s.parquet"
+
+    val toLand = diff.filter(_._4 != "removed").map(t => (t._1, t._2, t._3))
+    if (toLand.nonEmpty) {
+      // every named shard is ONE immutable file addressable by its
+      // pw=/pb=/ps= directory path inside a committed data segment — no
+      // Spark restaging, the publish is a byte copy (at object-store
+      // scale: a server-side copy request per changed shard)
+      val segs = VersionedTable.readManifest(dataPath(exportRoot))
+        .map(_.segments).getOrElse(Seq.empty)
+      def locate(w: Long, b: Long, sq: Long): java.nio.file.Path = {
+        val hits = segs.flatMap { seg =>
+          val d = Paths.get(dataPath(exportRoot), seg,
+            s"pw=$w", s"pb=$b", s"ps=$sq")
+          if (!Files.isDirectory(d)) Seq.empty
+          else {
+            val st = Files.list(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            } finally st.close()
+          }
+        }
+        require(hits.size == 1,
+          s"shard ($w, $b, $sq) resolves to ${hits.size} files under " +
+            s"$exportRoot — an unguarded re-export of the same wave?")
+        hits.head
+      }
+      val located = toLand.map(t => t -> locate(t._1, t._2, t._3))
+      // verify the SOURCE bytes (immutable once committed) against the
+      // export manifest BEFORE any destination file is replaced — one
+      // read over exactly the changed shards' files
+      val rec = recomputedManifest(
+          spark.read.parquet(located.map(_._2.toString).toSeq: _*),
+          idCol, textCol)
+        .select(col("wave"), col("bucket"), col("shard_seq"),
+          col("n_docs").as("r_docs"), col("shard_tokens").as("r_tokens"),
+          col("checksum").as("r_checksum"), col("content_checksum").as("r_content"))
+      val landKeys = broadcast(toLand.toSeq.toDF("wave", "bucket", "shard_seq"))
+      val bad = cur.join(landKeys, keys)
+        .join(rec, keys, "full_outer")
+        .filter(col("n_docs").isNull || col("r_docs").isNull ||
+          col("n_docs") =!= col("r_docs") ||
+          col("shard_tokens") =!= col("r_tokens") ||
+          col("checksum") =!= col("r_checksum") ||
+          col("content_checksum") =!= col("r_content"))
+        .limit(20).collect()
+      if (bad.nonEmpty)
+        throw new ShardIntegrityException(
+          s"incremental publish found ${bad.length}+ divergent shards; " +
+            "destination left untouched")
+      // land: copy to a temp name, then an atomic per-file rename — a
+      // concurrent reader sees either the old or the new whole file
+      located.foreach { case ((w, b, sq), src) =>
+        val tmp = shardsDir.resolve(fileName(w, b, sq) + ".tmp")
+        Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, shardsDir.resolve(fileName(w, b, sq)),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    diff.filter(_._4 == "removed").foreach { t =>
+      Files.deleteIfExists(shardsDir.resolve(fileName(t._1, t._2, t._3)))
+    }
+    // flip the manifest LAST: a reader sees the previous consistent set
+    // until every named file is in place
+    val tmpMan = Paths.get(destRoot, "_manifest.parquet.tmp").toString
+    cur.coalesce(1).write.mode("overwrite").parquet(tmpMan)
+    val manTmp = Paths.get(tmpMan)
+    if (Files.exists(manifestDir)) {
+      val st = Files.walk(manifestDir)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally st.close()
+    }
+    Files.move(manTmp, manifestDir, StandardCopyOption.ATOMIC_MOVE)
+
+    // report: diff statuses + manifest values (current manifest for
+    // added/changed — just certified against the published bytes — and
+    // the previous manifest for removed)
+    val diffDf = diff.toSeq.toDF("wave", "bucket", "shard_seq", "status")
+    val curV = cur.select(col("wave"), col("bucket"), col("shard_seq"),
+      col("n_docs").as("__cd"), col("shard_tokens").as("__ct"),
+      col("checksum").as("__cc"))
+    val prevV = prev.select(col("wave"), col("bucket"), col("shard_seq"),
+      col("n_docs").as("__pd"), col("shard_tokens").as("__pt"),
+      col("checksum").as("__pc"))
+    diffDf.join(curV, keys, "left").join(prevV, keys, "left")
+      .select(col("wave"), col("bucket"), col("shard_seq"), col("status"),
+        coalesce(col("__cd"), col("__pd")).as("n_docs"),
+        coalesce(col("__ct"), col("__pt")).as("shard_tokens"),
+        coalesce(col("__cc"), col("__pc")).as("checksum"))
+  }
 
   /** Per-epoch SHARD order — the WebDataset/TFRecord consumption pattern:
     * shuffle the shard LIST each epoch (cheap, model-scale) and stream

@@ -1587,6 +1587,33 @@ object PipelineQueries {
         "embedding", k = 4, threshold = 1.0)
     }),
 
+    // incremental PHYSICAL publish (q121's diff made real): export v1,
+    // publish it in full, export v2 (drop every 101st doc, grow every
+    // 97th), publish incrementally — only diff-named shard files land,
+    // as BYTE COPIES of the immutable export files
+    // (verified against the export manifest BEFORE the destination
+    // manifest flips), removed files delete, untouched files never
+    // rewritten (mtime-pinned in ShardExportSpec). Returns the diff with
+    // each shard's manifest values — current manifest for added/changed
+    // (just certified against the published bytes), previous for removed
+    "q130_publish_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 600)
+      val v2 = docs.filter(col("doc_id") % 101 =!= 0)
+        .withColumn("text", when(col("doc_id") % 97 === 0,
+          concat(col("text"), lit(" extra token"))).otherwise(col("text")))
+      val e1 = scratchDir("pub_e1").toString
+      val e2 = scratchDir("pub_e2").toString
+      val dest = scratchDir("pub_dest").toString
+      graft.functions.ShardExport.writeShards(docs, "doc_id", "text", 8, 4000L, e1)
+      graft.functions.ShardExport.writeShards(v2, "doc_id", "text", 8, 4000L, e2)
+      // the full publish: side effects (land + manifest flip) are eager
+      // inside the call; the returned report is not needed here
+      graft.functions.ShardExport.publishIncremental(s, e1, dest, "doc_id", "text")
+      graft.functions.ShardExport.publishIncremental(s, e2, dest, "doc_id", "text")
+        .select(col("bucket"), col("shard_seq"), col("status"),
+          col("n_docs"), col("shard_tokens"), col("checksum"))
+    }),
+
     // PHYSICAL shard materialization: writeShards lands one immutable
     // parquet file per (bucket, shard_seq) — rows in md5 packing order —
     // under a VersionedTable CAS commit, recomputes the manifest FROM THE
@@ -3790,6 +3817,41 @@ object PipelineQueries {
         |)
         |SELECT sid AS src_id, tid AS tgt_id, cosine, margin
         |FROM best WHERE brk = 1 AND margin >= 1.0""".stripMargin,
+
+    // incremental publish: q121's diff chain (budget 4000, doc_id < 1200)
+    // + per-shard manifest values — v2's for added/changed, v1's for
+    // removed (exactly what the publisher certified/retired)
+    "q130_publish_incremental" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id < 600
+         |), v2 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(
+         |      CASE WHEN doc_id % 97 = 0 THEN text || ' extra token' ELSE text END,
+         |      '\\s+'), x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id < 600 AND doc_id % 101 <> 0
+         |), ${shardManifestCtes("v1", "a", budget = 4000L)},
+         |${shardManifestCtes("v2", "b", budget = 4000L)},
+         |j AS (
+         |  SELECT coalesce(am.bucket, bm.bucket) AS bucket,
+         |    coalesce(am.shard_seq, bm.shard_seq) AS shard_seq,
+         |    CASE WHEN am.checksum IS NULL THEN 'added'
+         |         WHEN bm.checksum IS NULL THEN 'removed'
+         |         WHEN am.checksum <> bm.checksum OR am.n_docs <> bm.n_docs
+         |              OR am.shard_tokens <> bm.shard_tokens THEN 'changed'
+         |         ELSE 'unchanged' END AS status,
+         |    coalesce(bm.n_docs, am.n_docs) AS n_docs,
+         |    coalesce(bm.shard_tokens, am.shard_tokens) AS shard_tokens,
+         |    coalesce(bm.checksum, am.checksum) AS checksum
+         |  FROM am FULL OUTER JOIN bm
+         |    ON am.bucket = bm.bucket AND am.shard_seq = bm.shard_seq
+         |)
+         |SELECT bucket, shard_seq, status, n_docs, shard_tokens, checksum
+         |FROM j WHERE status <> 'unchanged'""".stripMargin,
 
     // physical write: the committed, file-verified manifest must equal the
     // same pure-function packing q118 oracles — identical CTE chain; the

@@ -193,7 +193,8 @@ class ShardExportSpec extends SparkSpec {
     val segs = dataDir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("seg-"))
     assert(segs.length == 1)
     val shardDirs = for {
-      pb <- segs.head.listFiles().toSeq if pb.isDirectory
+      pw <- segs.head.listFiles().toSeq if pw.isDirectory
+      pb <- pw.listFiles().toSeq if pb.isDirectory
       ps <- pb.listFiles().toSeq if ps.isDirectory
     } yield ps
     assert(shardDirs.nonEmpty)
@@ -254,6 +255,65 @@ class ShardExportSpec extends SparkSpec {
     assert(e2 != got && e2.values.toSet == got.values.toSet)
   }
 
+  test("publishIncremental: only diff-named files re-land; untouched bytes stable; removed gone") {
+    val export1 = java.nio.file.Files.createTempDirectory("graft_pub_e1_").toString
+    val export2 = java.nio.file.Files.createTempDirectory("graft_pub_e2_").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_pub_dest_").toString
+    val v1 = docs(240, i => (i % 7 + 1).toInt)
+    // v2: drop doc 13, grow doc 40 by three tokens
+    val v2 = v1.filter(col("doc_id") =!= 13L)
+      .withColumn("text", when(col("doc_id") === 40L,
+        concat(col("text"), lit(" x y z"))).otherwise(col("text")))
+    ShardExport.writeShards(v1, "doc_id", "text", 4, 50L, export1)
+    ShardExport.writeShards(v2, "doc_id", "text", 4, 50L, export2)
+
+    // initial publish: everything is "added"
+    val first = ShardExport.publishIncremental(spark, export1, dest, "doc_id", "text")
+      .collect()
+    assert(first.nonEmpty && first.forall(_.getAs[String]("status") == "added"))
+    val filesAfter1 = new java.io.File(dest, "shards").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+
+    // published corpus == v1 (read back every shard file)
+    val pub1 = spark.read.parquet(dest + "/shards")
+    assert(pub1.count() == 240L)
+
+    Thread.sleep(1100) // mtime resolution guard for the stability check
+    val second = ShardExport.publishIncremental(spark, export2, dest, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("wave"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("shard_seq"), r.getAs[String]("status"))).toSet
+
+    // the diff must equal the pure manifest diff of the two exports
+    val m1 = ShardExport.shardManifests(spark, export1)
+    val m2 = ShardExport.shardManifests(spark, export2)
+    val expect = ShardExport.manifestDiff(
+        m1.drop("wave", "content_checksum"), m2.drop("wave", "content_checksum"))
+      .collect().map(r => (0L, r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(second == expect, s"got $second\nexpected $expect")
+
+    // untouched shard files were NOT rewritten (same mtime); changed were
+    val filesAfter2 = new java.io.File(dest, "shards").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val touched = second.collect { case (w, b, s, st) if st != "removed" =>
+      s"w$w-b$b-s$s.parquet" }
+    val removed = second.collect { case (w, b, s, "removed") =>
+      s"w$w-b$b-s$s.parquet" }
+    removed.foreach(fn => assert(!filesAfter2.contains(fn), s"$fn must be deleted"))
+    touched.foreach(fn =>
+      assert(filesAfter2(fn) != filesAfter1(fn), s"$fn must be rewritten"))
+    (filesAfter1.keySet -- touched -- removed).foreach { fn =>
+      assert(filesAfter2(fn) == filesAfter1(fn), s"$fn must be untouched")
+    }
+
+    // published corpus now == v2, and per-shard contents match export2's
+    // verified read
+    val pub2 = spark.read.parquet(dest + "/shards")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp2 = ShardExport.readShards(spark, export2, "doc_id", "text")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pub2 == exp2)
+  }
+
   test("writeShards: a corrupted shard file is caught by the checksum on read") {
     val root = java.nio.file.Files.createTempDirectory("graft_shard_corrupt_").toString
     val df = docs(200, i => (i % 9 + 1).toInt)
@@ -265,7 +325,8 @@ class ShardExportSpec extends SparkSpec {
     val dataDir = new java.io.File(root, "data")
     val seg = dataDir.listFiles().filter(_.getName.startsWith("seg-")).head
     val victim = (for {
-      pb <- seg.listFiles().toSeq if pb.isDirectory
+      pw <- seg.listFiles().toSeq if pw.isDirectory
+      pb <- pw.listFiles().toSeq if pb.isDirectory
       ps <- pb.listFiles().toSeq if ps.isDirectory
       f <- ps.listFiles().toSeq if f.getName.endsWith(".parquet")
     } yield f).head
@@ -297,7 +358,8 @@ class ShardExportSpec extends SparkSpec {
     val seg2 = new java.io.File(root2, "data").listFiles()
       .filter(_.getName.startsWith("seg-")).head
     val victim2 = (for {
-      pb <- seg2.listFiles().toSeq if pb.isDirectory
+      pw <- seg2.listFiles().toSeq if pw.isDirectory
+      pb <- pw.listFiles().toSeq if pb.isDirectory
       ps <- pb.listFiles().toSeq if ps.isDirectory
       f <- ps.listFiles().toSeq if f.getName.endsWith(".parquet")
     } yield f).head
