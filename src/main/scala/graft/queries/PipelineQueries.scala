@@ -1614,6 +1614,37 @@ object PipelineQueries {
           col("n_docs"), col("shard_tokens"), col("checksum"))
     }),
 
+    // Delta-interop round trip: documents land as a KEYED VersionedTable
+    // (two upsert generations — every 7th doc rewritten, the latest-wins
+    // merge Delta cannot express natively), the committed snapshot is
+    // exported as a Delta v0 directory (_delta_log of protocol/metaData/
+    // add actions + plain parquet), and importSnapshot replays that log
+    // back — add/remove last-wins, size-verified against disk before any
+    // read. The per-lang census (count / char sum / bit_xor(xxh64) content
+    // checksum over (doc_id, text)) is computed FROM THE IMPORTED FRAME,
+    // so a single flipped byte anywhere in export, log, or import breaks
+    // the hash match with the oracle's direct restatement of the upsert.
+    "q131_delta_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val table = scratchDir("delta_rt").toString + "/t"
+      def w(df: DataFrame)(d: String): Unit = df.write.parquet(d)
+      graft.storage.VersionedTable.upsert(s, table, Seq("doc_id"),
+        compactWrite = (df, d) => w(df)(d))(w(docs))
+      val v2 = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      graft.storage.VersionedTable.upsert(s, table, Seq("doc_id"),
+        compactWrite = (df, d) => w(df)(d))(w(v2))
+      val out = scratchDir("delta_rt_out").toString + "/d"
+      graft.storage.DeltaInterop.exportSnapshot(s, table, out)
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // PHYSICAL shard materialization: writeShards lands one immutable
     // parquet file per (bucket, shard_seq) — rows in md5 packing order —
     // under a VersionedTable CAS commit, recomputes the manifest FROM THE
@@ -3857,6 +3888,24 @@ object PipelineQueries {
     // same pure-function packing q118 oracles — identical CTE chain; the
     // write/verify side effects have no oracle analogue (DuckDB sees only
     // the arithmetic contract, the spec sees the corruption catch)
+    // Delta round trip: the upsert (every 7th doc's text || ' v2',
+    // latest-wins) restated directly over the source table; engine-side
+    // the same census is computed from the log-replayed IMPORT, so
+    // equality certifies land → export → import end to end
+    "q131_delta_roundtrip" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'
+         |         ELSE coalesce(text, '') END AS text
+         |  FROM documents
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "ck")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM ck9 GROUP BY lang""".stripMargin,
+
     "q125_shard_write" ->
       s"""WITH d0 AS (
          |  SELECT doc_id,

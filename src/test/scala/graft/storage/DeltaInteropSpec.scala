@@ -109,6 +109,109 @@ class DeltaInteropSpec extends SparkSpec {
       vt.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("importSnapshot round-trips an export: merged rows, schema preserved") {
+    val table = tmp("delta_rt_") + "/t"
+    def w(df: org.apache.spark.sql.DataFrame)(dir: String): Unit =
+      df.coalesce(1).write.parquet(dir)
+    VersionedTable.upsert(spark, table, Seq("id"),
+      compactWrite = (df, dir) => w(df)(dir))(
+      w(Seq((1L, "old"), (2L, "keep"), (3L, "x")).toDF("id", "v")))
+    VersionedTable.upsert(spark, table, Seq("id"),
+      compactWrite = (df, dir) => w(df)(dir))(
+      w(Seq((1L, "new")).toDF("id", "v")))
+    val out = tmp("delta_out_rt_")
+    DeltaInterop.exportSnapshot(spark, table, out)
+
+    val imp = DeltaInterop.importSnapshot(spark, out)
+    assert(imp.schema.fieldNames.toSeq == Seq("id", "v"))
+    val got = imp.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = VersionedTable.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, "import must serve exactly the exported snapshot")
+  }
+
+  test("importSnapshot replays a multi-commit foreign log: remove retires the file") {
+    val out = tmp("delta_foreign_")
+    val f1 = Paths.get(out, "a.parquet"); val f2 = Paths.get(out, "b.parquet")
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(out + "_w1")
+    // write two single-file parquet payloads with known names
+    def onePart(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Unit = {
+      val t = tmp("delta_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = Files.list(Paths.get(t)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.copy(part, dst)
+    }
+    onePart(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), f1)
+    onePart(Seq((3L, "c")).toDF("id", "v"), f2)
+    val logDir = Paths.get(out, "_delta_log"); Files.createDirectories(logDir)
+    val schemaJson = Seq((1L, "a")).toDF("id", "v").schema.json
+      .replace("\"", "\\\"")
+    def add(p: java.nio.file.Path) =
+      s"""{"add":{"path":"${p.getFileName}","partitionValues":{},"size":${Files.size(p)},"modificationTime":0,"dataChange":true}}"""
+    Files.write(logDir.resolve("00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}
+          |${add(f1)}
+          |${add(f2)}
+          |""".stripMargin).getBytes("UTF-8"))
+    // commit 1: retire b.parquet
+    Files.write(logDir.resolve("00000000000000000001.json"),
+      s"""{"remove":{"path":"b.parquet","dataChange":true}}\n""".getBytes("UTF-8"))
+    val got = DeltaInterop.importSnapshot(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")), "removed file must not be served")
+  }
+
+  test("importSnapshot restores typed partition columns from add.partitionValues") {
+    val out = tmp("delta_pv_")
+    def onePart(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Unit = {
+      val t = tmp("delta_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = Files.list(Paths.get(t)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.copy(part, dst)
+    }
+    // data files carry only (id, v); bucket lives in the log
+    val f1 = Paths.get(out, "p1.parquet"); val f2 = Paths.get(out, "p2.parquet")
+    onePart(Seq((1L, "a")).toDF("id", "v"), f1)
+    onePart(Seq((2L, "b")).toDF("id", "v"), f2)
+    val full = StructType(DataType.fromJson(Seq((1L, "a")).toDF("id", "v").schema.json)
+      .asInstanceOf[StructType].fields :+
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))
+    val schemaJson = full.json.replace("\"", "\\\"")
+    val logDir = Paths.get(out, "_delta_log"); Files.createDirectories(logDir)
+    Files.write(logDir.resolve("00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["bucket"],"configuration":{}}}
+          |{"add":{"path":"p1.parquet","partitionValues":{"bucket":"7"},"size":${Files.size(f1)},"modificationTime":0,"dataChange":true}}
+          |{"add":{"path":"p2.parquet","partitionValues":{"bucket":null},"size":${Files.size(f2)},"modificationTime":0,"dataChange":true}}
+          |""".stripMargin).getBytes("UTF-8"))
+    val imp = DeltaInterop.importSnapshot(spark, out)
+    assert(imp.schema.fieldNames.toSeq == Seq("id", "v", "bucket"))
+    assert(imp.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
+    val got = imp.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(got == Set((1L, "a", Some(7)), (2L, "b", None)))
+  }
+
+  test("importSnapshot catches a size mismatch (corruption gate)") {
+    val table = tmp("delta_corrupt_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("delta_out_corrupt_")
+    val rels = DeltaInterop.exportSnapshot(spark, table, out)
+    val victim = Paths.get(out, rels.head)
+    Files.write(victim, Files.readAllBytes(victim) ++ Array[Byte](0))
+    val ex = intercept[IllegalArgumentException] {
+      DeltaInterop.importSnapshot(spark, out)
+    }
+    assert(ex.getMessage.contains("size mismatch"))
+    // verifySizes=false skips the gate: plan construction succeeds (the
+    // explicit schema means no file is touched until scan time)
+    DeltaInterop.importSnapshot(spark, out, verifySizes = false)
+  }
+
   test("refuses to clobber an existing _delta_log") {
     val table = tmp("delta_ref_") + "/t"
     VersionedTable.append(table)(dir =>
