@@ -282,6 +282,39 @@ object FeatureStoreQueries {
       q.awaitTermination(300000)
       mgr.stopAll()
       fs.readFeatureView("user_type_profile", "1")
+    }),
+
+    // A9/C-plane — managed-FV TIME TRAVEL (reproducible training reads):
+    // two FULL refreshes of the same FV with the source view changed in
+    // between (view-events only, then all events); `asOfTableVersion = 1`
+    // must serve the FIRST materialization byte-for-byte even though the
+    // current manifest has moved on — the guarantee that a training run
+    // pinned to a table version re-reads identical features tomorrow.
+    // Snapshot retention is manifest-based (vacuum keeps 8 generations),
+    // so at 100 TB this is a metadata read: no copy-on-refresh anywhere.
+    "q132_fs_time_travel" -> ((s, dir) => {
+      val fs = tempStore(s)
+      val ev = Tables.events(s, dir)
+      fs.registerEntity(Entity("user", Seq("user_id")))
+      ev.filter(col("event_type") === "view").createOrReplaceTempView("tt_src")
+      fs.registerFeatureView(FeatureView(
+        name = "user_tt_profile",
+        entities = Seq(Entity("user", Seq("user_id"))),
+        query = """SELECT user_id, count(*) AS f_n,
+                  |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
+                  |FROM tt_src GROUP BY user_id""".stripMargin,
+        refresh = Some(RefreshConfig("1 minute", RefreshMode.Full,
+          InitializeMode.OnSchedule))), "1")
+      val mgr = new RefreshManager(fs)
+      val rec = fs.getFeatureView("user_tt_profile", "1")
+      mgr.refreshOnce(rec)                       // table_version 1
+      ev.createOrReplaceTempView("tt_src")       // source moves on
+      mgr.refreshOnce(rec)                       // table_version 2
+      val v1 = fs.readFeatureView("user_tt_profile", "1", asOfTableVersion = Some(1L))
+        .withColumn("snap", lit("v1"))
+      val cur = fs.readFeatureView("user_tt_profile", "1")
+        .withColumn("snap", lit("v2"))
+      v1.unionByName(cur).select(col("snap"), col("user_id"), col("f_n"), col("f_sum"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -365,6 +398,23 @@ object FeatureStoreQueries {
         |  count(*) AS f_n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    // both snapshots restated directly: v1 = the view-only source the
+    // first refresh saw, v2 = the full source of the second — time travel
+    // must reproduce v1 exactly after the table moved to v2
+    "q132_fs_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT 'v1' AS snap, user_id, count(*) AS f_n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), v2 AS (
+        |  SELECT 'v2' AS snap, user_id, count(*) AS f_n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT snap, user_id, f_n, f_sum FROM v1
+        |UNION ALL
+        |SELECT snap, user_id, f_n, f_sum FROM v2""".stripMargin,
 
     // cutoff = the median quartile boundary of the corpus's OWN ts range,
     // restated with the same integer arithmetic as slicedEventsTable —
