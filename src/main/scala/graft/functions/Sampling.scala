@@ -165,6 +165,65 @@ object Sampling {
           .as("quota"))
   }
 
+  /** UniMax budget waterfilling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute `totalBudget` tokens across languages as
+    * EVENLY as possible, capping every language at `maxEpochs` passes over
+    * its natural token count — the allocation that replaces temperature
+    * sampling's power law (see [[temperatureQuotas]]) with a uniform share
+    * plus a repeat cap, so small languages get maximal budget without
+    * over-epoching.
+    *
+    * Contract (integer-exact, engine-restatable): languages sort by
+    * cap = maxEpochs·nat_tokens ascending (ties by name); a language is
+    * capped iff every smaller language is capped AND
+    * cap·(languages from here on) <= totalBudget − Σ(smaller caps) —
+    * i.e. the uniform share of what remains still covers its cap. Capped
+    * languages take exactly their cap; the leftover splits evenly (floor
+    * division) among the uncapped; the < U-token division remainder stays
+    * unallocated. Every step is BIGINT arithmetic — the capped test
+    * multiplies instead of dividing, so there is no rounding to agree on.
+    *
+    * Scale shape: ONE corpus aggregation (group-by language); the
+    * waterfilling itself is window algebra over the LANGUAGE table
+    * (model-scale single-partition windows, the [[temperatureQuotas]]
+    * shape — no scalar cross joins, no driver loop).
+    */
+  def unimaxAllocation(docs: DataFrame, groupCol: String, textCol: String,
+      totalBudget: Long, maxEpochs: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val whole = Window.partitionBy(lit(0))
+    val ordW = Window.partitionBy(lit(0))
+      .orderBy(col("cap_tokens"), col("__g"))
+    val cumW = ordW.rowsBetween(Window.unboundedPreceding, -1)
+    val runW = ordW.rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .select(col(groupCol).as("__g"),
+        coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("__nt"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("nat_tokens"))
+      .filter(col("nat_tokens") > 0L)
+      .withColumn("cap_tokens", col("nat_tokens") * lit(maxEpochs))
+      .withColumn("__L", count(lit(1)).over(whole))
+      .withColumn("__i", row_number().over(ordW).cast("long"))
+      .withColumn("__cumprev", coalesce(sum(col("cap_tokens")).over(cumW), lit(0L)))
+      .withColumn("__notok",
+        when(col("cap_tokens") * (col("__L") - col("__i") + 1L) <=
+          lit(totalBudget) - col("__cumprev"), 0L).otherwise(1L))
+      .withColumn("capped", sum(col("__notok")).over(runW) === 0L)
+      .withColumn("__cappedSum",
+        sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).over(whole))
+      .withColumn("__u",
+        sum(when(col("capped"), 0L).otherwise(1L)).over(whole))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr(s"(${totalBudget}L - __cappedSum) div __u")))
+      .select(col("__g").as(groupCol), col("n_docs"), col("nat_tokens"),
+        col("cap_tokens"), col("capped"), col("alloc_tokens"))
+  }
+
   /** Draw each domain's temperature quota in the reproducible `(md5(id),
     * id)` order (the q68 pattern): returns the KEPT docs (idCol, domain).
     * A domain smaller than its quota contributes everything it has.

@@ -186,8 +186,34 @@ object ShardExport {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ > 0), "weights must be positive")
     require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
-    val doms = weights.keys.toSeq.sorted
     val weightSum = weights.values.sum
+    mixApply(df, idCol, textCol, groupCol, weights.keySet,
+      d => totalTokens * weights(d) / weightSum)
+  }
+
+  /** [[mixRecipe]] with ABSOLUTE per-group token budgets instead of
+    * weights-of-a-total — the application step for allocations computed
+    * elsewhere (e.g. [[Sampling.unimaxAllocation]]'s waterfilling).
+    * Same output contract: one row per (group, epoch).
+    */
+  def mixApplyBudgets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    mixApply(df, idCol, textCol, groupCol, budgets.keySet, budgets)
+  }
+
+  /** Shared epoch-recipe application: per group with a nonzero natural
+    * token count, `budgetOf(group)` tokens land as `budget div nat` FULL
+    * epochs plus an md5-order partial epoch of the remainder (via
+    * [[Sampling.tokenBudgetSample]]'s greedy prefix). The natural census
+    * is ONE corpus aggregation collected at model scale (a row per
+    * group); epochs materialize as counts, never as row duplication.
+    */
+  private def mixApply(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, groups: Set[String],
+      budgetOf: String => Long): DataFrame = {
+    val doms = groups.toSeq.sorted
     val scoped = df.filter(col(groupCol).isin(doms: _*))
     val nat = scoped
       .select(col(groupCol),
@@ -200,7 +226,7 @@ object ShardExport {
     // (domain, natural docs, natural tokens, full epochs, remainder tokens)
     val recipe = doms.flatMap { d =>
       nat.get(d).filter(_._2 > 0L).map { case (nd, td) =>
-        val desired = totalTokens * weights(d) / weightSum
+        val desired = budgetOf(d)
         (d, nd, td, desired / td, desired % td)
       }
     }

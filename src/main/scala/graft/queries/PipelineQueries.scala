@@ -1614,6 +1614,33 @@ object PipelineQueries {
           col("n_docs"), col("shard_tokens"), col("checksum"))
     }),
 
+    // UniMax language-capped mixing (Chung et al. 2023): budget
+    // waterfills UNIFORMLY across languages with a 2-epoch repeat cap —
+    // small languages take their full cap, the leftover splits evenly
+    // among the big ones — then the allocation is APPLIED as full epochs
+    // + an md5-order partial epoch per language (the q120 recipe
+    // machinery with absolute budgets). Budget = 3/2 of the corpus's own
+    // token count, so both the capped and uncapped branches are live at
+    // every scale factor. Integer-exact end to end: the capped test
+    // multiplies instead of dividing, so there is no rounding contract.
+    "q133_unimax_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val total = docs.agg(sum(coalesce(
+          TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)))).head.getLong(0)
+      val budget = 3L * total / 2L
+      val alloc = graft.functions.Sampling.unimaxAllocation(
+        docs, "lang", "text", budget, maxEpochs = 2L)
+      // model-scale collect: one row per language (the mixRecipe pattern)
+      val budgets = alloc.select(col("lang"), col("alloc_tokens")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val epochs = graft.functions.ShardExport.mixApplyBudgets(
+        docs, "doc_id", "text", "lang", budgets)
+      epochs.join(broadcast(alloc.select(col("lang"), col("nat_tokens"),
+          col("capped").cast("int").as("capped"), col("alloc_tokens"))), Seq("lang"))
+        .select(col("lang"), col("nat_tokens"), col("capped"), col("alloc_tokens"),
+          col("epoch"), col("n_docs"), col("epoch_tokens"))
+    }),
+
     // Delta-interop round trip: documents land as a KEYED VersionedTable
     // (two upsert generations — every 7th doc rewritten, the latest-wins
     // merge Delta cannot express natively), the committed snapshot is
@@ -3888,6 +3915,75 @@ object PipelineQueries {
     // same pure-function packing q118 oracles — identical CTE chain; the
     // write/verify side effects have no oracle analogue (DuckDB sees only
     // the arithmetic contract, the spec sees the corruption catch)
+    // UniMax waterfilling + epoch application, fully restated: the capped
+    // test is the multiplication form (cap·remaining <= budget − Σsmaller),
+    // prefix-and via a running sum of violations; full epochs unnest from
+    // integer division, the partial epoch replays tokenBudgetSample's
+    // md5-order greedy prefix (the q92 pattern)
+    "q133_unimax_mix" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |), tot AS (
+         |  SELECT CAST(3 * sum(n_tokens) // 2 AS BIGINT) AS b FROM tok
+         |), nat AS (
+         |  SELECT lang, count(*) AS nat_docs, CAST(sum(n_tokens) AS BIGINT) AS nat_tokens
+         |  FROM tok GROUP BY lang HAVING sum(n_tokens) > 0
+         |), ord AS (
+         |  SELECT lang, nat_docs, nat_tokens, 2 * nat_tokens AS cap,
+         |    row_number() OVER (ORDER BY 2 * nat_tokens, lang) AS i,
+         |    count(*) OVER () AS L,
+         |    CAST(coalesce(sum(2 * nat_tokens) OVER (ORDER BY 2 * nat_tokens, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumprev
+         |  FROM nat
+         |), flg AS (
+         |  SELECT o.*, CASE WHEN o.cap * (o.L - o.i + 1) <= t.b - o.cumprev
+         |    THEN 0 ELSE 1 END AS notok
+         |  FROM ord o, tot t
+         |), cp AS (
+         |  SELECT *, CAST(sum(notok) OVER (ORDER BY i) AS BIGINT) = 0 AS capped FROM flg
+         |), al AS (
+         |  SELECT c.lang, c.nat_docs, c.nat_tokens, c.capped,
+         |    CASE WHEN c.capped THEN c.cap
+         |         ELSE (t.b - CAST(sum(CASE WHEN c.capped THEN c.cap ELSE 0 END)
+         |                 OVER () AS BIGINT))
+         |              // CAST(sum(CASE WHEN c.capped THEN 0 ELSE 1 END)
+         |                 OVER () AS BIGINT) END AS alloc
+         |  FROM cp c, tot t
+         |), ful AS (
+         |  SELECT lang, nat_tokens, capped, alloc, CAST(u.e AS BIGINT) AS epoch,
+         |    nat_docs AS n_docs, nat_tokens AS epoch_tokens
+         |  FROM al, unnest(range(0, CAST(alloc // nat_tokens AS BIGINT))) AS u(e)
+         |), rem AS (
+         |  SELECT lang, nat_tokens, capped, alloc,
+         |    CAST(alloc // nat_tokens AS BIGINT) AS full_e,
+         |    CAST(alloc % nat_tokens AS BIGINT) AS rem_budget
+         |  FROM al WHERE alloc % nat_tokens > 0
+         |), pc AS (
+         |  SELECT t.doc_id, t.lang, t.n_tokens,
+         |    CAST(coalesce(sum(t.n_tokens) OVER (PARTITION BY t.lang
+         |      ORDER BY t.h, t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM tok t JOIN rem r USING (lang)
+         |), par AS (
+         |  SELECT p.lang, r.nat_tokens, r.capped, r.alloc, r.full_e AS epoch,
+         |    count(*) AS n_docs, CAST(sum(p.n_tokens) AS BIGINT) AS epoch_tokens
+         |  FROM pc p JOIN rem r USING (lang)
+         |  WHERE p.cum_before < r.rem_budget
+         |  GROUP BY 1, 2, 3, 4, 5
+         |)
+         |SELECT lang, nat_tokens, CAST(capped AS INTEGER) AS capped,
+         |  alloc AS alloc_tokens, epoch, CAST(n_docs AS BIGINT) AS n_docs,
+         |  epoch_tokens FROM ful
+         |UNION ALL
+         |SELECT lang, nat_tokens, CAST(capped AS INTEGER) AS capped,
+         |  alloc AS alloc_tokens, epoch, CAST(n_docs AS BIGINT) AS n_docs,
+         |  epoch_tokens FROM par""".stripMargin,
+
     // Delta round trip: the upsert (every 7th doc's text || ' v2',
     // latest-wins) restated directly over the source table; engine-side
     // the same census is computed from the log-replayed IMPORT, so

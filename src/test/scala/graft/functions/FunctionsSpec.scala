@@ -705,6 +705,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("unimaxAllocation: small languages cap, leftover splits evenly, never over-epochs") {
+    // nat tokens: a=10, b=20, c=100 (one doc each of w-repeated text)
+    val docs = Seq(
+      (1L, "a", Seq.fill(10)("w").mkString(" ")),
+      (2L, "b", Seq.fill(20)("w").mkString(" ")),
+      (3L, "c", Seq.fill(100)("w").mkString(" "))).toDF("doc_id", "lang", "text")
+    def alloc(budget: Long, e: Long): Map[String, (Long, Boolean)] =
+      Sampling.unimaxAllocation(docs, "lang", "text", budget, e).collect()
+        .map(r => r.getString(0) -> (r.getLong(5), r.getBoolean(4))).toMap
+    // E=2: caps a=20, b=40, c=200. B=120: a capped (20*3=60<=120),
+    // b capped (40*2=80<=100), c uncapped -> 120-60=60
+    assert(alloc(120L, 2L) == Map(
+      "a" -> (20L, true), "b" -> (40L, true), "c" -> (60L, false)))
+    // B=30: a's cap 20*3=60 > 30 -> nobody capped, even split 10 each
+    assert(alloc(30L, 2L) == Map(
+      "a" -> (10L, false), "b" -> (10L, false), "c" -> (10L, false)))
+    // B huge: everyone capped at E*nat (never over-epochs)
+    assert(alloc(10000L, 2L) == Map(
+      "a" -> (20L, true), "b" -> (40L, true), "c" -> (200L, true)))
+    // floor-division leftover: B=121 -> c gets 61; B=122 -> 62
+    assert(alloc(121L, 2L)("c")._1 == 61L)
+    // allocation never exceeds the budget
+    for (b <- Seq(7L, 55L, 121L, 359L))
+      assert(alloc(b, 2L).values.map(_._1).sum <= b, s"overshoot at B=$b")
+  }
+
   test("temperatureQuotas: sums to budget, alpha=1 is proportional, alpha<1 flattens") {
     // skewed domains: 60/30/10
     val docs = ((1L to 60L).map((_, "web")) ++ (61L to 90L).map((_, "code")) ++
