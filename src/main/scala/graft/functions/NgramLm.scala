@@ -80,6 +80,58 @@ object NgramLm {
       .withColumn("kept", (col("log_ppl") <= threshold).cast("long"))
   }
 
+  /** Interpolated Kneser–Ney scoring (Kneser & Ney 1995, in Chen &
+    * Goodman 1999's interpolated form) — the smoothing family KenLM uses,
+    * and what CCNet's 5-gram gate actually runs; this is the bigram
+    * member over the SAME persisted model table as [[scoreDocs]]:
+    *
+    *   p(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1·)/c1) · Pcont(w2)   (w1 seen)
+    *            = Pcont(w2)                                        (w1 unseen)
+    *   Pcont(w2) = (N1+(·w2)+1) / (T+V)
+    *
+    * where N1+(w1·)/N1+(·w2) are distinct-successor/-predecessor type
+    * counts, T = bigram types, V = continuation vocabulary. The
+    * continuation distribution is add-one smoothed so unseen words keep
+    * nonzero mass (the OOV floor; KenLM's explicit OOV reservation has no
+    * closed cross-engine restatement). D = 0.75 — exactly representable
+    * in binary, so discounting introduces no rounding contract beyond
+    * q89's one-`ln`-per-term precedent.
+    *
+    * 100 TB shape, same as [[scoreDocs]]: every derived statistic
+    * (c1/n1p by w1, nc by w2) is a groupBy OF THE MODEL joined back by
+    * gram key — co-partitioned shuffles, never a model broadcast; the
+    * only broadcast is the 1-row (T,V) frame (plan-audit-allowlisted
+    * O(n × 1) attach).
+    */
+  def scoreDocsKN(
+      docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, threshold: Double, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val uni = lm.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).cast("double").as("n1p"))
+    val cont = lm.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("nc"))
+    // T = Σ nc = bigram types; V = |{w2}| — one pass over the cont table
+    val tv = cont.agg(sum(col("nc")).as("t"), count(lit(1)).cast("double").as("v"))
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), explode(bigrams(col(textCol))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val pcont = (coalesce(col("nc"), lit(0.0)) + lit(1.0)) / (col("t") + col("v"))
+    val d = lit(discount)
+    val pSeen = greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) /
+      col("c1") + (d * col("n1p") / col("c1")) * pcont
+    pairs
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col("doc_id"),
+        log(when(col("c1").isNotNull, pSeen).otherwise(pcont)).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        TextFunctions.round4(-sum(col("__lp")) / count(lit(1))).as("log_ppl"))
+      .withColumn("kept", (col("log_ppl") <= threshold).cast("long"))
+  }
+
   /** CCNet head/middle/tail selection (Wenzek et al. 2020 §4.4): within
     * each language, the best-scoring third of documents is "head", the
     * next "middle", the rest "tail" — the split that decides what

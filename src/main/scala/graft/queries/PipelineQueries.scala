@@ -341,6 +341,20 @@ object PipelineQueries {
         s.read.parquet(lmPath), threshold = 3.43)
     }),
 
+    // Kneser–Ney bigram gate (the smoothing KenLM/CCNet actually use),
+    // over the SAME landed model table as q89's add-one gate: held-out
+    // docs scored with interpolated KN — absolute discount 0.75,
+    // continuation probabilities from distinct-predecessor type counts,
+    // add-one OOV floor — so the two gates differ ONLY in smoothing
+    "q134_kn_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lmPath = scratchDir("kn_lm").resolve("lm").toString
+      NgramLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        .write.mode("overwrite").parquet(lmPath)
+      NgramLm.scoreDocsKN(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        s.read.parquet(lmPath), threshold = 3.45)
+    }),
+
     // text analysis: token counts, quality scoring, language-ID heuristic
     "q28_text_analysis" -> ((s, dir) => {
       val sw = TextFunctions.defaultStopwords
@@ -2511,6 +2525,53 @@ object PipelineQueries {
         |)
         |SELECT doc_id, n_bigrams, log_ppl,
         |  CAST(log_ppl <= 3.43 AS BIGINT) AS kept FROM agg""".stripMargin,
+
+    // interpolated Kneser–Ney restated term by term: max(c12−D,0)/c1 +
+    // (D·n1p/c1)·pcont for seen contexts, pcont alone for unseen;
+    // pcont = (nc+1)/(T+V) with T = bigram types, V = |{w2}|. D = 0.75
+    // is binary-exact; same one-ln-per-term + round4 contract as q89
+    "q134_kn_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), train_bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)
+        |  WHERE doc_id % 2 = 0
+        |  GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1,
+        |    CAST(count(*) AS DOUBLE) AS n1p
+        |  FROM train_bi GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, CAST(count(*) AS DOUBLE) AS nc FROM train_bi GROUP BY 1
+        |), tv AS (
+        |  SELECT CAST(sum(nc) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+        |  FROM cont
+        |), pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)
+        |  WHERE doc_id % 2 = 1
+        |), scored AS (
+        |  SELECT p.doc_id,
+        |    ln(CASE WHEN u.c1 IS NOT NULL
+        |      THEN greatest(CAST(coalesce(b.c12, 0) AS DOUBLE) - 0.75, 0.0) / u.c1
+        |           + (0.75 * u.n1p / u.c1)
+        |             * ((coalesce(c.nc, 0.0) + 1.0) / (tv.t + tv.v))
+        |      ELSE (coalesce(c.nc, 0.0) + 1.0) / (tv.t + tv.v) END) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN train_bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u ON p.w1 = u.w1
+        |  LEFT JOIN cont c ON p.w2 = c.w2
+        |  CROSS JOIN tv
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    floor((-sum(lp) / count(*)) * 10000.0 + 0.5) / 10000.0 AS log_ppl
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams, log_ppl,
+        |  CAST(log_ppl <= 3.45 AS BIGINT) AS kept FROM agg""".stripMargin,
 
     "q28_text_analysis" ->
       """WITH tok AS (

@@ -174,6 +174,31 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0.6931, 0L)))
   }
 
+  test("NgramLm KN: hand-computed interpolated Kneser-Ney over the same model table") {
+    // train "a b a b a c": c12 = {(a,b)->2, (b,a)->2, (a,c)->1}
+    //   uni: a (c1=3, n1p=2), b (c1=2, n1p=1)
+    //   cont: nc(a)=nc(b)=nc(c)=1; T=3 types, V=3 -> pcont(seen)=2/6, pcont(unseen)=1/6
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val lm = NgramLm.train(train, "text")
+    // doc "a b c d":
+    //   (a,b) seen-seen: (2-0.75)/3 + (0.75*2/3)*(2/6)          = 0.583333...
+    //   (b,c) seen ctx, unseen bigram: 0 + (0.75*1/2)*(2/6)     = 0.125
+    //   (c,d) unseen ctx: pcont(d) = 1/6
+    //   log_ppl = -(ln(.58333..)+ln(.125)+ln(1/6))/3 = 1.4701 (round4)
+    val out = NgramLm.scoreDocsKN(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", lm,
+      threshold = 1.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("log_ppl"), r.getAs[Long]("kept")))).toMap
+    assert(out == Map(1L -> ((3L, 1.4701, 1L))))
+    // discounting must never produce a non-positive probability: a doc of
+    // entirely-unseen tokens scores at the OOV floor, finite and kept/dropped
+    val oov = NgramLm.scoreDocsKN(
+      Seq((2L, "x y z")).toDF("doc_id", "text"), "doc_id", "text", lm,
+      threshold = 1.5).collect()
+    assert(oov.length == 1 && !oov.head.getAs[Double]("log_ppl").isInfinite)
+  }
+
   test("nearDupCosineBlocked: exact within blocks, no cross-block pairs") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.nearDupCosineBlocked(
