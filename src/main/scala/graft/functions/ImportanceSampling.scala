@@ -65,4 +65,76 @@ object ImportanceSampling {
       .agg(round(sum(col("__lr")), 6).as("dsir_score"))
       .withColumnRenamed("__id", idCol)
   }
+
+  /** DoReMi domain reweighting (Xie et al., "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023):
+    * Group-DRO exponentiated-gradient ascent on domain weights, driven by
+    * per-domain EXCESS loss — how much worse a small proxy model does
+    * than a stronger reference model — so hard-but-learnable domains gain
+    * weight and saturated/noise domains lose it. The proxy/reference
+    * losses here come from the bigram-LM plane (two [[NgramLm]] scorings
+    * of different training capacity) rather than a transformer pair; the
+    * weight LOOP is DoReMi's, step for step over md5-hashed batches:
+    *
+    *   x(d,t) = clip(mean excess loss of domain d in batch t)
+    *   w      ← renormalize(w_d · exp(η · x(d,t)))
+    *   w      ← (1−δ)·w + δ·uniform
+    *
+    * Determinism (the integer-fold contract): per-doc excess lands on the
+    * round4 integer grid (1e-4 units, `floor(·1e4+0.5)`), cell means are
+    * floor divisions, exp() is quantized to integer billionths
+    * IMMEDIATELY (the q107 pow precedent — one float op, then integers),
+    * and the state renormalizes in exact BigInt arithmetic. Any engine
+    * can replay the loop as an integer fold.
+    *
+    * Scale shape: the data-scale work is the two upstream LM scorings
+    * plus ONE groupBy(domain, batch) here; the fold itself runs over the
+    * D×B cell table on the driver — model scale by construction (the
+    * mixRecipe quota-collect precedent). Returns one row per domain:
+    * (domainCol, weight9) in integer billionths, Σ ≈ 1e9.
+    */
+  def doremiWeights(
+      proxyScored: DataFrame, refScored: DataFrame, domains: DataFrame,
+      idCol: String, domainCol: String, pplCol: String = "log_ppl",
+      batches: Int = 8, eta: Double = 0.5, clipQ: Long = 20000L,
+      smoothNum: Long = 1L, smoothDen: Long = 10L): DataFrame = {
+    require(batches >= 1, s"batches must be >= 1, got $batches")
+    require(eta > 0, s"eta must be positive, got $eta")
+    require(smoothDen > smoothNum && smoothNum >= 0, "need 0 <= smoothNum < smoothDen")
+    val p = proxyScored.select(col(idCol).as("__id"), col(pplCol).as("__p"))
+    val r = refScored.select(col(idCol).as("__id"), col(pplCol).as("__r"))
+    val d = domains.select(col(idCol).as("__id"), col(domainCol).as("__dom"))
+    // per-doc excess on the integer 1e-4 grid; scores are round4 values,
+    // so floor(x*1e4+0.5) recovers the exact grid index in every engine
+    val eq = greatest(
+      (floor(col("__p") * 1e4 + 0.5) - floor(col("__r") * 1e4 + 0.5)).cast("long"),
+      lit(0L))
+    val cells = p.join(r, Seq("__id")).join(d, Seq("__id"))
+      .select(col("__dom"),
+        pmod(xxhash64(col("__id").cast("string")), lit(batches.toLong)).as("__t"),
+        eq.as("__eq"))
+      .groupBy(col("__dom"), col("__t"))
+      .agg(count(lit(1)).as("__n"), sum(col("__eq")).as("__sq"))
+      .collect()
+      .map(row => (row.getString(0), row.getLong(1)) ->
+        (row.getLong(2), row.getLong(3))).toMap
+    val doms = cells.keys.map(_._1).toSeq.distinct.sorted
+    require(doms.nonEmpty, "no scored documents — nothing to reweight")
+    val u = 1000000000L / doms.size
+    var w: Seq[BigInt] = Seq.fill(doms.size)(BigInt(u))
+    for (t <- 0L until batches.toLong) {
+      val xs = doms.map(dm => cells.get((dm, t))
+        .map { case (n, sq) => math.min(sq / n, clipQ) }.getOrElse(0L))
+      val ps = w.zip(xs).map { case (wd, x) =>
+        wd * BigInt(math.floor(math.exp(eta * x / 10000.0) * 1e9 + 0.5).toLong) }
+      val s = ps.sum
+      w = ps.map { pd =>
+        val wn = pd * 1000000000L / s
+        (wn * (smoothDen - smoothNum) + BigInt(u) * smoothNum) / smoothDen
+      }
+    }
+    val spark = domains.sparkSession
+    import spark.implicits._
+    doms.zip(w.map(_.toLong)).toDF(domainCol, "weight9")
+  }
 }

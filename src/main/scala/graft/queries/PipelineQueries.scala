@@ -1628,6 +1628,42 @@ object PipelineQueries {
           col("n_docs"), col("shard_tokens"), col("checksum"))
     }),
 
+    // DoReMi domain reweighting (Xie et al. 2023): Group-DRO
+    // multiplicative weights over per-domain excess loss — proxy vs
+    // reference bigram LMs of different training capacity (5% vs 25%
+    // slices), 8 hashed batches, eta=0.5, 10% uniform smoothing — then
+    // the learned weights APPLY as an epoch recipe at half the corpus's
+    // token budget. Hard-for-the-small-model domains gain budget; the
+    // entire weight loop is an integer fold (exp quantized to billionths
+    // immediately), so the oracle replays it exactly.
+    "q135_doremi_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pPath = scratchDir("doremi").resolve("proxy").toString
+      val rPath = scratchDir("doremi").resolve("ref").toString
+      NgramLm.train(docs.filter(col("doc_id") % 20 === 0), "text")
+        .write.mode("overwrite").parquet(pPath)
+      NgramLm.train(docs.filter(col("doc_id") % 4 === 0), "text")
+        .write.mode("overwrite").parquet(rPath)
+      val pScored = NgramLm.scoreDocs(docs, "doc_id", "text",
+        s.read.parquet(pPath), threshold = 0.0)
+      val rScored = NgramLm.scoreDocs(docs, "doc_id", "text",
+        s.read.parquet(rPath), threshold = 0.0)
+      val wdf = graft.functions.ImportanceSampling.doremiWeights(
+        pScored, rScored, docs, "doc_id", "source")
+      val weights = wdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = docs.agg(sum(coalesce(
+          TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)))).head.getLong(0)
+      val budget = total / 2L
+      val wsum = weights.values.sum
+      val budgets = weights.map { case (dm, w9) =>
+        dm -> (BigInt(budget) * w9 / wsum).toLong }
+      val epochs = graft.functions.ShardExport.mixApplyBudgets(
+        docs, "doc_id", "text", "source", budgets)
+      epochs.join(broadcast(wdf), Seq("source"))
+        .select(col("source"), col("weight9"), col("epoch"),
+          col("n_docs"), col("epoch_tokens"))
+    }),
+
     // UniMax language-capped mixing (Chung et al. 2023): budget
     // waterfills UNIFORMLY across languages with a 2-epoch repeat cap —
     // small languages take their full cap, the leftover splits evenly
@@ -3976,6 +4012,143 @@ object PipelineQueries {
     // same pure-function packing q118 oracles — identical CTE chain; the
     // write/verify side effects have no oracle analogue (DuckDB sees only
     // the arithmetic contract, the spec sees the corruption catch)
+    // DoReMi end to end: both q89-style LM scorings (5% proxy / 25%
+    // reference slices), xxh64 batch split, per-cell integer excess
+    // means, then the Group-DRO fold replayed EXACTLY as a recursive CTE
+    // over a 20-slot BIGINT weight list (exp quantized to billionths,
+    // HUGEINT renormalization, 9/10 + uniform/10 smoothing), and the
+    // learned weights applied as the q120 epoch recipe at budget = T/2
+    "q135_doremi_mix" ->
+      s"""WITH RECURSIVE tok AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents
+         |), ptrain AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |  WHERE doc_id % 20 = 0 GROUP BY 1, 2
+         |), puni AS (
+         |  SELECT w1, sum(c12) AS c1 FROM ptrain GROUP BY 1
+         |), pv AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS v FROM puni
+         |), rtrain AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |  WHERE doc_id % 4 = 0 GROUP BY 1, 2
+         |), runi AS (
+         |  SELECT w1, sum(c12) AS c1 FROM rtrain GROUP BY 1
+         |), rv AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS v FROM runi
+         |), pairs AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |), pagg AS MATERIALIZED (
+         |  SELECT p.doc_id,
+         |    floor((-sum(ln((coalesce(b.c12, 0) + 1.0) / (coalesce(u.c1, 0) + pv.v)))
+         |      / count(*)) * 10000.0 + 0.5) AS p4
+         |  FROM pairs p
+         |  LEFT JOIN ptrain b ON p.w1 = b.w1 AND p.w2 = b.w2
+         |  LEFT JOIN puni u ON p.w1 = u.w1
+         |  CROSS JOIN pv GROUP BY p.doc_id
+         |), ragg AS MATERIALIZED (
+         |  SELECT p.doc_id,
+         |    floor((-sum(ln((coalesce(b.c12, 0) + 1.0) / (coalesce(u.c1, 0) + rv.v)))
+         |      / count(*)) * 10000.0 + 0.5) AS r4
+         |  FROM pairs p
+         |  LEFT JOIN rtrain b ON p.w1 = b.w1 AND p.w2 = b.w2
+         |  LEFT JOIN runi u ON p.w1 = u.w1
+         |  CROSS JOIN rv GROUP BY p.doc_id
+         |), ${DuckDbXxHash64.xxh64Cte("documents", "CAST(doc_id AS VARCHAR)",
+           Seq("doc_id"), "dmb")},
+         |bat AS MATERIALIZED (
+         |  SELECT doc_id, ((xxh % 8) + 8) % 8 AS t FROM dmb9
+         |), exq AS (
+         |  SELECT d.source, b.t,
+         |    greatest(CAST(p.p4 AS BIGINT) - CAST(r.r4 AS BIGINT), 0) AS eq
+         |  FROM pagg p JOIN ragg r USING (doc_id)
+         |  JOIN documents d USING (doc_id) JOIN bat b USING (doc_id)
+         |), cells AS MATERIALIZED (
+         |  SELECT source, t, count(*) AS n, CAST(sum(eq) AS BIGINT) AS sq
+         |  FROM exq GROUP BY 1, 2
+         |), dj AS (
+         |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS j
+         |  FROM (SELECT DISTINCT source FROM cells)
+         |), grid AS MATERIALIZED (
+         |  SELECT b.t, list(CASE WHEN c.n IS NULL THEN 0
+         |    ELSE least(c.sq // c.n, 20000) END ORDER BY d.j) AS xs
+         |  FROM (SELECT unnest(range(0, 8)) AS t) b
+         |  CROSS JOIN dj d
+         |  LEFT JOIN cells c ON c.source = d.source AND c.t = b.t
+         |  GROUP BY b.t
+         |), fold(t, ws) AS (
+         |  SELECT CAST(0 AS BIGINT), list_transform(range(1, 21), j -> CAST(50000000 AS BIGINT))
+         |  UNION ALL
+         |  SELECT q.t + 1,
+         |    list_transform(q.ps, p -> CAST(
+         |      ((CAST(p AS HUGEINT) * 1000000000 // q.s) * 9 + 50000000) // 10 AS BIGINT))
+         |  FROM (
+         |    SELECT t, ps AS ps, CAST(list_sum(ps) AS HUGEINT) AS s
+         |    FROM (
+         |      SELECT f.t,
+         |        list_transform(range(1, 21), j -> f.ws[CAST(j AS INTEGER)] *
+         |          CAST(floor(exp(0.5 * g.xs[CAST(j AS INTEGER)] / 10000.0)
+         |            * 1000000000.0 + 0.5) AS BIGINT)) AS ps
+         |      FROM fold f JOIN grid g ON g.t = f.t WHERE f.t < 8
+         |    )
+         |  ) q
+         |), wfin AS (
+         |  SELECT unnest(ws) AS w9, unnest(range(1, 21)) AS j FROM fold WHERE t = 8
+         |), wsum AS (
+         |  SELECT CAST(list_sum(ws) AS BIGINT) AS s FROM fold WHERE t = 8
+         |), totb AS (
+         |  SELECT CAST(sum(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |    x -> len(x) > 0)), 0)) // 2 AS BIGINT) AS b
+         |  FROM documents
+         |), wdom AS (
+         |  SELECT d.source, w.w9,
+         |    CAST(t.b * w.w9 // s.s AS BIGINT) AS budget
+         |  FROM dj d JOIN wfin w ON w.j = d.j, totb t, wsum s
+         |), ntok AS (
+         |  SELECT doc_id, source,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |), natt AS (
+         |  SELECT source, count(*) AS nat_docs, CAST(sum(n_tokens) AS BIGINT) AS nat_tokens
+         |  FROM ntok GROUP BY source HAVING sum(n_tokens) > 0
+         |), al AS (
+         |  SELECT n.source, w.w9, n.nat_docs, n.nat_tokens, w.budget
+         |  FROM natt n JOIN wdom w USING (source)
+         |), ful AS (
+         |  SELECT source, w9, CAST(u.e AS BIGINT) AS epoch,
+         |    nat_docs AS n_docs, nat_tokens AS epoch_tokens
+         |  FROM al, unnest(range(0, CAST(budget // nat_tokens AS BIGINT))) AS u(e)
+         |), rem AS (
+         |  SELECT source, w9,
+         |    CAST(budget // nat_tokens AS BIGINT) AS full_e,
+         |    CAST(budget % nat_tokens AS BIGINT) AS rem_budget
+         |  FROM al WHERE budget % nat_tokens > 0
+         |), pc AS (
+         |  SELECT n.doc_id, n.source, n.n_tokens,
+         |    CAST(coalesce(sum(n.n_tokens) OVER (PARTITION BY n.source
+         |      ORDER BY n.h, n.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM ntok n JOIN rem r USING (source)
+         |), par AS (
+         |  SELECT p.source, r.w9, r.full_e AS epoch,
+         |    count(*) AS n_docs, CAST(sum(p.n_tokens) AS BIGINT) AS epoch_tokens
+         |  FROM pc p JOIN rem r USING (source)
+         |  WHERE p.cum_before < r.rem_budget
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT source, w9 AS weight9, epoch, CAST(n_docs AS BIGINT) AS n_docs,
+         |  epoch_tokens FROM ful
+         |UNION ALL
+         |SELECT source, w9 AS weight9, epoch, CAST(n_docs AS BIGINT) AS n_docs,
+         |  epoch_tokens FROM par""".stripMargin,
+
     // UniMax waterfilling + epoch application, fully restated: the capped
     // test is the multiplication form (cap·remaining <= budget − Σsmaller),
     // prefix-and via a running sum of violations; full epochs unnest from

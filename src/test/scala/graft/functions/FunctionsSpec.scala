@@ -174,6 +174,39 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0.6931, 0L)))
   }
 
+  test("doremiWeights: excess loss moves weight, smoothing floors it, Σ≈1e9") {
+    // 40 docs in two domains; "hard" excess 0.5 nats on every doc in every
+    // batch, "easy" excess 0 — proxy/ref scored frames synthesized directly
+    val ids = (0L until 40L)
+    val domains = ids.map(i => (i, if (i < 20) "hard" else "easy")).toDF("doc_id", "source")
+    val ref = ids.map(i => (i, 1.0)).toDF("doc_id", "log_ppl")
+    val proxy = ids.map(i => (i, if (i < 20) 1.5 else 1.0)).toDF("doc_id", "log_ppl")
+    val w = ImportanceSampling.doremiWeights(proxy, ref, domains, "doc_id", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w.keySet == Set("hard", "easy"))
+    assert(w("hard") > w("easy"), s"hard domain must gain weight: $w")
+    // exact replay of the integer fold from first principles: per-batch
+    // x = 5000 (the 0.5-nat excess on the round4 grid) where the batch
+    // holds a hard doc, 0 otherwise; batch = pmod(xxhash64(id), 8)
+    val batchOf = domains.select($"doc_id",
+      pmod(xxhash64($"doc_id".cast("string")), lit(8L)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hardBatches = ids.filter(_ < 20).map(batchOf).toSet
+    var st = Seq(BigInt(500000000L), BigInt(500000000L))
+    for (t <- 0L until 8L) {
+      val xs = Seq(if (hardBatches.contains(t)) 5000L else 0L, 0L)
+      val ps = st.zip(xs).map { case (wd, x) =>
+        wd * BigInt(math.floor(math.exp(0.5 * x / 10000.0) * 1e9 + 0.5).toLong) }
+      val s = ps.sum
+      st = ps.map(p => ((p * 1000000000L / s) * 9 + 500000000L) / 10)
+    }
+    assert(w("easy") == st(1).toLong && w("hard") == st.head.toLong,
+      s"fold mismatch: got $w, expected $st")
+    // smoothing keeps every domain above δ·uniform
+    assert(w.values.forall(_ >= 500000000L / 10))
+    assert(math.abs(w.values.sum - 1000000000L) < 100L)
+  }
+
   test("NgramLm KN: hand-computed interpolated Kneser-Ney over the same model table") {
     // train "a b a b a c": c12 = {(a,b)->2, (b,a)->2, (a,c)->1}
     //   uni: a (c1=3, n1p=2), b (c1=2, n1p=1)
