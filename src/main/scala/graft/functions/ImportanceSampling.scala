@@ -97,19 +97,37 @@ object ImportanceSampling {
       proxyScored: DataFrame, refScored: DataFrame, domains: DataFrame,
       idCol: String, domainCol: String, pplCol: String = "log_ppl",
       batches: Int = 8, eta: Double = 0.5, clipQ: Long = 20000L,
+      smoothNum: Long = 1L, smoothDen: Long = 10L): DataFrame =
+    doremiWeightsScored(
+      proxyScored.select(col(idCol).as("__sid"), col(pplCol).as("__sp"))
+        .join(refScored.select(col(idCol).as("__sid"), col(pplCol).as("__sr")),
+          Seq("__sid"))
+        .select(col("__sid").as(idCol), col("__sp").as("__p"), col("__sr").as("__r")),
+      domains, idCol, domainCol, "__p", "__r",
+      batches, eta, clipQ, smoothNum, smoothDen)
+
+  /** [[doremiWeights]] over a SINGLE frame carrying both losses — the
+    * fused-scoring path ([[NgramLm.scoreDocsDual]]: one bigram explode
+    * for both models instead of two full scoring chains).
+    */
+  def doremiWeightsScored(
+      scored: DataFrame, domains: DataFrame,
+      idCol: String, domainCol: String,
+      proxyCol: String, refCol: String,
+      batches: Int = 8, eta: Double = 0.5, clipQ: Long = 20000L,
       smoothNum: Long = 1L, smoothDen: Long = 10L): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
     require(eta > 0, s"eta must be positive, got $eta")
     require(smoothDen > smoothNum && smoothNum >= 0, "need 0 <= smoothNum < smoothDen")
-    val p = proxyScored.select(col(idCol).as("__id"), col(pplCol).as("__p"))
-    val r = refScored.select(col(idCol).as("__id"), col(pplCol).as("__r"))
+    val sc = scored.select(col(idCol).as("__id"),
+      col(proxyCol).as("__p"), col(refCol).as("__r"))
     val d = domains.select(col(idCol).as("__id"), col(domainCol).as("__dom"))
     // per-doc excess on the integer 1e-4 grid; scores are round4 values,
     // so floor(x*1e4+0.5) recovers the exact grid index in every engine
     val eq = greatest(
       (floor(col("__p") * 1e4 + 0.5) - floor(col("__r") * 1e4 + 0.5)).cast("long"),
       lit(0L))
-    val cells = p.join(r, Seq("__id")).join(d, Seq("__id"))
+    val cells = sc.join(d, Seq("__id"))
       .select(col("__dom"),
         pmod(xxhash64(col("__id").cast("string")), lit(batches.toLong)).as("__t"),
         eq.as("__eq"))

@@ -80,6 +80,41 @@ object NgramLm {
       .withColumn("kept", (col("log_ppl") <= threshold).cast("long"))
   }
 
+  /** Score under TWO models in ONE pass over the exploded bigrams — the
+    * DoReMi shape (proxy + reference losses for every document): one
+    * explode, four gram-keyed model joins, one per-doc aggregation,
+    * instead of two full [[scoreDocs]] chains. Both models use the same
+    * add-one arithmetic and round4 contract as [[scoreDocs]], so each
+    * output column is bit-identical to the corresponding single-model
+    * scoring. Returns (doc_id, n_bigrams, log_ppl_a, log_ppl_b).
+    */
+  def scoreDocsDual(
+      docs: DataFrame, idCol: String, textCol: String,
+      lmA: DataFrame, lmB: DataFrame): DataFrame = {
+    val uniA = lmA.groupBy(col("w1")).agg(sum(col("c12")).as("__c1a"))
+    val uniB = lmB.groupBy(col("w1")).agg(sum(col("c12")).as("__c1b"))
+    val vs = uniA.agg(count(lit(1)).cast("double").as("__va"))
+      .crossJoin(uniB.agg(count(lit(1)).cast("double").as("__vb")))
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), explode(bigrams(col(textCol))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    pairs
+      .join(lmA.withColumnRenamed("c12", "__c12a"), Seq("w1", "w2"), "left")
+      .join(lmB.withColumnRenamed("c12", "__c12b"), Seq("w1", "w2"), "left")
+      .join(uniA, Seq("w1"), "left")
+      .join(uniB, Seq("w1"), "left")
+      .crossJoin(broadcast(vs))
+      .select(col("doc_id"),
+        log((coalesce(col("__c12a"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__c1a"), lit(0L)) + col("__va"))).as("__lpa"),
+        log((coalesce(col("__c12b"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__c1b"), lit(0L)) + col("__vb"))).as("__lpb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        TextFunctions.round4(-sum(col("__lpa")) / count(lit(1))).as("log_ppl_a"),
+        TextFunctions.round4(-sum(col("__lpb")) / count(lit(1))).as("log_ppl_b"))
+  }
+
   /** Interpolated Kneser–Ney scoring (Kneser & Ney 1995, in Chen &
     * Goodman 1999's interpolated form) — the smoothing family KenLM uses,
     * and what CCNet's 5-gram gate actually runs; this is the bigram

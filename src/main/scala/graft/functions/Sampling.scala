@@ -192,6 +192,31 @@ object Sampling {
   def unimaxAllocation(docs: DataFrame, groupCol: String, textCol: String,
       totalBudget: Long, maxEpochs: Long): DataFrame = {
     require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    unimaxCore(docs, groupCol, textCol, lit(totalBudget), maxEpochs)
+  }
+
+  /** [[unimaxAllocation]] with the budget expressed as a FRACTION of the
+    * corpus's own token count (budget = num·T div den) — the budget rides
+    * the same language-table window stage as the waterfilling, so the
+    * corpus is scanned once, with no separate total aggregation and no
+    * driver-side scalar.
+    */
+  def unimaxAllocationFrac(docs: DataFrame, groupCol: String, textCol: String,
+      budgetNum: Long, budgetDen: Long, maxEpochs: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"need budgetNum >= 0 and budgetDen > 0, got $budgetNum/$budgetDen")
+    // T = Σ nat_tokens over the language table (langs with zero tokens
+    // are filtered but contribute nothing to T, so this equals the
+    // whole-corpus token count)
+    val whole = Window.partitionBy(lit(0))
+    unimaxCore(docs, groupCol, textCol,
+      expr(s"(${budgetNum}L * __T) div ${budgetDen}L"), maxEpochs,
+      withTotal = Some(sum(col("nat_tokens")).over(whole)))
+  }
+
+  private def unimaxCore(docs: DataFrame, groupCol: String, textCol: String,
+      budget: org.apache.spark.sql.Column, maxEpochs: Long,
+      withTotal: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     val whole = Window.partitionBy(lit(0))
     val ordW = Window.partitionBy(lit(0))
@@ -206,12 +231,14 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("nat_tokens"))
       .filter(col("nat_tokens") > 0L)
       .withColumn("cap_tokens", col("nat_tokens") * lit(maxEpochs))
+      .withColumn("__T", withTotal.getOrElse(lit(0L)))
+      .withColumn("__B", budget)
       .withColumn("__L", count(lit(1)).over(whole))
       .withColumn("__i", row_number().over(ordW).cast("long"))
       .withColumn("__cumprev", coalesce(sum(col("cap_tokens")).over(cumW), lit(0L)))
       .withColumn("__notok",
         when(col("cap_tokens") * (col("__L") - col("__i") + 1L) <=
-          lit(totalBudget) - col("__cumprev"), 0L).otherwise(1L))
+          col("__B") - col("__cumprev"), 0L).otherwise(1L))
       .withColumn("capped", sum(col("__notok")).over(runW) === 0L)
       .withColumn("__cappedSum",
         sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).over(whole))
@@ -219,7 +246,7 @@ object Sampling {
         sum(when(col("capped"), 0L).otherwise(1L)).over(whole))
       .withColumn("alloc_tokens",
         when(col("capped"), col("cap_tokens"))
-          .otherwise(expr(s"(${totalBudget}L - __cappedSum) div __u")))
+          .otherwise(expr("(__B - __cappedSum) div __u")))
       .select(col("__g").as(groupCol), col("n_docs"), col("nat_tokens"),
         col("cap_tokens"), col("capped"), col("alloc_tokens"))
   }

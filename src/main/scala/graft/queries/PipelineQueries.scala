@@ -1640,16 +1640,17 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val pPath = scratchDir("doremi").resolve("proxy").toString
       val rPath = scratchDir("doremi").resolve("ref").toString
+      // models land once (single-file: they are model-scale tables and the
+      // scoring plan reads each THREE times — counts, context totals, V)
       NgramLm.train(docs.filter(col("doc_id") % 20 === 0), "text")
-        .write.mode("overwrite").parquet(pPath)
+        .coalesce(1).write.mode("overwrite").parquet(pPath)
       NgramLm.train(docs.filter(col("doc_id") % 4 === 0), "text")
-        .write.mode("overwrite").parquet(rPath)
-      val pScored = NgramLm.scoreDocs(docs, "doc_id", "text",
-        s.read.parquet(pPath), threshold = 0.0)
-      val rScored = NgramLm.scoreDocs(docs, "doc_id", "text",
-        s.read.parquet(rPath), threshold = 0.0)
-      val wdf = graft.functions.ImportanceSampling.doremiWeights(
-        pScored, rScored, docs, "doc_id", "source")
+        .coalesce(1).write.mode("overwrite").parquet(rPath)
+      // fused dual scoring: ONE bigram explode feeds both models
+      val scored = NgramLm.scoreDocsDual(docs, "doc_id", "text",
+        s.read.parquet(pPath), s.read.parquet(rPath))
+      val wdf = graft.functions.ImportanceSampling.doremiWeightsScored(
+        scored, docs, "doc_id", "source", "log_ppl_a", "log_ppl_b")
       val weights = wdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val total = docs.agg(sum(coalesce(
           TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)))).head.getLong(0)
@@ -1675,11 +1676,10 @@ object PipelineQueries {
     // multiplies instead of dividing, so there is no rounding contract.
     "q133_unimax_mix" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val total = docs.agg(sum(coalesce(
-          TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)))).head.getLong(0)
-      val budget = 3L * total / 2L
-      val alloc = graft.functions.Sampling.unimaxAllocation(
-        docs, "lang", "text", budget, maxEpochs = 2L)
+      // budget = 3T/2 computed INSIDE the language-table window stage —
+      // no separate whole-corpus aggregation, no driver-side scalar
+      val alloc = graft.functions.Sampling.unimaxAllocationFrac(
+        docs, "lang", "text", budgetNum = 3L, budgetDen = 2L, maxEpochs = 2L)
       // model-scale collect: one row per language (the mixRecipe pattern)
       val budgets = alloc.select(col("lang"), col("alloc_tokens")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
