@@ -438,6 +438,64 @@ object ScaleSweep {
           docs, "doc_id", "text", buckets = 8,
           budgetTokens = 4000L * scale, exportRoot = root).count()
       }
+
+      // 26. Kneser–Ney scoring against the same landed model as cell 6:
+      //     one extra gram-keyed join (continuation counts by w2) over the
+      //     add-one path — shuffle must track bigram volume with the same
+      //     slope, never the model size (the (T,V) attach is a 1-row
+      //     broadcast)
+      measure("kn_score", scale) {
+        runAll(graft.functions.NgramLm.scoreDocsKN(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lmLanded, 3.45))
+      }
+
+      // 27. DoReMi excess pass (q135's data-scale part): ONE bigram
+      //     explode feeding both proxy and reference models (fused dual
+      //     scoring), then the (domain, batch) excess aggregation — a
+      //     D×B-cell partial agg. Shuffle tracks bigram volume; the
+      //     weight fold itself is driver-side over D×B integers and is
+      //     excluded, like every trained-model build in this sweep
+      val dlmDir = Files.createTempDirectory(s"graft_scale_doremi_$scale").toString
+      graft.functions.NgramLm.train(docs.filter(col("doc_id") % 20 === 0), "text")
+        .coalesce(1).write.mode("overwrite").parquet(dlmDir + "/p")
+      graft.functions.NgramLm.train(docs.filter(col("doc_id") % 4 === 0), "text")
+        .coalesce(1).write.mode("overwrite").parquet(dlmDir + "/r")
+      measure("doremi_excess", scale) {
+        val scored = graft.functions.NgramLm.scoreDocsDual(
+          docs, "doc_id", "text",
+          spark.read.parquet(dlmDir + "/p"), spark.read.parquet(dlmDir + "/r"))
+        val eqc = greatest(
+          (floor(col("log_ppl_a") * 1e4 + 0.5) - floor(col("log_ppl_b") * 1e4 + 0.5))
+            .cast("long"), lit(0L))
+        runAll(scored.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"),
+            pmod(xxhash64(col("doc_id").cast("string")), lit(8L)).as("t"),
+            eqc.as("eq"))
+          .groupBy(col("source"), col("t"))
+          .agg(count(lit(1)).as("n"), sum(col("eq")).as("sq")))
+      }
+
+      // 28. UniMax waterfilling: one map-side-combined language census
+      //     (partials bounded by partitions × langs) + single-partition
+      //     windows over the LANGUAGE table — shuffle must stay flat
+      //     (model-scale) while input grows 10×
+      measure("unimax_alloc", scale) {
+        runAll(graft.functions.Sampling.unimaxAllocationFrac(
+          docs, "lang", "text", budgetNum = 3L, budgetDen = 2L, maxEpochs = 2L))
+      }
+
+      // 29. Delta-import read path: _delta_log replay is driver metadata
+      //     (bounded by file count), the data path is ONE parquet scan of
+      //     the active files — zero shuffle at every scale, input tracking
+      //     the exported bytes. Export (once-per-snapshot) is excluded.
+      val dexpDir = Files.createTempDirectory(s"graft_scale_delta_$scale").toString
+      val dtab = dexpDir + "/t"
+      graft.storage.VersionedTable.append(dtab)(d =>
+        docs.select(col("doc_id"), col("lang"), col("text")).write.parquet(d))
+      graft.storage.DeltaInterop.exportSnapshot(spark, dtab, dexpDir + "/delta")
+      measure("delta_import", scale) {
+        runAll(graft.storage.DeltaInterop.importSnapshot(spark, dexpDir + "/delta"))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
