@@ -288,6 +288,44 @@ object Sampling {
       .select(col(idCol), col("__dom").as("domain"), col("quota"))
   }
 
+  /** Length-bucketed batch packing — the `group_by_length` trick of every
+    * large-scale trainer (fairseq/HF): batches pad every sequence to the
+    * batch maximum, so batching SIMILAR lengths together is pure saved
+    * FLOPs. Sequences are truncated at `maxLen`, binned by
+    * `n_tokens div binWidth`, ordered inside each bin by the reproducible
+    * `(md5(id), id)` permutation, and cut into batches of `batchSize`;
+    * per batch the exact padding arithmetic comes out as
+    * `padded_tokens = n_seqs · max_len` vs `sum_tokens` — all integers.
+    * A degenerate single bin (`binWidth > maxLen`) is the random-batching
+    * baseline, so the padding saved is directly measurable.
+    *
+    * Scale shape: one tokenCount scan, then a distributed sort keyed by
+    * (bin, md5(id)) — the one total order batch cutting inherently needs;
+    * Spark range-partitions it, no task holds more than its partition and
+    * nothing reaches the driver. The bin bounds the per-sequence padding
+    * at binWidth−1 tokens by construction.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+      binWidth: Long, batchSize: Int, maxLen: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val n = least(
+      coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L)),
+      lit(maxLen))
+    val w = Window.partitionBy(col("bin"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    df.select(col(idCol).as("__id"), n.as("n_tokens"))
+      .withColumn("bin", expr(s"n_tokens div ${binWidth}L"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("batch_seq", expr(s"(__rk - 1) div $batchSize").cast("long"))
+      .groupBy(col("bin"), col("batch_seq"))
+      .agg(count(lit(1)).as("n_seqs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_seqs") * col("max_len"))
+  }
+
   /** Deterministic negative sampling for contrastive pairs: for each
     * anchor, the k corpus docs from a DIFFERENT domain ranked first by
     * `md5(anchor:candidate)` — a fresh pseudo-random permutation PER

@@ -1628,6 +1628,24 @@ object PipelineQueries {
           col("n_docs"), col("shard_tokens"), col("checksum"))
     }),
 
+    // length-bucketed batch packing (the group_by_length trainer trick):
+    // bucketed batches (bin width 16) vs the single-bin random baseline,
+    // per batch the exact integer padding arithmetic (n·max vs Σ) — the
+    // padding saved by length grouping is directly measurable from the
+    // two arms. Truncation at 256 tokens, batches of 32, md5-order cuts.
+    "q136_length_batches" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grouped = graft.functions.Sampling.lengthBucketBatches(
+          docs, "doc_id", "text", binWidth = 16L, batchSize = 32, maxLen = 256L)
+        .withColumn("arm", lit("bucketed"))
+      val baseline = graft.functions.Sampling.lengthBucketBatches(
+          docs, "doc_id", "text", binWidth = 257L, batchSize = 32, maxLen = 256L)
+        .withColumn("arm", lit("random"))
+      grouped.unionByName(baseline)
+        .select(col("arm"), col("bin"), col("batch_seq"), col("n_seqs"),
+          col("max_len"), col("sum_tokens"), col("padded_tokens"))
+    }),
+
     // DoReMi domain reweighting (Xie et al. 2023): Group-DRO
     // multiplicative weights over per-domain excess loss — proxy vs
     // reference bigram LMs of different training capacity (5% vs 25%
@@ -4012,6 +4030,30 @@ object PipelineQueries {
     // same pure-function packing q118 oracles — identical CTE chain; the
     // write/verify side effects have no oracle analogue (DuckDB sees only
     // the arithmetic contract, the spec sees the corruption catch)
+    // both arms restated with one parameterized CTE pair: truncated token
+    // counts, bin = n div width, md5-order rank per bin, batch cut at 32
+    "q136_length_batches" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    least(CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT), 256) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |), arm_b AS (
+         |  SELECT 'bucketed' AS arm, n_tokens // 16 AS bin, n_tokens, h, doc_id FROM tk
+         |), arm_r AS (
+         |  SELECT 'random' AS arm, n_tokens // 257 AS bin, n_tokens, h, doc_id FROM tk
+         |), u AS (
+         |  SELECT *, CAST((row_number() OVER (PARTITION BY arm, bin
+         |    ORDER BY h, doc_id) - 1) // 32 AS BIGINT) AS batch_seq
+         |  FROM (SELECT * FROM arm_b UNION ALL SELECT * FROM arm_r)
+         |)
+         |SELECT arm, bin, batch_seq, count(*) AS n_seqs,
+         |  max(n_tokens) AS max_len,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  count(*) * max(n_tokens) AS padded_tokens
+         |FROM u GROUP BY 1, 2, 3""".stripMargin,
+
     // DoReMi end to end: both q89-style LM scorings (5% proxy / 25%
     // reference slices), xxh64 batch split, per-cell integer excess
     // means, then the Group-DRO fold replayed EXACTLY as a recursive CTE

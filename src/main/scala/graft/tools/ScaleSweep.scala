@@ -494,7 +494,10 @@ object ScaleSweep {
         docs.select(col("doc_id"), col("lang"), col("text")).write.parquet(d))
       graft.storage.DeltaInterop.exportSnapshot(spark, dtab, dexpDir + "/delta")
       measure("delta_import", scale) {
-        runAll(graft.storage.DeltaInterop.importSnapshot(spark, dexpDir + "/delta"))
+        // aggregate a payload column so the scan reads data pages, not
+        // just footers — a bare count() would column-prune to metadata
+        runAll(graft.storage.DeltaInterop.importSnapshot(spark, dexpDir + "/delta")
+          .select(sum(length(col("text"))).as("chars")))
       }
     }
 

@@ -174,6 +174,39 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0.6931, 0L)))
   }
 
+  test("lengthBucketBatches: bin bounds padding, truncation caps, batches cover") {
+    // lengths 2,2,2,2 (bin 0 at width 4), 5,6,7 (bin 1), 9->trunc 8 (bin 2)
+    val docs = Seq(
+      (1L, "w w"), (2L, "w w"), (3L, "w w"), (4L, "w w"),
+      (5L, Seq.fill(5)("w").mkString(" ")),
+      (6L, Seq.fill(6)("w").mkString(" ")),
+      (7L, Seq.fill(7)("w").mkString(" ")),
+      (8L, Seq.fill(9)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = Sampling.lengthBucketBatches(docs, "doc_id", "text",
+      binWidth = 4L, batchSize = 2, maxLen = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // coverage: every doc lands in exactly one batch
+    assert(out.map(_._3).sum == 8L, s"n_seqs must cover the corpus: ${out.toSeq}")
+    // batch size respected
+    assert(out.forall(_._3 <= 2L))
+    // truncation: no max_len above maxLen; the 9-token doc is capped at 8
+    assert(out.forall(_._4 <= 8L))
+    assert(out.filter(_._1 == 2L).map(_._4).max == 8L)
+    // the bin-0 batches are padding-free (all length 2): padded == sum
+    out.filter(_._1 == 0L).foreach { b => assert(b._6 == b._5, b.toString) }
+    // padding bound: padded - sum < n_seqs * binWidth (each seq pads < width)
+    out.foreach { b => assert(b._6 - b._5 < b._3 * 4L, b.toString) }
+    // degenerate single bin = the random baseline, same coverage
+    val rand = Sampling.lengthBucketBatches(docs, "doc_id", "text",
+      binWidth = 9L, batchSize = 2, maxLen = 8L).collect()
+    assert(rand.map(_.getLong(2)).sum == 8L)
+    // grouped arm never pads more than the random arm in total
+    val padB = out.map(b => b._6 - b._5).sum
+    val padR = rand.map(r => r.getLong(5) - r.getLong(4)).sum
+    assert(padB <= padR, s"bucketing must not pad more: $padB vs $padR")
+  }
+
   test("doremiWeights: excess loss moves weight, smoothing floors it, Σ≈1e9") {
     // 40 docs in two domains; "hard" excess 0.5 nats on every doc in every
     // batch, "easy" excess 0 — proxy/ref scored frames synthesized directly
