@@ -72,6 +72,16 @@ def canon(rows, cols, types):
     return sorted(cols), [norm_type(types[i]) for i in order], out
 
 fails = 0
+# Queries that ERRORED inside Verify write no output dir at all, which
+# silently looked like "nothing to compare" (bit a broken q136 once):
+# surface them from the manifest Verify always writes.
+mpath = os.path.join(out_dir, "verify_manifest.json")
+if os.path.exists(mpath):
+    manifest = json.load(open(mpath))
+    for q, err in sorted(manifest.get("failures", {}).items()):
+        print(f"{q}: VERIFY ERROR {str(err)[:200]}")
+        fails += 1
+
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d): continue
