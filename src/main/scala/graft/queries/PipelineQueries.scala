@@ -1628,6 +1628,18 @@ object PipelineQueries {
           col("n_docs"), col("shard_tokens"), col("checksum"))
     }),
 
+    // unigram-LM subword tokenizer (Kudo 2018, the SentencePiece model) —
+    // the tokenizer plane's second member next to q70's BPE: vocabulary =
+    // top-32 substrings by frequency + all single chars, piece cost =
+    // quantized -ln(count/total) (integer millinats), inference = exact
+    // Viterbi (min (cost, n_pieces)) per word, scan-side with the cost
+    // table as an expression literal. Per-doc segmentation census.
+    "q137_unigram_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.functions.UnigramLm.train(docs, col("text"), vocabSize = 32)
+      graft.functions.UnigramLm.segmentStats(docs, "doc_id", col("text"), vocab)
+    }),
+
     // length-bucketed batch packing (the group_by_length trainer trick):
     // bucketed batches (bin width 16) vs the single-bin random baseline,
     // per batch the exact integer padding arithmetic (n·max vs Σ) — the
@@ -4030,6 +4042,75 @@ object PipelineQueries {
     // same pure-function packing q118 oracles — identical CTE chain; the
     // write/verify side effects have no oracle analogue (DuckDB sees only
     // the arithmetic contract, the spec sees the corruption catch)
+    // the full unigram chain restated: substring counts → top-32 + single
+    // chars → millinat costs → per-word Viterbi as a list_reduce fold
+    // (dp list accumulator; candidates packed l·2^40 + cost·64 + 1 so the
+    // numeric min IS the lexicographic (cost, n_pieces) min) → per-doc
+    // census via the word-instance join
+    "q137_unigram_tokenize" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, substring(w, 1, 16) AS w
+         |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS w FROM documents)
+         |), cnt AS (
+         |  SELECT piece, count(*) AS cnt FROM (
+         |    SELECT substring(w, CAST(j AS INTEGER), CAST(l AS INTEGER)) AS piece
+         |    FROM wd,
+         |      unnest(range(1, len(w) + 1)) AS a(j),
+         |      unnest(range(1, least(4, len(w) - j + 1) + 1)) AS b(l))
+         |  GROUP BY 1
+         |), multi AS (
+         |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+         |  FROM cnt WHERE len(piece) > 1
+         |), kept AS (
+         |  SELECT piece, cnt FROM cnt WHERE len(piece) = 1
+         |  UNION ALL SELECT piece, cnt FROM multi WHERE rk <= 32
+         |), voc AS (
+         |  SELECT piece,
+         |    CAST(floor(-ln(CAST(cnt AS DOUBLE) /
+         |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM kept)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS cost
+         |  FROM kept
+         |), dwords AS (
+         |  SELECT DISTINCT w FROM wd
+         |), cands AS (
+         |  SELECT d.w, CAST(a.i AS BIGINT) AS i, CAST(b.l AS BIGINT) AS l,
+         |    coalesce(v.cost, CASE WHEN b.l = 1 THEN 25000000 END) AS c
+         |  FROM dwords d
+         |  CROSS JOIN unnest(range(1, len(d.w) + 1)) AS a(i)
+         |  CROSS JOIN unnest(range(1, 5)) AS b(l)
+         |  LEFT JOIN voc v ON b.l <= a.i
+         |    AND v.piece = substring(d.w, CAST(a.i - b.l + 1 AS INTEGER), CAST(b.l AS INTEGER))
+         |  WHERE b.l <= a.i
+         |), steps AS (
+         |  SELECT w, list(stl ORDER BY i) AS steps FROM (
+         |    SELECT w, i, list(l * 1099511627776 + c * 64 + 1) AS stl
+         |    FROM cands WHERE c IS NOT NULL GROUP BY w, i)
+         |  GROUP BY w
+         |), dp AS (
+         |  SELECT w,
+         |    list_reduce(
+         |      list_prepend([CAST(0 AS BIGINT)], steps),
+         |      (acc, st) -> list_append(acc,
+         |        list_min(list_transform(st, e ->
+         |          acc[len(acc) - CAST(e // 1099511627776 AS INTEGER) + 1]
+         |            + e % 1099511627776)))) AS d
+         |  FROM steps
+         |), wstats AS (
+         |  SELECT w, d[len(d)] // 64 AS wcost, d[len(d)] % 64 AS wnp FROM dp
+         |), agg AS (
+         |  SELECT wd.doc_id, count(*) AS n_words,
+         |    CAST(sum(ws.wnp) AS BIGINT) AS n_pieces,
+         |    CAST(sum(ws.wcost) AS BIGINT) AS total_cost
+         |  FROM wd JOIN wstats ws USING (w)
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_words, 0) AS n_words,
+         |  coalesce(a.n_pieces, 0) AS n_pieces,
+         |  coalesce(a.total_cost, 0) AS total_cost
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // both arms restated with one parameterized CTE pair: truncated token
     // counts, bin = n div width, md5-order rank per bin, batch cut at 32
     "q136_length_batches" ->

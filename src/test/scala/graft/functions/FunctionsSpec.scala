@@ -174,6 +174,32 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0.6931, 0L)))
   }
 
+  test("UnigramLm: hand-computed vocab costs and Viterbi segmentation") {
+    // corpus "abab ab cd": counts a=3 b=3 ab=3 c=d=cd=aba=abab=ba=bab=1
+    // vocabSize=2 multi -> {ab(3), aba(1)} + singles {a,b,c,d}; total=12
+    // cost = floor(-ln(cnt/12)*1e6+0.5): 3/12 -> 1386294, 1/12 -> 2484907
+    val docs = Seq((1L, "abab ab cd")).toDF("doc_id", "text")
+    val vocab = UnigramLm.train(docs, $"text", vocabSize = 2)
+    val vm = vocab.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vm == Map(
+      "a" -> ((3L, 1386294L)), "b" -> ((3L, 1386294L)),
+      "c" -> ((1L, 2484907L)), "d" -> ((1L, 2484907L)),
+      "ab" -> ((3L, 1386294L)), "aba" -> ((1L, 2484907L))), vm.toString)
+    // Viterbi: "abab" = ab|ab (2772588, 2 pieces) beats aba|b (3871201);
+    // "ab" = 1 piece; "cd" = c|d (cd not in the kept multi set)
+    val st = UnigramLm.segmentStats(docs, "doc_id", $"text", vocab).collect().head
+    assert(st.getLong(1) == 3L, "n_words")
+    assert(st.getLong(2) == 5L, s"n_pieces: $st")
+    assert(st.getLong(3) == 2772588L + 1386294L + 4969814L, s"total_cost: $st")
+    // OOV floor: unseen single chars cost UnkCost each, never crash
+    val oov = UnigramLm.segmentStats(
+      Seq((2L, "xz"), (3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", $"text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(oov(2L) == ((1L, 2L, 2L * UnigramLm.UnkCost)))
+    assert(oov(3L) == ((0L, 0L, 0L)), "NULL text segments as an empty doc")
+  }
+
   test("lengthBucketBatches: bin bounds padding, truncation caps, batches cover") {
     // lengths 2,2,2,2 (bin 0 at width 4), 5,6,7 (bin 1), 9->trunc 8 (bin 2)
     val docs = Seq(

@@ -44,8 +44,10 @@ class PlanAuditSpec extends SparkSpec {
                          // the q25 shape; group-limit bounds the fan-out
     "q129_bitext_margin", // both kNN directions are q25's broadcast
                          // brute-force shape (crossJoin(broadcast))
-    "q134_kn_perplexity") // q89's 1-row broadcast attach, here the (T,V)
+    "q134_kn_perplexity", // q89's 1-row broadcast attach, here the (T,V)
                          // type-count frame — O(n * 1)
+    "q135_doremi_mix")   // the same 1-row attach in the fused dual
+                         // scorer: the (va, vb) vocab-size frame
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
