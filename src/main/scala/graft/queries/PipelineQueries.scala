@@ -1628,6 +1628,40 @@ object PipelineQueries {
           col("n_docs"), col("shard_tokens"), col("checksum"))
     }),
 
+    // annealed quality curriculum (the "high-quality data last" recipe of
+    // Llama-3/MiniCPM-style schedules): perplexity terciles over the
+    // scored half-corpus (q89's LM + q117's cell cut, constant group),
+    // then TWO md5-order budget draws — a 30%-of-tokens MAIN phase over
+    // everything, and a 10% ANNEAL phase drawn ONLY from the head
+    // tercile. Census per (phase, bucket): the anneal arm must be 100%
+    // head by construction, and the main arm shows the natural mix.
+    "q138_anneal_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lmPath = scratchDir("anneal_lm").resolve("lm").toString
+      NgramLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
+        .coalesce(1).write.mode("overwrite").parquet(lmPath)
+      val scored = NgramLm.scoreDocs(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", s.read.parquet(lmPath), threshold = 3.43)
+      val buckets = NgramLm.pplBuckets(
+          scored.withColumn("g", lit("all")), "g", "log_ppl")
+        .select(col("doc_id"), col("bucket"))
+      val corpus = docs.join(buckets, Seq("doc_id"))
+      val total = corpus.agg(sum(coalesce(
+        TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)))).head.getLong(0)
+      def draw(src: DataFrame, budget: Long): DataFrame =
+        graft.functions.Sampling.tokenBudgetSample(
+          src.withColumn("g", lit("all")), "doc_id", "text", "g",
+          Map("all" -> budget))
+      val main = draw(corpus, 3L * total / 10L)
+        .join(buckets, Seq("doc_id")).withColumn("phase", lit("main"))
+      val anneal = draw(corpus.filter(col("bucket") === "head"), total / 10L)
+        .join(buckets, Seq("doc_id")).withColumn("phase", lit("anneal"))
+      main.unionByName(anneal)
+        .groupBy(col("phase"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"))
+    }),
+
     // unigram-LM subword tokenizer (Kudo 2018, the SentencePiece model) —
     // the tokenizer plane's second member next to q70's BPE: vocabulary =
     // top-32 substrings by frequency + all single chars, piece cost =
@@ -4042,6 +4076,74 @@ object PipelineQueries {
     // same pure-function packing q118 oracles — identical CTE chain; the
     // write/verify side effects have no oracle analogue (DuckDB sees only
     // the arithmetic contract, the spec sees the corruption catch)
+    // q89's scoring chain → q117's tercile cell cut (single group) → two
+    // md5-order greedy-prefix draws with budgets 3T/10 (all buckets) and
+    // T/10 (head only), censused per (phase, bucket)
+    "q138_anneal_mix" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents
+         |), train_bi AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |  WHERE doc_id % 2 = 0 GROUP BY 1, 2
+         |), uni AS (
+         |  SELECT w1, sum(c12) AS c1 FROM train_bi GROUP BY 1
+         |), v AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+         |), pairs AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |  WHERE doc_id % 2 = 1
+         |), pagg AS MATERIALIZED (
+         |  SELECT p.doc_id,
+         |    floor((-sum(ln((coalesce(b.c12, 0) + 1.0) / (coalesce(u.c1, 0) + v.v)))
+         |      / count(*)) * 10000.0 + 0.5) / 10000.0 AS lp
+         |  FROM pairs p
+         |  LEFT JOIN train_bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+         |  LEFT JOIN uni u ON p.w1 = u.w1
+         |  CROSS JOIN v GROUP BY p.doc_id
+         |), cellcum AS (
+         |  SELECT lp, c,
+         |    coalesce(sum(c) OVER (ORDER BY lp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    sum(c) OVER () AS n
+         |  FROM (SELECT lp, count(*) AS c FROM pagg GROUP BY 1)
+         |), bk AS (
+         |  SELECT lp, CASE WHEN cum * 3 < n THEN 'head'
+         |                  WHEN cum * 3 < 2 * n THEN 'middle'
+         |                  ELSE 'tail' END AS bucket
+         |  FROM cellcum
+         |), corp AS (
+         |  SELECT p.doc_id, b.bucket,
+         |    CAST(coalesce(len(list_filter(string_split_regex(d.text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens,
+         |    md5(CAST(p.doc_id AS VARCHAR)) AS h
+         |  FROM pagg p JOIN bk b USING (lp) JOIN documents d USING (doc_id)
+         |), tt AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM corp
+         |), mains AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM corp
+         |), ann AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM corp WHERE bucket = 'head'
+         |), keepu AS (
+         |  SELECT 'main' AS phase, bucket, n_tokens FROM mains, tt
+         |  WHERE cb < 3 * t // 10
+         |  UNION ALL
+         |  SELECT 'anneal' AS phase, bucket, n_tokens FROM ann, tt
+         |  WHERE cb < t // 10
+         |)
+         |SELECT phase, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+         |FROM keepu GROUP BY 1, 2""".stripMargin,
+
     // the full unigram chain restated: substring counts → top-32 + single
     // chars → millinat costs → per-word Viterbi as a list_reduce fold
     // (dp list accumulator; candidates packed l·2^40 + cost·64 + 1 so the
