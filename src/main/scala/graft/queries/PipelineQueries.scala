@@ -1640,12 +1640,18 @@ object PipelineQueries {
       val lmPath = scratchDir("anneal_lm").resolve("lm").toString
       NgramLm.train(docs.filter(col("doc_id") % 2 === 0), "text")
         .coalesce(1).write.mode("overwrite").parquet(lmPath)
+      // the scoring chain feeds SIX downstream branches (two pplBuckets
+      // arms, the corpus join, the total, two draws x two scans) —
+      // materialize the per-doc scores ONCE instead of re-running the LM
+      // join chain per branch
       val scored = NgramLm.scoreDocs(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", s.read.parquet(lmPath), threshold = 3.43)
+        .localCheckpoint(true)
       val buckets = NgramLm.pplBuckets(
           scored.withColumn("g", lit("all")), "g", "log_ppl")
         .select(col("doc_id"), col("bucket"))
-      val corpus = docs.join(buckets, Seq("doc_id"))
+      val corpus = docs.join(buckets, Seq("doc_id")).localCheckpoint(true)
+      val bk = corpus.select(col("doc_id"), col("bucket"))
       val total = corpus.agg(sum(coalesce(
         TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)))).head.getLong(0)
       def draw(src: DataFrame, budget: Long): DataFrame =
@@ -1653,9 +1659,9 @@ object PipelineQueries {
           src.withColumn("g", lit("all")), "doc_id", "text", "g",
           Map("all" -> budget))
       val main = draw(corpus, 3L * total / 10L)
-        .join(buckets, Seq("doc_id")).withColumn("phase", lit("main"))
+        .join(bk, Seq("doc_id")).withColumn("phase", lit("main"))
       val anneal = draw(corpus.filter(col("bucket") === "head"), total / 10L)
-        .join(buckets, Seq("doc_id")).withColumn("phase", lit("anneal"))
+        .join(bk, Seq("doc_id")).withColumn("phase", lit("anneal"))
       main.unionByName(anneal)
         .groupBy(col("phase"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
