@@ -212,6 +212,60 @@ class DeltaInteropSpec extends SparkSpec {
     DeltaInterop.importSnapshot(spark, out, verifySizes = false)
   }
 
+  test("importSnapshot randomized log replay: served set equals a reference fold") {
+    val rnd = new scala.util.Random(42)
+    def onePart(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Unit = {
+      val t = tmp("delta_fz_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = Files.list(Paths.get(t)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.copy(part, dst)
+    }
+    for (scenario <- 0 until 5) {
+      val out = tmp(s"delta_fuzz_${scenario}_")
+      val nFiles = 2 + rnd.nextInt(4)
+      val fileRows = (0 until nFiles).map { f =>
+        f -> (0 until (1 + rnd.nextInt(3))).map(r => (scenario * 1000L + f * 10L + r, s"v$f-$r"))
+      }.toMap
+      fileRows.foreach { case (f, rows) =>
+        onePart(rows.toDF("id", "v"), Paths.get(out, s"f$f.parquet")) }
+      val schemaJson = Seq((1L, "x")).toDF("id", "v").schema.json.replace("\"", "\\\"")
+      // random action script over 1-3 commits: adds in commit order,
+      // removes may retire earlier adds; reference fold = add/remove
+      // last-wins per path
+      val active = scala.collection.mutable.LinkedHashSet.empty[Int]
+      val logDir = Paths.get(out, "_delta_log"); Files.createDirectories(logDir)
+      val nCommits = 1 + rnd.nextInt(3)
+      var pending = (0 until nFiles).toList
+      for (c <- 0 until nCommits) {
+        val sb = new StringBuilder
+        if (c == 0) {
+          sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+          sb.append(s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""").append('\n')
+        }
+        // add some pending files
+        val toAdd = pending.take(1 + rnd.nextInt(math.max(1, pending.size)))
+        pending = pending.drop(toAdd.size)
+        toAdd.foreach { f =>
+          val p = Paths.get(out, s"f$f.parquet")
+          sb.append(s"""{"add":{"path":"f$f.parquet","partitionValues":{},"size":${Files.size(p)},"modificationTime":0,"dataChange":true}}""").append('\n')
+          active += f
+        }
+        // maybe remove one active file
+        if (active.nonEmpty && rnd.nextBoolean()) {
+          val victim = active.toSeq(rnd.nextInt(active.size))
+          sb.append(s"""{"remove":{"path":"f$victim.parquet","dataChange":true}}""").append('\n')
+          active -= victim
+        }
+        Files.write(logDir.resolve(f"$c%020d.json"), sb.toString.getBytes("UTF-8"))
+      }
+      val got = DeltaInterop.importSnapshot(spark, out).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = active.toSet.flatMap(fileRows)
+      assert(got == want, s"scenario $scenario: got $got want $want (active=$active)")
+    }
+  }
+
   test("refuses to clobber an existing _delta_log") {
     val table = tmp("delta_ref_") + "/t"
     VersionedTable.append(table)(dir =>
