@@ -1157,12 +1157,18 @@ object PipelineQueries {
     // whose HTML wraps each document's text in a template of link-dense
     // nav/footer and short header/promo blocks, land it, re-read it
     // through the streaming WARC parser (binaryFiles + incremental record
-    // framing), split the HTTP payload, extract jusText-style main text,
-    // and run the token quality gate. Ground truth is closed-form in
+    // framing), decode the HTTP payload, extract jusText-style main text,
+    // and run the token quality gate. The HTTP layer exercises the real
+    // wire framings a crawl delivers: transport arm doc_id%4 (identity /
+    // chunked / gzip / gzip+chunked), charset arm doc_id%2 (utf-8 /
+    // iso-8859-1 — the main paragraph carries a non-ASCII "Résumé nº"
+    // marker whose Latin-1 single-byte form breaks the hash unless the
+    // declared charset is honored). Ground truth stays closed-form in
     // (doc_id, text) — the q62 pattern: every boilerplate block in the
     // template is short (<5 tokens) or link-dense (>30%) BY CONSTRUCTION,
-    // so the kept main text is exactly the whitespace-normalized document
-    // text, and any framing/gzip/extraction defect breaks the hash.
+    // so the kept main text is exactly the marker + whitespace-normalized
+    // document text, and any framing/dechunk/inflate/charset/extraction
+    // defect breaks the hash.
     "q110_warc_extract" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_warc_").toString
@@ -1175,18 +1181,26 @@ object PipelineQueries {
               s"""<html><head><title>Doc $id</title><style>p{color:red}</style></head><body>
                  |<div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>
                  |<h1>Title $id</h1>
-                 |<p>$text</p>
+                 |<p>Résumé nº$id - $text</p>
                  |<div>Short promo <a href="/buy">Buy now</a></div>
                  |<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer>
                  |</body></html>""".stripMargin
+            val iso = id % 2 == 1
+            if (iso) require(html.forall(_ < 0x100),
+              s"doc $id is not ISO-8859-1-encodable; the q110 charset arm " +
+                "assumes ASCII document text — regenerate the arm split")
+            val (charsetName, bytes) =
+              if (iso) ("iso-8859-1",
+                html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+              else ("utf-8", html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             graft.sources.WarcCodec.WarcRecord(
               warcType = "response",
               targetUri = s"http://crawl.example.org/doc/$id",
               date = "2026-01-01T00:00:00Z",
               contentType = "application/http; msgtype=response",
-              payload = graft.sources.WarcCodec.httpResponsePayload(
-                200, "OK", "text/html; charset=utf-8",
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              payload = graft.sources.WarcCodec.httpResponsePayloadEncoded(
+                200, "OK", s"text/html; charset=$charsetName", bytes,
+                gzipBody = id % 4 >= 2, chunked = id % 4 == 1 || id % 4 == 3))
           }.toSeq
           if (recs.nonEmpty) {
             java.nio.file.Files.write(
@@ -1206,6 +1220,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("url"),
           col("http_status").cast("long").as("http_status"),
           col("http_content_type").as("content_type"),
+          col("http_transfer_encoding").as("transfer_encoding"),
+          col("http_content_encoding").as("content_encoding"),
           size(col("__kept")).cast("long").as("n_blocks"),
           md5(col("__main")).as("main_md5"),
           graft.functions.TextFunctions.tokenCount(col("__main"))
@@ -1335,12 +1351,16 @@ object PipelineQueries {
                  |<p>$text</p>
                  |<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer>
                  |</body></html>""".stripMargin
+            // transport arm id%4 (identity / chunked / gzip / gzip+chunked):
+            // the output is transport-INVARIANT — main_md5 only matches the
+            // closed form if the reader undoes each framing exactly
             graft.sources.WarcCodec.WarcRecord(
               "response", url, "2026-01-01T00:00:00Z",
               "application/http; msgtype=response",
-              graft.sources.WarcCodec.httpResponsePayload(200, "OK",
+              graft.sources.WarcCodec.httpResponsePayloadEncoded(200, "OK",
                 "text/html; charset=utf-8",
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                gzipBody = id % 4 >= 2, chunked = id % 4 == 1 || id % 4 == 3))
           }.toSeq
           if (recs.nonEmpty) {
             java.nio.file.Files.write(
@@ -3682,26 +3702,33 @@ object PipelineQueries {
         |FROM quota q JOIN ranked r ON r.domain = q.domain AND r.rk <= q.q
         |GROUP BY 1, 2""".stripMargin,
 
-    // WARC → extract → gate: the template's boilerplate blocks are
-    // short/link-dense by construction, so ground truth is the
-    // whitespace-normalized document text — the oracle checks the WHOLE
-    // ingest chain (gzip members, record framing, HTTP split, block
-    // scoring) against a closed form, the q62 codec-oracle pattern
+    // WARC → decode → extract → gate: the template's boilerplate blocks
+    // are short/link-dense by construction, so ground truth is the
+    // "Résumé nº<id> - " marker + whitespace-normalized document text —
+    // the oracle checks the WHOLE ingest chain (gzip members, record
+    // framing, HTTP split, chunked de-chunking, gzip inflation, Latin-1
+    // → UTF-8 transcoding, block scoring) against a closed form, the q62
+    // codec-oracle pattern; the marker's non-ASCII bytes make the
+    // iso-8859-1 arm hash-distinguishable from a charset-ignoring read
     "q110_warc_extract" ->
       """WITH t AS (
         |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
         |  FROM documents WHERE doc_id < 300
         |), tok AS (
         |  SELECT doc_id, norm,
-        |    CAST(len(list_filter(string_split(norm, ' '), x -> len(x) > 0)) AS BIGINT) AS nt
+        |    'Résumé nº' || CAST(doc_id AS VARCHAR) || ' - ' || norm AS main,
+        |    CAST(len(list_filter(string_split(norm, ' '), x -> len(x) > 0)) AS BIGINT) + 3 AS nt
         |  FROM t
         |)
         |SELECT doc_id,
         |  'http://crawl.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
         |  CAST(200 AS BIGINT) AS http_status,
-        |  'text/html; charset=utf-8' AS content_type,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'text/html; charset=iso-8859-1'
+        |       ELSE 'text/html; charset=utf-8' END AS content_type,
+        |  CASE WHEN doc_id % 4 IN (1, 3) THEN 'chunked' ELSE '' END AS transfer_encoding,
+        |  CASE WHEN doc_id % 4 >= 2 THEN 'gzip' ELSE '' END AS content_encoding,
         |  CAST(CASE WHEN nt >= 5 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
-        |  CASE WHEN nt >= 5 THEN md5(norm) ELSE md5('') END AS main_md5,
+        |  CASE WHEN nt >= 5 THEN md5(main) ELSE md5('') END AS main_md5,
         |  CASE WHEN nt >= 5 THEN nt ELSE 0 END AS n_tokens,
         |  CAST(CASE WHEN nt >= 60 THEN 1 ELSE 0 END AS BIGINT) AS passes_gate
         |FROM tok""".stripMargin,

@@ -1,8 +1,8 @@
 package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, PushbackInputStream}
-import java.nio.charset.StandardCharsets
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import java.util.zip.{DataFormatException, GZIPInputStream, GZIPOutputStream, Inflater}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -107,12 +107,56 @@ object WarcCodec {
     */
   def httpResponsePayload(
       status: Int, reason: String, contentType: String,
-      body: Array[Byte]): Array[Byte] = {
-    val head = (s"HTTP/1.1 $status $reason\r\n" +
-      s"Content-Type: $contentType\r\n" +
-      s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
+      body: Array[Byte]): Array[Byte] =
+    httpResponsePayloadEncoded(status, reason, contentType, body)
+
+  /** Fixture-side encoder exercising the real HTTP transport framings a
+    * crawl delivers (RFC 9112): `gzipBody` applies `Content-Encoding:
+    * gzip`, `chunked` applies `Transfer-Encoding: chunked` (chunk-size hex
+    * lines + terminal 0-chunk; `Content-Length` omitted, as the RFC
+    * requires for chunked messages). Encodings compose in wire order —
+    * content-coding first, then transfer-coding — exactly what
+    * [[decodeHttp]] must undo in reverse.
+    */
+  def httpResponsePayloadEncoded(
+      status: Int, reason: String, contentType: String, body: Array[Byte],
+      gzipBody: Boolean = false, chunked: Boolean = false,
+      chunkSize: Int = 100): Array[Byte] = {
+    val enc = if (gzipBody) gzipOnce(body) else body
+    val framed = if (chunked) encodeChunked(enc, chunkSize) else enc
+    val head = new StringBuilder(s"HTTP/1.1 $status $reason\r\n")
+      .append(s"Content-Type: $contentType\r\n")
+    if (gzipBody) head.append("Content-Encoding: gzip\r\n")
+    if (chunked) head.append("Transfer-Encoding: chunked\r\n")
+    else head.append(s"Content-Length: ${framed.length}\r\n")
+    head.append("\r\n")
     val out = new ByteArrayOutputStream()
-    out.write(head); out.write(body)
+    out.write(head.toString.getBytes(StandardCharsets.US_ASCII))
+    out.write(framed)
+    out.toByteArray
+  }
+
+  /** One gzip member over `b` (fixture side). */
+  def gzipOnce(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(out)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  /** Chunked transfer-coding of `b` in `chunkSize`-byte chunks. */
+  def encodeChunked(b: Array[Byte], chunkSize: Int = 100): Array[Byte] = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val out = new ByteArrayOutputStream(b.length + 64)
+    var off = 0
+    while (off < b.length) {
+      val n = math.min(chunkSize, b.length - off)
+      out.write(s"${n.toHexString}\r\n".getBytes(StandardCharsets.US_ASCII))
+      out.write(b, off, n)
+      out.write(Crlf)
+      off += n
+    }
+    out.write("0\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
     out.toByteArray
   }
 
@@ -205,26 +249,201 @@ object WarcCodec {
       headers = headers.toMap))
   }
 
-  // ---- HTTP payload split (response records) ----
+  // ---- HTTP payload split + body decoding (response records) ----
 
-  /** Split an `application/http` payload into (statusCode, contentType,
-    * body). A payload that is not an HTTP message comes back as
-    * (0, "", payload) — non-http record types (warcinfo, metadata) carry
-    * their payload through unchanged.
+  /** A split-and-decoded HTTP message. `transferEncoding` /
+    * `contentEncoding` are the ORIGINAL header values, verbatim ("" when
+    * absent) — provenance, not residual state. The decode contract that
+    * resolves the ambiguity: `chunked` transfer-coding and `gzip`/
+    * `x-gzip`/`deflate`/`identity` content-codings are ALWAYS undone
+    * (malformed framing refuses loudly — see [[decodeHttp]]), so those
+    * values in the fields mean "was encoded on the wire, `body` is
+    * decoded"; any OTHER content-coding (`br`, `zstd`, multi-coding
+    * lists) is passed through untouched, so any other value means "`body`
+    * is still encoded" and downstream gates can filter on it visibly
+    * instead of scoring compressed bytes as text.
     */
-  def splitHttp(payload: Array[Byte]): (Int, String, Array[Byte]) = {
+  final case class HttpParts(
+      status: Int, contentType: String, transferEncoding: String,
+      contentEncoding: String, body: Array[Byte])
+
+  /** Split an `application/http` payload into status, content type, and a
+    * DECODED body — the three wire layers a real crawl response stacks,
+    * undone in reverse wire order (RFC 9112):
+    *
+    *  1. `Transfer-Encoding: chunked` — de-chunked (hex chunk-size lines,
+    *     optional chunk extensions, terminal 0-chunk, trailer section).
+    *     Malformed chunk framing (non-hex size, truncated data, missing
+    *     CRLF) REFUSES with context — resynchronizing silently truncates
+    *     crawl data, the wrong-looking-right failure this layer exists to
+    *     prevent.
+    *  2. `Content-Encoding: gzip | x-gzip | deflate` — inflated (JDK
+    *     `GZIPInputStream` / `Inflater`; `deflate` tries zlib-wrapped
+    *     first, then raw — the dual every HTTP client implements because
+    *     real servers ship both). Corrupt streams refuse loudly. Codings
+    *     this engine has no codec for (`br`, `zstd`) pass through raw
+    *     with the coding named in [[HttpParts.contentEncoding]] — visible,
+    *     never silently mis-scored.
+    *  3. Charset — a `text/…` content type with an EXPLICIT non-UTF-8
+    *     `charset=` parameter is transcoded to UTF-8 (undecodable bytes →
+    *     U+FFFD, visible downstream), so every consumer reads `body` as
+    *     UTF-8 without re-parsing headers. Binary types and absent/unknown
+    *     charset labels are left untouched; step 3 is skipped entirely
+    *     when step 2 could not decode (transcoding compressed bytes would
+    *     corrupt them).
+    *
+    * A payload that is not an HTTP message comes back as
+    * `HttpParts(0, "", "", "", payload)` — non-http record types
+    * (warcinfo, metadata) carry their payload through unchanged.
+    */
+  def decodeHttp(payload: Array[Byte]): HttpParts = {
     val sep = indexOfDoubleCrlf(payload)
-    if (sep < 0) return (0, "", payload)
+    if (sep < 0) return HttpParts(0, "", "", "", payload)
     val head = new String(payload, 0, sep, StandardCharsets.US_ASCII)
     val lines = head.split("\r\n")
-    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (0, "", payload)
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
+      return HttpParts(0, "", "", "", payload)
     val status = lines(0).split(" ")
       .drop(1).headOption.flatMap(_.toIntOption).getOrElse(0)
-    val ct = lines.drop(1).collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
+    def header(name: String): String = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith(name + ":") =>
         l.substring(l.indexOf(':') + 1).trim
     }.getOrElse("")
-    (status, ct, java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
+    val ct = header("content-type")
+    val te = header("transfer-encoding")
+    val ce = header("content-encoding")
+    var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+    if (te.toLowerCase.split(",").map(_.trim).contains("chunked"))
+      body = deChunk(body)
+    val decoded = ce.toLowerCase.trim match {
+      case "" | "identity"  => true
+      case "gzip" | "x-gzip" => body = gunzip(body, "Content-Encoding: gzip body"); true
+      case "deflate"         => body = inflateHttp(body); true
+      case _                 => false // no codec for it; pass through, named in contentEncoding
+    }
+    if (decoded && ct.toLowerCase.startsWith("text/"))
+      declaredCharset(ct).foreach { cs =>
+        if (cs != StandardCharsets.UTF_8 && cs != StandardCharsets.US_ASCII) {
+          val dec = cs.newDecoder()
+            .onMalformedInput(CodingErrorAction.REPLACE)
+            .onUnmappableCharacter(CodingErrorAction.REPLACE)
+          body = dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+            .getBytes(StandardCharsets.UTF_8)
+        }
+      }
+    HttpParts(status, ct, te, ce, body)
+  }
+
+  /** Back-compat tuple form of [[decodeHttp]]: (status, contentType,
+    * decoded body).
+    */
+  def splitHttp(payload: Array[Byte]): (Int, String, Array[Byte]) = {
+    val h = decodeHttp(payload)
+    (h.status, h.contentType, h.body)
+  }
+
+  /** The `charset=` parameter of a Content-Type header, resolved to a JVM
+    * charset; None when absent or when the label is unknown to the JVM
+    * (garbage labels are common on the real web — an unknown label leaves
+    * the bytes untouched rather than guessing).
+    */
+  private[sources] def declaredCharset(contentType: String): Option[Charset] = {
+    val m = CharsetParam.findFirstMatchIn(contentType)
+    m.map(_.group(1).trim.stripPrefix("\"").stripSuffix("\"")).flatMap { label =>
+      try if (Charset.isSupported(label)) Some(Charset.forName(label)) else None
+      catch { case _: IllegalArgumentException => None }
+    }
+  }
+
+  private val CharsetParam =
+    """(?i);\s*charset\s*=\s*("[^"]*"|[^;\s]+)""".r
+
+  /** Undo `Transfer-Encoding: chunked` (RFC 9112 §7.1). Refuses loudly on
+    * malformed framing; tolerates a missing final CRLF after the terminal
+    * 0-chunk at end-of-payload (common in truncated-at-capture records)
+    * but never mid-stream corruption.
+    */
+  private[sources] def deChunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var i = 0
+    def readLine(ctx: String): String = {
+      var j = i
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      require(j + 1 < b.length,
+        s"malformed chunked body: unterminated $ctx at byte $i of ${b.length}")
+      val s = new String(b, i, j - i, StandardCharsets.US_ASCII)
+      i = j + 2
+      s
+    }
+    var done = false
+    while (!done) {
+      val line = readLine("chunk-size line")
+      val sizeStr = line.takeWhile(c => c != ';').trim // extensions after ';' ignored
+      require(sizeStr.nonEmpty && sizeStr.length <= 8 &&
+        sizeStr.forall(c => Character.digit(c, 16) >= 0),
+        s"malformed chunked body: bad chunk size '${line.take(32)}' at byte $i")
+      val n = java.lang.Long.parseLong(sizeStr, 16)
+      if (n == 0L) {
+        // trailer section: header lines until a blank line (or end of payload)
+        var t = if (i >= b.length) "" else readLine("trailer line")
+        while (t.nonEmpty) t = if (i >= b.length) "" else readLine("trailer line")
+        done = true
+      } else {
+        require(i + n <= b.length,
+          s"malformed chunked body: chunk of $n bytes truncated at ${b.length - i} available")
+        out.write(b, i, n.toInt)
+        i += n.toInt
+        require(i + 2 <= b.length && b(i) == '\r' && b(i + 1) == '\n',
+          s"malformed chunked body: missing CRLF after chunk data at byte $i")
+        i += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  private def gunzip(b: Array[Byte], what: String): Array[Byte] =
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(b))
+      val out = new ByteArrayOutputStream(b.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"malformed $what (${b.length} bytes): ${e.getMessage}", e)
+    }
+
+  /** `Content-Encoding: deflate`: zlib-wrapped per RFC 9110, but raw
+    * deflate in the wild — try zlib first, raw second, refuse if neither
+    * parses.
+    */
+  private def inflateHttp(b: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new Inflater(nowrap)
+      try {
+        inf.setInput(b)
+        val out = new ByteArrayOutputStream(b.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0) {
+            if (inf.needsDictionary()) throw new DataFormatException("preset dictionary required")
+            if (inf.needsInput()) throw new DataFormatException("truncated deflate stream")
+          }
+          out.write(buf, 0, n)
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    try run(false) catch {
+      case _: DataFormatException =>
+        try run(true) catch {
+          case e: DataFormatException => throw new IllegalArgumentException(
+            s"malformed Content-Encoding: deflate body (${b.length} bytes, " +
+              s"neither zlib-wrapped nor raw): ${e.getMessage}", e)
+        }
+    }
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte]): Int = {
@@ -243,9 +462,15 @@ object WarcCodec {
   */
 object WarcIO {
 
-  /** One parsed record row. `body` is the HTTP body for `application/http`
-    * response records, the raw payload otherwise; `http_status` is 0 for
-    * non-http records.
+  /** One parsed record row. `body` is the DECODED HTTP body for
+    * `application/http` response records (de-chunked, gzip/deflate
+    * inflated, text transcoded to UTF-8 — see [[WarcCodec.decodeHttp]]),
+    * the raw payload otherwise; `http_status` is 0 for non-http records.
+    * `http_transfer_encoding` / `http_content_encoding` are the verbatim
+    * wire headers ("" when absent) — under the decode contract, a
+    * `chunked`/`gzip`/`deflate` value means "was encoded, body is
+    * decoded"; any other content-coding means "body is still encoded,
+    * gate on this column".
     */
   final case class WarcRow(
       warc_file: String,
@@ -256,6 +481,8 @@ object WarcIO {
       content_type: String,
       http_status: Int,
       http_content_type: String,
+      http_transfer_encoding: String,
+      http_content_encoding: String,
       body: Array[Byte])
 
   /** Read every WARC under `path` (glob-able — append a `*.warc.gz`
@@ -290,11 +517,12 @@ object WarcIO {
   private[graft] def toRows(
       file: String, recs: Iterator[WarcCodec.WarcRecord]): Iterator[WarcRow] =
     recs.zipWithIndex.map { case (r, i) =>
-      val (status, httpCt, body) =
+      val h =
         if (r.contentType.toLowerCase.startsWith("application/http"))
-          WarcCodec.splitHttp(r.payload)
-        else (0, "", r.payload)
+          WarcCodec.decodeHttp(r.payload)
+        else WarcCodec.HttpParts(0, "", "", "", r.payload)
       WarcRow(file, i.toLong, r.warcType, r.targetUri, r.date,
-        r.contentType, status, httpCt, body)
+        r.contentType, h.status, h.contentType,
+        h.transferEncoding, h.contentEncoding, h.body)
     }
 }

@@ -118,4 +118,153 @@ class WarcIOSpec extends SparkSpec {
     assert(it.next().targetUri == "http://example.org/page/0")
     intercept[java.io.IOException](it.hasNext)
   }
+
+  // ---- HTTP body decoding (chunked / gzip / deflate / charset) ----
+
+  test("chunked transfer-coding round-trips, including multi-chunk bodies") {
+    val body = ("x" * 1234).getBytes(UTF_8)
+    val payload = WarcCodec.httpResponsePayloadEncoded(
+      200, "OK", "text/plain", body, chunked = true, chunkSize = 100)
+    // the wire form must carry no Content-Length and a chunked marker
+    val wire = new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(wire.contains("Transfer-Encoding: chunked") && !wire.contains("Content-Length"))
+    val h = WarcCodec.decodeHttp(payload)
+    assert(h.status == 200 && h.transferEncoding == "chunked")
+    assert(h.body.toSeq == body.toSeq)
+  }
+
+  test("chunk extensions and trailer headers are tolerated") {
+    val framed = ("5;ext=1\r\nhello\r\n" +
+      "6\r\n world\r\n" +
+      "0\r\nX-Trailer: t\r\n\r\n").getBytes(UTF_8)
+    assert(new String(WarcCodec.deChunk(framed), UTF_8) == "hello world")
+    // terminal 0-chunk at end of payload without final CRLF (truncated
+    // capture) is tolerated too
+    val noFinal = "3\r\nabc\r\n0\r\n".getBytes(UTF_8)
+    assert(new String(WarcCodec.deChunk(noFinal), UTF_8) == "abc")
+  }
+
+  test("malformed chunked framing refuses loudly, never resynchronizes") {
+    // truncated chunk data
+    val truncated = "10\r\nonly-7-b".getBytes(UTF_8)
+    assert(intercept[IllegalArgumentException](WarcCodec.deChunk(truncated))
+      .getMessage.contains("truncated"))
+    // non-hex chunk size
+    val badSize = "zz\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8)
+    assert(intercept[IllegalArgumentException](WarcCodec.deChunk(badSize))
+      .getMessage.contains("bad chunk size"))
+    // missing CRLF after chunk data
+    val noCrlf = "3\r\nabcXX0\r\n\r\n".getBytes(UTF_8)
+    assert(intercept[IllegalArgumentException](WarcCodec.deChunk(noCrlf))
+      .getMessage.contains("missing CRLF"))
+  }
+
+  test("gzip content-coding inflates; corrupt gzip refuses loudly") {
+    val body = "inflate me please, twelve tokens or so".getBytes(UTF_8)
+    val payload = WarcCodec.httpResponsePayloadEncoded(
+      200, "OK", "text/plain", body, gzipBody = true)
+    val h = WarcCodec.decodeHttp(payload)
+    assert(h.contentEncoding == "gzip" && h.body.toSeq == body.toSeq)
+    // flip a byte in the deflate stream -> loud refusal
+    val gz = WarcCodec.gzipOnce(body)
+    gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x5a).toByte
+    val bad = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n\r\n").getBytes(UTF_8) ++ gz
+    assert(intercept[IllegalArgumentException](WarcCodec.decodeHttp(bad))
+      .getMessage.contains("malformed"))
+  }
+
+  test("gzip + chunked compose in wire order and decode in reverse") {
+    val body = ("token " * 40).getBytes(UTF_8)
+    val payload = WarcCodec.httpResponsePayloadEncoded(
+      200, "OK", "text/plain", body, gzipBody = true, chunked = true, chunkSize = 37)
+    val h = WarcCodec.decodeHttp(payload)
+    assert(h.transferEncoding == "chunked" && h.contentEncoding == "gzip")
+    assert(h.body.toSeq == body.toSeq)
+  }
+
+  test("deflate content-coding: zlib-wrapped and raw both inflate") {
+    val body = "deflated body bytes".getBytes(UTF_8)
+    def payloadWith(enc: Array[Byte]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        s"Content-Encoding: deflate\r\nContent-Length: ${enc.length}\r\n\r\n")
+        .getBytes(UTF_8) ++ enc
+    val zlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](1024); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val raw = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](1024); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert(WarcCodec.decodeHttp(payloadWith(zlib)).body.toSeq == body.toSeq)
+    assert(WarcCodec.decodeHttp(payloadWith(raw)).body.toSeq == body.toSeq)
+    val garbage = Array.fill[Byte](64)(0x3c)
+    assert(intercept[IllegalArgumentException](WarcCodec.decodeHttp(payloadWith(garbage)))
+      .getMessage.contains("deflate"))
+  }
+
+  test("declared non-UTF-8 charset on text types transcodes to UTF-8") {
+    val text = "Résumé nº7 — ein schöner Text"
+    val iso = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // é/º/ö are single bytes in ISO-8859-1; — (U+2014) is unmappable and
+    // must have been refused by getBytes... it maps to '?' silently, so
+    // use only Latin-1-safe chars in the fixture text
+    val safe = "Résumé nº7 - ein schöner Text"
+    val isoSafe = safe.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(isoSafe.length == safe.length) // truly single-byte
+    val payload = WarcCodec.httpResponsePayloadEncoded(
+      200, "OK", "text/html; charset=iso-8859-1", isoSafe)
+    val h = WarcCodec.decodeHttp(payload)
+    assert(new String(h.body, UTF_8) == safe)
+    // charset param also honored through gzip+chunked transport
+    val stacked = WarcCodec.httpResponsePayloadEncoded(
+      200, "OK", "text/html; charset=ISO-8859-1", isoSafe,
+      gzipBody = true, chunked = true, chunkSize = 7)
+    assert(new String(WarcCodec.decodeHttp(stacked).body, UTF_8) == safe)
+    // binary types are never transcoded even with a charset param
+    val bin = WarcCodec.httpResponsePayloadEncoded(
+      200, "OK", "application/octet-stream; charset=iso-8859-1", isoSafe)
+    assert(WarcCodec.decodeHttp(bin).body.toSeq == isoSafe.toSeq)
+    // unknown charset labels leave bytes untouched (never guess)
+    val unk = WarcCodec.httpResponsePayloadEncoded(
+      200, "OK", "text/html; charset=x-not-a-charset", isoSafe)
+    assert(WarcCodec.decodeHttp(unk).body.toSeq == isoSafe.toSeq)
+    assert(WarcCodec.declaredCharset("text/html; charset=\"utf-8\"")
+      .contains(java.nio.charset.StandardCharsets.UTF_8))
+    assert(WarcCodec.declaredCharset("text/html").isEmpty)
+  }
+
+  test("unsupported content-codings pass through raw, named in the column") {
+    val enc = Array[Byte](1, 2, 3, 4) // pretend-brotli bytes
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Encoding: br\r\nContent-Length: ${enc.length}\r\n\r\n").getBytes(UTF_8) ++ enc
+    val h = WarcCodec.decodeHttp(payload)
+    // body untouched (no brotli codec), coding visible, charset NOT applied
+    assert(h.contentEncoding == "br" && h.body.toSeq == enc.toSeq)
+  }
+
+  test("WarcIO.read surfaces encodings and decoded bodies end to end") {
+    val dir = Files.createTempDirectory("graft_warcio_enc_")
+    val body = "<p>alpha beta gamma delta epsilon zeta</p>"
+    val recs = Seq(
+      WarcCodec.WarcRecord("response", "http://x/plain", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        WarcCodec.httpResponsePayloadEncoded(200, "OK", "text/html", body.getBytes(UTF_8))),
+      WarcCodec.WarcRecord("response", "http://x/chunkgz", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        WarcCodec.httpResponsePayloadEncoded(200, "OK", "text/html", body.getBytes(UTF_8),
+          gzipBody = true, chunked = true, chunkSize = 11)))
+    Files.write(dir.resolve("enc.warc.gz"), WarcCodec.encodeGzip(recs))
+    val rows = WarcIO.read(spark, dir.toString + "/*.warc.gz")
+      .select(col("url"), col("http_transfer_encoding"), col("http_content_encoding"),
+        expr("decode(body, 'UTF-8')").as("b"))
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(rows("http://x/plain") == (("", "", body)))
+    assert(rows("http://x/chunkgz") == (("chunked", "gzip", body)))
+  }
 }
