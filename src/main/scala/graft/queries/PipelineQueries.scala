@@ -1812,6 +1812,65 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // Delta import THROUGH A CHECKPOINT — the long-lived-table shape
+    // (real Delta tables checkpoint every ~10 commits, so a
+    // JSON-only reader reads only toy tables): the corpus lands as three
+    // disjoint files (doc_id%7 slice / %5 slice / rest), commit 1
+    // rewrites the %7 slice (' v2'), the log is CHECKPOINTED at version
+    // 1 (parquet base state + _last_checkpoint), and commit 2 — the tail
+    // the reader must replay on top of the checkpoint — rewrites the %5
+    // slice (' v3'). The census is computed FROM THE IMPORT, so the
+    // oracle's direct CASE restatement certifies checkpoint base-state
+    // loading, tail replay, and tail-removes-checkpointed-add end to end.
+    "q139_delta_checkpoint" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("delta_cp").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      // a Delta add action names one FILE: land each slice as a single
+      // parquet file (fixture-scale coalesce; a real writer adds one
+      // action per task file)
+      def onePart(df: DataFrame, name: String): Unit = {
+        val t = java.nio.file.Files.createTempDirectory("graft_q139_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+        val s0 = java.nio.file.Files.list(t)
+        val part = try {
+          import scala.jdk.CollectionConverters._
+          s0.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"expected one part file, got ${other.size}")
+          }
+        } finally s0.close()
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(out, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      val a = docs.filter(col("doc_id") % 7 === 0)
+      val b = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+      val rest = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
+      onePart(a, "a.parquet"); onePart(b, "b.parquet"); onePart(rest, "c.parquet")
+      onePart(a.withColumn("text", concat(col("text"), lit(" v2"))), "a2.parquet")
+      onePart(b.withColumn("text", concat(col("text"), lit(" v3"))), "b2.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 0L,
+        adds = Seq("a.parquet", "b.parquet", "c.parquet"),
+        schemaJson = Some(docs.schema.json))
+      graft.storage.DeltaInterop.writeCommit(out, 1L,
+        adds = Seq("a2.parquet"), removes = Seq("a.parquet"))
+      graft.storage.DeltaInterop.writeCheckpoint(s, out, 1L)
+      graft.storage.DeltaInterop.writeCommit(out, 2L,
+        adds = Seq("b2.parquet"), removes = Seq("b.parquet"))
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // PHYSICAL shard materialization: writeShards lands one immutable
     // parquet file per (bucket, shard_seq) — rows in md5 packing order —
     // under a VersionedTable CAS commit, recomputes the manifest FROM THE
@@ -4484,6 +4543,25 @@ object PipelineQueries {
       s"""WITH v AS (
          |  SELECT doc_id, lang,
          |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'
+         |         ELSE coalesce(text, '') END AS text
+         |  FROM documents
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "ck")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM ck9 GROUP BY lang""".stripMargin,
+
+    // checkpointed Delta import: the three-slice evolution restated as a
+    // CASE — %7 slice rewritten ' v2' before the checkpoint, %5 slice
+    // rewritten ' v3' in the tail, rest untouched; engine-side the same
+    // census is computed from the checkpoint-based import
+    "q139_delta_checkpoint" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'
+         |         WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' v3'
          |         ELSE coalesce(text, '') END AS text
          |  FROM documents
          |), ${DuckDbXxHash64.xxh64Cte("v",

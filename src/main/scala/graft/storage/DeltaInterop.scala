@@ -122,14 +122,25 @@ object DeltaInterop {
     dataFiles.map(f => out.relativize(f).toString)
   }
 
-  /** Import a Delta-format directory (the inverse bridge): replay every
-    * commit-JSON in `_delta_log/` in version order — `metaData` last-wins,
-    * `add` activates a file, `remove` retires it (last action per path
-    * wins) — and serve the active file set as a DataFrame with the
-    * log-declared schema.
+  /** Import a Delta-format directory (the inverse bridge): load the base
+    * state from the latest parquet CHECKPOINT when `_last_checkpoint`
+    * points at one (real Delta tables checkpoint every ~10 commits — a
+    * reader that refuses checkpoints reads only toy tables), then replay
+    * the commit-JSON TAIL in version order — `metaData` last-wins, `add`
+    * activates a file, `remove` retires it (last action per path wins) —
+    * and serve the active file set as a DataFrame with the log-declared
+    * schema. Single-file and multi-part (`parts` in `_last_checkpoint`)
+    * checkpoints are both read; a gap in the tail's version sequence
+    * refuses loudly (a missing commit silently time-travels the table).
+    * `remove` rows inside a checkpoint are vacuum tombstones, not state —
+    * they are ignored (the active set is exactly the checkpoint's `add`
+    * rows, per delta.io PROTOCOL.md).
     *
-    * Scale shape: ONE parquet scan over all active files (not one scan
-    * per partition) — partition-column values, which Delta stores in the
+    * Scale shape: the checkpoint is ONE distributed parquet scan
+    * projecting only (path, size, partitionValues) — the file listing any
+    * planner must hold driver-side anyway; data files are then ONE
+    * parquet scan over all active files (not one scan per partition) —
+    * partition-column values, which Delta stores in the
     * `add.partitionValues` of the LOG rather than in the data files, are
     * restored by a broadcast join from file name to partition tuple, so
     * a table with 10^5 partitions costs one broadcast of 10^5 tiny rows,
@@ -141,9 +152,7 @@ object DeltaInterop {
     * `verifySizes` (default true) checks every active file's on-disk
     * byte count against its `add.size` before any read — the same
     * corruption gate [[graft.functions.ShardExport.readShards]] applies
-    * to shard manifests. Checkpoint parquet files (an optimization of
-    * long logs) are out of scope: this reader targets bounded-commit
-    * interop exports, and refuses a `_last_checkpoint` pointer loudly.
+    * to shard manifests.
     */
   def importSnapshot(
       spark: SparkSession, deltaDir: String,
@@ -155,41 +164,72 @@ object DeltaInterop {
     val root = Paths.get(deltaDir)
     val logDir = root.resolve("_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $deltaDir")
-    require(!Files.exists(logDir.resolve("_last_checkpoint")),
-      s"$deltaDir uses a checkpoint — only pure commit-JSON logs are supported")
+
+    val st = new LogState
+
+    // ---- checkpoint base state ----
+    val lastCp = logDir.resolve("_last_checkpoint")
+    val cpVersion: Long =
+      if (!Files.exists(lastCp)) -1L
+      else {
+        val ptr = mapper.readTree(Files.readAllBytes(lastCp))
+        val v = ptr.get("version").asLong()
+        val parts = Option(ptr.get("parts")).filterNot(_.isNull).map(_.asInt())
+        val cpFiles = parts match {
+          case None    => Seq(logDir.resolve(f"$v%020d.checkpoint.parquet"))
+          case Some(k) => (1 to k).map(i =>
+            logDir.resolve(f"$v%020d.checkpoint.$i%010d.$k%010d.parquet"))
+        }
+        cpFiles.foreach(p => require(Files.exists(p),
+          s"_last_checkpoint points at version $v but $p is missing"))
+        val cp = spark.read.parquet(cpFiles.map(_.toString): _*)
+        val cols = cp.schema.fieldNames.toSet
+        require(cols.contains("add") && cols.contains("metaData"),
+          s"checkpoint at version $v lacks add/metaData columns: ${cols.mkString(",")}")
+        val md = cp.filter(col("metaData").isNotNull)
+          .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+            col("metaData.format.provider"))
+          .collect()
+        require(md.length == 1,
+          s"checkpoint at version $v carries ${md.length} metaData rows, want exactly 1")
+        st.schemaJson = md(0).getString(0)
+        st.partCols = Option(md(0).getSeq[String](1)).getOrElse(Nil)
+        require(md(0).getString(2) == "parquet",
+          s"unsupported format provider: ${md(0).getString(2)}")
+        cp.filter(col("add").isNotNull)
+          .select(col("add.path"), col("add.size"), col("add.partitionValues"))
+          .collect()
+          .foreach { r =>
+            val pv = Option(r.getMap[String, String](2))
+              .map(_.toMap.map { case (k, x) => k -> Option(x) })
+              .getOrElse(Map.empty[String, Option[String]])
+            st.active.put(r.getString(0), (r.getLong(1), pv))
+          }
+        v
+      }
+
+    // ---- commit-JSON tail replay ----
     val commits = {
       val s = Files.list(logDir)
       try s.iterator().asScala
         .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
         .toSeq.sortBy(_.getFileName.toString)
+        .filter(_.getFileName.toString.dropRight(5).toLong > cpVersion)
       finally s.close()
     }
-    require(commits.nonEmpty, s"empty _delta_log under $deltaDir")
-
-    var schemaJson: String = null
-    var partCols: Seq[String] = Nil
-    // path -> (size, partitionValues); insertion order irrelevant (we sort)
-    val active = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Map[String, Option[String]])]
-    for (commit <- commits; line <- Files.readAllLines(commit).asScala if line.nonEmpty) {
-      val node = mapper.readTree(line)
-      Option(node.get("metaData")).foreach { md =>
-        schemaJson = md.get("schemaString").asText()
-        partCols = Option(md.get("partitionColumns")).toSeq
-          .flatMap(_.elements().asScala).map(_.asText())
-        val provider = md.get("format").get("provider").asText()
-        require(provider == "parquet", s"unsupported format provider: $provider")
-      }
-      Option(node.get("add")).foreach { add =>
-        val pv = Option(add.get("partitionValues")).map { o =>
-          o.properties().asScala.map { e =>
-            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
-          }.toMap
-        }.getOrElse(Map.empty[String, Option[String]])
-        active.put(add.get("path").asText(), (add.get("size").asLong(), pv))
-      }
-      Option(node.get("remove")).foreach(rm => active.remove(rm.get("path").asText()))
+    require(cpVersion >= 0 || commits.nonEmpty, s"empty _delta_log under $deltaDir")
+    val tailVersions = commits.map(_.getFileName.toString.dropRight(5).toLong)
+    if (tailVersions.nonEmpty) {
+      require(cpVersion < 0 || tailVersions.head == cpVersion + 1,
+        s"commit gap after checkpoint $cpVersion: tail starts at ${tailVersions.head}")
+      require(tailVersions == (tailVersions.head to tailVersions.last),
+        s"gap in commit log versions: ${tailVersions.mkString(",")}")
     }
-    require(schemaJson != null, s"log at $deltaDir carries no metaData action")
+    replayCommits(commits, st)
+    require(st.schemaJson != null, s"log at $deltaDir carries no metaData action")
+    val schemaJson = st.schemaJson
+    val partCols = st.partCols
+    val active = st.active
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -234,6 +274,217 @@ object DeltaInterop {
       }
       restored.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
+  }
+
+  /** Mutable log-replay state: metaData last-wins, add activates, remove
+    * retires (last action per path wins) — shared by [[importSnapshot]]'s
+    * tail replay and [[writeCheckpoint]]'s compaction so the two can never
+    * disagree on log semantics.
+    */
+  private final class LogState {
+    var schemaJson: String = _
+    var partCols: Seq[String] = Nil
+    var minReader: Int = 1
+    var minWriter: Int = 2
+    // path -> (size, partitionValues); insertion order irrelevant (reads sort)
+    val active = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Map[String, Option[String]])]
+  }
+
+  private def replayCommits(commits: Seq[Path], st: LogState): Unit = {
+    import scala.jdk.CollectionConverters._
+    for (commit <- commits; line <- Files.readAllLines(commit).asScala if line.nonEmpty) {
+      val node = mapper.readTree(line)
+      Option(node.get("protocol")).foreach { p =>
+        st.minReader = p.get("minReaderVersion").asInt()
+        st.minWriter = p.get("minWriterVersion").asInt()
+      }
+      Option(node.get("metaData")).foreach { md =>
+        st.schemaJson = md.get("schemaString").asText()
+        st.partCols = Option(md.get("partitionColumns")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText())
+        val provider = md.get("format").get("provider").asText()
+        require(provider == "parquet", s"unsupported format provider: $provider")
+      }
+      Option(node.get("add")).foreach { add =>
+        val pv = Option(add.get("partitionValues")).map { o =>
+          o.properties().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+          }.toMap
+        }.getOrElse(Map.empty[String, Option[String]])
+        st.active.put(add.get("path").asText(), (add.get("size").asLong(), pv))
+      }
+      Option(node.get("remove")).foreach(rm => st.active.remove(rm.get("path").asText()))
+    }
+  }
+
+  private def listCommits(logDir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(logDir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  /** Append commit `version` to an existing (or fresh) `_delta_log`:
+    * `removes` retire previously-added relative paths, `adds` activate
+    * relative paths whose files must already sit under `deltaDir` (sizes
+    * are read from disk — the log never carries a size the bytes don't
+    * back). `schemaJson` must be given on the FIRST commit (it emits the
+    * protocol + metaData actions) and may be given later to record a
+    * schema change. Versions must be appended contiguously — the same
+    * no-gap rule [[importSnapshot]] enforces on read.
+    */
+  def writeCommit(
+      deltaDir: String, version: Long, adds: Seq[String],
+      removes: Seq[String] = Nil, schemaJson: Option[String] = None): Unit = {
+    val root = Paths.get(deltaDir)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val existing = listCommits(logDir)
+      .map(_.getFileName.toString.dropRight(5).toLong)
+    val expected = if (existing.isEmpty) 0L else existing.last + 1
+    require(version == expected,
+      s"non-contiguous commit: want version $expected, got $version")
+    require(version > 0 || schemaJson.isDefined,
+      "the first commit must carry schemaJson (protocol + metaData)")
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    schemaJson.foreach { sj =>
+      if (version == 0L) {
+        val n = mapper.createObjectNode()
+        val p = n.putObject("protocol")
+        p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
+        actions += n
+      }
+      val n = mapper.createObjectNode()
+      val md = n.putObject("metaData")
+      md.put("id", java.util.UUID.randomUUID().toString)
+      val fmt = md.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      md.put("schemaString", sj)
+      md.putArray("partitionColumns")
+      md.putObject("configuration")
+      md.put("createdTime", now)
+      actions += n
+    }
+    removes.foreach { rel =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", rel)
+      rm.put("deletionTimestamp", now)
+      rm.put("dataChange", true)
+      actions += n
+    }
+    adds.foreach { rel =>
+      val f = root.resolve(rel)
+      require(Files.exists(f), s"add action for a file not on disk: $f")
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", rel)
+      add.putObject("partitionValues")
+      add.put("size", Files.size(f))
+      add.put("modificationTime", now)
+      add.put("dataChange", true)
+      actions += n
+    }
+    val log = actions.result().map(mapper.writeValueAsString)
+      .mkString("", "\n", "\n")
+    Files.write(logDir.resolve(f"$version%020d.json"), log.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Compact the commit-JSON log at `deltaDir` up to and including
+    * `version` into a parquet checkpoint (delta.io PROTOCOL.md checkpoint
+    * schema: one row per action, `protocol`/`metaData`/`add` structs) and
+    * flip `_last_checkpoint` to it — after which readers load the base
+    * state from one parquet scan and replay only the tail, the shape that
+    * keeps a long-lived table's open cost O(tail) instead of O(history).
+    * `parts` > 1 splits the add rows round-robin into the multi-part
+    * file-name form (`v.checkpoint.i.parts.parquet`) — real tables use it
+    * above ~10^6 actions; supported here so the reader's multi-part path
+    * is exercised by the same writer.
+    *
+    * The checkpoint is written as actual FILES under `_delta_log/` (one
+    * rename per part — atomic on a real object store's metadata layer)
+    * and `_last_checkpoint` flips LAST, so a crash mid-write leaves the
+    * previous pointer valid — readers never see a half-checkpoint.
+    */
+  def writeCheckpoint(
+      spark: SparkSession, deltaDir: String, version: Long,
+      parts: Int = 1): Unit = {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    val root = Paths.get(deltaDir)
+    val logDir = root.resolve("_delta_log")
+    val commits = listCommits(logDir)
+      .filter(_.getFileName.toString.dropRight(5).toLong <= version)
+    val versions = commits.map(_.getFileName.toString.dropRight(5).toLong)
+    require(versions.nonEmpty && versions.head == 0L &&
+      versions == (0L to versions.last) && versions.last == version,
+      s"cannot checkpoint version $version: commits on disk are ${versions.mkString(",")}")
+    val st = new LogState
+    replayCommits(commits, st)
+    require(st.schemaJson != null, s"log at $deltaDir carries no metaData action")
+
+    val pvType = MapType(StringType, StringType)
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", pvType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val now = System.currentTimeMillis()
+    val protoRow = SRow(SRow(st.minReader, st.minWriter), null, null)
+    val mdRow = SRow(null, SRow(java.util.UUID.randomUUID().toString,
+      SRow("parquet"), st.schemaJson, st.partCols, now), null)
+    val addRows = st.active.toSeq.map { case (path, (size, pv)) =>
+      SRow(null, null, SRow(path, pv.map { case (k, v) => k -> v.orNull }, size, now, true))
+    }
+    // metaData/protocol ride in part 1; adds split round-robin across parts
+    val partRows: Seq[Seq[SRow]] =
+      if (parts == 1) Seq(Seq(protoRow, mdRow) ++ addRows)
+      else (0 until parts).map { i =>
+        val mine = addRows.zipWithIndex.collect { case (r, j) if j % parts == i => r }
+        if (i == 0) Seq(protoRow, mdRow) ++ mine else mine
+      }
+    val names =
+      if (parts == 1) Seq(f"$version%020d.checkpoint.parquet")
+      else (1 to parts).map(i => f"$version%020d.checkpoint.$i%010d.$parts%010d.parquet")
+    partRows.zip(names).foreach { case (rows, name) =>
+      // a checkpoint part is a single parquet FILE: write a 1-part dir,
+      // then move the part file onto the spec-mandated name
+      import scala.jdk.CollectionConverters._
+      val tmp = Files.createTempDirectory("graft_delta_cp_")
+      spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = listParquet(tmp) match {
+        case Seq(one) => one
+        case other => throw new IllegalStateException(
+          s"expected exactly one checkpoint part file, got ${other.size}")
+      }
+      Files.move(part, logDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    val ptr = mapper.createObjectNode()
+    ptr.put("version", version)
+    ptr.put("size", partRows.map(_.size).sum)
+    if (parts > 1) ptr.put("parts", parts)
+    Files.write(logDir.resolve("_last_checkpoint"),
+      (mapper.writeValueAsString(ptr) + "\n").getBytes("UTF-8"))
+    ()
   }
 
   private def hasSubdirs(dir: Path): Boolean = {

@@ -259,11 +259,109 @@ class DeltaInteropSpec extends SparkSpec {
         }
         Files.write(logDir.resolve(f"$c%020d.json"), sb.toString.getBytes("UTF-8"))
       }
+      // half the scenarios also checkpoint a random prefix (sometimes
+      // multi-part): the served set must be identical with the base state
+      // coming from the checkpoint instead of the early commits
+      if (rnd.nextBoolean())
+        DeltaInterop.writeCheckpoint(spark, out, rnd.nextInt(nCommits).toLong,
+          parts = 1 + rnd.nextInt(2))
       val got = DeltaInterop.importSnapshot(spark, out).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       val want = active.toSet.flatMap(fileRows)
       assert(got == want, s"scenario $scenario: got $got want $want (active=$active)")
     }
+  }
+
+  // ---- checkpointed logs (real tables checkpoint every ~10 commits) ----
+
+  private def onePartFile(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Unit = {
+    val t = tmp("delta_cp_part_")
+    df.coalesce(1).write.mode("overwrite").parquet(t)
+    val part = Files.list(Paths.get(t)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    Files.copy(part, dst)
+    ()
+  }
+
+  /** commits 0..2 over four files, checkpoint at 1: f1,f2 added at v0;
+    * v1 removes f2, adds f3; v2 (the tail) removes f1, adds f4 — final
+    * active set {f3, f4}.
+    */
+  private def checkpointedTable(parts: Int): String = {
+    val out = tmp("delta_cp_")
+    onePartFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Paths.get(out, "f1.parquet"))
+    onePartFile(Seq((3L, "c")).toDF("id", "v"), Paths.get(out, "f2.parquet"))
+    onePartFile(Seq((4L, "d")).toDF("id", "v"), Paths.get(out, "f3.parquet"))
+    onePartFile(Seq((5L, "e")).toDF("id", "v"), Paths.get(out, "f4.parquet"))
+    val schemaJson = Seq((1L, "x")).toDF("id", "v").schema.json
+    DeltaInterop.writeCommit(out, 0L, adds = Seq("f1.parquet", "f2.parquet"),
+      schemaJson = Some(schemaJson))
+    DeltaInterop.writeCommit(out, 1L, adds = Seq("f3.parquet"), removes = Seq("f2.parquet"))
+    DeltaInterop.writeCheckpoint(spark, out, 1L, parts = parts)
+    DeltaInterop.writeCommit(out, 2L, adds = Seq("f4.parquet"), removes = Seq("f1.parquet"))
+    out
+  }
+
+  test("checkpoint + tail: base state from the checkpoint, tail remove retires a checkpointed add") {
+    val out = checkpointedTable(parts = 1)
+    // delete the compacted commits: the base state can ONLY come from the
+    // checkpoint parquet — this is what makes long-log open O(tail)
+    Files.delete(Paths.get(out, "_delta_log", "00000000000000000000.json"))
+    Files.delete(Paths.get(out, "_delta_log", "00000000000000000001.json"))
+    val got = DeltaInterop.importSnapshot(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((4L, "d"), (5L, "e")),
+      "tail remove must retire the checkpoint-added f1; f3 (checkpoint) + f4 (tail) served")
+  }
+
+  test("multi-part checkpoint reads all parts") {
+    val out = checkpointedTable(parts = 3)
+    Files.delete(Paths.get(out, "_delta_log", "00000000000000000000.json"))
+    Files.delete(Paths.get(out, "_delta_log", "00000000000000000001.json"))
+    val ptr = mapper.readTree(Files.readAllBytes(
+      Paths.get(out, "_delta_log", "_last_checkpoint")))
+    assert(ptr.get("parts").asInt() == 3)
+    val got = DeltaInterop.importSnapshot(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((4L, "d"), (5L, "e")))
+  }
+
+  test("size gate still applies to checkpoint-declared files") {
+    val out = checkpointedTable(parts = 1)
+    // f3 is active via the CHECKPOINT's add row; truncating it must refuse
+    val f3 = Paths.get(out, "f3.parquet")
+    val bytes = Files.readAllBytes(f3)
+    Files.write(f3, java.util.Arrays.copyOf(bytes, bytes.length - 1))
+    val e = intercept[IllegalArgumentException](DeltaInterop.importSnapshot(spark, out))
+    assert(e.getMessage.contains("size mismatch"))
+  }
+
+  test("a commit gap after the checkpoint refuses loudly") {
+    val out = checkpointedTable(parts = 1)
+    // hand-write v4, skipping v3 — a reader that shrugs silently
+    // time-travels the table to a state that never existed
+    Files.write(Paths.get(out, "_delta_log", "00000000000000000004.json"),
+      "{\"remove\":{\"path\":\"f4.parquet\",\"dataChange\":true}}\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaInterop.importSnapshot(spark, out))
+    assert(e.getMessage.contains("gap"))
+  }
+
+  test("writeCommit enforces contiguity and first-commit metaData; missing checkpoint file refuses") {
+    val out = tmp("delta_cp_guard_")
+    onePartFile(Seq((1L, "a")).toDF("id", "v"), Paths.get(out, "f1.parquet"))
+    val schemaJson = Seq((1L, "x")).toDF("id", "v").schema.json
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.writeCommit(out, 0L, adds = Seq("f1.parquet")))
+      .getMessage.contains("schemaJson"))
+    DeltaInterop.writeCommit(out, 0L, adds = Seq("f1.parquet"), schemaJson = Some(schemaJson))
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.writeCommit(out, 2L, adds = Nil))
+      .getMessage.contains("non-contiguous"))
+    // a dangling _last_checkpoint (pointer without the parquet) refuses
+    Files.write(Paths.get(out, "_delta_log", "_last_checkpoint"),
+      "{\"version\":0,\"size\":3}\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaInterop.importSnapshot(spark, out))
+    assert(e.getMessage.contains("missing"))
   }
 
   test("refuses to clobber an existing _delta_log") {
