@@ -5,15 +5,33 @@ object Bench {
   /** Per-query hygiene so one query's leftovers never bill the next:
     * leftover streaming queries keep state-store maintenance threads alive
     * (round-1: q37's state store inflated every query after it in the
-    * recorded run), cached plans/temp views accumulate driver memory.
+    * recorded run), cached plans/temp views accumulate driver memory, and
+    * session-conf mutations (e.g. the sampling operators' raise-only
+    * `windowGroupLimitThreshold`) would otherwise make every later query
+    * plan under whatever conf the earlier ones left behind — the round-12
+    * q82/q117 "unexplained elevation" suspect. `baseConf` is the pristine
+    * post-warmup conf; every key that drifted is restored (new keys
+    * unset), so each query PLANS against the same session state
+    * regardless of its position in the run. Restoring after the action
+    * completes is safe here because bench queries never recompose a
+    * previous query's frame.
     */
-  private def hygiene(spark: SparkSession): Unit = {
+  private def hygiene(spark: SparkSession, baseConf: Map[String, String]): Unit = {
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => })
     try spark.catalog.clearCache() catch { case _: Throwable => }
     try spark.catalog.listTables().collect()
       .filter(_.isTemporary)
       .foreach(t => spark.catalog.dropTempView(t.name))
     catch { case _: Throwable => }
+    try {
+      val now = spark.conf.getAll
+      for ((k, v) <- now if baseConf.get(k).forall(_ != v) || !baseConf.contains(k)) {
+        try baseConf.get(k) match {
+          case Some(orig) => if (orig != v) spark.conf.set(k, orig)
+          case None       => spark.conf.unset(k)
+        } catch { case _: Throwable => () } // non-modifiable keys stay put
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** Fixed CPU-bound calibration quantum (~100 ms on one unthrottled core).
@@ -66,6 +84,8 @@ object Bench {
         catch { case _: Throwable => }
       }
     } catch { case _: Throwable => }
+    // the pristine conf every query must plan against (see hygiene)
+    val baseConf: Map[String, String] = spark.conf.getAll
     // optional comma-separated query filter for profiling single operators
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
@@ -147,7 +167,7 @@ object Bench {
         val calBefore = probe()
         val spBefore = sparkProbe()
         val (d, err) = timeOne(name, fn)
-        hygiene(spark)
+        hygiene(spark, baseConf)
         val calAfter = probe()
         val spAfter = sparkProbe()
         val worst = math.max(calBefore, calAfter)

@@ -155,6 +155,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 2, s"q123 must shuffle exactly twice, saw $shuffles:\n$plan")
   }
 
+  test("plan shapes are order-independent of the sampling threshold raise") {
+    // The sampling operators raise `windowGroupLimitThreshold` session-wide
+    // (raise-only, documented in Sampling.ensureGroupLimitThreshold), so in
+    // a shared-session bench every query planned AFTER a large mixing draw
+    // sees a raised threshold. This pins the round-12 watch items (q82,
+    // q117 — the queries whose bench times moved without code changes):
+    // their physical plans must be IDENTICAL whether planned at the default
+    // threshold or after a huge raise, i.e. the conf mutation cannot be the
+    // mechanism behind their elevation. Expression ids and temp scratch
+    // paths are normalized (fresh per construction by design).
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    def planOf(q: String): String =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("lambda x_\\d+", "lambda x_n") // session-global counter
+        .replaceAll("file:[^\\s,\\)\\]]+", "file:X")
+        .replaceAll("\\d+ paths", "N paths")
+    val before = spark.conf.get(key, "1000")
+    try {
+      spark.conf.set(key, "1000")
+      val pristine = Seq("q82_feature_profile", "q117_ccnet_select")
+        .map(q => q -> planOf(q))
+      spark.conf.set(key, "50000000") // what a large mixing draw leaves behind
+      pristine.foreach { case (q, p) =>
+        val raised = planOf(q)
+        assert(raised == p,
+          s"$q plans differently under a raised $key:\n--- default ---\n$p\n--- raised ---\n$raised")
+      }
+    } finally spark.conf.set(key, before)
+  }
+
   test("q98 weighted sample never sorts globally: TakeOrderedAndProject plan") {
     // orderBy(key).limit(k) must stay a TakeOrderedAndProject (per-task
     // size-k heaps, k-row heads as the only cross-task traffic) — a
