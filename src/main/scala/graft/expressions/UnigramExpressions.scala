@@ -15,11 +15,16 @@ import org.apache.spark.sql.types._
   * Zipf-common word a hash lookup.
   *
   * DP contract (mirrored exactly by the q137 DuckDB oracle): words truncate
-  * to [[graft.functions.UnigramLm.MaxWordLen]] chars; dp[i] minimizes
+  * to [[graft.functions.UnigramLm.MaxWordLen]] CODEPOINTS; dp[i] minimizes
   * (total_cost, n_pieces) lexicographically over pieces of length
-  * 1..MaxPieceLen ending at i; a single char absent from the vocabulary
-  * costs [[graft.functions.UnigramLm.UnkCost]] (the OOV floor), so every
-  * word segments. Returns struct(n_words, n_pieces, total_cost).
+  * 1..MaxPieceLen codepoints ending at i; a single codepoint absent from
+  * the vocabulary costs [[graft.functions.UnigramLm.UnkCost]] (the OOV
+  * floor), so every word segments. Lengths and offsets are CODEPOINT
+  * units end to end — Spark's `substring` (the trainer) and DuckDB's
+  * `substr` (the oracle) both count codepoints, so a UTF-16-unit DP here
+  * would truncate and segment supplementary characters differently from
+  * the model it scores under. Returns struct(n_words, n_pieces,
+  * total_cost).
   */
 case class UnigramStats(child: Expression, costs: Map[String, Long])
     extends UnaryExpression with CodegenFallback {
@@ -36,8 +41,10 @@ case class UnigramStats(child: Expression, costs: Map[String, Long])
     val maxLen = graft.functions.UnigramLm.MaxWordLen
     val maxPiece = graft.functions.UnigramLm.MaxPieceLen
     val unk = graft.functions.UnigramLm.UnkCost
-    val w = if (word.length > maxLen) word.substring(0, maxLen) else word
-    val n = w.length
+    val cpsAll = word.codePoints().toArray
+    val cps = if (cpsAll.length > maxLen)
+      java.util.Arrays.copyOf(cpsAll, maxLen) else cpsAll
+    val n = cps.length
     val dpC = new Array[Long](n + 1)
     val dpN = new Array[Long](n + 1)
     var i = 1
@@ -46,7 +53,7 @@ case class UnigramStats(child: Expression, costs: Map[String, Long])
       var bestN = Long.MaxValue
       var l = 1
       while (l <= maxPiece && l <= i) {
-        val piece = w.substring(i - l, i)
+        val piece = new String(cps, i - l, l)
         val c = costs.getOrElse(piece, if (l == 1) unk else -1L)
         if (c >= 0L) {
           val nc = dpC(i - l) + c

@@ -136,7 +136,11 @@ object ImportanceSampling {
       .collect()
       .map(row => (row.getString(0), row.getLong(1)) ->
         (row.getLong(2), row.getLong(3))).toMap
-    val doms = cells.keys.map(_._1).toSeq.distinct.sorted
+    val domsRaw = cells.keys.map(_._1).toSeq.distinct
+    require(!domsRaw.contains(null),
+      s"$domainCol carries NULL values — assign an explicit 'unknown' domain " +
+        "before reweighting (a NULL slot has no stable sort position)")
+    val doms = domsRaw.sorted
     require(doms.nonEmpty, "no scored documents — nothing to reweight")
     val u = 1000000000L / doms.size
     var w: Seq[BigInt] = Seq.fill(doms.size)(BigInt(u))

@@ -383,8 +383,23 @@ object ShardExport {
     * manifest — a divergence throws [[ShardIntegrityException]] and
     * leaves the destination untouched. Each landed file is copied to a
     * temp name and atomically renamed (a concurrent reader sees either
-    * the old or the new whole file), and `_manifest.parquet` flips LAST,
-    * so readers always resolve a consistent set.
+    * the old or the new whole file).
+    *
+    * Manifest swap and crash safety: each publish writes an IMMUTABLE
+    * versioned manifest (`_manifest.v<N>.parquet`) and then flips the
+    * tiny `_manifest.current` pointer file via a single atomic rename —
+    * a crash anywhere leaves the pointer naming a complete manifest, and
+    * a reader that resolved the pointer always opens a whole manifest.
+    * `removed` files are deleted AFTER the flip, and the previous
+    * manifest generation is retained one cycle, so a reader holding the
+    * OLD manifest still finds every file it names. The one remaining
+    * read-skew window is inherent to fixed shard names: a `changed`
+    * shard's file is replaced in place before the flip, so an
+    * old-manifest reader of exactly that shard can see new bytes — the
+    * divergence is DETECTED, not silent, because every shard read
+    * verifies the manifest checksums ([[readShards]]). Legacy
+    * destinations with a directory `_manifest.parquet` are resolved and
+    * migrated on the next publish.
     *
     * Scale shape: the diff is manifest-scale; the verification read
     * scans exactly the changed shards' files (an explicit file list —
@@ -404,16 +419,26 @@ object ShardExport {
     import spark.implicits._
     val shardsDir = Paths.get(destRoot, "shards")
     Files.createDirectories(shardsDir)
-    val manifestDir = Paths.get(destRoot, "_manifest.parquet")
+    val legacyManifestDir = Paths.get(destRoot, "_manifest.parquet")
+    val pointer = Paths.get(destRoot, "_manifest.current")
+    def versionedManifest(v: Long) = Paths.get(destRoot, s"_manifest.v$v.parquet")
+    // resolve the committed manifest: pointer-named version, or the
+    // legacy directory layout (pre-versioning destinations)
+    val prevVersion: Long =
+      if (Files.exists(pointer))
+        new String(Files.readAllBytes(pointer), "UTF-8").trim.toLong
+      else 0L
+    val prevManifestPath: Option[java.nio.file.Path] =
+      if (prevVersion > 0) Some(versionedManifest(prevVersion))
+      else if (Files.exists(legacyManifestDir)) Some(legacyManifestDir)
+      else None
 
     val cur = shardManifests(spark, exportRoot)
     // materialized EAGERLY (localCheckpoint): the previous manifest's
-    // files are deleted when the new manifest flips below, but its rows
-    // are still needed for the removed-shard report afterwards
-    val prev =
-      if (Files.exists(manifestDir))
-        spark.read.parquet(manifestDir.toString).localCheckpoint(true)
-      else cur.filter(lit(false))
+    // rows are still needed for the removed-shard report after the flip
+    val prev = prevManifestPath
+      .map(p => spark.read.parquet(p.toString).localCheckpoint(true))
+      .getOrElse(cur.filter(lit(false)))
     val keys = Seq("wave", "bucket", "shard_seq")
     val p = prev.select(col("wave"), col("bucket"), col("shard_seq"),
       struct(col("checksum"), col("n_docs"), col("shard_tokens")).as("__p"))
@@ -492,21 +517,31 @@ object ShardExport {
         ()
       }
     }
+    // flip: write the new IMMUTABLE manifest generation, then swap the
+    // pointer with one atomic file rename — never a delete-then-move
+    // window with no manifest on disk
+    val newVersion = prevVersion + 1
+    cur.coalesce(1).write.mode("overwrite")
+      .parquet(versionedManifest(newVersion).toString)
+    val tmpPtr = Paths.get(destRoot, "_manifest.current.tmp")
+    Files.write(tmpPtr, s"$newVersion\n".getBytes("UTF-8"))
+    Files.move(tmpPtr, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // post-flip cleanup: removed data files go AFTER the swap (an
+    // old-manifest reader still finds every file it names until here);
+    // the previous manifest generation is retained one cycle, older ones
+    // and the legacy directory layout are garbage
     diff.filter(_._4 == "removed").foreach { t =>
       Files.deleteIfExists(shardsDir.resolve(fileName(t._1, t._2, t._3)))
     }
-    // flip the manifest LAST: a reader sees the previous consistent set
-    // until every named file is in place
-    val tmpMan = Paths.get(destRoot, "_manifest.parquet.tmp").toString
-    cur.coalesce(1).write.mode("overwrite").parquet(tmpMan)
-    val manTmp = Paths.get(tmpMan)
-    if (Files.exists(manifestDir)) {
-      val st = Files.walk(manifestDir)
+    def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val st = Files.walk(p)
       try st.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { Files.deleteIfExists(f); () })
       finally st.close()
     }
-    Files.move(manTmp, manifestDir, StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(legacyManifestDir)
+    (1L until prevVersion).foreach(v => deleteTree(versionedManifest(v)))
 
     // report: diff statuses + manifest values (current manifest for
     // added/changed — just certified against the published bytes — and

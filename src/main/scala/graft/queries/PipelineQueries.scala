@@ -4390,6 +4390,13 @@ object PipelineQueries {
          |), dj AS (
          |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS j
          |  FROM (SELECT DISTINCT source FROM cells)
+         |), dn AS (
+         |  -- slot count and initial weight DERIVED from the data (not a
+         |  -- hard-coded source cardinality): u = 1e9 // D, the engine's
+         |  -- Seq.fill(doms.size)(1e9 / doms.size)
+         |  SELECT CAST(count(*) AS BIGINT) AS d,
+         |    CAST(1000000000 // count(*) AS BIGINT) AS u
+         |  FROM dj
          |), grid AS MATERIALIZED (
          |  SELECT b.t, list(CASE WHEN c.n IS NULL THEN 0
          |    ELSE least(c.sq // c.n, 20000) END ORDER BY d.j) AS xs
@@ -4398,23 +4405,24 @@ object PipelineQueries {
          |  LEFT JOIN cells c ON c.source = d.source AND c.t = b.t
          |  GROUP BY b.t
          |), fold(t, ws) AS (
-         |  SELECT CAST(0 AS BIGINT), list_transform(range(1, 21), j -> CAST(50000000 AS BIGINT))
+         |  SELECT CAST(0 AS BIGINT), list_transform(range(1, d + 1), j -> u)
+         |  FROM dn
          |  UNION ALL
          |  SELECT q.t + 1,
          |    list_transform(q.ps, p -> CAST(
-         |      ((CAST(p AS HUGEINT) * 1000000000 // q.s) * 9 + 50000000) // 10 AS BIGINT))
+         |      ((CAST(p AS HUGEINT) * 1000000000 // q.s) * 9 + q.u) // 10 AS BIGINT))
          |  FROM (
-         |    SELECT t, ps AS ps, CAST(list_sum(ps) AS HUGEINT) AS s
+         |    SELECT t, ps AS ps, CAST(list_sum(ps) AS HUGEINT) AS s, u
          |    FROM (
          |      SELECT f.t,
-         |        list_transform(range(1, 21), j -> f.ws[CAST(j AS INTEGER)] *
+         |        list_transform(range(1, len(f.ws) + 1), j -> f.ws[CAST(j AS INTEGER)] *
          |          CAST(floor(exp(0.5 * g.xs[CAST(j AS INTEGER)] / 10000.0)
          |            * 1000000000.0 + 0.5) AS BIGINT)) AS ps
          |      FROM fold f JOIN grid g ON g.t = f.t WHERE f.t < 8
-         |    )
+         |    ), dn
          |  ) q
          |), wfin AS (
-         |  SELECT unnest(ws) AS w9, unnest(range(1, 21)) AS j FROM fold WHERE t = 8
+         |  SELECT unnest(ws) AS w9, generate_subscripts(ws, 1) AS j FROM fold WHERE t = 8
          |), wsum AS (
          |  SELECT CAST(list_sum(ws) AS BIGINT) AS s FROM fold WHERE t = 8
          |), totb AS (

@@ -100,9 +100,11 @@ object CrawlStream {
           }
           .toDF()
         val accepted = extractAccepted(records, gateMinTokens)
-        // batchId-guarded: a replayed batch is skipped, never re-appended
+        // batchId-guarded: a replayed batch is skipped, never re-appended.
+        // ingest_batch stamps each row's wave so a re-crawled url's LATEST
+        // version is identifiable in the append-only history
         VersionedTable.append(corpusPath, Some(bid))(
-          dir => accepted.write.parquet(dir))
+          dir => accepted.withColumn("ingest_batch", lit(bid)).write.parquet(dir))
         if (lineDedupMinDocs > 0)
           maintainLineDedup(spark, corpusPath, accepted, bid, lineDedupMinDocs)
         ()
@@ -119,15 +121,28 @@ object CrawlStream {
     * the corpus (the q50 incremental-MinHash pattern):
     *
     *  - `<corpus>_lines`   (upsert, key `__line`): accumulated per-line
-    *    distinct-doc counts — each wave adds its (deterministic, per-wave
-    *    distinct) contribution and upserts ONLY the touched lines;
-    *  - `<corpus>_linedocs` (append): the (line, url) inverted index, the
-    *    device that makes re-gating TARGETED — when a line crosses the
-    *    threshold this wave, the index names exactly the prior docs that
-    *    contain it;
+    *    DISTINCT-URL counts — each wave's (line, url) pairs are anti-
+    *    joined against the accumulated index first, so a pair contributes
+    *    ONCE across waves (a re-crawled url re-presenting a line does not
+    *    double-count it — exactly `countDistinct(url)` over the
+    *    accumulated corpus, the batch semantics); the wave then upserts
+    *    ONLY the touched lines;
+    *  - `<corpus>_linedocs` (append): the (line, url) inverted index —
+    *    both the dedup device for the counts above and the device that
+    *    makes re-gating TARGETED: when a line crosses the threshold this
+    *    wave, the index names exactly the prior docs that contain it;
     *  - `<corpus>_clean`   (upsert, key `url`): the cleaned corpus;
     *    all-boilerplate docs stay as n_kept = 0 tombstones (an upsert
-    *    table cannot delete), [[cleanDocs]] filters them.
+    *    table cannot delete), [[cleanDocs]] filters them. A re-crawled
+    *    url's row is the LATEST version's text cleaned against the
+    *    current boilerplate set.
+    *
+    * Re-crawl semantics (pinned by CrawlStreamSpec): counts are MONOTONE —
+    * a line that a re-crawled url's new version no longer contains keeps
+    * its old count (the accumulated corpus still contains the old version,
+    * and `countDistinct(url)` over it still counts the url), so stream ≡
+    * batch holds exactly for the boilerplate set; the clean table serves
+    * the latest version per url.
     *
     * Per-wave cost: O(wave lines) for the count merge and index append,
     * O(affected docs) for the re-clean — affected = this wave's docs plus
@@ -155,8 +170,35 @@ object CrawlStream {
     val cleanPath = corpusPath + "_clean"
 
     val waveDocs = accepted.select(col("url"), col("main_text")).persist()
-    val waveLines = DedupFunctions.explodeLines(waveDocs, "url", "main_text")
-      .select(col("__line"), col("url")).distinct().persist()
+    // one version per url per wave: a wave carrying the same url twice has
+    // no defined winner for the keyed clean upsert — refuse loudly
+    // (wave-scale agg, nothing corpus-scale)
+    val dup = waveDocs.groupBy(col("url")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"wave $bid carries url '${dup.headOption.map(_.getString(0)).getOrElse("")}' " +
+        "more than once — a wave must carry at most one version per url")
+    val waveLinesAll = DedupFunctions.explodeLines(waveDocs, "url", "main_text")
+      .select(col("__line"), col("url")).distinct()
+    // the accumulated (line, url) index as it stood BEFORE this wave: when
+    // a crash already committed this wave's index append, read the
+    // previous table version so the replay computes the SAME contribution
+    // the crashed run did (replay identity)
+    val lineDocsM = VersionedTable.readManifest(lineDocsPath)
+    val priorIndex: Option[DataFrame] = lineDocsM.flatMap { m =>
+      if (m.batchId >= bid) {
+        // this wave's append already committed; version 1 means it was the
+        // FIRST commit, so the pre-wave index is empty
+        if (m.version <= 1L) None
+        else Some(VersionedTable.read(spark, lineDocsPath, asOfVersion = Some(m.version - 1)))
+      } else Some(VersionedTable.read(spark, lineDocsPath))
+    }
+    // (line, url) pairs NEW to the corpus this wave: a re-crawled url
+    // re-presenting a known line contributes nothing (countDistinct
+    // semantics), while its genuinely new lines count once
+    val waveLines = priorIndex.fold(waveLinesAll)(idx =>
+      waveLinesAll.join(idx.select(col("__line"), col("url")),
+        Seq("__line", "url"), "left_anti")).persist()
     try {
       val waveCounts = waveLines.groupBy(col("__line"))
         .agg(count(lit(1)).as("__wn"))
@@ -190,17 +232,21 @@ object CrawlStream {
         val crossed = merged
           .filter(col("__old") < minDupDocs && col("n_docs") >= minDupDocs)
           .select(col("__line"))
-        val priorAffected =
-          (if (VersionedTable.exists(lineDocsPath))
-             VersionedTable.read(spark, lineDocsPath)
-               .join(crossed, Seq("__line")).select(col("url")).distinct()
-               .except(waveDocs.select(col("url")))
-           else Seq.empty[String].toDF("url"))
+        val priorAffected = priorIndex
+          .map(_.join(crossed, Seq("__line")).select(col("url")).distinct()
+            .except(waveDocs.select(col("url"))))
+          .getOrElse(Seq.empty[String].toDF("url"))
         VersionedTable.append(lineDocsPath, Some(bid))(dir =>
           waveLines.write.parquet(dir))
+        // a re-crawled url has one corpus row PER WAVE (the corpus is
+        // append-only history); re-gating must clean the LATEST version,
+        // so pick max ingest_batch per url — the affected set is crossing-
+        // line docs only, so this agg is affected-scale, never corpus-scale
         val priorDocs = VersionedTable.read(spark, corpusPath)
-          .select(col("url"), col("main_text"))
+          .select(col("url"), col("main_text"), col("ingest_batch"))
           .join(priorAffected, Seq("url"))
+          .groupBy(col("url"))
+          .agg(max_by(col("main_text"), col("ingest_batch")).as("main_text"))
         val boiler = merged.filter(col("n_docs") >= minDupDocs).select(col("__line"))
         val cleaned = DedupFunctions.cleanAgainstBoilerplate(
           waveDocs.unionByName(priorDocs), "url", "main_text", boiler)
@@ -215,7 +261,11 @@ object CrawlStream {
   /** The incrementally-maintained cleaned corpus: (url, clean_text,
     * n_kept, n_dropped), all-boilerplate tombstones filtered — row-for-row
     * what the batch [[graft.functions.DedupFunctions.dedupBoilerplateLines]]
-    * returns over the accumulated corpus.
+    * returns over the accumulated corpus when every url was crawled once;
+    * with re-crawls, the boilerplate SET still equals the batch
+    * countDistinct over the accumulated history, and each url's row is
+    * its latest version cleaned against that set (see
+    * [[maintainLineDedup]]'s re-crawl semantics).
     */
   def cleanDocs(spark: SparkSession, corpusPath: String): DataFrame =
     VersionedTable.read(spark, corpusPath + "_clean")

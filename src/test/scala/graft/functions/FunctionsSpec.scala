@@ -198,6 +198,17 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(oov(2L) == ((1L, 2L, 2L * UnigramLm.UnkCost)))
     assert(oov(3L) == ((0L, 0L, 0L)), "NULL text segments as an empty doc")
+    // supplementary characters: MaxWordLen truncation and piece lengths
+    // are CODEPOINT units (the trainer's Spark substring and the oracle's
+    // DuckDB substr both count codepoints) — 20 copies of U+1D54F (2
+    // UTF-16 units each) truncate to 16 codepoints = 16 OOV singles, not
+    // 8 chars or 16 broken surrogate halves
+    val supp = "𝕏" * 20
+    val sup = UnigramLm.segmentStats(
+      Seq((4L, supp)).toDF("doc_id", "text"), "doc_id", $"text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sup(4L) == ((1L, 16L, 16L * UnigramLm.UnkCost)),
+      s"codepoint truncation/segmentation: ${sup(4L)}")
   }
 
   test("lengthBucketBatches: bin bounds padding, truncation caps, batches cover") {

@@ -314,6 +314,43 @@ class ShardExportSpec extends SparkSpec {
     assert(pub2 == exp2)
   }
 
+  test("publishIncremental: pointer-resolved versioned manifests; previous generation retained one cycle") {
+    import java.nio.file.{Files, Paths}
+    val e1 = java.nio.file.Files.createTempDirectory("graft_pub_v1_").toString
+    val e2 = java.nio.file.Files.createTempDirectory("graft_pub_v2_").toString
+    val e3 = java.nio.file.Files.createTempDirectory("graft_pub_v3_").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_pub_ptr_").toString
+    val v1 = docs(120, i => (i % 5 + 1).toInt)
+    ShardExport.writeShards(v1, "doc_id", "text", 2, 50L, e1)
+    ShardExport.writeShards(v1.filter(col("doc_id") =!= 7L), "doc_id", "text", 2, 50L, e2)
+    ShardExport.writeShards(v1.filter(col("doc_id") > 3L), "doc_id", "text", 2, 50L, e3)
+
+    ShardExport.publishIncremental(spark, e1, dest, "doc_id", "text")
+    assert(new String(Files.readAllBytes(Paths.get(dest, "_manifest.current")), "UTF-8").trim == "1")
+    assert(Files.exists(Paths.get(dest, "_manifest.v1.parquet")))
+
+    ShardExport.publishIncremental(spark, e2, dest, "doc_id", "text")
+    assert(new String(Files.readAllBytes(Paths.get(dest, "_manifest.current")), "UTF-8").trim == "2")
+    // previous generation retained one cycle: a reader holding v1 can
+    // still open it after the flip
+    assert(Files.exists(Paths.get(dest, "_manifest.v1.parquet")))
+    assert(Files.exists(Paths.get(dest, "_manifest.v2.parquet")))
+    // the pointer-resolved manifest equals the export's
+    val pub = spark.read.parquet(dest + "/_manifest.v2.parquet")
+      .select("bucket", "shard_seq", "checksum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = ShardExport.shardManifests(spark, e2)
+      .select("bucket", "shard_seq", "checksum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pub == exp)
+
+    ShardExport.publishIncremental(spark, e3, dest, "doc_id", "text")
+    // generation v1 is now two cycles old — garbage-collected
+    assert(!Files.exists(Paths.get(dest, "_manifest.v1.parquet")))
+    assert(Files.exists(Paths.get(dest, "_manifest.v2.parquet")) &&
+      Files.exists(Paths.get(dest, "_manifest.v3.parquet")))
+  }
+
   test("writeShards: a corrupted shard file is caught by the checksum on read") {
     val root = java.nio.file.Files.createTempDirectory("graft_shard_corrupt_").toString
     val df = docs(200, i => (i % 9 + 1).toInt)

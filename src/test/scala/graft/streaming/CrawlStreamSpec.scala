@@ -130,6 +130,101 @@ class CrawlStreamSpec extends SparkSpec {
     assert(cleanSet() == c2)
   }
 
+  test("re-crawled urls count once per line; re-gating serves the LATEST version") {
+    val warcDir = Files.createTempDirectory("crawl_rc_in_")
+    val corpus = Files.createTempDirectory("crawl_rc_out_").resolve("corpus").toString
+    val banner = (0 until 6).map(i => s"banner$i").mkString(" ")
+    def bdoc(id: Int, ver: Int): WarcCodec.WarcRecord = {
+      val body = (0 until 70).map(w => s"uniq${id}v${ver}w$w").mkString(" ")
+      val html = s"<html><body><p>$banner</p><p>$body</p></body></html>"
+      WarcCodec.WarcRecord(
+        "response", s"http://crawl.test/doc/$id", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        WarcCodec.httpResponsePayload(200, "OK", "text/html; charset=utf-8",
+          html.getBytes(UTF_8)))
+    }
+    def drainLd(): Unit = {
+      val q = CrawlStream.start(spark, warcDir.toString, corpus,
+        gateMinTokens = 60, availableNow = true, lineDedupMinDocs = 3)
+      q.awaitTermination(120000)
+    }
+    def cleanMap() = CrawlStream.cleanDocs(spark, corpus)
+      .select("url", "clean_text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the re-crawl-aware batch restatement: boiler set = countDistinct(url)
+    // over the FULL accumulated history; clean = latest version per url
+    // cleaned against that set
+    def batchClean() = {
+      val hist = VersionedTable.read(spark, corpus)
+      val boiler = graft.functions.DedupFunctions
+        .explodeLines(hist, "url", "main_text")
+        .groupBy(col("__line")).agg(countDistinct(col("url")).as("__nd"))
+        .filter(col("__nd") >= 3).select(col("__line"))
+      val latest = hist.groupBy(col("url"))
+        .agg(max_by(col("main_text"), col("ingest_batch")).as("main_text"))
+      graft.functions.DedupFunctions
+        .cleanAgainstBoilerplate(latest, "url", "main_text", boiler)
+        .filter(col("n_kept") > 0)
+        .select("url", "clean_text")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+
+    // wave 1: banner in docs 1 and 2 — count 2, below threshold 3
+    land(warcDir, "w1.warc.gz", Seq(bdoc(1, 1), bdoc(2, 1)))
+    drainLd()
+    // wave 2: RE-CRAWL doc 1 (new body, same banner). A double-counting
+    // maintainer would now see banner count 3 and strip it; the correct
+    // countDistinct semantics keep it at 2 — banner survives everywhere
+    land(warcDir, "w2.warc.gz", Seq(bdoc(1, 2)))
+    drainLd()
+    val c2 = cleanMap()
+    assert(c2 == batchClean(), "wave 2: stream must equal the re-crawl-aware batch")
+    assert(c2("http://crawl.test/doc/1").contains("banner0"),
+      s"banner must survive at count 2 (re-crawl must not double-count): $c2")
+    assert(c2("http://crawl.test/doc/1").contains("uniq1v2w0") &&
+      !c2("http://crawl.test/doc/1").contains("uniq1v1w0"),
+      "the clean table must serve the re-crawled (latest) version")
+
+    // wave 3: doc 3 brings the banner to distinct-url count 3 — crossed;
+    // every doc's clean text loses it, and the PRIOR doc 1 must be
+    // re-gated on its LATEST (v2) text, not the v1 history row
+    land(warcDir, "w3.warc.gz", Seq(bdoc(3, 1)))
+    drainLd()
+    val c3 = cleanMap()
+    assert(c3 == batchClean(), "wave 3: stream must equal the re-crawl-aware batch")
+    assert(c3.values.forall(!_.contains("banner0")),
+      s"crossing the threshold must strip the banner everywhere: $c3")
+    assert(c3("http://crawl.test/doc/1").contains("uniq1v2w0"),
+      "re-gating a re-crawled url must clean its latest version")
+    // replay: state unchanged
+    drainLd()
+    assert(cleanMap() == c3)
+  }
+
+  test("a wave carrying the same url twice refuses loudly") {
+    val warcDir = Files.createTempDirectory("crawl_dup_in_")
+    val corpus = Files.createTempDirectory("crawl_dup_out_").resolve("corpus").toString
+    val banner = (0 until 6).map(i => s"banner$i").mkString(" ")
+    def doc(body: String): WarcCodec.WarcRecord = {
+      val html = s"<html><body><p>$banner</p><p>$body</p></body></html>"
+      WarcCodec.WarcRecord(
+        "response", "http://crawl.test/doc/9", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        WarcCodec.httpResponsePayload(200, "OK", "text/html; charset=utf-8",
+          html.getBytes(UTF_8)))
+    }
+    land(warcDir, "w1.warc.gz",
+      Seq(doc((0 until 70).map(w => s"a$w").mkString(" ")),
+        doc((0 until 70).map(w => s"b$w").mkString(" "))))
+    val q = CrawlStream.start(spark, warcDir.toString, corpus,
+      gateMinTokens = 60, availableNow = true, lineDedupMinDocs = 3)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert(e.getMessage.contains("more than once") ||
+      Option(e.getCause).exists(_.getMessage.contains("more than once")))
+  }
+
   test("non-html and non-200 responses never enter the corpus") {
     val warcDir = Files.createTempDirectory("crawl_in3_")
     val corpus = Files.createTempDirectory("crawl_out3_").resolve("corpus").toString
