@@ -253,7 +253,20 @@ object DedupFunctions {
     * exponentially denser: keep d small on big corpora.
     */
   def nearDupSimHash(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    nearDupBits(df.select(col(idCol), simHash(col(textCol)).as("__sig")),
+      idCol, "__sig", maxHamming)
+
+  /** Pigeonhole-banded near-dup over ANY precomputed 64-bit signature
+    * column — the [[nearDupSimHash]] core with the signature generation
+    * factored out, so perceptual hashes (e.g.
+    * [[graft.multimodal.ImageCodec.dHash]]) reuse the same scale shape:
+    * maxHamming+1 bands, band-bucket join (never all-pairs), exact
+    * `bit_count(xor)` verification on colliding pairs. Returns
+    * (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def nearDupBits(
+      df: DataFrame, idCol: String, sigCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming (bands need ≥ 2 bits)")
     val nBands = maxHamming + 1
@@ -264,7 +277,7 @@ object DedupFunctions {
       struct(lit(b).as("q"),
         call_function("shiftright", col("sig"), lit(offsets(b))).bitwiseAND(lit(mask)).as("qh"))
     }
-    val withSig = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val withSig = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
     val banded = withSig.select(col("id"), col("sig"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.q").as("q"), col("bk.qh").as("qh"))

@@ -51,7 +51,13 @@ object ImageCodec {
     * composes with `Multimodal.withFeatures`'s Iterator→Iterator batch
     * shape and constant-memory guarantee.
     */
-  def decode(bytes: Array[Byte]): Option[DecodedImage] = {
+  def decode(bytes: Array[Byte]): Option[DecodedImage] = readImage(bytes)
+    .map { case (img, nFrames) => stats(img, nFrames) }
+
+  /** Bomb-guarded read shared by [[decode]] and [[dHash]]: (image, frame
+    * count), None on non-image/corrupt/oversized payloads.
+    */
+  private def readImage(bytes: Array[Byte]): Option[(BufferedImage, Int)] = {
     if (bytes == null || bytes.length == 0) return None
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
@@ -69,11 +75,69 @@ object ImageCodec {
         val nFrames = math.max(1, reader.getNumImages(true))
         val img = reader.read(0)
         if (img == null) return None
-        Some(stats(img, nFrames))
+        Some((img, nFrames))
       } finally reader.dispose()
     } catch {
       case _: Exception => None // truncated/corrupt payload: not an image
     } finally iis.close()
+  }
+
+  /** dHash grid: 9 columns × 8 rows of pooled luma → 64 horizontal
+    * comparisons (Krawetz's difference hash, the standard perceptual
+    * image fingerprint).
+    */
+  val HashW = 9
+  val HashH = 8
+
+  /** 64-bit perceptual difference hash: average-pool integer luma
+    * (299r+587g+114b, never divided — cell means compare by integer
+    * cross-multiplication, so the hash is exactly reproducible from any
+    * engine's integer arithmetic) onto the [[HashW]]×[[HashH]] grid; bit
+    * `j*8+i` is set iff cell (i+1, j) is brighter than cell (i, j).
+    * Scale-invariant by construction (pooling), robust to lossy
+    * re-encodes and global brightness shifts (comparisons see only
+    * relative differences). None on undecodable payloads.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = readImage(bytes).map { case (img, _) =>
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](HashW * HashH)
+    val counts = new Array[Long](HashW * HashH)
+    var y = 0
+    while (y < h) {
+      val ty = y * HashH / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+        val cell = ty * HashW + x * HashW / w
+        sums(cell) += luma
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < HashH) {
+      var i = 0
+      while (i < HashW - 1) {
+        val l = j * HashW + i
+        val r = l + 1
+        // mean(right) > mean(left), integer-exact: direct sum compare when
+        // the cells hold equally many pixels (every grid-aligned fixture),
+        // BigInt cross-multiplication otherwise (a Long cross product can
+        // overflow at the MaxPixels bound; 64 cold-path comparisons per
+        // image cost nothing)
+        val brighter =
+          if (counts(l) == counts(r)) sums(r) > sums(l)
+          else BigInt(sums(r)) * counts(l) > BigInt(sums(l)) * counts(r)
+        if (brighter) bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
   }
 
   /** One pass over the pixels: per-channel means + pooled grayscale thumb.

@@ -1871,6 +1871,56 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // perceptual image near-dup — the missing dedup-plane member for
+    // image-bearing corpora: dHash (Krawetz difference hash) over decoded
+    // pixels, then the q24 pigeonhole banding (4 bands, hamming <= 3,
+    // never all-pairs). Fixture: three VARIANTS per group g = doc_id/3 —
+    // the base PNG, a 2x PNG upscale, and a JPEG re-encode with a +8
+    // brightness shift — rendered from a 9x8 cell grid whose values are
+    // ((c_j*(i+1)) mod 7)*25 with c_j = xxh64('img:g:j') mod 6 + 1, so
+    // horizontally adjacent cells always differ by >= 25 gray levels:
+    // the dHash is EXACTLY the closed-form comparison table even under
+    // JPEG quantization (flat 8x8 cells sit on DCT blocks; error ~ +-4),
+    // scale pooling (cells divide both resolutions), and the brightness
+    // shift (comparisons see only relative differences). The oracle
+    // recomputes every hash from the same xxh64 arithmetic and replays
+    // the hamming census all-pairs — crops of the pooling grid, lossy
+    // re-encode, and brightness land in one group; distinct grids don't.
+    "q140_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 240).select(col("doc_id")).as[Long]
+      val hashed = ids.map { id =>
+        val g = id / 3
+        val bright = if (id % 3 == 2) 8 else 0
+        val cs = Array.tabulate(8) { j =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(s"img:$g:$j")
+          val x = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+          (((x % 6) + 6) % 6 + 1).toInt
+        }
+        val (w, h) = if (id % 3 == 1) (144, 128) else (72, 64)
+        def fill(x: Int, y: Int): Int = {
+          val v = ((cs(y * 8 / h) * (x * 9 / w + 1)) % 7) * 25 + bright
+          (v << 16) | (v << 8) | v
+        }
+        val bytes =
+          if (id % 3 == 2) graft.multimodal.ImageCodec.encodeJpeg(w, h, fill)
+          else graft.multimodal.ImageCodec.encodePng(w, h, fill)
+        val hsh = graft.multimodal.ImageCodec.dHash(bytes).getOrElse(
+          throw new IllegalStateException(s"fixture image $id failed to decode"))
+        (id, hsh)
+      }.toDF("doc_id", "dhash")
+      val pairs = graft.functions.DedupFunctions.nearDupBits(
+        hashed, "doc_id", "dhash", maxHamming = 3)
+      val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr")))
+      hashed.join(sym, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"), col("dhash"))
+        .agg(count(col("nbr")).as("n_near"),
+          least(coalesce(min(col("nbr")), col("doc_id")), col("doc_id")).as("grp"))
+    }),
+
     // PHYSICAL shard materialization: writeShards lands one immutable
     // parquet file per (bucket, shard_seq) — rows in md5 packing order —
     // under a VersionedTable CAS commit, recomputes the manifest FROM THE
@@ -4579,6 +4629,49 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM ck9 GROUP BY lang""".stripMargin,
+
+    // perceptual near-dup: every variant's dHash is the closed-form
+    // comparison table of the 9x8 cell grid (margins make pooling + JPEG
+    // + brightness exact), restated from the same xxh64 arithmetic; the
+    // hamming census is replayed all-pairs (the banding is complete for
+    // hamming <= 3 by pigeonhole, so the pair sets agree)
+    "q140_image_neardup" ->
+      s"""WITH gs AS (
+         |  SELECT DISTINCT doc_id // 3 AS g FROM documents WHERE doc_id < 240
+         |), gj AS (
+         |  SELECT g, j FROM gs CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+         |), ${DuckDbXxHash64.xxh64Cte("gj",
+           "'img:' || CAST(g AS VARCHAR) || ':' || CAST(j AS VARCHAR)",
+           Seq("g", "j"), "ih")},
+         |cj AS (
+         |  SELECT g, j, ((xxh % 6) + 6) % 6 + 1 AS c FROM ih9
+         |), bits AS (
+         |  -- bit 63 is the BIGINT sign bit: DuckDB refuses 1 << 63 as an
+         |  -- overflow, so it is spelled as the min-BIGINT literal
+         |  SELECT g, bit_or(CASE WHEN ((c * (i + 2)) % 7) > ((c * (i + 1)) % 7)
+         |    THEN CASE WHEN j * 8 + i = 63 THEN -9223372036854775807 - 1
+         |         ELSE CAST(1 AS BIGINT) << CAST(j * 8 + i AS INTEGER) END
+         |    ELSE CAST(0 AS BIGINT) END) AS dhash
+         |  FROM cj CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+         |  GROUP BY g
+         |), docs AS (
+         |  SELECT d.doc_id, b.dhash
+         |  FROM documents d JOIN bits b ON b.g = d.doc_id // 3
+         |  WHERE d.doc_id < 240
+         |), prs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |), sym AS (
+         |  SELECT ia AS doc_id, ib AS nbr FROM prs
+         |  UNION ALL
+         |  SELECT ib AS doc_id, ia AS nbr FROM prs
+         |)
+         |SELECT d.doc_id, d.dhash,
+         |  CAST(count(s.nbr) AS BIGINT) AS n_near,
+         |  CAST(least(d.doc_id, coalesce(min(s.nbr), d.doc_id)) AS BIGINT) AS grp
+         |FROM docs d LEFT JOIN sym s USING (doc_id)
+         |GROUP BY d.doc_id, d.dhash""".stripMargin,
 
     "q125_shard_write" ->
       s"""WITH d0 AS (

@@ -92,4 +92,64 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.withFeatures(items).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode introduced a shuffle:\n$plan")
   }
+
+  // ---- perceptual dHash ----
+
+  /** 9x8 cell-grid image: gray level per cell from `v(i, j)`, rendered at
+    * (w, h) divisible by (9, 8) so pooling is exact.
+    */
+  private def gridPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] =
+    ImageCodec.encodePng(w, h, (x, y) => {
+      val g = v(x * 9 / w, y * 8 / h); (g << 16) | (g << 8) | g
+    })
+
+  test("dHash equals the hand-computed comparison table of the cell grid") {
+    // v(i, j) = (3*(i+1) + j) % 7 * 25: bit j*8+i = [v(i+1,j) > v(i,j)]
+    def v(i: Int, j: Int): Int = ((3 * (i + 1) + j) % 7) * 25
+    var want = 0L
+    for (j <- 0 until 8; i <- 0 until 8)
+      if (v(i + 1, j) > v(i, j)) want |= 1L << (j * 8 + i)
+    assert(ImageCodec.dHash(gridPng(72, 64, v)).contains(want))
+  }
+
+  test("dHash is invariant to scale, JPEG re-encode, and brightness shift") {
+    def v(i: Int, j: Int): Int = ((5 * (i + 1) + 2 * j) % 7) * 25
+    val base = ImageCodec.dHash(gridPng(72, 64, v)).get
+    // 2x upscale (PNG, exact pooling)
+    assert(ImageCodec.dHash(gridPng(144, 128, v)).contains(base))
+    // JPEG re-encode: flat 8x8 cells sit on DCT blocks, error << the
+    // 25-level margin, so the hash is bit-identical, not merely close
+    val jpeg = ImageCodec.encodeJpeg(72, 64, (x, y) => {
+      val g = v(x * 9 / 72, y * 8 / 64); (g << 16) | (g << 8) | g
+    })
+    assert(ImageCodec.dHash(jpeg).contains(base))
+    // +8 global brightness: comparisons see only relative differences
+    assert(ImageCodec.dHash(gridPng(72, 64, (i, j) => v(i, j) + 8)).contains(base))
+    // a genuinely different grid hashes differently
+    def v2(i: Int, j: Int): Int = ((2 * (i + 1) + 4 * j) % 7) * 25
+    assert(!ImageCodec.dHash(gridPng(72, 64, v2)).contains(base))
+    // undecodable bytes: None, never a throw
+    assert(ImageCodec.dHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("nearDupBits groups within-hamming signatures and equals brute force") {
+    import graft.functions.DedupFunctions
+    val sigs = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdeeL), // hamming 1 from #1
+      (3L, 0x0123456789abcd00L), // hamming 6 from #1 — outside
+      (4L, 0x7123456789abcdefL), // hamming 3 from #1 (high bits 0x71 vs 0x01)
+      (5L, -1L))
+      .toDF("id", "sig")
+    val got = DedupFunctions.nearDupBits(sigs, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())).toSet
+    val rows = Seq((1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdeeL),
+      (3L, 0x0123456789abcd00L), (4L, 0x7123456789abcdefL), (5L, -1L))
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+  }
 }
