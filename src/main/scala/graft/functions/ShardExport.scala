@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,21 +41,36 @@ object ShardExport {
     */
   def shardAssign(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, budgetTokens: Long): DataFrame =
-    assignCore(df, idCol, textCol, buckets, budgetTokens, carry = Seq.empty)
+    assignCore(df, idCol,
+      coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L)),
+      buckets, budgetTokens, carry = Seq.empty)
 
-  /** [[shardAssign]] with pass-through columns (`carry`) kept on every
-    * row — the physical writer needs the document text to travel with its
+  /** [[shardAssign]] packing by a PRECOMPUTED weight column instead of the
+    * whitespace token count — the tokenizer-aware budget path: training
+    * consumers budget in MODEL tokens (BPE / unigram-LM piece counts,
+    * [[BpeTokenizer.encodeTokens]] / [[UnigramLm]]), and a shard cut on
+    * whitespace tokens misses the packing target by the corpus's
+    * subwords-per-word ratio. Same packing contract (md5 order,
+    * cumulative budget, overshoot ≤ 1 doc); NULL weights count 0.
+    */
+  def shardAssignBy(df: DataFrame, idCol: String, weightCol: String,
+      buckets: Int, budgetTokens: Long): DataFrame =
+    assignCore(df, idCol, coalesce(col(weightCol).cast("long"), lit(0L)),
+      buckets, budgetTokens, carry = Seq.empty)
+
+  /** [[shardAssign]] core with the per-doc weight factored out as an
+    * expression and pass-through columns (`carry`) kept on every row —
+    * the physical writer needs the document text to travel with its
     * assignment without a second join back to the corpus (at 100 TB a
     * re-join on id is a full extra shuffle; here the text simply rides the
     * one bucket exchange the packing already pays).
     */
-  private def assignCore(df: DataFrame, idCol: String, textCol: String,
+  private def assignCore(df: DataFrame, idCol: String, tokenExpr: Column,
       buckets: Int, budgetTokens: Long, carry: Seq[String]): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val base = df.select(col(idCol) +: carry.map(col) :+
-      coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
-        .as("n_tokens"): _*)
+      tokenExpr.as("n_tokens"): _*)
       .withColumn("bucket",
         pmod(xxhash64(col(idCol).cast("string")), lit(buckets.toLong)))
     val w = Window.partitionBy(col("bucket"))
@@ -319,8 +334,9 @@ object ShardExport {
       wave: Long = 0L, guarded: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val batchId = if (guarded) Some(wave) else None
-    val assigned = assignCore(df, idCol, textCol, buckets, budgetTokens,
-        carry = Seq(textCol))
+    val assigned = assignCore(df, idCol,
+        coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L)),
+        buckets, budgetTokens, carry = Seq(textCol))
       .withColumn("wave", lit(wave))
     var writtenDir: Option[String] = None
     VersionedTable.append(dataPath(exportRoot), batchId) { dir =>

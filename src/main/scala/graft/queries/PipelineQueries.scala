@@ -1921,6 +1921,27 @@ object PipelineQueries {
           least(coalesce(min(col("nbr")), col("doc_id")), col("doc_id")).as("grp"))
     }),
 
+    // tokenizer-aware shard packing: training consumers budget in MODEL
+    // tokens, not whitespace words — q118's packing re-cut on the q70
+    // BPE encoder's per-doc piece counts (shardAssignBy's weight-column
+    // path). The oracle replays the full chain: BPE training (40 greedy
+    // merges), the recursive-CTE encode, then the q118 packing CTEs over
+    // the piece counts — so a drift in tokenizer, weight plumbing, or
+    // packing all break the hash.
+    "q141_bpe_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.functions.BpeTokenizer.train(docs, col("text"), numMerges = 40)
+      val weighted = docs.select(col("doc_id"),
+        size(graft.functions.BpeTokenizer.encodeTokens(
+          TextFunctions.tokens(lower(col("text"))), merges))
+          .cast("long").as("bpe_tokens"))
+      val assigned = graft.functions.ShardExport.shardAssignBy(
+        weighted, "doc_id", "bpe_tokens", buckets = 8, budgetTokens = 2000L)
+      graft.functions.ShardExport.shardManifest(assigned, "doc_id")
+        .select(col("bucket"), col("shard_seq"), col("n_docs"),
+          col("shard_tokens"), col("checksum"), col("first_doc"))
+    }),
+
     // PHYSICAL shard materialization: writeShards lands one immutable
     // parquet file per (bucket, shard_seq) — rows in md5 packing order —
     // under a VersionedTable CAS commit, recomputes the manifest FROM THE
@@ -2446,8 +2467,19 @@ object PipelineQueries {
     * (w0) drops words occurring fewer than minCount times, while encoding
     * (enc) still covers every word.
     */
-  private def bpeOracle(numMerges: Int, minCount: Long = 2L): String = {
-    // apply merge (a, b) to the space-joined symbol string s
+  private def bpeOracle(numMerges: Int, minCount: Long = 2L): String =
+    s"""${bpeCtes(numMerges, minCount)}
+       |SELECT t.doc_id,
+       |  CAST(len(t.t) AS BIGINT) AS n_words,
+       |  CAST(coalesce(p.s, 0) AS BIGINT) AS n_bpe_tokens,
+       |  floor(CAST(coalesce(p.s, 0) AS DOUBLE) / greatest(len(t.t), 1) * 10000.0 + 0.5) / 10000.0 AS subwords_per_word
+       |FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id""".stripMargin
+
+  /** The full BPE train+encode CTE prefix shared by the q70 oracle and the
+    * q141 tokenizer-weighted packing oracle: ends with `tok` (doc_id,
+    * token list) and `per_doc` (doc_id, s = BPE piece count) in scope.
+    */
+  private def bpeCtes(numMerges: Int, minCount: Long): String = {
     def applyFold(s: String, a: String, b: String): String =
       s"ltrim(list_reduce(list_prepend('', string_split($s, ' ')), (acc, x) -> " +
         s"CASE WHEN acc = '' THEN x " +
@@ -2489,18 +2521,28 @@ object PipelineQueries {
        |      WHERE ss.s[ii.i] = m2.a AND ss.s[ii.i+1] = m2.b)
        |  )
        |  SELECT w, min(len(string_split(syms, ' '))) AS n_sub FROM st GROUP BY w
-       |), per_doc AS (
+       |), per_doc AS MATERIALIZED (
        |  SELECT d.doc_id, sum(e.n_sub) AS s
        |  FROM (SELECT doc_id, t FROM tok) d, LATERAL (SELECT unnest(d.t) AS w) u
        |  JOIN enc e ON u.w = e.w
        |  GROUP BY d.doc_id
-       |)
-       |SELECT t.doc_id,
-       |  CAST(len(t.t) AS BIGINT) AS n_words,
-       |  CAST(coalesce(p.s, 0) AS BIGINT) AS n_bpe_tokens,
-       |  floor(CAST(coalesce(p.s, 0) AS DOUBLE) / greatest(len(t.t), 1) * 10000.0 + 0.5) / 10000.0 AS subwords_per_word
-       |FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  /** q141 oracle: the q70 BPE encoder's per-doc piece counts fed straight
+    * into the q118 packing chain — the tokenizer-aware budget restated
+    * end to end. `per_doc` is MATERIALIZED so the heavy recursive encode
+    * is not re-inlined into the 9-stage xxh64 chain (the q123 OOM
+    * lesson).
+    */
+  private def bpePackingOracle(numMerges: Int, budget: Long): String =
+    s"""${bpeCtes(numMerges, 2L)}
+       |, d0 AS MATERIALIZED (
+       |  SELECT t.doc_id, CAST(coalesce(p.s, 0) AS BIGINT) AS n_tokens
+       |  FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+       |), ${shardManifestCtes("d0", "a", budget = budget)}
+       |SELECT bucket, shard_seq, n_docs, shard_tokens, checksum, first_doc
+       |FROM am""".stripMargin
 
   /** q78 oracle: the deterministic layout MODEL restated end-to-end. File
     * assignment is a pure function of the data (exact cumulative-count
@@ -2670,6 +2712,8 @@ object PipelineQueries {
     // lexicographic tie-breaks were DESIGNED for reproducibility, which
     // also makes them restatable), encoding is a recursive CTE
     "q70_bpe_tokenize" -> PipelineQueries.bpeOracle(40),
+
+    "q141_bpe_packing" -> PipelineQueries.bpePackingOracle(40, 2000L),
 
     // random-hyperplane cosine LSH graduated to a full oracle: the ±1
     // planes are deterministic compile-time literals (Similarity
