@@ -1871,6 +1871,38 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // Iceberg-interop round trip — the second interop format of the
+    // storage north star (the q131 pattern on the Iceberg bridge): the
+    // corpus lands as a KEYED VersionedTable (two upsert generations —
+    // every 9th doc rewritten), the committed snapshot is exported as an
+    // Iceberg v1 table (metadata/vN.metadata.json + Avro manifest list +
+    // Avro manifest with field-id schemas + parquet data files), and
+    // importSnapshot resolves it back STRICTLY through the spec chain
+    // (version-hint → metadata → manifest list → manifests → size-gated
+    // files). The census is computed FROM THE IMPORT, so any defect in
+    // the Avro plumbing, the schema JSON, or the resolution chain breaks
+    // the hash against the oracle's direct restatement of the upsert.
+    "q142_iceberg_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val table = scratchDir("ice_rt").toString + "/t"
+      def w(df: DataFrame)(d: String): Unit = df.write.parquet(d)
+      graft.storage.VersionedTable.upsert(s, table, Seq("doc_id"),
+        compactWrite = (df, d) => w(df)(d))(w(docs))
+      val v2 = docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("text", concat(col("text"), lit(" ice")))
+      graft.storage.VersionedTable.upsert(s, table, Seq("doc_id"),
+        compactWrite = (df, d) => w(df)(d))(w(v2))
+      val out = scratchDir("ice_rt_out").toString + "/t"
+      graft.storage.IcebergInterop.exportSnapshot(s, table, out)
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // perceptual image near-dup — the missing dedup-plane member for
     // image-bearing corpora: dHash (Krawetz difference hash) over decoded
     // pixels, then the q24 pigeonhole banding (4 bands, hamming <= 3,
@@ -4664,6 +4696,23 @@ object PipelineQueries {
          |  SELECT doc_id, lang,
          |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'
          |         WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' v3'
+         |         ELSE coalesce(text, '') END AS text
+         |  FROM documents
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "ck")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM ck9 GROUP BY lang""".stripMargin,
+
+    // Iceberg round trip: the upsert (every 9th doc's text || ' ice',
+    // latest-wins) restated directly over the source table; engine-side
+    // the same census is computed from the spec-chain import
+    "q142_iceberg_roundtrip" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 9 = 0 THEN coalesce(text, '') || ' ice'
          |         ELSE coalesce(text, '') END AS text
          |  FROM documents
          |), ${DuckDbXxHash64.xxh64Cte("v",

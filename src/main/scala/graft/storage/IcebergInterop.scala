@@ -1,0 +1,452 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.SeekableFileInput
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Apache-Iceberg-format bridge — the second half of the "storage should
+  * be Delta/Iceberg" interop answer (see [[DeltaInterop]] for the first).
+  * The Iceberg runtime jars are unavailable in this offline sandbox, so
+  * the bridge emits the OPEN, DOCUMENTED table format directly
+  * (iceberg.apache.org/spec, format v1): a `metadata/vN.metadata.json`
+  * table descriptor, an Avro MANIFEST LIST naming Avro MANIFEST files,
+  * each carrying `data_file` entries with spec-mandated field ids —
+  * real Avro (the `avro-1.12` jars Spark itself ships), never a JSON
+  * approximation, because Iceberg readers resolve manifests strictly as
+  * Avro with field-id-annotated schemas.
+  *
+  * Scope, stated plainly: format v1, one snapshot (the committed state,
+  * the same contract as [[DeltaInterop.exportSnapshot]]), unpartitioned
+  * data files, primitive + array column types. Without the Iceberg
+  * runtime on the classpath the export cannot be validated against a
+  * reference reader in this sandbox — it is validated by (a) citing each
+  * emitted structure to the spec section that mandates it, (b) the
+  * [[importSnapshot]] inverse reading ONLY through the spec-described
+  * resolution chain (version-hint → metadata.json → manifest list →
+  * manifests → data files), and (c) the round-trip content checksum in
+  * q142.
+  *
+  * Scale shape mirrors the Delta bridge: keyless tables hard-copy
+  * committed segment files (server-side byte copies at object-store
+  * scale); keyed/partitioned tables materialize the merged view once.
+  * Metadata is manifest-scale. The import plans ONE parquet scan over
+  * the live file set.
+  */
+object IcebergInterop {
+
+  private val mapper = new ObjectMapper()
+
+  // ---- Iceberg schema JSON (spec "Schemas and Data Types") ----
+
+  /** Spark → Iceberg type JSON. Field ids are assigned depth-first from
+    * `nextId` (the spec's assignment rule for fresh tables); unsupported
+    * types refuse loudly — a silently mistyped column is a wrong table.
+    */
+  private def icebergType(dt: DataType, nextId: () => Int): Any = dt match {
+    case LongType      => "long"
+    case IntegerType   => "int"
+    case ShortType     => "int"   // Iceberg has no short; int is the spec's promotion
+    case ByteType      => "int"
+    case StringType    => "string"
+    case DoubleType    => "double"
+    case FloatType     => "float"
+    case BooleanType   => "boolean"
+    case BinaryType    => "binary"
+    case DateType      => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case ArrayType(elem, containsNull) =>
+      val node = mapper.createObjectNode()
+      node.put("type", "list")
+      node.put("element-id", nextId())
+      icebergType(elem, nextId) match {
+        case s: String => node.put("element", s)
+        case o: com.fasterxml.jackson.databind.JsonNode => node.set[com.fasterxml.jackson.databind.JsonNode]("element", o)
+      }
+      node.put("element-required", !containsNull)
+      node
+    case other => throw new IllegalArgumentException(
+      s"no Iceberg mapping for Spark type $other — refusing a mistyped export")
+  }
+
+  private def icebergSchemaJson(schema: StructType): (String, Int) = {
+    var id = 0
+    def nextId(): Int = { id += 1; id }
+    val root = mapper.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", 0)
+    val fields = root.putArray("fields")
+    // top-level field ids first (1..n), nested ids after — the order the
+    // spec's fresh-assignment examples use
+    val topIds = schema.fields.map(_ => nextId())
+    schema.fields.zip(topIds).foreach { case (f, fid) =>
+      val fn = fields.addObject()
+      fn.put("id", fid)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      icebergType(f.dataType, nextId) match {
+        case s: String => fn.put("type", s)
+        case o: com.fasterxml.jackson.databind.JsonNode => fn.set[com.fasterxml.jackson.databind.JsonNode]("type", o)
+      }
+    }
+    (mapper.writeValueAsString(root), id)
+  }
+
+  // ---- Avro schemas with Iceberg field ids ----
+
+  /** Avro field carrying the spec-mandated `field-id` property. */
+  private def fld(name: String, fieldId: Int, typ: Schema,
+      optional: Boolean): Schema.Field = {
+    val t = if (optional)
+      Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), typ))
+    else typ
+    val f = new Schema.Field(name, t,
+      null, if (optional) Schema.Field.NULL_DEFAULT_VALUE else null)
+    f.addProp("field-id", fieldId)
+    f
+  }
+
+  /** manifest_file record (spec "Manifest Lists", v1 field set). */
+  private val manifestFileSchema: Schema = {
+    val s = Schema.createRecord("manifest_file", null, "iceberg", false)
+    s.setFields(java.util.List.of(
+      fld("manifest_path", 500, Schema.create(Schema.Type.STRING), optional = false),
+      fld("manifest_length", 501, Schema.create(Schema.Type.LONG), optional = false),
+      fld("partition_spec_id", 502, Schema.create(Schema.Type.INT), optional = false),
+      fld("added_snapshot_id", 503, Schema.create(Schema.Type.LONG), optional = true),
+      fld("added_data_files_count", 504, Schema.create(Schema.Type.INT), optional = true),
+      fld("existing_data_files_count", 505, Schema.create(Schema.Type.INT), optional = true),
+      fld("deleted_data_files_count", 506, Schema.create(Schema.Type.INT), optional = true),
+      fld("added_rows_count", 512, Schema.create(Schema.Type.LONG), optional = true),
+      fld("existing_rows_count", 513, Schema.create(Schema.Type.LONG), optional = true),
+      fld("deleted_rows_count", 514, Schema.create(Schema.Type.LONG), optional = true)))
+    s
+  }
+
+  /** manifest_entry record (spec "Manifests", v1): status + data_file with
+    * the v1-required fields; `partition` is the empty struct r102 (this
+    * bridge exports unpartitioned files).
+    */
+  private val manifestEntrySchema: Schema = {
+    val partition = Schema.createRecord("r102", null, "iceberg", false)
+    partition.setFields(java.util.List.of[Schema.Field]())
+    val dataFile = Schema.createRecord("r2", null, "iceberg", false)
+    dataFile.setFields(java.util.List.of(
+      fld("file_path", 100, Schema.create(Schema.Type.STRING), optional = false),
+      fld("file_format", 101, Schema.create(Schema.Type.STRING), optional = false),
+      {
+        val f = new Schema.Field("partition", partition, null, null)
+        f.addProp("field-id", 102)
+        f
+      },
+      fld("record_count", 103, Schema.create(Schema.Type.LONG), optional = false),
+      fld("file_size_in_bytes", 104, Schema.create(Schema.Type.LONG), optional = false),
+      // required in v1 (historical field, fixed value is the convention)
+      fld("block_size_in_bytes", 105, Schema.create(Schema.Type.LONG), optional = false)))
+    val s = Schema.createRecord("manifest_entry", null, "iceberg", false)
+    s.setFields(java.util.List.of(
+      fld("status", 0, Schema.create(Schema.Type.INT), optional = false),
+      fld("snapshot_id", 1, Schema.create(Schema.Type.LONG), optional = true),
+      {
+        val f = new Schema.Field("data_file", dataFile, null, null)
+        f.addProp("field-id", 2)
+        f
+      }))
+    s
+  }
+
+  private def writeAvro(path: Path, schema: Schema,
+      records: Seq[GenericRecord], meta: Map[String, String]): Unit = {
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    writer.create(schema, path.toFile)
+    try records.foreach(writer.append) finally writer.close()
+  }
+
+  private def readAvro(path: Path): Seq[GenericRecord] = {
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableFileInput(path.toFile), new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toList finally reader.close()
+  }
+
+  // ---- export ----
+
+  /** Export the committed snapshot at `tablePath` as an Iceberg v1 table
+    * under `outDir`: data files + `metadata/` holding the manifest Avro,
+    * the manifest-list Avro (`snap-<id>-...avro`), `v1.metadata.json`,
+    * and the HadoopTables `version-hint.text` pointer. Returns the
+    * relative data-file paths in manifest order.
+    */
+  def exportSnapshot(
+      spark: SparkSession, tablePath: String, outDir: String): Seq[String] = {
+    val out = Paths.get(outDir)
+    Files.createDirectories(out)
+    require(!Files.exists(out.resolve("metadata")),
+      s"$outDir already holds Iceberg metadata — refusing to overwrite a table")
+    val m = VersionedTable.readManifest(tablePath).getOrElse(
+      throw new NoSuchElementException(s"no committed manifest at $tablePath"))
+    val dataDir = out.resolve("data")
+    Files.createDirectories(dataDir)
+
+    val sparkSchema = VersionedTable.read(spark, tablePath).schema
+    val (schemaJson, lastColumnId) = icebergSchemaJson(sparkSchema)
+
+    // data files: verbatim segment copies for keyless flat tables, one
+    // materialization otherwise (the DeltaInterop rule, same rationale)
+    val flat = m.segments.forall(seg => !hasSubdirs(Paths.get(tablePath, seg)))
+    val dataFiles: Seq[Path] =
+      if (m.keys.isEmpty && flat) {
+        for {
+          seg <- m.segments
+          f <- listParquet(Paths.get(tablePath, seg))
+        } yield {
+          val dst = dataDir.resolve(s"$seg-${f.getFileName}")
+          Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst
+        }
+      } else {
+        val tmp = Files.createTempDirectory("graft_iceberg_merge_")
+        VersionedTable.read(spark, tablePath)
+          .write.mode("overwrite").parquet(tmp.toString)
+        for (f <- listParquet(tmp)) yield {
+          val dst = dataDir.resolve(f.getFileName.toString)
+          Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst
+        }
+      }
+
+    // per-file record counts: one footer-only read over the exported files
+    val counts: Map[String, Long] = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(dataFiles.map(_.toString): _*)
+        .groupBy(input_file_name().as("f")).count()
+        .collect().map(r => basename(r.getString(0)) -> r.getLong(1)).toMap
+    }
+
+    val metaDir = out.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val now = System.currentTimeMillis()
+
+    // manifest: one entry per data file, status 1 = ADDED in this snapshot
+    val entries = dataFiles.map { f =>
+      val df = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      df.put("file_path", out.relativize(f).toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        df.getSchema.getField("partition").schema()))
+      df.put("record_count", counts.getOrElse(f.getFileName.toString,
+        throw new IllegalStateException(s"no record count for $f")))
+      df.put("file_size_in_bytes", Files.size(f))
+      df.put("block_size_in_bytes", 64L * 1024 * 1024)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", df)
+      e
+    }
+    val manifestPath = metaDir.resolve(
+      s"${java.util.UUID.nameUUIDFromBytes(schemaJson.getBytes("UTF-8"))}-m0.avro")
+    writeAvro(manifestPath, manifestEntrySchema, entries, Map(
+      "schema" -> schemaJson,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "1"))
+
+    // manifest list: one row naming the manifest
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", out.relativize(manifestPath).toString)
+    mf.put("manifest_length", Files.size(manifestPath))
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", snapshotId)
+    mf.put("added_data_files_count", dataFiles.size)
+    mf.put("existing_data_files_count", 0)
+    mf.put("deleted_data_files_count", 0)
+    mf.put("added_rows_count", counts.values.sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val manifestListPath = metaDir.resolve(s"snap-$snapshotId-1-graft.avro")
+    writeAvro(manifestListPath, manifestFileSchema, Seq(mf),
+      Map("format-version" -> "1"))
+
+    // table metadata JSON + the HadoopTables version hint
+    val root = mapper.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", out.toString)
+    root.put("last-updated-ms", now)
+    root.put("last-column-id", lastColumnId)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("schema", mapper.readTree(schemaJson))
+    root.putArray("partition-spec")
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = root.putArray("snapshots")
+    val snap = snaps.addObject()
+    snap.put("snapshot-id", snapshotId)
+    snap.put("timestamp-ms", now)
+    val summary = snap.putObject("summary")
+    summary.put("operation", "append")
+    snap.put("manifest-list", out.relativize(manifestListPath).toString)
+    root.putArray("snapshot-log")
+    root.putArray("metadata-log")
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    dataFiles.map(f => out.relativize(f).toString)
+  }
+
+  // ---- import ----
+
+  /** Import an Iceberg-format directory through the spec's resolution
+    * chain: `metadata/version-hint.text` → `v<N>.metadata.json` →
+    * current snapshot's manifest list (Avro) → manifest files (Avro) →
+    * live `data_file` entries (status != 2/DELETED) → one parquet scan
+    * with the metadata-declared schema. File sizes are verified against
+    * `file_size_in_bytes` before any read (the [[DeltaInterop]] /
+    * [[graft.functions.ShardExport.readShards]] corruption gate).
+    * Partitioned tables refuse loudly (this bridge's declared v1 scope
+    * is unpartitioned files; serving them as if unpartitioned would drop
+    * the partition columns silently).
+    */
+  def importSnapshot(
+      spark: SparkSession, icebergDir: String,
+      verifySizes: Boolean = true): DataFrame = {
+    val root = Paths.get(icebergDir)
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no metadata/ under $icebergDir")
+    val hint = metaDir.resolve("version-hint.text")
+    require(Files.exists(hint), s"no version-hint.text under $metaDir")
+    val v = new String(Files.readAllBytes(hint), "UTF-8").trim.toLong
+    val metaFile = metaDir.resolve(s"v$v.metadata.json")
+    require(Files.exists(metaFile), s"version hint names $v but $metaFile is missing")
+    val meta = mapper.readTree(Files.readAllBytes(metaFile))
+    val fv = meta.get("format-version").asInt()
+    require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
+    val currentSnap = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException(s"no current-snapshot-id in $metaFile"))
+    require(currentSnap != -1L, s"table at $icebergDir has no current snapshot")
+    val snapNode = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == currentSnap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current snapshot $currentSnap not in the snapshots list"))
+    val defaultSpec = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val specFields = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == defaultSpec)
+      .map(_.get("fields").size()).getOrElse(0)
+    require(specFields == 0,
+      s"partitioned Iceberg table (spec $defaultSpec has $specFields fields) — " +
+        "out of this bridge's declared scope, refusing rather than dropping columns")
+
+    val schema = sparkSchemaFrom(meta.get("schema"))
+
+    val manifestList = resolve(root, snapNode.get("manifest-list").asText())
+    require(Files.exists(manifestList), s"manifest list missing: $manifestList")
+    val manifests = readAvro(manifestList).map(r => r.get("manifest_path").toString)
+    val live = manifests.flatMap { mp =>
+      val p = resolve(root, mp)
+      require(Files.exists(p), s"manifest missing: $p")
+      readAvro(p).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status == 2) None // DELETED
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("PARQUET"),
+            s"unsupported data file format $fmt")
+          Some((df.get("file_path").toString,
+            df.get("file_size_in_bytes").asInstanceOf[Long]))
+        }
+      }
+    }
+    require(live.nonEmpty, s"snapshot $currentSnap carries no live data files")
+    val paths = live.map { case (rel, size) =>
+      val p = resolve(root, rel)
+      require(Files.exists(p), s"live data file missing on disk: $p")
+      if (verifySizes) {
+        val got = Files.size(p)
+        require(got == size,
+          s"size mismatch for $rel: manifest says $size bytes, disk has $got")
+      }
+      p.toString
+    }
+    import org.apache.spark.sql.functions.col
+    spark.read.schema(schema).parquet(paths: _*)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Iceberg schema JSON → Spark StructType (the primitive + list subset
+    * this bridge emits; anything else refuses loudly).
+    */
+  private[storage] def sparkSchemaFrom(node: com.fasterxml.jackson.databind.JsonNode): StructType = {
+    def typ(n: com.fasterxml.jackson.databind.JsonNode): DataType =
+      if (n.isTextual) n.asText() match {
+        case "long" => LongType
+        case "int" => IntegerType
+        case "string" => StringType
+        case "double" => DoubleType
+        case "float" => FloatType
+        case "boolean" => BooleanType
+        case "binary" => BinaryType
+        case "date" => DateType
+        case "timestamp" => TimestampNTZType
+        case "timestamptz" => TimestampType
+        case dec if dec.startsWith("decimal(") =>
+          val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+          DecimalType(p, s)
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg type '$other'")
+      } else n.get("type").asText() match {
+        case "list" => ArrayType(typ(n.get("element")),
+          containsNull = !n.get("element-required").asBoolean())
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg nested type '$other'")
+      }
+    StructType(node.get("fields").elements().asScala.map { f =>
+      StructField(f.get("name").asText(), typ(f.get("type")),
+        nullable = !f.get("required").asBoolean())
+    }.toSeq)
+  }
+
+  private def resolve(root: Path, pathStr: String): Path = {
+    val clean = pathStr.stripPrefix("file:")
+    val p = Paths.get(clean)
+    if (p.isAbsolute) p else root.resolve(clean)
+  }
+
+  private def basename(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  private def hasSubdirs(dir: Path): Boolean = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.exists(Files.isDirectory(_))
+    finally s.close()
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }.toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+}

@@ -1,0 +1,187 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableFileInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The Iceberg bridge: exports must follow the spec's resolution chain
+  * (version-hint → metadata.json → Avro manifest list → Avro manifests →
+  * data files) with field-id-annotated Avro schemas, and the import must
+  * read ONLY through that chain.
+  */
+class IcebergInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def readAvro(p: java.nio.file.Path): (org.apache.avro.Schema, List[GenericRecord]) = {
+    val r = new DataFileReader[GenericRecord](
+      new SeekableFileInput(p.toFile), new GenericDatumReader[GenericRecord]())
+    try (r.getSchema, r.iterator().asScala.toList) finally r.close()
+  }
+
+  test("export emits the spec structures: version hint, metadata.json, avro manifests with field ids") {
+    val table = tmp("ice_src_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    VersionedTable.append(table)(dir =>
+      Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_out_")
+    val rels = IcebergInterop.exportSnapshot(spark, table, out)
+    assert(rels.size == 2, "one copied data file per committed segment")
+
+    val metaDir = Paths.get(out, "metadata")
+    assert(new String(Files.readAllBytes(metaDir.resolve("version-hint.text")), "UTF-8").trim == "1")
+    val meta = mapper.readTree(Files.readAllBytes(metaDir.resolve("v1.metadata.json")))
+    assert(meta.get("format-version").asInt() == 1)
+    val snapId = meta.get("current-snapshot-id").asLong()
+    val fields = meta.get("schema").get("fields").elements().asScala.toList
+    assert(fields.map(_.get("name").asText()) == List("id", "v"))
+    assert(fields.map(_.get("id").asInt()) == List(1, 2), "field ids assigned 1..n")
+
+    // manifest list: avro, field-id props, counts correct
+    val mlPath = Paths.get(out).resolve(
+      meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == snapId).get
+        .get("manifest-list").asText())
+    val (mlSchema, mlRows) = readAvro(mlPath)
+    assert(mlSchema.getField("manifest_path").getObjectProp("field-id") == 500)
+    assert(mlSchema.getField("manifest_length").getObjectProp("field-id") == 501)
+    assert(mlRows.size == 1)
+    assert(mlRows.head.get("added_data_files_count") == 2)
+    assert(mlRows.head.get("added_rows_count") == 3L)
+    val manPath = Paths.get(out).resolve(mlRows.head.get("manifest_path").toString)
+    assert(Files.size(manPath) == mlRows.head.get("manifest_length"))
+
+    // manifest: required v1 data_file fields, real sizes and counts
+    val (mSchema, mRows) = readAvro(manPath)
+    val dfSchema = mSchema.getField("data_file").schema()
+    assert(dfSchema.getField("file_path").getObjectProp("field-id") == 100)
+    assert(dfSchema.getField("block_size_in_bytes") != null, "v1 requires block_size_in_bytes")
+    assert(mRows.size == 2 && mRows.forall(_.get("status") == 1))
+    mRows.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val p = Paths.get(out).resolve(df.get("file_path").toString)
+      assert(Files.exists(p))
+      assert(Files.size(p) == df.get("file_size_in_bytes"))
+    }
+    assert(mRows.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum == 3L)
+  }
+
+  test("round trip: keyless rows and schema survive; upsert exports the merged view") {
+    val table = tmp("ice_rt_") + "/t"
+    def w(df: org.apache.spark.sql.DataFrame)(d: String): Unit = df.write.parquet(d)
+    val v1 = Seq((1L, "a", Seq(1.0f, 2.0f)), (2L, "b", Seq(3.0f)))
+      .toDF("id", "v", "emb")
+    VersionedTable.upsert(spark, table, Seq("id"),
+      compactWrite = (df, d) => w(df)(d))(w(v1))
+    VersionedTable.upsert(spark, table, Seq("id"),
+      compactWrite = (df, d) => w(df)(d))(
+      w(Seq((2L, "B2", Seq(9.0f))).toDF("id", "v", "emb")))
+    val out = tmp("ice_rt_out_")
+    IcebergInterop.exportSnapshot(spark, table, out)
+    val got = IcebergInterop.importSnapshot(spark, out)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "emb"))
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2).toList)).toSet
+    assert(rows == Set((1L, "a", List(1.0f, 2.0f)), (2L, "B2", List(9.0f))),
+      s"merged view must round-trip: $rows")
+  }
+
+  test("size gate: a truncated data file refuses before any read") {
+    val table = tmp("ice_gate_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_gate_out_")
+    val rels = IcebergInterop.exportSnapshot(spark, table, out)
+    val victim = Paths.get(out).resolve(rels.head)
+    val bytes = Files.readAllBytes(victim)
+    Files.write(victim, java.util.Arrays.copyOf(bytes, bytes.length - 1))
+    val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out))
+    assert(e.getMessage.contains("size mismatch"))
+  }
+
+  test("DELETED manifest entries (status 2) are not served") {
+    val table = tmp("ice_del_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    VersionedTable.append(table)(dir =>
+      Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_del_out_")
+    IcebergInterop.exportSnapshot(spark, table, out)
+    // rewrite the manifest with one entry flipped to DELETED, preserving
+    // the avro schema the export wrote
+    val meta = mapper.readTree(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val mlPath = Paths.get(out).resolve(
+      meta.get("snapshots").elements().asScala.next().get("manifest-list").asText())
+    val (_, mlRows) = readAvro(mlPath)
+    val manPath = Paths.get(out).resolve(mlRows.head.get("manifest_path").toString)
+    val (schema, rows) = readAvro(manPath)
+    // flip the entry whose file holds id=2
+    val flipped = rows.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val holds2 = spark.read.parquet(
+        Paths.get(out).resolve(df.get("file_path").toString).toString)
+        .filter(col("id") === 2L).count() > 0
+      if (holds2) e.put("status", 2)
+      e
+    }
+    val wtr = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    Files.delete(manPath)
+    wtr.create(schema, manPath.toFile)
+    try flipped.foreach(wtr.append) finally wtr.close()
+
+    val got = IcebergInterop.importSnapshot(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a")), s"deleted entry must not be served: $got")
+  }
+
+  test("partitioned tables refuse loudly (declared scope)") {
+    val table = tmp("ice_part_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_part_out_")
+    IcebergInterop.exportSnapshot(spark, table, out)
+    val metaFile = Paths.get(out, "metadata", "v1.metadata.json")
+    val meta = mapper.readTree(Files.readAllBytes(metaFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val spec0 = meta.get("partition-specs").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val f = spec0.withArray("fields").addObject()
+    f.put("name", "v_bucket"); f.put("transform", "bucket[4]")
+    f.put("source-id", 2); f.put("field-id", 1000)
+    Files.write(metaFile, mapper.writeValueAsBytes(meta))
+    val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out))
+    assert(e.getMessage.contains("partitioned"))
+  }
+
+  test("refuses to clobber existing metadata; unsupported types refuse on export") {
+    val table = tmp("ice_ref_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_ref_out_")
+    IcebergInterop.exportSnapshot(spark, table, out)
+    intercept[IllegalArgumentException](IcebergInterop.exportSnapshot(spark, table, out))
+    // a map column has no mapping in this bridge's declared subset
+    val mapTable = tmp("ice_map_") + "/t"
+    VersionedTable.append(mapTable)(dir =>
+      Seq((1L, Map("k" -> 1L))).toDF("id", "m").coalesce(1).write.parquet(dir))
+    val out2 = tmp("ice_map_out_")
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.exportSnapshot(spark, mapTable, out2))
+    assert(e.getMessage.contains("no Iceberg mapping"))
+  }
+}
