@@ -623,6 +623,46 @@ object ShardExport {
       .withColumn("epoch_pos", col("pos_base") + col("within_shard"))
   }
 
+  /** The first `nShards` shards of the epoch-`epochSeed` order, read with
+    * STATIC partition pruning: the shard keys come from the manifest-scale
+    * order relation (collected — at most `nShards` rows), and the data
+    * scan filters on the LITERAL (wave, bucket, shard_seq) partition
+    * values, so only those shards' files are ever listed or read — a
+    * training job's resume/preview head costs O(nShards), not O(corpus),
+    * no matter how large the export is. Same row shape as [[readEpoch]].
+    */
+  def readEpochHead(spark: SparkSession, exportRoot: String, idCol: String,
+      textCol: String, epochSeed: String, nShards: Int = 1): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val order = epochShardOrder(shardManifests(spark, exportRoot), epochSeed)
+      .filter(col("shard_rank") <= nShards.toLong)
+      .select(col("wave"), col("bucket"), col("shard_seq"),
+        col("shard_rank"), col("pos_base"))
+    val keys = order.collect() // ≤ nShards rows by construction
+    require(keys.nonEmpty, s"empty export at $exportRoot")
+    // filter on the pw/pb/ps PARTITION columns (the directory triple), not
+    // the duplicated data columns: directory pruning skips non-matching
+    // shards before any file is listed or its footer read — a wave/bucket/
+    // shard_seq predicate would only prune at footer level, which still
+    // reads every shard's footer (measured: ~10x input at 10x corpus)
+    val raw = VersionedTable.read(spark, dataPath(exportRoot))
+    val partitioned = raw.columns.contains("pw")
+    val pred = keys.map { r =>
+      val (cw, cb, cs) =
+        if (partitioned) (col("pw"), col("pb"), col("ps"))
+        else (col("wave"), col("bucket"), col("shard_seq"))
+      cw === r.getAs[Number]("wave").longValue() &&
+        cb === r.getAs[Number]("bucket").longValue() &&
+        cs === r.getAs[Number]("shard_seq").longValue()
+    }.reduce(_ || _)
+    val data = raw.filter(pred).drop("pw", "pb", "ps")
+    val w = Window.partitionBy(col("wave"), col("bucket"), col("shard_seq"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    data.join(broadcast(order), Seq("wave", "bucket", "shard_seq"))
+      .withColumn("within_shard", row_number().over(w).cast("long"))
+      .withColumn("epoch_pos", col("pos_base") + col("within_shard"))
+  }
+
   /** Read the exported documents back, VERIFYING every shard against its
     * manifest first (default on): n_docs, shard_tokens and the packing
     * checksum are recomputed from the stored text, plus the byte-level

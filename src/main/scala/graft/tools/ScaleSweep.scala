@@ -499,6 +499,80 @@ object ScaleSweep {
         runAll(graft.storage.DeltaInterop.importSnapshot(spark, dexpDir + "/delta")
           .select(sum(length(col("text"))).as("chars")))
       }
+
+      //     checkpointed Delta import (the q139 shape): base state loads
+      //     from ONE parquet checkpoint scan instead of JSON replay; wall
+      //     and bytes must track delta_import (linear data, flat overhead)
+      graft.storage.DeltaInterop.writeCheckpoint(spark, dexpDir + "/delta", 0L)
+      measure("delta_import_checkpoint", scale) {
+        runAll(graft.storage.DeltaInterop.importSnapshot(spark, dexpDir + "/delta")
+          .select(sum(length(col("text"))).as("chars")))
+      }
+
+      //     Iceberg import (q142): the spec resolution chain (metadata →
+      //     avro manifest list → manifest → size-gated files) + one scan;
+      //     linear data bytes, manifest overhead flat
+      val iexpDir = Files.createTempDirectory(s"graft_scale_ice_$scale").toString
+      graft.storage.VersionedTable.append(iexpDir + "/t")(d =>
+        docs.select(col("doc_id"), col("lang"), col("text")).write.parquet(d))
+      graft.storage.IcebergInterop.exportSnapshot(spark, iexpDir + "/t", iexpDir + "/ice")
+      measure("iceberg_import", scale) {
+        runAll(graft.storage.IcebergInterop.importSnapshot(spark, iexpDir + "/ice")
+          .select(sum(length(col("text"))).as("chars")))
+      }
+
+      //     epoch-stream head read (q128's physical path): the first shard
+      //     of the epoch order via readEpochHead's static partition
+      //     pruning — input bytes must stay ~one shard as the corpus
+      //     grows 10x (the resume/preview contract)
+      val headExp = Files.createTempDirectory(s"graft_scale_head_$scale").toString
+      graft.functions.ShardExport.writeShards(docs, "doc_id", "text", 8, 4000L, headExp)
+      measure("epoch_stream_head", scale) {
+        runAll(graft.functions.ShardExport.readEpochHead(
+          spark, headExp, "doc_id", "text", "e1", nShards = 1))
+      }
+
+      //     margin-based bitext mining (q129): fixed query side (~200
+      //     vectors), target side grows 10x — the broadcast brute-force
+      //     kNN in both directions must scale linearly in the target,
+      //     with shuffle carrying only per-vector neighborhoods
+      val bitextSrc = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 400 && col("vec_id") % 2 === 0)
+      measure("bitext_margin", scale) {
+        runAll(graft.functions.Similarity.bitextMine(
+          bitextSrc, "vec_id",
+          emb.filter(col("vec_id") % 2 === 1), "vec_id",
+          "embedding", k = 4, threshold = 1.0))
+      }
+
+      //     incremental publish (q130) with a TRUE 1-shard edit: the
+      //     changed doc is the LAST in its bucket's md5 packing order, so
+      //     exactly one shard re-cuts — published bytes must stay ~one
+      //     shard while the corpus grows 10x (O(changed), never O(corpus))
+      val pubE1 = Files.createTempDirectory(s"graft_scale_pub1_$scale").toString
+      val pubE2 = Files.createTempDirectory(s"graft_scale_pub2_$scale").toString
+      graft.functions.ShardExport.writeShards(docs, "doc_id", "text", 8, 4000L, pubE1)
+      val lastInBucket0 = graft.functions.ShardExport
+        .shardAssign(docs, "doc_id", "text", 8, 4000L)
+        .filter(col("bucket") === 0)
+        .orderBy(md5(col("doc_id").cast("string")).desc, col("doc_id").desc)
+        .limit(1).collect().head.getLong(0)
+      val docsV2 = docs.withColumn("text",
+        when(col("doc_id") === lastInBucket0, concat(col("text"), lit(" x")))
+          .otherwise(col("text")))
+      graft.functions.ShardExport.writeShards(docsV2, "doc_id", "text", 8, 4000L, pubE2)
+      // full first publish is setup; warm-up and measured runs each get a
+      // FRESH destination (the publish mutates its target — a second run
+      // against the same dest would measure a no-op diff)
+      val pubDests = Seq.fill(2)(
+        Files.createTempDirectory(s"graft_scale_pubd_$scale").toString)
+      pubDests.foreach(d =>
+        graft.functions.ShardExport.publishIncremental(spark, pubE1, d, "doc_id", "text").count())
+      val pubDestIter = pubDests.iterator
+      measure("publish_incremental", scale) {
+        graft.functions.ShardExport.publishIncremental(
+          spark, pubE2, pubDestIter.next(), "doc_id", "text").count()
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +

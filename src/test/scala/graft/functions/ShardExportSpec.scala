@@ -314,6 +314,25 @@ class ShardExportSpec extends SparkSpec {
     assert(pub2 == exp2)
   }
 
+  test("readEpochHead equals the epoch order's first shards and scans only them") {
+    val root = java.nio.file.Files.createTempDirectory("graft_head_").toString
+    val df = docs(300, i => (i % 7 + 1).toInt)
+    ShardExport.writeShards(df, "doc_id", "text", 4, 60L, root)
+    val full = ShardExport.readEpoch(spark, root, "doc_id", "text", "e9", verify = false)
+      .filter(col("shard_rank") <= 2L)
+      .select("doc_id", "shard_rank", "within_shard", "epoch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val head = ShardExport.readEpochHead(spark, root, "doc_id", "text", "e9", nShards = 2)
+    val got = head.select("doc_id", "shard_rank", "within_shard", "epoch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == full, "head read must equal the full epoch order's first shards")
+    // the scan is partition-pruned to the named shards: the plan's read
+    // must carry a partition filter on the directory triple
+    val plan = head.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("pw#"),
+      s"head read lost directory pruning:\n$plan")
+  }
+
   test("publishIncremental: pointer-resolved versioned manifests; previous generation retained one cycle") {
     import java.nio.file.{Files, Paths}
     val e1 = java.nio.file.Files.createTempDirectory("graft_pub_v1_").toString
