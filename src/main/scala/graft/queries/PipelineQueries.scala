@@ -4738,16 +4738,20 @@ object PipelineQueries {
            Seq("g", "j"), "ih")},
          |cj AS (
          |  SELECT g, j, ((xxh % 6) + 6) % 6 + 1 AS c FROM ih9
-         |), bits AS (
-         |  -- bit 63 is the BIGINT sign bit: DuckDB refuses 1 << 63 as an
-         |  -- overflow, so it is spelled as the min-BIGINT literal
+         |), bits AS MATERIALIZED (
+         |  -- MATERIALIZED: docs is referenced three times (the self-join +
+         |  -- the final census), and inlining the 9-stage xxh64 chain into
+         |  -- each reference exploded the DuckDB planner to ~42 GB VmSize /
+         |  -- 32k mappings (intermittent mmap 'bad allocation') — the q123
+         |  -- boundary-CTE lesson. Bit 63 is the BIGINT sign bit: DuckDB
+         |  -- refuses 1 << 63 as overflow, so it is the min-BIGINT literal.
          |  SELECT g, bit_or(CASE WHEN ((c * (i + 2)) % 7) > ((c * (i + 1)) % 7)
          |    THEN CASE WHEN j * 8 + i = 63 THEN -9223372036854775807 - 1
          |         ELSE CAST(1 AS BIGINT) << CAST(j * 8 + i AS INTEGER) END
          |    ELSE CAST(0 AS BIGINT) END) AS dhash
          |  FROM cj CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
          |  GROUP BY g
-         |), docs AS (
+         |), docs AS MATERIALIZED (
          |  SELECT d.doc_id, b.dhash
          |  FROM documents d JOIN bits b ON b.g = d.doc_id // 3
          |  WHERE d.doc_id < 240

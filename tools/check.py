@@ -29,9 +29,37 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
-con = duckdb.connect()
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+# One long-lived session accumulates allocator footprint across 140 heavy
+# oracles (MATERIALIZED CTE chains, recursive folds) until the HOST
+# allocator fails ("bad allocation" — observed round 13 with 120 GB free
+# at start, failures landing on arbitrary neighbors). Recycle the
+# connection every few queries — views over parquet cost nothing to
+# rebuild — and bound the per-session memory so one oracle can never
+# take out the rest of the run.
+def fresh_con():
+    c = duckdb.connect()
+    c.execute("SET memory_limit='48GB'")
+    c.execute("SET temp_directory='/tmp/graft_duck_spill'")
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
+
+con = fresh_con()
+_queries_on_con = 0
+
+# Root cause (round 13): each xxh64Cte-chain oracle PLANS at ~10-12 GB
+# VmPeak and ~30k memory mappings; with 140 of them one session
+# intermittently crosses vm.max_map_count (65530 default) and mmap fails
+# as "bad allocation" with >100 GB RAM free. Recycle per query — views
+# over parquet rebuild in microseconds — and raise the sysctl where
+# permitted (tools/roundcheck.sh does).
+def recycle():
+    global con, _queries_on_con
+    _queries_on_con += 1
+    if _queries_on_con >= 1:
+        con.close()
+        con = fresh_con()
+        _queries_on_con = 0
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
@@ -85,6 +113,7 @@ if os.path.exists(mpath):
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d): continue
+    recycle()
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         print(f"{name}: NO OUTPUT"); fails += 1; continue

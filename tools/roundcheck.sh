@@ -10,6 +10,11 @@ cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT="${2:-/tmp/graft_roundcheck}"
 
+# xxh64Cte-chain oracles plan at ~30k memory mappings each; the default
+# vm.max_map_count (65530) makes DuckDB's mmap fail intermittently as
+# "bad allocation" with RAM to spare (round 13). Best-effort raise.
+sysctl -w vm.max_map_count=1048576 >/dev/null 2>&1 || true
+
 echo "== compile =="
 sbt -batch compile | tail -1
 
