@@ -1871,6 +1871,56 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // WET-file ingest (the Common Crawl *.warc.wet convention — the input
+    // most corpus builds actually start from): conversion records carry
+    // already-extracted plain text, no HTTP envelope; the reader must
+    // frame by Content-Length (payloads contain newlines), skip the
+    // warcinfo header record, and decode UTF-8. Fixture = one warcinfo +
+    // one conversion record per doc with the raw document text; ground
+    // truth is the text itself, so the md5 certifies byte-exact framing
+    // through the gzip-member stream and the token gate runs downstream.
+    "q143_wet_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wet_").toString
+      Tables.documents(s, dir).filter(col("doc_id") < 350)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .repartition(4)
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          val docs = it.toSeq
+          if (docs.nonEmpty) {
+            val info = graft.sources.WarcCodec.WarcRecord(
+              warcType = "warcinfo", targetUri = "",
+              date = "2026-01-01T00:00:00Z",
+              contentType = "application/warc-fields",
+              payload = "software: graft-wet-fixture\r\n"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val recs = info +: docs.map { case (id, text) =>
+              graft.sources.WarcCodec.WarcRecord(
+                warcType = "conversion",
+                targetUri = s"http://crawl.example.org/wet/$id",
+                date = "2026-01-01T00:00:00Z",
+                contentType = "text/plain",
+                payload = Option(text).getOrElse("")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp,
+                f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc.wet.gz"),
+              graft.sources.WarcCodec.encodeGzip(recs))
+            ()
+          }
+        }
+      graft.sources.WarcIO.readWet(s, tmp + "/*.warc.wet.gz")
+        .withColumn("doc_id",
+          regexp_extract(col("url"), "/wet/([0-9]+)$", 1).cast("long"))
+        .select(col("doc_id"), col("url"),
+          md5(col("text")).as("text_md5"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          (graft.functions.TextFunctions.tokenCount(col("text")) >= 60)
+            .cast("long").as("passes_gate"))
+    }),
+
     // Iceberg-interop round trip — the second interop format of the
     // storage north star (the q131 pattern on the Iceberg bridge): the
     // corpus lands as a KEYED VersionedTable (two upsert generations —
@@ -4705,6 +4755,22 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM ck9 GROUP BY lang""".stripMargin,
+
+    // WET ingest: ground truth is the raw text — md5 certifies byte-exact
+    // record framing; token count and gate restated directly
+    "q143_wet_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CAST(coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0)), 0) AS BIGINT) AS nt
+        |  FROM documents WHERE doc_id < 350
+        |)
+        |SELECT doc_id,
+        |  'http://crawl.example.org/wet/' || CAST(doc_id AS VARCHAR) AS url,
+        |  md5(text) AS text_md5,
+        |  nt AS n_tokens,
+        |  CAST(CASE WHEN nt >= 60 THEN 1 ELSE 0 END AS BIGINT) AS passes_gate
+        |FROM t""".stripMargin,
 
     // Iceberg round trip: the upsert (every 9th doc's text || ' ice',
     // latest-wins) restated directly over the source table; engine-side

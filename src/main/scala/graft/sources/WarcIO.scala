@@ -510,6 +510,25 @@ object WarcIO {
       .toDF()
   }
 
+  /** WET-file reader (the Common Crawl *.warc.wet.gz convention): a WET
+    * file is a plain WARC whose `conversion` records carry ALREADY-
+    * EXTRACTED text as their payload (`Content-Type: text/plain`, no HTTP
+    * envelope) — the input most pipeline builds actually start from, one
+    * step downstream of the raw crawl. Rows: (warc_file, record_idx, url,
+    * warc_date, text) for conversion records only (`warcinfo` headers and
+    * any other record types are metadata, not corpus). Text decodes as
+    * UTF-8 — the WET convention; WET extractors emit UTF-8 regardless of
+    * the page's original charset. Same streaming per-file parse and
+    * one-task-per-file scale shape as [[read]].
+    */
+  def readWet(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.{col, decode}
+    read(spark, path, minPartitions)
+      .filter(col("warc_type") === "conversion")
+      .select(col("warc_file"), col("record_idx"), col("url"),
+        col("warc_date"), decode(col("body"), "UTF-8").as("text"))
+  }
+
   /** Record → row projection shared by the batch reader and the streaming
     * ingest ([[graft.streaming.CrawlStream]]) so both land the identical
     * shape.

@@ -248,6 +248,24 @@ class WarcIOSpec extends SparkSpec {
     assert(h.contentEncoding == "br" && h.body.toSeq == enc.toSeq)
   }
 
+  test("readWet serves conversion records only, newline payloads byte-exact") {
+    val dir = Files.createTempDirectory("graft_wet_spec_")
+    val text = "line one\nline two\n\nline four with  spaces"
+    val recs = Seq(
+      WarcCodec.WarcRecord("warcinfo", "", "2026-01-01T00:00:00Z",
+        "application/warc-fields", "software: test\r\n".getBytes(UTF_8)),
+      WarcCodec.WarcRecord("conversion", "http://x/wet/1", "2026-01-01T00:00:00Z",
+        "text/plain", text.getBytes(UTF_8)),
+      WarcCodec.WarcRecord("metadata", "http://x/wet/1", "2026-01-01T00:00:00Z",
+        "application/warc-fields", "links: 0\r\n".getBytes(UTF_8)))
+    Files.write(dir.resolve("a.warc.wet.gz"), WarcCodec.encodeGzip(recs))
+    val rows = WarcIO.readWet(spark, dir.toString + "/*.warc.wet.gz")
+      .select("url", "text").collect()
+    assert(rows.length == 1, "warcinfo and metadata records are not corpus")
+    assert(rows.head.getString(0) == "http://x/wet/1")
+    assert(rows.head.getString(1) == text, "payload with newlines must frame byte-exact")
+  }
+
   test("WarcIO.read surfaces encodings and decoded bodies end to end") {
     val dir = Files.createTempDirectory("graft_warcio_enc_")
     val body = "<p>alpha beta gamma delta epsilon zeta</p>"
