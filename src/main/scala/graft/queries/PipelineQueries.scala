@@ -1953,6 +1953,50 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // Iceberg snapshot evolution + TIME TRAVEL — the Iceberg analogue of
+    // q132's FV time travel and the Delta asOfVersion read: export the
+    // corpus, append a second snapshot that REPLACES the %6 slice's file
+    // with a rewritten one (' s2'), then read BOTH snapshots through
+    // importSnapshot(asOfSnapshotId) — the first snapshot must still
+    // serve the ORIGINAL corpus from its own manifest list even though
+    // the table moved on (the Iceberg retained-snapshot contract). The
+    // union census is hash-certified: any leakage between snapshots, a
+    // mis-carried EXISTING entry, or a version-hint/metadata defect
+    // breaks one side of the CASE.
+    "q144_iceberg_time_travel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val table = scratchDir("ice_tt").toString + "/t"
+      def w(df: DataFrame)(d: String): Unit = df.write.parquet(d)
+      // land as TWO slices so the second snapshot can remove exactly one
+      graft.storage.VersionedTable.append(table)(
+        w(docs.filter(col("doc_id") % 6 === 0).coalesce(1)))
+      graft.storage.VersionedTable.append(table)(
+        w(docs.filter(col("doc_id") % 6 =!= 0).coalesce(1)))
+      val out = scratchDir("ice_tt_out").toString + "/t"
+      val rels = graft.storage.IcebergInterop.exportSnapshot(s, table, out)
+      val meta0 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")), "UTF-8")
+      val firstSnap = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(meta0).get("current-snapshot-id").asLong()
+      // snapshot 2: replace the %6 slice (the first exported segment file)
+      graft.storage.IcebergInterop.appendSnapshot(s, out,
+        docs.filter(col("doc_id") % 6 === 0)
+          .withColumn("text", concat(col("text"), lit(" s2"))),
+        removePaths = Seq(rels.head))
+      def census(df: DataFrame, snap: String): DataFrame =
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("chars"),
+            expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+              .as("checksum"))
+          .withColumn("snapshot", lit(snap))
+      census(graft.storage.IcebergInterop.importSnapshot(s, out,
+          asOfSnapshotId = Some(firstSnap)), "first")
+        .unionByName(census(graft.storage.IcebergInterop.importSnapshot(s, out), "current"))
+        .select(col("snapshot"), col("lang"), col("n_docs"), col("chars"), col("checksum"))
+    }),
+
     // perceptual image near-dup — the missing dedup-plane member for
     // image-bearing corpora: dHash (Krawetz difference hash) over decoded
     // pixels, then the q24 pigeonhole banding (4 bands, hamming <= 3,
@@ -4755,6 +4799,32 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM ck9 GROUP BY lang""".stripMargin,
+
+    // Iceberg time travel: snapshot 'first' = the original corpus,
+    // 'current' = the %6 slice rewritten ' s2' — both censuses restated
+    // directly; the first arm certifies the retained snapshot still
+    // serves pre-rewrite data
+    "q144_iceberg_time_travel" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text FROM documents
+         |), v2 AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 6 = 0 THEN coalesce(text, '') || ' s2'
+         |         ELSE coalesce(text, '') END AS text
+         |  FROM documents
+         |), ${DuckDbXxHash64.xxh64Cte("v1",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "ca")},
+         |${DuckDbXxHash64.xxh64Cte("v2",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "cb")}
+         |SELECT 'first' AS snapshot, lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars, bit_xor(xxh) AS checksum
+         |FROM ca9 GROUP BY lang
+         |UNION ALL
+         |SELECT 'current' AS snapshot, lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars, bit_xor(xxh) AS checksum
+         |FROM cb9 GROUP BY lang""".stripMargin,
 
     // WET ingest: ground truth is the raw text — md5 certifies byte-exact
     // record framing; token count and gate restated directly

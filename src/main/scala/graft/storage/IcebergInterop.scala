@@ -316,23 +316,10 @@ object IcebergInterop {
 
   // ---- import ----
 
-  /** Import an Iceberg-format directory through the spec's resolution
-    * chain: `metadata/version-hint.text` → `v<N>.metadata.json` →
-    * current snapshot's manifest list (Avro) → manifest files (Avro) →
-    * live `data_file` entries (status != 2/DELETED) → one parquet scan
-    * with the metadata-declared schema. File sizes are verified against
-    * `file_size_in_bytes` before any read (the [[DeltaInterop]] /
-    * [[graft.functions.ShardExport.readShards]] corruption gate).
-    * Partitioned tables refuse loudly (this bridge's declared v1 scope
-    * is unpartitioned files; serving them as if unpartitioned would drop
-    * the partition columns silently).
-    */
-  def importSnapshot(
-      spark: SparkSession, icebergDir: String,
-      verifySizes: Boolean = true): DataFrame = {
-    val root = Paths.get(icebergDir)
+  /** The committed table metadata: (metadata version, parsed JSON). */
+  private def readTableMeta(root: Path): (Long, com.fasterxml.jackson.databind.JsonNode) = {
     val metaDir = root.resolve("metadata")
-    require(Files.isDirectory(metaDir), s"no metadata/ under $icebergDir")
+    require(Files.isDirectory(metaDir), s"no metadata/ under $root")
     val hint = metaDir.resolve("version-hint.text")
     require(Files.exists(hint), s"no version-hint.text under $metaDir")
     val v = new String(Files.readAllBytes(hint), "UTF-8").trim.toLong
@@ -341,27 +328,25 @@ object IcebergInterop {
     val meta = mapper.readTree(Files.readAllBytes(metaFile))
     val fv = meta.get("format-version").asInt()
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
-    val currentSnap = Option(meta.get("current-snapshot-id")).map(_.asLong())
-      .getOrElse(throw new IllegalArgumentException(s"no current-snapshot-id in $metaFile"))
-    require(currentSnap != -1L, s"table at $icebergDir has no current snapshot")
+    (v, meta)
+  }
+
+  /** Live data files of one snapshot, through the spec chain: snapshot →
+    * manifest list (Avro) → manifests (Avro) → `data_file` entries with
+    * status != 2/DELETED. Returns (relative path, manifest size bytes,
+    * record count) per file.
+    */
+  private def liveDataFiles(
+      root: Path, meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): Seq[(String, Long, Long)] = {
     val snapNode = meta.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == currentSnap)
+      .find(_.get("snapshot-id").asLong() == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
-        s"current snapshot $currentSnap not in the snapshots list"))
-    val defaultSpec = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    val specFields = meta.get("partition-specs").elements().asScala
-      .find(_.get("spec-id").asInt() == defaultSpec)
-      .map(_.get("fields").size()).getOrElse(0)
-    require(specFields == 0,
-      s"partitioned Iceberg table (spec $defaultSpec has $specFields fields) — " +
-        "out of this bridge's declared scope, refusing rather than dropping columns")
-
-    val schema = sparkSchemaFrom(meta.get("schema"))
-
+        s"snapshot $snapshotId not in the snapshots list"))
     val manifestList = resolve(root, snapNode.get("manifest-list").asText())
     require(Files.exists(manifestList), s"manifest list missing: $manifestList")
     val manifests = readAvro(manifestList).map(r => r.get("manifest_path").toString)
-    val live = manifests.flatMap { mp =>
+    manifests.flatMap { mp =>
       val p = resolve(root, mp)
       require(Files.exists(p), s"manifest missing: $p")
       readAvro(p).flatMap { e =>
@@ -373,12 +358,52 @@ object IcebergInterop {
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"unsupported data file format $fmt")
           Some((df.get("file_path").toString,
-            df.get("file_size_in_bytes").asInstanceOf[Long]))
+            df.get("file_size_in_bytes").asInstanceOf[Long],
+            df.get("record_count").asInstanceOf[Long]))
         }
       }
     }
-    require(live.nonEmpty, s"snapshot $currentSnap carries no live data files")
-    val paths = live.map { case (rel, size) =>
+  }
+
+  /** Import an Iceberg-format directory through the spec's resolution
+    * chain: `metadata/version-hint.text` → `v<N>.metadata.json` →
+    * the snapshot's manifest list (Avro) → manifest files (Avro) →
+    * live `data_file` entries (status != 2/DELETED) → one parquet scan
+    * with the metadata-declared schema. File sizes are verified against
+    * `file_size_in_bytes` before any read (the [[DeltaInterop]] /
+    * [[graft.functions.ShardExport.readShards]] corruption gate).
+    * Partitioned tables refuse loudly (this bridge's declared v1 scope
+    * is unpartitioned files; serving them as if unpartitioned would drop
+    * the partition columns silently).
+    *
+    * `asOfSnapshotId` TIME-TRAVELS to a named snapshot from the metadata
+    * snapshot list (the Iceberg read contract: every retained snapshot is
+    * reproducible from its own manifest list) — the Iceberg analogue of
+    * [[VersionedTable.read]]'s `asOfVersion` and the FV time travel of
+    * q132; default reads the current snapshot.
+    */
+  def importSnapshot(
+      spark: SparkSession, icebergDir: String,
+      verifySizes: Boolean = true,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val root = Paths.get(icebergDir)
+    val (_, meta) = readTableMeta(root)
+    val currentSnap = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException(s"no current-snapshot-id at $icebergDir"))
+    require(currentSnap != -1L, s"table at $icebergDir has no current snapshot")
+    val snapId = asOfSnapshotId.getOrElse(currentSnap)
+    val defaultSpec = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val specFields = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == defaultSpec)
+      .map(_.get("fields").size()).getOrElse(0)
+    require(specFields == 0,
+      s"partitioned Iceberg table (spec $defaultSpec has $specFields fields) — " +
+        "out of this bridge's declared scope, refusing rather than dropping columns")
+
+    val schema = sparkSchemaFrom(meta.get("schema"))
+    val live = liveDataFiles(root, meta, snapId)
+    require(live.nonEmpty, s"snapshot $snapId carries no live data files")
+    val paths = live.map { case (rel, size, _) =>
       val p = resolve(root, rel)
       require(Files.exists(p), s"live data file missing on disk: $p")
       if (verifySizes) {
@@ -391,6 +416,121 @@ object IcebergInterop {
     import org.apache.spark.sql.functions.col
     spark.read.schema(schema).parquet(paths: _*)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Append a snapshot to an exported table: the new state = (previous
+    * live files − `removePaths`) + `adds` materialized as fresh data
+    * files. The snapshot writes ONE complete manifest (carried files as
+    * status 0/EXISTING, new files as 1/ADDED — the spec's full-rewrite
+    * form, always valid), a fresh manifest list, and
+    * `v<N+1>.metadata.json` whose snapshot LIST retains every prior
+    * snapshot — so [[importSnapshot]]'s `asOfSnapshotId` can time-travel
+    * to any of them. `version-hint.text` flips LAST (tmp + atomic
+    * rename), so a crash mid-append leaves the previous version readable.
+    * Returns the new snapshot id.
+    */
+  def appendSnapshot(
+      spark: SparkSession, icebergDir: String, adds: DataFrame,
+      removePaths: Seq[String] = Nil): Long = {
+    val root = Paths.get(icebergDir)
+    val metaDir = root.resolve("metadata")
+    val (v, meta) = readTableMeta(root)
+    val currentSnap = meta.get("current-snapshot-id").asLong()
+    val schemaJson = mapper.writeValueAsString(meta.get("schema"))
+    val tableSchema = sparkSchemaFrom(meta.get("schema"))
+    require(tableSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      adds.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"appended frame schema ${adds.schema.simpleString} does not match " +
+        s"the table schema ${tableSchema.simpleString} (schema evolution is out of scope)")
+
+    val carried = liveDataFiles(root, meta, currentSnap)
+      .filterNot { case (rel, _, _) => removePaths.contains(rel) }
+
+    // land the new rows as fresh uniquely-named data files
+    val dataDir = root.resolve("data")
+    val tmp = Files.createTempDirectory("graft_iceberg_append_")
+    adds.write.mode("overwrite").parquet(tmp.toString)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val newFiles: Seq[Path] = listParquet(tmp).zipWithIndex.map { case (f, i) =>
+      val dst = dataDir.resolve(s"s$stamp-$i-${f.getFileName}")
+      Files.move(f, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst
+    }
+    val counts: Map[String, Long] = if (newFiles.isEmpty) Map.empty else {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(newFiles.map(_.toString): _*)
+        .groupBy(input_file_name().as("f")).count()
+        .collect().map(r => basename(r.getString(0)) -> r.getLong(1)).toMap
+    }
+
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val now = System.currentTimeMillis()
+    def entry(rel: String, size: Long, count: Long, status: Int): GenericRecord = {
+      val df = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      df.put("file_path", rel)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        df.getSchema.getField("partition").schema()))
+      df.put("record_count", count)
+      df.put("file_size_in_bytes", size)
+      df.put("block_size_in_bytes", 64L * 1024 * 1024)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", status)
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", df)
+      e
+    }
+    val entries =
+      carried.map { case (rel, size, count) => entry(rel, size, count, 0) } ++
+      newFiles.map { f =>
+        entry(root.relativize(f).toString, Files.size(f),
+          counts.getOrElse(f.getFileName.toString,
+            throw new IllegalStateException(s"no record count for $f")), 1)
+      }
+    val manifestPath = metaDir.resolve(s"graft-$snapshotId-m0.avro")
+    writeAvro(manifestPath, manifestEntrySchema, entries, Map(
+      "schema" -> schemaJson,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "1"))
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", root.relativize(manifestPath).toString)
+    mf.put("manifest_length", Files.size(manifestPath))
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", snapshotId)
+    mf.put("added_data_files_count", newFiles.size)
+    mf.put("existing_data_files_count", carried.size)
+    mf.put("deleted_data_files_count", 0)
+    mf.put("added_rows_count", counts.values.sum)
+    mf.put("existing_rows_count", carried.map(_._3).sum)
+    mf.put("deleted_rows_count", 0L)
+    val manifestListPath = metaDir.resolve(s"snap-$snapshotId-1-graft.avro")
+    writeAvro(manifestListPath, manifestFileSchema, Seq(mf),
+      Map("format-version" -> "1"))
+
+    val root2 = meta.deepCopy().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root2.put("last-updated-ms", now)
+    root2.put("current-snapshot-id", snapshotId)
+    val snap = root2.withArray("snapshots").addObject()
+    snap.put("snapshot-id", snapshotId)
+    snap.put("parent-snapshot-id", currentSnap)
+    snap.put("timestamp-ms", now)
+    val summary = snap.putObject("summary")
+    summary.put("operation", if (removePaths.isEmpty) "append" else "overwrite")
+    snap.put("manifest-list", root.relativize(manifestListPath).toString)
+    val log = root2.withArray("snapshot-log").addObject()
+    log.put("snapshot-id", snapshotId)
+    log.put("timestamp-ms", now)
+    Files.write(metaDir.resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root2))
+    // version-hint flips LAST via atomic rename: a crash before this line
+    // leaves vN current and every file of vN intact
+    val tmpHint = metaDir.resolve("version-hint.text.tmp")
+    Files.write(tmpHint, s"${v + 1}".getBytes("UTF-8"))
+    Files.move(tmpHint, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    snapshotId
   }
 
   /** Iceberg schema JSON → Spark StructType (the primitive + list subset

@@ -168,6 +168,52 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("appendSnapshot: carried/removed/added files; asOfSnapshotId time-travels") {
+    val table = tmp("ice_snap_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    VersionedTable.append(table)(dir =>
+      Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_snap_out_")
+    val rels = IcebergInterop.exportSnapshot(spark, table, out)
+    val firstSnap = mapper.readTree(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json"))).get("current-snapshot-id").asLong()
+
+    // snapshot 2: drop the file holding (3,c), add (4,d)+(5,e)
+    val victim = rels.find { r =>
+      spark.read.parquet(Paths.get(out).resolve(r).toString)
+        .filter(col("id") === 3L).count() > 0
+    }.get
+    val snap2 = IcebergInterop.appendSnapshot(spark, out,
+      Seq((4L, "d"), (5L, "e")).toDF("id", "v").coalesce(1), removePaths = Seq(victim))
+
+    // version hint advanced; current reads the new state
+    assert(new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "version-hint.text")), "UTF-8").trim == "2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(IcebergInterop.importSnapshot(spark, out)) ==
+      Set((1L, "a"), (2L, "b"), (4L, "d"), (5L, "e")))
+    // the RETAINED first snapshot still serves the pre-rewrite state
+    assert(rows(IcebergInterop.importSnapshot(spark, out,
+      asOfSnapshotId = Some(firstSnap))) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(snap2 != firstSnap)
+    // the new manifest carries the kept file as EXISTING (status 0)
+    val meta2 = mapper.readTree(Files.readAllBytes(
+      Paths.get(out, "metadata", "v2.metadata.json")))
+    val ml2 = Paths.get(out).resolve(
+      meta2.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == snap2).get
+        .get("manifest-list").asText())
+    val (_, mlRows) = readAvro(ml2)
+    assert(mlRows.head.get("existing_data_files_count") == 1)
+    assert(mlRows.head.get("added_data_files_count") == 1)
+    // schema mismatch refuses
+    val e = intercept[IllegalArgumentException](IcebergInterop.appendSnapshot(
+      spark, out, Seq((1L, 2L)).toDF("id", "n")))
+    assert(e.getMessage.contains("schema"))
+  }
+
   test("refuses to clobber existing metadata; unsupported types refuse on export") {
     val table = tmp("ice_ref_") + "/t"
     VersionedTable.append(table)(dir =>
