@@ -1997,6 +1997,55 @@ object PipelineQueries {
         .select(col("snapshot"), col("lang"), col("n_docs"), col("chars"), col("checksum"))
     }),
 
+    // Iceberg IDENTITY-PARTITIONED import — the external-table shape a
+    // Hive-migrated (`add_files`) lakehouse actually has: the partition
+    // value exists ONLY in each manifest entry's partition struct, never
+    // in the data files ([[graft.storage.IcebergFixtures]] writes the
+    // layout spec-faithfully, one file per partition, one NULL
+    // partition). importSnapshot restores the column TYPED from the
+    // manifest metadata by a broadcast file→value join (the Delta
+    // bridge's partitionValues pattern — 10^5 partitions = one tiny
+    // broadcast, never per-file driver reads); the census groups BY the
+    // restored column, so a dropped, mistyped, or misattributed value
+    // breaks the hash.
+    "q145_iceberg_partitioned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+          when(col("doc_id") % 7 === 0, lit(null: String))
+            .otherwise(col("lang")).as("pl"))
+      val out = scratchDir("ice_part").toString + "/t"
+      graft.storage.IcebergFixtures.writePartitionedV1(s, out, docs, "pl")
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("pl"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
+    // Iceberg v2 POSITION DELETES applied on import — closes the r13
+    // wrong-looking-right gap (fv=2 accepted, delete manifests ignored):
+    // the fixture writes a real v2 layout (manifest-list content field
+    // routing a delete manifest, data_file.content=1, the spec's
+    // (file_path, pos) delete parquet) deleting every doc_id % 5 == 0
+    // row BY PHYSICAL ROW POSITION; the importer anti-joins the data
+    // scan on (_metadata.file_path, _metadata.row_index). The census is
+    // over the survivors, so a resurrected row, an off-by-one position,
+    // or a misattributed file breaks the hash.
+    "q146_iceberg_v2_deletes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("ice_v2").toString + "/t"
+      graft.storage.IcebergFixtures.writeV2WithDeletes(
+        s, out, docs, "doc_id", col("doc_id") % 5 === 0)
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // perceptual image near-dup — the missing dedup-plane member for
     // image-bearing corpora: dHash (Krawetz difference hash) over decoded
     // pixels, then the q24 pigeonhole banding (4 bands, hamming <= 3,
@@ -4858,6 +4907,36 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM ck9 GROUP BY lang""".stripMargin,
+
+    // partitioned import: the fixture's partition assignment (NULL every
+    // 7th doc) restated directly; the engine side reads pl back from the
+    // manifest partition structs alone
+    "q145_iceberg_partitioned" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, coalesce(text, '') AS text,
+         |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS pl
+         |  FROM documents
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "pl", "text"), "cp")}
+         |SELECT pl, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM cp9 GROUP BY pl""".stripMargin,
+
+    // v2 position deletes: the deleted slice (doc_id % 5 = 0) restated as
+    // a WHERE; engine-side absence is enforced by physical row position
+    "q146_iceberg_v2_deletes" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents WHERE doc_id % 5 <> 0
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "cq")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM cq9 GROUP BY lang""".stripMargin,
 
     // perceptual near-dup: every variant's dHash is the closed-form
     // comparison table of the 9x8 cell grid (margins make pooling + JPEG

@@ -25,16 +25,24 @@ import org.apache.spark.sql.types._
   * approximation, because Iceberg readers resolve manifests strictly as
   * Avro with field-id-annotated schemas.
   *
-  * Scope, stated plainly: format v1, one snapshot (the committed state,
-  * the same contract as [[DeltaInterop.exportSnapshot]]), unpartitioned
-  * data files, primitive + array column types. Without the Iceberg
-  * runtime on the classpath the export cannot be validated against a
-  * reference reader in this sandbox — it is validated by (a) citing each
-  * emitted structure to the spec section that mandates it, (b) the
+  * Scope, stated plainly. EXPORT writes format v1: one snapshot (the
+  * committed state, the same contract as
+  * [[DeltaInterop.exportSnapshot]]), unpartitioned data files, primitive
+  * + array column types, spec-mandated full `file:` URIs. IMPORT reads
+  * v1 AND v2: identity-transform partitioned tables (values restored
+  * from the manifest partition structs — q145), v2 POSITION deletes
+  * applied via an anti-join on `(_metadata.file_path,
+  * _metadata.row_index)` (q146); non-identity transforms and EQUALITY
+  * deletes refuse loudly with the spec citation rather than serve a
+  * wrong-looking-right table. Without the Iceberg runtime on the
+  * classpath the export cannot be validated against a reference reader
+  * in this sandbox — it is validated by (a) citing each emitted
+  * structure to the spec section that mandates it, (b) the
   * [[importSnapshot]] inverse reading ONLY through the spec-described
   * resolution chain (version-hint → metadata.json → manifest list →
-  * manifests → data files), and (c) the round-trip content checksum in
-  * q142.
+  * manifests → data files), (c) the round-trip content checksum in
+  * q142, and (d) [[IcebergFixtures]]-synthesized external layouts for
+  * the import-only shapes.
   *
   * Scale shape mirrors the Delta bridge: keyless tables hard-copy
   * committed segment files (server-side byte copies at object-store
@@ -44,7 +52,7 @@ import org.apache.spark.sql.types._
   */
 object IcebergInterop {
 
-  private val mapper = new ObjectMapper()
+  private[storage] val mapper = new ObjectMapper()
 
   // ---- Iceberg schema JSON (spec "Schemas and Data Types") ----
 
@@ -80,7 +88,7 @@ object IcebergInterop {
       s"no Iceberg mapping for Spark type $other — refusing a mistyped export")
   }
 
-  private def icebergSchemaJson(schema: StructType): (String, Int) = {
+  private[storage] def icebergSchemaJson(schema: StructType): (String, Int) = {
     var id = 0
     def nextId(): Int = { id += 1; id }
     val root = mapper.createObjectNode()
@@ -106,7 +114,7 @@ object IcebergInterop {
   // ---- Avro schemas with Iceberg field ids ----
 
   /** Avro field carrying the spec-mandated `field-id` property. */
-  private def fld(name: String, fieldId: Int, typ: Schema,
+  private[storage] def fld(name: String, fieldId: Int, typ: Schema,
       optional: Boolean): Schema.Field = {
     val t = if (optional)
       Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), typ))
@@ -118,7 +126,7 @@ object IcebergInterop {
   }
 
   /** manifest_file record (spec "Manifest Lists", v1 field set). */
-  private val manifestFileSchema: Schema = {
+  private[storage] val manifestFileSchema: Schema = {
     val s = Schema.createRecord("manifest_file", null, "iceberg", false)
     s.setFields(java.util.List.of(
       fld("manifest_path", 500, Schema.create(Schema.Type.STRING), optional = false),
@@ -166,7 +174,7 @@ object IcebergInterop {
     s
   }
 
-  private def writeAvro(path: Path, schema: Schema,
+  private[storage] def writeAvro(path: Path, schema: Schema,
       records: Seq[GenericRecord], meta: Map[String, String]): Unit = {
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     meta.foreach { case (k, v) => writer.setMeta(k, v) }
@@ -243,12 +251,13 @@ object IcebergInterop {
     val entries = dataFiles.map { f =>
       val df = new GenericData.Record(
         manifestEntrySchema.getField("data_file").schema())
-      df.put("file_path", out.relativize(f).toString)
+      df.put("file_path", f.toUri.toString)
       df.put("file_format", "PARQUET")
       df.put("partition", new GenericData.Record(
         df.getSchema.getField("partition").schema()))
-      df.put("record_count", counts.getOrElse(f.getFileName.toString,
-        throw new IllegalStateException(s"no record count for $f")))
+      // a zero-row part file yields no input_file_name group — a legal
+      // empty data file, counted as 0 rather than refused
+      df.put("record_count", counts.getOrElse(f.getFileName.toString, 0L))
       df.put("file_size_in_bytes", Files.size(f))
       df.put("block_size_in_bytes", 64L * 1024 * 1024)
       val e = new GenericData.Record(manifestEntrySchema)
@@ -267,7 +276,7 @@ object IcebergInterop {
 
     // manifest list: one row naming the manifest
     val mf = new GenericData.Record(manifestFileSchema)
-    mf.put("manifest_path", out.relativize(manifestPath).toString)
+    mf.put("manifest_path", manifestPath.toUri.toString)
     mf.put("manifest_length", Files.size(manifestPath))
     mf.put("partition_spec_id", 0)
     mf.put("added_snapshot_id", snapshotId)
@@ -304,14 +313,14 @@ object IcebergInterop {
     snap.put("timestamp-ms", now)
     val summary = snap.putObject("summary")
     summary.put("operation", "append")
-    snap.put("manifest-list", out.relativize(manifestListPath).toString)
+    snap.put("manifest-list", manifestListPath.toUri.toString)
     root.putArray("snapshot-log")
     root.putArray("metadata-log")
     Files.write(metaDir.resolve("v1.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
 
-    dataFiles.map(f => out.relativize(f).toString)
+    dataFiles.map(_.toUri.toString)
   }
 
   // ---- import ----
@@ -331,38 +340,98 @@ object IcebergInterop {
     (v, meta)
   }
 
-  /** Live data files of one snapshot, through the spec chain: snapshot →
-    * manifest list (Avro) → manifests (Avro) → `data_file` entries with
-    * status != 2/DELETED. Returns (relative path, manifest size bytes,
-    * record count) per file.
+  /** One live file of a snapshot: the manifest-declared path (verbatim —
+    * [[resolve]] makes it absolute), declared size, record count, and the
+    * manifest entry's partition-struct values keyed by spec field name
+    * (empty for unpartitioned tables / delete files).
     */
-  private def liveDataFiles(
+  private[storage] case class LiveFile(
+      path: String, size: Long, records: Long, partition: Map[String, Any])
+
+  /** An Avro field read that tolerates the field being absent from the
+    * file's writer schema (v1 manifests lack the v2-only fields).
+    */
+  private def avroOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) != null) Option(r.get(name)) else None
+
+  /** Live files of one snapshot, through the spec chain: snapshot →
+    * manifest list (Avro) → manifests (Avro) → entries with status !=
+    * 2/DELETED. Returns `(data files, position-delete files)`.
+    *
+    * v2 awareness (spec "Manifest Lists" / "Delete Files"): a manifest
+    * list row's `content` field (id 517; absent in v1 ⇒ 0/data) routes
+    * the manifest to the data or the delete side; inside a delete
+    * manifest, `data_file.content` 1 = position deletes (returned for
+    * the importer to APPLY) and 2 = equality deletes, which REFUSE —
+    * applying them needs sequence-number ordering over typed equality
+    * predicates, and ignoring them would silently resurrect deleted
+    * rows (the wrong-looking-right failure class).
+    */
+  private def liveFiles(
       root: Path, meta: com.fasterxml.jackson.databind.JsonNode,
-      snapshotId: Long): Seq[(String, Long, Long)] = {
+      snapshotId: Long): (Seq[LiveFile], Seq[LiveFile]) = {
     val snapNode = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapshotId not in the snapshots list"))
     val manifestList = resolve(root, snapNode.get("manifest-list").asText())
     require(Files.exists(manifestList), s"manifest list missing: $manifestList")
-    val manifests = readAvro(manifestList).map(r => r.get("manifest_path").toString)
-    manifests.flatMap { mp =>
+
+    def entriesOf(mp: String): Seq[GenericRecord] = {
       val p = resolve(root, mp)
       require(Files.exists(p), s"manifest missing: $p")
-      readAvro(p).flatMap { e =>
-        val status = e.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED
+      readAvro(p)
+    }
+    def fileOf(e: GenericRecord): LiveFile = {
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val fmt = df.get("file_format").toString
+      require(fmt.equalsIgnoreCase("PARQUET"), s"unsupported data file format $fmt")
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      val pvals = part.getSchema.getFields.asScala.map { f =>
+        f.name() -> (part.get(f.name()) match {
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case other => other // Long / Int / Double / Boolean / null
+        })
+      }.toMap
+      LiveFile(df.get("file_path").toString,
+        df.get("file_size_in_bytes").asInstanceOf[Long],
+        df.get("record_count").asInstanceOf[Long], pvals)
+    }
+    def contentOf(e: GenericRecord): Int = {
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+    }
+
+    val (dataManifests, deleteManifests) = readAvro(manifestList).partition { r =>
+      avroOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 0
+    }
+    val data = dataManifests.flatMap { m =>
+      entriesOf(m.get("manifest_path").toString).flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] == 2) None // DELETED
         else {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("PARQUET"),
-            s"unsupported data file format $fmt")
-          Some((df.get("file_path").toString,
-            df.get("file_size_in_bytes").asInstanceOf[Long],
-            df.get("record_count").asInstanceOf[Long]))
+          require(contentOf(e) == 0,
+            "delete file carried by a DATA manifest (manifest_file.content=0 " +
+              "but data_file.content!=0) — malformed table, refusing")
+          Some(fileOf(e))
         }
       }
     }
+    val deletes = deleteManifests.flatMap { m =>
+      entriesOf(m.get("manifest_path").toString).flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] == 2) None
+        else contentOf(e) match {
+          case 1 => Some(fileOf(e)) // position deletes — applied by the importer
+          case 2 => throw new IllegalArgumentException(
+            "equality delete files (data_file.content=2) are not supported by " +
+              "this bridge — applying them requires sequence-number-ordered " +
+              "typed predicates; refusing rather than serving resurrected rows " +
+              "(Iceberg spec 'Equality Delete Files')")
+          case other => throw new IllegalArgumentException(
+            s"delete manifest entry with data_file.content=$other — malformed")
+        }
+      }
+    }
+    (data, deletes)
   }
 
   /** Import an Iceberg-format directory through the spec's resolution
@@ -372,20 +441,41 @@ object IcebergInterop {
     * with the metadata-declared schema. File sizes are verified against
     * `file_size_in_bytes` before any read (the [[DeltaInterop]] /
     * [[graft.functions.ShardExport.readShards]] corruption gate).
-    * Partitioned tables refuse loudly (this bridge's declared v1 scope
-    * is unpartitioned files; serving them as if unpartitioned would drop
-    * the partition columns silently).
     *
     * `asOfSnapshotId` TIME-TRAVELS to a named snapshot from the metadata
     * snapshot list (the Iceberg read contract: every retained snapshot is
     * reproducible from its own manifest list) — the Iceberg analogue of
     * [[VersionedTable.read]]'s `asOfVersion` and the FV time travel of
     * q132; default reads the current snapshot.
+    *
+    * IDENTITY-partitioned tables import: partition values live in each
+    * manifest entry's `partition` struct (authoritative per spec —
+    * Hive-migrated `add_files` tables don't even store the column in the
+    * data files), so the importer reads the data files WITHOUT the
+    * partition columns and restores them as typed columns by a BROADCAST
+    * join from the file path to the manifest values — the
+    * [[DeltaInterop]] `partitionValues` pattern: 10^5 partitions cost one
+    * broadcast of 10^5 tiny rows, never a per-file driver read.
+    * Non-identity transforms (bucket/truncate/days/…) refuse loudly: the
+    * source column is unrecoverable from the transformed value (spec
+    * "Partition Transforms").
+    *
+    * Format-v2 POSITION deletes (`data_file.content=1`) are APPLIED: the
+    * delete parquet's `(file_path, pos)` pairs anti-join the data scan on
+    * (normalized `_metadata.file_path`, `_metadata.row_index`) — a
+    * distributed anti-join, delete-file-scale on the build side.
+    * Sequence-number ordering is NOT needed for correctness here: a
+    * position delete names an explicit data-file path, and Iceberg never
+    * re-adds a new data file under an old path, so "applies to sequence
+    * ≤ N" and "applies to the named file while it is live" coincide.
+    * EQUALITY deletes (content=2) refuse in [[liveFiles]].
     */
   def importSnapshot(
       spark: SparkSession, icebergDir: String,
       verifySizes: Boolean = true,
       asOfSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
     val root = Paths.get(icebergDir)
     val (_, meta) = readTableMeta(root)
     val currentSnap = Option(meta.get("current-snapshot-id")).map(_.asLong())
@@ -393,29 +483,102 @@ object IcebergInterop {
     require(currentSnap != -1L, s"table at $icebergDir has no current snapshot")
     val snapId = asOfSnapshotId.getOrElse(currentSnap)
     val defaultSpec = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    val specFields = meta.get("partition-specs").elements().asScala
+    val specFieldNodes = meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == defaultSpec)
-      .map(_.get("fields").size()).getOrElse(0)
-    require(specFields == 0,
-      s"partitioned Iceberg table (spec $defaultSpec has $specFields fields) — " +
-        "out of this bridge's declared scope, refusing rather than dropping columns")
+      .map(_.get("fields").elements().asScala.toSeq).getOrElse(Seq.empty)
+    specFieldNodes.foreach { f =>
+      val t = f.get("transform").asText()
+      require(t == "identity",
+        s"partition transform '$t' on field '${f.get("name").asText()}' — only " +
+          "identity transforms are importable (the source value is not " +
+          "recoverable from a bucket/truncate/temporal transform; Iceberg " +
+          "spec 'Partition Transforms'), refusing")
+    }
+    val partNames = specFieldNodes.map(_.get("name").asText())
 
-    val schema = sparkSchemaFrom(meta.get("schema"))
-    val live = liveDataFiles(root, meta, snapId)
+    // v2 metadata carries `schemas` + `current-schema-id`; v1 the single
+    // `schema` key (spec "Table Metadata", both fields listed)
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val cur = meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $cur not in the schemas list"))
+      } else meta.get("schema")
+    val schema = sparkSchemaFrom(schemaNode)
+    partNames.foreach(n => require(schema.fieldNames.contains(n),
+      s"partition field '$n' names no schema column"))
+    val dataSchema = StructType(schema.filterNot(f => partNames.contains(f.name)))
+    val (live, posDeletes) = liveFiles(root, meta, snapId)
     require(live.nonEmpty, s"snapshot $snapId carries no live data files")
-    val paths = live.map { case (rel, size, _) =>
-      val p = resolve(root, rel)
-      require(Files.exists(p), s"live data file missing on disk: $p")
+
+    def checkedAbs(lf: LiveFile, kind: String): Path = {
+      val p = resolve(root, lf.path)
+      require(Files.exists(p), s"live $kind file missing on disk: $p")
       if (verifySizes) {
         val got = Files.size(p)
-        require(got == size,
-          s"size mismatch for $rel: manifest says $size bytes, disk has $got")
+        require(got == lf.size,
+          s"size mismatch for ${lf.path}: manifest says ${lf.size} bytes, disk has $got")
       }
-      p.toString
+      p
     }
-    import org.apache.spark.sql.functions.col
-    spark.read.schema(schema).parquet(paths: _*)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val paths = live.map(lf => checkedAbs(lf, "data").toString)
+
+    // both sides of every file-path comparison normalized to a plain
+    // absolute path: `_metadata.file_path` is a file: URI, manifest and
+    // delete-file paths are spec-mandated full URIs (relative tolerated
+    // on import, resolved against the table root)
+    def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.startsWith("file:"), regexp_replace(c, "^file:/+", "/"))
+        .when(c.startsWith("/"), c)
+        .otherwise(concat(lit(root.toString + "/"), c))
+
+    var df = spark.read.schema(dataSchema).parquet(paths: _*)
+    if (partNames.nonEmpty || posDeletes.nonEmpty)
+      df = df.withColumn("__graft_path", normPath(col("_metadata.file_path")))
+
+    if (partNames.nonEmpty) {
+      val pvSchema = StructType(StructField("__graft_path", StringType) +:
+        partNames.map(n => schema(n).copy(nullable = true)))
+      val pvRows = live.map { lf =>
+        Row.fromSeq(resolve(root, lf.path).toString +: partNames.map { n =>
+          partitionValueAs(lf.partition.getOrElse(n, null), schema(n).dataType, n)
+        })
+      }
+      val pvDf = spark.createDataFrame(pvRows.asJava, pvSchema)
+      df = df.join(broadcast(pvDf), Seq("__graft_path"), "left")
+    }
+
+    if (posDeletes.nonEmpty) {
+      val delPaths = posDeletes.map(lf => checkedAbs(lf, "position-delete").toString)
+      val dels = spark.read.parquet(delPaths: _*)
+        .select(normPath(col("file_path")).as("__graft_path"),
+          col("pos").cast("long").as("__graft_pos"))
+      df = df.withColumn("__graft_pos", col("_metadata.row_index"))
+        .join(dels, Seq("__graft_path", "__graft_pos"), "left_anti")
+    }
+
+    df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** A manifest partition-struct value coerced to the schema column's
+    * Spark type (Avro generic values: Utf8→String done upstream, ints
+    * may arrive as Int or Long). Nulls pass through (a legal NULL
+    * partition value).
+    */
+  private def partitionValueAs(v: Any, dt: DataType, name: String): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => s
+    case (l: java.lang.Long, LongType) => l
+    case (i: java.lang.Integer, LongType) => java.lang.Long.valueOf(i.longValue())
+    case (i: java.lang.Integer, IntegerType) => i
+    case (l: java.lang.Long, IntegerType) => java.lang.Integer.valueOf(l.intValue())
+    case (d: java.lang.Double, DoubleType) => d
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (other, t) => throw new IllegalArgumentException(
+      s"partition value $other (${other.getClass.getSimpleName}) for field " +
+        s"'$name' does not coerce to schema type $t — refusing a mistyped column")
   }
 
   /** Append a snapshot to an exported table: the new state = (previous
@@ -435,6 +598,9 @@ object IcebergInterop {
     val root = Paths.get(icebergDir)
     val metaDir = root.resolve("metadata")
     val (v, meta) = readTableMeta(root)
+    require(meta.get("format-version").asInt() == 1,
+      "appendSnapshot writes format-v1 metadata — appending to a " +
+        "format-version 2 table is out of scope, refusing")
     val currentSnap = meta.get("current-snapshot-id").asLong()
     val schemaJson = mapper.writeValueAsString(meta.get("schema"))
     val tableSchema = sparkSchemaFrom(meta.get("schema"))
@@ -443,8 +609,14 @@ object IcebergInterop {
       s"appended frame schema ${adds.schema.simpleString} does not match " +
         s"the table schema ${tableSchema.simpleString} (schema evolution is out of scope)")
 
-    val carried = liveDataFiles(root, meta, currentSnap)
-      .filterNot { case (rel, _, _) => removePaths.contains(rel) }
+    val (liveNow, posDeletesNow) = liveFiles(root, meta, currentSnap)
+    require(posDeletesNow.isEmpty,
+      "table carries delete files — appendSnapshot's full-rewrite v1 " +
+        "manifest cannot represent them, refusing")
+    require(liveNow.forall(_.partition.isEmpty),
+      "table is partitioned — appendSnapshot's unpartitioned manifest " +
+        "form cannot represent it, refusing")
+    val carried = liveNow.filterNot(lf => removePaths.contains(lf.path))
 
     // land the new rows as fresh uniquely-named data files
     val dataDir = root.resolve("data")
@@ -482,11 +654,10 @@ object IcebergInterop {
       e
     }
     val entries =
-      carried.map { case (rel, size, count) => entry(rel, size, count, 0) } ++
+      carried.map(lf => entry(lf.path, lf.size, lf.records, 0)) ++
       newFiles.map { f =>
-        entry(root.relativize(f).toString, Files.size(f),
-          counts.getOrElse(f.getFileName.toString,
-            throw new IllegalStateException(s"no record count for $f")), 1)
+        entry(f.toUri.toString, Files.size(f),
+          counts.getOrElse(f.getFileName.toString, 0L), 1)
       }
     val manifestPath = metaDir.resolve(s"graft-$snapshotId-m0.avro")
     writeAvro(manifestPath, manifestEntrySchema, entries, Map(
@@ -495,7 +666,7 @@ object IcebergInterop {
       "partition-spec-id" -> "0",
       "format-version" -> "1"))
     val mf = new GenericData.Record(manifestFileSchema)
-    mf.put("manifest_path", root.relativize(manifestPath).toString)
+    mf.put("manifest_path", manifestPath.toUri.toString)
     mf.put("manifest_length", Files.size(manifestPath))
     mf.put("partition_spec_id", 0)
     mf.put("added_snapshot_id", snapshotId)
@@ -503,7 +674,7 @@ object IcebergInterop {
     mf.put("existing_data_files_count", carried.size)
     mf.put("deleted_data_files_count", 0)
     mf.put("added_rows_count", counts.values.sum)
-    mf.put("existing_rows_count", carried.map(_._3).sum)
+    mf.put("existing_rows_count", carried.map(_.records).sum)
     mf.put("deleted_rows_count", 0L)
     val manifestListPath = metaDir.resolve(s"snap-$snapshotId-1-graft.avro")
     writeAvro(manifestListPath, manifestFileSchema, Seq(mf),
@@ -518,7 +689,7 @@ object IcebergInterop {
     snap.put("timestamp-ms", now)
     val summary = snap.putObject("summary")
     summary.put("operation", if (removePaths.isEmpty) "append" else "overwrite")
-    snap.put("manifest-list", root.relativize(manifestListPath).toString)
+    snap.put("manifest-list", manifestListPath.toUri.toString)
     val log = root2.withArray("snapshot-log").addObject()
     log.put("snapshot-id", snapshotId)
     log.put("timestamp-ms", now)

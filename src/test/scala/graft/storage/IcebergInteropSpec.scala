@@ -25,6 +25,12 @@ class IcebergInteropSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Manifest/data paths are spec-mandated full `file:` URIs; resolve
+    * them (tolerating the relative form on hand-built fixtures). */
+  private def ref(out: String, s: String): java.nio.file.Path =
+    if (s.startsWith("file:")) Paths.get(java.net.URI.create(s))
+    else Paths.get(out).resolve(s)
+
   private def readAvro(p: java.nio.file.Path): (org.apache.avro.Schema, List[GenericRecord]) = {
     val r = new DataFileReader[GenericRecord](
       new SeekableFileInput(p.toFile), new GenericDatumReader[GenericRecord]())
@@ -51,7 +57,7 @@ class IcebergInteropSpec extends SparkSpec {
     assert(fields.map(_.get("id").asInt()) == List(1, 2), "field ids assigned 1..n")
 
     // manifest list: avro, field-id props, counts correct
-    val mlPath = Paths.get(out).resolve(
+    val mlPath = ref(out,
       meta.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == snapId).get
         .get("manifest-list").asText())
@@ -61,7 +67,7 @@ class IcebergInteropSpec extends SparkSpec {
     assert(mlRows.size == 1)
     assert(mlRows.head.get("added_data_files_count") == 2)
     assert(mlRows.head.get("added_rows_count") == 3L)
-    val manPath = Paths.get(out).resolve(mlRows.head.get("manifest_path").toString)
+    val manPath = ref(out, mlRows.head.get("manifest_path").toString)
     assert(Files.size(manPath) == mlRows.head.get("manifest_length"))
 
     // manifest: required v1 data_file fields, real sizes and counts
@@ -72,7 +78,7 @@ class IcebergInteropSpec extends SparkSpec {
     assert(mRows.size == 2 && mRows.forall(_.get("status") == 1))
     mRows.foreach { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
-      val p = Paths.get(out).resolve(df.get("file_path").toString)
+      val p = ref(out, df.get("file_path").toString)
       assert(Files.exists(p))
       assert(Files.size(p) == df.get("file_size_in_bytes"))
     }
@@ -106,7 +112,7 @@ class IcebergInteropSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir))
     val out = tmp("ice_gate_out_")
     val rels = IcebergInterop.exportSnapshot(spark, table, out)
-    val victim = Paths.get(out).resolve(rels.head)
+    val victim = ref(out, rels.head)
     val bytes = Files.readAllBytes(victim)
     Files.write(victim, java.util.Arrays.copyOf(bytes, bytes.length - 1))
     val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out))
@@ -125,16 +131,16 @@ class IcebergInteropSpec extends SparkSpec {
     // the avro schema the export wrote
     val meta = mapper.readTree(Files.readAllBytes(
       Paths.get(out, "metadata", "v1.metadata.json")))
-    val mlPath = Paths.get(out).resolve(
+    val mlPath = ref(out,
       meta.get("snapshots").elements().asScala.next().get("manifest-list").asText())
     val (_, mlRows) = readAvro(mlPath)
-    val manPath = Paths.get(out).resolve(mlRows.head.get("manifest_path").toString)
+    val manPath = ref(out, mlRows.head.get("manifest_path").toString)
     val (schema, rows) = readAvro(manPath)
     // flip the entry whose file holds id=2
     val flipped = rows.map { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
       val holds2 = spark.read.parquet(
-        Paths.get(out).resolve(df.get("file_path").toString).toString)
+        ref(out, df.get("file_path").toString).toString)
         .filter(col("id") === 2L).count() > 0
       if (holds2) e.put("status", 2)
       e
@@ -149,7 +155,7 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got == Set((1L, "a")), s"deleted entry must not be served: $got")
   }
 
-  test("partitioned tables refuse loudly (declared scope)") {
+  test("non-identity partition transforms refuse loudly") {
     val table = tmp("ice_part_") + "/t"
     VersionedTable.append(table)(dir =>
       Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(dir))
@@ -165,7 +171,7 @@ class IcebergInteropSpec extends SparkSpec {
     f.put("source-id", 2); f.put("field-id", 1000)
     Files.write(metaFile, mapper.writeValueAsBytes(meta))
     val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out))
-    assert(e.getMessage.contains("partitioned"))
+    assert(e.getMessage.contains("transform 'bucket[4]'"))
   }
 
   test("appendSnapshot: carried/removed/added files; asOfSnapshotId time-travels") {
@@ -181,7 +187,7 @@ class IcebergInteropSpec extends SparkSpec {
 
     // snapshot 2: drop the file holding (3,c), add (4,d)+(5,e)
     val victim = rels.find { r =>
-      spark.read.parquet(Paths.get(out).resolve(r).toString)
+      spark.read.parquet(ref(out, r).toString)
         .filter(col("id") === 3L).count() > 0
     }.get
     val snap2 = IcebergInterop.appendSnapshot(spark, out,
@@ -201,7 +207,7 @@ class IcebergInteropSpec extends SparkSpec {
     // the new manifest carries the kept file as EXISTING (status 0)
     val meta2 = mapper.readTree(Files.readAllBytes(
       Paths.get(out, "metadata", "v2.metadata.json")))
-    val ml2 = Paths.get(out).resolve(
+    val ml2 = ref(out,
       meta2.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == snap2).get
         .get("manifest-list").asText())
@@ -212,6 +218,60 @@ class IcebergInteropSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](IcebergInterop.appendSnapshot(
       spark, out, Seq((1L, 2L)).toDF("id", "n")))
     assert(e.getMessage.contains("schema"))
+  }
+
+  test("identity-partitioned v1 import: partition column restored from manifest metadata, NULL included") {
+    // the Hive-migrated shape: data files DO NOT contain the partition
+    // column — its only home is the manifest entry partition struct
+    val df = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+      .toDF("id", "v", "pl")
+      .union(Seq((4L, "d")).toDF("id", "v").withColumn("pl", lit(null: String)))
+    val out = tmp("ice_pfix_")
+    IcebergFixtures.writePartitionedV1(spark, out, df, "pl")
+    // prove the files really lack the column
+    val raw = spark.read.parquet(Paths.get(out, "data").toString)
+    assert(!raw.schema.fieldNames.contains("pl"), "fixture files must not carry pl")
+    val got = IcebergInterop.importSnapshot(spark, out)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "pl"))
+    assert(got.schema("pl").dataType == org.apache.spark.sql.types.StringType)
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)).getOrElse("<null>"))).toSet
+    assert(rows == Set((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"),
+      (4L, "d", "<null>")), s"partition values must restore: $rows")
+  }
+
+  test("v2 position deletes are applied: deleted rows absent, survivors intact") {
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val out = tmp("ice_v2_")
+    IcebergFixtures.writeV2WithDeletes(spark, out, df, "id", col("id") % 5 === 0)
+    val got = IcebergInterop.importSnapshot(spark, out)
+    val ids = got.collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 20L).filter(_ % 5 != 0).toSet,
+      s"rows named by the position-delete file must be absent: $ids")
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    // and the v column of a survivor adjacent to a deleted row is intact
+    // (an off-by-one in pos handling would surface exactly here)
+    val v4 = got.filter(col("id") === 4L).collect().head.getString(1)
+    val v6 = got.filter(col("id") === 6L).collect().head.getString(1)
+    assert(v4 == "v4" && v6 == "v6")
+  }
+
+  test("v2 equality deletes refuse loudly") {
+    val df = (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+    val out = tmp("ice_v2eq_")
+    IcebergFixtures.writeV2WithDeletes(spark, out, df, "id",
+      col("id") === 1L, equalityInstead = true)
+    val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out))
+    assert(e.getMessage.contains("equality delete"))
+  }
+
+  test("appendSnapshot refuses format-v2 tables") {
+    val df = (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v")
+    val out = tmp("ice_v2app_")
+    IcebergFixtures.writeV2WithDeletes(spark, out, df, "id", col("id") === 1L)
+    val e = intercept[IllegalArgumentException](IcebergInterop.appendSnapshot(
+      spark, out, Seq((9L, "x")).toDF("id", "v")))
+    assert(e.getMessage.contains("format-v"))
   }
 
   test("refuses to clobber existing metadata; unsupported types refuse on export") {
