@@ -482,8 +482,14 @@ object DeltaInterop {
     ptr.put("version", version)
     ptr.put("size", partRows.map(_.size).sum)
     if (parts > 1) ptr.put("parts", parts)
-    Files.write(logDir.resolve("_last_checkpoint"),
-      (mapper.writeValueAsString(ptr) + "\n").getBytes("UTF-8"))
+    // pointer flips LAST via atomic rename — a crash mid-write must leave
+    // the PREVIOUS pointer intact (the appendSnapshot/publishIncremental
+    // pointer rule; an in-place truncate+write would strand a corrupt
+    // pointer that fails hard on JSON parse)
+    val tmpPtr = logDir.resolve("_last_checkpoint.tmp")
+    Files.write(tmpPtr, (mapper.writeValueAsString(ptr) + "\n").getBytes("UTF-8"))
+    Files.move(tmpPtr, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 

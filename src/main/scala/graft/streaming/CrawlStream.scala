@@ -242,8 +242,19 @@ object CrawlStream {
         // append-only history); re-gating must clean the LATEST version,
         // so pick max ingest_batch per url — the affected set is crossing-
         // line docs only, so this agg is affected-scale, never corpus-scale
-        val priorDocs = VersionedTable.read(spark, corpusPath)
-          .select(col("url"), col("main_text"), col("ingest_batch"))
+        // migration: a corpus created before ingest_batch existed lacks
+        // the column — read those rows as wave -1 (strictly before any
+        // real wave, so max_by prefers any re-crawl that has happened)
+        // instead of failing the continuing stream with AnalysisException
+        val corpusRaw = VersionedTable.read(spark, corpusPath)
+        val corpusStamped =
+          if (corpusRaw.schema.fieldNames.contains("ingest_batch")) corpusRaw
+          else corpusRaw.withColumn("ingest_batch", lit(-1L))
+        val priorDocs = corpusStamped
+          // mixed old/new segments surface the column but with NULLs in
+          // the pre-migration rows — same wave -1 reading
+          .select(col("url"), col("main_text"),
+            coalesce(col("ingest_batch"), lit(-1L)).as("ingest_batch"))
           .join(priorAffected, Seq("url"))
           .groupBy(col("url"))
           .agg(max_by(col("main_text"), col("ingest_batch")).as("main_text"))

@@ -244,4 +244,31 @@ class CrawlStreamSpec extends SparkSpec {
     drain(warcDir.toString, corpus)
     assert(tableUrls(corpus) == Set("http://crawl.test/doc/20"))
   }
+
+  test("migration: a pre-ingest_batch corpus continues (old rows read as wave -1)") {
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("crawl_mig_").resolve("corpus").toString
+    val banner = (0 until 6).map(i => s"mig$i").mkString(" ")
+    def row(id: Int) = {
+      val body = (0 until 70).map(w => s"migu${id}w$w").mkString(" ")
+      (s"http://crawl.test/doc/$id", banner + "\n" + body)
+    }
+    // wave 0 in the PRE-MIGRATION corpus shape: no ingest_batch column
+    val w0 = Seq(row(1), row(2)).toDF("url", "main_text")
+    VersionedTable.append(corpus, Some(0L))(dir => w0.write.parquet(dir))
+    CrawlStream.maintainLineDedup(spark, corpus, w0, 0L, minDupDocs = 3)
+    // wave 1 post-migration: the banner crosses the threshold, so the
+    // re-gate must read the OLD corpus rows — before the fallback this
+    // threw AnalysisException (missing column) on a continuing stream
+    val w1 = Seq(row(3)).toDF("url", "main_text")
+    VersionedTable.append(corpus, Some(1L))(dir =>
+      w1.withColumn("ingest_batch", lit(1L)).write.parquet(dir))
+    CrawlStream.maintainLineDedup(spark, corpus, w1, 1L, minDupDocs = 3)
+    val clean = CrawlStream.cleanDocs(spark, corpus)
+      .select("url", "clean_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(clean.size == 3)
+    assert(clean.values.forall(!_.contains("mig0")),
+      s"crossing the threshold must strip the banner from pre-migration docs too: $clean")
+  }
 }
