@@ -87,24 +87,96 @@ object ScaleSweep {
         (col("vec_id") + lit(k * 10000000L)).as("vec_id"), col("embedding")), scale)
     }
 
+    // ---- contention probes (ported from Bench, VERDICT r13 #2) --------
+    // The r13 artifact shipped three cells (publish/shard_write/
+    // langid_score at 10×) inflated 4-34× by a transient contention
+    // window with zero plan change — the bench brackets every attempt
+    // with probes and retries, ScaleSweep did not, and the scale
+    // artifact must be as trustworthy as the bench. Same two probe
+    // families: a fixed single-thread xorshift spin (CPU-frequency
+    // throttling) and a fixed small parquet scan→shuffle-agg Spark job
+    // (I/O / scheduler / GC contention the spin cannot see).
+    val SpinIters = 30000000L
+    def spinOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < SpinIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("calibration fixed point")
+      (System.nanoTime() - t0) / 1e9
+    }
+    spinOnce(); spinOnce()
+    var calNominal = (1 to 5).map(_ => spinOnce()).min
+    def spinProbe(): Double = { val c = spinOnce(); if (c < calNominal) calNominal = c; c }
+    val probeDir = Files.createTempDirectory("graft_scale_probe_").resolve("t.parquet").toString
+    spark.range(300000).selectExpr("id", "id % 997 as k", "id * 31 % 1001 as v")
+      .repartition(8).write.mode("overwrite").parquet(probeDir)
+    def sparkProbeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(probeDir).where("v % 7 != 0")
+        .groupBy("k").agg(sum("v")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sparkProbeOnce(); sparkProbeOnce()
+    var sparkNominal = (1 to 3).map(_ => sparkProbeOnce()).min
+    def sparkProbe(): Double = {
+      val c = sparkProbeOnce(); if (c < sparkNominal) sparkNominal = c; c
+    }
+    def isClean(spin: Double, sp: Double): Boolean =
+      spin <= 2.0 * calNominal && sp <= 3.0 * sparkNominal
+
     // ---- measurement -------------------------------------------------
     def r2(d: Double): Double = math.rint(d * 1e2) / 1e2
+    def r3(d: Double): Double = math.rint(d * 1e3) / 1e3
     var results = List.empty[String]
+    var contended = List.empty[String]
     // execute the EXACT physical plan (all columns): a bare .count() lets
     // Catalyst prune unused projections — for the as-of join that deletes
     // the window (and its shuffle) entirely and measures nothing
     def runAll(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    // Every attempt is bracketed by both probe families; an attempt is
+    // clean iff max(before, after) of each family sits within bounds of
+    // its run-best (the Bench thresholds: spin 2×, spark probe 3×). Up to
+    // `maxAttempts` tries for one clean cell; the recorded cell is the
+    // min-wall clean attempt, or min-wall overall flagged "contended" —
+    // so a poisoned window is visible in the artifact, never silent.
+    // Byte counters are deterministic per plan, so they come from the
+    // recorded attempt. NOTE for ops with consumable destinations
+    // (publish_incremental): f may run up to 1 warm-up + maxAttempts
+    // times — provision destinations accordingly.
+    val maxAttempts = 3
     def measure(op: String, scale: Int)(f: => Long): Unit = {
       f // warm-up run: JIT + codegen + page cache, excluded from metrics
       Thread.sleep(1200) // drain warm-up listener events BEFORE the reset,
       System.gc()        // or async stragglers land in the measured counters
-      shufW.set(0); shufR.set(0); inBytes.set(0)
-      val t0 = System.nanoTime()
-      val rows = f
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1200) // listener events drain asynchronously
-      val j = s"""{"op":"$op","scale":$scale,"wall_sec":${r2(wall)},"rows":$rows,""" +
-        s""""shuffle_write":${shufW.get},"shuffle_read":${shufR.get},"input_read":${inBytes.get}}"""
+      // (wall, rows, shufW, shufR, in, worstSpin, worstSpark)
+      var attempts = List.empty[(Double, Long, Long, Long, Long, Double, Double)]
+      var n = 0
+      while (n < maxAttempts && !attempts.exists(a => isClean(a._6, a._7))) {
+        val spinBefore = spinProbe()
+        val spBefore = sparkProbe()
+        Thread.sleep(400); System.gc() // drain the probe's own events
+        shufW.set(0); shufR.set(0); inBytes.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1200) // listener events drain asynchronously
+        val (w, r, i) = (shufW.get, shufR.get, inBytes.get)
+        val spinAfter = spinProbe()
+        val spAfter = sparkProbe()
+        attempts ::= ((wall, rows, w, r, i,
+          math.max(spinBefore, spinAfter), math.max(spBefore, spAfter)))
+        n += 1
+      }
+      // re-judge against the final (possibly improved) nominals
+      val clean = attempts.filter(a => isClean(a._6, a._7))
+      val pool = if (clean.nonEmpty) clean else attempts
+      val a = pool.minBy(_._1)
+      val isContended = clean.isEmpty
+      if (isContended) contended ::= s"$op@${scale}x"
+      val j = s"""{"op":"$op","scale":$scale,"wall_sec":${r2(a._1)},"rows":${a._2},""" +
+        s""""shuffle_write":${a._3},"shuffle_read":${a._4},"input_read":${a._5},""" +
+        s""""cal_spin":${r3(a._6)},"cal_spark":${r3(a._7)},"attempts":$n,"contended":$isContended}"""
       println(j)
       results ::= j
     }
@@ -561,10 +633,11 @@ object ScaleSweep {
         when(col("doc_id") === lastInBucket0, concat(col("text"), lit(" x")))
           .otherwise(col("text")))
       graft.functions.ShardExport.writeShards(docsV2, "doc_id", "text", 8, 4000L, pubE2)
-      // full first publish is setup; warm-up and measured runs each get a
-      // FRESH destination (the publish mutates its target — a second run
-      // against the same dest would measure a no-op diff)
-      val pubDests = Seq.fill(2)(
+      // full first publish is setup; warm-up and every measured ATTEMPT
+      // each get a FRESH destination (the publish mutates its target — a
+      // second run against the same dest would measure a no-op diff), so
+      // provision 1 + maxAttempts
+      val pubDests = Seq.fill(1 + maxAttempts)(
         Files.createTempDirectory(s"graft_scale_pubd_$scale").toString)
       pubDests.foreach(d =>
         graft.functions.ShardExport.publishIncremental(spark, pubE1, d, "doc_id", "text").count())
@@ -577,7 +650,10 @@ object ScaleSweep {
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
       s""""corpus":${graft.CorpusFingerprint.json(spark, sfDir)},""" +
-      s""""note":"disjoint 10x replication; bytes from task metrics",""" +
+      s""""note":"disjoint 10x replication; bytes from task metrics; """ +
+      s"""every cell probe-bracketed (spin 2x / spark 3x of run-best), retried up to $maxAttempts",""" +
+      s""""cal_spin_nominal":${r3(calNominal)},"cal_spark_nominal":${r3(sparkNominal)},""" +
+      s""""contended_cells":[${contended.reverse.map(c => s""""$c"""").mkString(",")}],""" +
       s""""measurements":[${results.reverse.mkString(",")}]}"""
     Files.write(
       Paths.get(sys.env.getOrElse("GRAFT_PROBE_OUT", "/root/repo/SCALEPROBE_r09.json")),
