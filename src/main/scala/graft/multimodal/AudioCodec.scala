@@ -46,7 +46,12 @@ object AudioCodec {
     */
   val MaxPcmBytes: Long = 64L << 20
 
-  def decode(bytes: Array[Byte]): Option[DecodedAudio] = {
+  /** The shared hostile-input-bounded PCM16 extraction behind [[decode]]
+    * and [[constellationHash]]: format guards, normalization to signed
+    * 16-bit, and the bounded conversion read. None on anything
+    * undecodable within the bounds.
+    */
+  private def pcm16(bytes: Array[Byte]): Option[(AudioFormat, Array[Byte])] = {
     if (bytes == null || bytes.length == 0) return None
     try {
       val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
@@ -80,8 +85,16 @@ object AudioCodec {
           if (r <= 0) done = true
           else { out.write(chunk, 0, r); if (out.size() > cap) overrun = true }
         }
-        if (overrun) return None
-        val data = out.toByteArray
+        if (overrun) None else Some((fmt, out.toByteArray))
+      } finally raw.close()
+    } catch {
+      case _: UnsupportedAudioFileException => None
+      case _: Exception => None // truncated/corrupt payload
+    }
+  }
+
+  def decode(bytes: Array[Byte]): Option[DecodedAudio] = {
+    pcm16(bytes).flatMap { case (fmt, data) =>
         val bigEndian = fmt.isBigEndian
         val n = data.length / 2
         var i = 0
@@ -98,20 +111,96 @@ object AudioCodec {
         }
         val channels = fmt.getChannels
         val frames = if (channels > 0) n.toLong / channels else 0L
-        if (frames == 0) return None
+        if (frames == 0) None
+        else {
+          val rate = fmt.getSampleRate.toDouble
+          Some(DecodedAudio(
+            sampleRate = fmt.getSampleRate.toInt,
+            channels = channels,
+            bitsPerSample = 16,
+            nFrames = frames,
+            durationMs = frames * 1000.0 / rate,
+            rms = math.sqrt(sumSq / n),
+            peak = peak.toDouble))
+        }
+    }
+  }
+
+  /** Perceptual 64-bit audio signature — the audio member of the
+    * near-dup plane (the q140 image dHash's sibling): the clip is cut
+    * into `segments` equal time windows, each window's DOMINANT frequency
+    * band (Goertzel power at `bandHz`, `2·bandHz`, …, `bands·bandHz` —
+    * absolute Hz, so the signature survives a sample-rate change) sets
+    * one bit at `t·bands + argmax`. One-hot per window means a k-window
+    * edit moves Hamming distance by exactly 2k, and the comparison is
+    * AMPLITUDE-invariant by construction (argmax of power ratios), so
+    * volume-normalized re-encodes and resampled copies collide while
+    * different tone sequences sit ≥ 2·(differing windows) apart —
+    * band-joinable by the signature-generic
+    * [[graft.functions.DedupFunctions.nearDupBits]] pigeonhole, never
+    * all-pairs. Defaults 8×8 fill the 64 bits; `bands·bandHz` must stay
+    * below the lowest Nyquist rate in the corpus (the 400 Hz default
+    * keeps band 8 at 3200 Hz, valid down to 8 kHz clips). None on
+    * undecodable payloads or clips shorter than `segments` frames.
+    */
+  def constellationHash(
+      bytes: Array[Byte], segments: Int = 8, bands: Int = 8,
+      bandHz: Int = 400): Option[Long] = {
+    require(segments * bands <= 64, s"$segments x $bands exceeds 64 bits")
+    pcm16(bytes).flatMap { case (fmt, data) =>
+      val channels = fmt.getChannels
+      val bigEndian = fmt.isBigEndian
+      val n = data.length / 2
+      val frames = if (channels > 0) n / channels else 0
+      if (frames < segments) None
+      else {
         val rate = fmt.getSampleRate.toDouble
-        Some(DecodedAudio(
-          sampleRate = fmt.getSampleRate.toInt,
-          channels = channels,
-          bitsPerSample = 16,
-          nFrames = frames,
-          durationMs = frames * 1000.0 / rate,
-          rms = math.sqrt(sumSq / n),
-          peak = peak.toDouble))
-      } finally raw.close()
-    } catch {
-      case _: UnsupportedAudioFileException => None
-      case _: Exception => None // truncated/corrupt payload
+        // channel-pooled mono: the fingerprint describes the mix
+        val mono = new Array[Double](frames)
+        var i = 0
+        while (i < frames) {
+          var c = 0
+          var acc = 0.0
+          while (c < channels) {
+            val k = i * channels + c
+            val lo = data(2 * k + (if (bigEndian) 1 else 0)) & 0xff
+            val hi = data(2 * k + (if (bigEndian) 0 else 1))
+            acc += ((hi << 8) | lo).toDouble
+            c += 1
+          }
+          mono(i) = acc / channels
+          i += 1
+        }
+        var bits = 0L
+        var t = 0
+        while (t < segments) {
+          val lo = t * frames / segments
+          val hi = (t + 1) * frames / segments
+          var best = 0
+          var bestP = -1.0
+          var b = 0
+          while (b < bands) {
+            val f = bandHz.toDouble * (b + 1)
+            // Goertzel power at f over mono[lo, hi)
+            val w = 2.0 * math.Pi * f / rate
+            val coeff = 2.0 * math.cos(w)
+            var s1 = 0.0
+            var s2 = 0.0
+            var j = lo
+            while (j < hi) {
+              val s0 = mono(j) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              j += 1
+            }
+            val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            if (p > bestP) { bestP = p; best = b }
+            b += 1
+          }
+          bits |= 1L << (t * bands + best)
+          t += 1
+        }
+        Some(bits)
+      }
     }
   }
 

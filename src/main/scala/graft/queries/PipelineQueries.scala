@@ -2046,6 +2046,56 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // perceptual AUDIO near-dup — the q140 pattern on the audio plane:
+    // constellationHash cuts each clip into 8 windows and sets one bit
+    // per window at the DOMINANT Goertzel band (absolute Hz), then the
+    // signature-generic nearDupBits pigeonhole bands the 64-bit space
+    // (hamming <= 3, never all-pairs). Fixture: three variants per group
+    // g = doc_id/3 — a 16 kHz full-volume clip, an 8 kHz RESAMPLED clip
+    // at a third of the amplitude (hash identical: bands are absolute
+    // Hz, argmax is amplitude-invariant), and a clip whose LAST window's
+    // tone moved one band up (hamming exactly 2 — one-hot windows move
+    // distance in steps of 2). Window t of group g plays a pure
+    // 400·b Hz sine with b = xxh64('aud:g:t') mod 6 + 1; 0.2 s windows
+    // make every band frequency integer-cycle, so cross-band Goertzel
+    // energy is quantization noise (~1e10x below the tone) and the
+    // signature IS the closed-form band table the oracle recomputes.
+    "q147_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 240).select(col("doc_id")).as[Long]
+      val hashed = ids.map { id =>
+        val g = id / 3
+        val bs = Array.tabulate(8) { t =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(s"aud:$g:$t")
+          val x = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+          (((x % 6) + 6) % 6 + 1).toInt
+        }
+        val v = (id % 3).toInt
+        val rate = if (v == 1) 8000 else 16000
+        val amp = if (v == 1) 2500 else 8000
+        val segLen = rate / 5 // 0.2 s windows: integer cycles at every band
+        val samples = Array.tabulate(8 * segLen) { i =>
+          val t = i / segLen
+          val b = if (v == 2 && t == 7) bs(7) % 6 + 1 else bs(t)
+          math.round(amp * math.sin(2 * math.Pi * 400.0 * b * i / rate)).toShort
+        }
+        val wav = graft.multimodal.AudioCodec.encodeWavPcm16(rate, 1, samples)
+        val h = graft.multimodal.AudioCodec.constellationHash(wav).getOrElse(
+          throw new IllegalStateException(s"fixture clip $id failed to hash"))
+        (id, h)
+      }.toDF("doc_id", "chash")
+      val pairs = graft.functions.DedupFunctions.nearDupBits(
+        hashed, "doc_id", "chash", maxHamming = 3)
+      val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr")))
+      hashed.join(sym, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"), col("chash"))
+        .agg(count(col("nbr")).as("n_near"),
+          least(coalesce(min(col("nbr")), col("doc_id")), col("doc_id")).as("grp"))
+    }),
+
     // perceptual image near-dup — the missing dedup-plane member for
     // image-bearing corpora: dHash (Krawetz difference hash) over decoded
     // pixels, then the q24 pigeonhole banding (4 bands, hamming <= 3,
@@ -4937,6 +4987,48 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM cq9 GROUP BY lang""".stripMargin,
+
+    // audio near-dup: every clip's constellation hash is the closed-form
+    // band table (integer-cycle pure tones make the dominant-band argmax
+    // exact under resampling and volume change), restated from the same
+    // xxh64 arithmetic; window t bit = t*8 + b - 1 (engine band index is
+    // 0-based for frequency 400*b), the %3=2 variant moves window 7 one
+    // band up; the hamming census is replayed all-pairs (pigeonhole
+    // banding is recall-complete at radius 3, so the pair sets agree)
+    "q147_audio_neardup" ->
+      s"""WITH gs AS (
+         |  SELECT DISTINCT doc_id // 3 AS g FROM documents WHERE doc_id < 240
+         |), gt AS (
+         |  SELECT g, t FROM gs CROSS JOIN (SELECT unnest(range(0, 8)) AS t) tt
+         |), ${DuckDbXxHash64.xxh64Cte("gt",
+           "'aud:' || CAST(g AS VARCHAR) || ':' || CAST(t AS VARCHAR)",
+           Seq("g", "t"), "ah")},
+         |bt AS (
+         |  SELECT g, t, ((xxh % 6) + 6) % 6 + 1 AS b FROM ah9
+         |), docs AS MATERIALIZED (
+         |  -- MATERIALIZED: referenced three times below (q140's boundary
+         |  -- lesson — re-inlining the xxh64 chain explodes the planner)
+         |  SELECT d.doc_id,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(t * 8 +
+         |      (CASE WHEN d.doc_id % 3 = 2 AND t = 7 THEN b % 6 + 1 ELSE b END)
+         |      - 1 AS INTEGER)) AS chash
+         |  FROM documents d JOIN bt ON bt.g = d.doc_id // 3
+         |  WHERE d.doc_id < 240
+         |  GROUP BY d.doc_id
+         |), prs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.chash, b.chash)) <= 3
+         |), sym AS (
+         |  SELECT ia AS doc_id, ib AS nbr FROM prs
+         |  UNION ALL
+         |  SELECT ib AS doc_id, ia AS nbr FROM prs
+         |)
+         |SELECT d.doc_id, d.chash,
+         |  CAST(count(s.nbr) AS BIGINT) AS n_near,
+         |  CAST(least(d.doc_id, coalesce(min(s.nbr), d.doc_id)) AS BIGINT) AS grp
+         |FROM docs d LEFT JOIN sym s USING (doc_id)
+         |GROUP BY d.doc_id, d.chash""".stripMargin,
 
     // perceptual near-dup: every variant's dHash is the closed-form
     // comparison table of the 9x8 cell grid (margins make pooling + JPEG

@@ -67,6 +67,42 @@ class AudioCodecSpec extends SparkSpec {
     assert(one == 1, s"tiny corpus should collapse to 1 task, got $one")
   }
 
+  test("constellationHash: volume- and sample-rate-invariant, one-window edit moves hamming by 2") {
+    def clip(rate: Int, amp: Int, bandsSeq: Seq[Int]): Array[Byte] = {
+      val segLen = rate / 5
+      val samples = Array.tabulate(bandsSeq.length * segLen) { i =>
+        val b = bandsSeq(i / segLen)
+        math.round(amp * math.sin(2 * math.Pi * 400.0 * b * i / rate)).toShort
+      }
+      AudioCodec.encodeWavPcm16(rate, 1, samples)
+    }
+    val tones = Seq(3, 1, 6, 2, 5, 4, 1, 3)
+    val base = AudioCodec.constellationHash(clip(16000, 8000, tones)).get
+    // closed form: bit t*8 + (b-1) per window
+    val expect = tones.zipWithIndex.map { case (b, t) => 1L << (t * 8 + b - 1) }.reduce(_ | _)
+    assert(base == expect, f"hash must be the closed-form band table: $base%x vs $expect%x")
+    // resampled + quiet copy: identical (absolute-Hz bands, argmax of ratios)
+    assert(AudioCodec.constellationHash(clip(8000, 2500, tones)).contains(base))
+    // one window's tone moved: exactly 2 bits differ (one-hot windows)
+    val edited = AudioCodec.constellationHash(clip(16000, 8000, tones.init :+ 4)).get
+    assert(java.lang.Long.bitCount(base ^ edited) == 2)
+    // a different sequence sits far outside the radius
+    val other = AudioCodec.constellationHash(clip(16000, 8000, Seq(6, 4, 2, 5, 1, 6, 3, 2))).get
+    assert(java.lang.Long.bitCount(base ^ other) > 3)
+    // stereo pools channels: same tones on both channels hash identically
+    val segLen = 16000 / 5
+    val st = Array.tabulate(tones.length * segLen * 2) { k =>
+      val i = k / 2
+      val b = tones(i / segLen)
+      math.round(8000 * math.sin(2 * math.Pi * 400.0 * b * i / 16000)).toShort
+    }
+    assert(AudioCodec.constellationHash(AudioCodec.encodeWavPcm16(16000, 2, st)).contains(base))
+    // undecodable / too-short payloads: None, never a throw
+    assert(AudioCodec.constellationHash("not audio".getBytes).isEmpty)
+    assert(AudioCodec.constellationHash(
+      AudioCodec.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3))).isEmpty)
+  }
+
   test("non-audio and truncated bytes decode to None, never throw") {
     assert(AudioCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
     assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)
