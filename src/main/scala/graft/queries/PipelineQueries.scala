@@ -2096,6 +2096,86 @@ object PipelineQueries {
           least(coalesce(min(col("nbr")), col("doc_id")), col("doc_id")).as("grp"))
     }),
 
+    // WAT ingest + host link graph — the third Common Crawl member
+    // (WARC q110, WET q143, WAT here): metadata records' JSON envelopes
+    // carry the crawler's extracted out-links; readWat parses
+    // Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata
+    // .Links[].url in one map-side from_json, the host-level edge
+    // relation (self-edges dropped, distinct) feeds the q76
+    // ConnectedComponents min-label canon over xxhash64 host ids, and
+    // the census joins components with page and out-degree counts.
+    // Fixture: page doc_id lives on host h = doc_id % 60 and links to
+    // itself (dropped), its 4-host group leader h - h%4, and a host-
+    // unique uncrawled external site — so components are exactly
+    // {4 crawl hosts + their 4 ext hosts} and every count is closed-form.
+    "q148_wat_link_graph" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wat_").toString
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(4)
+        .foreachPartition { it: Iterator[Long] =>
+          val ids = it.toSeq
+          if (ids.nonEmpty) {
+            val info = graft.sources.WarcCodec.WarcRecord(
+              warcType = "warcinfo", targetUri = "",
+              date = "2026-01-01T00:00:00Z",
+              contentType = "application/warc-fields",
+              payload = "software: graft-wat-fixture\r\n"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val recs = info +: ids.map { id =>
+              val h = id % 60
+              val leader = h - (h % 4)
+              val links = Seq(
+                s"""{"path":"A@/href","url":"http://h$h.example.org/"}""",
+                s"""{"path":"A@/href","url":"http://h$leader.example.org/page/0"}""",
+                s"""{"path":"A@/href","url":"https://ext-h$h.example.net/x"}""")
+              val json = """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":""" +
+                s"""{"HTML-Metadata":{"Links":[${links.mkString(",")}]}}}}}"""
+              graft.sources.WarcCodec.WarcRecord(
+                warcType = "metadata",
+                targetUri = s"http://h$h.example.org/page/$id",
+                date = "2026-01-01T00:00:00Z",
+                contentType = "application/json",
+                payload = json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp,
+                f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc.wat.gz"),
+              graft.sources.WarcCodec.encodeGzip(recs))
+            ()
+          }
+        }
+      val wat = graft.sources.WarcIO.readWat(s, tmp + "/*.warc.wat.gz")
+      def hostOf(c: org.apache.spark.sql.Column) =
+        regexp_extract(c, "^[a-z]+://([^/]+)", 1)
+      val pages = wat.select(hostOf(col("url")).as("host"))
+      val rawEdges = wat
+        .select(hostOf(col("url")).as("src"), explode(col("links")).as("lnk"))
+        .select(col("src"), hostOf(col("lnk")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val hosts = pages.unionByName(rawEdges.select(col("dst").as("host")))
+        .unionByName(rawEdges.select(col("src").as("host")))
+        .distinct()
+        .withColumn("hid", xxhash64(col("host")))
+      val edges = rawEdges
+        .join(hosts.select(col("host").as("src"), col("hid").as("src_id")), Seq("src"))
+        .join(hosts.select(col("host").as("dst"), col("hid").as("dst_id")), Seq("dst"))
+        .select(col("src_id"), col("dst_id"))
+      val cc = graft.operators.ConnectedComponents.labelComponents(
+        hosts.select(col("hid")), "hid", edges, "src_id", "dst_id")
+      val pageCounts = pages.groupBy(col("host")).agg(count(lit(1)).as("n_pages"))
+      val targetCounts = rawEdges.groupBy(col("src").as("host"))
+        .agg(count(lit(1)).as("n_targets"))
+      hosts.join(pageCounts, Seq("host"), "left")
+        .join(targetCounts, Seq("host"), "left")
+        .join(cc.withColumnRenamed("node", "hid"), Seq("hid"))
+        .select(col("host"),
+          coalesce(col("n_pages"), lit(0L)).as("n_pages"),
+          coalesce(col("n_targets"), lit(0L)).as("n_targets"),
+          col("component_id").as("comp"))
+    }),
+
     // perceptual image near-dup — the missing dedup-plane member for
     // image-bearing corpora: dHash (Krawetz difference hash) over decoded
     // pixels, then the q24 pigeonhole banding (4 bands, hamming <= 3,
@@ -5029,6 +5109,38 @@ object PipelineQueries {
          |  CAST(least(d.doc_id, coalesce(min(s.nbr), d.doc_id)) AS BIGINT) AS grp
          |FROM docs d LEFT JOIN sym s USING (doc_id)
          |GROUP BY d.doc_id, d.chash""".stripMargin,
+
+    // WAT link graph: the fixture's link structure restated directly —
+    // components are {4-host group + its 4 ext hosts} by construction,
+    // so comp = min xxhash64 over the 8 member host strings; out-degree
+    // is 1 for group leaders (self + leader links drop), else 2; ext
+    // hosts crawl nothing and link nowhere
+    "q148_wat_link_graph" ->
+      s"""WITH crawl AS (
+         |  SELECT DISTINCT doc_id % 60 AS h FROM documents
+         |), members AS (
+         |  SELECT h, h // 4 AS g,
+         |    'h' || CAST(h AS VARCHAR) || '.example.org' AS host, 1 AS is_crawl
+         |  FROM crawl
+         |  UNION ALL
+         |  SELECT h, h // 4 AS g,
+         |    'ext-h' || CAST(h AS VARCHAR) || '.example.net' AS host, 0 AS is_crawl
+         |  FROM crawl
+         |), ${DuckDbXxHash64.xxh64Cte("members",
+           "host", Seq("h", "g", "host", "is_crawl"), "wh")},
+         |comp AS (
+         |  SELECT g, min(xxh) AS comp FROM wh9 GROUP BY g
+         |), pages AS (
+         |  SELECT doc_id % 60 AS h, count(*) AS n FROM documents GROUP BY 1
+         |)
+         |SELECT m.host,
+         |  CAST(CASE WHEN m.is_crawl = 1 THEN p.n ELSE 0 END AS BIGINT) AS n_pages,
+         |  CAST(CASE WHEN m.is_crawl = 0 THEN 0
+         |            WHEN m.h % 4 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_targets,
+         |  c.comp AS comp
+         |FROM members m
+         |JOIN comp c ON c.g = m.g
+         |LEFT JOIN pages p ON p.h = m.h""".stripMargin,
 
     // perceptual near-dup: every variant's dHash is the closed-form
     // comparison table of the 9x8 cell grid (margins make pooling + JPEG

@@ -529,6 +529,45 @@ object WarcIO {
         col("warc_date"), decode(col("body"), "UTF-8").as("text"))
   }
 
+  /** The JSON envelope path a WAT metadata record carries its extracted
+    * out-links under (the Common Crawl WAT layout: `Envelope` →
+    * `Payload-Metadata` → `HTTP-Response-Metadata` → `HTML-Metadata` →
+    * `Links`, each link a `{path, url}` object).
+    */
+  private val watSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def st(fs: (String, DataType)*): StructType =
+      StructType(fs.map { case (n, t) => StructField(n, t) })
+    st("Envelope" -> st(
+      "Payload-Metadata" -> st(
+        "HTTP-Response-Metadata" -> st(
+          "HTML-Metadata" -> st(
+            "Links" -> ArrayType(st(
+              "path" -> StringType, "url" -> StringType)))))))
+  }
+
+  /** WAT ingest — the third Common Crawl member next to WARC ([[read]],
+    * q110) and WET ([[readWet]], q143): `metadata` records whose JSON
+    * envelope carries the crawler's extracted per-page metadata, most
+    * usefully the out-link list — the natural feeder for a host-level
+    * link graph ([[graft.operators.ConnectedComponents]], PageRank-style
+    * quality priors; q148). Rows: (warc_file, record_idx, url,
+    * warc_date, links) with `links` the envelope's `Links[].url` array
+    * (null when the record carries no HTML metadata — non-HTML
+    * responses, warcinfo-adjacent records); the parse is one
+    * `from_json` over the schema above, map-side in the record scan.
+    */
+  def readWat(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.{col, decode, from_json}
+    read(spark, path, minPartitions)
+      .filter(col("warc_type") === "metadata")
+      .select(col("warc_file"), col("record_idx"), col("url"), col("warc_date"),
+        from_json(decode(col("body"), "UTF-8"), watSchema)
+          .getField("Envelope").getField("Payload-Metadata")
+          .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+          .getField("Links").getField("url").as("links"))
+  }
+
   /** Record → row projection shared by the batch reader and the streaming
     * ingest ([[graft.streaming.CrawlStream]]) so both land the identical
     * shape.

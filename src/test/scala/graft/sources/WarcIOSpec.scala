@@ -266,6 +266,35 @@ class WarcIOSpec extends SparkSpec {
     assert(rows.head.getString(1) == text, "payload with newlines must frame byte-exact")
   }
 
+  test("readWat serves metadata records' link lists; malformed or linkless envelopes read null") {
+    val dir = Files.createTempDirectory("graft_wat_spec_")
+    val good = """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":""" +
+      """{"HTML-Metadata":{"Links":[{"path":"A@/href","url":"http://a.example/"},""" +
+      """{"path":"IMG@/src","url":"http://b.example/i.png"}]}}}}}"""
+    val noHtml = """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":{}}}}"""
+    val recs = Seq(
+      WarcCodec.WarcRecord("warcinfo", "", "2026-01-01T00:00:00Z",
+        "application/warc-fields", "software: test\r\n".getBytes(UTF_8)),
+      WarcCodec.WarcRecord("metadata", "http://x/page/1", "2026-01-01T00:00:00Z",
+        "application/json", good.getBytes(UTF_8)),
+      WarcCodec.WarcRecord("metadata", "http://x/page/2", "2026-01-01T00:00:00Z",
+        "application/json", noHtml.getBytes(UTF_8)),
+      WarcCodec.WarcRecord("metadata", "http://x/page/3", "2026-01-01T00:00:00Z",
+        "application/json", "not json at all".getBytes(UTF_8)),
+      WarcCodec.WarcRecord("conversion", "http://x/page/4", "2026-01-01T00:00:00Z",
+        "text/plain", "hello".getBytes(UTF_8)))
+    Files.write(dir.resolve("a.warc.wat.gz"), WarcCodec.encodeGzip(recs))
+    val rows = WarcIO.readWat(spark, dir.toString + "/*.warc.wat.gz")
+      .select("url", "links").collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.toList)).toMap
+    assert(rows.keySet == Set("http://x/page/1", "http://x/page/2", "http://x/page/3"),
+      "metadata records only — conversion and warcinfo are other members' business")
+    assert(rows("http://x/page/1").contains(
+      List("http://a.example/", "http://b.example/i.png")))
+    assert(rows("http://x/page/2").isEmpty, "no HTML-Metadata: null links, not a crash")
+    assert(rows("http://x/page/3").isEmpty, "unparseable envelope: null links, not a crash")
+  }
+
   test("WarcIO.read surfaces encodings and decoded bodies end to end") {
     val dir = Files.createTempDirectory("graft_warcio_enc_")
     val body = "<p>alpha beta gamma delta epsilon zeta</p>"
