@@ -136,6 +136,49 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** Fixture-side encoder for an ARBITRARY `Content-Encoding` list:
+    * each member is applied left-to-right (RFC 9110 §8.4 wire order) —
+    * `gzip`/`x-gzip` gzip, `deflate` zlib-wraps, `identity` is a no-op,
+    * and a coding with no codec here (`br`, `zstd`) leaves the bytes
+    * untouched while still being NAMED in the header (exactly the
+    * passthrough shape a census must count). `chunked` then applies the
+    * transfer-coding on top.
+    */
+  def httpResponsePayloadCodings(
+      status: Int, reason: String, contentType: String, body: Array[Byte],
+      codings: Seq[String], chunked: Boolean = false,
+      chunkSize: Int = 100): Array[Byte] = {
+    val enc = codings.foldLeft(body) { (b, c) =>
+      c.toLowerCase match {
+        case "gzip" | "x-gzip" => gzipOnce(b)
+        case "deflate"         => deflateOnce(b)
+        case _                 => b // identity / br / zstd: bytes unchanged
+      }
+    }
+    val framed = if (chunked) encodeChunked(enc, chunkSize) else enc
+    val head = new StringBuilder(s"HTTP/1.1 $status $reason\r\n")
+      .append(s"Content-Type: $contentType\r\n")
+    if (codings.nonEmpty) head.append(s"Content-Encoding: ${codings.mkString(", ")}\r\n")
+    if (chunked) head.append("Transfer-Encoding: chunked\r\n")
+    else head.append(s"Content-Length: ${framed.length}\r\n")
+    head.append("\r\n")
+    val out = new ByteArrayOutputStream()
+    out.write(head.toString.getBytes(StandardCharsets.US_ASCII))
+    out.write(framed)
+    out.toByteArray
+  }
+
+  /** One zlib-wrapped deflate pass over `b` (fixture side). */
+  def deflateOnce(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new ByteArrayOutputStream(b.length / 2 + 16)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
   /** One gzip member over `b` (fixture side). */
   def gzipOnce(b: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -255,13 +298,14 @@ object WarcCodec {
     * `contentEncoding` are the ORIGINAL header values, verbatim ("" when
     * absent) — provenance, not residual state. The decode contract that
     * resolves the ambiguity: `chunked` transfer-coding and `gzip`/
-    * `x-gzip`/`deflate`/`identity` content-codings are ALWAYS undone
-    * (malformed framing refuses loudly — see [[decodeHttp]]), so those
-    * values in the fields mean "was encoded on the wire, `body` is
-    * decoded"; any OTHER content-coding (`br`, `zstd`, multi-coding
-    * lists) is passed through untouched, so any other value means "`body`
-    * is still encoded" and downstream gates can filter on it visibly
-    * instead of scoring compressed bytes as text.
+    * `x-gzip`/`deflate`/`identity` content-codings — alone or as a
+    * multi-coding list of only those — are ALWAYS undone (malformed
+    * framing refuses loudly — see [[decodeHttp]]), so those values in
+    * the fields mean "was encoded on the wire, `body` is decoded"; a
+    * coding with no codec here (`br`, `zstd`, alone or anywhere in a
+    * list) passes the body through untouched, so such a value means
+    * "`body` is still encoded" and downstream gates can filter on it
+    * visibly instead of scoring compressed bytes as text.
     */
   final case class HttpParts(
       status: Int, contentType: String, transferEncoding: String,
@@ -280,10 +324,13 @@ object WarcCodec {
     *  2. `Content-Encoding: gzip | x-gzip | deflate` — inflated (JDK
     *     `GZIPInputStream` / `Inflater`; `deflate` tries zlib-wrapped
     *     first, then raw — the dual every HTTP client implements because
-    *     real servers ship both). Corrupt streams refuse loudly. Codings
-    *     this engine has no codec for (`br`, `zstd`) pass through raw
-    *     with the coding named in [[HttpParts.contentEncoding]] — visible,
-    *     never silently mis-scored.
+    *     real servers ship both). Multi-coding LISTS (`gzip, identity`)
+    *     are undone right-to-left (RFC 9110 §8.4 list order) when every
+    *     member has a codec. Corrupt streams refuse loudly. A coding (or
+    *     list member) this engine has no codec for (`br`, `zstd`) passes
+    *     the body through raw with the full header named in
+    *     [[HttpParts.contentEncoding]] — visible, never silently
+    *     mis-scored, never half-decoded.
     *  3. Charset — a `text/…` content type with an EXPLICIT non-UTF-8
     *     `charset=` parameter is transcoded to UTF-8 (undecodable bytes →
     *     U+FFFD, visible downstream), so every consumer reads `body` as
@@ -315,11 +362,24 @@ object WarcCodec {
     var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
     if (te.toLowerCase.split(",").map(_.trim).contains("chunked"))
       body = deChunk(body)
-    val decoded = ce.toLowerCase.trim match {
-      case "" | "identity"  => true
-      case "gzip" | "x-gzip" => body = gunzip(body, "Content-Encoding: gzip body"); true
-      case "deflate"         => body = inflateHttp(body); true
-      case _                 => false // no codec for it; pass through, named in contentEncoding
+    // Content-Encoding is a LIST applied left-to-right on the wire
+    // (RFC 9110 §8.4) — undo right-to-left, but only when EVERY member
+    // has a codec: partially decoding "br, gzip" would leave bytes that
+    // are neither the wire form nor the content, with no name for what
+    // they are. All-or-nothing keeps the HttpParts contract two-valued.
+    val codings = ce.toLowerCase.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val decodable = codings.forall {
+      case "identity" | "gzip" | "x-gzip" | "deflate" => true
+      case _ => false // br / zstd / unknown: pass through, named in contentEncoding
+    }
+    val decoded = decodable && {
+      codings.reverse.foreach {
+        case "identity"        => ()
+        case "gzip" | "x-gzip" => body = gunzip(body, "Content-Encoding: gzip body")
+        case "deflate"         => body = inflateHttp(body)
+        case other             => throw new IllegalStateException(s"unreachable: $other")
+      }
+      true
     }
     if (decoded && ct.toLowerCase.startsWith("text/"))
       declaredCharset(ct).foreach { cs =>

@@ -248,6 +248,33 @@ class WarcIOSpec extends SparkSpec {
     assert(h.contentEncoding == "br" && h.body.toSeq == enc.toSeq)
   }
 
+  test("multi-coding lists decode right-to-left; any unknown member keeps the whole list raw") {
+    val body = "stacked codings body, long enough to actually compress".getBytes(UTF_8)
+    // gzip, identity: applied left-to-right on the wire, undone in reverse
+    val p1 = WarcCodec.httpResponsePayloadCodings(
+      200, "OK", "text/plain; charset=utf-8", body, Seq("gzip", "identity"))
+    val h1 = WarcCodec.decodeHttp(p1)
+    assert(h1.contentEncoding == "gzip, identity" && h1.body.toSeq == body.toSeq)
+    // identity, deflate — the other order, deflate outermost
+    val p2 = WarcCodec.httpResponsePayloadCodings(
+      200, "OK", "text/plain; charset=utf-8", body, Seq("identity", "deflate"))
+    val h2 = WarcCodec.decodeHttp(p2)
+    assert(h2.contentEncoding == "identity, deflate" && h2.body.toSeq == body.toSeq)
+    // a REAL double-compression stack: deflate then gzip, both undone
+    val p3 = WarcCodec.httpResponsePayloadCodings(
+      200, "OK", "text/plain; charset=utf-8", body, Seq("deflate", "gzip"))
+    assert(WarcCodec.decodeHttp(p3).body.toSeq == body.toSeq)
+    // unknown member anywhere in the list: ALL-or-nothing — the wire
+    // bytes (here gzip of the pretend-zstd bytes) pass through raw, so
+    // the body is neither half-decoded nor silently text-scored
+    val p4 = WarcCodec.httpResponsePayloadCodings(
+      200, "OK", "text/plain; charset=utf-8", body, Seq("zstd", "gzip"))
+    val h4 = WarcCodec.decodeHttp(p4)
+    assert(h4.contentEncoding == "zstd, gzip")
+    assert(h4.body.toSeq == WarcCodec.gzipOnce(body).toSeq,
+      "wire bytes must come through untouched when any member lacks a codec")
+  }
+
   test("readWet serves conversion records only, newline payloads byte-exact") {
     val dir = Files.createTempDirectory("graft_wet_spec_")
     val text = "line one\nline two\n\nline four with  spaces"
