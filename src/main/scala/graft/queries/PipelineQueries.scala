@@ -2176,6 +2176,66 @@ object PipelineQueries {
           col("component_id").as("comp"))
     }),
 
+    // perceptual VIDEO near-dup — completes the multimodal dedup plane
+    // (image q140, audio q147): frameDHashes hashes EVERY frame with the
+    // q140 dHash (the DIB path bit-identical to the imageio path by the
+    // margin construction), frame hashes band-join via the
+    // signature-generic nearDupBits pigeonhole, and two videos are
+    // near-dups when >= 6 frame pairs match at hamming <= 3 — the
+    // constellation rule, never all-pairs at the video level either.
+    // Fixture: three variants per group g = doc_id/3 — an 8-frame RGB
+    // AVI (frame f rendered from the q140 cell grid keyed
+    // 'vid:g:f:j'), an MJPEG re-encode with a +8 brightness shift
+    // (frame hashes bit-identical: JPEG quantization and brightness sit
+    // inside the 25-level margins), and a copy whose LAST frame is
+    // replaced (grid f=8): exactly 7 of 8 frames match.
+    "q150_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 240).select(col("doc_id")).as[Long]
+      val frames = ids.flatMap { id =>
+        val g = id / 3
+        def grid(f: Long): Array[Int] = Array.tabulate(8) { j =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(s"vid:$g:$f:$j")
+          val x = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+          (((x % 6) + 6) % 6 + 1).toInt
+        }
+        val v = (id % 3).toInt
+        val bright = if (v == 1) 8 else 0
+        val fills: Array[(Int, Int) => Int] = Array.tabulate(8) { f =>
+          val cs = if (v == 2 && f == 7) grid(8L) else grid(f.toLong)
+          (x: Int, y: Int) => {
+            val vl = ((cs(y * 8 / 64) * (x * 9 / 72 + 1)) % 7) * 25 + bright
+            (vl << 16) | (vl << 8) | vl
+          }
+        }
+        val avi =
+          if (v == 1) graft.multimodal.VideoCodec.encodeAviMjpeg(72, 64, 5, fills)
+          else graft.multimodal.VideoCodec.encodeAviRgb(72, 64, 5, fills)
+        val hs = graft.multimodal.VideoCodec.frameDHashes(avi).getOrElse(
+          throw new IllegalStateException(s"fixture video $id failed to hash"))
+        hs.zipWithIndex.map { case (h, fi) => (id, fi.toLong, h) }.toSeq
+      }.toDF("doc_id", "fidx", "fhash")
+      val pairs = graft.functions.DedupFunctions.nearDupBits(
+        frames.withColumn("fid", col("doc_id") * 16 + col("fidx")),
+        "fid", "fhash", maxHamming = 3)
+      val vp = pairs
+        .select(floor(col("id_a") / 16).cast("long").as("a"),
+          floor(col("id_b") / 16).cast("long").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("va"),
+          greatest(col("a"), col("b")).as("vb"))
+      val near = vp.groupBy(col("va"), col("vb"))
+        .agg(count(lit(1)).as("nf")).filter(col("nf") >= 6)
+      val sym = near.select(col("va").as("doc_id"), col("vb").as("nbr"))
+        .unionByName(near.select(col("vb").as("doc_id"), col("va").as("nbr")))
+      ids.toDF("doc_id").join(sym, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("nbr")).as("n_near"),
+          least(coalesce(min(col("nbr")), col("doc_id")), col("doc_id")).as("grp"))
+    }),
+
     // crawl ENCODING CENSUS — makes the br/zstd passthrough fraction a
     // measured number instead of an anecdote (VERDICT r13 "what's
     // missing" #4): one groupBy over the verbatim
@@ -5206,6 +5266,57 @@ object PipelineQueries {
          |FROM members m
          |JOIN comp c ON c.g = m.g
          |LEFT JOIN pages p ON p.h = m.h""".stripMargin,
+
+    // video near-dup: every frame's dHash is the closed-form q140
+    // comparison table of its own grid (DIB and MJPEG paths agree by the
+    // margin construction), restated from the same xxh64 arithmetic;
+    // frame matches replayed all-pairs (pigeonhole banding is
+    // recall-complete at radius 3), video pairs gated at >= 6 matching
+    // frame pairs; the %3=2 variant's last frame uses the f=8 grid
+    "q150_video_neardup" ->
+      s"""WITH gs AS (
+         |  SELECT DISTINCT doc_id // 3 AS g FROM documents WHERE doc_id < 240
+         |), gfj AS (
+         |  SELECT g, f, j FROM gs
+         |  CROSS JOIN (SELECT unnest(range(0, 9)) AS f) ff
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+         |), ${DuckDbXxHash64.xxh64Cte("gfj",
+           "'vid:' || CAST(g AS VARCHAR) || ':' || CAST(f AS VARCHAR) || ':' || CAST(j AS VARCHAR)",
+           Seq("g", "f", "j"), "vh")},
+         |cj AS (
+         |  SELECT g, f, j, ((xxh % 6) + 6) % 6 + 1 AS c FROM vh9
+         |), fbits AS MATERIALIZED (
+         |  -- bit 63 is the BIGINT sign bit: the q140 min-BIGINT literal
+         |  SELECT g, f, bit_or(CASE WHEN ((c * (i + 2)) % 7) > ((c * (i + 1)) % 7)
+         |    THEN CASE WHEN j * 8 + i = 63 THEN -9223372036854775807 - 1
+         |         ELSE CAST(1 AS BIGINT) << CAST(j * 8 + i AS INTEGER) END
+         |    ELSE CAST(0 AS BIGINT) END) AS fh
+         |  FROM cj CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+         |  GROUP BY g, f
+         |), vframes AS MATERIALIZED (
+         |  SELECT d.doc_id, fr.f AS fidx, fb.fh
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS f) fr
+         |  JOIN fbits fb ON fb.g = d.doc_id // 3
+         |    AND fb.f = CASE WHEN d.doc_id % 3 = 2 AND fr.f = 7 THEN 8 ELSE fr.f END
+         |  WHERE d.doc_id < 240
+         |), fprs AS (
+         |  SELECT a.doc_id AS va, b.doc_id AS vb
+         |  FROM vframes a JOIN vframes b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fh, b.fh)) <= 3
+         |), vpair AS (
+         |  SELECT va, vb FROM fprs GROUP BY va, vb HAVING count(*) >= 6
+         |), sym AS (
+         |  SELECT va AS doc_id, vb AS nbr FROM vpair
+         |  UNION ALL
+         |  SELECT vb AS doc_id, va AS nbr FROM vpair
+         |)
+         |SELECT d.doc_id,
+         |  CAST(count(s.nbr) AS BIGINT) AS n_near,
+         |  CAST(least(d.doc_id, coalesce(min(s.nbr), d.doc_id)) AS BIGINT) AS grp
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 240) d
+         |LEFT JOIN sym s USING (doc_id)
+         |GROUP BY d.doc_id""".stripMargin,
 
     // encoding census: every arm's decoded body is closed-form (the
     // decodable arms decode back to the text; the br/zstd arms keep

@@ -72,4 +72,30 @@ class VideoCodecSpec extends SparkSpec {
     val plan = Multimodal.withVideoFeatures(items).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"video decode introduced a shuffle:\n$plan")
   }
+
+  test("frameDHashes: DIB and MJPEG paths agree bit-for-bit on margin grids; an edit moves one frame") {
+    // the q140/q150 cell construction: 25-level horizontal margins make
+    // the dHash the exact comparison table under JPEG loss and the +8 shift
+    def fills(grids: Array[Array[Int]], bright: Int): Array[(Int, Int) => Int] =
+      grids.map { cs => (x: Int, y: Int) =>
+        val v = ((cs(y * 8 / 64) * (x * 9 / 72 + 1)) % 7) * 25 + bright
+        (v << 16) | (v << 8) | v
+      }
+    val g0 = Array.tabulate(4, 8)((f, j) => (f * 3 + j * 5) % 6 + 1)
+    val rgb = VideoCodec.frameDHashes(
+      VideoCodec.encodeAviRgb(72, 64, 5, fills(g0, 0))).get
+    val mjpeg = VideoCodec.frameDHashes(
+      VideoCodec.encodeAviMjpeg(72, 64, 5, fills(g0, 8))).get
+    assert(rgb.length == 4 && mjpeg.length == 4)
+    assert(rgb.toSeq == mjpeg.toSeq,
+      "DIB and imageio dHash paths must agree on margin-guarded grids")
+    // replace the last frame's grid: exactly that frame's hash moves
+    val g1 = g0.clone(); g1(3) = g0(3).map(c => c % 6 + 1)
+    val edited = VideoCodec.frameDHashes(
+      VideoCodec.encodeAviRgb(72, 64, 5, fills(g1, 0))).get
+    assert(edited.take(3).toSeq == rgb.take(3).toSeq && edited(3) != rgb(3))
+    // hostile inputs: None, never a throw
+    assert(VideoCodec.frameDHashes("not a video".getBytes).isEmpty)
+    assert(VideoCodec.frameDHashes(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
