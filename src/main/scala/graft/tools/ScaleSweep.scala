@@ -604,6 +604,30 @@ object ScaleSweep {
           spark, headExp, "doc_id", "text", "e1", nShards = 1))
       }
 
+      //     WAT host link graph (q148): host extraction + distinct edge
+      //     relation + min-label connected components — edges are
+      //     host-level (60 crawl hosts per copy tag at any doc scale), so
+      //     the CC label table stays model-scale while the page scan
+      //     grows linearly; shuffle must track the DISTINCT edge set, not
+      //     the page count
+      measure("wat_link_graph", scale) {
+        val withH = docs.select(col("doc_id"),
+          pmod(xxhash64(col("doc_id")), lit(60L * scale)).as("h"))
+        val pages = withH.select(concat(lit("h"), col("h")).as("host"))
+        val edges0 = withH
+          .select(concat(lit("h"), col("h")).as("src"),
+            concat(lit("h"), col("h") - pmod(col("h"), lit(4L))).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val hosts = pages.unionByName(edges0.select(col("dst").as("host")))
+          .distinct().withColumn("hid", xxhash64(col("host")))
+        val edges = edges0
+          .join(hosts.select(col("host").as("src"), col("hid").as("src_id")), Seq("src"))
+          .join(hosts.select(col("host").as("dst"), col("hid").as("dst_id")), Seq("dst"))
+          .select(col("src_id"), col("dst_id"))
+        runAll(ConnectedComponents.labelComponents(
+          hosts.select(col("hid")), "hid", edges, "src_id", "dst_id"))
+      }
+
       //     margin-based bitext mining (q129): fixed query side (~200
       //     vectors), target side grows 10x — the broadcast brute-force
       //     kNN in both directions must scale linearly in the target,
