@@ -2236,6 +2236,32 @@ object PipelineQueries {
           least(coalesce(min(col("nbr")), col("doc_id")), col("doc_id")).as("grp"))
     }),
 
+    // PageRank QUALITY PRIOR over the q148 host graph — the other
+    // consumer the link graph exists to feed (ConnectedComponents gave
+    // membership; this gives centrality): exact-integer damped power
+    // iteration (3 rounds, damping 85/100, uniform dangling
+    // redistribution) with the q56 bit-reproducible discipline — every
+    // value carries the denominator N·(100·N·degLcm)^t, so sums are
+    // order-independent and the oracle replays the arithmetic exactly.
+    // Graph: the q148 closed form (crawl host h -> its group leader and
+    // its host-unique ext site; ext sites dangle), 120 nodes — leaders
+    // collect rank from 3 in-links, ext sites inherit their owner's.
+    "q151_pagerank_prior" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir)
+        .select(pmod(col("doc_id"), lit(60L)).as("h")).distinct()
+      val nodes = hosts.select(col("h").as("node"))
+        .unionByName(hosts.select((col("h") + lit(100L)).as("node")))
+      val edges = hosts.filter(pmod(col("h"), lit(4L)) =!= 0)
+        .select(col("h").as("src"), (col("h") - pmod(col("h"), lit(4L))).as("dst"))
+        .unionByName(hosts.select(col("h").as("src"), (col("h") + lit(100L)).as("dst")))
+      graft.operators.PageRank.pageRankExact(
+          nodes, "node", edges, "src", "dst", iters = 3, degLcm = 2L)
+        .select(
+          when(col("node") < 100, concat(lit("h"), col("node")))
+            .otherwise(concat(lit("ext-h"), col("node") - 100)).as("host"),
+          col("pr_num"))
+    }),
+
     // crawl ENCODING CENSUS — makes the br/zstd passthrough fraction a
     // measured number instead of an anecdote (VERDICT r13 "what's
     // missing" #4): one groupBy over the verbatim
@@ -5317,6 +5343,48 @@ object PipelineQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 240) d
          |LEFT JOIN sym s USING (doc_id)
          |GROUP BY d.doc_id""".stripMargin,
+
+    // PageRank prior: the 15 groups are structurally identical, so the
+    // 120 node ranks collapse to FOUR class values (leader / non-leader
+    // crawl / their ext sites) — the three iterations unroll as scalar
+    // integer CTEs (coefficients: base 30·M + 170·D with D = 15·(pel +
+    // 3·pec); leader→ext edges carry 85·120·2, degree-2 edges 85·120·1;
+    // M multiplies by F = 100·120·2 per round, conserved exactly)
+    "q151_pagerank_prior" ->
+      """WITH it0 AS (
+        |  SELECT CAST(1 AS BIGINT) AS pl, CAST(1 AS BIGINT) AS pc,
+        |         CAST(1 AS BIGINT) AS pel, CAST(1 AS BIGINT) AS pec,
+        |         CAST(120 AS BIGINT) AS m
+        |), it1 AS (
+        |  SELECT 30*m + 170*(15*(pel + 3*pec)) + 3*10200*pc AS pl,
+        |         30*m + 170*(15*(pel + 3*pec)) AS pc,
+        |         30*m + 170*(15*(pel + 3*pec)) + 20400*pl AS pel,
+        |         30*m + 170*(15*(pel + 3*pec)) + 10200*pc AS pec,
+        |         m*24000 AS m FROM it0
+        |), it2 AS (
+        |  SELECT 30*m + 170*(15*(pel + 3*pec)) + 3*10200*pc AS pl,
+        |         30*m + 170*(15*(pel + 3*pec)) AS pc,
+        |         30*m + 170*(15*(pel + 3*pec)) + 20400*pl AS pel,
+        |         30*m + 170*(15*(pel + 3*pec)) + 10200*pc AS pec,
+        |         m*24000 AS m FROM it1
+        |), it3 AS (
+        |  SELECT 30*m + 170*(15*(pel + 3*pec)) + 3*10200*pc AS pl,
+        |         30*m + 170*(15*(pel + 3*pec)) AS pc,
+        |         30*m + 170*(15*(pel + 3*pec)) + 20400*pl AS pel,
+        |         30*m + 170*(15*(pel + 3*pec)) + 10200*pc AS pec,
+        |         m*24000 AS m FROM it2
+        |), hosts AS (
+        |  SELECT DISTINCT doc_id % 60 AS h FROM documents
+        |)
+        |SELECT 'h' || CAST(h AS VARCHAR) AS host,
+        |  CASE WHEN h % 4 = 0 THEN (SELECT pl FROM it3)
+        |       ELSE (SELECT pc FROM it3) END AS pr_num
+        |FROM hosts
+        |UNION ALL
+        |SELECT 'ext-h' || CAST(h AS VARCHAR) AS host,
+        |  CASE WHEN h % 4 = 0 THEN (SELECT pel FROM it3)
+        |       ELSE (SELECT pec FROM it3) END AS pr_num
+        |FROM hosts""".stripMargin,
 
     // encoding census: every arm's decoded body is closed-form (the
     // decodable arms decode back to the text; the br/zstd arms keep
