@@ -628,6 +628,24 @@ object ScaleSweep {
           hosts.select(col("hid")), "hid", edges, "src_id", "dst_id"))
       }
 
+      //     exact-integer PageRank (q151) on the same host graph: per
+      //     round one edge join + one groupBy(dst) — state is the rank
+      //     table (|hosts| rows), so shuffle must track the HOST count
+      //     (60·scale) while the page scan that derived the graph grew
+      //     linearly; 2 rounds keep the integer bound at every scale
+      measure("pagerank_prior", scale) {
+        val hostsPr = docs.select(
+          pmod(xxhash64(col("doc_id")), lit(60L * scale)).as("h")).distinct()
+        val nodesPr = hostsPr.select(col("h").as("node"))
+          .unionByName(hostsPr.select((col("h") + lit(1000000L)).as("node")))
+        val edgesPr = hostsPr.filter(pmod(col("h"), lit(4L)) =!= 0)
+          .select(col("h").as("src"), (col("h") - pmod(col("h"), lit(4L))).as("dst"))
+          .unionByName(hostsPr.select(col("h").as("src"),
+            (col("h") + lit(1000000L)).as("dst")))
+        runAll(graft.operators.PageRank.pageRankExact(
+          nodesPr, "node", edgesPr, "src", "dst", iters = 2, degLcm = 2L))
+      }
+
       //     margin-based bitext mining (q129): fixed query side (~200
       //     vectors), target side grows 10x — the broadcast brute-force
       //     kNN in both directions must scale linearly in the target,
