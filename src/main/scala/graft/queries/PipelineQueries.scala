@@ -2046,6 +2046,28 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // Iceberg v2 EQUALITY deletes applied with SEQUENCE gating — the
+    // Flink-CDC upsert shape, upgrading the r13 refusal into a correct
+    // read: the fixture's history lands even docs at sequence 1, an
+    // equality delete (lang = 'en', equality_ids naming the column) at
+    // sequence 2, and odd docs at sequence 3 — so the importer must
+    // delete the sequence-1 'en' rows while the sequence-3 'en' rows
+    // SURVIVE (re-inserted after the delete). Ignoring the sequence
+    // over-deletes; ignoring the delete resurrects: both break the hash.
+    "q152_iceberg_eq_deletes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("ice_eq").toString + "/t"
+      graft.storage.IcebergFixtures.writeV2EqualityDeletes(
+        s, out, docs, "doc_id", "lang", "en")
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // perceptual AUDIO near-dup — the q140 pattern on the audio plane:
     // constellationHash cuts each clip into 8 windows and sets one bit
     // per window at the DOMINANT Goertzel band (absolute Hz), then the
@@ -5218,6 +5240,23 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM cq9 GROUP BY lang""".stripMargin,
+
+    // v2 equality deletes: the sequence-gated outcome restated — only
+    // EVEN (sequence-1) docs with the deleted language go; odd
+    // (sequence-3) matches were re-inserted after the delete and stay;
+    // IS DISTINCT FROM keeps NULL-lang rows (null-safe match semantics)
+    "q152_iceberg_eq_deletes" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents
+         |  WHERE doc_id % 2 <> 0 OR lang IS DISTINCT FROM 'en'
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "ce")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM ce9 GROUP BY lang""".stripMargin,
 
     // audio near-dup: every clip's constellation hash is the closed-form
     // band table (integer-cycle pure tones make the dominant-band argmax

@@ -25,10 +25,13 @@ import org.apache.spark.sql.types._
   *    value exists only in each manifest entry's partition struct), and
   *  - a format-v2 table with a POSITION-DELETE manifest (manifest-list
   *    `content=1`, `data_file.content=1`, the spec's `(file_path, pos)`
-  *    delete parquet) — optionally an EQUALITY-delete manifest
-  *    (`content=2`) for the refusal arm.
+  *    delete parquet) — optionally a MALFORMED equality-delete entry
+  *    (`content=2` without `equality_ids`) for the refusal arm, and
+  *  - a format-v2 table with a well-formed EQUALITY-delete manifest in a
+  *    sequence-observable history (data at seq 1 and 3, the delete at
+  *    seq 2 — [[writeV2EqualityDeletes]]).
   *
-  * Used by q145/q146 and IcebergInteropSpec; all paths are the
+  * Used by q145/q146/q152 and IcebergInteropSpec; all paths are the
   * spec-mandated full `file://` URIs.
   */
 object IcebergFixtures {
@@ -52,6 +55,8 @@ object IcebergFixtures {
     dfFields += { val f = new Schema.Field("partition", partition, null, null); f.addProp("field-id", 102); f }
     dfFields += fld("record_count", 103, Schema.create(Schema.Type.LONG), optional = false)
     dfFields += fld("file_size_in_bytes", 104, Schema.create(Schema.Type.LONG), optional = false)
+    if (v2) dfFields += fld("equality_ids", 135,
+      Schema.createArray(Schema.create(Schema.Type.INT)), optional = true)
     if (!v2) dfFields += fld("block_size_in_bytes", 105, Schema.create(Schema.Type.LONG), optional = false)
     val dataFile = Schema.createRecord("r2", null, "iceberg", false)
     dataFile.setFields(dfFields.asJava)
@@ -209,9 +214,132 @@ object IcebergFixtures {
     * With `equalityInstead = false` the delete manifest carries a real
     * position-delete parquet — the spec's `(file_path, pos)` columns —
     * deleting every row matching `deleteCond`; with `true` it declares
-    * the same file as an EQUALITY delete (`data_file.content=2`), the
-    * arm [[IcebergInterop.importSnapshot]] must refuse.
+    * the same file as an EQUALITY delete (`data_file.content=2`) WITHOUT
+    * `equality_ids` — a malformed layout [[IcebergInterop.importSnapshot]]
+    * must refuse by name (well-formed equality deletes are applied; see
+    * [[writeV2EqualityDeletes]]).
     */
+  /** A format-v2 table whose history makes SEQUENCE ordering observable:
+    * data file A (`orderCol % 2 = 0` rows) lands at sequence 1, an
+    * EQUALITY delete file (one tuple: `eqCol = deletedValue`,
+    * `equality_ids` naming `eqCol`) at sequence 2, data file B (odd
+    * rows) at sequence 3. A correct reader deletes the matching rows of
+    * file A only — file B's matches were (re-)inserted AFTER the delete
+    * and must survive (the Flink-CDC upsert shape). An
+    * ignore-the-sequence reader over-deletes; an ignore-the-delete
+    * reader resurrects: both break the q152 hash.
+    */
+  def writeV2EqualityDeletes(
+      spark: SparkSession, outDir: String, df: DataFrame, orderCol: String,
+      eqCol: String, deletedValue: String): Unit = {
+    val out = Paths.get(outDir)
+    require(!Files.exists(out.resolve("metadata")),
+      s"$outDir already holds Iceberg metadata — refusing to overwrite")
+    val (schemaJson, lastColumnId) = icebergSchemaJson(df.schema)
+    val eqFieldId = df.schema.fieldIndex(eqCol) + 1 // top-level ids are 1..n
+    val dataDir = out.resolve("data")
+    Files.createDirectories(dataDir)
+
+    val slices: Seq[(Path, Long, Long)] = Seq((0, 1L), (1, 3L)).map { case (par, seq) =>
+      val slice = df.filter(pmod(col(orderCol), lit(2)) === par)
+        .repartition(1).sortWithinPartitions(orderCol)
+      val tmp = Files.createTempDirectory("graft_ice_v2e_")
+      slice.write.mode("overwrite").parquet(tmp.toString)
+      (moveSinglePart(tmp, dataDir.resolve(s"d$par.parquet")), slice.count(), seq)
+    }
+    val delTmp = Files.createTempDirectory("graft_ice_v2edel_")
+    val delFile = { // one-tuple equality delete parquet: just the eqCol column
+      import spark.implicits._
+      Seq(deletedValue).toDF(eqCol).repartition(1)
+        .write.mode("overwrite").parquet(delTmp.toString)
+      moveSinglePart(delTmp, dataDir.resolve("eqdel0.parquet"))
+    }
+
+    val metaDir = out.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val snapshotId = 9393L
+    val pStruct = partitionStruct(Nil)
+    val eSchema = entrySchema(pStruct, v2 = true)
+    def entry(f: Path, n: Long, content: Int, seq: Long,
+        eqIds: Seq[Int]): GenericRecord = {
+      val dfr = new GenericData.Record(eSchema.getField("data_file").schema())
+      dfr.put("content", content)
+      dfr.put("file_path", f.toUri.toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(pStruct))
+      dfr.put("record_count", n)
+      dfr.put("file_size_in_bytes", Files.size(f))
+      if (eqIds.nonEmpty)
+        dfr.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+      val e = new GenericData.Record(eSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      e.put("data_file", dfr)
+      e
+    }
+    val dataManifest = metaDir.resolve("fixture-m0.avro")
+    writeAvro(dataManifest, eSchema,
+      slices.map { case (f, n, seq) => entry(f, n, 0, seq, Nil) },
+      Map("schema" -> schemaJson, "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "2", "content" -> "data"))
+    val delManifest = metaDir.resolve("fixture-m1.avro")
+    writeAvro(delManifest, eSchema,
+      Seq(entry(delFile, 1L, 2, 2L, Seq(eqFieldId))),
+      Map("schema" -> schemaJson, "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "2", "content" -> "deletes"))
+    def mfRec(p: Path, content: Int, seq: Long, nFiles: Int): GenericRecord = {
+      val mf = new GenericData.Record(manifestFileSchemaV2)
+      mf.put("manifest_path", p.toUri.toString)
+      mf.put("manifest_length", Files.size(p))
+      mf.put("partition_spec_id", 0)
+      mf.put("content", content)
+      mf.put("sequence_number", seq)
+      mf.put("min_sequence_number", 1L)
+      mf.put("added_snapshot_id", snapshotId)
+      mf.put("added_data_files_count", nFiles)
+      mf.put("existing_data_files_count", 0)
+      mf.put("deleted_data_files_count", 0)
+      mf
+    }
+    val manifestListPath = metaDir.resolve(s"snap-$snapshotId-1-fixture.avro")
+    writeAvro(manifestListPath, manifestFileSchemaV2,
+      Seq(mfRec(dataManifest, 0, 3L, slices.size), mfRec(delManifest, 1, 2L, 1)),
+      Map("format-version" -> "2"))
+
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", out.toString)
+    root.put("last-sequence-number", 3L)
+    root.put("last-updated-ms", 0L)
+    root.put("last-column-id", lastColumnId)
+    val schemas = root.putArray("schemas")
+    schemas.add(mapper.readTree(schemaJson))
+    root.put("current-schema-id", 0)
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = root.putArray("snapshots")
+    val snap = snaps.addObject()
+    snap.put("snapshot-id", snapshotId)
+    snap.put("sequence-number", 3L)
+    snap.put("timestamp-ms", 0L)
+    snap.putObject("summary").put("operation", "overwrite")
+    snap.put("manifest-list", manifestListPath.toUri.toString)
+    root.putArray("snapshot-log")
+    root.putArray("metadata-log")
+    Files.write(metaDir.resolve("v2.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.write(metaDir.resolve("version-hint.text"), "2".getBytes("UTF-8"))
+  }
+
   def writeV2WithDeletes(
       spark: SparkSession, outDir: String, df: DataFrame, orderCol: String,
       deleteCond: Column, equalityInstead: Boolean = false): Unit = {

@@ -341,12 +341,16 @@ object IcebergInterop {
   }
 
   /** One live file of a snapshot: the manifest-declared path (verbatim —
-    * [[resolve]] makes it absolute), declared size, record count, and the
+    * [[resolve]] makes it absolute), declared size, record count, the
     * manifest entry's partition-struct values keyed by spec field name
-    * (empty for unpartitioned tables / delete files).
+    * (empty for unpartitioned tables / delete files), the entry's data
+    * sequence number (0 in v1), the `data_file.content` discriminator
+    * (0 data, 1 position deletes, 2 equality deletes), and the equality
+    * field ids (equality deletes only).
     */
   private[storage] case class LiveFile(
-      path: String, size: Long, records: Long, partition: Map[String, Any])
+      path: String, size: Long, records: Long, partition: Map[String, Any],
+      seq: Long = 0L, content: Int = 0, equalityIds: Seq[Int] = Nil)
 
   /** An Avro field read that tolerates the field being absent from the
     * file's writer schema (v1 manifests lack the v2-only fields).
@@ -382,7 +386,7 @@ object IcebergInterop {
       require(Files.exists(p), s"manifest missing: $p")
       readAvro(p)
     }
-    def fileOf(e: GenericRecord): LiveFile = {
+    def fileOf(e: GenericRecord, manifestSeq: Long): LiveFile = {
       val df = e.get("data_file").asInstanceOf[GenericRecord]
       val fmt = df.get("file_format").toString
       require(fmt.equalsIgnoreCase("PARQUET"), s"unsupported data file format $fmt")
@@ -393,41 +397,56 @@ object IcebergInterop {
           case other => other // Long / Int / Double / Boolean / null
         })
       }.toMap
+      // data sequence number: the entry's own, inherited from the
+      // manifest-list row when null (the v2 inheritance rule for ADDED
+      // entries); 0 in v1 layouts where neither field exists
+      val seq = avroOpt(e, "sequence_number").map(_.asInstanceOf[Long])
+        .getOrElse(manifestSeq)
+      val eqIds = avroOpt(df, "equality_ids").map {
+        case a: java.util.Collection[_] =>
+          a.asScala.map(_.asInstanceOf[Int]).toSeq
+        case other => throw new IllegalArgumentException(
+          s"malformed equality_ids $other")
+      }.getOrElse(Nil)
       LiveFile(df.get("file_path").toString,
         df.get("file_size_in_bytes").asInstanceOf[Long],
-        df.get("record_count").asInstanceOf[Long], pvals)
-    }
-    def contentOf(e: GenericRecord): Int = {
-      val df = e.get("data_file").asInstanceOf[GenericRecord]
-      avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+        df.get("record_count").asInstanceOf[Long], pvals,
+        seq = seq,
+        content = avroOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+        equalityIds = eqIds)
     }
 
     val (dataManifests, deleteManifests) = readAvro(manifestList).partition { r =>
       avroOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 0
     }
+    def manifestSeqOf(m: GenericRecord): Long =
+      avroOpt(m, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
     val data = dataManifests.flatMap { m =>
       entriesOf(m.get("manifest_path").toString).flatMap { e =>
         if (e.get("status").asInstanceOf[Int] == 2) None // DELETED
         else {
-          require(contentOf(e) == 0,
+          val lf = fileOf(e, manifestSeqOf(m))
+          require(lf.content == 0,
             "delete file carried by a DATA manifest (manifest_file.content=0 " +
               "but data_file.content!=0) — malformed table, refusing")
-          Some(fileOf(e))
+          Some(lf)
         }
       }
     }
     val deletes = deleteManifests.flatMap { m =>
       entriesOf(m.get("manifest_path").toString).flatMap { e =>
         if (e.get("status").asInstanceOf[Int] == 2) None
-        else contentOf(e) match {
-          case 1 => Some(fileOf(e)) // position deletes — applied by the importer
-          case 2 => throw new IllegalArgumentException(
-            "equality delete files (data_file.content=2) are not supported by " +
-              "this bridge — applying them requires sequence-number-ordered " +
-              "typed predicates; refusing rather than serving resurrected rows " +
-              "(Iceberg spec 'Equality Delete Files')")
-          case other => throw new IllegalArgumentException(
-            s"delete manifest entry with data_file.content=$other — malformed")
+        else {
+          val lf = fileOf(e, manifestSeqOf(m))
+          lf.content match {
+            case 1 => Some(lf) // position deletes — applied by path+pos
+            case 2 =>          // equality deletes — applied by value+sequence
+              require(lf.equalityIds.nonEmpty,
+                "equality delete file without equality_ids — malformed, refusing")
+              Some(lf)
+            case other => throw new IllegalArgumentException(
+              s"delete manifest entry with data_file.content=$other — malformed")
+          }
         }
       }
     }
@@ -468,7 +487,12 @@ object IcebergInterop {
     * position delete names an explicit data-file path, and Iceberg never
     * re-adds a new data file under an old path, so "applies to sequence
     * ≤ N" and "applies to the named file while it is live" coincide.
-    * EQUALITY deletes (content=2) refuse in [[liveFiles]].
+    *
+    * EQUALITY deletes (content=2) are applied WITH sequence ordering —
+    * a delete row removes matching data rows whose data sequence number
+    * is strictly below the delete file's, so a value re-inserted by a
+    * later commit survives (the Flink-CDC upsert shape); matching is
+    * null-safe over the `equality_ids`-named columns.
     */
   def importSnapshot(
       spark: SparkSession, icebergDir: String,
@@ -510,7 +534,8 @@ object IcebergInterop {
     partNames.foreach(n => require(schema.fieldNames.contains(n),
       s"partition field '$n' names no schema column"))
     val dataSchema = StructType(schema.filterNot(f => partNames.contains(f.name)))
-    val (live, posDeletes) = liveFiles(root, meta, snapId)
+    val (live, allDeletes) = liveFiles(root, meta, snapId)
+    val (posDeletes, eqDeletes) = allDeletes.partition(_.content == 1)
     require(live.nonEmpty, s"snapshot $snapId carries no live data files")
 
     def checkedAbs(lf: LiveFile, kind: String): Path = {
@@ -535,7 +560,7 @@ object IcebergInterop {
         .otherwise(concat(lit(root.toString + "/"), c))
 
     var df = spark.read.schema(dataSchema).parquet(paths: _*)
-    if (partNames.nonEmpty || posDeletes.nonEmpty)
+    if (partNames.nonEmpty || posDeletes.nonEmpty || eqDeletes.nonEmpty)
       df = df.withColumn("__graft_path", normPath(col("_metadata.file_path")))
 
     if (partNames.nonEmpty) {
@@ -557,6 +582,38 @@ object IcebergInterop {
           col("pos").cast("long").as("__graft_pos"))
       df = df.withColumn("__graft_pos", col("_metadata.row_index"))
         .join(dels, Seq("__graft_path", "__graft_pos"), "left_anti")
+    }
+
+    if (eqDeletes.nonEmpty) {
+      // EQUALITY deletes (spec "Equality Delete Files"): each delete row
+      // is a value tuple over the columns named by `equality_ids`; it
+      // deletes every matching data row whose DATA SEQUENCE NUMBER is
+      // strictly below the delete file's — so a row re-inserted in a
+      // LATER commit survives a delete from an earlier one. The data
+      // row's sequence is its file's (broadcast path→seq map, the
+      // partition-value pattern); matching is null-safe (<=>), the
+      // spec's IS-NOT-DISTINCT semantics. One anti-join per
+      // (equality_ids, sequence) group, delete-file-scale build sides.
+      val idToName: Map[Int, String] = schemaNode.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      val seqSchema = StructType(Seq(
+        StructField("__graft_path", StringType), StructField("__graft_seq", LongType)))
+      val seqRows = live.map(lf => Row(resolve(root, lf.path).toString, lf.seq))
+      df = df.join(broadcast(spark.createDataFrame(seqRows.asJava, seqSchema)),
+        Seq("__graft_path"), "left")
+      eqDeletes.groupBy(d => (d.equalityIds, d.seq)).toSeq
+        .sortBy { case ((_, s), _) => s }
+        .foreach { case ((ids, dseq), files) =>
+          val names = ids.map(i => idToName.getOrElse(i,
+            throw new IllegalArgumentException(
+              s"equality_ids names unknown schema field id $i — refusing")))
+          val delPaths = files.map(lf => checkedAbs(lf, "equality-delete").toString)
+          val dels = spark.read.parquet(delPaths: _*)
+            .select(names.map(n => col(n).as(s"__graft_eq_$n")).toIndexedSeq: _*)
+          val cond = names.map(n => df(n) <=> dels(s"__graft_eq_$n"))
+            .reduce(_ && _) && (df("__graft_seq") < lit(dseq))
+          df = df.join(dels, cond, "left_anti")
+        }
     }
 
     df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -609,8 +666,8 @@ object IcebergInterop {
       s"appended frame schema ${adds.schema.simpleString} does not match " +
         s"the table schema ${tableSchema.simpleString} (schema evolution is out of scope)")
 
-    val (liveNow, posDeletesNow) = liveFiles(root, meta, currentSnap)
-    require(posDeletesNow.isEmpty,
+    val (liveNow, deletesNow) = liveFiles(root, meta, currentSnap)
+    require(deletesNow.isEmpty,
       "table carries delete files — appendSnapshot's full-rewrite v1 " +
         "manifest cannot represent them, refusing")
     require(liveNow.forall(_.partition.isEmpty),

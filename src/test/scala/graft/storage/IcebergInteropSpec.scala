@@ -256,13 +256,26 @@ class IcebergInteropSpec extends SparkSpec {
     assert(v4 == "v4" && v6 == "v6")
   }
 
-  test("v2 equality deletes refuse loudly") {
-    val df = (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+  test("v2 equality deletes: applied with sequence gating; malformed (no equality_ids) refuses") {
+    // sequence-observable history: file A (even ids, seq 1), equality
+    // delete v='del' (seq 2), file B (odd ids, seq 3) — the delete must
+    // remove A's matches only; B's matches were re-inserted later
+    val df = (1L to 12L).map(i => (i, if (i % 3 == 0) "del" else s"v$i")).toDF("id", "v")
     val out = tmp("ice_v2eq_")
-    IcebergFixtures.writeV2WithDeletes(spark, out, df, "id",
+    IcebergFixtures.writeV2EqualityDeletes(spark, out, df, "id", "v", "del")
+    val got = IcebergInterop.importSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (1L to 12L).map(i => (i, if (i % 3 == 0) "del" else s"v$i"))
+      .filterNot { case (i, v) => i % 2 == 0 && v == "del" }.toSet
+    assert(got == want,
+      s"seq-1 matches deleted, seq-3 matches survive: got $got")
+    // a content=2 entry WITHOUT equality_ids is malformed — refuse by name
+    val df2 = (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+    val out2 = tmp("ice_v2eqbad_")
+    IcebergFixtures.writeV2WithDeletes(spark, out2, df2, "id",
       col("id") === 1L, equalityInstead = true)
-    val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out))
-    assert(e.getMessage.contains("equality delete"))
+    val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out2))
+    assert(e.getMessage.contains("without equality_ids"))
   }
 
   test("appendSnapshot refuses format-v2 tables") {
