@@ -2068,6 +2068,65 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // Delta DELETION VECTORS — the modern Delta row-level DELETE (no data
+    // file rewrite; delta.io PROTOCOL.md "Deletion Vectors"): rows die in
+    // per-file RoaringBitmaps keyed by parquet row index, adds re-commit
+    // with a `deletionVector` descriptor, and the reader masks on
+    // (_metadata.file_path, _metadata.row_index) — a reader that ignores
+    // the field serves deleted rows, the q146 failure class on the Delta
+    // side. Three delete waves exercise every storage arm: wave 1 writes
+    // file-stored DVs sharing ONE `deletion_vector_<uuid>.bin` (Z85 UUID
+    // naming, non-zero offsets, CRC-gated), wave 2 stores INLINE Z85
+    // payloads and must MERGE into wave 1's bitmaps (the superset rule),
+    // then a checkpoint compacts the DV'd adds (descriptors ride in the
+    // checkpoint add rows) and wave 3 replays on top of the base. The
+    // census runs over the final import, so any defect in the bitmap
+    // bytes, the Z85 codec, offset placement, merge, or checkpoint
+    // carry breaks the hash against the oracle's closed-form survivor
+    // set (docs where none of %7=3, %11=5, %13=7 hold).
+    "q153_delta_deletion_vectors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("delta_dv").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def onePart(df: DataFrame, name: String): Unit = {
+        val t = java.nio.file.Files.createTempDirectory("graft_q153_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+        val s0 = java.nio.file.Files.list(t)
+        val part = try {
+          import scala.jdk.CollectionConverters._
+          s0.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"expected one part file, got ${other.size}")
+          }
+        } finally s0.close()
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(out, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      onePart(docs.filter(col("doc_id") % 3 === 0), "a.parquet")
+      onePart(docs.filter(col("doc_id") % 3 === 1), "b.parquet")
+      onePart(docs.filter(col("doc_id") % 3 === 2), "c.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 0L,
+        adds = Seq("a.parquet", "b.parquet", "c.parquet"),
+        schemaJson = Some(docs.schema.json))
+      graft.storage.DeltaInterop.deleteWhere(s, out, 1L, col("doc_id") % 7 === 3)
+      graft.storage.DeltaInterop.deleteWhere(s, out, 2L,
+        col("doc_id") % 11 === 5, inline = true)
+      graft.storage.DeltaInterop.writeCheckpoint(s, out, 2L)
+      graft.storage.DeltaInterop.deleteWhere(s, out, 3L, col("doc_id") % 13 === 7)
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // perceptual AUDIO near-dup — the q140 pattern on the audio plane:
     // constellationHash cuts each clip into 8 windows and sets one bit
     // per window at the DOMINANT Goertzel band (absolute Hz), then the
@@ -5257,6 +5316,24 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM ce9 GROUP BY lang""".stripMargin,
+
+    // Delta deletion vectors: three delete waves (%7=3 file-stored,
+    // %11=5 inline merged, %13=7 post-checkpoint) — survivors are the
+    // docs none of the predicates hit; the engine side earns this census
+    // only if the Z85 codec, RoaringBitmap bytes, bin-file offsets/CRCs,
+    // bitmap-union merge, and checkpoint DV carry are all right
+    "q153_delta_deletion_vectors" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents
+         |  WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5 AND doc_id % 13 <> 7
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "dv")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM dv9 GROUP BY lang""".stripMargin,
 
     // audio near-dup: every clip's constellation hash is the closed-form
     // band table (integer-cycle pure tones make the dominant-band argmax

@@ -165,9 +165,70 @@ object DeltaInterop {
     val logDir = root.resolve("_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $deltaDir")
 
-    val st = new LogState
+    val st = resolveState(spark, root, logDir, deltaDir)
+    val schemaJson = st.schemaJson
+    val partCols = st.partCols
+    val active = st.active
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
 
-    // ---- checkpoint base state ----
+    val files = active.toSeq.sortBy(_._1).map { case (rel, af) =>
+      val p = root.resolve(rel)
+      require(Files.exists(p), s"active file missing on disk: $p")
+      if (verifySizes) {
+        val got = Files.size(p)
+        require(got == af.size,
+          s"size mismatch for $rel: log says ${af.size} bytes, disk has $got")
+      }
+      (p, af)
+    }
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    val paths = files.map(_._1.toString)
+    val base = spark.read.schema(dataSchema).parquet(paths: _*)
+    val withParts =
+      if (partCols.isEmpty) base
+      else {
+        val names = files.map(_._1.getFileName.toString)
+        require(names.distinct.size == names.size,
+          "active data files have colliding basenames — cannot attribute partitionValues")
+        val mapRows = files.map { case (p, af) =>
+          org.apache.spark.sql.Row.fromSeq(
+            p.getFileName.toString +: partCols.map(c => af.pv.get(c).flatten.orNull))
+        }
+        val mapSchema = StructType(
+          org.apache.spark.sql.types.StructField("__graft_file",
+            org.apache.spark.sql.types.StringType, nullable = false) +:
+          partCols.map(c => org.apache.spark.sql.types.StructField(
+            "__graft_pv_" + c, org.apache.spark.sql.types.StringType)))
+        val pvDf = spark.createDataFrame(mapRows.asJava, mapSchema)
+        val withFile = base.withColumn("__graft_file",
+          element_at(split(input_file_name(), "/"), -1))
+        val joined = withFile.join(broadcast(pvDf), Seq("__graft_file"), "left")
+        partCols.foldLeft(joined) { (df, c) =>
+          val t = schema(c).dataType
+          df.withColumn(c, col("__graft_pv_" + c).cast(t))
+        }
+      }
+    val masked = applyDeletionVectors(spark, root, withParts, files)
+    masked.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Resolve the table state at `deltaDir`: checkpoint base (when
+    * `_last_checkpoint` points at one) + commit-JSON tail replay, then the
+    * reader-protocol gate. Shared by [[importSnapshot]] and [[deleteWhere]]
+    * so the two can never disagree on what is live.
+    */
+  private def resolveState(
+      spark: SparkSession, root: Path, logDir: Path, deltaDir: String): LogState = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
+
+    val st = new LogState
     val lastCp = logDir.resolve("_last_checkpoint")
     val cpVersion: Long =
       if (!Files.exists(lastCp)) -1L
@@ -196,14 +257,44 @@ object DeltaInterop {
         st.partCols = Option(md(0).getSeq[String](1)).getOrElse(Nil)
         require(md(0).getString(2) == "parquet",
           s"unsupported format provider: ${md(0).getString(2)}")
+        if (cols.contains("protocol")) {
+          val protoSchema = cp.schema("protocol").dataType
+            .asInstanceOf[StructType].fieldNames.toSet
+          val pr = cp.filter(col("protocol").isNotNull)
+            .select(col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
+              if (protoSchema.contains("readerFeatures")) col("protocol.readerFeatures")
+              else lit(null).cast("array<string>"))
+            .collect()
+          pr.headOption.foreach { r =>
+            st.minReader = r.getInt(0); st.minWriter = r.getInt(1)
+            st.readerFeatures =
+              Option(r.getSeq[String](2)).map(_.toSet).getOrElse(Set.empty)
+          }
+        }
+        // add.deletionVector is part of the checkpoint add schema whenever
+        // the table carries DVs (PROTOCOL.md checkpoint schema) — a reader
+        // dropping the column would resurrect checkpointed deletes
+        val addFields = cp.schema("add").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val dvCol =
+          if (addFields.contains("deletionVector")) col("add.deletionVector")
+          else lit(null).cast(
+            "struct<storageType:string,pathOrInlineDv:string,offset:int," +
+              "sizeInBytes:int,cardinality:bigint>")
         cp.filter(col("add").isNotNull)
-          .select(col("add.path"), col("add.size"), col("add.partitionValues"))
+          .select(col("add.path"), col("add.size"), col("add.partitionValues"), dvCol)
           .collect()
           .foreach { r =>
             val pv = Option(r.getMap[String, String](2))
               .map(_.toMap.map { case (k, x) => k -> Option(x) })
               .getOrElse(Map.empty[String, Option[String]])
-            st.active.put(r.getString(0), (r.getLong(1), pv))
+            val dv = Option(r.getStruct(3)).map { d =>
+              DeletionVectors.DvDescriptor(
+                d.getString(0), d.getString(1),
+                if (d.isNullAt(2)) None else Some(d.getInt(2)),
+                d.getInt(3), d.getLong(4))
+            }
+            st.active.put(r.getString(0), ActiveFile(r.getLong(1), pv, dv))
           }
         v
       }
@@ -227,53 +318,47 @@ object DeltaInterop {
     }
     replayCommits(commits, st)
     require(st.schemaJson != null, s"log at $deltaDir carries no metaData action")
-    val schemaJson = st.schemaJson
-    val partCols = st.partCols
-    val active = st.active
-    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-      .asInstanceOf[StructType]
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    gateProtocol(st, deltaDir)
+    st
+  }
 
-    val files = active.toSeq.sortBy(_._1).map { case (rel, (size, pv)) =>
-      val p = root.resolve(rel)
-      require(Files.exists(p), s"active file missing on disk: $p")
-      if (verifySizes) {
-        val got = Files.size(p)
-        require(got == size,
-          s"size mismatch for $rel: log says $size bytes, disk has $got")
-      }
-      (p, pv)
-    }
-    if (files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-
-    val paths = files.map(_._1.toString)
-    val base = spark.read.schema(dataSchema).parquet(paths: _*)
-    if (partCols.isEmpty) base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    else {
-      val names = files.map(_._1.getFileName.toString)
-      require(names.distinct.size == names.size,
-        "active data files have colliding basenames — cannot attribute partitionValues")
-      val mapRows = files.map { case (p, pv) =>
-        org.apache.spark.sql.Row.fromSeq(
-          p.getFileName.toString +: partCols.map(c => pv.get(c).flatten.orNull))
-      }
-      val mapSchema = StructType(
-        org.apache.spark.sql.types.StructField("__graft_file",
-          org.apache.spark.sql.types.StringType, nullable = false) +:
-        partCols.map(c => org.apache.spark.sql.types.StructField(
-          "__graft_pv_" + c, org.apache.spark.sql.types.StringType)))
-      val pvDf = spark.createDataFrame(mapRows.asJava, mapSchema)
-      val withFile = base.withColumn("__graft_file",
-        element_at(split(input_file_name(), "/"), -1))
-      val joined = withFile.join(broadcast(pvDf), Seq("__graft_file"), "left")
-      val restored = partCols.foldLeft(joined) { (df, c) =>
-        val t = schema(c).dataType
-        df.withColumn(c, col("__graft_pv_" + c).cast(t))
-      }
-      restored.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    }
+  /** Mask DV'd rows out of the assembled scan: each live file's deletion
+    * vector is parsed ON EXECUTORS (one task per descriptor, memory
+    * bounded by that DV's compressed size) into `(file, row_index)` pairs,
+    * which LEFT-ANTI join the data on
+    * (normalized `_metadata.file_path`, `_metadata.row_index`) — the
+    * identical shape the Iceberg bridge uses for v2 position deletes
+    * (q146). The total deleted-row count is known driver-side from the
+    * descriptors' `cardinality` WITHOUT reading any bitmap, so the build
+    * side is broadcast exactly when it is provably small and shuffled
+    * otherwise — the decision a 100 TB import must get right.
+    */
+  private def applyDeletionVectors(
+      spark: SparkSession, root: Path,
+      df: org.apache.spark.sql.DataFrame,
+      files: Seq[(Path, ActiveFile)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dvd = files.collect { case (p, af) if af.dv.isDefined => (p.toString, af.dv.get) }
+    if (dvd.isEmpty) return df
+    val totalDeleted = dvd.map(_._2.cardinality).sum
+    import spark.implicits._
+    val descDs = spark.createDataset(dvd.map { case (abs, d) =>
+      (abs, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes,
+        d.cardinality)
+    })
+    val rootStr = root.toString
+    val deleted = descDs.flatMap { case (abs, st0, pOrI, off, size, card) =>
+      val desc = DeletionVectors.DvDescriptor(
+        st0, pOrI, if (off < 0) None else Some(off), size, card)
+      DeletionVectors.deletedRows(java.nio.file.Paths.get(rootStr), desc)
+        .map(idx => (abs, idx))
+    }.toDF("__graft_dv_path", "__graft_dv_pos")
+    val build =
+      if (totalDeleted <= (1L << 20)) broadcast(deleted) else deleted
+    df.withColumn("__graft_dv_path",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      .join(build, Seq("__graft_dv_path", "__graft_dv_pos"), "left_anti")
   }
 
   /** Mutable log-replay state: metaData last-wins, add activates, remove
@@ -286,10 +371,48 @@ object DeltaInterop {
     var partCols: Seq[String] = Nil
     var minReader: Int = 1
     var minWriter: Int = 2
-    // path -> (size, partitionValues); insertion order irrelevant (reads sort)
-    val active = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Map[String, Option[String]])]
+    var readerFeatures: Set[String] = Set.empty
+    // path -> active-file state; insertion order irrelevant (reads sort)
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, ActiveFile]
   }
+
+  /** One live file per the replayed log: its declared size, partition
+    * values, and (reader protocol v3 `deletionVectors` feature) the
+    * deletion vector masking its dead rows.
+    */
+  private final case class ActiveFile(
+      size: Long,
+      pv: Map[String, Option[String]],
+      dv: Option[DeletionVectors.DvDescriptor])
+
+  /** Reader features this bridge implements. `minReaderVersion` 3 tables
+    * whose `readerFeatures` exceed this set REFUSE on import — reading a
+    * table through an unimplemented reader feature (column mapping, v2
+    * checkpoints, type widening, ...) produces silently wrong rows, the
+    * failure class the Iceberg bridge refuses the same way.
+    */
+  private val SupportedReaderFeatures = Set("deletionVectors")
+
+  private def gateProtocol(st: LogState, where: String): Unit = {
+    if (st.minReader >= 2) {
+      require(st.minReader == 3,
+        s"minReaderVersion ${st.minReader} at $where — version 2 (column " +
+          "mapping) is not implemented, refusing rather than mis-mapping columns")
+      val unsupported = st.readerFeatures -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"unsupported readerFeatures ${unsupported.mkString(",")} at $where — " +
+          s"this bridge implements ${SupportedReaderFeatures.mkString(",")} only")
+    }
+  }
+
+  private def parseDvNode(
+      dvNode: com.fasterxml.jackson.databind.JsonNode): DeletionVectors.DvDescriptor =
+    DeletionVectors.DvDescriptor(
+      storageType = dvNode.get("storageType").asText(),
+      pathOrInlineDv = dvNode.get("pathOrInlineDv").asText(),
+      offset = Option(dvNode.get("offset")).filterNot(_.isNull).map(_.asInt()),
+      sizeInBytes = dvNode.get("sizeInBytes").asInt(),
+      cardinality = dvNode.get("cardinality").asLong())
 
   private def replayCommits(commits: Seq[Path], st: LogState): Unit = {
     import scala.jdk.CollectionConverters._
@@ -298,6 +421,9 @@ object DeltaInterop {
       Option(node.get("protocol")).foreach { p =>
         st.minReader = p.get("minReaderVersion").asInt()
         st.minWriter = p.get("minWriterVersion").asInt()
+        st.readerFeatures = Option(p.get("readerFeatures")).toSet[
+          com.fasterxml.jackson.databind.JsonNode]
+          .flatMap(_.elements().asScala.map(_.asText()))
       }
       Option(node.get("metaData")).foreach { md =>
         st.schemaJson = md.get("schemaString").asText()
@@ -312,7 +438,9 @@ object DeltaInterop {
             e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
           }.toMap
         }.getOrElse(Map.empty[String, Option[String]])
-        st.active.put(add.get("path").asText(), (add.get("size").asLong(), pv))
+        val dv = Option(add.get("deletionVector")).filterNot(_.isNull).map(parseDvNode)
+        st.active.put(add.get("path").asText(),
+          ActiveFile(add.get("size").asLong(), pv, dv))
       }
       Option(node.get("remove")).foreach(rm => st.active.remove(rm.get("path").asText()))
     }
@@ -338,21 +466,45 @@ object DeltaInterop {
     */
   def writeCommit(
       deltaDir: String, version: Long, adds: Seq[String],
-      removes: Seq[String] = Nil, schemaJson: Option[String] = None): Unit = {
+      removes: Seq[String] = Nil, schemaJson: Option[String] = None,
+      dvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty): Unit = {
     val root = Paths.get(deltaDir)
     val logDir = root.resolve("_delta_log")
     Files.createDirectories(logDir)
     val existing = listCommits(logDir)
       .map(_.getFileName.toString.dropRight(5).toLong)
-    val expected = if (existing.isEmpty) 0L else existing.last + 1
+    // pre-checkpoint commits may have been cleaned up (Delta metadata
+    // cleanup): the checkpoint pointer anchors contiguity when it is newer
+    val cpV = {
+      val lastCp = logDir.resolve("_last_checkpoint")
+      if (Files.exists(lastCp))
+        mapper.readTree(Files.readAllBytes(lastCp)).get("version").asLong()
+      else -1L
+    }
+    val expected = (existing.lastOption.getOrElse(-1L) max cpV) + 1
     require(version == expected,
       s"non-contiguous commit: want version $expected, got $version")
     require(version > 0 || schemaJson.isDefined,
       "the first commit must carry schemaJson (protocol + metaData)")
+    require((dvs.keySet -- adds.toSet).isEmpty,
+      s"dv descriptors for paths not being added: ${(dvs.keySet -- adds.toSet).mkString(",")}")
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
+    // attaching a DV is a reader-visible capability: upgrade the protocol
+    // in the SAME commit (PROTOCOL.md: deletionVectors is a reader+writer
+    // feature under minReaderVersion 3 / minWriterVersion 7), so any
+    // feature-honest reader either applies the DVs or refuses — never
+    // silently serves deleted rows
+    if (dvs.nonEmpty) {
+      val n = mapper.createObjectNode()
+      val p = n.putObject("protocol")
+      p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+      p.putArray("readerFeatures").add("deletionVectors")
+      p.putArray("writerFeatures").add("deletionVectors")
+      actions += n
+    }
     schemaJson.foreach { sj =>
-      if (version == 0L) {
+      if (version == 0L && dvs.isEmpty) {
         val n = mapper.createObjectNode()
         val p = n.putObject("protocol")
         p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
@@ -387,12 +539,117 @@ object DeltaInterop {
       add.put("size", Files.size(f))
       add.put("modificationTime", now)
       add.put("dataChange", true)
+      dvs.get(rel).foreach { d =>
+        val dn = add.putObject("deletionVector")
+        dn.put("storageType", d.storageType)
+        dn.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(o => dn.put("offset", o))
+        dn.put("sizeInBytes", d.sizeInBytes)
+        dn.put("cardinality", d.cardinality)
+      }
       actions += n
     }
     val log = actions.result().map(mapper.writeValueAsString)
       .mkString("", "\n", "\n")
     Files.write(logDir.resolve(f"$version%020d.json"), log.getBytes("UTF-8"))
     ()
+  }
+
+  /** Row-level DELETE expressed as deletion vectors — the modern Delta
+    * DELETE shape (no data-file rewrite): rows matching `predicate` are
+    * marked dead in per-file RoaringBitmaps, every touched file's NEW
+    * vector is the union of its old one and this wave's matches
+    * (PROTOCOL.md: a file's DV replaces its predecessor, so it must
+    * contain it), and one commit retires + re-adds the touched files
+    * with their new descriptors. All vectors of the wave share ONE
+    * `deletion_vector_<uuid>.bin` (the real writer layout, exercising
+    * non-zero offsets); `inline = true` stores them in the log instead
+    * (storageType `"i"`, small-DV shape). The commit carries the
+    * protocol upgrade to minReader 3 + `deletionVectors`.
+    *
+    * Scale shape: matching runs as ONE distributed scan; bitmaps are
+    * built and compressed ON EXECUTORS (`groupByKey` on the file path —
+    * each task holds one file's bitmap); the driver collects only the
+    * already-serialized DV bytes, i.e. exactly the bytes any writer must
+    * hold to emit the single shared `.bin` file. Returns the count of
+    * newly deleted rows (rows already dead in a prior DV don't recount).
+    *
+    * Partitioned tables refuse: the predicate would need the import-side
+    * partition-column restoration join; write descriptors via
+    * [[writeCommit]]'s `dvs` parameter for those layouts.
+    */
+  def deleteWhere(
+      spark: SparkSession, deltaDir: String, version: Long,
+      predicate: org.apache.spark.sql.Column,
+      inline: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val root = Paths.get(deltaDir)
+    val logDir = root.resolve("_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $deltaDir")
+    val st = resolveState(spark, root, logDir, deltaDir)
+    require(st.partCols.isEmpty,
+      "deleteWhere supports unpartitioned tables; partitioned layouts need " +
+        "the partition-restoration join — attach descriptors via writeCommit(dvs=...)")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val files = st.active.toSeq
+    val absToRel = files.map { case (rel, _) =>
+      root.resolve(rel).toString -> rel }.toMap
+    val paths = absToRel.keys.toSeq.sorted
+
+    import spark.implicits._
+    // match on the RAW scan: a previously-deleted row re-matching is
+    // harmless — the merged bitmap is a superset either way
+    val matched: Array[(String, Array[Byte], Long)] =
+      spark.read.schema(schema).parquet(paths: _*)
+        .withColumn("__graft_dv_path",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+        .filter(predicate)
+        .select(col("__graft_dv_path").as[String], col("__graft_dv_pos").as[Long])
+        .groupByKey(_._1)
+        .mapGroups { (p, it) =>
+          val rows = it.map(_._2).toArray
+          (p, DeletionVectors.serializeBitmapArray(rows), rows.length.toLong)
+        }
+        .collect()
+        .sortBy(_._1)
+    if (matched.isEmpty) {
+      writeCommit(deltaDir, version, adds = Nil) // empty commit keeps versions contiguous
+      return 0L
+    }
+
+    // merge each touched file's existing DV (delete-scale driver work —
+    // the same bytes the new .bin must contain)
+    val merged: Seq[(String, Array[Long], Long)] = matched.toSeq.map {
+      case (abs, bytes, _) =>
+        val rel = absToRel.getOrElse(abs,
+          throw new IllegalStateException(s"matched rows in unknown file $abs"))
+        val fresh = DeletionVectors.deserializeBitmapArray(bytes)
+        val old = st.active(rel).dv
+          .map(d => DeletionVectors.deletedRows(root, d)).getOrElse(Array.empty[Long])
+        val union = (old ++ fresh).distinct.sorted
+        (rel, union, union.length.toLong - old.length.toLong)
+    }
+    val payloads = merged.map { case (_, rows, _) =>
+      DeletionVectors.serializeBitmapArray(rows) }
+    val descriptors: Map[String, DeletionVectors.DvDescriptor] =
+      if (inline)
+        merged.zip(payloads).map { case ((rel, rows, _), p) =>
+          rel -> DeletionVectors.DvDescriptor(
+            "i", DeletionVectors.z85EncodePadded(p), None, p.length, rows.length.toLong)
+        }.toMap
+      else {
+        val (pathOrInline, placements) = DeletionVectors.writeDvFile(root, payloads)
+        merged.zip(placements).map { case ((rel, rows, _), pl) =>
+          rel -> DeletionVectors.DvDescriptor(
+            "u", pathOrInline, Some(pl.offset), pl.sizeInBytes, rows.length.toLong)
+        }.toMap
+      }
+    val touched = merged.map(_._1)
+    writeCommit(deltaDir, version, adds = touched, removes = touched,
+      dvs = descriptors)
+    merged.map(_._3).sum
   }
 
   /** Compact the commit-JSON log at `deltaDir` up to and including
@@ -430,10 +687,18 @@ object DeltaInterop {
     require(st.schemaJson != null, s"log at $deltaDir carries no metaData action")
 
     val pvType = MapType(StringType, StringType)
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(StructField("provider", StringType)))),
@@ -445,13 +710,24 @@ object DeltaInterop {
         StructField("partitionValues", pvType),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        // deletionVector rides IN the checkpoint add rows (PROTOCOL.md
+        // checkpoint schema) — dropping it here would resurrect every
+        // checkpointed delete on the next import
+        StructField("deletionVector", dvType))))))
     val now = System.currentTimeMillis()
-    val protoRow = SRow(SRow(st.minReader, st.minWriter), null, null)
+    val features =
+      if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq.sorted
+    val protoRow = SRow(SRow(st.minReader, st.minWriter, features, features), null, null)
     val mdRow = SRow(null, SRow(java.util.UUID.randomUUID().toString,
       SRow("parquet"), st.schemaJson, st.partCols, now), null)
-    val addRows = st.active.toSeq.map { case (path, (size, pv)) =>
-      SRow(null, null, SRow(path, pv.map { case (k, v) => k -> v.orNull }, size, now, true))
+    val addRows = st.active.toSeq.map { case (path, af) =>
+      val dvRow = af.dv.map(d =>
+        SRow(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Integer.valueOf).orNull, d.sizeInBytes,
+          d.cardinality)).orNull
+      SRow(null, null, SRow(path, af.pv.map { case (k, v) => k -> v.orNull },
+        af.size, now, true, dvRow))
     }
     // metaData/protocol ride in part 1; adds split round-robin across parts
     val partRows: Seq[Seq[SRow]] =
