@@ -430,4 +430,34 @@ object Sampling {
       .filter(col("rank") <= kPerGroup)
       .select(col(idCol), col(groupCol), col("weight"), col("rank"))
   }
+
+  /** Leakage-safe train/valid/test split: the split key is the
+    * DUPLICATE-GROUP id, not the document, so near-duplicates can never
+    * straddle train and test (the contamination a per-doc split like q43
+    * silently commits whenever the corpus holds near-dups — a train doc's
+    * 99%-identical twin in the test set is memorization measured as
+    * generalization). `labels` is any (node, group) relation — e.g.
+    * [[graft.operators.ConnectedComponents.labelComponents]] output over
+    * near-dup pairs; singletons are their own group, so on a dup-free
+    * corpus this degrades to exactly the q43 per-doc split shape.
+    *
+    * Deterministic and engine-portable: bucket = first 4 md5 nibbles of
+    * the group id's decimal string, mod 100 (the q43 arithmetic on the
+    * group key). Map-side only — no shuffle beyond what `labels` already
+    * carries; every member of a group computes the same bucket locally,
+    * so group-atomicity needs no group-level join.
+    */
+  def groupSplit(labels: DataFrame, groupCol: String,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"split percents must partition [0,100): train=$trainPct valid=$validPct")
+    labels
+      .withColumn("bucket",
+        conv(substring(md5(col(groupCol).cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
 }

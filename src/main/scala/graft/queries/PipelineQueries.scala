@@ -2127,6 +2127,27 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // LEAKAGE-SAFE train/valid/test split — the q43 deterministic split
+    // re-keyed on the q76 near-dup COMPONENT id instead of the document:
+    // a per-doc split puts a train doc's 99%-identical twin in the test
+    // set (memorization measured as generalization); hashing the GROUP
+    // id makes group-atomicity hold by construction, map-side, with no
+    // group-level join. Full per-doc assignment hashed, so a single doc
+    // straddling its group's split breaks the oracle.
+    "q154_group_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val pairs = DedupFunctions.nearDupNgramJaccard(
+        docs, "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_bucket"), threshold = 0.06, n = 2)
+      val labels = graft.operators.ConnectedComponents
+        .labelComponents(docs, "doc_id", pairs, "id_a", "id_b")
+      graft.functions.Sampling.groupSplit(
+          labels.select(col("node").as("doc_id"), col("component_id")),
+          "component_id")
+        .select(col("doc_id"), col("component_id"), col("bucket"), col("split"))
+    }),
+
     // perceptual AUDIO near-dup — the q140 pattern on the audio plane:
     // constellationHash cuts each clip into 8 windows and sets one bit
     // per window at the DOMINANT Goertzel band (absolute Hz), then the
@@ -5334,6 +5355,48 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM dv9 GROUP BY lang""".stripMargin,
+
+    // leakage-safe split: q76's component closure + the q43 md5-nibble
+    // bucket arithmetic applied to the COMPONENT id's decimal string —
+    // per-doc assignment compared in full
+    "q154_group_split" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, source, len_bucket,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM tok
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket
+        |    AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.06
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), lbl AS (
+        |  SELECT doc_id AS node, doc_id AS lab FROM tok
+        |  UNION
+        |  SELECT e.dst AS node, l.lab FROM lbl l JOIN edges e ON e.src = l.node
+        |), comp AS (
+        |  SELECT node AS doc_id, min(lab) AS component_id FROM lbl GROUP BY node
+        |), bx AS (
+        |  SELECT doc_id, component_id,
+        |    ((strpos('0123456789abcdef', substr(md5(CAST(component_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(component_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(component_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5(CAST(component_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        |  FROM comp
+        |)
+        |SELECT doc_id, component_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM bx""".stripMargin,
 
     // audio near-dup: every clip's constellation hash is the closed-form
     // band table (integer-cycle pure tones make the dominant-band argmax

@@ -1135,4 +1135,32 @@ class FunctionsSpec extends SparkSpec {
     val plan = run(true).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("groupSplit: dup groups are split-atomic, singletons match the per-doc shape, percents gate") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // 50 groups of 4 near-dup members + 100 singletons
+    val labels = ((0L until 200L).map(i => (i, i / 4)) ++
+      (1000L until 1100L).map(i => (i, i))).toDF("doc_id", "component_id")
+    val out = Sampling.groupSplit(labels, "component_id")
+      .select("doc_id", "component_id", "bucket", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // atomicity: every member of a group gets the identical (bucket, split)
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(m => (m._3, m._4)).distinct.size == 1,
+        s"group ${members.head._2} straddles splits: ${members.toSeq}")
+    }
+    // bucket is the q43 arithmetic on the GROUP id's decimal string
+    val expected = out.map { case (_, g, _, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    assert(out.map(_._3).toSeq == expected.toSeq)
+    // all three splits materialize over 150 groups at 80/10/10
+    assert(out.map(_._4).toSet == Set("train", "valid", "test"))
+    intercept[IllegalArgumentException](
+      Sampling.groupSplit(labels, "component_id", trainPct = 90, validPct = 10))
+  }
 }
