@@ -2127,6 +2127,58 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // DV PURGE (Delta REORG ... APPLY (PURGE)) — q153's table after its
+    // three delete waves, REWRITTEN physically: every DV'd file re-lands
+    // without its dead rows (one distributed pass, one task per file,
+    // original row order), the commit retires the masked files, and the
+    // import — now DV-free — must serve the identical survivor census
+    // (shared q153 oracle, the q67/q77 same-answer-two-mechanisms
+    // precedent). Any purge defect (dropped live rows, resurrected dead
+    // rows, mis-attributed files) breaks the hash.
+    "q155_delta_dv_purge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("delta_dvp").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def onePart(df: DataFrame, name: String): Unit = {
+        val t = java.nio.file.Files.createTempDirectory("graft_q155_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+        val s0 = java.nio.file.Files.list(t)
+        val part = try {
+          import scala.jdk.CollectionConverters._
+          s0.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"expected one part file, got ${other.size}")
+          }
+        } finally s0.close()
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(out, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      onePart(docs.filter(col("doc_id") % 3 === 0), "a.parquet")
+      onePart(docs.filter(col("doc_id") % 3 === 1), "b.parquet")
+      onePart(docs.filter(col("doc_id") % 3 === 2), "c.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 0L,
+        adds = Seq("a.parquet", "b.parquet", "c.parquet"),
+        schemaJson = Some(docs.schema.json))
+      graft.storage.DeltaInterop.deleteWhere(s, out, 1L, col("doc_id") % 7 === 3)
+      graft.storage.DeltaInterop.deleteWhere(s, out, 2L,
+        col("doc_id") % 11 === 5, inline = true)
+      graft.storage.DeltaInterop.deleteWhere(s, out, 3L, col("doc_id") % 13 === 7)
+      val rewritten = graft.storage.DeltaInterop.purgeDeletionVectors(s, out, 4L)
+      require(rewritten == 3, s"expected all 3 files DV'd before purge, got $rewritten")
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // LEAKAGE-SAFE train/valid/test split — the q43 deterministic split
     // re-keyed on the q76 near-dup COMPONENT id instead of the document:
     // a per-doc split puts a train doc's 99%-identical twin in the test
@@ -5355,6 +5407,21 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM dv9 GROUP BY lang""".stripMargin,
+
+    // DV purge: the same survivor set as q153 served from physically
+    // rewritten DV-free files (shared SQL — the q67/q77 precedent)
+    "q155_delta_dv_purge" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents
+         |  WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5 AND doc_id % 13 <> 7
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "dp")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM dp9 GROUP BY lang""".stripMargin,
 
     // leakage-safe split: q76's component closure + the q43 md5-nibble
     // bucket arithmetic applied to the COMPONENT id's decimal string —

@@ -652,6 +652,78 @@ object DeltaInterop {
     merged.map(_._3).sum
   }
 
+  /** Purge deletion vectors (the Delta `REORG TABLE ... APPLY (PURGE)`
+    * maintenance op): every file carrying a DV is rewritten WITHOUT its
+    * dead rows and re-committed clean, so accumulated mask overhead
+    * (every read pays the anti-join) converts back into plain scans.
+    * Untouched files are untouched — work is O(DV'd files), never
+    * O(table). Row order within a rewritten file is preserved (the scan
+    * order of the source file), the old `.bin` payloads become
+    * unreferenced (vacuum-able), and the commit is remove+add per
+    * rewritten file. Returns the number of files rewritten.
+    */
+  def purgeDeletionVectors(
+      spark: SparkSession, deltaDir: String, version: Long): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.{DataType, StructType}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(deltaDir)
+    val logDir = root.resolve("_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $deltaDir")
+    val st = resolveState(spark, root, logDir, deltaDir)
+    require(st.partCols.isEmpty,
+      "purgeDeletionVectors supports unpartitioned tables (the deleteWhere scope)")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val dvd = st.active.toSeq.collect { case (rel, af) if af.dv.isDefined => (rel, af) }
+    if (dvd.isEmpty) {
+      writeCommit(deltaDir, version, adds = Nil)
+      return 0
+    }
+    // ONE distributed pass over only the DV'd files: mask via the import's
+    // executor-parsed anti-join, then the writeShards one-file-per-key
+    // shape — hash repartition on the source-file index + partitionBy puts
+    // each rewritten file wholly in one task, rows in their original
+    // row_index order
+    val absFiles = dvd.map { case (rel, af) => (root.resolve(rel), af) }
+    val scan = spark.read.schema(schema)
+      .parquet(absFiles.map(_._1.toString): _*)
+    val masked = applyDeletionVectors(spark, root, scan, absFiles)
+    val idxRows = dvd.zipWithIndex.map { case ((rel, _), i) =>
+      org.apache.spark.sql.Row(root.resolve(rel).toString, i) }
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__graft_dv_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("__graft_pidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val idxDf = spark.createDataFrame(idxRows.asJava, idxSchema)
+    val tmp = Files.createTempDirectory("graft_dv_purge_")
+    masked.join(broadcast(idxDf), Seq("__graft_dv_path"))
+      .repartition(dvd.size, col("__graft_pidx"))
+      .sortWithinPartitions(col("__graft_pidx"), col("__graft_dv_pos"))
+      .select((schema.fieldNames.map(col) :+ col("__graft_pidx")).toIndexedSeq: _*)
+      .write.mode("overwrite").partitionBy("__graft_pidx").parquet(tmp.toString)
+    val renames = Seq.newBuilder[(String, String)]
+    val removedOnly = Seq.newBuilder[String]
+    dvd.zipWithIndex.foreach { case ((rel, _), i) =>
+      val dir = tmp.resolve(s"__graft_pidx=$i")
+      if (!Files.isDirectory(dir)) removedOnly += rel // fully-dead file: just retire
+      else {
+        val part = listParquet(dir) match {
+          case Seq(one) => one
+          case other => throw new IllegalStateException(
+            s"expected one purged part file for $rel, got ${other.size}")
+        }
+        val cleanRel = s"${rel.stripSuffix(".parquet")}-purged-$version.parquet"
+        Files.move(part, root.resolve(cleanRel), StandardCopyOption.REPLACE_EXISTING)
+        renames += ((rel, cleanRel))
+      }
+    }
+    val rn = renames.result()
+    writeCommit(deltaDir, version, adds = rn.map(_._2),
+      removes = rn.map(_._1) ++ removedOnly.result())
+    dvd.size
+  }
+
   /** Compact the commit-JSON log at `deltaDir` up to and including
     * `version` into a parquet checkpoint (delta.io PROTOCOL.md checkpoint
     * schema: one row per action, `protocol`/`metaData`/`add` structs) and

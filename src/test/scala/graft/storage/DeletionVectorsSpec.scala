@@ -212,6 +212,35 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(e2.getMessage.contains("column mapping"))
   }
 
+  test("purge rewrites DV'd files clean: same rows, no DVs, fully-dead file retired") {
+    val out = threeFileTable()
+    DeltaInterop.deleteWhere(spark, out, 1L, col("id") % 4 === 1)
+    DeltaInterop.deleteWhere(spark, out, 2L, col("id") >= 60L) // kills c.parquet entirely
+    val expect = (0L until 90L).filter(i => i % 4 != 1 && i < 60).toSet
+    assert(servedIds(out) == expect)
+    val n = DeltaInterop.purgeDeletionVectors(spark, out, 3L)
+    assert(n == 3, "all three files carried DVs")
+    assert(servedIds(out) == expect, "purge must not change the served rows")
+    // post-purge state: no deletionVector anywhere, c.parquet retired with
+    // no replacement, rewritten files physically smaller than their masks
+    val log3 = Files.readAllLines(
+      Paths.get(out, "_delta_log", f"${3L}%020d.json")).asScala.filter(_.nonEmpty)
+      .map(mapper.readTree(_))
+    val adds = log3.flatMap(n0 => Option(n0.get("add")))
+    assert(adds.size == 2 && adds.forall(a => Option(a.get("deletionVector")).isEmpty))
+    val removes = log3.flatMap(n0 => Option(n0.get("remove")))
+      .map(_.get("path").asText()).toSet
+    assert(removes == Set("a.parquet", "b.parquet", "c.parquet"))
+    // rewritten files keep original row order (row_index order)
+    val aNew = adds.map(_.get("path").asText()).find(_.startsWith("a-")).get
+    val rows = spark.read.parquet(Paths.get(out, aNew).toString)
+      .select("id").as[Long].collect().toSeq
+    assert(rows == rows.sorted && rows.toSet == (0L until 30L).filter(_ % 4 != 1).toSet)
+    // a further delete wave starts a fresh DV history on the clean files
+    DeltaInterop.deleteWhere(spark, out, 4L, col("id") === 2L)
+    assert(servedIds(out) == expect - 2L)
+  }
+
   test("unknown DV storageType refuses instead of serving deleted rows") {
     val out = threeFileTable()
     DeltaInterop.deleteWhere(spark, out, 1L, col("id") === 1L)
