@@ -68,6 +68,102 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    * 1998) — the retrieval shape RAG pipelines want when plain top-k
+    * returns k near-copies of the same passage: greedily pick the
+    * candidate maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` so each
+    * pick is relevant AND far from what is already selected.
+    *
+    * Exact-integer contract: relevance and pair similarities are round6
+    * cosines quantized to BIGINT micros (`floor(cos·10⁶ + 0.5)`), λ is an
+    * integer permille, so the objective `λ·rel6 − (1000−λ)·maxsim6` and
+    * its (objective desc, id asc) tie-break are pure BIGINT arithmetic —
+    * the whole greedy restates hash-exactly in portable SQL.
+    *
+    * Scale shape: stage 1 is the [[bruteForceTopK]] scan (broadcast
+    * queries, one candidate pass, per-task heaps); everything after runs
+    * on the PARAMETER-BOUNDED shortlist — pair cosines are a per-query
+    * m×m self-join of the m-row shortlist (Q·m² rows total, never
+    * corpus²), and the k-step greedy executes per query inside ONE
+    * `mapGroups` task over its own ≤m(m−1) pair rows. No driver-side
+    * data, no iteration over Spark jobs.
+    */
+  def mmrTopK(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, m: Int, k: Int, lambdaPermille: Int): DataFrame = {
+    require(m >= 2 && k >= 1 && k <= m, s"need 2 <= k <= m, got k=$k m=$m")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambdaPermille in [0,1000], got $lambdaPermille")
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val rel6 = floor(col("cosine") * lit(1000000.0) + lit(0.5)).cast("long")
+    val short = bruteForceTopK(queries, qidCol, candidates, cidCol, vecCol, k = m)
+      .select(col("query_id"), col("neighbor_id"), rel6.as("rel6"))
+    val vecs = candidates.select(
+      col(cidCol).as("__vid"), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    val withVec = short.join(vecs, col("neighbor_id") === col("__vid"))
+      .select(col("query_id"), col("neighbor_id"), col("rel6"),
+        col("__v"), col("__n"))
+    val a = withVec.select(col("query_id"), col("neighbor_id").as("__ca"),
+      col("rel6"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = withVec.select(col("query_id").as("__qb"),
+      col("neighbor_id").as("__cb"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val sim6 = floor(
+      round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6)
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    val pairs = a.join(b,
+        col("query_id") === col("__qb") && col("__ca") =!= col("__cb"))
+      .select(col("query_id"), col("__ca").as("cand"), col("rel6"),
+        col("__cb").as("other"), sim6.as("sim6"))
+
+    val lam = lambdaPermille.toLong
+    val kk = k
+    pairs.as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val rel = scala.collection.mutable.LongMap.empty[Long]
+        val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        it.foreach { case (_, cand, r6, other, s6) =>
+          rel(cand) = r6
+          sim((cand, other)) = s6
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        var rank = 1L
+        while (rank <= kk && selected.size < rel.size) {
+          var bestId = Long.MinValue
+          var bestObj = Long.MinValue
+          rel.foreach { case (cand, r6) =>
+            if (!selected.contains(cand)) {
+              // true max over the selected set (can be negative — an
+              // anti-correlated pick REWARDS the candidate); 0 only when
+              // nothing is selected yet (the MMR base case)
+              var pen = 0L
+              if (selected.nonEmpty) {
+                pen = Long.MinValue
+                selected.foreach { s =>
+                  val x = sim((cand, s))
+                  if (x > pen) pen = x
+                }
+              }
+              val obj = lam * r6 - (1000L - lam) * pen
+              if (obj > bestObj || (obj == bestObj && cand < bestId)) {
+                bestObj = obj; bestId = cand
+              }
+            }
+          }
+          out += ((q, rank, bestId, bestObj))
+          selected += bestId
+          rank += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "rank", "vec_id", "objective")
+      .sort(col("query_id"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplane sign matrix (bits × dim), generated
     * driver-side from a seeded splitmix-style hash — no stored model, stable
     * across runs, shipped to executors as literals. `table` seeds an

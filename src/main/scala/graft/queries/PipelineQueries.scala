@@ -2179,6 +2179,19 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // MMR DIVERSIFIED top-k (Carbonell & Goldstein 1998) — the retrieval
+    // shape RAG pipelines want when plain top-k returns k near-copies:
+    // greedy argmax of λ·rel − (1−λ)·max-sim-to-selected over a
+    // brute-force shortlist. Exact-integer contract (round6 cosines →
+    // BIGINT micros, λ in permille), so the full greedy trajectory —
+    // every pick's rank AND objective — hash-matches the oracle's
+    // six unrolled selection stages.
+    "q156_mmr_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(emb.filter(col("vec_id") < 6), "vec_id",
+        emb, "vec_id", "embedding", m = 24, k = 6, lambdaPermille = 700)
+    }),
+
     // LEAKAGE-SAFE train/valid/test split — the q43 deterministic split
     // re-keyed on the q76 near-dup COMPONENT id instead of the document:
     // a per-doc split puts a train doc's 99%-identical twin in the test
@@ -2585,6 +2598,42 @@ object PipelineQueries {
     * Distinct prefixes let the q121 diff oracle replay the chain over two
     * corpus versions in one statement.
     */
+  /** q156 oracle: the MMR greedy unrolled as k selection stages. Stage 1
+    * picks per query by λ·rel6 alone (empty selected set ⇒ penalty 0);
+    * stage s ≥ 2 computes each remaining candidate's TRUE max pair-sim6
+    * over the s−1 picks so far (can be negative — anti-correlated picks
+    * reward), excludes the picks via a left-anti, and takes the
+    * (objective desc, vec_id) head. `short`/`ps` are MATERIALIZED: six
+    * stages re-reference them and DuckDB would re-inline the m×m chain.
+    */
+  private def mmrStageCtes(k: Int, lam: Int): String = {
+    val sb = new StringBuilder
+    for (s <- 2 to k) {
+      val prev = s - 1
+      sb.append(
+        s"""sel$prev AS (SELECT query_id, vec_id FROM ${(1 to prev).map("s" + _).mkString(" UNION ALL SELECT query_id, vec_id FROM ")}),
+           |s$s AS (
+           |  SELECT query_id, vec_id, CAST($s AS BIGINT) AS rank, objective FROM (
+           |    SELECT c.query_id, c.vec_id,
+           |      $lam * c.rel6 - ${1000 - lam} * p.pen AS objective,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY $lam * c.rel6 - ${1000 - lam} * p.pen DESC, c.vec_id) AS rn
+           |    FROM short c
+           |    JOIN (SELECT ps.query_id, ps.cand, max(ps.sim6) AS pen
+           |          FROM ps JOIN sel$prev x
+           |            ON ps.query_id = x.query_id AND ps.other = x.vec_id
+           |          GROUP BY ps.query_id, ps.cand) p
+           |      ON p.query_id = c.query_id AND p.cand = c.vec_id
+           |    LEFT JOIN sel$prev d
+           |      ON d.query_id = c.query_id AND d.vec_id = c.vec_id
+           |    WHERE d.vec_id IS NULL
+           |  ) WHERE rn = 1
+           |),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
+
   private def shardManifestCtes(src: String, pfx: String,
       buckets: Int = 8, budget: Long = 1000L): String =
     s"""${DuckDbXxHash64.xxh64Cte(src, "CAST(doc_id AS VARCHAR)",
@@ -5422,6 +5471,50 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM dp9 GROUP BY lang""".stripMargin,
+
+    // MMR diversified top-k: q25's cosine shortlist (m=24, rel6 micros) +
+    // the pair-sim relation + six unrolled greedy stages; full (rank,
+    // pick, objective) trajectory compared
+    "q156_mmr_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 6
+         |), scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+         |    , 6) AS cosine
+         |  FROM embeddings c, q
+         |  WHERE c.vec_id <> q.query_id
+         |), shortr AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel6,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+         |  FROM scored
+         |), short AS MATERIALIZED (
+         |  SELECT query_id, vec_id, rel6 FROM shortr WHERE rn <= 24
+         |), pv AS (
+         |  SELECT s.query_id, s.vec_id, e.embedding
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+         |), ps AS MATERIALIZED (
+         |  SELECT a.query_id, a.vec_id AS cand, b.vec_id AS other,
+         |    CAST(floor(round(
+         |      list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         |    , 6) * 1000000 + 0.5) AS BIGINT) AS sim6
+         |  FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |), s1 AS (
+         |  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS rank, 700 * rel6 AS objective FROM (
+         |    SELECT query_id, vec_id, rel6,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY 700 * rel6 DESC, vec_id ASC) AS rn
+         |    FROM short
+         |  ) WHERE rn = 1
+         |), ${mmrStageCtes(6, 700)}picks AS (
+         |  ${(1 to 6).map(i => s"SELECT query_id, vec_id, rank, objective FROM s$i").mkString("\n  UNION ALL ")}
+         |)
+         |SELECT query_id, rank, vec_id, objective FROM picks""".stripMargin,
 
     // leakage-safe split: q76's component closure + the q43 md5-nibble
     // bucket arithmetic applied to the COMPONENT id's decimal string —

@@ -1136,6 +1136,69 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("mmrTopK: matches a driver-side reference greedy; lambda=1000 degenerates to top-k") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(
+        vecs.filter(col("vec_id") < 3), "vec_id", vecs, "vec_id", "embedding",
+        m = 12, k = 5, lambdaPermille = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // driver reference: same round6→micros contract, brute force
+    val data = vecs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos6(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(c * 1000000.0 + 0.5).toLong
+    }
+    val expect = (0L until 3L).flatMap { q =>
+      val short = data.keys.filter(_ != q).toSeq
+        .map(c => (c, cos6(data(q), data(c))))
+        .sortBy { case (c, r) => (-r, c) }.take(12)
+      val rel = short.toMap
+      var sel = List.empty[Long]
+      (1 to 5).map { rank =>
+        val (best, obj) = short.map(_._1).filterNot(sel.contains).map { c =>
+          val pen = if (sel.isEmpty) 0L
+            else sel.map(s0 => cos6(data(c), data(s0))).max
+          (c, 600L * rel(c) - 400L * pen)
+        }.minBy { case (c, o) => (-o, c) }
+        sel = sel :+ best
+        (q, rank.toLong, best, obj)
+      }
+    }
+    assert(got.toSeq.sorted == expect.sorted)
+
+    // lambda=1000: penalty weight 0 ⇒ exactly the brute-force top-k order
+    val pure = Similarity.mmrTopK(
+        vecs.filter(col("vec_id") < 3), "vec_id", vecs, "vec_id", "embedding",
+        m = 12, k = 5, lambdaPermille = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val topk = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") < 3), "vec_id", vecs, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+    assert(pure.toSet == topk.toSet)
+    // diversification really changes the set on clustered data: plant two
+    // tight clusters, relevance favors cluster A, MMR must still reach B
+    val base = Array.fill(8)(1.0f)
+    val cl = ((0L to 0L).map(i => (i, base)) ++
+      (1L to 6L).map(i => (i, base.map(x => x + (i * 1e-4f)))) ++
+      (7L to 9L).map(i => (i, base.map(x => -x + (i * 1e-4f))))).toDF("vec_id", "embedding")
+    val div = Similarity.mmrTopK(cl.filter(col("vec_id") === 0L), "vec_id",
+        cl, "vec_id", "embedding", m = 9, k = 3, lambdaPermille = 300)
+      .select("vec_id").as[Long].collect().toSet
+    assert(div.exists(_ >= 7L), s"MMR at low lambda must pick from the far cluster, got $div")
+  }
+
   test("groupSplit: dup groups are split-atomic, singletons match the per-doc shape, percents gate") {
     import spark.implicits._
     import graft.functions.Sampling

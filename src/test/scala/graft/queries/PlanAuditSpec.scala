@@ -48,8 +48,10 @@ class PlanAuditSpec extends SparkSpec {
                          // type-count frame — O(n * 1)
     "q135_doremi_mix",   // the same 1-row attach in the fused dual
                          // scorer: the (va, vb) vocab-size frame
-    "q138_anneal_mix")   // embeds q89's scoring chain (the 1-row
+    "q138_anneal_mix",   // embeds q89's scoring chain (the 1-row
                          // broadcast vocab-size attach — O(n * 1))
+    "q156_mmr_topk")     // shortlist stage is q25's broadcast brute-force
+                         // shape; all later stages are m-bounded equi-joins
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
