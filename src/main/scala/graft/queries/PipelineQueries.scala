@@ -2192,6 +2192,33 @@ object PipelineQueries {
         emb, "vec_id", "embedding", m = 24, k = 6, lambdaPermille = 700)
     }),
 
+    // AVRO OCF round trip — the events table exported through the
+    // hand-rolled deflate OCF writer (one file per partition, atomic
+    // renames) and re-ingested through the streaming DataFileStream
+    // reader, then censused per event_type: row count, micro-quantized
+    // value sum, and a bit_xor(xxhash64) over (event_id, epoch-micros,
+    // props) so ONE row lost/duplicated/bit-shifted anywhere in the
+    // encode→deflate→decode chain breaks the hash. Exercises long,
+    // string, nullable-union, timestamp-micros and double mappings;
+    // the oracle is the same census straight off the parquet — the
+    // bridge must be invisible.
+    "q157_avro_roundtrip" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"), col("props"))
+      val out = scratchDir("avro_rt").toString + "/ocf"
+      val n = graft.sources.AvroIO.writeAvro(
+        ev.repartition(8, col("event_id")), out)
+      require(n == 8, s"expected 8 OCF part files, wrote $n")
+      graft.sources.AvroIO.readAvro(s, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_v6"),
+          expr("bit_xor(xxhash64(concat(cast(event_id as string), ':', " +
+            "cast(unix_micros(ts) as string), ':', coalesce(props, ''))))")
+            .as("checksum"))
+    }),
+
     // LEAKAGE-SAFE train/valid/test split — the q43 deterministic split
     // re-keyed on the q76 near-dup COMPONENT id instead of the document:
     // a per-doc split puts a train doc's 99%-identical twin in the test
@@ -5515,6 +5542,21 @@ object PipelineQueries {
          |  ${(1 to 6).map(i => s"SELECT query_id, vec_id, rank, objective FROM s$i").mkString("\n  UNION ALL ")}
          |)
          |SELECT query_id, rank, vec_id, objective FROM picks""".stripMargin,
+
+    // Avro OCF round trip: the bridge must be invisible — the census is
+    // the same query straight off the parquet events table
+    "q157_avro_roundtrip" ->
+      s"""WITH v AS (
+         |  SELECT event_type, value,
+         |    CAST(event_id AS VARCHAR) || ':' || CAST(epoch_us(ts) AS VARCHAR)
+         |      || ':' || coalesce(props, '') AS rowkey
+         |  FROM events
+         |), ${DuckDbXxHash64.xxh64Cte("v", "rowkey",
+           Seq("event_type", "value"), "av")}
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
+         |  bit_xor(xxh) AS checksum
+         |FROM av9 GROUP BY event_type""".stripMargin,
 
     // leakage-safe split: q76's component closure + the q43 md5-nibble
     // bucket arithmetic applied to the COMPONENT id's decimal string —

@@ -1,0 +1,276 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalType, LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro Object Container File (OCF) source/sink — the interchange leg of
+  * the storage plane next to the Delta/Iceberg bridges: Avro is the wire
+  * format of Kafka pipelines and the manifest format of Iceberg itself,
+  * and a training-data engine that can only ingest parquet makes every
+  * upstream event feed pre-convert. Hand-rolled on the avro-1.12 jars
+  * Spark itself ships (the same jars [[graft.storage.IcebergInterop]]
+  * uses for manifests) — no connector dependency.
+  *
+  * Format facts are public (the Avro 1.12 spec, "Object Container
+  * Files"): magic `Obj\1`, a metadata map carrying `avro.schema` +
+  * `avro.codec`, a 16-byte sync marker, then blocks of
+  * (count, size, payload, sync). Blocks are deflate-compressed here
+  * (`avro.codec=deflate`), the universal-reader default.
+  *
+  * Type scope (maps exactly, refuses loudly otherwise — the
+  * parse-don't-guess rule of the storage plane): BOOLEAN/INT/LONG/
+  * FLOAT/DOUBLE/STRING/BINARY, DATE (int + `date` logical type),
+  * TIMESTAMP (long + `timestamp-micros` — Spark's native precision, so
+  * the round trip is bit-exact), and ARRAY of any supported scalar.
+  * Nullable fields are `["null", T]` unions with null default; any
+  * other union, map, enum, fixed, or nested record refuses with the
+  * offending field named. Avro field names must be valid identifiers —
+  * refused otherwise rather than silently rewritten.
+  *
+  * Scale shape: WRITE is one OCF per input partition, written task-side
+  * to a dot-prefixed temp name and atomically renamed (the
+  * [[graft.functions.ShardExport]] commit idiom) — file granularity is
+  * the upstream `repartition`, the standard Avro layout (~128 MB-1 GB
+  * files). READ is `sparkContext.binaryFiles` + the STREAMING
+  * `DataFileStream` decoder (the [[WarcIO]] pattern): a 1 GB OCF is
+  * never materialized, records flow off the block iterator with one
+  * decompressed block in memory; parallelism is one task per file —
+  * a 100 TB feed is far wider than any cluster. Every file's writer
+  * schema must equal the first file's (refused otherwise): silent
+  * schema drift across a directory is the classic Avro data-loss bug.
+  */
+object AvroIO {
+
+  // ---- schema mapping -----------------------------------------------
+
+  private val NamePat = "[A-Za-z_][A-Za-z0-9_]*".r.pattern
+
+  /** Spark schema → Avro record schema (top level only; scalars+arrays). */
+  def toAvroSchema(schema: StructType, recordName: String = "graft_row"): Schema = {
+    val fields = schema.fields.map { f =>
+      require(NamePat.matcher(f.name).matches(),
+        s"field '${f.name}' is not a legal Avro name — rename before export " +
+          "(silent rewriting would desync the round trip)")
+      val base = scalarOrArray(f.name, f.dataType)
+      val typ =
+        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      new Schema.Field(f.name, typ,
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def scalarOrArray(name: String, dt: DataType): Schema = dt match {
+    case ArrayType(el, containsNull) =>
+      val elSchema = scalar(name, el)
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), elSchema)
+        else elSchema)
+    case other => scalar(name, other)
+  }
+
+  private def scalar(name: String, dt: DataType): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case other => throw new IllegalArgumentException(
+      s"field '$name': Spark type $other has no exact Avro mapping in this " +
+        "bridge (scope: boolean/int/long/float/double/string/binary/date/" +
+        "timestamp and arrays of those) — cast or drop it before export")
+  }
+
+  /** Avro record schema → Spark schema (inverse of [[toAvroSchema]]). */
+  def toSparkSchema(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"top-level Avro schema must be a record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.map { f =>
+      val (s, nullable) = unwrapNullable(f.name(), f.schema())
+      StructField(f.name(), sparkType(f.name(), s), nullable)
+    }.toArray)
+  }
+
+  private def unwrapNullable(name: String, s: Schema): (Schema, Boolean) =
+    if (s.getType != Schema.Type.UNION) (s, false)
+    else s.getTypes.asScala.toList match {
+      case a :: b :: Nil if a.getType == Schema.Type.NULL => (b, true)
+      case a :: b :: Nil if b.getType == Schema.Type.NULL => (a, true)
+      case other => throw new IllegalArgumentException(
+        s"field '$name': union ${other.map(_.getType).mkString("[", ",", "]")} " +
+          "is not a nullable-scalar union — out of bridge scope, refuse " +
+          "rather than coerce")
+    }
+
+  private def sparkType(name: String, s: Schema): DataType = s.getType match {
+    case Schema.Type.ARRAY =>
+      val (el, elNullable) = unwrapNullable(name, s.getElementType)
+      ArrayType(sparkScalar(name, el), containsNull = elNullable)
+    case _ => sparkScalar(name, s)
+  }
+
+  private def sparkScalar(name: String, s: Schema): DataType = (s.getType, logical(s)) match {
+    case (Schema.Type.BOOLEAN, _) => BooleanType
+    case (Schema.Type.INT, Some("date")) => DateType
+    case (Schema.Type.INT, _) => IntegerType
+    case (Schema.Type.LONG, Some("timestamp-micros")) => TimestampType
+    case (Schema.Type.LONG, _) => LongType
+    case (Schema.Type.FLOAT, _) => FloatType
+    case (Schema.Type.DOUBLE, _) => DoubleType
+    case (Schema.Type.STRING, _) => StringType
+    case (Schema.Type.BYTES, _) => BinaryType
+    case (t, lt) => throw new IllegalArgumentException(
+      s"field '$name': Avro type $t${lt.fold("")(l => s" ($l)")} out of " +
+        "bridge scope (records/maps/enums/fixed and non-micros timestamps " +
+        "refuse — widen the bridge deliberately, never coerce)")
+  }
+
+  private def logical(s: Schema): Option[String] =
+    Option(s.getLogicalType).map(_.getName)
+
+  // ---- value conversion ----------------------------------------------
+
+  private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (ts: java.sql.Timestamp, TimestampType) =>
+      ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+    case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
+    case (seq: scala.collection.Seq[_], ArrayType(el, _)) =>
+      seq.map(toAvroValue(_, el)).asJava
+    case (other, _) => other
+  }
+
+  private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: Utf8, StringType) => u.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (micros: java.lang.Long, TimestampType) =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    case (days: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
+    case (bb: ByteBuffer, BinaryType) =>
+      val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+    case (l: java.util.Collection[_], ArrayType(el, _)) =>
+      l.asScala.map(fromAvroValue(_, el)).toSeq
+    case (arr: GenericData.Array[_], ArrayType(el, _)) =>
+      arr.asScala.map(fromAvroValue(_, el)).toSeq
+    case (other, _) => other
+  }
+
+  // ---- write -----------------------------------------------------------
+
+  /** Write `df` as one deflate-coded OCF per partition under `dir`
+    * (`part-NNNNN.avro`, dot-temp + atomic rename; empty partitions write
+    * nothing). Returns the number of files written. File granularity is
+    * the caller's `repartition` — the writer never re-shuffles.
+    */
+  def writeAvro(df: DataFrame, dir: String, deflateLevel: Int = 6): Int = {
+    val schema = df.schema
+    val avroJson = toAvroSchema(schema).toString
+    Files.createDirectories(Paths.get(dir))
+    val written = df.rdd.mapPartitionsWithIndex { (pidx, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val avroSchema = new Schema.Parser().parse(avroJson)
+        val fieldTypes = schema.fields.map(_.dataType)
+        val tmp = new File(dir, f".part-$pidx%05d.avro.tmp")
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avroSchema))
+        w.setCodec(CodecFactory.deflateCodec(deflateLevel))
+        w.create(avroSchema, tmp)
+        try {
+          rows.foreach { row =>
+            val rec = new GenericData.Record(avroSchema)
+            var i = 0
+            while (i < fieldTypes.length) {
+              rec.put(i, toAvroValue(row.get(i), fieldTypes(i)))
+              i += 1
+            }
+            w.append(rec)
+          }
+        } finally w.close()
+        val fin = Paths.get(dir, f"part-$pidx%05d.avro")
+        Files.move(tmp.toPath, fin,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        Iterator.single(1)
+      }
+    }.sum().toInt
+    written
+  }
+
+  // ---- read ------------------------------------------------------------
+
+  /** Read every `*.avro` OCF under `dir` as a DataFrame. Schema comes
+    * from the FIRST file's writer schema (name order); every other file
+    * must carry the identical schema — refused loudly otherwise (silent
+    * drift across a directory is the classic Avro data-loss bug).
+    * Streaming decode, one task per file (see scaladoc above).
+    */
+  def readAvro(spark: SparkSession, dir: String): DataFrame = {
+    val paths = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".avro"))
+        .map(_.toString).toSeq.sorted
+      finally s.close()
+    }
+    require(paths.nonEmpty, s"no .avro files under $dir")
+
+    // driver: schema from the first file's OCF header (stops at the header)
+    val headIn = Files.newInputStream(Paths.get(paths.head))
+    val headerSchemaJson = try {
+      val ds = new DataFileStream[GenericRecord](
+        headIn, new GenericDatumReader[GenericRecord]())
+      try ds.getSchema.toString finally ds.close()
+    } finally headIn.close()
+    val sparkSchema = toSparkSchema(new Schema.Parser().parse(headerSchemaJson))
+    val fieldTypes = sparkSchema.fields.map(_.dataType)
+
+    val rows = spark.sparkContext
+      .binaryFiles(paths.mkString(","), math.min(paths.size, 10000))
+      .flatMap { case (file, pds) =>
+        val expected = new Schema.Parser().parse(headerSchemaJson)
+        val in = pds.open()
+        val ds = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        if (ds.getSchema != expected) {
+          ds.close()
+          throw new IllegalStateException(
+            s"$file: writer schema differs from ${"the directory's first file"} " +
+              s"— refusing a silently-heterogeneous Avro directory")
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => ds.close()))
+        ds.iterator.asScala.map { rec =>
+          val vals = new Array[Any](fieldTypes.length)
+          var i = 0
+          while (i < fieldTypes.length) {
+            vals(i) = fromAvroValue(rec.get(i), fieldTypes(i))
+            i += 1
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+}

@@ -688,6 +688,62 @@ object ScaleSweep {
         graft.functions.ShardExport.publishIncremental(
           spark, pubE2, pubDestIter.next(), "doc_id", "text").count()
       }
+
+      //     Delta DV import (q153): two delete waves (external .bin +
+      //     inline) attach masks, the import applies them as a per-file
+      //     anti-join on (_metadata.file_path, row_index) — input tracks
+      //     the data bytes linearly while the mask relation carries only
+      //     DELETED row ids, so shuffle must stay mask-scale
+      val dvDir = Files.createTempDirectory(s"graft_scale_dv_$scale").toString
+      graft.storage.VersionedTable.append(dvDir + "/t")(d =>
+        docs.select(col("doc_id"), col("lang"), col("text")).write.parquet(d))
+      graft.storage.DeltaInterop.exportSnapshot(spark, dvDir + "/t", dvDir + "/delta")
+      graft.storage.DeltaInterop.deleteWhere(
+        spark, dvDir + "/delta", 1L, col("doc_id") % 7 === 3)
+      graft.storage.DeltaInterop.deleteWhere(
+        spark, dvDir + "/delta", 2L, col("doc_id") % 11 === 5, inline = true)
+      measure("delta_dv_import", scale) {
+        runAll(graft.storage.DeltaInterop.importSnapshot(spark, dvDir + "/delta")
+          .select(sum(length(col("text"))).as("chars")))
+      }
+
+      //     DV purge (q155, REORG APPLY (PURGE)): rewrite every DV'd file
+      //     without its dead rows — one task per file, work O(DV'd bytes).
+      //     The purge consumes its table (re-running would be a no-op
+      //     0-file commit), so provision 1 warm-up + maxAttempts copies,
+      //     the publish_incremental pattern.
+      val dvpDests = Seq.fill(1 + maxAttempts) {
+        val d = Files.createTempDirectory(s"graft_scale_dvp_$scale").toString
+        graft.storage.DeltaInterop.exportSnapshot(spark, dvDir + "/t", d + "/delta")
+        graft.storage.DeltaInterop.deleteWhere(
+          spark, d + "/delta", 1L, col("doc_id") % 7 === 3)
+        d + "/delta"
+      }
+      val dvpIter = dvpDests.iterator
+      measure("delta_dv_purge", scale) {
+        graft.storage.DeltaInterop.purgeDeletionVectors(spark, dvpIter.next(), 2L).toLong
+      }
+
+      //     group-aware split (q154's assignment stage): md5-bucket on the
+      //     component id is MAP-SIDE only — shuffle carries just the
+      //     3-row split census while the label scan grows 10×
+      measure("group_split", scale) {
+        val labels = docs.select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(3L))).as("component_id"))
+        runAll(graft.functions.Sampling.groupSplit(labels, "component_id")
+          .groupBy(col("split")).agg(count(lit(1)).as("n")))
+      }
+
+      //     MMR diversified top-k (q156): fixed 6-query side, candidates
+      //     grow 10× — stage 1 is the broadcast brute-force scan (linear
+      //     input, per-task heaps), everything after runs on the
+      //     PARAMETER-BOUNDED m=24 shortlist, so shuffle must stay flat
+      val mmrQ = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 6)
+      measure("mmr_topk", scale) {
+        runAll(Similarity.mmrTopK(
+          mmrQ, "vec_id", emb, "vec_id", "embedding",
+          m = 24, k = 6, lambdaPermille = 700))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class AvroIOSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_avro_spec_").toString + "/ocf"
+
+  test("all supported types round-trip bit-exactly, including nulls") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("b", BooleanType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("bin", BinaryType, nullable = true),
+      StructField("dt", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("arr", ArrayType(FloatType, containsNull = true), nullable = true)))
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456")
+    val rows = Seq(
+      Row(1L, 7, true, 1.5f, 2.25, "héllo", Array[Byte](0, 1, -2),
+        java.sql.Date.valueOf("2026-02-28"), ts, Seq(1.0f, null, -3.5f)),
+      Row(2L, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp()
+    assert(AvroIO.writeAvro(df, dir) == 2)
+    val back = AvroIO.readAvro(spark, dir)
+    assert(back.schema == schema)
+    val got = back.orderBy("id").collect()
+    assert(got.length == 2)
+    val r0 = got(0)
+    assert(r0.getLong(0) == 1L && r0.getInt(1) == 7 && r0.getBoolean(2))
+    assert(r0.getFloat(3) == 1.5f && r0.getDouble(4) == 2.25)
+    assert(r0.getString(5) == "héllo")
+    assert(r0.getAs[Array[Byte]](6).toSeq == Seq[Byte](0, 1, -2))
+    assert(r0.getDate(7) == java.sql.Date.valueOf("2026-02-28"))
+    // timestamp-micros: the full microsecond survives
+    assert(r0.getTimestamp(8) == ts)
+    assert(r0.getSeq[Any](9) == Seq(1.0f, null, -3.5f))
+    val r1 = got(1)
+    (1 to 9).foreach(i => assert(r1.isNullAt(i), s"field $i should be null"))
+  }
+
+  test("empty partitions write no file; file count = non-empty partitions") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("id")
+      .repartition(6, col("id")) // 6 partitions, at most 3 non-empty
+    val dir = tmp()
+    val n = AvroIO.writeAvro(df, dir)
+    val files = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+    assert(files.count(_.endsWith(".avro")) == n && n <= 3 && n >= 1)
+    assert(!files.exists(_.endsWith(".tmp")), "no temp litter after commit")
+    assert(AvroIO.readAvro(spark, dir).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("out-of-scope Spark types refuse loudly, naming the field") {
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.writeAvro(df, tmp())
+    }
+    assert(e.getMessage.contains("'m'"))
+  }
+
+  test("illegal Avro field names refuse rather than silently rewrite") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("id").withColumnRenamed("id", "bad name")
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.writeAvro(df, tmp())
+    }
+    assert(e.getMessage.contains("bad name"))
+  }
+
+  test("heterogeneous directory (schema drift across files) refuses on read") {
+    import spark.implicits._
+    val dir = tmp()
+    AvroIO.writeAvro(Seq(1L).toDF("id").coalesce(1), dir)
+    // second file under a different schema, renamed in beside the first
+    val dir2 = tmp()
+    AvroIO.writeAvro(Seq("x").toDF("s").coalesce(1), dir2)
+    Files.move(
+      java.nio.file.Paths.get(dir2, "part-00000.avro"),
+      java.nio.file.Paths.get(dir, "part-00001.avro"))
+    val e = intercept[org.apache.spark.SparkException] {
+      AvroIO.readAvro(spark, dir).count()
+    }
+    assert(e.getMessage.contains("heterogeneous")
+      || Option(e.getCause).exists(_.getMessage.contains("heterogeneous")))
+  }
+
+  test("non-nullable union and exotic avro types refuse on schema import") {
+    val s = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"u","type":["int","string"]}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException] { AvroIO.toSparkSchema(s) }
+    assert(e.getMessage.contains("'u'"))
+    val s2 = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"e","type":{"type":"enum","name":"en","symbols":["A"]}}]}""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] { AvroIO.toSparkSchema(s2) }
+    assert(e2.getMessage.contains("'e'"))
+  }
+
+  test("deflate actually compresses: OCF bytes well under the raw payload") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, "the quick brown fox " * 10))
+      .toDF("id", "text").coalesce(1)
+    val dir = tmp()
+    AvroIO.writeAvro(df, dir)
+    val sz = Files.size(java.nio.file.Paths.get(dir, "part-00000.avro"))
+    assert(sz < 2000L * 50, s"deflate should crush repeated text, got $sz bytes")
+    assert(AvroIO.readAvro(spark, dir).count() == 2000)
+  }
+}
