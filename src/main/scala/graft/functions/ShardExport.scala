@@ -82,6 +82,62 @@ object ShardExport {
         expr(s"cum_before div CAST($budgetTokens AS BIGINT)"))
   }
 
+  /** Pretraining token-stream packing — the GPT-style concat-and-cut:
+    * documents are concatenated in deterministic md5 order and the
+    * stream is cut every `windowTokens` tokens, so a document can START
+    * mid-window and SPILL across window boundaries. This is the other
+    * half of the packing plane: [[shardAssign]]/[[shardAssignBy]] keep
+    * documents ATOMIC (shard budgets, overshoot ≤ 1 doc); here the
+    * WINDOW is atomic and documents split — the shape causal-LM
+    * pretraining actually trains on (every window exactly full except
+    * each stream's tail).
+    *
+    * Output: one row per (document, window) span — `bucket`,
+    * `window_id` (per-bucket, 0-based), the doc id, `span_start`
+    * (offset of the span INSIDE the window), `span_len`, and `doc_from`
+    * (offset of the span inside the DOCUMENT) — enough for a writer to
+    * materialize windows byte-for-byte or build attention-reset masks
+    * at document boundaries. Zero-token docs are dropped (they occupy
+    * no stream positions).
+    *
+    * Scale shape: real pipelines shard the token stream into B
+    * independent streams exactly like this (`bucket` =
+    * xxhash64(id) mod B) — ONE exchange on bucket, the running offset
+    * is a per-bucket window cumsum (one task per bucket; size B to
+    * taste), and the span explode adds only `windows crossed` extra
+    * rows (total rows = docs + windows, never tokens). Everything is
+    * integer arithmetic on token counts — no text moves.
+    */
+  def packTokenStream(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, windowTokens: Long): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val c = windowTokens
+    val base = df.select(col(idCol),
+        coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket",
+        pmod(xxhash64(col(idCol).cast("string")), lit(buckets.toLong)))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .withColumn("window_id", explode(sequence(
+        expr(s"start_off div CAST($c AS BIGINT)"),
+        expr(s"(end_off - 1) div CAST($c AS BIGINT)"))))
+      .withColumn("win_lo", col("window_id") * lit(c))
+      .select(col("bucket"), col("window_id"), col(idCol),
+        (greatest(col("start_off"), col("win_lo")) - col("win_lo"))
+          .as("span_start"),
+        (least(col("end_off"), col("win_lo") + lit(c))
+          - greatest(col("start_off"), col("win_lo"))).as("span_len"),
+        (greatest(col("start_off"), col("win_lo")) - col("start_off"))
+          .as("doc_from"))
+  }
+
   /** Per-shard manifest over a [[shardAssign]] output: doc count, token
     * sum, first doc, and an ORDER-INDEPENDENT content checksum —
     * `bit_xor(xxhash64(id:n_tokens))` — so two exports of the same data

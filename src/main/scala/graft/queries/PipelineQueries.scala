@@ -2219,6 +2219,19 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // TOKEN-STREAM packing (the GPT concat-and-cut) — documents
+    // concatenated per bucket in md5 order, the stream cut every 128
+    // tokens, one row per (doc, window) SPAN: docs start mid-window and
+    // spill across boundaries (windows atomic, docs split — the inverse
+    // of q118's doc-atomic shard packing). Full span relation hashed —
+    // a one-token offset error anywhere in any bucket's cumsum shifts
+    // every downstream span and breaks the oracle.
+    "q158_stream_pack" -> ((s, dir) => {
+      graft.functions.ShardExport.packTokenStream(
+        Tables.documents(s, dir), "doc_id", "text",
+        buckets = 8, windowTokens = 128L)
+    }),
+
     // LEAKAGE-SAFE train/valid/test split — the q43 deterministic split
     // re-keyed on the q76 near-dup COMPONENT id instead of the document:
     // a per-doc split puts a train doc's 99%-identical twin in the test
@@ -5557,6 +5570,45 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // token-stream packing: bucket + md5-order cumsum (the q118 chain's
+    // head) then windows via unnest(range(...)), span arithmetic pure
+    // BIGINT — every (doc, window) span compared
+    "q158_stream_pack" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), dfl AS (
+         |  SELECT doc_id, n_tokens FROM d0 WHERE n_tokens > 0
+         |), ${DuckDbXxHash64.xxh64Cte("dfl", "CAST(doc_id AS VARCHAR)",
+           Seq("doc_id", "n_tokens"), "spk")},
+         |sp1 AS (
+         |  SELECT doc_id, n_tokens, ((xxh % 8) + 8) % 8 AS bucket,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM spk9
+         |), sp2 AS (
+         |  SELECT doc_id, n_tokens, bucket,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM sp1
+         |), sp3 AS (
+         |  SELECT doc_id, bucket, start_off, start_off + n_tokens AS end_off,
+         |    unnest(range(start_off // 128, (start_off + n_tokens - 1) // 128 + 1))
+         |      AS window_id
+         |  FROM sp2
+         |)
+         |SELECT bucket, window_id, doc_id,
+         |  CAST(greatest(start_off, window_id * 128) - window_id * 128 AS BIGINT)
+         |    AS span_start,
+         |  CAST(least(end_off, (window_id + 1) * 128)
+         |    - greatest(start_off, window_id * 128) AS BIGINT) AS span_len,
+         |  CAST(greatest(start_off, window_id * 128) - start_off AS BIGINT)
+         |    AS doc_from
+         |FROM sp3""".stripMargin,
 
     // leakage-safe split: q76's component closure + the q43 md5-nibble
     // bucket arithmetic applied to the COMPONENT id's decimal string —

@@ -744,6 +744,25 @@ object ScaleSweep {
           mmrQ, "vec_id", emb, "vec_id", "embedding",
           m = 24, k = 6, lambdaPermille = 700))
       }
+
+      //     Avro OCF read (q157): streaming DataFileStream decode, one
+      //     task per file — wall and bytes must track the OCF payload
+      //     linearly (write is setup: one file per input partition)
+      val avroDir = Files.createTempDirectory(s"graft_scale_avro_$scale").toString + "/ocf"
+      graft.sources.AvroIO.writeAvro(
+        docs.select(col("doc_id"), col("lang"), col("text")).repartition(8), avroDir)
+      measure("avro_read", scale) {
+        runAll(graft.sources.AvroIO.readAvro(spark, avroDir)
+          .select(sum(length(col("text"))).as("chars")))
+      }
+
+      //     token-stream packing (q158): ONE exchange on bucket carrying
+      //     only (id, count) — shuffle must stay id-scale (never text),
+      //     rows = docs + windows, wall linear
+      measure("stream_pack", scale) {
+        runAll(graft.functions.ShardExport.packTokenStream(
+          docs, "doc_id", "text", buckets = 8, windowTokens = 128L))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +

@@ -58,6 +58,57 @@ class ShardExportSpec extends SparkSpec {
     assert(zeroTok == Seq(0L, 0L) || zeroTok == Seq(0L, 0L).reverse)
   }
 
+  test("packTokenStream: spans tile every window exactly; doc reassembly is gapless") {
+    val df = docs(300, i => (i % 37 + 1).toInt) // doc lengths 1..37, C=16 forces spills
+    val spans = ShardExport.packTokenStream(df, "doc_id", "text",
+      buckets = 4, windowTokens = 16L).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("window_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"), r.getAs[Long]("doc_from")))
+
+    // 1. within a (bucket, window): spans tile [0, C) contiguously with no
+    //    overlap; every window except each bucket's LAST is exactly full
+    val byWin = spans.groupBy(s => (s._1, s._2))
+    val lastWin = spans.groupBy(_._1).map { case (b, ss) => b -> ss.map(_._2).max }
+    byWin.foreach { case ((b, w), ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"window ($b,$w) does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._4 + x._5 == y._4,
+          s"gap/overlap in window ($b,$w)")
+        case _ =>
+      }
+      val total = sorted.map(_._5).sum
+      if (w < lastWin(b)) assert(total == 16L, s"window ($b,$w) not full: $total")
+      else assert(total <= 16L)
+    }
+
+    // 2. per doc: spans reassemble the document gaplessly in window order
+    val expectedTok = df.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.groupBy(_._3).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._6)
+      assert(sorted.head._6 == 0L, s"doc $id does not start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._6 + x._5 == y._6, s"doc $id span gap")
+        case _ =>
+      }
+      assert(sorted.map(_._5).sum == expectedTok(id), s"doc $id token total")
+      // consecutive doc spans sit in consecutive windows of one bucket
+      assert(ss.map(_._1).distinct.length == 1)
+      assert(sorted.map(_._2) sameElements
+        (sorted.head._2 until sorted.head._2 + sorted.length))
+    }
+
+    // 3. stream totals: sum of spans == sum of tokens; zero-token docs drop
+    assert(spans.map(_._5).sum == expectedTok.values.sum)
+    val withEmpty = df.withColumn("text",
+      when(col("doc_id") % 5 === 0, lit("")).otherwise(col("text")))
+    val spans2 = ShardExport.packTokenStream(withEmpty, "doc_id", "text", 4, 16L)
+    assert(spans2.filter(col("doc_id") % 5 === 0).count() == 0L)
+  }
+
   test("shardManifest: checksum is order-independent and shard-local") {
     val df = docs(120, i => (i % 5 + 1).toInt)
     val assigned = ShardExport.shardAssign(df, "doc_id", "text", 4, 40L)
