@@ -43,15 +43,22 @@ object Retrieval {
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
     val stats = termStats(docs, idCol, textCol)
       .filter(col("term").isin(queryTerms.map(_.toLowerCase): _*))
     val corpus = docs.agg(
       count(lit(1)).as("n_docs"),
       avg(TextFunctions.tokenCount(lower(col(textCol)))).as("avgdl")).head
-    val nDocs = corpus.getLong(0)
-    val avgdl = corpus.getDouble(1)
-    // Robertson-Sparck Jones idf with the +1 smoothing (Lucene's form)
+    scoreBm25(stats, corpus.getLong(0), corpus.getDouble(1), k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by the inline and the indexed paths —
+    * ONE spelling, so the indexed read provably computes the identical
+    * IEEE-double expression tree (same association order) as the inline
+    * scan. Robertson-Sparck Jones idf with the +1 smoothing (Lucene's
+    * form); deterministic tie-break (rounded score desc, id asc).
+    */
+  private def scoreBm25(stats: DataFrame, nDocs: Long, avgdl: Double,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
@@ -63,6 +70,58 @@ object Retrieval {
       .select(col("doc_id"), TextFunctions.round4(col("s")).as("score"), col("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Land the inverted index PHYSICALLY, partitioned by term bucket —
+    * the retrieval plane's persisted-index leg (the `ivfPqIndexWrite`
+    * pattern): `postings/tb=<xxhash64(term) mod B>/` parquet holding the
+    * complete (term, doc_id, doc_len, tf, df) sufficient statistics, plus
+    * a one-row `corpus` table (doc count, token totals, B). Query time
+    * then reads ONLY the query terms' bucket directories — static
+    * partition pruning, never a corpus scan, exactly how a 100 TB corpus
+    * serves lexical queries (df is baked per posting at build time, so no
+    * query-time window over the term partition either).
+    */
+  def bm25IndexWrite(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, termBuckets: Int = 64): Unit = {
+    require(termBuckets > 0, s"termBuckets must be positive, got $termBuckets")
+    termStats(docs, idCol, textCol)
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(dir + "/postings")
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(lower(col(textCol))).cast("long"))
+          .as("total_tokens"),
+        count(TextFunctions.tokenCount(lower(col(textCol)))).as("tok_docs"))
+      .withColumn("term_buckets", lit(termBuckets))
+      .write.mode("overwrite").parquet(dir + "/corpus")
+  }
+
+  /** BM25 top-k off a landed [[bm25IndexWrite]] index: the term filter
+    * plus the derived bucket filter reach the scan as a PARTITION filter
+    * (only the query terms' `tb=` directories are read) and a pushed
+    * predicate; scoring is the same [[scoreBm25]] expression tree as the
+    * inline path, so indexed and inline results are bit-identical.
+    */
+  def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val corpus = spark.read.parquet(dir + "/corpus").head
+    val nDocs = corpus.getAs[Long]("n_docs")
+    val avgdl = corpus.getAs[Long]("total_tokens").toDouble /
+      corpus.getAs[Long]("tok_docs").toDouble
+    val tb = corpus.getAs[Int]("term_buckets").toLong
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // the terms' buckets, via the engine's own xxhash64 (one tiny job —
+    // guaranteed bit-identical to the build-side bucketing)
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(tb)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val stats = spark.read.parquet(dir + "/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    scoreBm25(stats, nDocs, avgdl, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the

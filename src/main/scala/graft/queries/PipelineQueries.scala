@@ -2219,6 +2219,20 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // PERSISTED BM25 inverted index — q80's ranking served from a
+    // physically landed term-bucket-partitioned posting table instead of
+    // an inline corpus scan (the ivfPqIndexWrite pattern on the lexical
+    // plane): the query's terms hash to bucket directories, the read is
+    // statically partition-pruned to them, df/doc_len are baked per
+    // posting at build time. Same oracle as q80 — the index must be
+    // invisible (the q67/q77 same-answer-two-mechanisms precedent).
+    "q159_bm25_indexed" -> ((s, dir) => {
+      val idx = scratchDir("bm25_idx").toString + "/idx"
+      Retrieval.bm25IndexWrite(Tables.documents(s, dir), "doc_id", "text",
+        idx, termBuckets = 64)
+      Retrieval.bm25IndexTopK(s, idx, Seq("hash", "join", "scan"), k = 10)
+    }),
+
     // TOKEN-STREAM packing (the GPT concat-and-cut) — documents
     // concatenated per bucket in md5 order, the stream cut every 128
     // tokens, one row per (doc, window) SPAN: docs start mid-window and
@@ -5570,6 +5584,38 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // indexed BM25: q80's oracle verbatim — the landed index must serve
+    // the identical ranking (same-answer-two-mechanisms precedent)
+    "q159_bm25_indexed" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), post AS (
+        |  SELECT term, doc_id, CAST(len(t) AS BIGINT) AS doc_len, count(*) AS tf
+        |  FROM (SELECT doc_id, t, unnest(t) AS term FROM tok)
+        |  GROUP BY term, doc_id, len(t)
+        |), stats AS (
+        |  SELECT term, doc_id, doc_len, tf, count(*) OVER (PARTITION BY term) AS df
+        |  FROM post
+        |  WHERE term IN ('hash', 'join', 'scan')
+        |), corpus AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS DOUBLE) / count(t) AS avgdl
+        |  FROM tok
+        |), scored AS (
+        |  SELECT doc_id,
+        |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))) AS s,
+        |    count(*) AS n_terms_hit
+        |  FROM stats, corpus
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, floor(s * 10000.0 + 0.5) / 10000.0 AS score, n_terms_hit
+        |FROM scored
+        |ORDER BY floor(s * 10000.0 + 0.5) / 10000.0 DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
 
     // token-stream packing: bucket + md5-order cumsum (the q118 chain's
     // head) then windows via unnest(range(...)), span arithmetic pure

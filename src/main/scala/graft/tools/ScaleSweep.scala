@@ -756,6 +756,17 @@ object ScaleSweep {
           .select(sum(length(col("text"))).as("chars")))
       }
 
+      //     indexed BM25 (q159): the landed term-bucket index serves the
+      //     query by reading ONLY the query terms' bucket directories —
+      //     input bytes must track the query terms' postings (sub-linear
+      //     in corpus; the corpus's 3 terms here hash to <=3 of 64
+      //     buckets), vs bm25_top10's full inline scan above
+      val bmIdxDir = Files.createTempDirectory(s"graft_scale_bmidx_$scale").toString + "/i"
+      Retrieval.bm25IndexWrite(docs, "doc_id", "text", bmIdxDir, termBuckets = 64)
+      measure("bm25_indexed", scale) {
+        runAll(Retrieval.bm25IndexTopK(spark, bmIdxDir, terms, k = 10))
+      }
+
       //     token-stream packing (q158): ONE exchange on bucket carrying
       //     only (id, count) — shuffle must stay id-scale (never text),
       //     rows = docs + windows, wall linear

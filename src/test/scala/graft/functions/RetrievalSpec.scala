@@ -43,6 +43,26 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expected, s"$got != $expected")
   }
 
+  test("bm25IndexTopK: bit-identical to the inline path; scan is bucket-pruned") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx_").toString + "/i"
+    Retrieval.bm25IndexWrite(docs, "doc_id", "text", idx, termBuckets = 32)
+    for (terms <- Seq(Seq("hash", "join", "scan"), Seq("the", "nosuchtermever"),
+        Seq("HASH"))) { // case folding too
+      val inline = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val indexed = Retrieval.bm25IndexTopK(spark, idx, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(indexed == inline, s"indexed != inline for $terms")
+    }
+    // the posting read must carry a PARTITION filter on tb — only the
+    // query terms' bucket directories are touched, never the index scan
+    val plan = Retrieval.bm25IndexTopK(spark, idx, Seq("hash"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tb#"),
+      s"indexed BM25 lost bucket pruning:\n$plan")
+  }
+
   test("rrfFuse: hand-computed fusion, commutative, single-list items kept") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
     val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
