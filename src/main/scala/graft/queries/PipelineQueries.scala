@@ -2219,6 +2219,53 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // DELTA SCHEMA EVOLUTION on import — metaData is last-wins in the
+    // log replay, so a column added mid-log must read back with the
+    // FINAL schema: files committed before the evolution lack the column
+    // physically and null-fill on scan; files after carry it. The census
+    // splits counts by presence so a reader that dropped either cohort's
+    // column (or resurrected the old schema) breaks the hash.
+    "q160_delta_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = scratchDir("delta_evo").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def onePart(df: DataFrame, name: String): Unit = {
+        val t = java.nio.file.Files.createTempDirectory("graft_q160_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+        val s0 = java.nio.file.Files.list(t)
+        val part = try {
+          import scala.jdk.CollectionConverters._
+          s0.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"expected one part file, got ${other.size}")
+          }
+        } finally s0.close()
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(out, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      val v0 = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      val v1 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      onePart(v0, "a.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 0L, adds = Seq("a.parquet"),
+        schemaJson = Some(v0.schema.json))
+      onePart(v1, "b.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 1L, adds = Seq("b.parquet"),
+        schemaJson = Some(v1.schema.json)) // ALTER TABLE ADD COLUMN
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', " +
+            "coalesce(cast(n_chars as string), 'null'))))").as("checksum"))
+    }),
+
     // PERSISTED BM25 inverted index — q80's ranking served from a
     // physically landed term-bucket-partitioned posting table instead of
     // an inline corpus scan (the ivfPqIndexWrite pattern on the lexical
@@ -5584,6 +5631,27 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // Delta schema evolution: pre-evolution rows (even doc_id) read the
+    // added column as NULL, post-evolution rows carry it
+    "q160_delta_schema_evolution" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 2 = 0 THEN NULL
+         |         ELSE CAST(n_chars AS BIGINT) END AS n_chars
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(doc_id AS VARCHAR) || ':' ||
+         |      coalesce(CAST(n_chars AS VARCHAR), 'null') AS rowkey
+         |  FROM v
+         |), ${DuckDbXxHash64.xxh64Cte("k", "rowkey",
+           Seq("lang", "n_chars"), "ev")}
+         |SELECT lang, count(*) AS n_docs,
+         |  count(n_chars) AS n_evolved,
+         |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM ev9 GROUP BY lang""".stripMargin,
 
     // indexed BM25: q80's oracle verbatim — the landed index must serve
     // the identical ranking (same-answer-two-mechanisms precedent)

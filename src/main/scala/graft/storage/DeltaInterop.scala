@@ -247,9 +247,15 @@ object DeltaInterop {
         val cols = cp.schema.fieldNames.toSet
         require(cols.contains("add") && cols.contains("metaData"),
           s"checkpoint at version $v lacks add/metaData columns: ${cols.mkString(",")}")
+        val mdFields = cp.schema("metaData").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val cmCol =
+          if (mdFields.contains("configuration"))
+            element_at(col("metaData.configuration"), "delta.columnMapping.mode")
+          else lit(null).cast("string")
         val md = cp.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-            col("metaData.format.provider"))
+            col("metaData.format.provider"), cmCol)
           .collect()
         require(md.length == 1,
           s"checkpoint at version $v carries ${md.length} metaData rows, want exactly 1")
@@ -257,6 +263,12 @@ object DeltaInterop {
         st.partCols = Option(md(0).getSeq[String](1)).getOrElse(Nil)
         require(md(0).getString(2) == "parquet",
           s"unsupported format provider: ${md(0).getString(2)}")
+        // same column-mapping refusal as the JSON replay path (a by-name
+        // read of a mapped table silently serves NULLs)
+        val cmMode = Option(md(0).getString(3))
+        require(!cmMode.exists(m => m == "name" || m == "id"),
+          s"table uses delta.columnMapping.mode=${cmMode.get}: physical parquet " +
+            "column names differ from the logical schema — out of this bridge's scope")
         if (cols.contains("protocol")) {
           val protoSchema = cp.schema("protocol").dataType
             .asInstanceOf[StructType].fieldNames.toSet
@@ -431,6 +443,18 @@ object DeltaInterop {
           .flatMap(_.elements().asScala).map(_.asText())
         val provider = md.get("format").get("provider").asText()
         require(provider == "parquet", s"unsupported format provider: $provider")
+        // column mapping renames the PHYSICAL parquet columns away from the
+        // logical schema names (delta.columnMapping.mode = name|id); this
+        // bridge reads by name, so importing such a table would silently
+        // serve NULLs for every mapped column — refuse loudly instead
+        Option(md.get("configuration")).filterNot(_.isNull).foreach { conf =>
+          val cm = Option(conf.get("delta.columnMapping.mode"))
+            .filterNot(_.isNull).map(_.asText())
+          require(!cm.exists(m => m == "name" || m == "id"),
+            s"table uses delta.columnMapping.mode=${cm.get}: physical parquet " +
+              "column names differ from the logical schema, and a by-name read " +
+              "would silently serve NULLs — out of this bridge's scope")
+        }
       }
       Option(node.get("add")).foreach { add =>
         val pv = Option(add.get("partitionValues")).map { o =>

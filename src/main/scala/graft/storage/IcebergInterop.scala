@@ -530,6 +530,24 @@ object IcebergInterop {
           .getOrElse(throw new IllegalArgumentException(
             s"current-schema-id $cur not in the schemas list"))
       } else meta.get("schema")
+    // Iceberg resolves columns by FIELD ID, this bridge reads parquet by
+    // NAME — a column RENAME anywhere in the schema history means data
+    // files written under the old name would silently read as NULL under
+    // the new one (the wrong-looking-right class). Detect: any field id
+    // bound to two different names across the metadata's schema history
+    // refuses loudly. Add-only evolution (fresh ids) stays importable.
+    if (meta.has("schemas")) {
+      val bound = scala.collection.mutable.Map.empty[Int, String]
+      for (sn <- meta.get("schemas").elements().asScala;
+           f <- sn.get("fields").elements().asScala) {
+        val id = f.get("id").asInt(); val nm = f.get("name").asText()
+        bound.get(id).foreach(prev => require(prev == nm,
+          s"field id $id was renamed '$prev' -> '$nm' in the schema history: " +
+            "Iceberg resolves by field id, this bridge reads parquet by name, " +
+            "so pre-rename files would silently serve NULLs — refusing"))
+        bound(id) = nm
+      }
+    }
     val schema = sparkSchemaFrom(schemaNode)
     partNames.foreach(n => require(schema.fieldNames.contains(n),
       s"partition field '$n' names no schema column"))

@@ -163,6 +163,56 @@ class DeltaInteropSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b")), "removed file must not be served")
   }
 
+  test("schema evolution mid-log: pre-evolution files null-fill the added column") {
+    val out = tmp("delta_evo_")
+    val f1 = Paths.get(out, "a.parquet"); val f2 = Paths.get(out, "b.parquet")
+    def onePart(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Unit = {
+      val t = tmp("delta_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = Files.list(Paths.get(t)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.copy(part, dst)
+    }
+    val dfOld = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dfNew = Seq((3L, "c", 30L)).toDF("id", "v", "extra")
+    onePart(dfOld, f1)
+    DeltaInterop.writeCommit(out, 0L, adds = Seq("a.parquet"),
+      schemaJson = Some(dfOld.schema.json))
+    onePart(dfNew, f2)
+    DeltaInterop.writeCommit(out, 1L, adds = Seq("b.parquet"),
+      schemaJson = Some(dfNew.schema.json)) // ALTER TABLE ADD COLUMN
+    val got = DeltaInterop.importSnapshot(spark, out)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "extra"),
+      "last-wins metaData must win the read schema")
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+  }
+
+  test("column-mapped tables refuse on import (by-name read would serve NULLs)") {
+    // JSON replay path: metaData.configuration carries the mapping mode
+    val out = tmp("delta_cm_")
+    val f1 = Paths.get(out, "a.parquet")
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.mode("overwrite")
+      .parquet(out + "_w")
+    val part = Files.list(Paths.get(out + "_w")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    Files.copy(part, f1)
+    val logDir = Paths.get(out, "_delta_log"); Files.createDirectories(logDir)
+    val schemaJson = Seq((1L, "a")).toDF("id", "v").schema.json
+      .replace("\"", "\\\"")
+    Files.write(logDir.resolve("00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}
+          |{"add":{"path":"a.parquet","partitionValues":{},"size":${Files.size(f1)},"modificationTime":0,"dataChange":true}}
+          |""".stripMargin).getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.importSnapshot(spark, out).collect()
+    }
+    assert(e.getMessage.contains("columnMapping"), e.getMessage)
+  }
+
   test("importSnapshot restores typed partition columns from add.partitionValues") {
     val out = tmp("delta_pv_")
     def onePart(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Unit = {

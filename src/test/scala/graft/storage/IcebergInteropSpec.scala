@@ -174,6 +174,49 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("transform 'bucket[4]'"))
   }
 
+  test("a column rename in the schema history refuses (by-name read would serve NULLs)") {
+    val table = tmp("ice_ren_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_ren_out_")
+    IcebergInterop.exportSnapshot(spark, table, out)
+    val metaFile = Paths.get(out, "metadata", "v1.metadata.json")
+    val meta = mapper.readTree(Files.readAllBytes(metaFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    // rewrite as v2-style schema history: schema-id 0 = the original,
+    // schema-id 1 renames field id 2 from "v" to "w"
+    val s0 = meta.get("schema").deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val s1 = s0.deepCopy()
+    s1.put("schema-id", 1)
+    val renamed = s1.withArray("fields").elements()
+    while (renamed.hasNext) {
+      val f = renamed.next().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (f.get("id").asInt() == 2) f.put("name", "w")
+    }
+    meta.putArray("schemas").add(s0).add(s1)
+    meta.put("current-schema-id", 1)
+    Files.write(metaFile, mapper.writeValueAsBytes(meta))
+    val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out))
+    assert(e.getMessage.contains("renamed"), e.getMessage)
+    // add-only evolution (a THIRD schema appending a fresh field id) is fine
+    val meta2 = mapper.readTree(Files.readAllBytes(metaFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val arr = meta2.withArray("schemas")
+    arr.removeAll()
+    val s2 = s0.deepCopy(); s2.put("schema-id", 2)
+    val nf = s2.withArray("fields").addObject()
+    nf.put("id", 99); nf.put("name", "extra"); nf.put("required", false)
+    nf.put("type", "long")
+    arr.add(s0).add(s2)
+    meta2.put("current-schema-id", 2)
+    Files.write(metaFile, mapper.writeValueAsBytes(meta2))
+    val got = IcebergInterop.importSnapshot(spark, out)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    val r = got.collect().head
+    assert(r.getLong(0) == 1L && r.getString(1) == "a" && r.isNullAt(2))
+  }
+
   test("appendSnapshot: carried/removed/added files; asOfSnapshotId time-travels") {
     val table = tmp("ice_snap_") + "/t"
     VersionedTable.append(table)(dir =>
