@@ -147,4 +147,40 @@ object BpeTokenizer {
     */
   def encodeTokens(tokens: Column, merges: Seq[(String, String)]): Column =
     graft.expressions.BpeExpressions.bpeEncode(tokens, merges)
+
+  /** Tokenizer fertility evaluation — THE multilingual tokenizer-quality
+    * census (pieces-per-word by language; e.g. Rust et al. 2021, "How Good
+    * is Your Tokenizer?"): a vocabulary trained on a skewed mix
+    * over-segments the under-represented languages, and fertility is how
+    * that shows up. Per `groupCol` value: doc count, word / BPE-piece /
+    * token-char totals, `fertility` = pieces per word, `chars_per_piece` =
+    * mean piece length (the compression view of the same fact).
+    *
+    * Scale shape: encode is the map-side memoized [[encodeTokens]]
+    * expression, totals are ONE map-side-combined aggregation to
+    * |groups| rows — no shuffle beyond the group census, text never
+    * moves. Ratios on the aggregated integer totals (round4), so the
+    * result is partitioning-independent.
+    */
+  def fertilityByGroup(df: DataFrame, groupCol: String, textCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = TextFunctions.tokens(lower(textCol))
+    df.select(col(groupCol), toks.as("__t"))
+      .select(col(groupCol),
+        size(col("__t")).cast("long").as("__w"),
+        size(encodeTokens(col("__t"), merges)).cast("long").as("__p"),
+        aggregate(col("__t"), lit(0L), (a, x) => a + length(x)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("words"),
+        sum(col("__p")).as("pieces"),
+        sum(col("__c")).as("chars"))
+      .select(col(groupCol), col("n_docs"), col("words"), col("pieces"),
+        col("chars"),
+        TextFunctions.round4(col("pieces").cast("double") /
+          greatest(col("words"), lit(1L))).as("fertility"),
+        TextFunctions.round4(col("chars").cast("double") /
+          greatest(col("pieces"), lit(1L))).as("chars_per_piece"))
+  }
 }

@@ -2219,6 +2219,17 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // TOKENIZER FERTILITY census — pieces-per-word by language for the
+    // trained q70 BPE vocabulary (the multilingual tokenizer-eval
+    // metric: a skewed training mix over-segments under-represented
+    // languages and fertility is where it shows). Integer word/piece/
+    // char totals per language + round4 ratios on the aggregates.
+    "q161_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.functions.BpeTokenizer.train(docs, col("text"), numMerges = 40)
+      graft.functions.BpeTokenizer.fertilityByGroup(docs, "lang", col("text"), merges)
+    }),
+
     // DELTA SCHEMA EVOLUTION on import — metaData is last-wins in the
     // log replay, so a column added mid-log must read back with the
     // FINAL schema: files committed before the evolution lack the column
@@ -5631,6 +5642,32 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // tokenizer fertility: the q70 BPE train+encode CTEs (tok/per_doc),
+    // per-language integer totals, round4 ratios on the aggregates
+    "q161_tokenizer_fertility" ->
+      s"""${bpeCtes(40, 2L)}
+         |, ch AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT)
+         |      AS n_chars_tok
+         |  FROM tok
+         |), cen AS (
+         |  SELECT d.lang, c.n_words, c.n_chars_tok,
+         |    CAST(coalesce(p.s, 0) AS BIGINT) AS n_pieces
+         |  FROM documents d
+         |  JOIN ch c ON d.doc_id = c.doc_id
+         |  LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS pieces,
+         |  CAST(sum(n_chars_tok) AS BIGINT) AS chars,
+         |  floor(CAST(sum(n_pieces) AS DOUBLE)
+         |    / greatest(sum(n_words), 1) * 10000.0 + 0.5) / 10000.0 AS fertility,
+         |  floor(CAST(sum(n_chars_tok) AS DOUBLE)
+         |    / greatest(sum(n_pieces), 1) * 10000.0 + 0.5) / 10000.0 AS chars_per_piece
+         |FROM cen GROUP BY lang""".stripMargin,
 
     // Delta schema evolution: pre-evolution rows (even doc_id) read the
     // added column as NULL, post-evolution rows carry it

@@ -95,4 +95,34 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(totalBpe < totalChars * 3 / 4,
       s"no compression: $totalBpe subwords vs $totalChars character symbols")
   }
+
+  test("fertilityByGroup: census matches a driver-side reference fold") {
+    val docs = Seq(
+      ("en", "the cat sat on the mat"),
+      ("en", "the dog"),
+      ("de", "katze und hund und katze"),
+      ("de", ""),
+      ("zh", "one")).toDF("lang", "text")
+    val merges = BpeTokenizer.train(docs, col("text"), numMerges = 5)
+    val ranks = merges.zipWithIndex.toMap
+    val got = BpeTokenizer.fertilityByGroup(docs, "lang", col("text"), merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    def r4(d: Double) = math.floor(d * 10000.0 + 0.5) / 10000.0
+    val ref = docs.collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (lang, rows) =>
+        val words = rows.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+        val pieces = words.map(w => BpeTokenizer.encodeWord(w, ranks).length.toLong).sum
+        val chars = words.map(_.length.toLong).sum
+        lang -> (rows.length.toLong, words.length.toLong, pieces, chars,
+          r4(pieces.toDouble / math.max(words.length, 1)),
+          r4(chars.toDouble / math.max(pieces, 1L)))
+      }
+    assert(got == ref, s"got=$got\nref=$ref")
+    // a zero-token doc still counts in n_docs but adds nothing else
+    assert(got("de")._1 == 2L)
+    // fertility >= 1 wherever any word exists (a word is >= 1 piece)
+    got.values.filter(_._2 > 0).foreach(v => assert(v._5 >= 1.0))
+  }
 }
