@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Categorical feature encodings for training sets — the feature-store
+  * side of the feature plane (the reference's generate_dataset consumers
+  * feed exactly these into tabular models).
+  *
+  * The flagship is LEAKAGE-SAFE target encoding: the classic tabular
+  * feature (replace a category with the target mean over that category)
+  * leaks the row's own label into its feature unless each row's encoding
+  * is computed OUT-OF-FOLD — from every fold except the row's own (the
+  * standard CV-style construction). Same leakage discipline as the
+  * purged temporal split (q93) and the group-aware split (q154), applied
+  * to feature values instead of split assignment.
+  */
+object FeatureEncoding {
+
+  /** Out-of-fold smoothed target encoding. Rows are folded by
+    * `pmod(xxhash64(id), nFolds)` (deterministic, engine-portable); the
+    * target must already be an INTEGER column expression (quantize
+    * doubles first — the integer-contract rule), and the encoding for
+    * (category, fold) is
+    *
+    *   enc = (sum_other_folds + alpha * prior) div (cnt_other_folds + alpha)
+    *
+    * where `prior = global_sum div global_count` — additive smoothing
+    * toward the global mean, so a category seen ONLY inside the row's own
+    * fold falls back to the prior instead of dividing by zero. All
+    * arithmetic is BIGINT (`div` truncation, matched by DuckDB `//`), so
+    * the encoding table is bit-reproducible under any partitioning.
+    *
+    * Returns one row per (category, fold): `n_rows`/`fold_sum` (the
+    * fold's own mass), `oof_cnt`/`oof_sum` (the complement used for the
+    * encoding) and `enc` — the encoding TABLE, |categories|·nFolds rows.
+    * Encoding the training set is then a broadcast join of this table
+    * back onto (category, fold) — the table is model-scale by
+    * construction, so the join never shuffles the data side.
+    *
+    * Scale shape: ONE map-side-combined groupBy(cat, fold); the per-cat
+    * and global totals re-aggregate the (cat, fold) partials (model
+    * scale); no second pass over the data.
+    */
+  def targetEncodeOof(df: DataFrame, idCol: String, catCol: String,
+      targetInt: Column, nFolds: Int, alpha: Long): DataFrame = {
+    require(nFolds >= 2, s"need >= 2 folds, got $nFolds")
+    require(alpha >= 1, s"alpha must be >= 1 (it is the zero-count rescue), got $alpha")
+    val perFold = df.select(
+        col(catCol).as("category"),
+        pmod(xxhash64(col(idCol).cast("string")), lit(nFolds.toLong)).as("fold"),
+        targetInt.cast("long").as("__t"))
+      .groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__t")).as("fold_sum"))
+    val perCat = perFold.groupBy(col("category"))
+      .agg(sum(col("n_rows")).as("gcnt"), sum(col("fold_sum")).as("gsum"))
+    val g = perCat.agg(sum(col("gcnt")), sum(col("gsum"))).head
+    val prior = g.getLong(1) / g.getLong(0) // truncating, like div / DuckDB //
+    perFold.join(perCat, Seq("category"))
+      .select(col("category"), col("fold"), col("n_rows"), col("fold_sum"),
+        (col("gcnt") - col("n_rows")).as("oof_cnt"),
+        (col("gsum") - col("fold_sum")).as("oof_sum"))
+      .withColumn("enc",
+        expr(s"(oof_sum + ${alpha}L * ${prior}L) div (oof_cnt + ${alpha}L)"))
+  }
+}

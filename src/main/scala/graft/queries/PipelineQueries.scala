@@ -2219,6 +2219,18 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // LEAKAGE-SAFE target encoding — the classic tabular feature
+    // (category → target mean) computed OUT-OF-FOLD so no row's own
+    // label leaks into its feature, with additive smoothing toward the
+    // global prior; micro-quantized target, pure BIGINT arithmetic, the
+    // full (category, fold) encoding table hashed.
+    "q162_target_encoding" -> ((s, dir) => {
+      graft.functions.FeatureEncoding.targetEncodeOof(
+        Tables.events(s, dir), "event_id", "event_type",
+        floor(col("value") * 1e6 + 0.5).cast("long"),
+        nFolds = 5, alpha = 20L)
+    }),
+
     // TOKENIZER FERTILITY census — pieces-per-word by language for the
     // trained q70 BPE vocabulary (the multilingual tokenizer-eval
     // metric: a skewed training mix over-segments under-represented
@@ -5642,6 +5654,37 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // out-of-fold target encoding: xxh64 folds, integer census, prior =
+    // truncating global mean, enc = smoothed truncating division
+    "q162_target_encoding" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS t6
+         |  FROM events
+         |), ${DuckDbXxHash64.xxh64Cte("e", "CAST(event_id AS VARCHAR)",
+           Seq("event_type", "t6"), "te")},
+         |f AS (
+         |  SELECT event_type AS category, ((xxh % 5) + 5) % 5 AS fold, t6
+         |  FROM te9
+         |), pf AS (
+         |  SELECT category, fold, count(*) AS n_rows,
+         |    CAST(sum(t6) AS BIGINT) AS fold_sum
+         |  FROM f GROUP BY 1, 2
+         |), pc AS (
+         |  SELECT category, CAST(sum(n_rows) AS BIGINT) AS gcnt,
+         |    CAST(sum(fold_sum) AS BIGINT) AS gsum
+         |  FROM pf GROUP BY 1
+         |), gl AS (
+         |  SELECT CAST(sum(gsum) AS BIGINT) // CAST(sum(gcnt) AS BIGINT) AS prior
+         |  FROM pc
+         |)
+         |SELECT pf.category, pf.fold, pf.n_rows, pf.fold_sum,
+         |  pc.gcnt - pf.n_rows AS oof_cnt,
+         |  pc.gsum - pf.fold_sum AS oof_sum,
+         |  (pc.gsum - pf.fold_sum + 20 * gl.prior) // (pc.gcnt - pf.n_rows + 20)
+         |    AS enc
+         |FROM pf JOIN pc USING (category), gl""".stripMargin,
 
     // tokenizer fertility: the q70 BPE train+encode CTEs (tok/per_doc),
     // per-language integer totals, round4 ratios on the aggregates

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FeatureEncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("out-of-fold encoding matches a driver-side reference; own fold excluded") {
+    val df = (0L until 500L).map(i => (i, s"c${i % 7}", (i * 13 % 101))).toDF("id", "cat", "t")
+    val alpha = 10L
+    val got = FeatureEncoding.targetEncodeOof(df, "id", "cat", col("t"),
+      nFolds = 4, alpha = alpha)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
+    // reference fold: same xxhash64 folds read back from the engine
+    val folds = df.select(col("id"), col("cat"), col("t"),
+        pmod(xxhash64(col("id").cast("string")), lit(4L)).as("fold"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gsum = folds.map(_._3).sum; val gcnt = folds.length.toLong
+    val prior = gsum / gcnt
+    folds.groupBy(r => (r._2, r._4)).foreach { case ((cat, fold), rows) =>
+      val catRows = folds.filter(_._2 == cat)
+      val oofRows = catRows.filter(_._4 != fold)
+      val oofSum = oofRows.map(_._3).sum
+      val oofCnt = oofRows.length.toLong
+      val enc = (oofSum + alpha * prior) / (oofCnt + alpha)
+      val g = got((cat, fold))
+      assert(g == ((rows.length.toLong, rows.map(_._3).sum, oofCnt, oofSum, enc)),
+        s"($cat,$fold): got $g")
+      // leakage check: the fold's own mass is NOT in the encoding inputs
+      assert(g._3 == catRows.length - rows.length)
+    }
+  }
+
+  test("a category confined to one fold falls back toward the prior, never divides by zero") {
+    val df = (Seq((1L, "only", 1000000L)) ++
+      (2L until 200L).map(i => (i, "common", 10L))).toDF("id", "cat", "t")
+    val out = FeatureEncoding.targetEncodeOof(df, "id", "cat", col("t"),
+      nFolds = 4, alpha = 5L).filter(col("category") === "only").collect()
+    // the 'only' category appears in exactly one fold; that row's encoding
+    // has oof_cnt 0 and must equal the prior exactly
+    val own = out.filter(_.getAs[Long]("oof_cnt") == 0L)
+    assert(own.length == 1)
+    val gsum = 1000000L + (2L until 200L).map(_ => 10L).sum
+    val prior = gsum / 199L
+    assert(own.head.getAs[Long]("enc") == prior)
+  }
+
+  test("encoding table is invariant under repartitioning") {
+    val df = (0L until 300L).map(i => (i, s"c${i % 5}", i % 50)).toDF("id", "cat", "t")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      FeatureEncoding.targetEncodeOof(d, "id", "cat", col("t"), 3, 7L)
+        .collect().map(_.toSeq).toSet
+    assert(run(df.repartition(17)) == run(df.coalesce(1)))
+  }
+}
