@@ -2219,6 +2219,72 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // WARC REVISIT resolution — the Common Crawl crawl-level dedup
+    // semantics (WARC 1.1 §6.7.2 identical-payload-digest): a re-fetch
+    // of an already-stored payload lands as a body-LESS revisit record
+    // carrying only the stored copy's WARC-Payload-Digest; the pipeline
+    // resolves each revisit to the original's body. Three arms, all
+    // closed-form in doc_id: every doc a response; id%4==1 adds a
+    // resolved revisit; id%100==3 adds a DANGLING revisit (cross-crawl
+    // digest — NULL original, kept visible); id%4==2 adds a duplicate
+    // capture sharing the digest (canonical original = FIRST capture in
+    // (file, record_idx) order). Census hashed over
+    // (url, original_url, resolved body) per (is_revisit, dangling).
+    "q163_warc_revisit" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_rv_").toString
+      Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .repartition(4)
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          val recs = it.flatMap { case (id, text) =>
+            val body = s"RV $id | $text"
+            val digest = s"sha1:GRAFTRV$id"
+            def resp(url: String) = graft.sources.WarcCodec.WarcRecord(
+              warcType = "response",
+              targetUri = url,
+              date = "2026-01-01T00:00:00Z",
+              contentType = "application/http; msgtype=response",
+              payload = graft.sources.WarcCodec.httpResponsePayload(
+                200, "OK", "text/html; charset=utf-8",
+                body.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+              headers = Map("WARC-Payload-Digest" -> digest))
+            def revisit(url: String, d: String) = graft.sources.WarcCodec.WarcRecord(
+              warcType = "revisit",
+              targetUri = url,
+              date = "2026-01-02T00:00:00Z",
+              contentType = "application/http; msgtype=response",
+              payload = "HTTP/1.1 200 OK\r\n\r\n"
+                .getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+              headers = Map("WARC-Payload-Digest" -> d,
+                "WARC-Profile" ->
+                  "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"))
+            val base = s"http://crawl.example.org/rv/$id"
+            Seq(resp(base)) ++
+              (if (id % 4 == 2) Seq(resp(s"$base?dup")) else Nil) ++
+              (if (id % 4 == 1) Seq(revisit(s"$base?re", digest)) else Nil) ++
+              (if (id % 100 == 3) Seq(revisit(s"$base?dangling", s"sha1:NOWHERE$id"))
+               else Nil)
+          }.toSeq
+          if (recs.nonEmpty) {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp,
+                f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc.gz"),
+              graft.sources.WarcCodec.encodeGzip(recs))
+            ()
+          }
+        }
+      graft.sources.WarcIO.resolveRevisits(
+          graft.sources.WarcIO.read(s, tmp + "/*.warc.gz"))
+        .groupBy(col("is_revisit"),
+          col("original_url").isNull.cast("long").as("dangling"))
+        .agg(count(lit(1)).as("n_records"),
+          expr("bit_xor(xxhash64(concat(url, ':', " +
+            "coalesce(original_url, '<none>'), ':', decode(body, 'UTF-8'))))")
+            .as("checksum"))
+    }),
+
     // LEAKAGE-SAFE target encoding — the classic tabular feature
     // (category → target mean) computed OUT-OF-FOLD so no row's own
     // label leaks into its feature, with additive smoothing toward the
@@ -5654,6 +5720,32 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // WARC revisit resolution: all three arms closed-form in doc_id
+    "q163_warc_revisit" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS id,
+         |    'http://crawl.example.org/rv/' || CAST(doc_id AS VARCHAR) AS base,
+         |    'RV ' || CAST(doc_id AS VARCHAR) || ' | ' || coalesce(text, '') AS body
+         |  FROM documents WHERE doc_id < 400
+         |), rows0 AS (
+         |  SELECT 0 AS is_revisit, 0 AS dangling,
+         |    base || ':' || base || ':' || body AS rowkey FROM d
+         |  UNION ALL
+         |  SELECT 0, 0, base || '?dup:' || base || '?dup:' || body
+         |  FROM d WHERE id % 4 = 2
+         |  UNION ALL
+         |  SELECT 1, 0, base || '?re:' || base || ':' || body
+         |  FROM d WHERE id % 4 = 1
+         |  UNION ALL
+         |  SELECT 1, 1, base || '?dangling:<none>:'
+         |  FROM d WHERE id % 100 = 3
+         |), ${DuckDbXxHash64.xxh64Cte("rows0", "rowkey",
+           Seq("is_revisit", "dangling"), "rv")}
+         |SELECT CAST(is_revisit AS BIGINT) AS is_revisit,
+         |  CAST(dangling AS BIGINT) AS dangling,
+         |  count(*) AS n_records, bit_xor(xxh) AS checksum
+         |FROM rv9 GROUP BY 1, 2""".stripMargin,
 
     // out-of-fold target encoding: xxh64 folds, integer census, prior =
     // truncating global mean, enc = smoothed truncating division

@@ -69,6 +69,13 @@ object WarcCodec {
       .append(s"WARC-Record-ID: $recordId\r\n")
       .append(s"WARC-Date: ${r.date}\r\n")
     if (r.targetUri.nonEmpty) head.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
+    // extra headers (e.g. WARC-Payload-Digest, WARC-Profile for revisit
+    // records) in sorted-key order so fixtures stay byte-stable; the
+    // standard five above are writer-owned and skipped here
+    val std = Set("warc-type", "warc-record-id", "warc-date",
+      "warc-target-uri", "content-type", "content-length")
+    r.headers.toSeq.filterNot(kv => std.contains(kv._1.toLowerCase))
+      .sortBy(_._1).foreach { case (k, v) => head.append(s"$k: $v\r\n") }
     head
       .append(s"Content-Type: ${r.contentType}\r\n")
       .append(s"Content-Length: ${r.payload.length}\r\n")
@@ -543,7 +550,9 @@ object WarcIO {
       http_content_type: String,
       http_transfer_encoding: String,
       http_content_encoding: String,
-      body: Array[Byte])
+      body: Array[Byte],
+      payload_digest: String,
+      warc_profile: String)
 
   /** Read every WARC under `path` (glob-able — append a `*.warc.gz`
     * pattern to target the crawl files). `minPartitions` widens the
@@ -639,8 +648,58 @@ object WarcIO {
         if (r.contentType.toLowerCase.startsWith("application/http"))
           WarcCodec.decodeHttp(r.payload)
         else WarcCodec.HttpParts(0, "", "", "", r.payload)
+      def hdr(name: String): String = r.headers.iterator.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v }.getOrElse("")
       WarcRow(file, i.toLong, r.warcType, r.targetUri, r.date,
         r.contentType, h.status, h.contentType,
-        h.transferEncoding, h.contentEncoding, h.body)
+        h.transferEncoding, h.contentEncoding, h.body,
+        hdr("WARC-Payload-Digest"), hdr("WARC-Profile"))
     }
+
+  /** Resolve `revisit` records against their originals — the Common Crawl
+    * crawl-level dedup semantics (WARC 1.1 §6.7.2, the
+    * identical-payload-digest profile): when a fetch returns a payload
+    * the crawler has already stored, it writes a body-LESS `revisit`
+    * record carrying only the `WARC-Payload-Digest` of the stored copy.
+    * A pipeline that drops revisits undercounts URL coverage; one that
+    * keeps them without resolution trains on empty documents. This
+    * resolves each revisit to the original's body.
+    *
+    * Output: every `response` row (is_revisit = 0, original_url = its own
+    * url) plus every `revisit` row (is_revisit = 1) with `original_url` /
+    * `body` taken from the digest-matching response; a dangling revisit
+    * (digest never stored in this read — cross-crawl references) keeps a
+    * NULL original_url and empty body, visible rather than dropped. When
+    * several responses share a digest (the crawler stored the payload
+    * more than once), the FIRST capture in (file, record_idx) order is
+    * the canonical original — deterministic under any partitioning.
+    *
+    * Scale shape: one groupBy(digest) over responses (map-side combined
+    * `min_by`), one shuffle join of revisits on digest — exactly the
+    * access pattern of a real revisit-resolution pass; bodies ride only
+    * the original side.
+    */
+  def resolveRevisits(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val origs = df
+      .filter(col("warc_type") === "response" && col("payload_digest") =!= "")
+      .groupBy(col("payload_digest"))
+      .agg(min_by(
+        struct(col("url"), col("body")),
+        struct(col("warc_file"), col("record_idx"))).as("__o"))
+      .select(col("payload_digest"),
+        col("__o.url").as("__orig_url"), col("__o.body").as("__orig_body"))
+    val keep = Seq("warc_file", "record_idx", "url", "warc_date",
+      "payload_digest").map(col)
+    val responses = df.filter(col("warc_type") === "response")
+      .select(keep :+ lit(0L).as("is_revisit") :+
+        col("url").as("original_url") :+ col("body").as("body"): _*)
+    val revisits = df.filter(col("warc_type") === "revisit")
+      .select(keep: _*)
+      .join(origs, Seq("payload_digest"), "left")
+      .select(keep :+ lit(1L).as("is_revisit") :+
+        col("__orig_url").as("original_url") :+
+        coalesce(col("__orig_body"), lit(Array.empty[Byte])).as("body"): _*)
+    responses.unionByName(revisits)
+  }
 }

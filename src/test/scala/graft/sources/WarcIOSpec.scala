@@ -341,4 +341,49 @@ class WarcIOSpec extends SparkSpec {
     assert(rows("http://x/plain") == (("", "", body)))
     assert(rows("http://x/chunkgz") == (("chunked", "gzip", body)))
   }
+
+  test("extra headers (payload digest, profile) round-trip encode/parse") {
+    val r = WarcCodec.WarcRecord("revisit", "http://x/r", "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response",
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8),
+      headers = Map("WARC-Payload-Digest" -> "sha1:ABC",
+        "WARC-Profile" -> "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        "Content-Length" -> "999")) // writer-owned: must NOT override the real length
+    val back = WarcCodec.parse(WarcCodec.encodePlain(Seq(r))).head
+    assert(back.warcType == "revisit")
+    assert(back.headers("WARC-Payload-Digest") == "sha1:ABC")
+    assert(back.headers("WARC-Profile").endsWith("identical-payload-digest"))
+    assert(back.payload.length == 19, "writer-owned Content-Length wins")
+  }
+
+  test("resolveRevisits: resolved body, dangling NULL, first capture canonical") {
+    val dir = Files.createTempDirectory("graft_warcio_rv_")
+    def resp(url: String, body: String, digest: String) =
+      WarcCodec.WarcRecord("response", url, "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        WarcCodec.httpResponsePayload(200, "OK", "text/plain", body.getBytes(UTF_8)),
+        headers = Map("WARC-Payload-Digest" -> digest))
+    def rev(url: String, digest: String) =
+      WarcCodec.WarcRecord("revisit", url, "2026-01-02T00:00:00Z",
+        "application/http; msgtype=response",
+        "HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8),
+        headers = Map("WARC-Payload-Digest" -> digest))
+    Files.write(dir.resolve("rv.warc.gz"), WarcCodec.encodeGzip(Seq(
+      resp("http://x/a", "payload A", "sha1:AA"),
+      resp("http://x/a-again", "payload A", "sha1:AA"), // duplicate capture
+      rev("http://x/a-re", "sha1:AA"),
+      rev("http://x/gone", "sha1:ZZ")))) // dangling
+    val got = WarcIO.resolveRevisits(
+        WarcIO.read(spark, dir.toString + "/*.warc.gz"))
+      .select(col("url"), col("is_revisit"), col("original_url"),
+        expr("decode(body, 'UTF-8')").as("b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getString(2)), r.getString(3))).toMap
+    assert(got("http://x/a") == ((0L, Some("http://x/a"), "payload A")))
+    assert(got("http://x/a-again") == ((0L, Some("http://x/a-again"), "payload A")))
+    // revisit resolves to the FIRST capture of the digest, with its body
+    assert(got("http://x/a-re") == ((1L, Some("http://x/a"), "payload A")))
+    // dangling revisit kept visible, not dropped
+    assert(got("http://x/gone") == ((1L, None, "")))
+  }
 }
