@@ -2219,6 +2219,36 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // CHANGE DATA FEED — the incremental-consumer read (Delta CDF
+    // vocabulary): everything downstream needs to catch up from table
+    // version 1 to 2 without re-reading the table. v1 = per-user census
+    // over a filtered event set; v2 = an upsert wave rewriting the %7
+    // users' rows at full-census values and inserting synthetic users.
+    // readChanges prunes the key universe to the delta segments, then
+    // emits insert / update_preimage / update_postimage rows — all
+    // closed-form in events arithmetic (users whose filtered census
+    // happens to equal the full census emit NOTHING — the equality gate).
+    "q164_table_cdf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("t6"))
+      val base = ev.filter(col("event_id") % 3 =!= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("t6")).as("s6"))
+      val allAgg = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("t6")).as("s6"))
+      val wave = allAgg.filter(col("user_id") % 7 === 0)
+        .unionByName(allAgg.filter(col("user_id") % 11 === 0)
+          .select((col("user_id") + lit(1000000L)).as("user_id"),
+            lit(1L).as("cnt"), lit(42L).as("s6")))
+      val path = scratchDir("cdf").toString + "/t"
+      val cw: (DataFrame, String) => Unit = (df, d) => df.write.parquet(d)
+      graft.storage.VersionedTable.upsert(s, path, Seq("user_id"),
+        compactEvery = 100, compactWrite = cw)(d => base.write.parquet(d))
+      graft.storage.VersionedTable.upsert(s, path, Seq("user_id"),
+        compactEvery = 100, compactWrite = cw)(d => wave.write.parquet(d))
+      graft.storage.VersionedTable.readChanges(s, path, Seq("user_id"), 1L, 2L)
+    }),
+
     // WARC REVISIT resolution — the Common Crawl crawl-level dedup
     // semantics (WARC 1.1 §6.7.2 identical-payload-digest): a re-fetch
     // of an already-stored payload lands as a body-LESS revisit record
@@ -5720,6 +5750,39 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // change data feed: the upsert wave diffed against the base census —
+    // inserts where the key is new, pre+post images where values moved,
+    // silence where the wave rewrote an identical row
+    "q164_table_cdf" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS t6
+        |  FROM events
+        |), base AS (
+        |  SELECT user_id, count(*) AS cnt, CAST(sum(t6) AS BIGINT) AS s6
+        |  FROM e WHERE event_id % 3 <> 0 GROUP BY 1
+        |), alln AS (
+        |  SELECT user_id, count(*) AS cnt, CAST(sum(t6) AS BIGINT) AS s6
+        |  FROM e GROUP BY 1
+        |), wave AS (
+        |  SELECT user_id, cnt, s6 FROM alln WHERE user_id % 7 = 0
+        |  UNION ALL
+        |  SELECT user_id + 1000000, CAST(1 AS BIGINT), CAST(42 AS BIGINT)
+        |  FROM alln WHERE user_id % 11 = 0
+        |), chg AS (
+        |  SELECT w.user_id, b.cnt AS oc, b.s6 AS os, w.cnt AS nc, w.s6 AS ns,
+        |    (b.user_id IS NULL) AS is_ins
+        |  FROM wave w LEFT JOIN base b ON w.user_id = b.user_id
+        |)
+        |SELECT user_id, nc AS cnt, ns AS s6, 'insert' AS _change_type
+        |FROM chg WHERE is_ins
+        |UNION ALL
+        |SELECT user_id, oc, os, 'update_preimage'
+        |FROM chg WHERE NOT is_ins AND (oc <> nc OR os <> ns)
+        |UNION ALL
+        |SELECT user_id, nc, ns, 'update_postimage'
+        |FROM chg WHERE NOT is_ins AND (oc <> nc OR os <> ns)""".stripMargin,
 
     // WARC revisit resolution: all three arms closed-form in doc_id
     "q163_warc_revisit" ->

@@ -767,6 +767,24 @@ object ScaleSweep {
         runAll(Retrieval.bm25IndexTopK(spark, bmIdxDir, terms, k = 10))
       }
 
+      //     change data feed (q164): the key universe is pruned to the
+      //     DELTA segments, so a FIXED-size wave (copy-0 users only)
+      //     against a 10x table must keep shuffle at wave scale while the
+      //     two snapshot scans grow linearly
+      val cdfDir = Files.createTempDirectory(s"graft_scale_cdf_$scale").toString + "/t"
+      val cdfCw: (DataFrame, String) => Unit = (df, d) => df.write.parquet(d)
+      val cdfBase = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      graft.storage.VersionedTable.upsert(spark, cdfDir, Seq("user_id"),
+        compactEvery = 100, compactWrite = cdfCw)(d => cdfBase.write.parquet(d))
+      val cdfWave = cdfBase.filter(col("user_id") < 200)
+        .withColumn("cnt", col("cnt") + 1)
+      graft.storage.VersionedTable.upsert(spark, cdfDir, Seq("user_id"),
+        compactEvery = 100, compactWrite = cdfCw)(d => cdfWave.write.parquet(d))
+      measure("table_cdf", scale) {
+        runAll(graft.storage.VersionedTable.readChanges(
+          spark, cdfDir, Seq("user_id"), 1L, 2L))
+      }
+
       //     token-stream packing (q158): ONE exchange on bucket carrying
       //     only (id, count) — shuffle must stay id-scale (never text),
       //     rows = docs + windows, wall linear

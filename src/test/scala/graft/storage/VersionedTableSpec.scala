@@ -161,6 +161,36 @@ class VersionedTableSpec extends SparkSpec {
     intercept[NoSuchElementException](at(1))
   }
 
+  test("readChanges: insert/update/delete images; compaction emits no phantom changes") {
+    val dir = tmp()
+    val cw: (org.apache.spark.sql.DataFrame, String) => Unit =
+      (df, d) => df.write.parquet(d)
+    VersionedTable.upsert(spark, dir, Seq("k"), compactEvery = 100,
+      compactWrite = cw)(writeSeg(Seq((1, 10), (2, 20), (3, 30))))          // v1
+    VersionedTable.upsert(spark, dir, Seq("k"), compactEvery = 100,
+      compactWrite = cw)(writeSeg(Seq((2, 21), (3, 30), (4, 40))))          // v2
+    def cdf(from: Long, to: Long): Set[(Int, Int, String)] =
+      VersionedTable.readChanges(spark, dir, Seq("k"), from, to)
+        .as[(Int, Int, String)].collect().toSet
+    // k=2 updated (pre+post), k=3 rewritten IDENTICALLY (silence), k=4 new
+    assert(cdf(1, 2) == Set(
+      (2, 20, "update_preimage"), (2, 21, "update_postimage"),
+      (4, 40, "insert")))
+    // an overwrite drops k=1: CDF reads it as a delete (plus the rest)
+    VersionedTable.overwrite(dir)(writeSeg(Seq((2, 21), (3, 30), (4, 41)))) // v3
+    val c23 = cdf(2, 3)
+    assert(c23.contains((1, 10, "delete")))
+    assert(c23.contains((4, 40, "update_preimage")) &&
+      c23.contains((4, 41, "update_postimage")))
+    assert(!c23.exists(r => r._1 == 2 || r._1 == 3), "unchanged keys stay silent")
+    // v1 -> v3 composes: k=1 deleted, k=2/k=4 changed, k=3 silent
+    assert(cdf(1, 3) == Set(
+      (1, 10, "delete"),
+      (2, 20, "update_preimage"), (2, 21, "update_postimage"),
+      (4, 41, "insert")))
+    intercept[IllegalArgumentException](cdf(2, 2))
+  }
+
   test("replayed micro-batches are skipped: same batchId commits exactly once") {
     val dir = tmp()
     VersionedTable.append(dir, Some(0L))(writeSeg(Seq((1, 1))))
