@@ -437,6 +437,50 @@ object ShardExport {
   def shardManifests(spark: SparkSession, exportRoot: String): DataFrame =
     VersionedTable.read(spark, manifestTablePath(exportRoot))
 
+  /** Merkle attestation tree over a shard manifest — the reproducibility
+    * receipt for a published corpus: leaf = xxhash64 over the shard's
+    * manifest row (bucket, seq, doc count, token sum, packing checksum),
+    * bucket node = xxhash64 over its leaves in shard_seq order, root =
+    * xxhash64 over bucket nodes in bucket order. Two exports agree iff
+    * their roots agree (one BIGINT to pin in a paper or a model card),
+    * and a divergence localizes top-down in O(log): root → the bucket
+    * whose node moved → the shard whose leaf moved — without reading a
+    * byte of data. Deterministic under any partitioning (children are
+    * sorted before hashing).
+    *
+    * Scale shape: leaves are the manifest (already model-scale); the
+    * bucket fold gathers ≤ shards-per-bucket rows per group and the root
+    * gathers ≤ |buckets| — never data.
+    */
+  def manifestMerkle(manifests: DataFrame): DataFrame = {
+    val leafKey = concat_ws(":",
+      col("bucket").cast("string"), col("shard_seq").cast("string"),
+      col("n_docs").cast("string"), col("shard_tokens").cast("string"),
+      col("checksum").cast("string"))
+    val leaves = manifests.select(col("bucket"), col("shard_seq"),
+      xxhash64(leafKey).as("node_hash"))
+    def foldChildren(keyF: Column => Column) = (xs: Column) =>
+      xxhash64(array_join(transform(array_sort(xs), keyF), "|"))
+    val buckets = leaves.groupBy(col("bucket"))
+      .agg(foldChildren(x => concat_ws(":",
+          x.getField("shard_seq").cast("string"),
+          x.getField("node_hash").cast("string")))(
+        collect_list(struct(col("shard_seq"), col("node_hash")))).as("node_hash"))
+    val root = buckets
+      .agg(foldChildren(x => concat_ws(":",
+          x.getField("bucket").cast("string"),
+          x.getField("node_hash").cast("string")))(
+        collect_list(struct(col("bucket"), col("node_hash")))).as("node_hash"))
+    leaves.select(lit(0L).as("level"),
+        concat_ws("/", col("bucket").cast("string"),
+          col("shard_seq").cast("string")).as("node_key"),
+        col("node_hash"))
+      .unionByName(buckets.select(lit(1L).as("level"),
+        col("bucket").cast("string").as("node_key"), col("node_hash")))
+      .unionByName(root.select(lit(2L).as("level"),
+        lit("root").as("node_key"), col("node_hash")))
+  }
+
   /** Incremental PHYSICAL publish — q121's manifest diff made real: bring
     * a flat publish directory (`destRoot/shards/w{wave}-b{bucket}-s{seq}
     * .parquet` + `_manifest.parquet`, the object-store layout a training

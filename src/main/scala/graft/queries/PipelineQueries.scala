@@ -2219,6 +2219,21 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // MERKLE ATTESTATION over a physical export — the reproducibility
+    // receipt: one root BIGINT pins the whole published corpus, and a
+    // divergence localizes top-down (root → bucket → shard) without
+    // reading data. All three levels hashed, so the oracle re-derives
+    // every leaf from the packing arithmetic AND replays both fold
+    // levels bit-for-bit.
+    "q165_manifest_merkle" -> ((s, dir) => {
+      val root = scratchDir("merkle").toString
+      graft.functions.ShardExport.writeShards(
+        Tables.documents(s, dir), "doc_id", "text",
+        buckets = 8, budgetTokens = 4000L, root)
+      graft.functions.ShardExport.manifestMerkle(
+        graft.functions.ShardExport.shardManifests(s, root))
+    }),
+
     // CHANGE DATA FEED — the incremental-consumer read (Delta CDF
     // vocabulary): everything downstream needs to catch up from table
     // version 1 to 2 without re-reading the table. v1 = per-user census
@@ -5750,6 +5765,46 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // Merkle attestation: q125's manifest chain feeds three hash levels —
+    // leaves off the manifest rows, bucket folds in shard_seq order,
+    // root over bucket nodes in bucket order
+    "q165_manifest_merkle" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), ${shardManifestCtes("d0", "a", budget = 4000L)},
+         |lv0 AS (
+         |  SELECT bucket, shard_seq,
+         |    CAST(bucket AS VARCHAR) || ':' || CAST(shard_seq AS VARCHAR) || ':'
+         |      || CAST(n_docs AS VARCHAR) || ':' || CAST(shard_tokens AS VARCHAR)
+         |      || ':' || CAST(checksum AS VARCHAR) AS mk
+         |  FROM am
+         |), ${DuckDbXxHash64.xxh64Cte("lv0", "mk",
+           Seq("bucket", "shard_seq"), "ml")},
+         |leaves AS (SELECT bucket, shard_seq, xxh AS node_hash FROM ml9),
+         |b0 AS (
+         |  SELECT bucket,
+         |    string_agg(CAST(shard_seq AS VARCHAR) || ':'
+         |      || CAST(node_hash AS VARCHAR), '|' ORDER BY shard_seq) AS mk
+         |  FROM leaves GROUP BY bucket
+         |), ${DuckDbXxHash64.xxh64Cte("b0", "mk", Seq("bucket"), "mb")},
+         |bnodes AS (SELECT bucket, xxh AS node_hash FROM mb9),
+         |r0 AS (
+         |  SELECT string_agg(CAST(bucket AS VARCHAR) || ':'
+         |    || CAST(node_hash AS VARCHAR), '|' ORDER BY bucket) AS mk
+         |  FROM bnodes
+         |), ${DuckDbXxHash64.xxh64Cte("r0", "mk", Seq.empty, "mr")}
+         |SELECT CAST(0 AS BIGINT) AS level,
+         |  CAST(bucket AS VARCHAR) || '/' || CAST(shard_seq AS VARCHAR) AS node_key,
+         |  node_hash
+         |FROM leaves
+         |UNION ALL
+         |SELECT 1, CAST(bucket AS VARCHAR), node_hash FROM bnodes
+         |UNION ALL
+         |SELECT 2, 'root', xxh FROM mr9""".stripMargin,
 
     // change data feed: the upsert wave diffed against the base census —
     // inserts where the key is new, pre+post images where values moved,

@@ -109,6 +109,39 @@ class ShardExportSpec extends SparkSpec {
     assert(spans2.filter(col("doc_id") % 5 === 0).count() == 0L)
   }
 
+  test("manifestMerkle: root pins the corpus; an edit localizes top-down") {
+    val df = docs(400, i => (i % 9 + 1).toInt)
+    def tree(d: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] = {
+      val m = ShardExport.shardAssign(d, "doc_id", "text", buckets = 4,
+        budgetTokens = 80L)
+      val manifest = ShardExport.shardManifest(m, "doc_id")
+      ShardExport.manifestMerkle(manifest).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    val t1 = tree(df)
+    // deterministic under partitioning
+    assert(tree(df.repartition(13)) == t1)
+    // one edited doc: its shard's leaf, that bucket's node, and the root
+    // move; EVERY other node is byte-identical
+    val edited = df.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit(" x")))
+        .otherwise(col("text")))
+    val t2 = tree(edited)
+    assert(t1.keySet == t2.keySet)
+    val moved = t1.keySet.filter(k => t1(k) != t2(k)).toSeq.sortBy(_._1)
+    // the edit adds a token: the doc's shard leaf changes, and every LATER
+    // shard of that bucket may re-cut (cumsum shift) — but all changed
+    // leaves sit in ONE bucket, exactly one bucket node moves, root moves
+    val movedLeaves = moved.filter(_._1 == 0L)
+    val movedBuckets = moved.filter(_._1 == 1L)
+    val movedRoots = moved.filter(_._1 == 2L)
+    assert(movedLeaves.nonEmpty)
+    assert(movedLeaves.map(_._2.split("/").head).distinct.length == 1,
+      s"edit must localize to one bucket, got $movedLeaves")
+    assert(movedBuckets.map(_._2) == movedLeaves.map(_._2.split("/").head).distinct)
+    assert(movedRoots == Seq((2L, "root")))
+  }
+
   test("shardManifest: checksum is order-independent and shard-local") {
     val df = docs(120, i => (i % 5 + 1).toInt)
     val assigned = ShardExport.shardAssign(df, "doc_id", "text", 4, 40L)
