@@ -63,4 +63,48 @@ object FeatureEncoding {
       .withColumn("enc",
         expr(s"(oof_sum + ${alpha}L * ${prior}L) div (oof_cnt + ${alpha}L)"))
   }
+
+  /** Equal-frequency (quantile) discretization — the other classic
+    * tabular encoding: map a numeric feature into `nBins` bins holding
+    * ~equal row counts, deterministically BY VALUE (ties share a bin;
+    * never NTILE's arbitrary tie split, which is partitioning-dependent).
+    * The returned mapping has one row per distinct value: its bin
+    * `floor(rows_below * nBins / n)`, plus the census columns.
+    *
+    * All arithmetic is exact BIGINT on counts, so the mapping is
+    * bit-reproducible. Rows with a NULL feature are excluded (encode
+    * them with a dedicated indicator, the standard practice).
+    *
+    * Scale shape: ONE map-side-combined count per distinct value; the
+    * running total is a single-task window over the DISTINCT-VALUE
+    * table, guarded by the same explicit cardinality budget as the
+    * z-order boundary sort (`maxDistinctValues`, default 2^24 — quantize
+    * first if the feature is denser); applying the mapping is a join on
+    * the value (broadcast when the mapping is small). Never a global
+    * sort of the DATA.
+    */
+  def quantileBins(df: DataFrame, valueInt: Column, nBins: Int,
+      maxDistinctValues: Long = 1L << 24): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    val counts = df.select(valueInt.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val distinct = counts.count()
+      require(distinct <= maxDistinctValues,
+        s"quantileBins: $distinct distinct values exceed the single-task " +
+          s"boundary-sort budget of $maxDistinctValues — quantize the " +
+          "feature first or raise maxDistinctValues explicitly")
+      val n = counts.agg(sum(col("c"))).head.getLong(0)
+      require(n <= Long.MaxValue / nBins,
+        s"row count $n * $nBins bins overflows long arithmetic")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      counts
+        .withColumn("rows_below", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col("v"), col("c").as("n_rows"), col("rows_below"),
+          expr(s"(rows_below * $nBins) div ${n}L").as("bin"))
+    } finally { counts.unpersist(); () }
+  }
 }

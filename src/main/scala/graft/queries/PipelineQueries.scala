@@ -2219,6 +2219,22 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // EQUAL-FREQUENCY quantile binning — the other classic tabular
+    // encoding: deterministic BY VALUE (ties share a bin, never NTILE's
+    // partitioning-dependent tie split), exact BIGINT count arithmetic,
+    // the distinct-value table bounded by the z-order cardinality
+    // budget. Per-bin census + a checksum over the full (value,
+    // rows_below) mapping.
+    "q166_quantile_bins" -> ((s, dir) => {
+      graft.functions.FeatureEncoding.quantileBins(
+          Tables.events(s, dir), floor(col("value") * 1e6 + 0.5), nBins = 10)
+        .groupBy(col("bin"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+          expr("bit_xor(xxhash64(concat(cast(v as string), ':', " +
+            "cast(rows_below as string))))").as("checksum"))
+    }),
+
     // MERKLE ATTESTATION over a physical export — the reproducibility
     // receipt: one root BIGINT pins the whole published corpus, and a
     // divergence localizes top-down (root → bucket → shard) without
@@ -5765,6 +5781,29 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // quantile binning: distinct-value counts, running rows_below,
+    // bin = (rows_below * 10) // n — exact integer replication
+    "q166_quantile_bins" ->
+      s"""WITH c AS (
+         |  SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v, count(*) AS c
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1
+         |), t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+         |m AS (
+         |  SELECT v, c AS n_rows,
+         |    CAST(coalesce(sum(c) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS rows_below
+         |  FROM c
+         |), mb AS (
+         |  SELECT v, n_rows, rows_below, (rows_below * 10) // t.n AS bin,
+         |    CAST(v AS VARCHAR) || ':' || CAST(rows_below AS VARCHAR) AS rowkey
+         |  FROM m, t
+         |), ${DuckDbXxHash64.xxh64Cte("mb", "rowkey",
+           Seq("v", "n_rows", "bin"), "qb")}
+         |SELECT bin, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |  min(v) AS v_min, max(v) AS v_max, bit_xor(xxh) AS checksum
+         |FROM qb9 GROUP BY bin""".stripMargin,
 
     // Merkle attestation: q125's manifest chain feeds three hash levels —
     // leaves off the manifest rows, bucket folds in shard_seq order,

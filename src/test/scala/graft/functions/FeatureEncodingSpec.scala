@@ -49,6 +49,41 @@ class FeatureEncodingSpec extends SparkSpec {
     assert(own.head.getAs[Long]("enc") == prior)
   }
 
+  test("quantileBins: equal-frequency by value, ties share a bin, exact counts") {
+    val df = ((0L until 1000L).map(i => i % 97) ++ Seq.fill(200)(42L))
+      .map(v => Tuple1(v)).toSeq.toDF("x")
+    val bins = FeatureEncoding.quantileBins(df, col("x"), nBins = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val n = 1200L
+    // reference: rows_below by value order, bin = rows_below*4/n
+    val ref = ((0L until 1000L).map(_ % 97) ++ Seq.fill(200)(42L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var below = 0L
+    ref.keys.toSeq.sorted.foreach { v =>
+      val (cnt, rb, bin) = bins(v)
+      assert(cnt == ref(v) && rb == below && bin == below * 4 / n, s"value $v")
+      below += ref(v)
+    }
+    // every occurrence of a value lands in ONE bin (no NTILE tie split),
+    // and bins are contiguous in value order
+    val byBin = bins.toSeq.groupBy(_._2._3)
+    assert(byBin.keySet.subsetOf((0L until 4L).toSet))
+    val binRanges = byBin.view.mapValues(vs => (vs.map(_._1).min, vs.map(_._1).max))
+    binRanges.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, (_, hi)), (_, (lo, _))) => assert(hi < lo, "bins overlap")
+      case _ =>
+    }
+    // NULLs excluded
+    val withNull = df.withColumn("x", when(col("x") === 5L, lit(null)).otherwise(col("x")))
+    assert(FeatureEncoding.quantileBins(withNull, col("x"), 4)
+      .filter(col("v").isNull).count() == 0L)
+    // cardinality budget refuses
+    intercept[IllegalArgumentException] {
+      FeatureEncoding.quantileBins(df, col("x"), 4, maxDistinctValues = 10L)
+    }
+  }
+
   test("encoding table is invariant under repartitioning") {
     val df = (0L until 300L).map(i => (i, s"c${i % 5}", i % 50)).toDF("id", "cat", "t")
     def run(d: org.apache.spark.sql.DataFrame) =
