@@ -2219,6 +2219,29 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // ICEBERG DELETE WRITE — the two-way leg of the v2 delete plane:
+    // wave 1 lands as fixture position deletes (the q146 shape), wave 2
+    // through the ENGINE's own deleteWhere (new delete parquet + content=1
+    // manifest at the next sequence number + a snapshot carrying every
+    // prior manifest verbatim), then the import must serve the survivors
+    // of BOTH waves — the q153 Delta-DV census, cross-format parity.
+    "q167_iceberg_delete_write" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("ice_delw").toString + "/ice"
+      graft.storage.IcebergFixtures.writeV2WithDeletes(
+        s, out, docs, "doc_id", col("doc_id") % 7 === 3)
+      val n = graft.storage.IcebergInterop.deleteWhere(
+        s, out, col("doc_id") % 11 === 5)
+      require(n > 0, "second delete wave deleted nothing — fixture broken")
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // EQUAL-FREQUENCY quantile binning — the other classic tabular
     // encoding: deterministic BY VALUE (ties share a bin, never NTILE's
     // partitioning-dependent tie split), exact BIGINT count arithmetic,
@@ -5781,6 +5804,21 @@ object PipelineQueries {
          |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6,
          |  bit_xor(xxh) AS checksum
          |FROM av9 GROUP BY event_type""".stripMargin,
+
+    // Iceberg delete write: survivors of both delete waves (fixture wave
+    // + the engine's own deleteWhere snapshot) — the q153 census shape
+    "q167_iceberg_delete_write" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents
+         |  WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "iw")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM iw9 GROUP BY lang""".stripMargin,
 
     // quantile binning: distinct-value counts, running rows_below,
     // bin = (rows_below * 10) // n — exact integer replication

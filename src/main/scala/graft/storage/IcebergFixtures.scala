@@ -38,7 +38,7 @@ object IcebergFixtures {
 
   import IcebergInterop.{fld, mapper, writeAvro, icebergSchemaJson, manifestFileSchema}
 
-  private def partitionStruct(fields: Seq[(String, Schema, Int)]): Schema = {
+  private[storage] def partitionStruct(fields: Seq[(String, Schema, Int)]): Schema = {
     val s = Schema.createRecord("r102", null, "iceberg", false)
     s.setFields(fields.map { case (n, t, id) => fld(n, id, t, optional = true) }.asJava)
     s
@@ -47,7 +47,7 @@ object IcebergFixtures {
   /** manifest_entry whose data_file carries the given partition struct;
     * `v2` adds the v2 fields (entry sequence numbers, data_file.content).
     */
-  private def entrySchema(partition: Schema, v2: Boolean): Schema = {
+  private[storage] def entrySchema(partition: Schema, v2: Boolean): Schema = {
     val dfFields = scala.collection.mutable.ArrayBuffer[Schema.Field]()
     if (v2) dfFields += fld("content", 134, Schema.create(Schema.Type.INT), optional = false)
     dfFields += fld("file_path", 100, Schema.create(Schema.Type.STRING), optional = false)
@@ -76,7 +76,7 @@ object IcebergFixtures {
   /** manifest_file with the v2-only routing fields (content 517,
     * sequence numbers 515/516 — spec "Manifest Lists").
     */
-  private val manifestFileSchemaV2: Schema = {
+  private[storage] val manifestFileSchemaV2: Schema = {
     val s = Schema.createRecord("manifest_file", null, "iceberg", false)
     s.setFields(java.util.List.of(
       fld("manifest_path", 500, Schema.create(Schema.Type.STRING), optional = false),

@@ -779,6 +779,183 @@ object IcebergInterop {
     snapshotId
   }
 
+  /** Row-level DELETE on a format-v2 Iceberg table, the spec's
+    * position-delete shape (the two-way leg of the q146/q152 import):
+    * rows matching `predicate` land as `(file_path, pos)` pairs in a new
+    * position-delete parquet, carried by a `content=1` delete manifest
+    * at the NEXT sequence number, in a new snapshot whose manifest list
+    * re-lists every prior manifest verbatim — data files are never
+    * rewritten (the merge-on-read contract; [[purgeDeletionVectors]] is
+    * the Delta-side rewrite analogue). Refuses v1 tables (no sequence
+    * numbers to gate readers), partitioned specs, and tables already
+    * carrying EQUALITY deletes (re-deriving live positions under
+    * value+sequence semantics is the import's job, out of writer scope).
+    * Rows already dead under existing position deletes are not
+    * re-deleted (anti-join first), so the returned count is NEWLY
+    * deleted rows. The metadata flip is crash-safe: `v<N+1>` lands
+    * fully, the version hint flips LAST via atomic rename.
+    *
+    * Scope note: the delete parquet is written by Spark, which cannot
+    * annotate the spec's reserved parquet field ids (2147483546/45) —
+    * columns are named `file_path`/`pos` per the spec, which is how this
+    * bridge's own import (and name-based readers) resolve them.
+    *
+    * Scale shape: matching is ONE distributed scan of the live files
+    * with `_metadata` row positions, anti-joined against the existing
+    * delete pairs (delete-scale build side); the driver holds only
+    * manifest rows, never data.
+    */
+  def deleteWhere(spark: SparkSession, icebergDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val root = Paths.get(icebergDir)
+    val metaDir = root.resolve("metadata")
+    val (v, meta) = readTableMeta(root)
+    require(meta.get("format-version").asInt() == 2,
+      "deleteWhere appends a sequence-gated v2 delete snapshot; a " +
+        "format-v1 table has no sequence numbers — refusing")
+    val currentSnap = meta.get("current-snapshot-id").asLong()
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val cur = meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $cur not in the schemas list"))
+      } else meta.get("schema")
+    val schema = sparkSchemaFrom(schemaNode)
+    val (live, deletes) = liveFiles(root, meta, currentSnap)
+    require(live.forall(_.partition.isEmpty),
+      "partitioned table — deleteWhere's unpartitioned scope (the Delta " +
+        "deleteWhere scope), refusing")
+    require(deletes.forall(_.content == 1),
+      "table carries EQUALITY deletes — re-deriving live positions under " +
+        "value+sequence semantics is out of writer scope, refusing")
+    val lastSeq = Option(meta.get("last-sequence-number")).map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        "v2 metadata without last-sequence-number — malformed, refusing"))
+
+    def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.startsWith("file:"), regexp_replace(c, "^file:/+", "/"))
+        .when(c.startsWith("/"), c)
+        .otherwise(concat(lit(root.toString + "/"), c))
+
+    val absLive = live.map(lf => resolve(root, lf.path))
+    var scan = spark.read.schema(schema)
+      .parquet(absLive.map(_.toString): _*)
+      .withColumn("__graft_path", normPath(col("_metadata.file_path")))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    if (deletes.nonEmpty) {
+      val delPaths = deletes.map(lf => resolve(root, lf.path).toString)
+      val dels = spark.read.parquet(delPaths: _*)
+        .select(normPath(col("file_path")).as("__graft_path"),
+          col("pos").cast("long").as("__graft_pos"))
+      scan = scan.join(dels, Seq("__graft_path", "__graft_pos"), "left_anti")
+    }
+    // spec: position-delete rows sorted by (file_path, pos)
+    val newPairs = scan.filter(predicate)
+      .select(concat(lit("file:"), col("__graft_path")).as("file_path"),
+        col("__graft_pos").as("pos"))
+      .orderBy(col("file_path"), col("pos"))
+      .persist()
+    val nDeleted =
+      try {
+        val n = newPairs.count()
+        if (n == 0L) return 0L
+        val dataDir = root.resolve("data")
+        Files.createDirectories(dataDir)
+        val tmp = Files.createTempDirectory("graft_ice_delw_")
+        newPairs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        val delFile = dataDir.resolve(s"delete-$stamp.parquet")
+        Files.move(listParquet(tmp).head, delFile,
+          StandardCopyOption.REPLACE_EXISTING)
+
+        // delete manifest at the next sequence number
+        val newSeq = lastSeq + 1
+        val snapshotId = math.abs(
+          java.util.UUID.randomUUID().getLeastSignificantBits)
+        val eSchema = IcebergFixtures.entrySchema(
+          IcebergFixtures.partitionStruct(Nil), v2 = true)
+        val dfr = new GenericData.Record(
+          eSchema.getField("data_file").schema())
+        dfr.put("content", 1) // position deletes
+        dfr.put("file_path", delFile.toUri.toString)
+        dfr.put("file_format", "PARQUET")
+        dfr.put("partition", new GenericData.Record(
+          dfr.getSchema.getField("partition").schema()))
+        dfr.put("record_count", n)
+        dfr.put("file_size_in_bytes", Files.size(delFile))
+        val entry = new GenericData.Record(eSchema)
+        entry.put("status", 1)
+        entry.put("snapshot_id", snapshotId)
+        entry.put("sequence_number", newSeq)
+        entry.put("file_sequence_number", newSeq)
+        entry.put("data_file", dfr)
+        val schemaJson = mapper.writeValueAsString(schemaNode)
+        val delManifest = metaDir.resolve(s"delw-$stamp-m0.avro")
+        writeAvro(delManifest, eSchema, Seq(entry), Map(
+          "schema" -> schemaJson, "partition-spec" -> "[]",
+          "partition-spec-id" -> "0", "format-version" -> "2",
+          "content" -> "deletes"))
+
+        // new manifest list: every prior manifest row carried VERBATIM
+        // (in its own schema) + the delete manifest row
+        val snapNode = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == currentSnap).get
+        val priorList = resolve(root, snapNode.get("manifest-list").asText())
+        val prior = readAvro(priorList)
+        val listSchema =
+          prior.headOption.map(_.getSchema).getOrElse(
+            IcebergFixtures.manifestFileSchemaV2)
+        Seq("content", "sequence_number").foreach(f =>
+          require(listSchema.getField(f) != null,
+            s"prior manifest list lacks the v2 '$f' field — refusing"))
+        val newRow = new GenericData.Record(listSchema)
+        def putIf(n: String, value: Any): Unit =
+          if (listSchema.getField(n) != null) newRow.put(n, value)
+        putIf("manifest_path", delManifest.toUri.toString)
+        putIf("manifest_length", Files.size(delManifest))
+        putIf("partition_spec_id", 0)
+        putIf("content", 1)
+        putIf("sequence_number", newSeq)
+        putIf("min_sequence_number", newSeq)
+        putIf("added_snapshot_id", snapshotId)
+        putIf("added_data_files_count", 1)
+        putIf("existing_data_files_count", 0)
+        putIf("deleted_data_files_count", 0)
+        val newListPath = metaDir.resolve(s"snap-$snapshotId-1-graft.avro")
+        writeAvro(newListPath, listSchema, prior :+ newRow,
+          Map("format-version" -> "2"))
+
+        val now = System.currentTimeMillis()
+        val root2 = meta.deepCopy()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        root2.put("last-updated-ms", now)
+        root2.put("last-sequence-number", newSeq)
+        root2.put("current-snapshot-id", snapshotId)
+        val snap = root2.withArray("snapshots").addObject()
+        snap.put("snapshot-id", snapshotId)
+        snap.put("parent-snapshot-id", currentSnap)
+        snap.put("sequence-number", newSeq)
+        snap.put("timestamp-ms", now)
+        snap.putObject("summary").put("operation", "delete")
+        snap.put("manifest-list", newListPath.toUri.toString)
+        val log = root2.withArray("snapshot-log").addObject()
+        log.put("snapshot-id", snapshotId)
+        log.put("timestamp-ms", now)
+        Files.write(metaDir.resolve(s"v${v + 1}.metadata.json"),
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root2))
+        // hint flips LAST via atomic rename (the appendSnapshot contract)
+        val tmpHint = metaDir.resolve("version-hint.text.tmp")
+        Files.write(tmpHint, s"${v + 1}".getBytes("UTF-8"))
+        Files.move(tmpHint, metaDir.resolve("version-hint.text"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        n
+      } finally { newPairs.unpersist(); () }
+    nDeleted
+  }
+
   /** Iceberg schema JSON → Spark StructType (the primitive + list subset
     * this bridge emits; anything else refuses loudly).
     */

@@ -321,6 +321,47 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("without equality_ids"))
   }
 
+  test("deleteWhere: v2 delete snapshot — idempotent, time-travelable, v1 refuses") {
+    val out = tmp("ice_delw_")
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    IcebergFixtures.writeV2WithDeletes(spark, out, df, "id",
+      col("id") % 10 === 1) // wave 1: 10 rows via fixture deletes
+    val meta0 = mapper.readTree(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "v2.metadata.json")))
+    val snap0 = meta0.get("current-snapshot-id").asLong()
+
+    val n = IcebergInterop.deleteWhere(spark, out, col("id") % 10 === 2)
+    assert(n == 10L, s"wave 2 must delete 10 fresh rows, got $n")
+    val got = IcebergInterop.importSnapshot(spark, out)
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 100L).filter(i => i % 10 != 1 && i % 10 != 2).toSet)
+
+    // idempotence: the same predicate again deletes NOTHING new (and a
+    // predicate overlapping wave 1 only counts the fresh rows)
+    assert(IcebergInterop.deleteWhere(spark, out, col("id") % 10 === 2) == 0L)
+    val overlap = IcebergInterop.deleteWhere(spark, out, col("id") % 5 === 1)
+    assert(overlap == 10L, // %5==1 hits %10==1 (dead) and %10==6 (alive)
+      s"overlap wave must re-delete only the live half, got $overlap")
+
+    // time travel: the pre-delete snapshot still serves every row
+    val before = IcebergInterop.importSnapshot(spark, out,
+      asOfSnapshotId = Some(snap0))
+      .select("id").as[Long].collect().toSet
+    assert(before == (0L until 100L).filter(_ % 10 != 1).toSet,
+      "asOf the fixture snapshot: only wave-1 deletes apply")
+
+    // v1 tables refuse (no sequence numbers)
+    val v1t = tmp("ice_delw_v1_") + "/t"
+    VersionedTable.append(v1t)(d =>
+      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(d))
+    val v1out = tmp("ice_delw_v1o_")
+    IcebergInterop.exportSnapshot(spark, v1t, v1out)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.deleteWhere(spark, v1out, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("format-v1"))
+  }
+
   test("appendSnapshot refuses format-v2 tables") {
     val df = (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v")
     val out = tmp("ice_v2app_")
