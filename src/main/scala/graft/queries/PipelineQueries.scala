@@ -2242,6 +2242,69 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // CONVERSION FUNNEL — anchored ("first-touch") ordered funnel:
+    // view → click → purchase, each step strictly after the previous and
+    // within 24 h of the user's FIRST view. Min-chain semantics (every
+    // step time is a min over a qualifying set) make the result a pure
+    // function of the event set — no ordering/partitioning dependence.
+    // K sequential groupBy(user_id) stages, each over a type-filtered
+    // scan; census is ONE conditional-aggregate pass.
+    "q168_funnel" -> ((s, dir) => {
+      val f = graft.functions.EventAnalytics.funnel(
+        Tables.events(s, dir), Seq("view", "click", "purchase"),
+        windowUs = 24L * 3600 * 1000000)
+      graft.functions.EventAnalytics.funnelCensus(f, 3)
+    }),
+
+    // RETENTION COHORTS — cohort = ISO week (Monday) of the user's first
+    // event; cell = distinct users from that cohort active `week_offset`
+    // weeks later. Two shuffles on user_id (first-week min + the
+    // (user, week) distinct), final aggregate bounded by weeks².
+    "q169_retention_cohorts" -> ((s, dir) => {
+      graft.functions.EventAnalytics.retentionCohorts(Tables.events(s, dir))
+    }),
+
+    // TIME-GRID GAP-FILL + FORWARD-FILL — per-user contiguous daily grid
+    // carrying the last-observed value (exact integer cents) forward; the
+    // feature-pipeline resample that turns an irregular event stream into
+    // a dense daily feature. Grid explode is bounded by the observation
+    // span in DAYS (events pre-aggregated to one row per user-day first),
+    // forward fill is one window per user. Census: per-user day counts +
+    // exact cents total + an integer mix checksum over the full grid.
+    "q170_gapfill" -> ((s, dir) => {
+      graft.functions.EventAnalytics.gapFillDaily(Tables.events(s, dir))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("observed").cast("long")).as("n_event_days"),
+          sum(col("cents")).as("cents_total"),
+          expr("bit_xor(cast(unix_date(day) as bigint) * 1048573 + cents)")
+            .as("checksum"))
+    }),
+
+    // TRIANGLE CENSUS — degree-ordered-orientation triangle counting +
+    // local clustering coefficients over a user co-occurrence graph
+    // (same event_type + hour + props.k). The orientation bounds the
+    // wedge join by O(m^1.5) regardless of hot vertices; the oracle
+    // replays with plain id ordering — triangle counts are
+    // orientation-invariant, so the two must agree bit-for-bit. The
+    // co-occurrence expansion itself is per-bucket quadratic, bounded by
+    // the (type, hour, k) bucket sizes (≤ ~50 at sf0.1; at 100 TB a
+    // bucket-size budget + hot-bucket exclusion gate the expansion).
+    "q171_triangle_census" -> ((s, dir) => {
+      val act = Tables.events(s, dir).select(
+        col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("user_id")).distinct()
+      val b = act.select(col("event_type"), col("h"), col("k"),
+        col("user_id").as("v"))
+      val edges = act.join(b, Seq("event_type", "h", "k"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("u"), col("v"))
+      graft.operators.TriangleCount.perNode(edges)
+        .select(col("node").as("user_id"), col("deg"), col("tri"), col("lcc6"))
+    }),
+
     // EQUAL-FREQUENCY quantile binning — the other classic tabular
     // encoding: deterministic BY VALUE (ties share a bin, never NTILE's
     // partitioning-dependent tie split), exact BIGINT count arithmetic,
@@ -5819,6 +5882,114 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM iw9 GROUP BY lang""".stripMargin,
+
+    // funnel: the same min-chain unrolled — each stage a conditional min
+    // over a LEFT-joined candidate set (CASE inside min ≡ Spark's
+    // null-out-then-min), census as three conditional aggregates
+    "q168_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT t1.user_id, t1.t1_us,
+        |    min(CASE WHEN epoch_us(e.ts) > t1.t1_us
+        |             AND epoch_us(e.ts) <= t1.t1_us + 86400000000
+        |        THEN epoch_us(e.ts) END) AS t2_us
+        |  FROM t1 LEFT JOIN events e
+        |    ON e.user_id = t1.user_id AND e.event_type = 'click'
+        |  GROUP BY 1, 2
+        |), t3 AS (
+        |  SELECT t2.user_id, t2.t1_us, t2.t2_us,
+        |    min(CASE WHEN epoch_us(e.ts) > t2.t2_us
+        |             AND epoch_us(e.ts) <= t2.t1_us + 86400000000
+        |        THEN epoch_us(e.ts) END) AS t3_us
+        |  FROM t2 LEFT JOIN events e
+        |    ON e.user_id = t2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, count(t1_us) AS n_users,
+        |  CAST(0 AS BIGINT) AS lag_us_total FROM t3
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(t2_us),
+        |  CAST(coalesce(sum(t2_us - t1_us), 0) AS BIGINT) FROM t3
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), count(t3_us),
+        |  CAST(coalesce(sum(t3_us - t1_us), 0) AS BIGINT) FROM t3""".stripMargin,
+
+    // retention cohorts: first ISO week per user, exact day-diff/7 offsets
+    "q169_retention_cohorts" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1
+        |)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, wk.week) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // gap-fill: per-(user, day) last value by event_id (arg_max), daily
+    // grid via generate_series, forward fill as an ASOF join on day
+    "q170_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS day_cents
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |), filled AS (
+        |  SELECT g.user_id, g.day, d.day_cents AS cents,
+        |    (d.day = g.day) AS observed
+        |  FROM grid g ASOF LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day >= d.day
+        |)
+        |SELECT user_id, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_event_days,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total,
+        |  bit_xor(date_diff('day', DATE '1970-01-01', day) * 1048573 + cents)
+        |    AS checksum
+        |FROM filled GROUP BY 1""".stripMargin,
+
+    // triangle census: id-ordered closing-join replay — counts are
+    // orientation-invariant, so this must equal the engine's
+    // degree-ordered run exactly
+    "q171_triangle_census" ->
+      """WITH act AS (
+        |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, user_id
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        |  FROM act a JOIN act b
+        |    ON a.event_type = b.event_type AND a.h = b.h AND a.k = b.k
+        |   AND a.user_id < b.user_id
+        |), deg AS (
+        |  SELECT n, count(*) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), tn AS (
+        |  SELECT n, count(*) AS t
+        |  FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1
+        |)
+        |SELECT deg.n AS user_id, CAST(deg.d AS BIGINT) AS deg,
+        |  CAST(coalesce(tn.t, 0) AS BIGINT) AS tri,
+        |  CASE WHEN deg.d >= 2
+        |       THEN (2 * coalesce(tn.t, 0) * 1000000) // (deg.d * (deg.d - 1))
+        |       ELSE CAST(0 AS BIGINT) END AS lcc6
+        |FROM deg LEFT JOIN tn ON deg.n = tn.n""".stripMargin,
 
     // quantile binning: distinct-value counts, running rows_below,
     // bin = (rows_below * 10) // n — exact integer replication

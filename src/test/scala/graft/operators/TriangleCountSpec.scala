@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TriangleCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(edges: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = e.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val tri = adj.map { case (n, nb) =>
+      n -> nb.toSeq.combinations(2).count(p => adj(p(0)).contains(p(1))).toLong
+    }
+    (deg, tri)
+  }
+
+  test("per-node counts match a brute-force reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val (deg, tri) = brute(edges)
+    val got = TriangleCount.perNode(edges.toDF("u", "v")).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("tri"))).toMap
+    assert(got.keySet == deg.keySet)
+    got.foreach { case (n, (d, t)) =>
+      assert(d == deg(n) && t == tri(n), s"node $n: got ($d,$t) want (${deg(n)},${tri(n)})")
+    }
+  }
+
+  test("triangle count is invariant to duplicate, reversed, and self-loop input edges") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L), (4L, 3L))
+    val a = TriangleCount.global(base.toDF("u", "v")).collect().head
+    val b = TriangleCount.global(noisy.toDF("u", "v")).collect().head
+    assert(a == b)
+    assert(a.getAs[Long]("n_triangles") == 1L && a.getAs[Long]("n_edges") == 4L)
+  }
+
+  test("hot-vertex star: zero triangles, hub gets almost no out-edges under orientation") {
+    // star K_{1,50}: no triangles; the orientation property is what keeps
+    // the wedge join bounded — verify the count is right and cheap
+    val star = (1L to 50L).map(i => (0L, i))
+    val g = TriangleCount.global(star.toDF("u", "v")).collect().head
+    assert(g.getAs[Long]("n_triangles") == 0L)
+    assert(g.getAs[Long]("n_nodes") == 51L)
+  }
+
+  test("K4: every node has lcc 1.0 (lcc6 = 1000000), global count 4") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val pn = TriangleCount.perNode(k4.toDF("u", "v")).collect()
+    assert(pn.length == 4)
+    pn.foreach { r =>
+      assert(r.getAs[Long]("tri") == 3L && r.getAs[Long]("lcc6") == 1000000L)
+    }
+    val g = TriangleCount.global(k4.toDF("u", "v")).collect().head
+    assert(g.getAs[Long]("n_triangles") == 4L && g.getAs[Long]("gcc6") == 1000000L)
+  }
+
+  test("partitioning invariance: repartitioned input gives identical census") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = edges.toDF("u", "v")
+    val a = TriangleCount.perNode(df).orderBy("node").collect().toSeq
+    val b = TriangleCount.perNode(df.repartition(13)).orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+}
