@@ -89,4 +89,75 @@ object SketchFunctions {
       .filter(col("n_occurrences") * denom > col("n_total"))
       .select(g ++ Seq(col(itemCol), col("n_occurrences"), col("n_total")): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Deterministic HyperLogLog (Flajolet et al. 2007) — the distinct-count
+  // sketch with a BIT-REPRODUCIBLE contract, unlike the built-in
+  // approx_count_distinct whose HLL++ register layout is opaque to any
+  // oracle. Hash = xxhash64(value-as-string) (seed 42, the engine-wide
+  // hash); bucket = top p bits; rho = leading-zero rank of the low
+  // (64−p) bits, computed by STRING length of the minimal binary form —
+  // exact in any engine, no float log2 anywhere. The register table
+  // (bucket, max rho) IS the sketch: merging two sketches is max per
+  // bucket (Spark's map-side combine does it for free), and the raw
+  // estimator restates in integer arithmetic: with
+  // T = Σ_buckets 2^((64−p+1) − M_j)  (empty bucket ⇒ M_j = 0),
+  // E = α·m²·2^(64−p+1) / T, emitted in micros by one truncating
+  // division of exact integers (DECIMAL(38,0) here ≡ HUGEINT in DuckDB).
+  // ---------------------------------------------------------------------
+
+  /** Per-row (bucket, rho) columns for a deterministic HLL over
+    * `xxhash64(value)`: bucket = top `p` hash bits, rho = position of the
+    * first 1-bit in the remaining 64−p bits (1-based; all-zero ⇒ 64−p+1).
+    */
+  def hllRho(value: Column, p: Int): (Column, Column) = {
+    require(p >= 4 && p <= 16, s"hll precision p in [4,16], got $p")
+    val width = 64 - p
+    val h = xxhash64(value.cast("string"))
+    val bucket = shiftrightunsigned(h, width)
+    val w = h.bitwiseAND(lit((1L << width) - 1))
+    // bin() strips leading zeros (bin(0) = "0" — normalized by ltrim), so
+    // length(ltrim(bin(w),'0')) = bit length and rho = width+1 − bitlen.
+    val rho = (lit(width + 1) - length(ltrim(bin(w), "0"))).cast("long")
+    (bucket, rho)
+  }
+
+  /** HLL register table over (optional extra keys ×) buckets: one row per
+    * observed (keys, bucket) with `m` = max rho. Raw rows in, no distinct
+    * needed — duplicates collapse in the max, map-side. Union-merging two
+    * sketches = `groupBy(bucket).agg(max(m))` over their concatenation.
+    */
+  def hllBuckets(df: DataFrame, value: Column, p: Int,
+      keyNames: Seq[String] = Nil): DataFrame = {
+    val (bucket, rho) = hllRho(value, p)
+    df.select((keyNames.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
+      .groupBy((keyNames.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** Raw HLL estimate from a register table (single sketch, all `m` rows):
+    * one row `(n_buckets_nonzero, n_zero, t_str, est6)` where `t_str` is
+    * the exact scaled harmonic-sum integer T (decimal string; > 2⁶³, so
+    * never a BIGINT column) and `est6` the estimate in micros —
+    * `(α6·m²·2^(width+1)) div T`, truncating integer division. `alpha6` is
+    * the spec-pinned round(α_m·10⁶) (for m=256: 718273).
+    */
+  def hllEstimate(buckets: DataFrame, p: Int, alpha6: Long): DataFrame = {
+    val m = 1L << p
+    val width = 64 - p
+    val pow2w1 = BigInt(1) << (width + 1)
+    val num = (BigInt(alpha6) * BigInt(m) * BigInt(m) * pow2w1).toString
+    val agg = buckets.agg(
+      count(lit(1)).as("nb"),
+      coalesce(sum(expr(s"cast(pow(2.0, ${width + 1} - m) as decimal(38,0))")),
+        expr("cast(0 as decimal(38,0))")).as("s_ne"))
+    agg.select(
+      col("nb").cast("long").as("n_buckets_nonzero"),
+      (lit(m) - col("nb")).cast("long").as("n_zero"),
+      (col("s_ne") + (lit(m) - col("nb")).cast("decimal(38,0)") *
+        lit(new java.math.BigDecimal(pow2w1.toString()))).as("t"))
+      .select(col("n_buckets_nonzero"), col("n_zero"),
+        col("t").cast("string").as("t_str"),
+        expr(s"cast(cast('$num' as decimal(38,0)) div t as bigint)").as("est6"))
+  }
 }

@@ -2305,6 +2305,54 @@ object PipelineQueries {
         .select(col("node").as("user_id"), col("deg"), col("tri"), col("lcc6"))
     }),
 
+    // DETERMINISTIC HLL, merge law — the distinct-count sketch with a
+    // bit-reproducible register contract (the built-in HLL++ registers
+    // are opaque to any oracle; q61 could only gate within 5%). Two
+    // sketches over DISJOINT event halves and one over the whole stream:
+    // union-merge = per-bucket max, and the merged registers must equal
+    // the whole-stream registers REGISTER BY REGISTER — the property
+    // that makes HLL the 100 TB cardinality op (partial sketches
+    // combine associatively, map-side).
+    "q172_hll_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select((col("event_id") % 2).as("half"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      val halves = SketchFunctions.hllBuckets(ev, col("v6"), 8, Seq("half"))
+      val ma = halves.filter(col("half") === 0)
+        .select(col("bucket"), col("m").as("m_a"))
+      val mb = halves.filter(col("half") === 1)
+        .select(col("bucket"), col("m").as("m_b"))
+      val whole = SketchFunctions.hllBuckets(ev, col("v6"), 8)
+        .select(col("bucket"), col("m").as("mw"))
+      s.range(256).select(col("id").as("bucket"))
+        .join(ma, Seq("bucket"), "left")
+        .join(mb, Seq("bucket"), "left")
+        .join(whole, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("m_a"), lit(0L)).as("m_a"),
+          coalesce(col("m_b"), lit(0L)).as("m_b"),
+          greatest(coalesce(col("m_a"), lit(0L)), coalesce(col("m_b"), lit(0L)))
+            .as("m_merged"),
+          coalesce(col("mw"), lit(0L)).as("m_whole"))
+    }),
+
+    // HLL raw estimator, exact-integer: T = Σ 2^(57−M_j) over all 256
+    // registers as a DECIMAL(38,0)/HUGEINT, estimate = (α6·m²·2^57) div T
+    // in micros — one truncating division of exact integers, so the
+    // sketch's accuracy is itself DATA (err_ppm vs the exact distinct
+    // count), not a tolerance gate.
+    "q173_hll_estimate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      val sk = SketchFunctions.hllBuckets(ev, col("v6"), 8)
+      val est = SketchFunctions.hllEstimate(sk, 8, alpha6 = 718273L)
+      ev.agg(countDistinct(col("v6")).as("n_exact"))
+        .crossJoin(est)
+        .select(col("n_exact"), col("n_buckets_nonzero"), col("n_zero"),
+          col("t_str"), col("est6"),
+          expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
+    }),
+
     // EQUAL-FREQUENCY quantile binning — the other classic tabular
     // encoding: deterministic BY VALUE (ties share a bin, never NTILE's
     // partitioning-dependent tie split), exact BIGINT count arithmetic,
@@ -5990,6 +6038,69 @@ object PipelineQueries {
         |       THEN (2 * coalesce(tn.t, 0) * 1000000) // (deg.d * (deg.d - 1))
         |       ELSE CAST(0 AS BIGINT) END AS lcc6
         |FROM deg LEFT JOIN tn ON deg.n = tn.n""".stripMargin,
+
+    // HLL merge law: the xxh64 restatement feeds bucket/rho extraction
+    // (top 8 bits / minimal-binary-length rank), per-half and whole
+    // register tables joined over the full 256-register grid
+    "q172_hll_merge" ->
+      s"""WITH ev AS (
+         |  SELECT event_id % 2 AS half,
+         |    CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR) AS sv
+         |  FROM events WHERE value IS NOT NULL
+         |), ${DuckDbXxHash64.xxh64Cte("ev", "sv", Seq("half"), "hb")},
+         |ub AS (
+         |  SELECT half, (CAST(xxh AS HUGEINT) + 18446744073709551616)
+         |    % 18446744073709551616 AS ux
+         |  FROM hb9
+         |), pr AS (
+         |  SELECT half, CAST(ux // 72057594037927936 AS BIGINT) AS bucket,
+         |    CAST(57 - length(ltrim(bin(CAST(ux % 72057594037927936 AS BIGINT)),
+         |      '0')) AS BIGINT) AS rho
+         |  FROM ub
+         |), ma AS (SELECT bucket, max(rho) AS m FROM pr WHERE half = 0 GROUP BY 1),
+         |mb AS (SELECT bucket, max(rho) AS m FROM pr WHERE half = 1 GROUP BY 1),
+         |mw AS (SELECT bucket, max(rho) AS m FROM pr GROUP BY 1),
+         |grid AS (SELECT CAST(i AS BIGINT) AS bucket FROM range(256) t(i))
+         |SELECT g.bucket, coalesce(ma.m, 0) AS m_a, coalesce(mb.m, 0) AS m_b,
+         |  greatest(coalesce(ma.m, 0), coalesce(mb.m, 0)) AS m_merged,
+         |  coalesce(mw.m, 0) AS m_whole
+         |FROM grid g LEFT JOIN ma ON g.bucket = ma.bucket
+         |LEFT JOIN mb ON g.bucket = mb.bucket
+         |LEFT JOIN mw ON g.bucket = mw.bucket""".stripMargin,
+
+    // HLL estimator: T as HUGEINT (2.0**x exact for powers of two),
+    // est6 = NUM // T with NUM = 718273·65536·2^57 inlined exact
+    "q173_hll_estimate" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR) AS sv
+         |  FROM events WHERE value IS NOT NULL
+         |), ${DuckDbXxHash64.xxh64Cte("ev", "sv", Seq.empty, "he")},
+         |ub AS (
+         |  SELECT (CAST(xxh AS HUGEINT) + 18446744073709551616)
+         |    % 18446744073709551616 AS ux
+         |  FROM he9
+         |), pr AS (
+         |  SELECT CAST(ux // 72057594037927936 AS BIGINT) AS bucket,
+         |    CAST(57 - length(ltrim(bin(CAST(ux % 72057594037927936 AS BIGINT)),
+         |      '0')) AS BIGINT) AS rho
+         |  FROM ub
+         |), mw AS (SELECT bucket, max(rho) AS m FROM pr GROUP BY 1),
+         |t AS (
+         |  SELECT count(*) AS nb,
+         |    sum(CAST(2.0 ** (57 - m) AS HUGEINT)) AS s_ne
+         |  FROM mw
+         |), tt AS (
+         |  SELECT nb, s_ne + (256 - nb) * 144115188075855872::HUGEINT AS t
+         |  FROM t
+         |), ex AS (SELECT count(DISTINCT sv) AS n_exact FROM ev)
+         |SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |  CAST(tt.nb AS BIGINT) AS n_buckets_nonzero,
+         |  CAST(256 - tt.nb AS BIGINT) AS n_zero,
+         |  CAST(tt.t AS VARCHAR) AS t_str,
+         |  CAST(6783896681500457353154134016::HUGEINT // tt.t AS BIGINT) AS est6,
+         |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
+         |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
+         |FROM tt, ex""".stripMargin,
 
     // quantile binning: distinct-value counts, running rows_below,
     // bin = (rows_below * 10) // n — exact integer replication

@@ -193,4 +193,51 @@ class SketchFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows("w1") == 64L && rows.size == 8)
   }
+
+  test("hll bucket/rho match a JVM bit reference of the same xxhash64") {
+    val df = (0L until 2000L).toDF("v")
+    val got = df.select(col("v"),
+        SketchFunctions.hllRho(col("v"), 8)._1.as("bucket"),
+        SketchFunctions.hllRho(col("v"), 8)._2.as("rho"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hashes = df.select(col("v"), xxhash64(col("v").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (v, bucket, rho) =>
+      val h = hashes(v)
+      assert(bucket == (h >>> 56), s"v=$v bucket")
+      val w = h & ((1L << 56) - 1)
+      val expRho = if (w == 0) 57L else 56 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      assert(rho == expRho, s"v=$v rho: got $rho want $expRho (w=$w)")
+    }
+  }
+
+  test("hll merge law: disjoint-half sketches max-merge to the whole-stream sketch") {
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(5000)(rnd.nextLong())
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val whole = SketchFunctions.hllBuckets(df.repartition(7), col("v"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val halves = SketchFunctions.hllBuckets(
+        df.withColumn("half", col("id") % 2), col("v"), 8, Seq("half"))
+      .collect().groupBy(_.getLong(1)) // by bucket
+      .map { case (b, rows) => b -> rows.map(_.getLong(2)).max }
+    assert(halves == whole)
+  }
+
+  test("hll estimate: within 5 standard errors on 20k random values; empty input exact") {
+    val rnd = new scala.util.Random(3)
+    val n = 20000
+    val df = Seq.fill(n)(rnd.nextLong()).distinct.toDF("v")
+    val exact = df.count()
+    val est6 = SketchFunctions.hllEstimate(
+      SketchFunctions.hllBuckets(df, col("v"), 8), 8, 718273L)
+      .head.getAs[Long]("est6")
+    val rel = math.abs(est6 / 1e6 - exact) / exact
+    assert(rel < 5 * 1.04 / 16, s"relative error $rel") // σ = 1.04/√256
+    // all-empty register table: T = 256·2^57 exactly, nb = 0
+    val empty = SketchFunctions.hllEstimate(
+      SketchFunctions.hllBuckets(df.filter(lit(false)), col("v"), 8), 8, 718273L).head
+    assert(empty.getAs[Long]("n_zero") == 256L)
+    assert(empty.getAs[String]("t_str") == (BigInt(256) * (BigInt(1) << 57)).toString)
+  }
 }
