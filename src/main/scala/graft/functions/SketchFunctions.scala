@@ -160,4 +160,31 @@ object SketchFunctions {
         col("t").cast("string").as("t_str"),
         expr(s"cast(cast('$num' as decimal(38,0)) div t as bigint)").as("est6"))
   }
+
+  /** KMV / theta sketch rank table (Beyer et al. 2007; the Theta-sketch
+    * set-operation family): per key, the `k` smallest distinct hash values
+    * of `value` under xxhash64, in SIGNED-comparable form `uc = h XOR
+    * Long.MinValue` (the sign-bit flip maps unsigned hash order onto
+    * signed long order, so ranking/merging stay native long ops; the true
+    * unsigned value is `uc + 2⁶³`). Returns `(keys…, uc, rk)` with
+    * `rk ∈ [1, k]`.
+    *
+    * Set-op contract (what q174 verifies): with θ = min over keys of the
+    * rank-k value, every sketch retains ALL its hashes below θ, so
+    * |A∩B| ≈ |{common hashes < θ}|·2⁶⁴/θ and |A∪B| ≈ |{distinct hashes
+    * < θ}|·2⁶⁴/θ — estimated WITHOUT touching the raw sets. At 100 TB the
+    * rank-k filter is Spark's WindowGroupLimit partial pre-trim (each map
+    * task keeps its own top-k before the shuffle), so the exchange carries
+    * O(parts·k), never the distinct universe.
+    */
+  def kmvMins(df: DataFrame, value: Column, k: Int,
+      keyNames: Seq[String] = Nil): DataFrame = {
+    require(k >= 1 && k <= 100000, s"kmv k in [1, 1e5], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val uc = xxhash64(value.cast("string")).bitwiseXOR(lit(Long.MinValue))
+    val hashed = df.select((keyNames.map(col) :+ uc.as("uc")): _*).distinct()
+    val w = (if (keyNames.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keyNames.map(col): _*)).orderBy(col("uc"))
+    hashed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

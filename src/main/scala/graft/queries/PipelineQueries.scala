@@ -2353,6 +2353,46 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // KMV / THETA SKETCH SET OPS — distinct-set intersection/union
+    // estimated from two k=128 minimum-hash sketches WITHOUT touching
+    // the raw sets (the Theta-sketch family): θ = min of the two rank-k
+    // hashes, every retained hash below θ is a uniform sample of the
+    // union, est = count·2⁶⁴/θ in exact integer micros. Exact counts ride
+    // along so the estimator's accuracy is data. Sketch build is a
+    // WindowGroupLimit rank filter (map-side pre-trim at scale).
+    "q174_kmv_setops" -> ((s, dir) => {
+      val k = 128
+      val dv = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isin("view", "purchase"))
+        .select(col("event_type"), floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+        .distinct()
+      val sk = SketchFunctions.kmvMins(dv, col("v6"), k, Seq("event_type"))
+      val theta = sk.filter(col("rk") === k).agg(min(col("uc")).as("theta_c"))
+      val below = sk.crossJoin(broadcast(theta)).filter(col("uc") < col("theta_c"))
+      val cnts = below.agg(
+        countDistinct(when(col("event_type") === "view", col("uc"))).as("na_lt"),
+        countDistinct(when(col("event_type") === "purchase", col("uc"))).as("nb_lt"),
+        countDistinct(col("uc")).as("nu_lt"))
+      val exact = dv.agg(
+        count(when(col("event_type") === "view", 1)).as("n_a"),
+        count(when(col("event_type") === "purchase", 1)).as("n_b"))
+      val inter = dv.filter(col("event_type") === "view").select(col("v6"))
+        .join(dv.filter(col("event_type") === "purchase").select(col("v6")), "v6")
+        .agg(count(lit(1)).as("n_inter"))
+      val thetaU = "(cast(theta_c as decimal(38,0)) + " +
+        "cast('9223372036854775808' as decimal(38,0)))"
+      val sc = "cast('18446744073709551616000000' as decimal(38,0))"
+      exact.crossJoin(inter).crossJoin(cnts).crossJoin(theta)
+        .select(col("n_a"), col("n_b"), col("n_inter"),
+          (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+          expr(s"cast($thetaU as string)").as("theta_str"),
+          (col("na_lt") + col("nb_lt") - col("nu_lt")).as("n_common_lt"),
+          col("nu_lt").as("n_union_lt"),
+          expr(s"cast(((na_lt + nb_lt - nu_lt) * $sc) div $thetaU as bigint)")
+            .as("est_inter6"),
+          expr(s"cast((nu_lt * $sc) div $thetaU as bigint)").as("est_union6"))
+    }),
+
     // EQUAL-FREQUENCY quantile binning — the other classic tabular
     // encoding: deterministic BY VALUE (ties share a bin, never NTILE's
     // partitioning-dependent tie split), exact BIGINT count arithmetic,
@@ -6101,6 +6141,55 @@ object PipelineQueries {
          |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
          |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
          |FROM tt, ex""".stripMargin,
+
+    // KMV set ops: ranks over distinct unsigned hashes per type, θ = min
+    // rank-128 value, counts below θ, exact-integer estimates
+    "q174_kmv_setops" ->
+      s"""WITH dv AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+         |), sv AS (SELECT event_type, v6, CAST(v6 AS VARCHAR) AS s6 FROM dv),
+         |${DuckDbXxHash64.xxh64Cte("sv", "s6", Seq("event_type", "v6"), "kv")},
+         |u AS (
+         |  SELECT DISTINCT event_type,
+         |    (CAST(xxh AS HUGEINT) + 18446744073709551616)
+         |      % 18446744073709551616 AS ux
+         |  FROM kv9
+         |), r AS (
+         |  SELECT event_type, ux,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ux) AS rk
+         |  FROM u
+         |), th AS (SELECT min(ux) AS theta FROM r WHERE rk = 128),
+         |ex AS (
+         |  SELECT count(CASE WHEN event_type = 'view' THEN 1 END) AS n_a,
+         |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b
+         |  FROM dv
+         |), ix AS (
+         |  SELECT count(*) AS n_inter FROM (
+         |    SELECT v6 FROM dv WHERE event_type = 'view'
+         |    INTERSECT
+         |    SELECT v6 FROM dv WHERE event_type = 'purchase')
+         |), bl AS (
+         |  SELECT
+         |    count(DISTINCT CASE WHEN event_type = 'view' THEN ux END) AS na_lt,
+         |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN ux END) AS nb_lt,
+         |    count(DISTINCT ux) AS nu_lt
+         |  FROM r, th WHERE r.rk <= 128 AND r.ux < th.theta
+         |)
+         |SELECT CAST(ex.n_a AS BIGINT) AS n_a, CAST(ex.n_b AS BIGINT) AS n_b,
+         |  CAST(ix.n_inter AS BIGINT) AS n_inter,
+         |  CAST(ex.n_a + ex.n_b - ix.n_inter AS BIGINT) AS n_union,
+         |  CAST(th.theta AS VARCHAR) AS theta_str,
+         |  CAST(bl.na_lt + bl.nb_lt - bl.nu_lt AS BIGINT) AS n_common_lt,
+         |  CAST(bl.nu_lt AS BIGINT) AS n_union_lt,
+         |  CAST((bl.na_lt + bl.nb_lt - bl.nu_lt)
+         |    * 18446744073709551616000000::HUGEINT // th.theta AS BIGINT)
+         |    AS est_inter6,
+         |  CAST(bl.nu_lt * 18446744073709551616000000::HUGEINT // th.theta
+         |    AS BIGINT) AS est_union6
+         |FROM ex, ix, bl, th""".stripMargin,
 
     // quantile binning: distinct-value counts, running rows_below,
     // bin = (rows_below * 10) // n — exact integer replication

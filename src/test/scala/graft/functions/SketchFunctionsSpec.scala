@@ -240,4 +240,46 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(empty.getAs[Long]("n_zero") == 256L)
     assert(empty.getAs[String]("t_str") == (BigInt(256) * (BigInt(1) << 57)).toString)
   }
+
+  test("kmv ranks = the k smallest hashes in UNSIGNED order, dupes collapsed") {
+    val df = (0L until 500L).map(v => (v % 250, "g")).toDF("v", "g") // every value twice
+    val got = SketchFunctions.kmvMins(df, col("v"), 20, Seq("g"))
+      .orderBy(col("rk")).collect().map(_.getAs[Long]("uc"))
+    val ref = (0L until 250L)
+      .map(v => df.sparkSession.sql(s"SELECT xxhash64(cast($v as string))").head.getLong(0))
+      .map(h => h ^ Long.MinValue).sorted.take(20)
+    assert(got.toSeq == ref)
+    assert(got.length == 20)
+  }
+
+  test("kmv theta set-op estimates land near exact counts on planted overlap") {
+    // A = [0, 4000), B = [2000, 6000): |A∩B| = 2000, |A∪B| = 6000
+    val rows = (0L until 4000L).map(v => ("a", v)) ++
+      (2000L until 6000L).map(v => ("b", v))
+    val dv = rows.toDF("st", "v")
+    val k = 256
+    val sk = SketchFunctions.kmvMins(dv, col("v"), k, Seq("st"))
+    val thetaC = sk.filter(col("rk") === k).agg(min(col("uc"))).head.getLong(0)
+    val below = sk.filter(col("uc") < thetaC)
+      .select(col("st"), col("uc")).collect()
+    val aSet = below.filter(_.getString(0) == "a").map(_.getLong(1)).toSet
+    val bSet = below.filter(_.getString(0) == "b").map(_.getLong(1)).toSet
+    val theta = BigInt(thetaC) + (BigInt(1) << 63)
+    def est(cnt: Int): Double =
+      (BigInt(cnt) * (BigInt(1) << 64) / theta).toDouble
+    // ~3σ tolerance at k=256 (σ ≈ 1/√k ≈ 6.3%)
+    assert(math.abs(est((aSet & bSet).size) - 2000) < 2000 * 0.35,
+      s"inter est ${est((aSet & bSet).size)}")
+    assert(math.abs(est((aSet | bSet).size) - 6000) < 6000 * 0.20,
+      s"union est ${est((aSet | bSet).size)}")
+  }
+
+  test("kmv sketch is partitioning-invariant") {
+    val df = (0L until 3000L).map(v => (v, s"t${v % 3}")).toDF("v", "st")
+    val a = SketchFunctions.kmvMins(df, col("v"), 64, Seq("st"))
+      .orderBy("st", "rk").collect().toSeq
+    val b = SketchFunctions.kmvMins(df.repartition(17), col("v"), 64, Seq("st"))
+      .orderBy("st", "rk").collect().toSeq
+    assert(a == b)
+  }
 }
