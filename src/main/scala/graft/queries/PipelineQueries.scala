@@ -2353,6 +2353,39 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // ICEBERG SNAPSHOT EXPIRATION + ORPHAN CLEANUP — the maintenance
+    // pair completing the v2 bridge: build the q167 two-wave delete
+    // table, plant an orphan parquet in data/, expire to keepLast=1 and
+    // remove orphans, then the import must serve the SAME survivor
+    // census (q167's oracle verbatim — the maintenance must be
+    // invisible, the q67/q77/q155 same-answer precedent) while the
+    // expired history is physically gone (time travel refusals are
+    // spec-checked in IcebergInteropSpec).
+    "q175_iceberg_expire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("ice_expire").toString + "/ice"
+      graft.storage.IcebergFixtures.writeV2WithDeletes(
+        s, out, docs, "doc_id", col("doc_id") % 7 === 3)
+      val n = graft.storage.IcebergInterop.deleteWhere(
+        s, out, col("doc_id") % 11 === 5)
+      require(n > 0, "second delete wave deleted nothing — fixture broken")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "data", "orphan-debris.parquet"),
+        Array[Byte](80, 65, 82, 49))
+      val rep = graft.storage.IcebergInterop.expireSnapshots(out, keepLast = 1)
+      require(rep.expiredSnapshotIds.nonEmpty, "nothing expired — fixture broken")
+      val orphans = graft.storage.IcebergInterop.removeOrphanFiles(out)
+      require(orphans.exists(_.endsWith("orphan-debris.parquet")),
+        s"planted orphan not reclaimed: $orphans")
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // KMV / THETA SKETCH SET OPS — distinct-set intersection/union
     // estimated from two k=128 minimum-hash sketches WITHOUT touching
     // the raw sets (the Theta-sketch family): θ = min of the two rank-k
@@ -6141,6 +6174,21 @@ object PipelineQueries {
          |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
          |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
          |FROM tt, ex""".stripMargin,
+
+    // Iceberg expire + orphan cleanup: q167's survivor census verbatim —
+    // the maintenance ops must be invisible to the served data
+    "q175_iceberg_expire" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents
+         |  WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "ie")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM ie9 GROUP BY lang""".stripMargin,
 
     // KMV set ops: ranks over distinct unsigned hashes per type, θ = min
     // rank-128 value, counts below θ, exact-integer estimates

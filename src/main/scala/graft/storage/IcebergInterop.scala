@@ -497,15 +497,32 @@ object IcebergInterop {
   def importSnapshot(
       spark: SparkSession, icebergDir: String,
       verifySizes: Boolean = true,
-      asOfSnapshotId: Option[Long] = None): DataFrame = {
+      asOfSnapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions._
+    require(asOfSnapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "pass asOfSnapshotId OR asOfTimestampMs, not both")
     val root = Paths.get(icebergDir)
     val (_, meta) = readTableMeta(root)
     val currentSnap = Option(meta.get("current-snapshot-id")).map(_.asLong())
       .getOrElse(throw new IllegalArgumentException(s"no current-snapshot-id at $icebergDir"))
     require(currentSnap != -1L, s"table at $icebergDir has no current snapshot")
-    val snapId = asOfSnapshotId.getOrElse(currentSnap)
+    // timestamp time travel resolves THROUGH the snapshot-log (spec "Table
+    // Metadata": timestamp/snapshot-id pairs encoding current-snapshot
+    // history) — the latest entry at or before the asked instant; asking
+    // before the first commit refuses (there was no table state to serve)
+    val byTime = asOfTimestampMs.map { t =>
+      require(meta.has("snapshot-log") && meta.get("snapshot-log").size() > 0,
+        s"no snapshot-log at $icebergDir — timestamp time travel impossible")
+      val eligible = meta.get("snapshot-log").elements().asScala.toSeq
+        .filter(_.get("timestamp-ms").asLong() <= t)
+      require(eligible.nonEmpty,
+        s"no snapshot at or before timestamp $t (first commit is " +
+          s"${meta.get("snapshot-log").elements().asScala.map(_.get("timestamp-ms").asLong()).min})")
+      eligible.maxBy(_.get("timestamp-ms").asLong()).get("snapshot-id").asLong()
+    }
+    val snapId = asOfSnapshotId.orElse(byTime).getOrElse(currentSnap)
     val defaultSpec = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
     val specFieldNodes = meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == defaultSpec)
@@ -954,6 +971,137 @@ object IcebergInterop {
         n
       } finally { newPairs.unpersist(); () }
     nDeleted
+  }
+
+  /** What [[expireSnapshots]] did: ids dropped from the metadata and the
+    * physical files reclaimed at each level.
+    */
+  case class ExpireReport(
+      expiredSnapshotIds: Seq[Long],
+      deletedManifestLists: Seq[String],
+      deletedManifests: Seq[String],
+      deletedDataFiles: Seq[String])
+
+  /** Snapshot expiration — the Iceberg maintenance op (spec/docs
+    * `expire_snapshots`): retain the `keepLast` most recent snapshots
+    * (snapshot-log order; the current snapshot is always the newest and
+    * is always kept), rewrite the table metadata WITHOUT the expired
+    * snapshots/log entries (new `v<N+1>.metadata.json`, version hint
+    * flipped LAST via atomic rename — the appendSnapshot contract), then
+    * reclaim, in this order, (1) expired manifest-list files, (2)
+    * manifests referenced by no retained snapshot, (3) data/delete files
+    * referenced by no retained snapshot's manifests. Files outside the
+    * table root are never touched (a fixture may reference shared
+    * inputs). Time travel to an expired id afterwards refuses by name
+    * (`snapshot X not in the snapshots list`).
+    *
+    * Cleanup is manifest-scale driver work — O(manifests + entries),
+    * exactly the metadata Iceberg's own expire action walks, never a
+    * data scan; at 100 TB the data files are only ever TOUCHED by the
+    * final delete set.
+    */
+  def expireSnapshots(icebergDir: String, keepLast: Int): ExpireReport = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val root = Paths.get(icebergDir)
+    val metaDir = root.resolve("metadata")
+    val (v, meta) = readTableMeta(root)
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    if (snaps.size <= keepLast)
+      return ExpireReport(Nil, Nil, Nil, Nil)
+    // Commit order over the SNAPSHOTS list (a snapshot-log may be partial:
+    // fixtures/imported tables don't always log every historical commit):
+    // (timestamp-ms, sequence-number, id) — sequence numbers are the v2
+    // commit order, timestamps the v1 fallback, id the final tiebreak.
+    val ordered: Seq[Long] = snaps.sortBy { s =>
+      (s.get("timestamp-ms").asLong(),
+        Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        s.get("snapshot-id").asLong())
+    }.map(_.get("snapshot-id").asLong())
+    val keptIds = ordered.takeRight(keepLast).toSet
+    val current = Option(meta.get("current-snapshot-id")).map(_.asLong())
+    current.foreach(c => require(keptIds.contains(c),
+      s"current snapshot $c would be expired — snapshot-log out of order?"))
+    val expiredIds = ordered.filterNot(keptIds)
+
+    def manifestListOf(id: Long): Path = resolve(root,
+      snaps.find(_.get("snapshot-id").asLong() == id).get
+        .get("manifest-list").asText())
+    def manifestsOf(list: Path): Seq[String] =
+      if (!Files.exists(list)) Nil
+      else readAvro(list).map(_.get("manifest_path").toString)
+    def filesOf(manifest: String): Seq[String] = {
+      val p = resolve(root, manifest)
+      if (!Files.exists(p)) Nil
+      else readAvro(p).map(
+        _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+    }
+
+    val keptManifests = keptIds.toSeq.flatMap(id => manifestsOf(manifestListOf(id)))
+      .map(m => resolve(root, m)).toSet
+    val expManifests = expiredIds.flatMap(id => manifestsOf(manifestListOf(id)))
+      .map(m => resolve(root, m)).toSet
+    val keptFiles = keptManifests.toSeq.flatMap(m => filesOf(m.toString))
+      .map(f => resolve(root, f)).toSet
+    val expFiles = expManifests.toSeq.flatMap(m => filesOf(m.toString))
+      .map(f => resolve(root, f)).toSet
+
+    // new metadata: snapshots + snapshot-log filtered to the kept set
+    val root2 = meta.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSnaps = root2.putArray("snapshots")
+    snaps.filter(s => keptIds.contains(s.get("snapshot-id").asLong()))
+      .foreach(newSnaps.add)
+    if (meta.has("snapshot-log")) {
+      val newLog = root2.putArray("snapshot-log")
+      meta.get("snapshot-log").elements().asScala
+        .filter(e => keptIds.contains(e.get("snapshot-id").asLong()))
+        .foreach(newLog.add)
+    }
+    root2.put("last-updated-ms", System.currentTimeMillis())
+    Files.write(metaDir.resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root2))
+    val tmpHint = metaDir.resolve("version-hint.text.tmp")
+    Files.write(tmpHint, s"${v + 1}".getBytes("UTF-8"))
+    Files.move(tmpHint, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+
+    // reclaim AFTER the flip; only files under the table root
+    def inRoot(p: Path): Boolean = p.normalize().startsWith(root.normalize())
+    def rm(p: Path): Boolean =
+      inRoot(p) && Files.exists(p) && Files.deleteIfExists(p)
+    val gomLists = expiredIds.map(manifestListOf)
+      .filterNot(l => keptIds.map(manifestListOf).contains(l))
+      .filter(rm).map(_.toString)
+    val goneManifests = (expManifests -- keptManifests).toSeq.sortBy(_.toString)
+      .filter(rm).map(_.toString)
+    val goneFiles = (expFiles -- keptFiles).toSeq.sortBy(_.toString)
+      .filter(rm).map(_.toString)
+    ExpireReport(expiredIds, gomLists, goneManifests, goneFiles)
+  }
+
+  /** Orphan-file cleanup (docs `remove_orphan_files`): delete parquet
+    * files under `<table>/data/` that no retained snapshot's manifests
+    * reference — the debris of failed writes or external copies. Returns
+    * the deleted paths. Metadata is untouched.
+    */
+  def removeOrphanFiles(icebergDir: String): Seq[String] = {
+    val root = Paths.get(icebergDir)
+    val (_, meta) = readTableMeta(root)
+    val referenced = meta.get("snapshots").elements().asScala.flatMap { s =>
+      val list = resolve(root, s.get("manifest-list").asText())
+      if (!Files.exists(list)) Nil
+      else readAvro(list).flatMap { m =>
+        val mp = resolve(root, m.get("manifest_path").toString)
+        if (!Files.exists(mp)) Nil
+        else readAvro(mp).map(e => resolve(root,
+          e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString).normalize())
+      }
+    }.toSet
+    val dataDir = root.resolve("data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    listParquet(dataDir).filterNot(p => referenced.contains(p.normalize()))
+      .map { p => Files.delete(p); p.toString }
   }
 
   /** Iceberg schema JSON → Spark StructType (the primitive + list subset

@@ -387,4 +387,86 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.exportSnapshot(spark, mapTable, out2))
     assert(e.getMessage.contains("no Iceberg mapping"))
   }
+
+  test("expireSnapshots: history gone, current serves, expired-only data files reclaimed") {
+    val table = tmp("ice_exp_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    VersionedTable.append(table)(dir =>
+      Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_exp_out_")
+    val rels = IcebergInterop.exportSnapshot(spark, table, out)
+    val firstSnap = mapper.readTree(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json"))).get("current-snapshot-id").asLong()
+    // snapshot 2 drops the (3,c) file — that file is then referenced ONLY
+    // by snapshot 1 and must be physically reclaimed by its expiration
+    val victim = rels.find { r =>
+      spark.read.parquet(ref(out, r).toString).filter(col("id") === 3L).count() > 0
+    }.get
+    IcebergInterop.appendSnapshot(spark, out,
+      Seq((4L, "d")).toDF("id", "v").coalesce(1), removePaths = Seq(victim))
+    val victimPath = ref(out, victim)
+    assert(Files.exists(victimPath))
+
+    val rep = IcebergInterop.expireSnapshots(out, keepLast = 1)
+    assert(rep.expiredSnapshotIds == Seq(firstSnap))
+    assert(rep.deletedManifestLists.nonEmpty)
+    assert(rep.deletedDataFiles.exists(_.endsWith(victimPath.getFileName.toString)),
+      s"expired-only file not reclaimed: ${rep.deletedDataFiles}")
+    assert(!Files.exists(victimPath))
+    // current snapshot serves unchanged
+    val rows = IcebergInterop.importSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (4L, "d")))
+    // time travel to the expired snapshot refuses by name
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.importSnapshot(spark, out, asOfSnapshotId = Some(firstSnap)))
+    assert(e.getMessage.contains("not in the snapshots list"))
+    // expiring again is a no-op
+    assert(IcebergInterop.expireSnapshots(out, keepLast = 1).expiredSnapshotIds.isEmpty)
+  }
+
+  test("expireSnapshots keeps shared data files; removeOrphanFiles only reclaims debris") {
+    val table = tmp("ice_orph_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_orph_out_")
+    IcebergInterop.exportSnapshot(spark, table, out)
+    // snapshot 2 ADDS a file; snapshot 1's file stays shared (EXISTING)
+    IcebergInterop.appendSnapshot(spark, out,
+      Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    val orphan = Paths.get(out, "data", "zz-debris.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    val rep = IcebergInterop.expireSnapshots(out, keepLast = 1)
+    assert(rep.deletedDataFiles.isEmpty, s"shared files reclaimed: ${rep.deletedDataFiles}")
+    val gone = IcebergInterop.removeOrphanFiles(out)
+    assert(gone.exists(_.endsWith("zz-debris.parquet")) && !Files.exists(orphan))
+    assert(IcebergInterop.importSnapshot(spark, out).count() == 3)
+    // keepLast beyond history is a no-op
+    assert(IcebergInterop.expireSnapshots(out, keepLast = 10).expiredSnapshotIds.isEmpty)
+  }
+
+  test("timestamp time travel resolves through the snapshot-log; pre-history refuses") {
+    val table = tmp("ice_ts_") + "/t"
+    VersionedTable.append(table)(dir =>
+      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(dir))
+    val out = tmp("ice_ts_out_")
+    IcebergInterop.exportSnapshot(spark, table, out)
+    // exportSnapshot writes an empty snapshot-log (fixture-era layout);
+    // appendSnapshot logs its commit — resolve between the two commits
+    IcebergInterop.appendSnapshot(spark, out,
+      Seq((2L, "b")).toDF("id", "v").coalesce(1))
+    val meta = mapper.readTree(Files.readAllBytes(Paths.get(out, "metadata",
+      s"v${new String(Files.readAllBytes(Paths.get(out, "metadata", "version-hint.text")), "UTF-8").trim}.metadata.json")))
+    val logEntries = meta.get("snapshot-log").elements().asScala.toSeq
+    val t2 = logEntries.map(_.get("timestamp-ms").asLong()).max
+    val rows = IcebergInterop.importSnapshot(spark, out, asOfTimestampMs = Some(t2))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L))
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.importSnapshot(spark, out, asOfTimestampMs = Some(0L)))
+    assert(e.getMessage.contains("no snapshot at or before"))
+    intercept[IllegalArgumentException](IcebergInterop.importSnapshot(
+      spark, out, asOfSnapshotId = Some(1L), asOfTimestampMs = Some(t2)))
+  }
 }
