@@ -107,4 +107,31 @@ object FeatureEncoding {
           expr(s"(rows_below * $nBins) div ${n}L").as("bin"))
     } finally { counts.unpersist(); () }
   }
+
+  /** The hashing trick (Weinberger et al. 2009, feature hashing): map an
+    * unbounded categorical feature space into `dims` slots with
+    * `idx = xxhash64(feature) mod dims` and an independent sign hash
+    * `sign = 1 − 2·(xxhash64(feature ⧺ "#s") mod 2)` (the signed variant
+    * that makes collisions cancel in expectation). NO vocabulary — the
+    * encoding of a row is a pure map-side function of its feature
+    * strings, so a 100 TB corpus encodes in the scan stage with zero
+    * joins, zero shuffles, and zero state; collisions are the visible,
+    * countable tradeoff (the census every q176-style check hashes).
+    *
+    * `features` are string columns (convention `name=value`); rows
+    * explode to one output row per feature: `(keys…, feature, idx, sign)`.
+    * NULL feature strings drop (a missing feature has no slot).
+    */
+  def hashFeatures(df: DataFrame, features: Seq[Column], dims: Int,
+      keyNames: Seq[String] = Nil): DataFrame = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two >= 2, got $dims")
+    val f = explode(array(features: _*)).as("feature")
+    df.select((keyNames.map(col) :+ f): _*)
+      .filter(col("feature").isNotNull)
+      .select((keyNames.map(col) :+ col("feature") :+
+        pmod(xxhash64(col("feature")), lit(dims.toLong)).as("idx") :+
+        (lit(1L) - lit(2L) * pmod(xxhash64(concat(col("feature"), lit("#s"))),
+          lit(2L))).as("sign")): _*)
+  }
 }

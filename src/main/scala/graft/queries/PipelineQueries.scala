@@ -2353,6 +2353,24 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // FEATURE HASHING (the hashing trick) — vocabulary-free categorical
+    // encoding into 64 signed slots: idx/sign are pure map-side hash
+    // functions of the feature string (zero joins, zero state at 100 TB);
+    // the census makes collisions VISIBLE (n_features per slot) and the
+    // signed sums exactly reproducible.
+    "q176_feature_hashing" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        concat(lit("et="), col("event_type")).as("f1"),
+        concat(lit("k="), get_json_object(col("props"), "$.k")).as("f2"),
+        concat(lit("ub="), (col("user_id") % 10).cast("string")).as("f3"))
+      graft.functions.FeatureEncoding.hashFeatures(ev,
+          Seq(col("f1"), col("f2"), col("f3")), dims = 64)
+        .groupBy(col("idx"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("sign")).as("signed_sum"),
+          countDistinct(col("feature")).as("n_features"))
+    }),
+
     // ICEBERG SNAPSHOT EXPIRATION + ORPHAN CLEANUP — the maintenance
     // pair completing the v2 bridge: build the q167 two-wave delete
     // table, plant an orphan parquet in data/, expire to keepLast=1 and
@@ -6174,6 +6192,40 @@ object PipelineQueries {
          |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
          |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
          |FROM tt, ex""".stripMargin,
+
+    // feature hashing: the two hash chains run over the ~115 DISTINCT
+    // feature strings only (idx/sign depend on the feature, not the row),
+    // then join back to the exploded relation — mod-2^k on the unsigned
+    // hash equals Spark's pmod on the signed one
+    "q176_feature_hashing" ->
+      s"""WITH f0 AS (
+         |  SELECT event_id,
+         |    ['et=' || event_type,
+         |     'k=' || json_extract_string(props, '$$.k'),
+         |     'ub=' || CAST(user_id % 10 AS VARCHAR)] AS fs
+         |  FROM events
+         |), f AS (
+         |  SELECT event_id, unnest(fs) AS fstr FROM f0
+         |), fnn AS (SELECT event_id, fstr FROM f WHERE fstr IS NOT NULL),
+         |df AS (SELECT DISTINCT fstr FROM fnn),
+         |${DuckDbXxHash64.xxh64Cte("df", "fstr", Seq.empty, "fi")},
+         |im AS (
+         |  SELECT s AS fstr,
+         |    CAST(((CAST(xxh AS HUGEINT) + 18446744073709551616)
+         |      % 18446744073709551616) % 64 AS BIGINT) AS idx
+         |  FROM fi9
+         |), ${DuckDbXxHash64.xxh64Cte("df", "fstr || '#s'", Seq("fstr"), "fg")},
+         |sm AS (
+         |  SELECT fstr,
+         |    1 - 2 * CAST(((CAST(xxh AS HUGEINT) + 18446744073709551616)
+         |      % 18446744073709551616) % 2 AS BIGINT) AS sign
+         |  FROM fg9
+         |)
+         |SELECT im.idx, count(*) AS n_obs,
+         |  CAST(sum(sm.sign) AS BIGINT) AS signed_sum,
+         |  CAST(count(DISTINCT fnn.fstr) AS BIGINT) AS n_features
+         |FROM fnn JOIN im ON fnn.fstr = im.fstr JOIN sm ON fnn.fstr = sm.fstr
+         |GROUP BY im.idx""".stripMargin,
 
     // Iceberg expire + orphan cleanup: q167's survivor census verbatim —
     // the maintenance ops must be invisible to the served data

@@ -91,4 +91,32 @@ class FeatureEncodingSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(run(df.repartition(17)) == run(df.coalesce(1)))
   }
+
+  test("feature hashing: idx/sign are pure functions of the feature string; NULLs drop") {
+    val df = Seq(("a", "x"), ("a", null), ("b", "x")).toDF("c1", "c2")
+    val out = FeatureEncoding.hashFeatures(df,
+      Seq(concat(lit("c1="), col("c1")), concat(lit("c2="), col("c2"))), 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 5) // 6 slots - 1 null
+    // same feature string → same (idx, sign) everywhere
+    assert(out.groupBy(_._1).forall(_._2.distinct.length == 1))
+    out.foreach { case (f, idx, sign) =>
+      assert(idx >= 0 && idx < 64 && (sign == 1L || sign == -1L), s"$f -> ($idx,$sign)")
+      val h = df.sparkSession.sql(
+        s"SELECT pmod(xxhash64('$f'), 64L), 1 - 2*pmod(xxhash64('$f#s'), 2L)").head
+      assert(idx == h.getLong(0) && sign == h.getLong(1))
+    }
+  }
+
+  test("feature hashing: signed collisions cancel in expectation; non-power-of-two refuses") {
+    // 2000 distinct features into 16 slots: heavy collisions, but the
+    // signed per-slot sums stay near zero (mean |sum| ≈ √(n/dims) ≈ 11)
+    val df = (0L until 2000L).map(i => Tuple1(s"f$i")).toDF("f")
+    val sums = FeatureEncoding.hashFeatures(df, Seq(col("f")), 16)
+      .groupBy(col("idx")).agg(sum(col("sign")).as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(sums.forall(s => math.abs(s) < 60), s"signed sums off: ${sums.toSeq}")
+    intercept[IllegalArgumentException](
+      FeatureEncoding.hashFeatures(df, Seq(col("f")), 60))
+  }
 }
