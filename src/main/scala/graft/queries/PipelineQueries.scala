@@ -2353,6 +2353,33 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // BUCKETED CO-LOCATED JOIN — the shuffle-free join layout: per-user
+    // event features and a user dimension both land bucketBy(8, user_id)
+    // + sortBy, then the equi-join plans with NO Exchange on either side
+    // (pinned by BucketedLayoutSpec's executed-plan check; at 100 TB the
+    // join is a co-located scan, never a two-sided shuffle). The census
+    // must equal the plain logical join — the layout is invisible to
+    // the answer.
+    "q177_bucketed_join" -> ((s, dir) => {
+      val root = scratchDir("bucketed").toString
+      val feat = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_v6"))
+      val dim = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_id") % 13 === 0, col("event_type")))
+          .as("first_type"))
+      graft.storage.BucketedLayout.writeBucketed(
+        feat, "q177_feat", s"$root/feat", "user_id", buckets = 8)
+      graft.storage.BucketedLayout.writeBucketed(
+        dim, "q177_dim", s"$root/dim", "user_id", buckets = 8)
+      graft.storage.BucketedLayout.colocatedJoin(s, "q177_feat", "q177_dim", "user_id")
+        .groupBy(col("first_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_v6")).as("sum_v6"))
+    }),
+
     // FEATURE HASHING (the hashing trick) — vocabulary-free categorical
     // encoding into 64 signed slots: idx/sign are pure map-side hash
     // functions of the feature string (zero joins, zero state at 100 TB);
@@ -6192,6 +6219,24 @@ object PipelineQueries {
          |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
          |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
          |FROM tt, ex""".stripMargin,
+
+    // bucketed join: the plain logical join — the bucketed layout must
+    // be answer-invisible
+    "q177_bucketed_join" ->
+      """WITH feat AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6
+        |  FROM events GROUP BY 1
+        |), dim AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_id % 13 = 0 THEN event_type END) AS first_type
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT dim.first_type, count(*) AS n_users,
+        |  CAST(sum(feat.n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(feat.sum_v6) AS BIGINT) AS sum_v6
+        |FROM feat JOIN dim ON feat.user_id = dim.user_id
+        |GROUP BY 1""".stripMargin,
 
     // feature hashing: the two hash chains run over the ~115 DISTINCT
     // feature strings only (idx/sign depend on the feature, not the row),
