@@ -163,4 +163,66 @@ object Monitoring {
       .select(lit(valueCol).as("column"), lit(baseSplit).as("base"),
         lit(compareSplit).as("compare"), col("psi"))
   }
+
+  /** One data-contract rule: `name` labels it in the census, `predicate`
+    * is the per-row PASS condition (dbt-test semantics: `not_null`,
+    * `accepted_values`, range checks — any row-local Column). Uniqueness
+    * is row-GLOBAL and has its own constructor.
+    */
+  case class Expectation(name: String, predicate: Column)
+
+  object Expectation {
+    def notNull(c: String): Expectation =
+      Expectation(s"not_null($c)", col(c).isNotNull)
+    def acceptedValues(c: String, values: Seq[String]): Expectation =
+      Expectation(s"accepted_values($c)", col(c).isin(values: _*))
+    def inRange(c: String, lo: Long, hi: Long): Expectation =
+      Expectation(s"range($c,$lo,$hi)", col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Data-contract validation — the dbt test surface (the reference ships
+    * its feature views with dbt's not_null/unique/accepted_values tests;
+    * this is that check plane as an ENGINE op a pipeline runs on every
+    * ingest wave): one row per rule with `n_rows`, `n_fail`, and `passed`.
+    *
+    * Row-local rules evaluate in ONE scan as conditional aggregates (the
+    * census unpivots from a 1×R aggregate row, the q168 shape);
+    * `uniqueCols` adds one map-side-combined groupBy per key set, whose
+    * shuffle carries only key counts. `failFast = true` throws naming
+    * every violated rule — the refuse-loudly ingest gate.
+    */
+  def expectations(df: DataFrame, rules: Seq[Expectation],
+      uniqueCols: Seq[String] = Nil, failFast: Boolean = false): DataFrame = {
+    require(rules.nonEmpty || uniqueCols.nonEmpty, "no expectations given")
+    val rowAggs = rules.flatMap { r =>
+      Seq(count(lit(1)).as(s"__n_${r.name}"),
+        coalesce(sum(when(!coalesce(r.predicate, lit(false)), 1L).otherwise(0L)),
+          lit(0L)).as(s"__f_${r.name}"))
+    }
+    val rowCensus: Option[DataFrame] = if (rules.isEmpty) None else {
+      val one = df.agg(rowAggs.head, rowAggs.tail: _*)
+      val structs = rules.map(r => struct(lit(r.name).as("rule"),
+        col(s"__n_${r.name}").as("n_rows"), col(s"__f_${r.name}").as("n_fail")))
+      Some(one.select(explode(array(structs: _*)).as("e")).select(col("e.*")))
+    }
+    val uniqueCensus: Option[DataFrame] = if (uniqueCols.isEmpty) None else {
+      val dupes = df.groupBy(uniqueCols.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("__c") > 1, col("__c"))).cast("long"), lit(0L))
+            .as("n_fail"))
+      Some(dupes.select(
+        lit(s"unique(${uniqueCols.mkString(",")})").as("rule"),
+        col("n_rows"), col("n_fail")))
+    }
+    val census = (rowCensus.toSeq ++ uniqueCensus.toSeq).reduce(_ unionByName _)
+      .withColumn("passed", col("n_fail") === 0L)
+    if (failFast) {
+      val bad = census.filter(!col("passed"))
+        .select(col("rule"), col("n_fail")).collect()
+      require(bad.isEmpty, "expectations violated: " +
+        bad.map(r => s"${r.getString(0)} (${r.getLong(1)} rows)").mkString("; "))
+    }
+    census
+  }
 }

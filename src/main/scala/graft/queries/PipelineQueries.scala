@@ -2353,6 +2353,57 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // CDF APPLY — the CDC consumer closure: base(v1) + readChanges(1,2)
+    // must reconstruct read(v2) EXACTLY (one anti-join on the feed's
+    // removed keys + one union; the consumer never re-reads the table).
+    // Same two-wave construction as q164; the oracle states v2 closed-
+    // form (wave ∪ untouched base) and the census hashes every row.
+    "q179_cdf_apply" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("t6"))
+      val base = ev.filter(col("event_id") % 3 =!= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("t6")).as("s6"))
+      val allAgg = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("t6")).as("s6"))
+      val wave = allAgg.filter(col("user_id") % 7 === 0)
+        .unionByName(allAgg.filter(col("user_id") % 11 === 0)
+          .select((col("user_id") + lit(1000000L)).as("user_id"),
+            lit(1L).as("cnt"), lit(42L).as("s6")))
+      val path = scratchDir("cdfapply").toString + "/t"
+      val cw: (DataFrame, String) => Unit = (df, d) => df.write.parquet(d)
+      graft.storage.VersionedTable.upsert(s, path, Seq("user_id"),
+        compactEvery = 100, compactWrite = cw)(d => base.write.parquet(d))
+      graft.storage.VersionedTable.upsert(s, path, Seq("user_id"),
+        compactEvery = 100, compactWrite = cw)(d => wave.write.parquet(d))
+      val v1 = graft.storage.VersionedTable.read(s, path, asOfVersion = Some(1L))
+      val changes = graft.storage.VersionedTable.readChanges(
+        s, path, Seq("user_id"), 1L, 2L)
+      graft.storage.VersionedTable.applyChanges(v1, changes, Seq("user_id"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cnt")).as("sum_cnt"), sum(col("s6")).as("sum_s6"),
+          expr("bit_xor(user_id * 2654435761 + cnt * 1048573 + s6)")
+            .as("checksum"))
+    }),
+
+    // DATA-CONTRACT EXPECTATIONS — the dbt test surface as an engine op
+    // (the reference ships feature views with not_null / unique /
+    // accepted_values dbt tests; a pipeline runs this census per ingest
+    // wave, failFast as the refuse-loudly gate). Row-local rules are ONE
+    // conditional-aggregate scan; uniqueness adds one map-side-combined
+    // key count. NULL predicate = FAIL (a row that can't prove the
+    // contract violates it) — the census shows both passing and failing
+    // rules.
+    "q178_expectations" -> ((s, dir) => {
+      import graft.functions.Monitoring.{Expectation => E}
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        col("value"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      graft.functions.Monitoring.expectations(ev, Seq(
+        E.notNull("value"),
+        E.acceptedValues("event_type", Seq("view", "click", "purchase", "signup")),
+        E.inRange("k", 0L, 49L)), uniqueCols = Seq("event_id"))
+    }),
+
     // BUCKETED CO-LOCATED JOIN — the shuffle-free join layout: per-user
     // event features and a user dimension both land bucketBy(8, user_id)
     // + sortBy, then the equi-join plans with NO Exchange on either side
@@ -6219,6 +6270,65 @@ object PipelineQueries {
          |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
          |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
          |FROM tt, ex""".stripMargin,
+
+    // CDF apply: v2 closed-form = wave ∪ (base minus wave keys), full
+    // row-set census
+    "q179_cdf_apply" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS t6
+        |  FROM events
+        |), base AS (
+        |  SELECT user_id, count(*) AS cnt, CAST(sum(t6) AS BIGINT) AS s6
+        |  FROM e WHERE event_id % 3 <> 0 GROUP BY 1
+        |), allagg AS (
+        |  SELECT user_id, count(*) AS cnt, CAST(sum(t6) AS BIGINT) AS s6
+        |  FROM e GROUP BY 1
+        |), wave AS (
+        |  SELECT user_id, cnt, s6 FROM allagg WHERE user_id % 7 = 0
+        |  UNION ALL
+        |  SELECT user_id + 1000000, CAST(1 AS BIGINT), CAST(42 AS BIGINT)
+        |  FROM allagg WHERE user_id % 11 = 0
+        |), v2 AS (
+        |  SELECT * FROM wave
+        |  UNION ALL
+        |  SELECT * FROM base WHERE user_id NOT IN (SELECT user_id FROM wave)
+        |)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+        |  CAST(sum(s6) AS BIGINT) AS sum_s6,
+        |  bit_xor(user_id * 2654435761 + cnt * 1048573 + s6) AS checksum
+        |FROM v2""".stripMargin,
+
+    // expectations: each rule a conditional count (NULL predicate = FAIL,
+    // the documented contract), uniqueness = all rows of duplicated keys
+    "q178_expectations" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |), rows_rules AS (
+        |  SELECT 'not_null(value)' AS rule, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN NOT coalesce(value IS NOT NULL, false)
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'accepted_values(event_type)', count(*),
+        |    CAST(sum(CASE WHEN NOT coalesce(
+        |        event_type IN ('view','click','purchase','signup'), false)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'range(k,0,49)', count(*),
+        |    CAST(sum(CASE WHEN NOT coalesce(k >= 0 AND k <= 49, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'unique(event_id)', (SELECT count(*) FROM ev),
+        |    (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |     FROM (SELECT count(*) AS c FROM ev GROUP BY event_id))
+        |)
+        |SELECT rule, n_rows, n_fail, n_fail = 0 AS passed FROM rows_rules""".stripMargin,
 
     // bucketed join: the plain logical join — the bucketed layout must
     // be answer-invisible

@@ -474,6 +474,30 @@ object VersionedTable {
     inserts.unionByName(deletes).unionByName(updPre).unionByName(updPost)
   }
 
+  /** Apply a [[readChanges]] feed onto a base snapshot — the CDC consumer
+    * op and [[readChanges]]'s inverse: drop the keys the feed deletes or
+    * pre-images, then add its insert/post-image rows. With
+    * `base = read(v_from)` and `changes = readChanges(v_from, v_to)`, the
+    * result row-set EQUALS `read(v_to)` (the closure property q179 pins).
+    * One left-anti join on the (feed-sized) removed-key set + one union —
+    * a 100 TB consumer applies a wave without re-reading the table.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyChanges needs the key columns")
+    val dataCols = base.columns.toSeq
+    require(changes.columns.contains("_change_type"),
+      "changes must carry _change_type (a readChanges feed)")
+    val removedKeys = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(keys.map(col): _*).distinct()
+    val added = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(dataCols.map(col): _*)
+    base.join(removedKeys, keys, "left_anti")
+      .unionByName(added)
+  }
+
   /** Segment names split by the [loMicros, hiMicros] time range: (kept,
     * skipped). A segment is skipped only when it HAS stats on `statsCol` and
     * its [min,max] is disjoint from the range — segments without stats are

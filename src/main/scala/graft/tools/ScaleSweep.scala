@@ -792,6 +792,102 @@ object ScaleSweep {
         runAll(graft.functions.ShardExport.packTokenStream(
           docs, "doc_id", "text", buckets = 8, windowTokens = 128L))
       }
+
+      // ---- round-14 second wave: event analytics / sketches / layout ---
+      //     a props-carrying event corpus for the cells that need props.k;
+      //     SEPARATE from `events` so the established cells' checkpoint
+      //     size (and hence their byte counters) stay comparable across
+      //     rounds. Copy id = user_id div 1e7 (0 at scale 1).
+      val eventsP = {
+        val e = Tables.events(spark, sfDir).select(
+          col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          col("value"), col("props"))
+        (if (scale == 1) e
+         else copies(e, (df, k) => df.select(
+           (col("event_id") + lit(k * 100000000L)).as("event_id"),
+           (col("user_id") + lit(k * 10000000L)).as("user_id"),
+           col("event_type"), col("ts"), col("value"), col("props")), scale))
+          .localCheckpoint(true)
+      }
+
+      //     funnel (q168): K sequential groupBy(user_id) stages — shuffle
+      //     carries one row per user per stage, so it must grow with
+      //     USERS (10× here) while staying far below event volume
+      measure("funnel", scale) {
+        runAll(graft.functions.EventAnalytics.funnelCensus(
+          graft.functions.EventAnalytics.funnel(eventsP,
+            Seq("view", "click", "purchase"), windowUs = 24L * 3600 * 1000000), 3))
+      }
+
+      //     gap-fill (q170): events pre-aggregate to one row per
+      //     (user, day) BEFORE the grid explode, so shuffle is user-day
+      //     scale and the grid adds rows only at the span's day count
+      measure("gapfill", scale) {
+        runAll(graft.functions.EventAnalytics.gapFillDaily(eventsP)
+          .groupBy(col("user_id")).agg(sum(col("cents")).as("s")))
+      }
+
+      //     triangle census (q171): degree-ordered orientation bounds the
+      //     wedge join O(m^1.5); copies stay DISJOINT graphs (copy id in
+      //     the co-occurrence bucket), so edges grow 10× — wall/shuffle
+      //     must track edges, never users²
+      measure("triangle_census", scale) {
+        val act = eventsP.select(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          (col("user_id") / lit(10000000L)).cast("long").as("cp"),
+          col("user_id")).distinct()
+        val b = act.select(col("event_type"), col("h"), col("k"), col("cp"),
+          col("user_id").as("v"))
+        val edges = act.join(b, Seq("event_type", "h", "k", "cp"))
+          .filter(col("user_id") < col("v"))
+          .select(col("user_id").as("u"), col("v"))
+        runAll(graft.operators.TriangleCount.perNode(edges))
+      }
+
+      //     deterministic HLL (q172/q173): the flagship FLAT-shuffle cell —
+      //     map-side max-combine reduces any input to ≤256 register rows,
+      //     so shuffle bytes must be ~constant while input grows 10×
+      measure("hll_sketch", scale) {
+        runAll(graft.functions.SketchFunctions.hllEstimate(
+          graft.functions.SketchFunctions.hllBuckets(
+            eventsP.select(floor(col("value") * 1e6 + 0.5).cast("long").as("v6"),
+              col("event_id")),
+            col("v6") * lit(1000000L) + pmod(col("event_id"), lit(997L)), 8),
+          8, 718273L))
+      }
+
+      //     KMV set ops (q174): WindowGroupLimit pre-trims each map task
+      //     to its own top-k, so the exchange carries O(parts·k) rows —
+      //     shuffle must stay ~flat while the distinct universe grows
+      measure("kmv_mins", scale) {
+        runAll(graft.functions.SketchFunctions.kmvMins(
+          eventsP.select(col("event_type"),
+            (col("event_id") * lit(1000L) + pmod(col("user_id"), lit(997L)))
+              .as("u")),
+          col("u"), k = 128, Seq("event_type")))
+      }
+
+      //     bucketed co-located join (q177): both sides pre-bucketed by
+      //     user_id — the join itself plans with NO exchange, so its
+      //     shuffle bytes must be ~zero at both scales (the census agg
+      //     shuffles only |first_type| rows); table writes are setup
+      val bktRoot = Files.createTempDirectory(s"graft_scale_bkt_$scale").toString
+      graft.storage.BucketedLayout.writeBucketed(
+        eventsP.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_v6")),
+        s"scale_bkt_feat_$scale", s"$bktRoot/feat", "user_id", buckets = 8)
+      graft.storage.BucketedLayout.writeBucketed(
+        eventsP.groupBy(col("user_id"))
+          .agg(min(when(col("event_id") % 13 === 0, col("event_type")))
+            .as("first_type")),
+        s"scale_bkt_dim_$scale", s"$bktRoot/dim", "user_id", buckets = 8)
+      measure("bucketed_join", scale) {
+        runAll(graft.storage.BucketedLayout.colocatedJoin(
+            spark, s"scale_bkt_feat_$scale", s"scale_bkt_dim_$scale", "user_id")
+          .groupBy(col("first_type"))
+          .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events")))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +

@@ -102,4 +102,38 @@ class MonitoringSpec extends SparkSpec {
       .head.getDouble(3)
     assert(psiShift > 0.25, s"disjoint distributions must flag action, got $psiShift")
   }
+
+  test("expectations: exact fail counts, NULL predicate fails, dup groups count all rows") {
+    import Monitoring.{Expectation => E}
+    val df = Seq(
+      (1L, "a", Some(5L)), (2L, "a", Some(50L)), (3L, "b", None),
+      (3L, "zz", Some(7L)), (4L, "a", Some(5L)))
+      .toDF("id", "cat", "v")
+    val got = Monitoring.expectations(df, Seq(
+        E.notNull("v"),
+        E.acceptedValues("cat", Seq("a", "b")),
+        E.inRange("v", 0L, 10L)),
+      uniqueCols = Seq("id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("not_null(v)") == ((5L, 1L, false)))
+    assert(got("accepted_values(cat)") == ((5L, 1L, false))) // "zz"
+    assert(got("range(v,0,10)") == ((5L, 2L, false))) // 50 + the NULL
+    assert(got("unique(id)") == ((5L, 2L, false))) // both id=3 rows
+  }
+
+  test("expectations failFast names every violated rule; passing set returns quietly") {
+    import Monitoring.{Expectation => E}
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+    // all pass
+    val ok = Monitoring.expectations(df, Seq(E.notNull("cat")),
+      uniqueCols = Seq("id"), failFast = true)
+    assert(ok.collect().forall(_.getBoolean(3)))
+    val e = intercept[IllegalArgumentException] {
+      Monitoring.expectations(df, Seq(E.acceptedValues("cat", Seq("a"))),
+        failFast = true)
+    }
+    assert(e.getMessage.contains("accepted_values(cat)") &&
+      e.getMessage.contains("1 rows"))
+  }
 }

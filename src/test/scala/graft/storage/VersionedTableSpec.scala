@@ -630,4 +630,33 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(VersionedTable.read(spark, dir).as[(Int, Int, Int)].collect().toSet == cells.toSet)
   }
+
+  test("applyChanges closure: base(v1) + readChanges(1,2) reconstructs read(v2) exactly") {
+    val dir = tmp() + "/t"
+    val cw: (org.apache.spark.sql.DataFrame, String) => Unit =
+      (df, d) => df.write.parquet(d)
+    val v1 = (0L until 200L).map(i => (i, i * 3, s"a$i")).toDF("k", "n", "s")
+    VersionedTable.upsert(spark, dir, Seq("k"), compactEvery = 100,
+      compactWrite = cw)(d => v1.write.parquet(d))
+    // wave: update every %5 key, insert 20 new keys (upsert has no
+    // delete arm — updates + inserts exercise all three change types the
+    // feed can emit here)
+    val wave = (0L until 200L by 5).map(i => (i, i * 7, s"b$i")) ++
+      (1000L until 1020L).map(i => (i, i, s"c$i"))
+    VersionedTable.upsert(spark, dir, Seq("k"), compactEvery = 100,
+      compactWrite = cw)(d => wave.toDF("k", "n", "s").write.parquet(d))
+
+    val base = VersionedTable.read(spark, dir, asOfVersion = Some(1L))
+    val feed = VersionedTable.readChanges(spark, dir, Seq("k"), 1L, 2L)
+    val got = VersionedTable.applyChanges(base, feed, Seq("k"))
+      .as[(Long, Long, String)].collect().toSet
+    val want = VersionedTable.read(spark, dir, asOfVersion = Some(2L))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want)
+    // an empty feed applies as identity
+    val empty = feed.filter(org.apache.spark.sql.functions.lit(false))
+    assert(VersionedTable.applyChanges(base, empty, Seq("k"))
+      .as[(Long, Long, String)].collect().toSet ==
+      base.as[(Long, Long, String)].collect().toSet)
+  }
 }
