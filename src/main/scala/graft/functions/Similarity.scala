@@ -755,6 +755,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Binary-quantization (sign-bit) ANN — the extreme compression tier
+    * below [[scalarQuantizedTopK]] (FAISS binary indexes / the "binary
+    * embedding" RAG recipe): 1 bit per dimension = ×32 vs float32, so a
+    * 100 TB float corpus's codes fit in ~3 TB and the coarse stage scans
+    * integers with popcount. Codes pack as TWO 32-bit halves (BIGINT-safe
+    * in any engine — no sign-bit edge at dim 64); stage 1 ranks by
+    * hamming distance (bit_count of xor, exact integer), stage 2 re-ranks
+    * the m-shortlist by the exact scaled-integer dot product
+    * Σ round(v·10⁶)·round(u·10⁶) — the whole operator is hash-exact, no
+    * rounding contract. Shape = [[bruteForceTopK]]'s broadcast scan +
+    * WindowGroupLimit; dims ≤ 64 (one code pair).
+    */
+  def binaryQuantTopK(
+      queries: DataFrame, qidCol: String,
+      candidates: DataFrame, cidCol: String,
+      vecCol: String, m: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    def half(v: Column, off: Int): Column = aggregate(
+      transform(v, (x, i) =>
+        when(x.cast("double") > lit(0.0) && i >= off && i < off + 32,
+          // 2^(i−off) via pow: exact in IEEE double for exponents < 32
+          pow(lit(2.0), (i - lit(off)).cast("double")).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val e6: Column => Column = v =>
+      transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    def coded(df: DataFrame, id: String, as: String) = df.select(
+      col(id).as(as), half(col(vecCol), 0).as(s"${as}_lo"),
+      half(col(vecCol), 32).as(s"${as}_hi"), e6(col(vecCol)).as(s"${as}_e6"))
+    val q = coded(queries, qidCol, "query_id")
+    val c = coded(candidates, cidCol, "neighbor_id")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("bit_count(query_id_lo ^ neighbor_id_lo)") +
+          expr("bit_count(query_id_hi ^ neighbor_id_hi)")).cast("long").as("hamming"),
+        col("query_id_e6"), col("neighbor_id_e6"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val shortlist = scored.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= m)
+    val dot12 = aggregate(
+      zip_with(col("query_id_e6"), col("neighbor_id_e6"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot12").desc, col("neighbor_id").asc)
+    shortlist.select(col("query_id"), col("neighbor_id"), col("hamming"),
+        dot12.as("dot12"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` dims: the
     * Rademacher (±1) construction — proj_p = (v · plane_p)/√outDim with the
     * same seeded sign matrix as the LSH plane (an independent `table` seed),

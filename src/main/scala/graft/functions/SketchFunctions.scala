@@ -177,6 +177,51 @@ object SketchFunctions {
     * task keeps its own top-k before the shuffle), so the exchange carries
     * O(parts·k), never the distinct universe.
     */
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable
+    * frequency estimation over an unbounded key domain: `depth` rows ×
+    * 2^`widthBits` columns of counts; an item's estimate is the MIN of
+    * its cells, always ≥ the true count (one-sided error ≤ εN). The
+    * `depth` row hashes are byte SLICES of ONE xxhash64 (row i = bits
+    * [8i, 8i+widthBits)), so the whole sketch costs one hash per
+    * occurrence and the contract restates in integer arithmetic. Merging
+    * two sketches = cell-wise SUM (Spark's map-side combine on the
+    * groupBy); counts are exact integers, so the sketch is
+    * partitioning-independent. Returns `(r, c, cnt)`.
+    */
+  def cmsSketch(df: DataFrame, item: Column, depth: Int = 4,
+      widthBits: Int = 8): DataFrame = {
+    require(depth >= 1 && depth * 8 <= 56 && widthBits >= 1 && widthBits <= 8,
+      s"cms: need depth·8 <= 56 and widthBits in [1,8], got d=$depth w=$widthBits")
+    val mask = (1L << widthBits) - 1
+    val entries = (0 until depth).map(i => struct(lit(i.toLong).as("r"),
+      shiftrightunsigned(col("__h"), 8 * i).bitwiseAND(lit(mask)).as("c")))
+    df.filter(item.isNotNull)
+      .select(xxhash64(item.cast("string")).as("__h"))
+      .select(explode(array(entries: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a [[cmsSketch]]: one row per distinct item in `items`
+    * with `est` = min over its cells (absent cell = 0, so a never-seen
+    * item whose cells are all empty estimates 0 exactly). The join is
+    * sketch-sized (≤ depth·2^widthBits rows, broadcastable).
+    */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, item: Column,
+      depth: Int = 4, widthBits: Int = 8): DataFrame = {
+    val mask = (1L << widthBits) - 1
+    val entries = (0 until depth).map(i => struct(lit(i.toLong).as("r"),
+      shiftrightunsigned(col("__h"), 8 * i).bitwiseAND(lit(mask)).as("c")))
+    items.filter(item.isNotNull)
+      .select(item.as("item")).distinct()
+      .select(col("item"), xxhash64(col("item").cast("string")).as("__h"))
+      .select(col("item"), explode(array(entries: _*)).as("rc"))
+      .select(col("item"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   def kmvMins(df: DataFrame, value: Column, k: Int,
       keyNames: Seq[String] = Nil): DataFrame = {
     require(k >= 1 && k <= 100000, s"kmv k in [1, 1e5], got $k")

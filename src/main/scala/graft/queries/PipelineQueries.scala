@@ -2353,6 +2353,37 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // BINARY-QUANTIZATION ANN — the extreme compression tier (1 bit/dim
+    // = ×32 vs float32): sign-bit codes as two 32-bit halves, hamming
+    // (popcount) shortlist m=32, exact scaled-integer dot re-rank to
+    // k=10. Hash-exact end to end — no rounding contract anywhere.
+    "q180_binary_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.binaryQuantTopK(
+        emb.filter(col("vec_id") < 6), "vec_id", emb, "vec_id",
+        "embedding", m = 32, k = 10)
+    }),
+
+    // COUNT-MIN SKETCH — mergeable frequency estimation: depth-4 byte
+    // slices of ONE xxhash64 into 256-column rows; estimates are min of
+    // cells, provably ≥ exact (the one-sided CMS bound made VISIBLE:
+    // over_count per queried item is data). Sketch build is one
+    // map-side-combined groupBy of ≤ 1024 cells.
+    "q181_cms_freq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(floor(col("value") * 1e6 + 0.5).cast("long").cast("string").as("sv"))
+      val sketch = SketchFunctions.cmsSketch(ev, col("sv"))
+      val exact = ev.groupBy(col("sv")).agg(count(lit(1)).as("exact"))
+      val top = exact.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact").desc, col("sv").cast("long").asc)))
+        .filter(col("rk") <= 10)
+      val est = SketchFunctions.cmsEstimate(sketch, top, col("sv"))
+      top.join(est, top("sv") === est("item"))
+        .select(col("sv").cast("long").as("v6"), col("exact"),
+          col("est"), (col("est") - col("exact")).as("over_count"))
+    }),
+
     // CDF APPLY — the CDC consumer closure: base(v1) + readChanges(1,2)
     // must reconstruct read(v2) EXACTLY (one anti-join on the feed's
     // removed keys + one union; the consumer never re-reads the table).
@@ -6270,6 +6301,76 @@ object PipelineQueries {
          |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
          |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
          |FROM tt, ex""".stripMargin,
+
+    // binary ANN: sign-bit halves, popcount hamming, integer dot re-rank
+    "q180_binary_ann" ->
+      """WITH c AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(32), d ->
+        |      CASE WHEN embedding[d+1] > 0 THEN 2.0 ** d ELSE 0 END)) AS BIGINT)
+        |      AS lo,
+        |    CAST(list_sum(list_transform(range(32), d ->
+        |      CASE WHEN embedding[d+33] > 0 THEN 2.0 ** d ELSE 0 END)) AS BIGINT)
+        |      AS hi,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS e6
+        |  FROM embeddings
+        |), q AS (SELECT * FROM c WHERE vec_id < 6),
+        |s1 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+        |      AS BIGINT) AS hamming,
+        |    q.e6 AS qe6, c.e6 AS ce6
+        |  FROM c, q WHERE c.vec_id <> q.vec_id
+        |), r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, neighbor_id) AS rk
+        |  FROM s1
+        |), s2 AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |    CAST(list_sum(list_transform(range(64), d -> qe6[d+1] * ce6[d+1]))
+        |      AS BIGINT) AS dot12
+        |  FROM r1 WHERE rk <= 32
+        |)
+        |SELECT query_id, neighbor_id, hamming, dot12,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot12 DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s2
+        |QUALIFY rank <= 10""".stripMargin,
+
+    // CMS: cell = byte slice of one unsigned xxh64; cell count = Σ exact
+    // of colliding items; estimate = min of the item's cells
+    "q181_cms_freq" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR) AS sv
+         |  FROM events WHERE value IS NOT NULL
+         |), dv AS (SELECT sv, count(*) AS exact FROM ev GROUP BY 1),
+         |${DuckDbXxHash64.xxh64Cte("dv", "sv", Seq("exact"), "cm")},
+         |u AS (
+         |  SELECT s AS sv, exact,
+         |    (CAST(xxh AS HUGEINT) + 18446744073709551616)
+         |      % 18446744073709551616 AS ux
+         |  FROM cm9
+         |), pc AS (
+         |  SELECT sv, exact, i,
+         |    CAST(ux // ([1, 256, 65536, 16777216])[i + 1] % 256 AS BIGINT) AS cl
+         |  FROM u, unnest([0, 1, 2, 3]) AS t(i)
+         |), sk AS (
+         |  SELECT i AS r, cl, CAST(sum(exact) AS BIGINT) AS cnt
+         |  FROM pc GROUP BY 1, 2
+         |), est AS (
+         |  SELECT pc.sv, min(sk.cnt) AS est
+         |  FROM pc JOIN sk ON sk.r = pc.i AND sk.cl = pc.cl
+         |  GROUP BY 1
+         |), top AS (
+         |  SELECT sv, exact,
+         |    row_number() OVER (ORDER BY exact DESC, CAST(sv AS BIGINT)) AS rk
+         |  FROM dv
+         |)
+         |SELECT CAST(t.sv AS BIGINT) AS v6, CAST(t.exact AS BIGINT) AS exact,
+         |  e.est, e.est - t.exact AS over_count
+         |FROM top t JOIN est e ON t.sv = e.sv
+         |WHERE t.rk <= 10""".stripMargin,
 
     // CDF apply: v2 closed-form = wave ∪ (base minus wave keys), full
     // row-set census

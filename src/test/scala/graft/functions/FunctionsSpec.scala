@@ -964,6 +964,40 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("binaryQuantTopK: codes/hamming/dot match a driver bit reference; rank order exact") {
+    val vecs = (0L until 50L).map { id =>
+      (id, Array.tabulate(64)(d => math.sin(id * 2.3 + d * 0.7)).map(_.toFloat))
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val got = Similarity.binaryQuantTopK(
+      df.filter($"vec_id" < 3), "vec_id", df, "vec_id", "v", m = 16, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("dot12"), r.getAs[Long]("rank")))
+      .sortBy(t => (t._1, t._5)).toSeq
+    def code(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (d <- 0 until 32) if (v(d) > 0) lo |= (1L << d)
+      for (d <- 32 until 64) if (v(d) > 0) hi |= (1L << (d - 32))
+      (lo, hi)
+    }
+    def e6(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val codes = vecs.map { case (id, v) => id -> code(v) }.toMap
+    val e6s = vecs.map { case (id, v) => id -> e6(v) }.toMap
+    val expected = (0L until 3L).flatMap { q =>
+      val short = vecs.filter(_._1 != q).map { case (c, _) =>
+        val h = java.lang.Long.bitCount(codes(q)._1 ^ codes(c)._1) +
+          java.lang.Long.bitCount(codes(q)._2 ^ codes(c)._2)
+        (c, h.toLong)
+      }.sortBy { case (c, h) => (h, c) }.take(16)
+      short.map { case (c, h) =>
+        (c, h, e6s(q).zip(e6s(c)).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (c, _, dot) => (-dot, c) }.take(5)
+        .zipWithIndex.map { case ((c, h, dot), i) => (q, c, h, dot, (i + 1).toLong) }
+    }.toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("jlTopKReranked: projections match driver reference; rerank recovers most of exact top-5") {
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.filter($"vec_id" < 10)

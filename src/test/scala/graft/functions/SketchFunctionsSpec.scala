@@ -274,6 +274,39 @@ class SketchFunctionsSpec extends SparkSpec {
       s"union est ${est((aSet | bSet).size)}")
   }
 
+  test("cms: estimates are one-sided (est >= exact) and exact without collisions") {
+    // zipf-ish stream over 40 distinct items: 40 << 256 columns, but
+    // byte-slice collisions can still happen — est >= exact always
+    val rows = (0 until 40).flatMap(i => Seq.fill(41 - i)(s"w$i"))
+    val df = rows.toDF("item")
+    val sketch = SketchFunctions.cmsSketch(df, col("item"))
+    val est = SketchFunctions.cmsEstimate(sketch, df, col("item"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: est ${est(k)} < exact $n")
+    }
+    // total overestimate bounded by collisions; most items exact at this density
+    assert(exact.count { case (k, n) => est(k) == n } >= 30)
+    // an item whose 4 cells are all empty estimates exactly 0
+    val unseen = SketchFunctions.cmsEstimate(sketch,
+      Seq.tabulate(50)(i => s"zz$i").toDF("item"), col("item"))
+      .collect().map(_.getLong(1))
+    assert(unseen.min == 0L)
+  }
+
+  test("cms merge = cell-wise sum; sketch is partitioning-invariant") {
+    val a = (0 until 500).map(i => s"k${i % 23}").toDF("item")
+    val b = (0 until 300).map(i => s"k${i % 17}").toDF("item")
+    val merged = SketchFunctions.cmsSketch(a, col("item"))
+      .unionByName(SketchFunctions.cmsSketch(b, col("item")))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = SketchFunctions.cmsSketch(a.unionByName(b).repartition(13), col("item"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("kmv sketch is partitioning-invariant") {
     val df = (0L until 3000L).map(v => (v, s"t${v % 3}")).toDF("v", "st")
     val a = SketchFunctions.kmvMins(df, col("v"), 64, Seq("st"))

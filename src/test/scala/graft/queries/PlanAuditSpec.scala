@@ -50,8 +50,14 @@ class PlanAuditSpec extends SparkSpec {
                          // scorer: the (va, vb) vocab-size frame
     "q138_anneal_mix",   // embeds q89's scoring chain (the 1-row
                          // broadcast vocab-size attach — O(n * 1))
-    "q156_mmr_topk")     // shortlist stage is q25's broadcast brute-force
+    "q156_mmr_topk",     // shortlist stage is q25's broadcast brute-force
                          // shape; all later stages are m-bounded equi-joins
+    "q173_hll_estimate", // 1-row broadcast attach of the exact distinct
+                         // count onto the 1-row estimator frame — O(1 * 1)
+    "q174_kmv_setops")   // θ / exact / sketch censuses are all ≤1-row
+                         // frames crossJoined at the very end — O(1 * 1);
+                         // the below-θ filter is a 1-row broadcast attach
+                         // onto the O(parts·k) sketch
   test("inventory audit: no cartesian products; NLJ only where broadcast-by-construction") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
