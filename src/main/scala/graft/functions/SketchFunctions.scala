@@ -227,9 +227,20 @@ object SketchFunctions {
     require(k >= 1 && k <= 100000, s"kmv k in [1, 1e5], got $k")
     import org.apache.spark.sql.expressions.Window
     val uc = xxhash64(value.cast("string")).bitwiseXOR(lit(Long.MinValue))
-    val hashed = df.select((keyNames.map(col) :+ uc.as("uc")): _*).distinct()
     val w = (if (keyNames.isEmpty) Window.partitionBy()
       else Window.partitionBy(keyNames.map(col): _*)).orderBy(col("uc"))
-    hashed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // dense_rank FIRST (no distinct): the k smallest DISTINCT values with
+    // duplicates still aboard — this filter shape is exactly what Spark's
+    // WindowGroupLimit rewrites into a PARTIAL pre-trim below the
+    // exchange, so each map task ships only its own k smallest rows and
+    // the shuffle stays O(parts·k) even when the distinct universe grows.
+    // A distinct-before-rank instead shuffles the whole universe (the
+    // r14 ScaleSweep measured it 10× at 10× input); dedup AFTER the trim
+    // touches only k-scale rows.
+    df.select((keyNames.map(col) :+ uc.as("uc")): _*)
+      .withColumn("__dr", dense_rank().over(w)).filter(col("__dr") <= k)
+      .dropDuplicates(keyNames :+ "uc")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .drop("__dr")
   }
 }

@@ -307,6 +307,14 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("kmv plan pre-trims map-side: Partial WindowGroupLimit below the exchange") {
+    val df = (0L until 5000L).map(v => (v, s"t${v % 3}")).toDF("v", "st")
+    val plan = SketchFunctions.kmvMins(df, col("v"), 64, Seq("st"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial group-limit pre-trim:\n$plan")
+  }
+
   test("kmv sketch is partitioning-invariant") {
     val df = (0L until 3000L).map(v => (v, s"t${v % 3}")).toDF("v", "st")
     val a = SketchFunctions.kmvMins(df, col("v"), 64, Seq("st"))
