@@ -108,6 +108,36 @@ object FeatureEncoding {
     } finally { counts.unpersist(); () }
   }
 
+  /** Exact nearest-rank percentiles per key group: the value at rank
+    * ⌈q/1000·n⌉ (ties share values; NULLs excluded), computed BY VALUE on
+    * the per-(key, value) count table — the [[quantileBins]] machinery
+    * grouped: one map-side-combined count, one window per key over the
+    * DISTINCT-VALUE table (bounded by the value domain, never row count),
+    * candidates filtered with exact integer targets `(q·n + 999) div
+    * 1000`. Deterministic under any partitioning — no NTILE tie split,
+    * no interpolation floats. Returns `(keys…, permille, value)`.
+    */
+  def exactPercentiles(df: DataFrame, valueInt: Column, keyNames: Seq[String],
+      permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(q => q >= 1 && q <= 1000),
+      s"permille in [1,1000], got $permille")
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyNames.map(col)
+    val counts = df.select((keys :+ valueInt.as("v")): _*)
+      .filter(col("v").isNotNull)
+      .groupBy((keys :+ col("v")): _*).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val n = counts.groupBy(keys: _*).agg(sum(col("c")).as("n"))
+    cum.join(n, keyNames)
+      .select((keys :+ col("v") :+ col("cum") :+ col("n") :+
+        explode(array(permille.map(q => lit(q.toLong)): _*)).as("permille")): _*)
+      .filter(col("cum") >= expr("(permille * n + 999) div 1000"))
+      .groupBy((keys :+ col("permille")): _*)
+      .agg(min(col("v")).as("value"))
+  }
+
   /** The hashing trick (Weinberger et al. 2009, feature hashing): map an
     * unbounded categorical feature space into `dims` slots with
     * `idx = xxhash64(feature) mod dims` and an independent sign hash

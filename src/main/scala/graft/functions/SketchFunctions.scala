@@ -161,6 +161,33 @@ object SketchFunctions {
         expr(s"cast(cast('$num' as decimal(38,0)) div t as bigint)").as("est6"))
   }
 
+  /** Per-key [[hllEstimate]]: one row per key group with the same
+    * exact-integer estimator — the realistic shape ("distinct users per
+    * domain" over a 100 TB corpus: registers stay ≤ keys·m rows, the
+    * final arithmetic is a keys-scale aggregation).
+    */
+  def hllEstimateByKey(buckets: DataFrame, p: Int, alpha6: Long,
+      keyNames: Seq[String]): DataFrame = {
+    require(keyNames.nonEmpty, "use hllEstimate for the keyless form")
+    val m = 1L << p
+    val width = 64 - p
+    val pow2w1 = BigInt(1) << (width + 1)
+    val num = (BigInt(alpha6) * BigInt(m) * BigInt(m) * pow2w1).toString
+    buckets.groupBy(keyNames.map(col): _*)
+      .agg(
+        count(lit(1)).as("nb"),
+        coalesce(sum(expr(s"cast(pow(2.0, ${width + 1} - m) as decimal(38,0))")),
+          expr("cast(0 as decimal(38,0))")).as("s_ne"))
+      .select((keyNames.map(col) :+
+        col("nb").cast("long").as("n_buckets_nonzero") :+
+        (lit(m) - col("nb")).cast("long").as("n_zero") :+
+        (col("s_ne") + (lit(m) - col("nb")).cast("decimal(38,0)") *
+          lit(new java.math.BigDecimal(pow2w1.toString()))).as("t")): _*)
+      .select((keyNames.map(col) :+ col("n_buckets_nonzero") :+ col("n_zero") :+
+        col("t").cast("string").as("t_str") :+
+        expr(s"cast(cast('$num' as decimal(38,0)) div t as bigint)").as("est6")): _*)
+  }
+
   /** KMV / theta sketch rank table (Beyer et al. 2007; the Theta-sketch
     * set-operation family): per key, the `k` smallest distinct hash values
     * of `value` under xxhash64, in SIGNED-comparable form `uc = h XOR

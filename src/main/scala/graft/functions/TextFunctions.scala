@@ -394,4 +394,44 @@ object TextFunctions {
         least(lit(chunkTokens), col("__n") - col("__st")).cast("long")
           .as("n_tokens"): _*)
   }
+
+  /** Collocation mining with an EXACT-INTEGER lift score — the PMI-family
+    * word-association census (Church & Hanks 1990) without the log: for
+    * an unordered pair {a,b} co-occurring within `window` positions,
+    * `lift6 = pair_cnt·N·10⁶ div (cnt_a·cnt_b)` — monotone in pointwise
+    * mutual information (the pair-total normalizer is constant across
+    * pairs), so the top-k ORDER is PMI order while every score restates
+    * in BIGINT arithmetic. Tokens = the engine-wide lower/whitespace
+    * contract; pairs explode bounded by `window`·tokens (never tokens²);
+    * one groupBy per relation, top-k via a rank filter (WindowGroupLimit
+    * at scale).
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long, k: Int): DataFrame = {
+    require(window >= 1 && window <= 16, s"window in [1,16], got $window")
+    val pos = docs.select(col(idCol).as("__id"),
+        posexplode(tokens(lower(coalesce(col(textCol), lit(""))))).as(Seq("i", "w")))
+    val n = pos.agg(count(lit(1)).as("n_tokens"))
+    val wc = pos.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val b = pos.select(col("__id"), col("i").as("j"), col("w").as("w2"))
+    // each position explodes to its `window` right-offsets and equi-joins
+    // on (doc, position): rows = tokens·window, never per-doc tokens²
+    val shifted = pos.select(col("__id"), col("w"),
+      explode(array((1 to window).map(d => col("i") + lit(d)): _*)).as("j"))
+    val pairs = shifted.join(b, Seq("__id", "j"))
+      .select(least(col("w"), col("w2")).as("wa"),
+        greatest(col("w"), col("w2")).as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    val scored = pairs
+      .join(wc.select(col("w").as("wa"), col("cnt").as("cnt_a")), Seq("wa"))
+      .join(wc.select(col("w").as("wb"), col("cnt").as("cnt_b")), Seq("wb"))
+      .crossJoin(broadcast(n))
+      .select(col("wa"), col("wb"), col("pair_cnt"), col("cnt_a"), col("cnt_b"),
+        expr("(pair_cnt * n_tokens * 1000000) div (cnt_a * cnt_b)").as("lift6"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift6").desc, col("wa").asc, col("wb").asc)
+    scored.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

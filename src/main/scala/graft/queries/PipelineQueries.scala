@@ -2353,6 +2353,40 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // PER-KEY HLL — the realistic cardinality shape ("distinct values
+    // per domain"): registers stay ≤ keys·256 rows, estimator arithmetic
+    // is a keys-scale aggregation; per-type accuracy rides along.
+    "q182_hll_by_key" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      val sk = SketchFunctions.hllBuckets(ev, col("v6"), 8, Seq("event_type"))
+      val est = SketchFunctions.hllEstimateByKey(sk, 8, 718273L, Seq("event_type"))
+      ev.groupBy(col("event_type")).agg(countDistinct(col("v6")).as("n_exact"))
+        .join(est, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_buckets_nonzero"),
+          col("n_zero"), col("t_str"), col("est6"),
+          expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
+    }),
+
+    // EXACT NEAREST-RANK PERCENTILES per group — p50/p90/p99 BY VALUE on
+    // the per-(key, value) count table: no NTILE tie split, no
+    // interpolation floats, integer targets (q·n + 999) div 1000.
+    "q183_percentiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      graft.functions.FeatureEncoding.exactPercentiles(
+        ev, col("v6"), Seq("event_type"), Seq(500, 900, 990))
+    }),
+
+    // COLLOCATION MINING — PMI-order word association with an EXACT-
+    // INTEGER lift score (pair·N·10⁶ div (cnt_a·cnt_b), monotone in PMI
+    // so no logs anywhere): positions equi-join on (doc, i+d) — rows =
+    // tokens·window, never per-doc tokens².
+    "q184_collocations" -> ((s, dir) => {
+      TextFunctions.collocations(Tables.documents(s, dir),
+        "doc_id", "text", window = 2, minCount = 5L, k = 20)
+    }),
+
     // BINARY-QUANTIZATION ANN — the extreme compression tier (1 bit/dim
     // = ×32 vs float32): sign-bit codes as two 32-bit halves, hamming
     // (popcount) shortlist m=32, exact scaled-integer dot re-rank to
@@ -6301,6 +6335,101 @@ object PipelineQueries {
          |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
          |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
          |FROM tt, ex""".stripMargin,
+
+    // per-key HLL: grouped registers + the same exact-integer estimator
+    "q182_hll_by_key" ->
+      s"""WITH dv AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+         |  FROM events WHERE value IS NOT NULL
+         |), sv AS (SELECT event_type, CAST(v6 AS VARCHAR) AS s6 FROM dv),
+         |${DuckDbXxHash64.xxh64Cte("sv", "s6", Seq("event_type"), "hk")},
+         |ub AS (
+         |  SELECT event_type, (CAST(xxh AS HUGEINT) + 18446744073709551616)
+         |    % 18446744073709551616 AS ux
+         |  FROM hk9
+         |), pr AS (
+         |  SELECT event_type, CAST(ux // 72057594037927936 AS BIGINT) AS bucket,
+         |    CAST(57 - length(ltrim(bin(CAST(ux % 72057594037927936 AS BIGINT)),
+         |      '0')) AS BIGINT) AS rho
+         |  FROM ub
+         |), mw AS (
+         |  SELECT event_type, bucket, max(rho) AS m FROM pr GROUP BY 1, 2
+         |), t AS (
+         |  SELECT event_type, count(*) AS nb,
+         |    sum(CAST(2.0 ** (57 - m) AS HUGEINT)) AS s_ne
+         |  FROM mw GROUP BY 1
+         |), tt AS (
+         |  SELECT event_type, nb,
+         |    s_ne + (256 - nb) * 144115188075855872::HUGEINT AS t
+         |  FROM t
+         |), ex AS (
+         |  SELECT event_type, count(*) AS n_exact FROM dv GROUP BY 1
+         |)
+         |SELECT tt.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |  CAST(tt.nb AS BIGINT) AS n_buckets_nonzero,
+         |  CAST(256 - tt.nb AS BIGINT) AS n_zero,
+         |  CAST(tt.t AS VARCHAR) AS t_str,
+         |  CAST(6783896681500457353154134016::HUGEINT // tt.t AS BIGINT) AS est6,
+         |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
+         |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
+         |FROM tt JOIN ex ON tt.event_type = ex.event_type""".stripMargin,
+
+    // exact percentiles: per-(key, value) counts, running cum, integer
+    // nearest-rank targets
+    "q183_percentiles" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c
+        |), nn AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+        |), x AS (
+        |  SELECT m.event_type, q.permille, m.v
+        |  FROM m JOIN nn ON m.event_type = nn.event_type,
+        |       (VALUES (500), (900), (990)) q(permille)
+        |  WHERE m.cum >= (q.permille * nn.n + 999) // 1000
+        |)
+        |SELECT event_type, CAST(permille AS BIGINT) AS permille,
+        |  min(v) AS value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // collocations: positions, window-2 pairs, exact-integer lift, top-20
+    "q184_collocations" ->
+      """WITH t1 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, i, t[i] AS w
+        |  FROM t1, unnest(range(1, len(t) + 1)) AS u(i)
+        |), n AS (SELECT count(*) AS n_tokens FROM pos),
+        |wc AS (SELECT w, count(*) AS cnt FROM pos GROUP BY 1),
+        |pr AS (
+        |  SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.i - a.i IN (1, 2)
+        |), pc AS (
+        |  SELECT wa, wb, count(*) AS pair_cnt FROM pr GROUP BY 1, 2
+        |  HAVING count(*) >= 5
+        |), sc AS (
+        |  SELECT pc.wa, pc.wb, pc.pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |    (pc.pair_cnt * n.n_tokens * 1000000) // (ca.cnt * cb.cnt) AS lift6
+        |  FROM pc JOIN wc ca ON ca.w = pc.wa JOIN wc cb ON cb.w = pc.wb, n
+        |)
+        |SELECT wa, wb, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+        |  CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+        |  CAST(lift6 AS BIGINT) AS lift6,
+        |  CAST(row_number() OVER (ORDER BY lift6 DESC, wa, wb) AS BIGINT) AS rank
+        |FROM sc
+        |QUALIFY rank <= 20""".stripMargin,
 
     // binary ANN: sign-bit halves, popcount hamming, integer dot re-rank
     "q180_binary_ann" ->

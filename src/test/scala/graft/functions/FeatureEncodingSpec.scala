@@ -108,6 +108,27 @@ class FeatureEncodingSpec extends SparkSpec {
     }
   }
 
+  test("exactPercentiles: nearest-rank against a driver reference; ties and edges exact") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(800)((if (rnd.nextBoolean()) "a" else "b",
+      rnd.nextInt(40).toLong)) // heavy ties
+    val df = rows.toDF("g", "v")
+    val got = FeatureEncoding.exactPercentiles(df, col("v"), Seq("g"),
+      Seq(1, 500, 900, 1000))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      for (q <- Seq(1, 500, 900, 1000)) {
+        val target = (q.toLong * sorted.size + 999) / 1000
+        val want = sorted((target - 1).toInt)
+        assert(got((g, q.toLong)) == want, s"($g,$q): got ${got((g, q.toLong))} want $want")
+      }
+    }
+    // permille 1000 = max, permille 1 = min (n < 1000 ⇒ target 1)
+    assert(got(("a", 1000L)) == rows.filter(_._1 == "a").map(_._2).max)
+    assert(got(("a", 1L)) == rows.filter(_._1 == "a").map(_._2).min)
+  }
+
   test("feature hashing: signed collisions cancel in expectation; non-power-of-two refuses") {
     // 2000 distinct features into 16 slots: heavy collisions, but the
     // signed per-slot sums stay near zero (mean |sum| ≈ √(n/dims) ≈ 11)

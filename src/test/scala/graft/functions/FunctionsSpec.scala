@@ -964,6 +964,29 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("collocations: planted bigram dominates; lift matches a driver reference") {
+    // "data pipeline" co-occurs in every doc; filler words are common
+    // everywhere, so the planted pair's lift must rank first
+    val docs = (0L until 30L).map { i =>
+      (i, s"the data pipeline runs w$i and the run w${i % 3} ends")
+    }.toDF("doc_id", "text")
+    val got = TextFunctions.collocations(docs, "doc_id", "text",
+      window = 2, minCount = 5L, k = 5).collect()
+      .map(r => (r.getAs[String]("wa"), r.getAs[String]("wb"),
+        r.getAs[Long]("pair_cnt"), r.getAs[Long]("lift6"), r.getAs[Long]("rank")))
+    // several window-2 pairs tie at the max lift (every-doc pairs over
+    // count-30 words): rank 1 is the alphabetically first of the tie set,
+    // and the planted pair carries the same maximal lift
+    val top = got.find(_._5 == 1L).get
+    val dpLift = got.find(p => Set(p._1, p._2) == Set("data", "pipeline")).get._4
+    assert(top._4 == got.map(_._4).max && dpLift == top._4, s"top pair: $top")
+    // driver check of one lift: pair (data, pipeline) occurs 30x,
+    // cnt(data)=30, cnt(pipeline)=30, N = total tokens
+    val n = docs.collect().map(_.getString(1).split("\\s+").count(_.nonEmpty)).sum
+    val dp = got.find(p => Set(p._1, p._2) == Set("data", "pipeline")).get
+    assert(dp._3 == 30L && dp._4 == 30L * n * 1000000L / (30L * 30L))
+  }
+
   test("binaryQuantTopK: codes/hamming/dot match a driver bit reference; rank order exact") {
     val vecs = (0L until 50L).map { id =>
       (id, Array.tabulate(64)(d => math.sin(id * 2.3 + d * 0.7)).map(_.toFloat))
