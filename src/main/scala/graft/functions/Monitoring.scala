@@ -164,6 +164,36 @@ object Monitoring {
         lit(compareSplit).as("compare"), col("psi"))
   }
 
+  /** MAD-based robust outlier census per key group — the data-quality
+    * screen that survives the outliers it hunts (mean/stddev don't):
+    * median and MAD (median absolute deviation) via
+    * [[FeatureEncoding.exactPercentiles]]'s by-value integer machinery,
+    * outlier ⟺ |v − med| > (k_tenths/10)·MAD, stated in integers as
+    * `10·|v − med| > k_tenths·MAD`. Two percentile passes over
+    * per-(key, value) count tables + one final census — no floats, no
+    * approx_percentile nondeterminism. Returns one row per key:
+    * `(keys…, n_rows, med, mad, n_outliers, out_min, out_max)`.
+    */
+  def robustOutliers(df: DataFrame, valueInt: Column, keyNames: Seq[String],
+      kTenths: Long = 30L): DataFrame = {
+    val keys = keyNames.map(col)
+    val v = df.select((keys :+ valueInt.as("v")): _*).filter(col("v").isNotNull)
+    val med = FeatureEncoding.exactPercentiles(v, col("v"), keyNames, Seq(500))
+      .select((keys :+ col("value").as("med")): _*)
+    val withMed = v.join(med, keyNames)
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = FeatureEncoding.exactPercentiles(withMed, col("dev"), keyNames, Seq(500))
+      .select((keys :+ col("value").as("mad")): _*)
+    withMed.join(mad, keyNames)
+      .withColumn("is_out", col("dev") * 10 > lit(kTenths) * col("mad"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(col("is_out").cast("long")).as("n_outliers"),
+        min(when(col("is_out"), col("v"))).as("out_min"),
+        max(when(col("is_out"), col("v"))).as("out_max"))
+  }
+
   /** One data-contract rule: `name` labels it in the census, `predicate`
     * is the per-row PASS condition (dbt-test semantics: `not_null`,
     * `accepted_values`, range checks — any row-local Column). Uniqueness

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -39,4 +39,30 @@ object WindowFeatures {
           TextFunctions.round4(
             sum(col(valueCol).cast(DecimalType(18, 6))).over(w).cast("double")))
     }
+
+  /** Exponential-decay aggregate with an EXACT power-of-two contract —
+    * the feature-store "recency-weighted sum" (decayed click value,
+    * fading engagement) without a single float: with half-life
+    * `halfLifeDays`, a row aged `a` days carries weight 2^(maxK − a div
+    * halfLifeDays) (0 beyond `maxK` half-lives — decayed below the scale
+    * resolution), so the returned `decayed` column is the true decayed
+    * sum × 2^maxK in exact BIGINT arithmetic, reproducible anywhere.
+    * One map-side-combined aggregation per key; `asOfDay` is the
+    * pipeline's cutoff date column (usually a literal).
+    */
+  def decayedSum(df: DataFrame, keyNames: Seq[String], day: Column,
+      amountInt: Column, asOfDay: Column, halfLifeDays: Int,
+      maxK: Int = 8): DataFrame = {
+    require(halfLifeDays >= 1 && maxK >= 1 && maxK <= 30,
+      s"need halfLifeDays >= 1 and maxK in [1,30], got $halfLifeDays/$maxK")
+    val age = datediff(asOfDay, day).cast("long")
+    val k = floor(age.cast("double") / lit(halfLifeDays.toDouble)).cast("long")
+    val weight = when(age < 0, lit(0L)) // future rows carry nothing
+      .when(k > maxK, lit(0L))
+      .otherwise(pow(lit(2.0), (lit(maxK.toLong) - k).cast("double")).cast("long"))
+    df.select((keyNames.map(col) :+ (amountInt * weight).as("__wv") :+
+        lit(1L).as("__one")): _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__wv")).as("decayed"))
+  }
 }

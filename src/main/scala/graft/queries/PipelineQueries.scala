@@ -2353,6 +2353,30 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // ROBUST OUTLIERS — MAD-based per-group screen (median/MAD survive
+    // the outliers they hunt): two exact-percentile passes + one census,
+    // outlier ⟺ 10·|v−med| > 30·MAD, all BIGINT.
+    "q185_robust_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      graft.functions.Monitoring.robustOutliers(ev, col("v6"), Seq("event_type"))
+    }),
+
+    // EXPONENTIAL-DECAY FEATURE — recency-weighted value sum with an
+    // exact power-of-two contract: half-life 7 days, weight
+    // 2^(8 − age div 7) (0 past 8 half-lives), result = decayed sum ×2^8
+    // in BIGINT. The canonical feature-store recency aggregate, one
+    // map-side-combined pass; cutoff = the corpus's max event day.
+    "q186_decayed_sum" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val asOf = ev.agg(max(col("day")).as("asof"))
+      graft.functions.WindowFeatures.decayedSum(
+        ev.crossJoin(broadcast(asOf)), Seq("user_id"), col("day"),
+        col("cents"), col("asof"), halfLifeDays = 7, maxK = 8)
+    }),
+
     // PER-KEY HLL — the realistic cardinality shape ("distinct values
     // per domain"): registers stay ≤ keys·256 rows, estimator arithmetic
     // is a keys-scale aggregation; per-type accuracy rides along.
@@ -6335,6 +6359,65 @@ object PipelineQueries {
          |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
          |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
          |FROM tt, ex""".stripMargin,
+
+    // robust outliers: median + MAD via two nearest-rank passes, integer
+    // outlier gate 10·dev > 30·MAD
+    "q185_robust_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c
+        |), nn AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |med AS (
+        |  SELECT m.event_type, min(m.v) AS med
+        |  FROM m JOIN nn ON m.event_type = nn.event_type
+        |  WHERE m.cum >= (500 * nn.n + 999) // 1000 GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_type, e.v, abs(e.v - med.med) AS dev, med.med
+        |  FROM e JOIN med ON e.event_type = med.event_type
+        |), dc AS (SELECT event_type, dev, count(*) AS c FROM d GROUP BY 1, 2),
+        |dm AS (
+        |  SELECT event_type, dev,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM dc
+        |), dn AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM dc GROUP BY 1),
+        |mad AS (
+        |  SELECT dm.event_type, min(dm.dev) AS mad
+        |  FROM dm JOIN dn ON dm.event_type = dn.event_type
+        |  WHERE dm.cum >= (500 * dn.n + 999) // 1000 GROUP BY 1
+        |)
+        |SELECT d.event_type, count(*) AS n_rows,
+        |  min(d.med) AS med, min(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev * 10 > 30 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  min(CASE WHEN d.dev * 10 > 30 * mad.mad THEN d.v END) AS out_min,
+        |  max(CASE WHEN d.dev * 10 > 30 * mad.mad THEN d.v END) AS out_max
+        |FROM d JOIN mad ON d.event_type = mad.event_type
+        |GROUP BY 1""".stripMargin,
+
+    // decayed sum: power-of-two weights off the max-day cutoff
+    "q186_decayed_sum" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), a AS (SELECT max(day) AS asof FROM e),
+        |w AS (
+        |  SELECT user_id, cents,
+        |    date_diff('day', day, a.asof) AS age,
+        |    CAST(floor(date_diff('day', day, a.asof) / 7.0) AS BIGINT) AS k
+        |  FROM e, a
+        |)
+        |SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(cents * (CASE WHEN age < 0 THEN 0 WHEN k > 8 THEN 0
+        |    ELSE CAST(2.0 ** (8 - k) AS BIGINT) END)) AS BIGINT) AS decayed
+        |FROM w GROUP BY 1""".stripMargin,
 
     // per-key HLL: grouped registers + the same exact-integer estimator
     "q182_hll_by_key" ->

@@ -122,6 +122,39 @@ class MonitoringSpec extends SparkSpec {
     assert(got("unique(id)") == ((5L, 2L, false))) // both id=3 rows
   }
 
+  test("robustOutliers: planted spikes flagged, median/MAD exact, bulk untouched") {
+    // tight bulk around 100 with two planted spikes per group
+    val rows = (0L until 200L).map(i => ("g", 100L + (i % 5))) ++
+      Seq(("g", 10000L), ("g", -5000L)) ++
+      (0L until 100L).map(i => ("h", 50L + (i % 3)))
+    val out = Monitoring.robustOutliers(rows.toDF("k", "v"), col("v"), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (gn, gmed, gmad, gout) = out("g")
+    // devs sorted: 40×0 then 80×1 — rank 101 lands on 1
+    assert(gn == 202L && gmed == 102L && gmad == 1L && gout == 2L,
+      s"g: ${out("g")}")
+    assert(out("h")._4 == 0L, s"h must have no outliers: ${out("h")}")
+  }
+
+  test("decayedSum: power-of-two weights halve per half-life; future rows carry nothing") {
+    import java.sql.Date
+    val d = Seq(
+      (1L, "2024-02-01", 100L), // age 0  → ×256
+      (1L, "2024-01-25", 100L), // age 7  → ×128
+      (1L, "2024-01-11", 100L), // age 21 → ×32
+      (1L, "2023-06-01", 100L), // age >56 → 0
+      (1L, "2024-03-01", 100L)) // future → 0
+      .toDF("u", "ds", "cents")
+      .select(col("u"), col("ds").cast("date").as("day"), col("cents"))
+    val got = WindowFeatures.decayedSum(
+      d, Seq("u"), col("day"), col("cents"),
+      lit(Date.valueOf("2024-02-01")), halfLifeDays = 7, maxK = 8)
+      .head
+    assert(got.getAs[Long]("n_rows") == 5L)
+    assert(got.getAs[Long]("decayed") == 100L * (256 + 128 + 32))
+  }
+
   test("expectations failFast names every violated rule; passing set returns quietly") {
     import Monitoring.{Expectation => E}
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")

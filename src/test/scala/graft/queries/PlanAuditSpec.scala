@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
                          // shape; all later stages are m-bounded equi-joins
     "q173_hll_estimate", // 1-row broadcast attach of the exact distinct
                          // count onto the 1-row estimator frame — O(1 * 1)
+    "q186_decayed_sum",  // 1-row broadcast cutoff-date attach — O(n * 1),
+                         // the q89 shape
     "q180_binary_ann",   // sign-bit coarse scoring: broadcast coded
                          // queries, the q25/q100 crossJoin(broadcast) shape
     "q174_kmv_setops")   // θ / exact / sketch censuses are all ≤1-row
