@@ -77,4 +77,30 @@ class StreamingSketchSpec extends SparkSpec {
     exact.filter(_._2 > bound).keys.foreach(item =>
       assert(est.contains(item), s"heavy item $item missing from streamed summary"))
   }
+
+  test("streamed HLL registers equal the batch registers (max-merge across micro-batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val items = Seq.fill(3000)(rnd.nextLong())
+    val src = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("graft_hll_ckpt_").toString
+    // register table as a complete-mode grouped max — the HLL merge IS
+    // Spark's aggregation, so micro-batch slicing must be invisible
+    val (bucket, rho) = SketchFunctions.hllRho(col("value"), 8)
+    val agg = src.toDF().toDF("value")
+      .select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+    items.grouped(500).foreach(src.addData(_: _*))
+    val run = q.start()
+    run.awaitTermination(120000)
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SketchFunctions.hllBuckets(items.toDF("value"), col("value"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
 }
