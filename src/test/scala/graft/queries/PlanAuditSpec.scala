@@ -56,6 +56,8 @@ class PlanAuditSpec extends SparkSpec {
                          // count onto the 1-row estimator frame — O(1 * 1)
     "q186_decayed_sum",  // 1-row broadcast cutoff-date attach — O(n * 1),
                          // the q89 shape
+    "q184_collocations", // 1-row broadcast token-total attach onto the
+                         // pair-count relation — O(pairs * 1), q89 shape
     "q180_binary_ann",   // sign-bit coarse scoring: broadcast coded
                          // queries, the q25/q100 crossJoin(broadcast) shape
     "q174_kmv_setops")   // θ / exact / sketch censuses are all ≤1-row
