@@ -161,6 +161,35 @@ object SketchFunctions {
         expr(s"cast(cast('$num' as decimal(38,0)) div t as bigint)").as("est6"))
   }
 
+  /** Incrementally maintain an HLL register table across ingest waves —
+    * the streaming-cardinality shape (the q50 incremental-MinHash
+    * pattern): registers live in a keyed [[graft.storage.VersionedTable]]
+    * at `path`; each wave's registers max-merge into exactly the touched
+    * buckets (≤ 2^p upserted rows per wave, never a corpus re-read), and
+    * because HLL union IS per-bucket max, the maintained table equals the
+    * batch sketch of everything ingested so far — the parity q187 pins
+    * with q173's oracle verbatim.
+    */
+  def hllMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      wave: DataFrame, value: Column, p: Int): Unit = {
+    val waveRegs = hllBuckets(wave, value, p)
+    val existing: Option[DataFrame] =
+      if (graft.storage.VersionedTable.readManifest(path).isDefined)
+        Some(graft.storage.VersionedTable.read(spark, path))
+      else None
+    val merged = existing match {
+      case None => waveRegs
+      case Some(cur) => waveRegs
+        .join(cur.select(col("bucket"), col("m").as("__old")), Seq("bucket"), "left")
+        .select(col("bucket"),
+          greatest(col("m"), coalesce(col("__old"), lit(0L))).as("m"))
+    }
+    val cw: (DataFrame, String) => Unit = (df, d) => df.write.parquet(d)
+    graft.storage.VersionedTable.upsert(spark, path, Seq("bucket"),
+      compactEvery = 8, compactWrite = cw)(d => merged.write.parquet(d))
+    ()
+  }
+
   /** Per-key [[hllEstimate]]: one row per key group with the same
     * exact-integer estimator — the realistic shape ("distinct users per
     * domain" over a 100 TB corpus: registers stay ≤ keys·m rows, the

@@ -2353,6 +2353,51 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // INCREMENTAL HLL — registers maintained across three ingest waves
+    // in a keyed VersionedTable (per-wave upsert touches ≤256 buckets,
+    // never re-reads the corpus); HLL union IS per-bucket max, so the
+    // maintained table must serve q173's answer EXACTLY (same oracle —
+    // the q67/q77 same-answer-two-mechanisms precedent).
+    "q187_hll_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_id"), floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      val path = scratchDir("hllinc").toString + "/regs"
+      (0 until 3).foreach { w =>
+        SketchFunctions.hllMaintain(s, path,
+          ev.filter(col("event_id") % 3 === w), col("v6"), 8)
+      }
+      val sk = graft.storage.VersionedTable.read(s, path)
+        .select(col("bucket"), col("m"))
+      val est = SketchFunctions.hllEstimate(sk, 8, 718273L)
+      ev.agg(countDistinct(col("v6")).as("n_exact"))
+        .crossJoin(est)
+        .select(col("n_exact"), col("n_buckets_nonzero"), col("n_zero"),
+          col("t_str"), col("est6"),
+          expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
+    }),
+
+    // WINSORIZATION — clip to [p1%, p99%] per group with the exact
+    // nearest-rank percentile machinery: the standard heavy-tail
+    // pre-processing for numeric features, census of clipped mass.
+    "q188_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      val ps = graft.functions.FeatureEncoding.exactPercentiles(
+        ev, col("v6"), Seq("event_type"), Seq(10, 990))
+      val lo = ps.filter(col("permille") === 10)
+        .select(col("event_type"), col("value").as("lo"))
+      val hi = ps.filter(col("permille") === 990)
+        .select(col("event_type"), col("value").as("hi"))
+      ev.join(lo, "event_type").join(hi, "event_type")
+        .select(col("event_type"), col("v6"),
+          greatest(col("lo"), least(col("hi"), col("v6"))).as("w6"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v6")).as("sum_raw"), sum(col("w6")).as("sum_winsor"),
+          sum((col("v6") =!= col("w6")).cast("long")).as("n_clipped"),
+          min(col("w6")).as("w_min"), max(col("w6")).as("w_max"))
+    }),
+
     // ROBUST OUTLIERS — MAD-based per-group screen (median/MAD survive
     // the outliers they hunt): two exact-percentile passes + one census,
     // outlier ⟺ 10·|v−med| > 30·MAD, all BIGINT.
@@ -6328,6 +6373,73 @@ object PipelineQueries {
 
     // HLL estimator: T as HUGEINT (2.0**x exact for powers of two),
     // est6 = NUM // T with NUM = 718273·65536·2^57 inlined exact
+    // incremental HLL: q173's oracle VERBATIM — the maintained register
+    // table must be indistinguishable from the one-shot sketch
+    "q187_hll_incremental" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR) AS sv
+         |  FROM events WHERE value IS NOT NULL
+         |), ${DuckDbXxHash64.xxh64Cte("ev", "sv", Seq.empty, "hi")},
+         |ub AS (
+         |  SELECT (CAST(xxh AS HUGEINT) + 18446744073709551616)
+         |    % 18446744073709551616 AS ux
+         |  FROM hi9
+         |), pr AS (
+         |  SELECT CAST(ux // 72057594037927936 AS BIGINT) AS bucket,
+         |    CAST(57 - length(ltrim(bin(CAST(ux % 72057594037927936 AS BIGINT)),
+         |      '0')) AS BIGINT) AS rho
+         |  FROM ub
+         |), mw AS (SELECT bucket, max(rho) AS m FROM pr GROUP BY 1),
+         |t AS (
+         |  SELECT count(*) AS nb,
+         |    sum(CAST(2.0 ** (57 - m) AS HUGEINT)) AS s_ne
+         |  FROM mw
+         |), tt AS (
+         |  SELECT nb, s_ne + (256 - nb) * 144115188075855872::HUGEINT AS t
+         |  FROM t
+         |), ex AS (SELECT count(DISTINCT sv) AS n_exact FROM ev)
+         |SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |  CAST(tt.nb AS BIGINT) AS n_buckets_nonzero,
+         |  CAST(256 - tt.nb AS BIGINT) AS n_zero,
+         |  CAST(tt.t AS VARCHAR) AS t_str,
+         |  CAST(6783896681500457353154134016::HUGEINT // tt.t AS BIGINT) AS est6,
+         |  CAST(abs(6783896681500457353154134016::HUGEINT // tt.t
+         |    - ex.n_exact * 1000000) // ex.n_exact AS BIGINT) AS err_ppm
+         |FROM tt, ex""".stripMargin,
+
+    // winsorization: p1%/p99% nearest-rank bounds + the clip census
+    "q188_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c
+        |), nn AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |pct AS (
+        |  SELECT m.event_type, q.permille, min(m.v) AS value
+        |  FROM m JOIN nn ON m.event_type = nn.event_type,
+        |       (VALUES (10), (990)) q(permille)
+        |  WHERE m.cum >= (q.permille * nn.n + 999) // 1000
+        |  GROUP BY 1, 2
+        |), lo AS (SELECT event_type, value AS lo FROM pct WHERE permille = 10),
+        |hi AS (SELECT event_type, value AS hi FROM pct WHERE permille = 990),
+        |w AS (
+        |  SELECT e.event_type, e.v,
+        |    greatest(lo.lo, least(hi.hi, e.v)) AS w6
+        |  FROM e JOIN lo ON e.event_type = lo.event_type
+        |         JOIN hi ON e.event_type = hi.event_type
+        |)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(v) AS BIGINT) AS sum_raw,
+        |  CAST(sum(w6) AS BIGINT) AS sum_winsor,
+        |  CAST(sum(CASE WHEN v <> w6 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  min(w6) AS w_min, max(w6) AS w_max
+        |FROM w GROUP BY 1""".stripMargin,
+
     "q173_hll_estimate" ->
       s"""WITH ev AS (
          |  SELECT CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR) AS sv

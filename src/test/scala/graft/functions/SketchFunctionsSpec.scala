@@ -274,6 +274,24 @@ class SketchFunctionsSpec extends SparkSpec {
       s"union est ${est((aSet | bSet).size)}")
   }
 
+  test("hllMaintain: wave-upserted registers equal the one-shot sketch") {
+    val rnd = new scala.util.Random(23)
+    val vals = Seq.fill(4000)(rnd.nextLong()).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vals.toDF("id", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hll_inc_").toString + "/regs"
+    (0 until 4).foreach { w =>
+      SketchFunctions.hllMaintain(spark, path,
+        df.filter(col("id") % 4 === w), col("v"), 8)
+    }
+    val maintained = graft.storage.VersionedTable.read(spark, path)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("m")).toMap
+    val oneShot = SketchFunctions.hllBuckets(df, col("v"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained == oneShot)
+  }
+
   test("cms: estimates are one-sided (est >= exact) and exact without collisions") {
     // zipf-ish stream over 40 distinct items: 40 << 256 columns, but
     // byte-slice collisions can still happen — est >= exact always

@@ -58,6 +58,8 @@ class PlanAuditSpec extends SparkSpec {
                          // the q89 shape
     "q184_collocations", // 1-row broadcast token-total attach onto the
                          // pair-count relation — O(pairs * 1), q89 shape
+    "q187_hll_incremental", // q173's 1-row exact-count attach onto the
+                         // 1-row estimator frame — O(1 * 1)
     "q180_binary_ann",   // sign-bit coarse scoring: broadcast coded
                          // queries, the q25/q100 crossJoin(broadcast) shape
     "q174_kmv_setops")   // θ / exact / sketch censuses are all ≤1-row
