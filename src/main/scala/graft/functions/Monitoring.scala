@@ -164,6 +164,45 @@ object Monitoring {
         lit(compareSplit).as("compare"), col("psi"))
   }
 
+  /** Exact-integer correlation census per key group — Pearson r² as a
+    * RATIO OF EXACT INTEGERS: with the classic integer moments
+    * S = n·Σxy − Σx·Σy, Sxx = n·Σx² − (Σx)², Syy = n·Σy² − (Σy)²,
+    * r² = S²/(Sxx·Syy) — emitted as `corr_sq_ppm = S²·10⁶ div (Sxx·Syy)`
+    * plus `corr_sign` (the sign of S), so the correlation strength and
+    * direction are bit-reproducible with NO sqrt and NO floats anywhere.
+    * Inputs must be integer columns the caller scales so per-row products
+    * fit a long (the moments promote to DECIMAL(38,0) for the final
+    * arithmetic). One map-side-combined aggregation; constant columns
+    * (zero variance) emit NULL ppm rather than dividing by zero.
+    */
+  def corrCensus(df: DataFrame, x: Column, y: Column,
+      keyNames: Seq[String]): DataFrame = {
+    val keys = keyNames.map(col)
+    val agg = df.select((keys :+ x.as("__x") :+ y.as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    def dd(c: String) = s"cast($c as decimal(38,0))"
+    agg.select((keys :+ col("n") :+
+      expr(s"${dd("n")} * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")}").as("s_xy") :+
+      expr(s"${dd("n")} * ${dd("sxx")} - ${dd("sx")} * ${dd("sx")}").as("s_xx") :+
+      expr(s"${dd("n")} * ${dd("syy")} - ${dd("sy")} * ${dd("sy")}").as("s_yy")): _*)
+      .select((keys :+ col("n") :+
+        col("s_xy").cast("long").as("s_xy") :+
+        col("s_xx").cast("long").as("s_xx") :+
+        col("s_yy").cast("long").as("s_yy") :+
+        // ppm in DECIMAL(38,0) BEFORE any long cast: S² ≈ 10³⁰-scale
+        when(col("s_xx") =!= 0 && col("s_yy") =!= 0,
+          expr("cast((s_xy * s_xy * cast(1000000 as decimal(38,0))) " +
+            "div (s_xx * s_yy) as bigint)"))
+          .as("corr_sq_ppm") :+
+        signum(col("s_xy")).cast("long").as("corr_sign")): _*)
+  }
+
   /** MAD-based robust outlier census per key group — the data-quality
     * screen that survives the outliers it hunts (mean/stddev don't):
     * median and MAD (median absolute deviation) via

@@ -2353,6 +2353,20 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // EXACT-INTEGER CORRELATION — Pearson r² as a ratio of exact integer
+    // moments (S = nΣxy − ΣxΣy etc), corr_sq_ppm = S²·10⁶ div (Sxx·Syy)
+    // plus the sign of S: correlation strength/direction with no sqrt,
+    // no floats, one map-side-combined pass per group.
+    "q189_corr_census" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          hour(col("ts")).cast("long").as("hr"))
+      graft.functions.Monitoring.corrCensus(
+        ev, col("cents"), col("hr"), Seq("event_type"))
+    }),
+
     // INCREMENTAL HLL — registers maintained across three ingest waves
     // in a keyed VersionedTable (per-wave upsert touches ≤256 buckets,
     // never re-reads the corpus); HLL union IS per-bucket max, so the
@@ -6373,6 +6387,34 @@ object PipelineQueries {
 
     // HLL estimator: T as HUGEINT (2.0**x exact for powers of two),
     // est6 = NUM // T with NUM = 718273·65536·2^57 inlined exact
+    // correlation census: integer moments in HUGEINT, ppm ratio + sign
+    "q189_corr_census" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(hour(ts) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy
+        |  FROM e GROUP BY 1
+        |), s AS (
+        |  SELECT event_type, n, n * sxy - sx * sy AS s_xy,
+        |    n * sxx - sx * sx AS s_xx, n * syy - sy * sy AS s_yy
+        |  FROM a
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(s_xy AS BIGINT) AS s_xy, CAST(s_xx AS BIGINT) AS s_xx,
+        |  CAST(s_yy AS BIGINT) AS s_yy,
+        |  CASE WHEN s_xx <> 0 AND s_yy <> 0
+        |       THEN CAST(s_xy * s_xy * 1000000 // (s_xx * s_yy) AS BIGINT)
+        |  END AS corr_sq_ppm,
+        |  CAST(CASE WHEN s_xy > 0 THEN 1 WHEN s_xy < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS corr_sign
+        |FROM s""".stripMargin,
+
     // incremental HLL: q173's oracle VERBATIM — the maintained register
     // table must be indistinguishable from the one-shot sketch
     "q187_hll_incremental" ->

@@ -122,6 +122,25 @@ class MonitoringSpec extends SparkSpec {
     assert(got("unique(id)") == ((5L, 2L, false))) // both id=3 rows
   }
 
+  test("corrCensus: perfect/anti/zero correlation and constant-column NULL") {
+    val rows =
+      (0L until 100L).map(i => ("lin", i, 3 * i + 7)) ++      // r = 1
+      (0L until 100L).map(i => ("anti", i, 1000 - 2 * i)) ++  // r = -1
+      (0L until 100L).map(i => ("flat", i, 42L))              // zero variance
+    val got = Monitoring.corrCensus(rows.toDF("k", "x", "y"),
+      col("x"), col("y"), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(5)).map(_.asInstanceOf[Long]), r.getLong(6))).toMap
+    assert(got("lin") == ((Some(1000000L), 1L)), s"lin: ${got("lin")}")
+    assert(got("anti") == ((Some(1000000L), -1L)), s"anti: ${got("anti")}")
+    assert(got("flat") == ((None, 0L)), s"flat: ${got("flat")}")
+    // independence: alternating y over increasing x → ppm near zero
+    val ind = Monitoring.corrCensus(
+      (0L until 1000L).map(i => ("i", i, i % 2)).toDF("k", "x", "y"),
+      col("x"), col("y"), Seq("k")).head
+    assert(ind.getLong(5) < 1000L, s"independent ppm: ${ind.getLong(5)}")
+  }
+
   test("robustOutliers: planted spikes flagged, median/MAD exact, bulk untouched") {
     // tight bulk around 100 with two planted spikes per group
     val rows = (0L until 200L).map(i => ("g", 100L + (i % 5))) ++
