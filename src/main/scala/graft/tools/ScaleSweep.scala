@@ -888,6 +888,32 @@ object ScaleSweep {
           .groupBy(col("first_type"))
           .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events")))
       }
+
+      //     collocations (q184): positions equi-join on (doc, i+d) —
+      //     pair rows = tokens·window, so wall/shuffle must track token
+      //     volume linearly, never per-doc tokens²
+      measure("collocations", scale) {
+        runAll(graft.functions.TextFunctions.collocations(
+          docs, "doc_id", "text", window = 2, minCount = 5L, k = 20))
+      }
+
+      //     exact percentiles (q183): per-(key, value) count table + one
+      //     window per key — shuffle bounded by the DISTINCT-VALUE domain
+      //     (copies share values, so the table stays ~flat at 10×)
+      measure("percentiles", scale) {
+        runAll(graft.functions.FeatureEncoding.exactPercentiles(
+          eventsP.select(col("event_type"),
+            floor(col("value") * 1e6 + 0.5).cast("long").as("v6")),
+          col("v6"), Seq("event_type"), Seq(500, 900, 990)))
+      }
+
+      //     count-min sketch (q181): ≤1024 cells after map-side combine —
+      //     the second flat-shuffle sketch cell next to hll_sketch
+      measure("cms_sketch", scale) {
+        runAll(graft.functions.SketchFunctions.cmsSketch(
+          eventsP.select(floor(col("value") * 1e6 + 0.5).cast("long")
+            .cast("string").as("sv")), col("sv")))
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
