@@ -164,6 +164,30 @@ object Monitoring {
         lit(compareSplit).as("compare"), col("psi"))
   }
 
+  /** Class-balance census per key group with EXACT Gini impurity — the
+    * label-skew monitor for training sets (a source whose lang/label
+    * distribution collapses is a data bug): gini_ppm = (n² − Σc²)·10⁶
+    * div n² — one exact rational, no per-class division truncation and
+    * no entropy logs; majority share in ppm rides along. One map-side
+    * class count + a keys-scale fold.
+    */
+  def classBalance(df: DataFrame, label: Column,
+      keyNames: Seq[String]): DataFrame = {
+    val keys = keyNames.map(col)
+    val counts = df.select((keys :+ label.as("__l")): _*)
+      .filter(col("__l").isNotNull)
+      .groupBy((keys :+ col("__l")): _*).agg(count(lit(1)).as("c"))
+    counts.groupBy(keys: _*)
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_classes"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        max(col("c")).as("c_max"))
+      .select((keys :+ col("n") :+ col("n_classes") :+
+        expr("cast(((n * n - sum_c2) * 1000000) div (n * n) as bigint)")
+          .as("gini_ppm") :+
+        expr("cast((c_max * 1000000) div n as bigint)").as("majority_ppm")): _*)
+  }
+
   /** Exact-integer correlation census per key group — Pearson r² as a
     * RATIO OF EXACT INTEGERS: with the classic integer moments
     * S = n·Σxy − Σx·Σy, Sxx = n·Σx² − (Σx)², Syy = n·Σy² − (Σy)²,

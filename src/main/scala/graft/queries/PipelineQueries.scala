@@ -2353,6 +2353,31 @@ object PipelineQueries {
           expr("abs(est6 - n_exact * 1000000) div n_exact").as("err_ppm"))
     }),
 
+    // CLASS-BALANCE CENSUS — label-skew monitor with EXACT Gini impurity
+    // ((n²−Σc²)·10⁶ div n², one rational — no per-class truncation, no
+    // entropy logs) + majority share; per-source lang distribution.
+    "q190_class_balance" -> ((s, dir) => {
+      graft.functions.Monitoring.classBalance(
+        Tables.documents(s, dir), col("lang"), Seq("source"))
+    }),
+
+    // RAPID-REPEAT (BURST) CENSUS — telemetry dedup screen: an event is
+    // a "repeat" when the same user fires the same type within 6 h of
+    // the previous one; one window per (user, type), q42's lag shape.
+    "q191_event_bursts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("burst", col("__prev").isNotNull &&
+          unix_micros(col("ts")) - col("__prev") <= lit(21600000000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("burst").cast("long")).as("n_repeats"),
+          countDistinct(when(col("burst"), col("user_id"))).as("n_repeat_users"))
+    }),
+
     // EXACT-INTEGER CORRELATION — Pearson r² as a ratio of exact integer
     // moments (S = nΣxy − ΣxΣy etc), corr_sq_ppm = S²·10⁶ div (Sxx·Syy)
     // plus the sign of S: correlation strength/direction with no sqrt,
@@ -6387,6 +6412,38 @@ object PipelineQueries {
 
     // HLL estimator: T as HUGEINT (2.0**x exact for powers of two),
     // est6 = NUM // T with NUM = 718273·65536·2^57 inlined exact
+    // class balance: per-(source, lang) counts folded into the exact
+    // Gini rational
+    "q190_class_balance" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2
+        |), a AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_classes,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_c2, CAST(max(c) AS BIGINT) AS c_max
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT source, n, CAST(n_classes AS BIGINT) AS n_classes,
+        |  CAST((n * n - sum_c2) * 1000000 // (n * n) AS BIGINT) AS gini_ppm,
+        |  CAST(c_max * 1000000 // n AS BIGINT) AS majority_ppm
+        |FROM a""".stripMargin,
+
+    // rapid repeats: lag within (user, type), 6 h threshold
+    "q191_event_bursts" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NOT NULL
+        |           AND epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 21600000000
+        |         THEN 1 ELSE 0 END AS burst
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(burst) AS BIGINT) AS n_repeats,
+        |  CAST(count(DISTINCT CASE WHEN burst = 1 THEN user_id END) AS BIGINT)
+        |    AS n_repeat_users
+        |FROM m GROUP BY 1""".stripMargin,
+
     // correlation census: integer moments in HUGEINT, ppm ratio + sign
     "q189_corr_census" ->
       """WITH e AS (

@@ -122,6 +122,19 @@ class MonitoringSpec extends SparkSpec {
     assert(got("unique(id)") == ((5L, 2L, false))) // both id=3 rows
   }
 
+  test("classBalance: exact Gini at the uniform/degenerate/analytic points") {
+    val rows = Seq.fill(50)(("uni", "a")) ++ Seq.fill(50)(("uni", "b")) ++
+      Seq.fill(100)(("one", "x")) ++
+      (Seq.fill(75)(("skew", "m")) ++ Seq.fill(25)(("skew", "n")))
+    val got = Monitoring.classBalance(rows.toDF("k", "l"), col("l"), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("uni") == ((100L, 2L, 500000L, 500000L)))   // gini = 1/2
+    assert(got("one") == ((100L, 1L, 0L, 1000000L)))       // pure class
+    // skew 3:1 → gini = 1 − (9+1)/16 = 6/16 = 0.375
+    assert(got("skew") == ((100L, 2L, 375000L, 750000L)))
+  }
+
   test("corrCensus: perfect/anti/zero correlation and constant-column NULL") {
     val rows =
       (0L until 100L).map(i => ("lin", i, 3 * i + 7)) ++      // r = 1
