@@ -90,6 +90,77 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size == 3) // user 2's two events collapse into one (user, week)
   }
 
+  test("randomized funnel equals a driver-side brute-force reference") {
+    val rnd = new scala.util.Random(31)
+    val types = Seq("view", "click", "purchase")
+    val events = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(40).toLong,
+        types(rnd.nextInt(3)), rnd.nextInt(100000).toLong * 1000000L)
+    }
+    val df = events.map { case (id, u, tp, us) => (id, u, tp, us) }
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), lit(0.0).as("value"))
+    val win = 3600L * 1000000 * 4 // 4 hours
+    val got = EventAnalytics.funnel(df, types, win).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.get(r.fieldIndex("t2_us"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("t3_us"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("t1_us"))).toMap
+    // brute force: anchored min-chain
+    val byUser = events.groupBy(_._2)
+    byUser.foreach { case (u, evs) =>
+      val t1 = evs.filter(_._3 == "view").map(_._4).sorted.headOption
+      t1 match {
+        case None => assert(!got.contains(u))
+        case Some(a) =>
+          val (gt2, gt3, gt1) = got(u)
+          assert(gt1 == a, s"user $u t1")
+          val t2 = evs.filter(e => e._3 == "click" && e._4 > a && e._4 <= a + win)
+            .map(_._4).sorted.headOption
+          assert(gt2 == t2, s"user $u t2: got $gt2 want $t2")
+          val t3 = t2.flatMap(b => evs.filter(e =>
+            e._3 == "purchase" && e._4 > b && e._4 <= a + win)
+            .map(_._4).sorted.headOption)
+          assert(gt3 == t3, s"user $u t3: got $gt3 want $t3")
+      }
+    }
+  }
+
+  test("randomized gap-fill equals a driver-side forward-fill reference") {
+    val rnd = new scala.util.Random(41)
+    val events = (0 until 1500).map { i =>
+      (i.toLong, rnd.nextInt(25).toLong,
+        rnd.nextInt(40).toLong * 86400000000L + rnd.nextInt(86400) * 1000000L,
+        rnd.nextInt(10000) / 100.0)
+    }
+    val df = events.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("value"))
+    val got = EventAnalytics.gapFillDaily(df).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getDate(1).toString) ->
+        (r.getAs[Long]("cents"), r.getAs[Boolean]("observed")))
+      .toMap
+    events.groupBy(_._2).foreach { case (u, evs) =>
+      // reference: per-day last by event_id, forward-filled over the span
+      val daily = evs.groupBy(_._3 / 86400000000L).map { case (d, es) =>
+        d -> math.floor(es.maxBy(_._1)._4 * 100 + 0.5).toLong
+      }
+      val (d0, d1) = (daily.keys.min, daily.keys.max)
+      var last = 0L
+      (d0 to d1).foreach { d =>
+        val day = java.time.LocalDate.ofEpochDay(d).toString
+        if (daily.contains(d)) last = daily(d)
+        val (cents, obs) = got((u, day))
+        assert(cents == last && obs == daily.contains(d),
+          s"user $u day $day: got ($cents,$obs) want ($last,${daily.contains(d)})")
+      }
+    }
+    assert(got.size == events.groupBy(_._2).map { case (_, es) =>
+      val ds = es.map(_._3 / 86400000000L); ds.max - ds.min + 1
+    }.sum)
+  }
+
   test("gap-fill: contiguous grid, forward fill carries, event_id breaks day ties") {
     val day = 24L * 3600 * 1000000
     val d = Seq(
