@@ -121,7 +121,13 @@ object EventAnalytics {
   def gapFillDaily(events: DataFrame): DataFrame = {
     val day = to_date(col("ts"))
     val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    // NULL `value` events are not observations (ADVICE r14): without the
+    // filter, a user-day whose max-event_id row has NULL value would emit
+    // a NULL day_cents that the forward-fill then papers over from an
+    // earlier day while `observed` stays true — pinned here and in the
+    // q170 oracle as "a NULL-valued event never defines a grid day"
     val daily = events
+      .filter(col("value").isNotNull)
       .select(col("user_id"), day.as("day"), col("event_id"), cents.as("cents"))
       .groupBy(col("user_id"), col("day"))
       .agg(max_by(col("cents"), col("event_id")).as("day_cents"))

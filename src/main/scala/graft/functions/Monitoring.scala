@@ -219,10 +219,22 @@ object Monitoring {
         col("s_xy").cast("long").as("s_xy") :+
         col("s_xx").cast("long").as("s_xx") :+
         col("s_yy").cast("long").as("s_yy") :+
-        // ppm in DECIMAL(38,0) BEFORE any long cast: S² ≈ 10³⁰-scale
-        when(col("s_xx") =!= 0 && col("s_yy") =!= 0,
-          expr("cast((s_xy * s_xy * cast(1000000 as decimal(38,0))) " +
-            "div (s_xx * s_yy) as bigint)"))
+        // ppm in DECIMAL(38,0) BEFORE any long cast: S² ≈ 10³⁰-scale.
+        // Loud overflow gate (ADVICE r14): S²·10⁶ exceeds DECIMAL(38,0)
+        // once |S| passes ~10¹⁶, and non-ANSI Spark would return a silent
+        // NULL indistinguishable from the zero-variance NULL — so any
+        // moment past the exactness bound fails the job instead. By
+        // Cauchy-Schwarz s_xy² ≤ s_xx·s_yy, so gating the two variance
+        // moments bounds all three.
+        when(greatest(abs(col("s_xx")), abs(col("s_yy"))) >
+            expr("cast('10000000000000000' as decimal(38,0))"),
+          raise_error(concat(lit("corrCensus: centered moment exceeds the " +
+            "DECIMAL(38,0) exactness bound 1e16 (s_xx="), col("s_xx"),
+            lit(", s_yy="), col("s_yy"),
+            lit(") — rescale the inputs before the census"))).cast("long"))
+          .when(col("s_xx") =!= 0 && col("s_yy") =!= 0,
+            expr("cast((s_xy * s_xy * cast(1000000 as decimal(38,0))) " +
+              "div (s_xx * s_yy) as bigint)"))
           .as("corr_sq_ppm") :+
         signum(col("s_xy")).cast("long").as("corr_sign")): _*)
   }

@@ -773,6 +773,18 @@ object Similarity {
       vecCol: String, m: Int, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    // enforce the scaladoc's "dims ≤ 64" contract (ADVICE r14): dims past
+    // 64 fall outside both 32-bit code halves, so the coarse hamming stage
+    // would silently ignore them while the exact e6 re-rank uses them —
+    // a quiet shortlist-recall degradation, not an error. Probe the first
+    // vector of each side (one-row scans) and refuse loudly.
+    Seq(("queries", queries), ("candidates", candidates)).foreach { case (side, df) =>
+      df.select(size(col(vecCol)).as("d")).limit(1).collect().foreach { r =>
+        require(r.getInt(0) <= 64,
+          s"binaryQuantTopK: $side '$vecCol' has ${r.getInt(0)} dims — the " +
+            "sign-bit code holds at most 64; project or chunk the vectors first")
+      }
+    }
     def half(v: Column, off: Int): Column = aggregate(
       transform(v, (x, i) =>
         when(x.cast("double") > lit(0.0) && i >= off && i < off + 32,

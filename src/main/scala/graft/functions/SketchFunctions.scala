@@ -299,4 +299,55 @@ object SketchFunctions {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .drop("__dr")
   }
+
+  /** KMV set-operation estimates between two keyed value sets (the q174
+    * contract): sketch each key with [[kmvMins]], take the combined
+    * threshold θ = min over keys of the PER-KEY θ, where a key's θ is its
+    * rank-k hash when it holds k distinct values and 2⁶⁴ otherwise —
+    * EXACT mode (ADVICE r14): a sketch smaller than k IS its whole value
+    * set, so every hash sits below θ and the |A∩B|/|A∪B| estimators
+    * degrade to the exact below-θ counts instead of NULL (or, worse, a
+    * θ borrowed from the other key alone). All arithmetic is integer /
+    * DECIMAL(38,0) in the unsigned hash space, so the row restates as a
+    * HUGEINT oracle. Returns one row:
+    * `(n_a, n_b, n_inter, n_union, theta_str, n_common_lt, n_union_lt,
+    *   est_inter6, est_union6)` — exact counts, θ as a decimal string,
+    * below-θ sketch counts, and the ×10⁶ scaled estimates.
+    */
+  def kmvSetOps(values: DataFrame, typeCol: Column, value: Column,
+      a: String, b: String, k: Int): DataFrame = {
+    val d = values.select(typeCol.as("t"), value.as("v")).distinct()
+    val sk = kmvMins(d, col("v"), k, Seq("t"))
+    val two63 = "cast('9223372036854775808' as decimal(38,0))"
+    val two64 = "cast('18446744073709551616' as decimal(38,0))"
+    // per-key θ in UNSIGNED (decimal) space; rank-k = max of the kept k
+    val theta = sk.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), max(col("uc")).as("uck"))
+      .select(when(col("cnt") === k,
+          expr(s"cast(uck as decimal(38,0)) + $two63"))
+        .otherwise(expr(two64)).as("th"))
+      .agg(min(col("th")).as("theta_u"))
+    val below = sk.crossJoin(broadcast(theta))
+      .filter(expr(s"cast(uc as decimal(38,0)) + $two63") < col("theta_u"))
+    val cnts = below.agg(
+      countDistinct(when(col("t") === a, col("uc"))).as("na_lt"),
+      countDistinct(when(col("t") === b, col("uc"))).as("nb_lt"),
+      countDistinct(col("uc")).as("nu_lt"))
+    val exact = d.agg(
+      count(when(col("t") === a, 1)).as("n_a"),
+      count(when(col("t") === b, 1)).as("n_b"))
+    val inter = d.filter(col("t") === a).select(col("v"))
+      .join(d.filter(col("t") === b).select(col("v")), "v")
+      .agg(count(lit(1)).as("n_inter"))
+    val sc = "cast('18446744073709551616000000' as decimal(38,0))"
+    exact.crossJoin(inter).crossJoin(cnts).crossJoin(broadcast(theta))
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        expr("cast(theta_u as string)").as("theta_str"),
+        (col("na_lt") + col("nb_lt") - col("nu_lt")).as("n_common_lt"),
+        col("nu_lt").as("n_union_lt"),
+        expr(s"cast(((na_lt + nb_lt - nu_lt) * $sc) div theta_u as bigint)")
+          .as("est_inter6"),
+        expr(s"cast((nu_lt * $sc) div theta_u as bigint)").as("est_union6"))
+  }
 }

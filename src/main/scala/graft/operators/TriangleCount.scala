@@ -93,12 +93,18 @@ object TriangleCount {
     */
   def global(edges: DataFrame): DataFrame = {
     val pn = perNode(edges)
+    // integer `div`, never floating division: Σdeg / 2 through a double
+    // silently loses exactness once the sum passes 2^53, breaking the
+    // bit-for-bit oracle contract on large graphs (ADVICE r14)
     pn.agg(
       count(lit(1)).as("n_nodes"),
-      (sum(col("deg")) / 2).cast("long").as("n_edges"),
-      (sum(col("tri")) / 3).cast("long").as("n_triangles"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum(tri) div 3").as("n_triangles"),
       // Σtri = 3·T and wedges = Σ deg·(deg−1)/2, so gcc = 3T/wedges
-      // = 2·Σtri / Σ deg·(deg−1).
-      expr("(sum(tri) * 2000000) div sum(deg * (deg - 1))").as("gcc6"))
+      // = 2·Σtri / Σ deg·(deg−1); a wedge-free graph (all degrees ≤ 1)
+      // has gcc 0 by convention, never a NULL from 0-division
+      when(expr("sum(deg * (deg - 1))") > 0,
+        expr("(sum(tri) * 2000000) div sum(deg * (deg - 1))"))
+        .otherwise(lit(0L)).as("gcc6"))
   }
 }

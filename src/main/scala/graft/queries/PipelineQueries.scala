@@ -2663,36 +2663,11 @@ object PipelineQueries {
     // along so the estimator's accuracy is data. Sketch build is a
     // WindowGroupLimit rank filter (map-side pre-trim at scale).
     "q174_kmv_setops" -> ((s, dir) => {
-      val k = 128
       val dv = Tables.events(s, dir)
         .filter(col("value").isNotNull && col("event_type").isin("view", "purchase"))
         .select(col("event_type"), floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
-        .distinct()
-      val sk = SketchFunctions.kmvMins(dv, col("v6"), k, Seq("event_type"))
-      val theta = sk.filter(col("rk") === k).agg(min(col("uc")).as("theta_c"))
-      val below = sk.crossJoin(broadcast(theta)).filter(col("uc") < col("theta_c"))
-      val cnts = below.agg(
-        countDistinct(when(col("event_type") === "view", col("uc"))).as("na_lt"),
-        countDistinct(when(col("event_type") === "purchase", col("uc"))).as("nb_lt"),
-        countDistinct(col("uc")).as("nu_lt"))
-      val exact = dv.agg(
-        count(when(col("event_type") === "view", 1)).as("n_a"),
-        count(when(col("event_type") === "purchase", 1)).as("n_b"))
-      val inter = dv.filter(col("event_type") === "view").select(col("v6"))
-        .join(dv.filter(col("event_type") === "purchase").select(col("v6")), "v6")
-        .agg(count(lit(1)).as("n_inter"))
-      val thetaU = "(cast(theta_c as decimal(38,0)) + " +
-        "cast('9223372036854775808' as decimal(38,0)))"
-      val sc = "cast('18446744073709551616000000' as decimal(38,0))"
-      exact.crossJoin(inter).crossJoin(cnts).crossJoin(theta)
-        .select(col("n_a"), col("n_b"), col("n_inter"),
-          (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
-          expr(s"cast($thetaU as string)").as("theta_str"),
-          (col("na_lt") + col("nb_lt") - col("nu_lt")).as("n_common_lt"),
-          col("nu_lt").as("n_union_lt"),
-          expr(s"cast(((na_lt + nb_lt - nu_lt) * $sc) div $thetaU as bigint)")
-            .as("est_inter6"),
-          expr(s"cast((nu_lt * $sc) div $thetaU as bigint)").as("est_union6"))
+      SketchFunctions.kmvSetOps(dv, col("event_type"), col("v6"),
+        a = "view", b = "purchase", k = 128)
     }),
 
     // EQUAL-FREQUENCY quantile binning — the other classic tabular
@@ -6326,7 +6301,7 @@ object PipelineQueries {
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
         |    arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS day_cents
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         |), span AS (
         |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
         |), grid AS (
@@ -6940,7 +6915,13 @@ object PipelineQueries {
          |  SELECT event_type, ux,
          |    row_number() OVER (PARTITION BY event_type ORDER BY ux) AS rk
          |  FROM u
-         |), th AS (SELECT min(ux) AS theta FROM r WHERE rk = 128),
+         |), pk AS (
+         |  SELECT event_type,
+         |    CASE WHEN count(*) >= 128
+         |         THEN max(CASE WHEN rk <= 128 THEN ux END)
+         |         ELSE 18446744073709551616::HUGEINT END AS theta_key
+         |  FROM r GROUP BY 1
+         |), th AS (SELECT min(theta_key) AS theta FROM pk),
          |ex AS (
          |  SELECT count(CASE WHEN event_type = 'view' THEN 1 END) AS n_a,
          |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b

@@ -161,6 +161,26 @@ class EventAnalyticsSpec extends SparkSpec {
     }.sum)
   }
 
+  test("gap-fill: NULL-valued events never define a grid day (ADVICE r14)") {
+    val day = 24L * 3600 * 1000000
+    val d = Seq(
+      (1L, 0L, Some(5.00)),
+      (2L, day, None), // NULL value: day 1 must stay unobserved, fill 500
+      (3L, 2 * day, Some(1.00)))
+      .toDF("event_id", "us", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        lit(7L).as("user_id"), col("value"))
+    val g = EventAnalytics.gapFillDaily(d).orderBy(col("day")).collect()
+    assert(g.map(_.getAs[Long]("cents")).toSeq == Seq(500L, 500L, 100L))
+    assert(g.map(_.getAs[Boolean]("observed")).toSeq == Seq(true, false, true))
+    // a user with ONLY NULL-valued events has no observations at all
+    val onlyNull = Seq((9L, 0L, Option.empty[Double]))
+      .toDF("event_id", "us", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        lit(8L).as("user_id"), col("value"))
+    assert(EventAnalytics.gapFillDaily(onlyNull).count() == 0L)
+  }
+
   test("gap-fill: contiguous grid, forward fill carries, event_id breaks day ties") {
     val day = 24L * 3600 * 1000000
     val d = Seq(

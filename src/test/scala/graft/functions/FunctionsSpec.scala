@@ -987,6 +987,15 @@ class FunctionsSpec extends SparkSpec {
     assert(dp._3 == 30L && dp._4 == 30L * n * 1000000L / (30L * 30L))
   }
 
+  test("binaryQuantTopK refuses vectors past 64 dims (silent recall loss otherwise)") {
+    val big = Seq((1L, Array.fill(80)(0.5f)), (2L, Array.fill(80)(-0.5f)))
+      .toDF("vec_id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.binaryQuantTopK(big, "vec_id", big, "vec_id", "v", m = 2, k = 1)
+    }
+    assert(ex.getMessage.contains("80 dims"))
+  }
+
   test("binaryQuantTopK: codes/hamming/dot match a driver bit reference; rank order exact") {
     val vecs = (0L until 50L).map { id =>
       (id, Array.tabulate(64)(d => math.sin(id * 2.3 + d * 0.7)).map(_.toFloat))

@@ -154,6 +154,22 @@ class MonitoringSpec extends SparkSpec {
     assert(ind.getLong(5) < 1000L, s"independent ppm: ${ind.getLong(5)}")
   }
 
+  test("corrCensus: moments past the DECIMAL(38,0) exactness bound fail loudly") {
+    // three rows around 1e8 → every LONG sum is fine (Σx² = 5e16) but
+    // s_xx = n·Σx² − (Σx)² = 6e16 > the 1e16 bound, so s_xx²·1e6 ≈ 4e39
+    // would overflow DECIMAL(38,0); the old code silently NULLed the ppm
+    // (ADVICE r14)
+    val rows = Seq(("g", 0L, 0L), ("g", 100000000L, 1L), ("g", 200000000L, 2L))
+    val ex = intercept[Exception] {
+      Monitoring.corrCensus(rows.toDF("k", "x", "y"),
+        col("x"), col("y"), Seq("k")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("exactness bound")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("robustOutliers: planted spikes flagged, median/MAD exact, bulk untouched") {
     // tight bulk around 100 with two planted spikes per group
     val rows = (0L until 200L).map(i => ("g", 100L + (i % 5))) ++

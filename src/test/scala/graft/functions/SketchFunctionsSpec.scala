@@ -274,6 +274,27 @@ class SketchFunctionsSpec extends SparkSpec {
       s"union est ${est((aSet | bSet).size)}")
   }
 
+  test("kmvSetOps: below-k sketches degrade to EXACT mode (θ = 2^64), never NULL") {
+    // both sets far below k=128: θ must read 2^64 and the estimates must
+    // equal the exact counts × 10⁶ (ADVICE r14 — previously NULL / borrowed θ)
+    val rows = (0L until 40L).map(v => ("a", v)) ++ (20L until 70L).map(v => ("b", v))
+    val r = SketchFunctions.kmvSetOps(rows.toDF("st", "v"),
+      col("st"), col("v"), "a", "b", k = 128).head()
+    assert(r.getAs[String]("theta_str") == "18446744073709551616")
+    assert(r.getAs[Long]("n_inter") == 20L && r.getAs[Long]("n_union") == 70L)
+    assert(r.getAs[Long]("n_common_lt") == 20L && r.getAs[Long]("n_union_lt") == 70L)
+    assert(r.getAs[Long]("est_inter6") == 20L * 1000000L)
+    assert(r.getAs[Long]("est_union6") == 70L * 1000000L)
+    // mixed: A holds ≥ k values, B below k — θ is A's rank-k (not 2^64),
+    // and the estimators stay non-NULL
+    val rows2 = (0L until 4000L).map(v => ("a", v)) ++ (0L until 50L).map(v => ("b", v))
+    val r2 = SketchFunctions.kmvSetOps(rows2.toDF("st", "v"),
+      col("st"), col("v"), "a", "b", k = 128).head()
+    assert(BigInt(r2.getAs[String]("theta_str")) < (BigInt(1) << 64))
+    assert(!r2.isNullAt(r2.fieldIndex("est_inter6")))
+    assert(!r2.isNullAt(r2.fieldIndex("est_union6")))
+  }
+
   test("hllMaintain: wave-upserted registers equal the one-shot sketch") {
     val rnd = new scala.util.Random(23)
     val vals = Seq.fill(4000)(rnd.nextLong()).zipWithIndex

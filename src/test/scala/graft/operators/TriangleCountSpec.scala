@@ -50,6 +50,14 @@ class TriangleCountSpec extends SparkSpec {
     assert(g.getAs[Long]("n_nodes") == 51L)
   }
 
+  test("all-degree-1 graph: zero wedges gives gcc6 = 0, never NULL (ADVICE r14)") {
+    // a perfect matching: every degree is 1, Σ deg·(deg−1) = 0
+    val matching = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    val g = TriangleCount.global(matching.toDF("u", "v")).collect().head
+    assert(!g.isNullAt(g.fieldIndex("gcc6")) && g.getAs[Long]("gcc6") == 0L)
+    assert(g.getAs[Long]("n_edges") == 3L && g.getAs[Long]("n_triangles") == 0L)
+  }
+
   test("K4: every node has lcc 1.0 (lcc6 = 1000000), global count 4") {
     val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val pn = TriangleCount.perNode(k4.toDF("u", "v")).collect()
