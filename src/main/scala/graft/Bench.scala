@@ -47,6 +47,25 @@ object Bench {
     * marked dirty and retried.
     */
   private val SpinIters = 30000000L
+
+  /** Committed cross-round ERA ANCHORS (VERDICT r14 "What's wrong" #1/#3):
+    * the best run-level probe nominals observed on this host across the
+    * r11–r14 committed artifacts (spin 0.0438 s for the fixed 30M-iter
+    * xorshift; 0.116 s for the scan-agg spark probe). The within-run
+    * cleanness gate stays anchored to the RUN-best probe (a genuinely
+    * slower host era must not flag every query as throttled — that is
+    * what `normalized` is for), but the artifact now reports
+    * `era_spin_ratio` / `era_spark_ratio` = run-nominal ÷ era-anchor and
+    * a `host_era` verdict, so a round like r14's close (spin 1.47× the
+    * era with zero code change) is visible IN the artifact instead of
+    * masquerading as a query regression. Cross-round comparisons read
+    * the `normalized` map (query ÷ run-level spark nominal), never raw
+    * seconds, whenever `host_era` != "nominal". Re-baseline these
+    * constants only when a faster era is observed across two consecutive
+    * rounds.
+    */
+  private val EraSpinNominal = 0.0438
+  private val EraSparkNominal = 0.116
   private def spinOnce(): Double = {
     val t0 = System.nanoTime()
     var x = 0x9E3779B97F4A7C15L
@@ -153,8 +172,14 @@ object Bench {
     // locale-independent 4-decimal rounding: f"%.4f".toDouble throws under
     // comma-decimal locales (e.g. de_DE) and would kill the artifact
     def r4(d: Double): Double = math.rint(d * 1e4) / 1e4
+    // Spark-probe bound tightened 3x -> 2x (VERDICT r14 #3: a 2.02x
+    // contended sample passed the 3x gate unflagged and read as a q82
+    // regression). The spin gate is deterministic CPU work, 2x stays;
+    // the spark probe carries GC/scheduler jitter but its documented
+    // same-slot spread is ~1.3x, so 2x still clears clean slots while
+    // catching the 2x-class contention windows that matter.
     def isClean(spin: Double, sp: Double): Boolean =
-      spin <= 2.0 * calNominal && sp <= 3.0 * sparkNominal
+      spin <= 2.0 * calNominal && sp <= 2.0 * sparkNominal
     case class QResult(time: Double, cal: Double, calSpark: Double,
         throttled: Boolean, attempts: Int, err: Option[String])
     val results = selected.map { case (name, fn) =>
@@ -243,6 +268,12 @@ object Bench {
       s""","corpus":${CorpusFingerprint.json(spark, sfDir)}""" +
       s""","cal_nominal":${r4(calNominal)},"cal_spin_iters":$SpinIters""" +
       s""","cal_spark_nominal":${r4(sparkNominal)}""" +
+      s""","era_spin_ratio":${r4(calNominal / EraSpinNominal)}""" +
+      s""","era_spark_ratio":${r4(sparkNominal / EraSparkNominal)}""" +
+      s""","host_era":"${
+        if (calNominal <= 1.25 * EraSpinNominal &&
+          sparkNominal <= 1.25 * EraSparkNominal) "nominal"
+        else "slow"}"""" +
       s""","throttled":$throttled"""
     // stdout line: headline + the per-query map ONLY, so the driver's
     // bounded tail capture holds all 93 queries; the per-query calibration
