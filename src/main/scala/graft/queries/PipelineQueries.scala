@@ -38,6 +38,29 @@ object PipelineQueries {
   private def scratchDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
 
+  /** Land `df` as exactly ONE parquet file named `outDir/name` (the Delta
+    * fixture builders' shape: each log commit adds one known data file).
+    */
+  private def landOnePart(df: DataFrame, outDir: String, name: String): Unit = {
+    val t = java.nio.file.Files.createTempDirectory("graft_onepart_")
+    df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+    val s0 = java.nio.file.Files.list(t)
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      s0.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq match {
+        case Seq(one) => one
+        case other => throw new IllegalStateException(
+          s"expected one part file, got ${other.size}")
+      }
+    } finally s0.close()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(outDir, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** q126/q127 shared: the per-language vowel-rotated synthetic text
     * (the corpus's raw text is vocabulary-uniform across lang labels, so
     * the orthography signal is synthesized deterministically) and the
@@ -2830,25 +2853,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val out = scratchDir("delta_evo").toString + "/t"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-      def onePart(df: DataFrame, name: String): Unit = {
-        val t = java.nio.file.Files.createTempDirectory("graft_q160_part_")
-        df.coalesce(1).write.mode("overwrite").parquet(t.toString)
-        val s0 = java.nio.file.Files.list(t)
-        val part = try {
-          import scala.jdk.CollectionConverters._
-          s0.iterator().asScala.filter { p =>
-            val n = p.getFileName.toString
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }.toSeq match {
-            case Seq(one) => one
-            case other => throw new IllegalStateException(
-              s"expected one part file, got ${other.size}")
-          }
-        } finally s0.close()
-        java.nio.file.Files.move(part, java.nio.file.Paths.get(out, name),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
-      }
+      def onePart(df: DataFrame, name: String): Unit = landOnePart(df, out, name)
       val v0 = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
       val v1 = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
@@ -2865,6 +2870,51 @@ object PipelineQueries {
           sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars"),
           expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', " +
             "coalesce(cast(n_chars as string), 'null'))))").as("checksum"))
+    }),
+
+    // DELTA COLUMN MAPPING (name mode) — the most common real-world Delta
+    // table shape the bridge previously refused (VERDICT r14 missing #1):
+    // physical parquet columns carry immutable synthetic names declared in
+    // the schemaString's per-field metadata, and a RENAME is a pure
+    // metaData edit (commit 1 renames `lang` -> `language` over the SAME
+    // physical column, with zero data rewrite). Commit 1 also widens the
+    // schema (the q160 evolution), so the read must serve BOTH files —
+    // the pre-rename one included — under the latest logical names.
+    "q192_delta_column_mapping" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir)
+      val out = scratchDir("delta_cm").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def mf(name: String, dt: DataType, id: Long, phys: String): StructField =
+        StructField(name, dt, nullable = true, new MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build())
+      val schemaV0 = StructType(Seq(
+        mf("doc_id", LongType, 1, "col-3f9a"), mf("lang", StringType, 2, "col-71bc")))
+      val schemaV1 = StructType(Seq(
+        mf("doc_id", LongType, 1, "col-3f9a"),
+        mf("language", StringType, 2, "col-71bc"), // rename: same physical
+        mf("n_chars", LongType, 3, "col-e204")))
+      val conf = Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "3")
+      landOnePart(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("col-3f9a"), col("lang").as("col-71bc")),
+        out, "a.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 0L, adds = Seq("a.parquet"),
+        schemaJson = Some(schemaV0.json), configuration = conf,
+        protocolVersions = Some((2, 5)))
+      landOnePart(docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("col-3f9a"), col("lang").as("col-71bc"),
+          col("n_chars").cast("long").as("col-e204")),
+        out, "b.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 1L, adds = Seq("b.parquet"),
+        schemaJson = Some(schemaV1.json), configuration = conf)
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("language"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars"),
+          expr("bit_xor(doc_id * 1048573 + coalesce(n_chars, -1))").as("checksum"))
     }),
 
     // PERSISTED BM25 inverted index — q80's ranking served from a
@@ -7132,6 +7182,22 @@ object PipelineQueries {
 
     // Delta schema evolution: pre-evolution rows (even doc_id) read the
     // added column as NULL, post-evolution rows carry it
+    // column-mapped Delta: the renamed logical name serves BOTH data
+    // files (pre-rename included — physical names are immutable), the
+    // evolved column is NULL for commit-0 rows
+    "q192_delta_column_mapping" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang AS language,
+        |    CASE WHEN doc_id % 2 = 0 THEN NULL
+        |         ELSE CAST(n_chars AS BIGINT) END AS n_chars
+        |  FROM documents
+        |)
+        |SELECT language, count(*) AS n_docs,
+        |  count(n_chars) AS n_evolved,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars,
+        |  bit_xor(doc_id * 1048573 + coalesce(n_chars, -1)) AS checksum
+        |FROM v GROUP BY language""".stripMargin,
+
     "q160_delta_schema_evolution" ->
       s"""WITH v AS (
          |  SELECT doc_id, lang,

@@ -171,7 +171,15 @@ object DeltaInterop {
     val active = st.active
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    // name-mode column mapping: the parquet files carry PHYSICAL names
+    // (per-field schemaString metadata); read physically, serve logically.
+    // A RENAME under name mode only rewrites the logical name in the
+    // metaData — the physical name is immutable — so pre-rename files
+    // read correctly with zero rewrite (the whole point of the mode).
+    val mapped = st.cmMode.contains("name")
+    val dataSchema = physicalType(
+      StructType(schema.filterNot(f => partCols.contains(f.name))), mapped)
+      .asInstanceOf[StructType]
 
     val files = active.toSeq.sortBy(_._1).map { case (rel, af) =>
       val p = root.resolve(rel)
@@ -196,8 +204,13 @@ object DeltaInterop {
         require(names.distinct.size == names.size,
           "active data files have colliding basenames — cannot attribute partitionValues")
         val mapRows = files.map { case (p, af) =>
+          // under name-mode mapping the log's partitionValues are keyed by
+          // PHYSICAL name (PROTOCOL.md Column Mapping); logical tolerated
           org.apache.spark.sql.Row.fromSeq(
-            p.getFileName.toString +: partCols.map(c => af.pv.get(c).flatten.orNull))
+            p.getFileName.toString +: partCols.map { c =>
+              af.pv.get(physicalName(schema(c), mapped))
+                .orElse(af.pv.get(c)).flatten.orNull
+            })
         }
         val mapSchema = StructType(
           org.apache.spark.sql.types.StructField("__graft_file",
@@ -214,7 +227,12 @@ object DeltaInterop {
         }
       }
     val masked = applyDeletionVectors(spark, root, withParts, files)
-    masked.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // physical -> logical restore: pure projection (renames + by-position
+    // struct casts for nested fields) — no data movement, pruning intact
+    masked.select(schema.fields.map { f =>
+      if (partCols.contains(f.name) || !mapped) col(f.name)
+      else col(physicalName(f, mapped)).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Resolve the table state at `deltaDir`: checkpoint base (when
@@ -249,13 +267,12 @@ object DeltaInterop {
           s"checkpoint at version $v lacks add/metaData columns: ${cols.mkString(",")}")
         val mdFields = cp.schema("metaData").dataType
           .asInstanceOf[StructType].fieldNames.toSet
-        val cmCol =
-          if (mdFields.contains("configuration"))
-            element_at(col("metaData.configuration"), "delta.columnMapping.mode")
-          else lit(null).cast("string")
+        val confCol =
+          if (mdFields.contains("configuration")) col("metaData.configuration")
+          else lit(null).cast("map<string,string>")
         val md = cp.filter(col("metaData").isNotNull)
           .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-            col("metaData.format.provider"), cmCol)
+            col("metaData.format.provider"), confCol)
           .collect()
         require(md.length == 1,
           s"checkpoint at version $v carries ${md.length} metaData rows, want exactly 1")
@@ -263,12 +280,16 @@ object DeltaInterop {
         st.partCols = Option(md(0).getSeq[String](1)).getOrElse(Nil)
         require(md(0).getString(2) == "parquet",
           s"unsupported format provider: ${md(0).getString(2)}")
-        // same column-mapping refusal as the JSON replay path (a by-name
-        // read of a mapped table silently serves NULLs)
-        val cmMode = Option(md(0).getString(3))
-        require(!cmMode.exists(m => m == "name" || m == "id"),
-          s"table uses delta.columnMapping.mode=${cmMode.get}: physical parquet " +
-            "column names differ from the logical schema — out of this bridge's scope")
+        // same column-mapping rule as the JSON replay path: name mode
+        // supported, id mode refused (field-id resolution out of scope)
+        st.configuration = Option(md(0).getMap[String, String](3))
+          .map(_.toMap.filter(_._2 != null)).getOrElse(Map.empty)
+        st.cmMode = st.configuration.get("delta.columnMapping.mode")
+          .filterNot(_ == "none")
+        require(!st.cmMode.contains("id"),
+          "table uses delta.columnMapping.mode=id: columns resolve by " +
+            "parquet field id, and a by-name read would silently serve " +
+            "NULLs — out of this bridge's scope (name mode is supported)")
         if (cols.contains("protocol")) {
           val protoSchema = cp.schema("protocol").dataType
             .asInstanceOf[StructType].fieldNames.toSet
@@ -384,6 +405,14 @@ object DeltaInterop {
     var minReader: Int = 1
     var minWriter: Int = 2
     var readerFeatures: Set[String] = Set.empty
+    // delta.columnMapping.mode from the latest metaData ("name" supported:
+    // physical parquet names come from per-field schema metadata; "id"
+    // refuses — parquet field-id resolution is out of bridge scope)
+    var cmMode: Option[String] = None
+    // the latest metaData's full configuration — retained so checkpoints
+    // re-emit it (a checkpoint that dropped delta.columnMapping.mode would
+    // silently serve NULLs for every mapped column on the next import)
+    var configuration: Map[String, String] = Map.empty
     // path -> active-file state; insertion order irrelevant (reads sort)
     val active = scala.collection.mutable.LinkedHashMap.empty[String, ActiveFile]
   }
@@ -399,21 +428,64 @@ object DeltaInterop {
 
   /** Reader features this bridge implements. `minReaderVersion` 3 tables
     * whose `readerFeatures` exceed this set REFUSE on import — reading a
-    * table through an unimplemented reader feature (column mapping, v2
-    * checkpoints, type widening, ...) produces silently wrong rows, the
-    * failure class the Iceberg bridge refuses the same way.
+    * table through an unimplemented reader feature (v2 checkpoints, type
+    * widening, ...) produces silently wrong rows, the failure class the
+    * Iceberg bridge refuses the same way. `columnMapping` is honored in
+    * NAME mode only; the metaData parse refuses id mode before the gate.
     */
-  private val SupportedReaderFeatures = Set("deletionVectors")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   private def gateProtocol(st: LogState, where: String): Unit = {
-    if (st.minReader >= 2) {
+    if (st.minReader == 2) {
+      // reader v2 = column mapping (PROTOCOL.md): honored iff the table
+      // declares name mode; anything else is a capability we lack
+      require(st.cmMode.contains("name"),
+        s"minReaderVersion 2 at $where without delta.columnMapping.mode=name " +
+          "— refusing rather than mis-mapping columns")
+    } else if (st.minReader >= 3) {
       require(st.minReader == 3,
-        s"minReaderVersion ${st.minReader} at $where — version 2 (column " +
-          "mapping) is not implemented, refusing rather than mis-mapping columns")
+        s"minReaderVersion ${st.minReader} at $where is beyond this bridge")
       val unsupported = st.readerFeatures -- SupportedReaderFeatures
       require(unsupported.isEmpty,
         s"unsupported readerFeatures ${unsupported.mkString(",")} at $where — " +
           s"this bridge implements ${SupportedReaderFeatures.mkString(",")} only")
+    }
+  }
+
+  /** The physical (on-disk parquet) column name of a schema field under
+    * name-mode column mapping — declared per field in the schemaString's
+    * metadata (PROTOCOL.md "Column Mapping"); a mapped table whose field
+    * lacks the declaration refuses (guessing the logical name would
+    * silently serve NULLs for genuinely-renamed columns).
+    */
+  private def physicalName(
+      f: org.apache.spark.sql.types.StructField, mapped: Boolean): String =
+    if (!mapped) f.name
+    else {
+      require(f.metadata.contains("delta.columnMapping.physicalName"),
+        s"column-mapped table: field '${f.name}' carries no " +
+          "delta.columnMapping.physicalName metadata — refusing to guess")
+      f.metadata.getString("delta.columnMapping.physicalName")
+    }
+
+  /** Recursively rewrite a logical Spark type to its PHYSICAL shape under
+    * name-mode mapping: struct fields (at any depth) take their declared
+    * physical names; arrays/maps recurse; scalars pass through. Types are
+    * never changed — only names — so the physical->logical restore is a
+    * by-position struct cast.
+    */
+  private def physicalType(
+      dt: org.apache.spark.sql.types.DataType,
+      mapped: Boolean): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st0: StructType => StructType(st0.fields.map(f =>
+        StructField(physicalName(f, mapped), physicalType(f.dataType, mapped),
+          f.nullable)))
+      case ArrayType(el, n) => ArrayType(physicalType(el, mapped), n)
+      case MapType(k, v, n) =>
+        MapType(physicalType(k, mapped), physicalType(v, mapped), n)
+      case other => other
     }
   }
 
@@ -444,16 +516,24 @@ object DeltaInterop {
         val provider = md.get("format").get("provider").asText()
         require(provider == "parquet", s"unsupported format provider: $provider")
         // column mapping renames the PHYSICAL parquet columns away from the
-        // logical schema names (delta.columnMapping.mode = name|id); this
-        // bridge reads by name, so importing such a table would silently
-        // serve NULLs for every mapped column — refuse loudly instead
+        // logical schema names. NAME mode is supported (every field's
+        // physical name is declared in the schemaString's per-field
+        // metadata — PROTOCOL.md "Column Mapping" — so the read maps
+        // physical -> logical deterministically and renames cost nothing);
+        // ID mode resolves by parquet field id, which this by-name bridge
+        // cannot honor — refuse loudly rather than mis-map
+        st.cmMode = None
+        st.configuration = Map.empty
         Option(md.get("configuration")).filterNot(_.isNull).foreach { conf =>
-          val cm = Option(conf.get("delta.columnMapping.mode"))
-            .filterNot(_.isNull).map(_.asText())
-          require(!cm.exists(m => m == "name" || m == "id"),
-            s"table uses delta.columnMapping.mode=${cm.get}: physical parquet " +
-              "column names differ from the logical schema, and a by-name read " +
-              "would silently serve NULLs — out of this bridge's scope")
+          st.configuration = conf.properties().asScala.flatMap { e =>
+            if (e.getValue.isNull) None else Some(e.getKey -> e.getValue.asText())
+          }.toMap
+          st.cmMode = st.configuration.get("delta.columnMapping.mode")
+            .filterNot(_ == "none")
+          require(!st.cmMode.contains("id"),
+            "table uses delta.columnMapping.mode=id: columns resolve by " +
+              "parquet field id, and a by-name read would silently serve " +
+              "NULLs — out of this bridge's scope (name mode is supported)")
         }
       }
       Option(node.get("add")).foreach { add =>
@@ -491,7 +571,9 @@ object DeltaInterop {
   def writeCommit(
       deltaDir: String, version: Long, adds: Seq[String],
       removes: Seq[String] = Nil, schemaJson: Option[String] = None,
-      dvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty): Unit = {
+      dvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty,
+      configuration: Map[String, String] = Map.empty,
+      protocolVersions: Option[(Int, Int)] = None): Unit = {
     val root = Paths.get(deltaDir)
     val logDir = root.resolve("_delta_log")
     Files.createDirectories(logDir)
@@ -529,9 +611,10 @@ object DeltaInterop {
     }
     schemaJson.foreach { sj =>
       if (version == 0L && dvs.isEmpty) {
+        val (minR, minW) = protocolVersions.getOrElse((1, 2))
         val n = mapper.createObjectNode()
         val p = n.putObject("protocol")
-        p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
+        p.put("minReaderVersion", minR); p.put("minWriterVersion", minW)
         actions += n
       }
       val n = mapper.createObjectNode()
@@ -541,7 +624,8 @@ object DeltaInterop {
       fmt.put("provider", "parquet"); fmt.putObject("options")
       md.put("schemaString", sj)
       md.putArray("partitionColumns")
-      md.putObject("configuration")
+      val cfg = md.putObject("configuration")
+      configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       md.put("createdTime", now)
       actions += n
     }
@@ -615,6 +699,10 @@ object DeltaInterop {
     require(st.partCols.isEmpty,
       "deleteWhere supports unpartitioned tables; partitioned layouts need " +
         "the partition-restoration join — attach descriptors via writeCommit(dvs=...)")
+    require(st.cmMode.isEmpty,
+      "deleteWhere on a column-mapped table is out of scope: the predicate " +
+        "names logical columns but the scan below reads physical files — " +
+        "import + rewrite, or attach descriptors via writeCommit(dvs=...)")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val files = st.active.toSeq
     val absToRel = files.map { case (rel, _) =>
@@ -800,6 +888,10 @@ object DeltaInterop {
         StructField("format", StructType(Seq(StructField("provider", StringType)))),
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
+        // configuration MUST survive the checkpoint: dropping
+        // delta.columnMapping.mode would make the next import read the
+        // logical names against physical files — all-NULL silent loss
+        StructField("configuration", pvType),
         StructField("createdTime", LongType)))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
@@ -816,7 +908,7 @@ object DeltaInterop {
       if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq.sorted
     val protoRow = SRow(SRow(st.minReader, st.minWriter, features, features), null, null)
     val mdRow = SRow(null, SRow(java.util.UUID.randomUUID().toString,
-      SRow("parquet"), st.schemaJson, st.partCols, now), null)
+      SRow("parquet"), st.schemaJson, st.partCols, st.configuration, now), null)
     val addRows = st.active.toSeq.map { case (path, af) =>
       val dvRow = af.dv.map(d =>
         SRow(d.storageType, d.pathOrInlineDv,

@@ -190,9 +190,15 @@ class DeltaInteropSpec extends SparkSpec {
     assert(rows == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
   }
 
-  test("column-mapped tables refuse on import (by-name read would serve NULLs)") {
-    // JSON replay path: metaData.configuration carries the mapping mode
-    val out = tmp("delta_cm_")
+  private def mappedField(name: String, dt: org.apache.spark.sql.types.DataType,
+      id: Long, phys: String): org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name, dt, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+
+  test("id-mode column mapping refuses on import (field-id resolution out of scope)") {
+    val out = tmp("delta_cmid_")
     val f1 = Paths.get(out, "a.parquet")
     Seq((1L, "a")).toDF("id", "v").coalesce(1).write.mode("overwrite")
       .parquet(out + "_w")
@@ -204,13 +210,80 @@ class DeltaInteropSpec extends SparkSpec {
       .replace("\"", "\\\"")
     Files.write(logDir.resolve("00000000000000000000.json"),
       (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
-          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}
+          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}
           |{"add":{"path":"a.parquet","partitionValues":{},"size":${Files.size(f1)},"modificationTime":0,"dataChange":true}}
           |""".stripMargin).getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.importSnapshot(spark, out).collect()
     }
-    assert(e.getMessage.contains("columnMapping"), e.getMessage)
+    assert(e.getMessage.contains("field id"), e.getMessage)
+  }
+
+  test("minReaderVersion 2 without name-mode mapping refuses (capability we lack)") {
+    val out = tmp("delta_v2bare_")
+    val f1 = Paths.get(out, "a.parquet")
+    onePartFile(Seq((1L, "a")).toDF("id", "v"), f1)
+    val logDir = Paths.get(out, "_delta_log"); Files.createDirectories(logDir)
+    val schemaJson = Seq((1L, "a")).toDF("id", "v").schema.json
+      .replace("\"", "\\\"")
+    Files.write(logDir.resolve("00000000000000000000.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}
+          |{"add":{"path":"a.parquet","partitionValues":{},"size":${Files.size(f1)},"modificationTime":0,"dataChange":true}}
+          |""".stripMargin).getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.importSnapshot(spark, out).collect()
+    }
+    assert(e.getMessage.contains("minReaderVersion 2"), e.getMessage)
+  }
+
+  test("name-mode mapping: physical files serve logical names; rename is metadata-only; " +
+      "configuration survives a checkpoint") {
+    import org.apache.spark.sql.types._
+    val out = tmp("delta_cmname_")
+    def physDf(rows: Seq[(Long, String, Long)]) = rows.toDF("a", "b", "c")
+      .select(col("a").as("col-p1"), col("b").as("col-p2"),
+        struct(col("c").as("col-n1")).as("col-p3"))
+    val nested = StructType(Seq(mappedField("inner", LongType, 4, "col-n1")))
+    val v0 = StructType(Seq(
+      mappedField("doc_id", LongType, 1, "col-p1"),
+      mappedField("lang", StringType, 2, "col-p2"),
+      mappedField("s", nested, 3, "col-p3")))
+    val v1 = StructType(Seq(
+      mappedField("doc_id", LongType, 1, "col-p1"),
+      mappedField("language", StringType, 2, "col-p2"), // rename, same physical
+      mappedField("s", nested, 3, "col-p3")))
+    val conf = Map("delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> "4")
+    onePartFile(physDf(Seq((1L, "en", 10L), (2L, "de", 20L))),
+      Paths.get(out, "a.parquet"))
+    DeltaInterop.writeCommit(out, 0L, adds = Seq("a.parquet"),
+      schemaJson = Some(v0.json), configuration = conf,
+      protocolVersions = Some((2, 5)))
+    onePartFile(physDf(Seq((3L, "fr", 30L))), Paths.get(out, "b.parquet"))
+    DeltaInterop.writeCommit(out, 1L, adds = Seq("b.parquet"),
+      schemaJson = Some(v1.json), configuration = conf)
+    def readAll() = {
+      val df = DeltaInterop.importSnapshot(spark, out)
+      assert(df.schema.fieldNames.toSeq == Seq("doc_id", "language", "s"))
+      assert(df.schema("s").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("inner"))
+      df.select(col("doc_id"), col("language"), col("s.inner")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    val want = Set((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L))
+    assert(readAll() == want)
+    // checkpoint, drop the JSON commits: the mapping mode must ride in the
+    // checkpoint metaData or the re-read would serve all-NULL columns
+    DeltaInterop.writeCheckpoint(spark, out, 1L)
+    Files.delete(Paths.get(out, "_delta_log", "00000000000000000000.json"))
+    Files.delete(Paths.get(out, "_delta_log", "00000000000000000001.json"))
+    assert(readAll() == want)
+    // and deleteWhere refuses a mapped table rather than matching wrong columns
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.deleteWhere(spark, out, 2L, col("doc_id") === 1L)
+    }
+    assert(e.getMessage.contains("column-mapped"), e.getMessage)
   }
 
   test("importSnapshot restores typed partition columns from add.partitionValues") {
