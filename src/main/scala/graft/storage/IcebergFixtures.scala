@@ -139,14 +139,89 @@ object IcebergFixtures {
       (moveSinglePart(tmp, dataDir.resolve(s"p$i.parquet")), v, n)
     }
 
+    val pStruct = partitionStruct(Seq((partCol, avroTypeFor(partType), 1000)))
+    val withParts = files.map { case (f, v, n) =>
+      val part = new GenericData.Record(pStruct)
+      part.put(partCol, v)
+      (f, part, n)
+    }
+    val specJson = s"""[{"name":"$partCol","transform":"identity","source-id":${partIdx + 1},"field-id":1000}]"""
+    writeV1Meta(out, schemaJson, lastColumnId, specJson, pStruct,
+      withParts, lastPartitionId = 1000)
+    files.map(_._2)
+  }
+
+  /** A v1 table partitioned by NON-IDENTITY transforms, the normal
+    * engine-written layout (spec "Partition Transforms"): every data file
+    * CONTAINS the transform SOURCE columns (only metadata-only `add_files`
+    * migrations omit them), and the manifest partition struct carries the
+    * transformed values. `truncate[L]` / `days` values are computed per
+    * the spec; `bucket[N]` values use a stand-in assignment (`src mod N`
+    * instead of murmur3_32) — legal for reader-side tests because
+    * non-identity values are OPAQUE to a reader (non-invertible is the
+    * very property that forces the source-column read path), and this
+    * fixture's reader never prunes by them. With `omitSourceColumns` the
+    * data files DROP the source columns — the migrated shape
+    * [[IcebergInterop.importSnapshot]] must refuse.
+    *
+    * @param fields (partitionFieldName, transformString, sourceColName,
+    *               valueExpr) — one data file per distinct value tuple
+    */
+  def writeTransformPartitionedV1(
+      spark: SparkSession, outDir: String, df: DataFrame,
+      fields: Seq[(String, String, String, Column)],
+      omitSourceColumns: Boolean = false): Unit = {
+    val out = Paths.get(outDir)
+    require(!Files.exists(out.resolve("metadata")),
+      s"$outDir already holds Iceberg metadata — refusing to overwrite")
+    require(fields.nonEmpty, "need at least one transform field")
+    val schema = df.schema
+    val (schemaJson, lastColumnId) = icebergSchemaJson(schema)
+    val pvNames = fields.map { case (n, _, _, _) => s"__pv_$n" }
+    val tagged = df.select((schema.fieldNames.map(col) ++
+      fields.zip(pvNames).map { case ((_, _, _, v), pn) => v.as(pn) }).toIndexedSeq: _*)
+    val pvTypes = pvNames.map(pn => tagged.schema(pn).dataType)
+    val groups: Seq[Seq[Any]] = tagged.select(pvNames.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSeq
+      .sortBy(_.map(v => if (v == null) "" else v.toString).mkString(" "))
+    val dropCols = if (omitSourceColumns) fields.map(_._3).distinct else Nil
+    val dataDir = out.resolve("data")
+    Files.createDirectories(dataDir)
+    val pStruct = partitionStruct(fields.map(_._1).zip(pvTypes).zipWithIndex.map {
+      case ((n, dt), i) => (n, avroTypeFor(dt), 1000 + i) })
+    val files: Seq[(Path, GenericRecord, Long)] = groups.zipWithIndex.map {
+      case (vs, i) =>
+        val cond = pvNames.zip(vs).map { case (pn, v) => col(pn) <=> lit(v) }
+          .reduce(_ && _)
+        val slice = tagged.filter(cond).drop(pvNames: _*).drop(dropCols: _*)
+          .repartition(1)
+        val tmp = Files.createTempDirectory("graft_ice_xf_")
+        slice.write.mode("overwrite").parquet(tmp.toString)
+        val f = moveSinglePart(tmp, dataDir.resolve(s"p$i.parquet"))
+        val part = new GenericData.Record(pStruct)
+        fields.map(_._1).zip(vs).foreach { case (n, v) => part.put(n, v) }
+        val n = tagged.filter(cond).count()
+        (f, part, n)
+    }
+    val specJson = fields.zipWithIndex.map { case ((n, t, src, _), i) =>
+      s"""{"name":"$n","transform":"$t","source-id":${schema.fieldIndex(src) + 1},"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
+    writeV1Meta(out, schemaJson, lastColumnId, specJson, pStruct, files,
+      lastPartitionId = 1000 + fields.size - 1)
+  }
+
+  /** Shared v1 metadata tail: one manifest over `files` (path, partition
+    * record, row count), a one-manifest list, and the v1.metadata.json +
+    * version hint — spec "Table Metadata".
+    */
+  private def writeV1Meta(out: Path, schemaJson: String, lastColumnId: Int,
+      specJson: String, pStruct: Schema,
+      files: Seq[(Path, GenericRecord, Long)], lastPartitionId: Int): Unit = {
     val metaDir = out.resolve("metadata")
     Files.createDirectories(metaDir)
     val snapshotId = 4242L
-    val pStruct = partitionStruct(Seq((partCol, avroTypeFor(partType), 1000)))
     val eSchema = entrySchema(pStruct, v2 = false)
-    val entries = files.map { case (f, v, n) =>
-      val part = new GenericData.Record(pStruct)
-      part.put(partCol, v)
+    val entries = files.map { case (f, part, n) =>
       val dfr = new GenericData.Record(eSchema.getField("data_file").schema())
       dfr.put("file_path", f.toUri.toString)
       dfr.put("file_format", "PARQUET")
@@ -160,7 +235,6 @@ object IcebergFixtures {
       e.put("data_file", dfr)
       e
     }
-    val specJson = s"""[{"name":"$partCol","transform":"identity","source-id":${partIdx + 1},"field-id":1000}]"""
     val manifestPath = metaDir.resolve("fixture-m0.avro")
     writeAvro(manifestPath, eSchema, entries, Map(
       "schema" -> schemaJson, "partition-spec" -> specJson,
@@ -191,7 +265,7 @@ object IcebergFixtures {
     spec0.put("spec-id", 0)
     spec0.set[com.fasterxml.jackson.databind.JsonNode]("fields", mapper.readTree(specJson))
     root.put("default-spec-id", 0)
-    root.put("last-partition-id", 1000)
+    root.put("last-partition-id", lastPartitionId)
     root.putObject("properties")
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
@@ -205,7 +279,7 @@ object IcebergFixtures {
     Files.write(metaDir.resolve("v1.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
-    files.map(_._2)
+    ()
   }
 
   /** A format-v2 table: `df` split into two data files by

@@ -32,9 +32,10 @@ import org.apache.spark.sql.types._
   * v1 AND v2: identity-transform partitioned tables (values restored
   * from the manifest partition structs — q145), v2 POSITION deletes
   * applied via an anti-join on `(_metadata.file_path,
-  * _metadata.row_index)` (q146); non-identity transforms and EQUALITY
-  * deletes refuse loudly with the spec citation rather than serve a
-  * wrong-looking-right table. Without the Iceberg runtime on the
+  * _metadata.row_index)` (q146); non-identity transforms
+  * (bucket/truncate/days/…) import by reading their SOURCE columns from
+  * the data files (footer-probed — q193), refusing only metadata-only
+  * migrated tables that lack them. Without the Iceberg runtime on the
   * classpath the export cannot be validated against a reference reader
   * in this sandbox — it is validated by (a) citing each emitted
   * structure to the spec section that mandates it, (b) the
@@ -475,9 +476,13 @@ object IcebergInterop {
     * join from the file path to the manifest values — the
     * [[DeltaInterop]] `partitionValues` pattern: 10^5 partitions cost one
     * broadcast of 10^5 tiny rows, never a per-file driver read.
-    * Non-identity transforms (bucket/truncate/days/…) refuse loudly: the
-    * source column is unrecoverable from the transformed value (spec
-    * "Partition Transforms").
+    * Non-identity transforms (bucket/truncate/days/…) IMPORT when the
+    * data files carry the transform's SOURCE column (every engine-written
+    * layout does): the transformed value is unrecoverable (spec
+    * "Partition Transforms") but nothing needs recovering — the source
+    * column reads straight off the files, gated by a distributed parquet-
+    * footer presence probe. Only metadata-only migrated tables whose
+    * files LACK the source column refuse, naming the files.
     *
     * Format-v2 POSITION deletes (`data_file.content=1`) are APPLIED: the
     * delete parquet's `(file_path, pos)` pairs anti-join the data scan on
@@ -527,15 +532,19 @@ object IcebergInterop {
     val specFieldNodes = meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == defaultSpec)
       .map(_.get("fields").elements().asScala.toSeq).getOrElse(Seq.empty)
-    specFieldNodes.foreach { f =>
-      val t = f.get("transform").asText()
-      require(t == "identity",
-        s"partition transform '$t' on field '${f.get("name").asText()}' — only " +
-          "identity transforms are importable (the source value is not " +
-          "recoverable from a bucket/truncate/temporal transform; Iceberg " +
-          "spec 'Partition Transforms'), refusing")
-    }
-    val partNames = specFieldNodes.map(_.get("name").asText())
+    // IDENTITY fields restore their values from the manifest partition
+    // struct (the data files may omit the column — the Hive-migrated
+    // `add_files` shape). NON-IDENTITY transforms (bucket/truncate/days/
+    // hours/...) are not invertible (spec "Partition Transforms"), but
+    // nothing needs inverting when the data files carry the SOURCE
+    // column — every engine-written layout stores it; only metadata-only
+    // migrations omit it. A parquet-FOOTER presence probe (below, one
+    // footer read per live data file, executor-side) gates the read:
+    // files carrying the column import directly, a migrated table
+    // lacking it refuses by file name.
+    val (identityFieldNodes, xformFieldNodes) =
+      specFieldNodes.partition(_.get("transform").asText() == "identity")
+    val partNames = identityFieldNodes.map(_.get("name").asText())
 
     // v2 metadata carries `schemas` + `current-schema-id`; v1 the single
     // `schema` key (spec "Table Metadata", both fields listed)
@@ -584,6 +593,27 @@ object IcebergInterop {
       p
     }
     val paths = live.map(lf => checkedAbs(lf, "data").toString)
+
+    if (xformFieldNodes.nonEmpty) {
+      val idToName0: Map[Int, String] = schemaNode.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      val srcCols = xformFieldNodes.map { f =>
+        val sid = f.get("source-id").asInt()
+        idToName0.getOrElse(sid, throw new IllegalArgumentException(
+          s"partition field '${f.get("name").asText()}' sources unknown " +
+            s"schema field id $sid — refusing"))
+      }.distinct
+      val missing = footerMissingColumns(spark, paths, srcCols)
+      require(missing.isEmpty, {
+        val xf = xformFieldNodes.map(_.get("transform").asText()).distinct
+        s"non-identity partition transforms (${xf.mkString(",")}) import by " +
+          s"reading their SOURCE columns (${srcCols.mkString(",")}) from the " +
+          s"data files, but ${missing.size} live file(s) lack them (e.g. " +
+          s"${missing.head._1} misses ${missing.head._2.mkString(",")}) — a " +
+          "metadata-only migrated table; the value is unrecoverable from the " +
+          "transformed partition value (spec 'Partition Transforms'), refusing"
+      })
+    }
 
     // both sides of every file-path comparison normalized to a plain
     // absolute path: `_metadata.file_path` is a file: URI, manifest and
@@ -652,6 +682,34 @@ object IcebergInterop {
     }
 
     df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Distributed parquet-footer presence probe: for each path (executor-
+    * side, one footer read per file — bytes proportional to metadata, not
+    * data; the shape any 10^6-file import validation must have), report
+    * the requested columns MISSING from that file's schema. Empty result
+    * = every file carries every column.
+    */
+  private def footerMissingColumns(
+      spark: SparkSession, paths: Seq[String],
+      cols: Seq[String]): Seq[(String, Seq[String])] = {
+    if (paths.isEmpty || cols.isEmpty) return Nil
+    import spark.implicits._
+    val need = cols
+    spark.createDataset(paths).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val names = try
+          rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+        finally rd.close()
+        val miss = need.filterNot(names.contains)
+        if (miss.isEmpty) None else Some((p, miss))
+      }
+    }.collect().toSeq.sortBy(_._1)
   }
 
   /** A manifest partition-struct value coerced to the schema column's

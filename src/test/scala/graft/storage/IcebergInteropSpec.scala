@@ -155,23 +155,60 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got == Set((1L, "a")), s"deleted entry must not be served: $got")
   }
 
-  test("non-identity partition transforms refuse loudly") {
-    val table = tmp("ice_part_") + "/t"
-    VersionedTable.append(table)(dir =>
-      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(dir))
-    val out = tmp("ice_part_out_")
-    IcebergInterop.exportSnapshot(spark, table, out)
-    val metaFile = Paths.get(out, "metadata", "v1.metadata.json")
-    val meta = mapper.readTree(Files.readAllBytes(metaFile))
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    val spec0 = meta.get("partition-specs").get(0)
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    val f = spec0.withArray("fields").addObject()
-    f.put("name", "v_bucket"); f.put("transform", "bucket[4]")
-    f.put("source-id", 2); f.put("field-id", 1000)
-    Files.write(metaFile, mapper.writeValueAsBytes(meta))
-    val e = intercept[IllegalArgumentException](IcebergInterop.importSnapshot(spark, out))
-    assert(e.getMessage.contains("transform 'bucket[4]'"))
+  test("non-identity transforms import when the files carry the source columns (bucket+truncate)") {
+    val df = Seq((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z"),
+      (4L, "fr", "w"), (5L, "de", "q")).toDF("id", "lang", "txt")
+    val out = tmp("ice_xf_")
+    IcebergFixtures.writeTransformPartitionedV1(spark, out, df, Seq(
+      ("id_bucket", "bucket[4]", "id", pmod(col("id"), lit(4L)).cast("int")),
+      ("lang_trunc", "truncate[1]", "lang", substring(col("lang"), 1, 1))))
+    val got = IcebergInterop.importSnapshot(spark, out)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "lang", "txt"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z"),
+        (4L, "fr", "w"), (5L, "de", "q")))
+  }
+
+  test("days transform imports the same way (temporal source column read from files)") {
+    val df = Seq((1L, 86400L * 3), (2L, 86400L * 3 + 7), (3L, 86400L * 9))
+      .toDF("id", "secs")
+      .select(col("id"), timestamp_seconds(col("secs")).as("ts"))
+    val out = tmp("ice_days_")
+    IcebergFixtures.writeTransformPartitionedV1(spark, out, df, Seq(
+      ("ts_day", "days", "ts",
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("int"))))
+    val got = IcebergInterop.importSnapshot(spark, out)
+    assert(got.count() == 3 &&
+      got.select(col("id")).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("metadata-only migrated shape (files LACK the transform source) refuses naming the file") {
+    val df = Seq((1L, "en"), (2L, "de")).toDF("id", "lang")
+    val out = tmp("ice_xf_miss_")
+    IcebergFixtures.writeTransformPartitionedV1(spark, out, df, Seq(
+      ("id_bucket", "bucket[4]", "id", pmod(col("id"), lit(4L)).cast("int"))),
+      omitSourceColumns = true)
+    // prove the fixture files really lack the source column
+    assert(!spark.read.parquet(Paths.get(out, "data").toString)
+      .schema.fieldNames.contains("id"))
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.importSnapshot(spark, out).collect())
+    assert(e.getMessage.contains("metadata-only migrated") &&
+      e.getMessage.contains("bucket[4]") && e.getMessage.contains("p0.parquet"),
+      e.getMessage)
+  }
+
+  test("mixed spec: identity field restores from the manifest while a bucket source reads from files") {
+    val df = Seq((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z"))
+      .toDF("id", "lang", "txt")
+    val out = tmp("ice_xf_mixed_")
+    IcebergFixtures.writeTransformPartitionedV1(spark, out, df, Seq(
+      ("lang", "identity", "lang", col("lang")),
+      ("id_bucket", "bucket[2]", "id", pmod(col("id"), lit(2L)).cast("int"))))
+    val got = IcebergInterop.importSnapshot(spark, out)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "lang", "txt"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z")))
   }
 
   test("a column rename in the schema history refuses (by-name read would serve NULLs)") {
