@@ -31,11 +31,13 @@ import org.apache.spark.sql.types._
   * parse-don't-guess rule of the storage plane): BOOLEAN/INT/LONG/
   * FLOAT/DOUBLE/STRING/BINARY, DATE (int + `date` logical type),
   * TIMESTAMP (long + `timestamp-micros` — Spark's native precision, so
-  * the round trip is bit-exact), and ARRAY of any supported scalar.
-  * Nullable fields are `["null", T]` unions with null default; any
-  * other union, map, enum, fixed, or nested record refuses with the
-  * offending field named. Avro field names must be valid identifiers —
-  * refused otherwise rather than silently rewritten.
+  * the round trip is bit-exact), STRUCT as a nested RECORD at any depth
+  * (record names are the field path, so they are unique as Avro
+  * requires; nullable nested fields are `["null", T]` unions — the
+  * Kafka-feed shape, VERDICT r14 missing #3), and ARRAY of any
+  * supported element. Any other union, map, enum, or fixed refuses with
+  * the offending field named. Avro field names must be valid
+  * identifiers — refused otherwise rather than silently rewritten.
   *
   * Scale shape: WRITE is one OCF per input partition, written task-side
   * to a dot-prefixed temp name and atomically renamed (the
@@ -55,13 +57,20 @@ object AvroIO {
 
   private val NamePat = "[A-Za-z_][A-Za-z0-9_]*".r.pattern
 
-  /** Spark schema → Avro record schema (top level only; scalars+arrays). */
-  def toAvroSchema(schema: StructType, recordName: String = "graft_row"): Schema = {
-    val fields = schema.fields.map { f =>
+  /** Spark schema → Avro record schema. Structs map to NESTED RECORDS at
+    * any depth (record names are the field path under `recordName`, so
+    * every nested record name is unique — an Avro schema requirement);
+    * nullability is the `["null", T]` union throughout.
+    */
+  def toAvroSchema(schema: StructType, recordName: String = "graft_row"): Schema =
+    record(schema, recordName)
+
+  private def record(st: StructType, recordName: String): Schema = {
+    val fields = st.fields.map { f =>
       require(NamePat.matcher(f.name).matches(),
         s"field '${f.name}' is not a legal Avro name — rename before export " +
           "(silent rewriting would desync the round trip)")
-      val base = scalarOrArray(f.name, f.dataType)
+      val base = scalarOrArray(f.name, f.dataType, s"${recordName}_${f.name}")
       val typ =
         if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
         else base
@@ -71,16 +80,16 @@ object AvroIO {
     Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
   }
 
-  private def scalarOrArray(name: String, dt: DataType): Schema = dt match {
+  private def scalarOrArray(name: String, dt: DataType, path: String): Schema = dt match {
     case ArrayType(el, containsNull) =>
-      val elSchema = scalar(name, el)
+      val elSchema = scalar(name, el, path)
       Schema.createArray(
         if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), elSchema)
         else elSchema)
-    case other => scalar(name, other)
+    case other => scalar(name, other, path)
   }
 
-  private def scalar(name: String, dt: DataType): Schema = dt match {
+  private def scalar(name: String, dt: DataType, path: String): Schema = dt match {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case IntegerType => Schema.create(Schema.Type.INT)
     case LongType => Schema.create(Schema.Type.LONG)
@@ -92,21 +101,28 @@ object AvroIO {
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case st: StructType => record(st, path)
     case other => throw new IllegalArgumentException(
       s"field '$name': Spark type $other has no exact Avro mapping in this " +
         "bridge (scope: boolean/int/long/float/double/string/binary/date/" +
-        "timestamp and arrays of those) — cast or drop it before export")
+        "timestamp, structs as nested records, and arrays of those) — cast " +
+        "or drop it before export")
   }
 
-  /** Avro record schema → Spark schema (inverse of [[toAvroSchema]]). */
+  /** Avro record schema → Spark schema (inverse of [[toAvroSchema]];
+    * nested records map to structs at any depth).
+    */
   def toSparkSchema(schema: Schema): StructType = {
     require(schema.getType == Schema.Type.RECORD,
       s"top-level Avro schema must be a record, got ${schema.getType}")
+    structOf(schema)
+  }
+
+  private def structOf(schema: Schema): StructType =
     StructType(schema.getFields.asScala.map { f =>
       val (s, nullable) = unwrapNullable(f.name(), f.schema())
       StructField(f.name(), sparkType(f.name(), s), nullable)
     }.toArray)
-  }
 
   private def unwrapNullable(name: String, s: Schema): (Schema, Boolean) =
     if (s.getType != Schema.Type.UNION) (s, false)
@@ -136,9 +152,10 @@ object AvroIO {
     case (Schema.Type.DOUBLE, _) => DoubleType
     case (Schema.Type.STRING, _) => StringType
     case (Schema.Type.BYTES, _) => BinaryType
+    case (Schema.Type.RECORD, _) => structOf(s)
     case (t, lt) => throw new IllegalArgumentException(
       s"field '$name': Avro type $t${lt.fold("")(l => s" ($l)")} out of " +
-        "bridge scope (records/maps/enums/fixed and non-micros timestamps " +
+        "bridge scope (maps/enums/fixed and non-micros timestamps " +
         "refuse — widen the bridge deliberately, never coerce)")
   }
 
@@ -147,14 +164,33 @@ object AvroIO {
 
   // ---- value conversion ----------------------------------------------
 
-  private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+  /** The non-null branch of a `["null", T]` union (identity otherwise) —
+    * nested writers need the CONCRETE record/array schema to build
+    * GenericData containers.
+    */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+
+  private def toAvroValue(v: Any, dt: DataType, avro: Schema): Any = (v, dt) match {
     case (null, _) => null
     case (ts: java.sql.Timestamp, TimestampType) =>
       ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
     case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
     case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
     case (seq: scala.collection.Seq[_], ArrayType(el, _)) =>
-      seq.map(toAvroValue(_, el)).asJava
+      val elSchema = nonNull(nonNull(avro).getElementType)
+      seq.map(toAvroValue(_, el, elSchema)).asJava
+    case (row: Row, st: StructType) =>
+      val recSchema = nonNull(avro)
+      val rec = new GenericData.Record(recSchema)
+      var i = 0
+      while (i < st.fields.length) {
+        rec.put(i, toAvroValue(row.get(i), st.fields(i).dataType,
+          recSchema.getFields.get(i).schema()))
+        i += 1
+      }
+      rec
     case (other, _) => other
   }
 
@@ -174,6 +210,10 @@ object AvroIO {
       l.asScala.map(fromAvroValue(_, el)).toSeq
     case (arr: GenericData.Array[_], ArrayType(el, _)) =>
       arr.asScala.map(fromAvroValue(_, el)).toSeq
+    case (rec: GenericRecord, st: StructType) =>
+      Row.fromSeq(st.fields.zipWithIndex.map { case (f, i) =>
+        fromAvroValue(rec.get(i), f.dataType)
+      }.toIndexedSeq)
     case (other, _) => other
   }
 
@@ -203,7 +243,8 @@ object AvroIO {
             val rec = new GenericData.Record(avroSchema)
             var i = 0
             while (i < fieldTypes.length) {
-              rec.put(i, toAvroValue(row.get(i), fieldTypes(i)))
+              rec.put(i, toAvroValue(row.get(i), fieldTypes(i),
+                avroSchema.getFields.get(i).schema()))
               i += 1
             }
             w.append(rec)

@@ -70,6 +70,35 @@ class AvroIOSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("nested records round-trip: two levels, nullable inner record, array of structs") {
+    val inner = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("amount", LongType, nullable = true)))
+    val meta = StructType(Seq(
+      StructField("uid", LongType, nullable = false),
+      StructField("detail", inner, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", meta, nullable = true),
+      StructField("tags", ArrayType(inner, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Row(10L, Row("buy", 250L)), Seq(Row("a", 1L), null, Row("b", null))),
+      Row(2L, Row(20L, null), null), // inner record NULL via the union
+      Row(3L, null, Seq.empty[Row])) // outer struct NULL
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp()
+    AvroIO.writeAvro(df, dir)
+    // the emitted Avro schema nests real RECORDs with path-unique names
+    val avro = AvroIO.toAvroSchema(schema)
+    val metaField = avro.getField("meta").schema().getTypes.get(1)
+    assert(metaField.getType == org.apache.avro.Schema.Type.RECORD)
+    assert(metaField.getField("detail").schema().getTypes.get(1).getName
+      == "graft_row_meta_detail")
+    val back = AvroIO.readAvro(spark, dir)
+    assert(back.schema == schema)
+    assert(back.orderBy("id").collect().toSeq == rows)
+  }
+
   test("out-of-scope Spark types refuse loudly, naming the field") {
     import spark.implicits._
     val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
