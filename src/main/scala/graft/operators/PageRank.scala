@@ -104,4 +104,71 @@ object PageRank {
     eWithCoef.unpersist()
     pr.select(col("node"), col("p").as("pr_num"))
   }
+
+  /** Practical-scale PageRank in QUANTIZED integers — the arm a real
+    * 100 TB host graph runs where [[pageRankExact]]'s contract cannot
+    * hold (its `N·F^iters ≤ 2⁶³−1` bound and every-degree-divides-degLcm
+    * requirement both fail immediately on web-scale degree multisets).
+    * Never refuses on degree structure; the price is a PINNED rounding
+    * contract (the q107 quantize-to-billionths precedent) instead of
+    * exact rationals:
+    *
+    *   P₀(i)  = 10⁹                        (per-node scale: uniform = 10⁹)
+    *   share(j) = P(j) div deg(j)           (floor; values non-negative)
+    *   D       = Σ_{dangling j} P(j)
+    *   P'(i)   = (15·10⁹) div 100
+    *           + (85 · (Σ_{j→i} share(j) + D div N)) div 100
+    *
+    * Every operation is integer, every `div` lands at a deterministic
+    * point of the fold (per-source for shares, once on the scalar for the
+    * dangling term, once per node for the damping), and integer sums are
+    * order- and partitioning-independent — so the result is bit-identical
+    * across cluster layouts and restates as an integer oracle (q195).
+    * Truncation leaks < deg_in(i)+2 billionths per node per round —
+    * bounded, one-sided (ranks read LOW, never high).
+    *
+    * Scale shape identical to [[pageRankExact]]: one rank⋈degree join for
+    * shares, one rank⋈edges join + groupBy(dst) partial-agg per round,
+    * one scalar dangling aggregate, lineage truncated per round. Overflow
+    * headroom: a single node's rank is bounded by the (conserved-minus-
+    * leak) total ≈ N·10⁹, and the hot expression 85·(cs + D div N) needs
+    * 85·N·10⁹ ≤ 2⁶³−1 ⇒ N ≤ 10⁸ nodes at this scale; beyond that,
+    * rescale P₀ down (the contract is per-node-scale-relative).
+    */
+  def pageRankQuant(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"bad iters=$iters")
+    val n = nodes.select(col(idCol)).distinct().count()
+    require(n > 0, "empty node set")
+    require(n <= 100000000L,
+      s"N=$n exceeds the 10^8 overflow headroom of the 10^9 per-node " +
+        "scale (85·N·10^9 must fit BIGINT) — rescale P0 for larger graphs")
+
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+
+    var pr = nodes.select(col(idCol).cast("long").as("node"))
+      .distinct().withColumn("p", lit(1000000000L))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val dangling = pr.join(deg, pr("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("p")), lit(0L))).head.getLong(0)
+      val dN = dangling / n // scalar floor-div, once per round
+      val shares = pr.join(deg, pr("node") === deg("src"))
+        .select(col("src"), expr("p div deg").as("share"))
+      val contrib = e.join(shares, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("cs"))
+      pr = pr.select(col("node"))
+        .join(contrib, pr("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(150000000L) +
+            expr(s"(85 * (coalesce(cs, 0) + $dN)) div 100")).as("p"))
+        .localCheckpoint(true)
+    }
+    deg.unpersist()
+    pr.select(col("node"), col("p").as("pr9"))
+  }
 }

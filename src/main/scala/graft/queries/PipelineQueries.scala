@@ -3236,6 +3236,30 @@ object PipelineQueries {
           col("pr_num"))
     }),
 
+    // PRACTICAL-SCALE PageRank (VERDICT r14 #6) — the same host graph as
+    // q151 run through the QUANTIZED arm (billionths scale, pinned
+    // truncating fold, no degree-structure refusal): the oracle replays
+    // the fold per symmetry class (hub / non-hub / ext-of-each), so any
+    // drift in where a `div` lands — per-edge instead of per-source, a
+    // float sneaking in, damping before the dangling term — breaks the
+    // hash. Running both arms on one graph also documents their contract
+    // difference side by side.
+    "q195_pagerank_quant" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir)
+        .select(pmod(col("doc_id"), lit(60L)).as("h")).distinct()
+      val nodes = hosts.select(col("h").as("node"))
+        .unionByName(hosts.select((col("h") + lit(100L)).as("node")))
+      val edges = hosts.filter(pmod(col("h"), lit(4L)) =!= 0)
+        .select(col("h").as("src"), (col("h") - pmod(col("h"), lit(4L))).as("dst"))
+        .unionByName(hosts.select(col("h").as("src"), (col("h") + lit(100L)).as("dst")))
+      graft.operators.PageRank.pageRankQuant(
+          nodes, "node", edges, "src", "dst", iters = 3)
+        .select(
+          when(col("node") < 100, concat(lit("h"), col("node")))
+            .otherwise(concat(lit("ext-h"), col("node") - 100)).as("host"),
+          col("pr9"))
+    }),
+
     // crawl ENCODING CENSUS — makes the br/zstd passthrough fraction a
     // measured number instead of an anecdote (VERDICT r13 "what's
     // missing" #4): one groupBy over the verbatim
@@ -7580,6 +7604,48 @@ object PipelineQueries {
         |SELECT 'ext-h' || CAST(h AS VARCHAR) AS host,
         |  CASE WHEN h % 4 = 0 THEN (SELECT pel FROM it3)
         |       ELSE (SELECT pec FROM it3) END AS pr_num
+        |FROM hosts""".stripMargin,
+
+    // quantized PageRank: the truncating fold replayed per symmetry
+    // class — hubs (h%4=0, deg 1), non-hubs (deg 2), ext nodes
+    // (dangling); dn = floor(D/N) once per round, shares floor per
+    // SOURCE, damping floor per node, in exactly the engine's order
+    "q195_pagerank_quant" ->
+      """WITH it0 AS (
+        |  SELECT CAST(1000000000 AS BIGINT) AS pl, CAST(1000000000 AS BIGINT) AS pc,
+        |         CAST(1000000000 AS BIGINT) AS pel, CAST(1000000000 AS BIGINT) AS pec
+        |), s1 AS (SELECT *, (15*pel + 45*pec) // 120 AS dn FROM it0),
+        |it1 AS (
+        |  SELECT 150000000 + (85*(3*(pc//2) + dn)) // 100 AS pl,
+        |         150000000 + (85*dn) // 100 AS pc,
+        |         150000000 + (85*(pl + dn)) // 100 AS pel,
+        |         150000000 + (85*((pc//2) + dn)) // 100 AS pec
+        |  FROM s1
+        |), s2 AS (SELECT *, (15*pel + 45*pec) // 120 AS dn FROM it1),
+        |it2 AS (
+        |  SELECT 150000000 + (85*(3*(pc//2) + dn)) // 100 AS pl,
+        |         150000000 + (85*dn) // 100 AS pc,
+        |         150000000 + (85*(pl + dn)) // 100 AS pel,
+        |         150000000 + (85*((pc//2) + dn)) // 100 AS pec
+        |  FROM s2
+        |), s3 AS (SELECT *, (15*pel + 45*pec) // 120 AS dn FROM it2),
+        |it3 AS (
+        |  SELECT 150000000 + (85*(3*(pc//2) + dn)) // 100 AS pl,
+        |         150000000 + (85*dn) // 100 AS pc,
+        |         150000000 + (85*(pl + dn)) // 100 AS pel,
+        |         150000000 + (85*((pc//2) + dn)) // 100 AS pec
+        |  FROM s3
+        |), hosts AS (
+        |  SELECT DISTINCT doc_id % 60 AS h FROM documents
+        |)
+        |SELECT 'h' || CAST(h AS VARCHAR) AS host,
+        |  CAST(CASE WHEN h % 4 = 0 THEN (SELECT pl FROM it3)
+        |       ELSE (SELECT pc FROM it3) END AS BIGINT) AS pr9
+        |FROM hosts
+        |UNION ALL
+        |SELECT 'ext-h' || CAST(h AS VARCHAR) AS host,
+        |  CAST(CASE WHEN h % 4 = 0 THEN (SELECT pel FROM it3)
+        |       ELSE (SELECT pec FROM it3) END AS BIGINT) AS pr9
         |FROM hosts""".stripMargin,
 
     // encoding census: every arm's decoded body is closed-form (the

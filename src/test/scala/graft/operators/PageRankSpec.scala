@@ -75,6 +75,61 @@ class PageRankSpec extends SparkSpec {
     assert(a(5L) == a(6L) && a(6L) == a(7L) && a(5L) > a(1L))
   }
 
+  /** Driver-side reference for the QUANT arm: the pinned truncating fold. */
+  private def quantReference(
+      nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val n = nodes.size
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var p: Map[Long, Long] = nodes.map(_ -> 1000000000L).toMap
+    (1 to iters).foreach { _ =>
+      val dN = nodes.filterNot(deg.contains).map(p).sum / n
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => p(s) / deg(s) }.sum
+      }
+      p = nodes.map(u =>
+        u -> (150000000L + 85L * (in.getOrElse(u, 0L) + dN) / 100L)).toMap
+    }
+    p
+  }
+
+  private def runQuant(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int,
+      parts: Int = 3): Map[Long, Long] =
+    PageRank.pageRankQuant(
+        nodes.toDF("node").repartition(parts), "node",
+        edges.toDF("src", "dst").repartition(parts), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("quant arm: matches the truncating-fold reference on degrees the exact arm refuses") {
+    val rnd = new scala.util.Random(77)
+    (1 to 4).foreach { _ =>
+      val n = 6 + rnd.nextInt(8)
+      val nodes = (0L until n.toLong).toSeq
+      // degrees 0..5 freely — 3 and 5 don't divide any small degLcm
+      val edges = nodes.flatMap { u =>
+        rnd.shuffle(nodes.filterNot(_ == u)).take(rnd.nextInt(6)).map(u -> _)
+      }
+      assert(runQuant(nodes, edges, iters = 3) == quantReference(nodes, edges, 3),
+        s"n=$n edges=$edges")
+    }
+  }
+
+  test("quant arm: bit-identical across partitionings, tracks the exact arm within truncation") {
+    val nodes = (0L to 7L).toSeq
+    val edges = Seq(0L -> 4L) ++ (1L to 3L).flatMap(i => Seq(i -> 0L, i -> (i + 4L)))
+    val a = runQuant(nodes, edges, iters = 3, parts = 1)
+    val b = runQuant(nodes, edges, iters = 3, parts = 7)
+    assert(a == b, "partitioning must not change a single bit")
+    // agreement with the exact arm: quant(i) ≈ 1e9 · pr_num(i) / F^iters
+    // (both start uniform at per-node scale 1); truncation is one-sided
+    // and bounded by ~(deg_in+2) units/round — allow 50 billionths
+    val exact = run(nodes, edges, iters = 3, degLcm = 2, parts = 3)
+    val f = BigInt(100) * 8 * 2
+    nodes.foreach { u =>
+      val want = (BigInt(exact(u)) * 1000000000L / f.pow(3)).toLong
+      assert(math.abs(a(u) - want) <= 50, s"node $u: quant ${a(u)} vs exact≈$want")
+    }
+  }
+
   test("refusals: overflow bound and non-dividing out-degree") {
     val nodes = (0L to 7L).toSeq
     val edges = Seq(0L -> 1L)
