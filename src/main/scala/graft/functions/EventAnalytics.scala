@@ -100,9 +100,18 @@ object EventAnalytics {
     * with the distinct-user count active that week. `week_offset` is exact
     * integer day-diff/7 (both dates Monday-aligned, so 7 always divides).
     */
-  def retentionCohorts(events: DataFrame): DataFrame = {
-    val wk = to_date(date_trunc("week", col("ts")))
-    val weeks = events.select(col("user_id"), wk.as("week")).distinct()
+  def retentionCohorts(events: DataFrame): DataFrame =
+    retentionFromWeeks(
+      events.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week")).distinct())
+
+  /** The census half of [[retentionCohorts]] over an already-distinct
+    * `(user_id, week)` relation — shared verbatim by the incremental
+    * maintenance path ([[graft.streaming.EventAnalyticsStream]]), whose
+    * state table IS that relation, so stream and batch can never diverge
+    * on the aggregation.
+    */
+  def retentionFromWeeks(weeks: DataFrame): DataFrame = {
     val cohort = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     weeks.join(cohort, Seq("user_id"))
       .select(col("cohort_week"),

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.EventAnalytics
+import graft.storage.VersionedTable
+
+/** Incremental maintenance for the event-analytics plane (funnel q168,
+  * retention q169) — VERDICT r14 #5, and the tie back to the reference's
+  * core concept: a managed, incrementally-refreshed feature view over an
+  * event stream (sfc-gh-rsureshbabu/dbt-snowflake-feature-store
+  * README.md:160-167). Both aggregates are maintained as UPSERTED state
+  * tables per micro-batch, with the aggregation itself running through
+  * the SAME batch code ([[EventAnalytics.funnel]] /
+  * [[EventAnalytics.retentionFromWeeks]]) — the
+  * [[graft.functions.SketchFunctions.hllMaintain]] / [[StreamingSample]]
+  * pattern — so stream ≡ batch is structural, not coincidental.
+  *
+  * FUNNEL. The anchored min-chain is NOT a plain monotone min: a LATE
+  * batch can carry an EARLIER step-1 event, which lowers t₁ and can make
+  * previously-disqualified step-k candidates qualify. The state that
+  * makes replay-free maintenance exact is, per user:
+  *   - t₁ (min over step-1 events — monotone decreasing), and
+  *   - per step k ≥ 2, the candidate time set `ck` pruned to
+  *     `t ≤ t₁ + W`: since t₁ only DECREASES over appends, the bound
+  *     `t₁ + W` only tightens, so a time above it can never qualify
+  *     later — pruning is safe, and the retained set is exactly the
+  *     events whose chain contribution can still change. A user with
+  *     candidates but NO step-1 event yet keeps them unpruned (no bound
+  *     exists until t₁ arrives).
+  * Each micro-batch touches only ITS users: batch events union the
+  * touched users' state (exploded back to an event relation), the batch
+  * `funnel()` recomputes those users' chains, and one keyed upsert lands
+  * chain + pruned candidates. Work per tick = O(batch + touched state),
+  * never a corpus re-read — at 100 TB the events stream is unbounded and
+  * the state table is bounded by |users| · (candidates within one
+  * window).
+  *
+  * RETENTION. The `(user_id, week)` distinct IS monotone under append:
+  * the state table is that relation keyed by (user_id, week) — a batch
+  * upserts only its own distinct pairs (idempotent by key) — and serving
+  * runs [[EventAnalytics.retentionFromWeeks]] over the state, whose
+  * cohort-min recomputes correctly even when a late batch back-dates a
+  * user's first week. Work per tick = |batch's distinct pairs|; the
+  * serve aggregate is |user-weeks|-scale, never events-scale.
+  *
+  * Both maintainers take an optional `batchId`: a replayed micro-batch
+  * (foreachBatch redelivery) is skipped by the manifest's batchId guard —
+  * exactly-once state, the [[StreamingSample]] contract.
+  */
+object EventAnalyticsStream {
+
+  private val cw: (DataFrame, String) => Unit = (df, d) => df.write.parquet(d)
+
+  /** Fold one batch of events into the funnel state table at `statePath`
+    * (schema: `user_id, t1_us..tK_us, reached, c2..cK`). Idempotent per
+    * `batchId`.
+    */
+  def funnelMaintain(spark: SparkSession, statePath: String, batch: DataFrame,
+      steps: Seq[String], windowUs: Long, batchId: Option[Long] = None): Unit = {
+    require(steps.size >= 2 && steps.size <= 8, s"funnel steps 2..8, got ${steps.size}")
+    val k = steps.size
+    val idxExpr = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (st, i)) => when(col("event_type") === st, lit(i + 1)).otherwise(acc)
+    }
+    val b = batch.select(col("user_id"), idxExpr.as("idx"),
+        unix_micros(col("ts")).as("t"))
+      .filter(col("idx").isNotNull).distinct()
+    val touched = b.select(col("user_id")).distinct()
+    val prevEvents: Option[DataFrame] =
+      if (!VersionedTable.exists(statePath)) None
+      else {
+        val st = VersionedTable.read(spark, statePath)
+          .join(touched, Seq("user_id"), "left_semi")
+        val s1 = st.filter(col("t1_us").isNotNull)
+          .select(col("user_id"), lit(1).as("idx"), col("t1_us").as("t"))
+        val rest = (2 to k).map(i => st.select(col("user_id"),
+          lit(i).as("idx"), explode(col(s"c$i")).as("t")))
+        Some((s1 +: rest).reduce(_.unionByName(_)))
+      }
+    val all = (prevEvents.toSeq :+ b).reduce(_.unionByName(_)).distinct()
+    // the SAME batch code path: state+batch reconstructed as an event
+    // relation, chains recomputed by funnel() itself
+    val asEvents = all.select(col("user_id"),
+      element_at(typedLit(steps), col("idx")).as("event_type"),
+      timestamp_micros(col("t")).as("ts"))
+    val chain = EventAnalytics.funnel(asEvents, steps, windowUs)
+    val candAggs = (2 to k).map(i =>
+      sort_array(collect_set(when(col("idx") === i, col("t")))).as(s"c$i"))
+    val cands = all.filter(col("idx") >= 2)
+      .join(chain.select(col("user_id"), col("t1_us")), Seq("user_id"), "left")
+      // prune only under an existing t1 bound; keep everything otherwise
+      .filter(col("t1_us").isNull || col("t") <= col("t1_us") + lit(windowUs))
+      .groupBy(col("user_id"))
+      .agg(candAggs.head, candAggs.tail: _*)
+    val chainCols = (1 to k).map(i => col(s"t${i}_us")) :+ col("reached")
+    val state = chain.join(cands, Seq("user_id"), "full")
+      .select((col("user_id") +: chainCols ++:
+        (2 to k).map(i =>
+          coalesce(col(s"c$i"), typedLit(Seq.empty[Long])).as(s"c$i"))): _*)
+    VersionedTable.upsert(spark, statePath, Seq("user_id"),
+      compactEvery = 8, compactWrite = cw, batchId = batchId)(d =>
+      state.write.parquet(d))
+    ()
+  }
+
+  /** The maintained funnel relation — identical to
+    * [[EventAnalytics.funnel]] over everything ingested so far.
+    */
+  def funnelServe(spark: SparkSession, statePath: String, nSteps: Int): DataFrame =
+    VersionedTable.read(spark, statePath)
+      .filter(col("t1_us").isNotNull)
+      .select((col("user_id") +: (1 to nSteps).map(i => col(s"t${i}_us")) :+
+        col("reached")): _*)
+
+  /** Upsert one batch's distinct `(user_id, week)` pairs. Idempotent per
+    * `batchId` (and per key — a pair re-observed in any later batch is a
+    * no-op by construction).
+    */
+  def retentionMaintain(spark: SparkSession, statePath: String,
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    val weeks = batch.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+    VersionedTable.upsert(spark, statePath, Seq("user_id", "week"),
+      compactEvery = 8, compactWrite = cw, batchId = batchId)(d =>
+      weeks.write.parquet(d))
+    ()
+  }
+
+  /** The maintained retention census — identical to
+    * [[EventAnalytics.retentionCohorts]] over everything ingested so far
+    * (shared aggregation code, state IS the distinct relation).
+    */
+  def retentionServe(spark: SparkSession, statePath: String): DataFrame =
+    EventAnalytics.retentionFromWeeks(
+      VersionedTable.read(spark, statePath).select(col("user_id"), col("week")))
+
+  /** Continuous maintenance of BOTH state tables from a parquet event
+    * stream — the [[StreamingSample]] shape: one `foreachBatch` sink, the
+    * maintainers batchId-guarded, `availableNow` drains-and-stops for
+    * tests.
+    */
+  def start(
+      spark: SparkSession, sourceDir: String, schema: StructType,
+      steps: Seq[String], windowUs: Long,
+      funnelPath: String, retentionPath: String,
+      trigger: String = "1 minute", availableNow: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val pinned = batch.localCheckpoint(true) // one source read, two folds
+        funnelMaintain(spark, funnelPath, pinned, steps, windowUs, Some(bid))
+        retentionMaintain(spark, retentionPath, pinned, Some(bid))
+        ()
+      }
+      .option("checkpointLocation", funnelPath + "__checkpoint")
+      .trigger(if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(trigger))
+      .start()
+  }
+}

@@ -914,6 +914,47 @@ object ScaleSweep {
           eventsP.select(floor(col("value") * 1e6 + 0.5).cast("long")
             .cast("string").as("sv")), col("sv")))
       }
+
+      // ---- round-15: event-analytics incremental maintenance ----------
+      //     funnel maintenance (EventAnalyticsStream): seed the state from
+      //     the full corpus (setup, excluded), then fold a FIXED 2k-event
+      //     wave (copy-0 ids only — the table_cdf fixed-wave pattern).
+      //     The cell's claim is the incremental contract: the fold reads
+      //     wave + USER-scale state, never the event history — so input
+      //     bytes must track the state table (users), not the 10× event
+      //     corpus, and shuffle must track the wave's touch set. (At
+      //     extreme user counts the state scan itself is the next
+      //     bottleneck — bucket it with BucketedLayout to prune to
+      //     touched buckets; this cell measures the events-history
+      //     independence that matters first.)
+      val easSteps = Seq("view", "click", "purchase")
+      val easWin = 24L * 3600 * 1000000
+      val easEv = eventsP.select(
+        col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val easState = Files.createTempDirectory(s"graft_scale_eas_$scale")
+        .toString + "/funnel"
+      graft.streaming.EventAnalyticsStream.funnelMaintain(
+        spark, easState, easEv, easSteps, easWin, Some(0L))
+      val easWave = easEv.filter(col("event_id") < 2000L).localCheckpoint(true)
+      val easWaveRows = easWave.count()
+      measure("funnel_maintain_wave", scale) {
+        graft.streaming.EventAnalyticsStream.funnelMaintain(
+          spark, easState, easWave, easSteps, easWin, None)
+        easWaveRows
+      }
+
+      //     retention maintenance: the same fixed wave upserts only its
+      //     own distinct (user, week) pairs — state touch is wave-scale
+      //     by construction, input is the keyed state table (user-weeks)
+      val easRet = Files.createTempDirectory(s"graft_scale_easr_$scale")
+        .toString + "/retention"
+      graft.streaming.EventAnalyticsStream.retentionMaintain(
+        spark, easRet, easEv, Some(0L))
+      measure("retention_maintain_wave", scale) {
+        graft.streaming.EventAnalyticsStream.retentionMaintain(
+          spark, easRet, easWave, None)
+        easWaveRows
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
