@@ -57,4 +57,54 @@ class CodecFuzzSpec extends AnyFunSuite {
     val mj = VideoCodec.encodeAviMjpeg(16, 12, 5, Array((_: Int, _: Int) => 0x808080))
     fuzz("avi-mjpeg", mj, VideoCodec.decode)
   }
+
+  // ---- perceptual plane (VERDICT r14 #7): the constellation / frame-hash
+  // paths get the same totality hardening as the decoders — they run on
+  // the identical untrusted bytes, one layer up.
+
+  test("audio constellation hash is total under mutation and defined on pure-noise PCM") {
+    fuzz("constellation", AudioCodec.encodeSquareWav(8000, 4000, 2000, 5),
+      AudioCodec.constellationHash(_))
+    // VALID container, noise samples: Goertzel must return a hash and be
+    // deterministic — noise is what most of a 100 TB audio corpus is
+    val rnd = new scala.util.Random(5150)
+    (1 to 20).foreach { _ =>
+      val samples = Array.fill(800 + rnd.nextInt(4000))(
+        (rnd.nextInt(65536) - 32768).toShort)
+      val wav = AudioCodec.encodeWavPcm16(8000, 1, samples)
+      val a = AudioCodec.constellationHash(wav)
+      assert(a.isDefined, "noise PCM must still fingerprint")
+      assert(a == AudioCodec.constellationHash(wav), "must be deterministic")
+    }
+    // degenerate-but-valid edges: all-zero clip at exactly `segments`
+    // frames hashes; one frame short returns None (the documented bound)
+    assert(AudioCodec.constellationHash(
+      AudioCodec.encodeWavPcm16(8000, 1, new Array[Short](8))).isDefined)
+    assert(AudioCodec.constellationHash(
+      AudioCodec.encodeWavPcm16(8000, 1, new Array[Short](7))).isEmpty)
+    // stereo noise pools to mono without throwing
+    assert(AudioCodec.constellationHash(AudioCodec.encodeWavPcm16(8000, 2,
+      Array.fill(1600)((rnd.nextInt(65536) - 32768).toShort))).isDefined)
+  }
+
+  test("video frame dHashes are total under mutation and on hostile DIB dimensions") {
+    val avi = VideoCodec.encodeAviRgb(16, 12, 5,
+      Array(0x102030, 0x405060).map(c => (_: Int, _: Int) => c))
+    fuzz("frame-dhash", avi, VideoCodec.frameDHashes(_))
+    val mj = VideoCodec.encodeAviMjpeg(16, 12, 5, Array((_: Int, _: Int) => 0x808080))
+    fuzz("frame-dhash-mjpeg", mj, VideoCodec.frameDHashes(_))
+    // hostile-but-wellformed dims: below the 9×8 pooling grid (empty
+    // cells), widths forcing odd 4-byte-aligned strides, single pixels —
+    // must never throw and must be deterministic
+    Seq((1, 1), (3, 2), (8, 7), (9, 8), (10, 9), (31, 3), (2, 64)).foreach {
+      case (w, h) =>
+        val v = VideoCodec.encodeAviRgb(w, h, 5,
+          Array((x: Int, y: Int) => (x * 37 + y * 101) & 0xffffff))
+        val r = try VideoCodec.frameDHashes(v) catch {
+          case e: Throwable => fail(s"${w}x$h threw: $e")
+        }
+        assert(r.map(_.toSeq) == VideoCodec.frameDHashes(v).map(_.toSeq),
+          s"${w}x$h not deterministic")
+    }
+  }
 }
