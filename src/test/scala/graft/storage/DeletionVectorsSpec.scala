@@ -194,13 +194,17 @@ class DeletionVectorsSpec extends SparkSpec {
     val extra = mapper.createObjectNode()
     val p = extra.putObject("protocol")
     p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
-    p.putArray("readerFeatures").add("deletionVectors").add("columnMapping")
+    // columnMapping graduated to a SUPPORTED feature in round 15 (name
+    // mode) — the unknown-feature arm now plants v2Checkpoint instead
+    p.putArray("readerFeatures").add("deletionVectors").add("v2Checkpoint")
     Files.write(Paths.get(out, "_delta_log", f"${2L}%020d.json"),
       (mapper.writeValueAsString(extra) + "\n").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](
       DeltaInterop.importSnapshot(spark, out))
-    assert(e.getMessage.contains("columnMapping"))
+    assert(e.getMessage.contains("v2Checkpoint"))
 
+    // reader v2 WITHOUT name-mode mapping declared is a capability we
+    // lack (v2 = column mapping and the metaData names no mode)
     val out2 = threeFileTable()
     val v2 = mapper.createObjectNode()
     val p2 = v2.putObject("protocol")
@@ -209,7 +213,7 @@ class DeletionVectorsSpec extends SparkSpec {
       (mapper.writeValueAsString(v2) + "\n").getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](
       DeltaInterop.importSnapshot(spark, out2))
-    assert(e2.getMessage.contains("column mapping"))
+    assert(e2.getMessage.contains("delta.columnMapping.mode=name"))
   }
 
   test("purge rewrites DV'd files clean: same rows, no DVs, fully-dead file retired") {
