@@ -2334,6 +2334,43 @@ object PipelineQueries {
       graft.functions.EventAnalytics.funnelCensus(f, 3)
     }),
 
+    // INCREMENTALLY-MAINTAINED funnel (round 15) — q168's census served
+    // from EventAnalyticsStream's state table after FOUR out-of-order
+    // waves (split by event_id, so late waves carry earlier anchors and
+    // the candidate-pruning bound tightens mid-history): the maintenance
+    // must be invisible (the q187/q173 same-answer-two-mechanisms
+    // precedent — q168's oracle verbatim). This is the reference's core
+    // concept (incrementally-refreshed FV over an event stream) run
+    // through the engine's own maintenance path and gate-pinned.
+    "q196_funnel_incremental" -> ((s, dir) => {
+      val steps = Seq("view", "click", "purchase")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val statePath = scratchDir("funnel_inc").toString + "/state"
+      (0 until 4).foreach { w =>
+        graft.streaming.EventAnalyticsStream.funnelMaintain(
+          s, statePath, ev.filter(pmod(col("event_id"), lit(4L)) === w),
+          steps, windowUs = 24L * 3600 * 1000000, Some(w.toLong))
+      }
+      graft.functions.EventAnalytics.funnelCensus(
+        graft.streaming.EventAnalyticsStream.funnelServe(s, statePath, 3), 3)
+    }),
+
+    // INCREMENTALLY-MAINTAINED retention (round 15) — q169's census
+    // served from the (user, week) state table after the same four
+    // out-of-order waves; q169's oracle verbatim.
+    "q197_retention_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val statePath = scratchDir("ret_inc").toString + "/state"
+      (0 until 4).foreach { w =>
+        graft.streaming.EventAnalyticsStream.retentionMaintain(
+          s, statePath, ev.filter(pmod(col("event_id"), lit(4L)) === w),
+          Some(w.toLong))
+      }
+      graft.streaming.EventAnalyticsStream.retentionServe(s, statePath)
+    }),
+
     // RETENTION COHORTS — cohort = ISO week (Monday) of the user's first
     // event; cell = distinct users from that cohort active `week_offset`
     // weeks later. Two shuffles on user_id (first-week min + the
@@ -3514,6 +3551,56 @@ object PipelineQueries {
   /** q48 oracle: recall@5 of the LSH (bits=6, tables=32) and seed-IVF arms
     * against brute-force exact — both approximate pipelines fully restated.
     */
+  /** q168's anchored min-chain census — shared VERBATIM by q196 (the
+    * incrementally-maintained funnel): the maintenance path must be
+    * answer-invisible, so both gate against the same SQL.
+    */
+  private val funnelCensusOracle: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1_us
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), t2 AS (
+      |  SELECT t1.user_id, t1.t1_us,
+      |    min(CASE WHEN epoch_us(e.ts) > t1.t1_us
+      |             AND epoch_us(e.ts) <= t1.t1_us + 86400000000
+      |        THEN epoch_us(e.ts) END) AS t2_us
+      |  FROM t1 LEFT JOIN events e
+      |    ON e.user_id = t1.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2
+      |), t3 AS (
+      |  SELECT t2.user_id, t2.t1_us, t2.t2_us,
+      |    min(CASE WHEN epoch_us(e.ts) > t2.t2_us
+      |             AND epoch_us(e.ts) <= t2.t1_us + 86400000000
+      |        THEN epoch_us(e.ts) END) AS t3_us
+      |  FROM t2 LEFT JOIN events e
+      |    ON e.user_id = t2.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT CAST(1 AS BIGINT) AS stage, count(t1_us) AS n_users,
+      |  CAST(0 AS BIGINT) AS lag_us_total FROM t3
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(t2_us),
+      |  CAST(coalesce(sum(t2_us - t1_us), 0) AS BIGINT) FROM t3
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(t3_us),
+      |  CAST(coalesce(sum(t3_us - t1_us), 0) AS BIGINT) FROM t3""".stripMargin
+
+  /** q169's weekly-cohort census — shared verbatim by q197 (the
+    * incrementally-maintained retention), same invisibility contract.
+    */
+  private val retentionOracle: String =
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1
+      |)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, wk.week) // 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM wk JOIN c ON wk.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   private val annRecallOracle: String =
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, embedding,
@@ -6410,49 +6497,17 @@ object PipelineQueries {
     // funnel: the same min-chain unrolled — each stage a conditional min
     // over a LEFT-joined candidate set (CASE inside min ≡ Spark's
     // null-out-then-min), census as three conditional aggregates
-    "q168_funnel" ->
-      """WITH t1 AS (
-        |  SELECT user_id, min(epoch_us(ts)) AS t1_us
-        |  FROM events WHERE event_type = 'view' GROUP BY 1
-        |), t2 AS (
-        |  SELECT t1.user_id, t1.t1_us,
-        |    min(CASE WHEN epoch_us(e.ts) > t1.t1_us
-        |             AND epoch_us(e.ts) <= t1.t1_us + 86400000000
-        |        THEN epoch_us(e.ts) END) AS t2_us
-        |  FROM t1 LEFT JOIN events e
-        |    ON e.user_id = t1.user_id AND e.event_type = 'click'
-        |  GROUP BY 1, 2
-        |), t3 AS (
-        |  SELECT t2.user_id, t2.t1_us, t2.t2_us,
-        |    min(CASE WHEN epoch_us(e.ts) > t2.t2_us
-        |             AND epoch_us(e.ts) <= t2.t1_us + 86400000000
-        |        THEN epoch_us(e.ts) END) AS t3_us
-        |  FROM t2 LEFT JOIN events e
-        |    ON e.user_id = t2.user_id AND e.event_type = 'purchase'
-        |  GROUP BY 1, 2, 3
-        |)
-        |SELECT CAST(1 AS BIGINT) AS stage, count(t1_us) AS n_users,
-        |  CAST(0 AS BIGINT) AS lag_us_total FROM t3
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), count(t2_us),
-        |  CAST(coalesce(sum(t2_us - t1_us), 0) AS BIGINT) FROM t3
-        |UNION ALL
-        |SELECT CAST(3 AS BIGINT), count(t3_us),
-        |  CAST(coalesce(sum(t3_us - t1_us), 0) AS BIGINT) FROM t3""".stripMargin,
+    "q168_funnel" -> funnelCensusOracle,
+
+    // the incrementally-maintained funnel must be INVISIBLE: q168's
+    // oracle verbatim (the q187/q173 same-answer-two-mechanisms pin)
+    "q196_funnel_incremental" -> funnelCensusOracle,
 
     // retention cohorts: first ISO week per user, exact day-diff/7 offsets
-    "q169_retention_cohorts" ->
-      """WITH wk AS (
-        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
-        |  FROM events
-        |), c AS (
-        |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1
-        |)
-        |SELECT c.cohort_week,
-        |  CAST(date_diff('day', c.cohort_week, wk.week) // 7 AS BIGINT) AS week_offset,
-        |  count(*) AS n_users
-        |FROM wk JOIN c ON wk.user_id = c.user_id
-        |GROUP BY 1, 2""".stripMargin,
+    "q169_retention_cohorts" -> retentionOracle,
+
+    // maintained retention serves q169's oracle verbatim
+    "q197_retention_incremental" -> retentionOracle,
 
     // gap-fill: per-(user, day) last value by event_id (arg_max), daily
     // grid via generate_series, forward fill as an ASOF join on day
