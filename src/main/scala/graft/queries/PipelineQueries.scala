@@ -2072,6 +2072,35 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // DELTA → ICEBERG METADATA-ONLY CONVERSION (round 15, the UniForm
+    // shape): a multi-commit Delta history (adds + a remove) converts by
+    // writing v1 Iceberg metadata over the SAME parquet files in place —
+    // zero data bytes move — and the census reads the table through the
+    // ICEBERG bridge. Serving the removed file's rows, missing the
+    // late-added file, or a record_count drift in the footer probe all
+    // break the hash.
+    "q198_delta_to_iceberg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("delta2ice").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def part(m: Int, name: String): Unit =
+        landOnePart(docs.filter(pmod(col("doc_id"), lit(3L)) === m), out, name)
+      part(0, "a.parquet"); part(1, "b.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 0L,
+        adds = Seq("a.parquet", "b.parquet"), schemaJson = Some(docs.schema.json))
+      part(2, "c.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 1L,
+        adds = Seq("c.parquet"), removes = Seq("a.parquet"))
+      graft.storage.IcebergInterop.convertFromDelta(s, out)
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // Iceberg v2 POSITION DELETES applied on import — closes the r13
     // wrong-looking-right gap (fv=2 accepted, delete manifests ignored):
     // the fixture writes a real v2 layout (manifest-list content field
@@ -6339,6 +6368,20 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM cx9 GROUP BY lang""".stripMargin,
+
+    // Delta->Iceberg conversion: the live set after the remove is
+    // doc_id % 3 != 0 — the physical conversion must be invisible
+    "q198_delta_to_iceberg" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents WHERE doc_id % 3 <> 0
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "d2i")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM d2i9 GROUP BY lang""".stripMargin,
 
     // v2 position deletes: the deleted slice (doc_id % 5 = 0) restated as
     // a WHERE; engine-side absence is enforced by physical row position

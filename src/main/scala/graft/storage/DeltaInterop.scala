@@ -235,6 +235,28 @@ object DeltaInterop {
     }.toIndexedSeq: _*)
   }
 
+  /** The resolved LIVE state of a Delta table, for cross-format consumers
+    * ([[IcebergInterop.convertFromDelta]] — the UniForm-style conversion):
+    * last-wins schema JSON, partition columns, the column-mapping mode,
+    * and the active files as (absolutePath, logSize, carriesDv). Shares
+    * [[resolveState]] with the readers, so a converter can never disagree
+    * with [[importSnapshot]] about what is live.
+    */
+  final case class LiveState(
+      schemaJson: String, partitionColumns: Seq[String],
+      columnMappingMode: Option[String], files: Seq[(String, Long, Boolean)])
+
+  def liveState(spark: SparkSession, deltaDir: String): LiveState = {
+    val root = Paths.get(deltaDir)
+    val logDir = root.resolve("_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $deltaDir")
+    val st = resolveState(spark, root, logDir, deltaDir)
+    LiveState(st.schemaJson, st.partCols, st.cmMode,
+      st.active.toSeq.sortBy(_._1).map { case (rel, af) =>
+        (root.resolve(rel).toString, af.size, af.dv.isDefined)
+      })
+  }
+
   /** Resolve the table state at `deltaDir`: checkpoint base (when
     * `_last_checkpoint` points at one) + commit-JSON tail replay, then the
     * reader-protocol gate. Shared by [[importSnapshot]] and [[deleteWhere]]

@@ -243,22 +243,77 @@ object IcebergInterop {
         .collect().map(r => basename(r.getString(0)) -> r.getLong(1)).toMap
     }
 
+    writeUnpartitionedV1Meta(out, schemaJson, lastColumnId,
+      dataFiles.map(f =>
+        // a zero-row part file yields no input_file_name group — a legal
+        // empty data file, counted as 0 rather than refused
+        (f, counts.getOrElse(f.getFileName.toString, 0L))))
+    dataFiles.map(_.toUri.toString)
+  }
+
+  /** Metadata-only Delta → Iceberg conversion — the UniForm shape: write
+    * v1 Iceberg metadata INSIDE the Delta table directory, naming the SAME
+    * parquet files by absolute URI. ZERO bytes of data move (at 100 TB the
+    * conversion is a metadata operation, exactly as Databricks UniForm /
+    * Iceberg's `snapshot` migration perform it), and the table then reads
+    * through BOTH bridges; record counts come from a distributed parquet-
+    * footer probe (one footer read per live file, executor-side — the
+    * q193 probe's sibling). The Delta log stays authoritative for Delta
+    * readers; the Iceberg snapshot is a point-in-time view of the live
+    * set at conversion.
+    *
+    * Refusals (each would make the Iceberg view silently WRONG, the class
+    * this storage plane never ships): partitioned tables (Delta keeps the
+    * values in the log, not the files), column-mapped tables (physical
+    * names), deletion vectors (Iceberg would resurrect every masked row),
+    * and a directory already holding `metadata/`.
+    */
+  def convertFromDelta(spark: SparkSession, deltaDir: String): Seq[String] = {
+    val st = DeltaInterop.liveState(spark, deltaDir)
+    require(st.partitionColumns.isEmpty,
+      s"partitioned Delta table (${st.partitionColumns.mkString(",")}): the " +
+        "partition values live in the Delta log, not the parquet files — an " +
+        "Iceberg view would serve them as NULL, refusing")
+    require(st.columnMappingMode.isEmpty,
+      "column-mapped Delta table: the physical parquet names differ from " +
+        "the logical schema — out of this converter's scope")
+    require(!st.files.exists(_._3),
+      "table carries deletion vectors: an Iceberg snapshot of the raw files " +
+        "would resurrect every masked row — purge first (purgeDeletionVectors)")
+    val out = Paths.get(deltaDir)
+    require(!Files.exists(out.resolve("metadata")),
+      s"$deltaDir already holds Iceberg metadata — refusing to overwrite")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(st.schemaJson)
+      .asInstanceOf[StructType]
+    val (schemaJson, lastColumnId) = icebergSchemaJson(schema)
+    val counts = footerRowCounts(spark, st.files.map(_._1))
+    writeUnpartitionedV1Meta(out, schemaJson, lastColumnId,
+      st.files.map { case (p, _, _) => (Paths.get(p), counts(p)) })
+    st.files.map(f => Paths.get(f._1).toUri.toString)
+  }
+
+  /** The shared v1 unpartitioned metadata tail (spec "Table Metadata"):
+    * one ADDED-status manifest over `files` (absolute-URI file_path +
+    * row count), a one-row manifest list, the metadata JSON and the
+    * HadoopTables version hint. Used by [[exportSnapshot]] and
+    * [[convertFromDelta]].
+    */
+  private def writeUnpartitionedV1Meta(out: Path, schemaJson: String,
+      lastColumnId: Int, files: Seq[(Path, Long)]): Unit = {
     val metaDir = out.resolve("metadata")
     Files.createDirectories(metaDir)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val now = System.currentTimeMillis()
 
     // manifest: one entry per data file, status 1 = ADDED in this snapshot
-    val entries = dataFiles.map { f =>
+    val entries = files.map { case (f, n) =>
       val df = new GenericData.Record(
         manifestEntrySchema.getField("data_file").schema())
       df.put("file_path", f.toUri.toString)
       df.put("file_format", "PARQUET")
       df.put("partition", new GenericData.Record(
         df.getSchema.getField("partition").schema()))
-      // a zero-row part file yields no input_file_name group — a legal
-      // empty data file, counted as 0 rather than refused
-      df.put("record_count", counts.getOrElse(f.getFileName.toString, 0L))
+      df.put("record_count", n)
       df.put("file_size_in_bytes", Files.size(f))
       df.put("block_size_in_bytes", 64L * 1024 * 1024)
       val e = new GenericData.Record(manifestEntrySchema)
@@ -281,10 +336,10 @@ object IcebergInterop {
     mf.put("manifest_length", Files.size(manifestPath))
     mf.put("partition_spec_id", 0)
     mf.put("added_snapshot_id", snapshotId)
-    mf.put("added_data_files_count", dataFiles.size)
+    mf.put("added_data_files_count", files.size)
     mf.put("existing_data_files_count", 0)
     mf.put("deleted_data_files_count", 0)
-    mf.put("added_rows_count", counts.values.sum)
+    mf.put("added_rows_count", files.map(_._2).sum)
     mf.put("existing_rows_count", 0L)
     mf.put("deleted_rows_count", 0L)
     val manifestListPath = metaDir.resolve(s"snap-$snapshotId-1-graft.avro")
@@ -320,8 +375,29 @@ object IcebergInterop {
     Files.write(metaDir.resolve("v1.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+    ()
+  }
 
-    dataFiles.map(_.toUri.toString)
+  /** Distributed parquet-footer row-count probe (executor-side, one
+    * footer read per file — [[footerMissingColumns]]'s sibling): the
+    * record_count a metadata-only conversion must declare without
+    * scanning data pages.
+    */
+  private def footerRowCounts(
+      spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
+    if (paths.isEmpty) return Map.empty
+    import spark.implicits._
+    spark.createDataset(paths).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally rd.close()
+        (p, n)
+      }
+    }.collect().toMap
   }
 
   // ---- import ----

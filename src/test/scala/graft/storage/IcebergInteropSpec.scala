@@ -155,6 +155,63 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got == Set((1L, "a")), s"deleted entry must not be served: $got")
   }
 
+  test("convertFromDelta: metadata-only, both bridges serve the same rows, refusals hold") {
+    val out = tmp("d2i_") + "/t"
+    Files.createDirectories(Paths.get(out))
+    def onePart(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val t = Files.createTempDirectory("d2i_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+      val part = Files.list(t).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(part, Paths.get(out, name))
+      ()
+    }
+    val df = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v")
+    onePart(df.filter(col("id") <= 10), "a.parquet")
+    onePart(df.filter(col("id") > 10 && col("id") <= 20), "b.parquet")
+    DeltaInterop.writeCommit(out, 0L, adds = Seq("a.parquet", "b.parquet"),
+      schemaJson = Some(df.schema.json))
+    onePart(df.filter(col("id") > 20), "c.parquet")
+    DeltaInterop.writeCommit(out, 1L, adds = Seq("c.parquet"),
+      removes = Seq("a.parquet"))
+    val dataBytesBefore = Seq("a", "b", "c")
+      .map(n => Files.size(Paths.get(out, s"$n.parquet")))
+    IcebergInterop.convertFromDelta(spark, out)
+    // zero data movement: the same three files, byte-identical
+    assert(Seq("a", "b", "c").map(n =>
+      Files.size(Paths.get(out, s"$n.parquet"))) == dataBytesBefore)
+    val viaIceberg = IcebergInterop.importSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaDelta = DeltaInterop.importSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (11L to 30L).map(i => (i, s"v$i")).toSet
+    assert(viaIceberg == want, "removed file must not serve through Iceberg")
+    assert(viaDelta == want, "the Delta log stays authoritative for Delta readers")
+    // record counts in the manifest are footer-true
+    val (_, recs) = readAvro(Files.list(Paths.get(out, "metadata"))
+      .iterator().asScala.filter(_.getFileName.toString.endsWith("-m0.avro")).next())
+    assert(recs.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum == 20L)
+    // re-conversion refuses (metadata present)
+    val eAgain = intercept[IllegalArgumentException](
+      IcebergInterop.convertFromDelta(spark, out))
+    assert(eAgain.getMessage.contains("already holds"))
+    // DV'd table refuses: a converted snapshot would resurrect masked rows
+    val outDv = tmp("d2i_dv_") + "/t"
+    Files.createDirectories(Paths.get(outDv))
+    val t2 = Files.createTempDirectory("d2i_dv_part_")
+    df.coalesce(1).write.mode("overwrite").parquet(t2.toString)
+    Files.move(Files.list(t2).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next(),
+      Paths.get(outDv, "a.parquet"))
+    DeltaInterop.writeCommit(outDv, 0L, adds = Seq("a.parquet"),
+      schemaJson = Some(df.schema.json))
+    DeltaInterop.deleteWhere(spark, outDv, 1L, col("id") === 1L)
+    val eDv = intercept[IllegalArgumentException](
+      IcebergInterop.convertFromDelta(spark, outDv))
+    assert(eDv.getMessage.contains("deletion vectors"))
+  }
+
   test("non-identity transforms import when the files carry the source columns (bucket+truncate)") {
     val df = Seq((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z"),
       (4L, "fr", "w"), (5L, "de", "q")).toDF("id", "lang", "txt")
