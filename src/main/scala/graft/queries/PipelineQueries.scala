@@ -2072,6 +2072,33 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // ICEBERG → DELTA METADATA-ONLY CONVERSION (round 15) — q198's
+    // reverse leg: a two-data-file Iceberg v1 table converts by writing a
+    // v0 _delta_log in place whose adds name the live files by relative
+    // path (zero data movement), and the census reads the table through
+    // the DELTA bridge. The filtered build (doc_id % 4 != 1) makes a
+    // whole-corpus misread visible.
+    "q199_iceberg_to_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(4L)) =!= 1)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val root = scratchDir("ice2delta").toString
+      val tab = root + "/t"
+      graft.storage.VersionedTable.append(tab)(d =>
+        docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(d))
+      graft.storage.VersionedTable.append(tab)(d =>
+        docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(d))
+      val ice = root + "/ice"
+      graft.storage.IcebergInterop.exportSnapshot(s, tab, ice)
+      graft.storage.DeltaInterop.convertFromIceberg(s, ice)
+      graft.storage.DeltaInterop.importSnapshot(s, ice)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // DELTA → ICEBERG METADATA-ONLY CONVERSION (round 15, the UniForm
     // shape): a multi-commit Delta history (adds + a remove) converts by
     // writing v1 Iceberg metadata over the SAME parquet files in place —
@@ -6368,6 +6395,20 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM cx9 GROUP BY lang""".stripMargin,
+
+    // Iceberg->Delta conversion: the conversion must be invisible over
+    // the filtered corpus
+    "q199_iceberg_to_delta" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents WHERE doc_id % 4 <> 1
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "i2d")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM i2d9 GROUP BY lang""".stripMargin,
 
     // Delta->Iceberg conversion: the live set after the remove is
     // doc_id % 3 != 0 — the physical conversion must be invisible

@@ -122,6 +122,35 @@ object DeltaInterop {
     dataFiles.map(f => out.relativize(f).toString)
   }
 
+  /** Metadata-only Iceberg → Delta conversion — [[IcebergInterop
+    * .convertFromDelta]]'s reverse leg: write a v0 `_delta_log` INSIDE the
+    * Iceberg table directory whose `add` actions name the live data files
+    * by table-relative path. Zero data bytes move; the table then reads
+    * through both bridges, and the Iceberg metadata stays authoritative
+    * for Iceberg readers. Refusals ride in [[IcebergInterop.liveSnapshot]]
+    * (partitioned specs, delete files) plus: data files OUTSIDE the table
+    * root (legal in Iceberg, unreachable by a relative Delta add) and an
+    * existing `_delta_log`.
+    */
+  def convertFromIceberg(spark: SparkSession, icebergDir: String): Seq[String] = {
+    val root = Paths.get(icebergDir).normalize()
+    require(!Files.exists(root.resolve("_delta_log")),
+      s"$icebergDir already holds a _delta_log — refusing to overwrite")
+    val (schemaJson, files) = IcebergInterop.liveSnapshot(spark, icebergDir)
+    val rels = files.map { case (abs, size) =>
+      val p = Paths.get(abs).normalize()
+      require(p.startsWith(root),
+        s"live data file outside the table root: $abs — a relative Delta " +
+          "add cannot name it, refusing")
+      val got = Files.size(p)
+      require(got == size,
+        s"size mismatch for $abs: manifest says $size bytes, disk has $got")
+      root.relativize(p).toString
+    }
+    writeCommit(icebergDir, 0L, adds = rels, schemaJson = Some(schemaJson))
+    rels
+  }
+
   /** Import a Delta-format directory (the inverse bridge): load the base
     * state from the latest parquet CHECKPOINT when `_last_checkpoint`
     * points at one (real Delta tables checkpoint every ~10 commits — a

@@ -292,6 +292,46 @@ object IcebergInterop {
     st.files.map(f => Paths.get(f._1).toUri.toString)
   }
 
+  /** The live snapshot for cross-format consumers
+    * ([[DeltaInterop.convertFromIceberg]], the reverse UniForm leg):
+    * current-snapshot schema JSON (Spark form) and the live data files as
+    * (absolutePath, size). Refuses the shapes a metadata-only Delta view
+    * could not serve faithfully: partitioned specs (identity values live
+    * in the manifests, not the files; non-identity field names aren't
+    * Delta columns) and any delete files (a converted snapshot would
+    * resurrect every deleted row).
+    */
+  def liveSnapshot(
+      spark: SparkSession, icebergDir: String): (String, Seq[(String, Long)]) = {
+    val root = Paths.get(icebergDir)
+    val (_, meta) = readTableMeta(root)
+    val snapId = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"no current-snapshot-id at $icebergDir"))
+    require(snapId != -1L, s"table at $icebergDir has no current snapshot")
+    val defaultSpec = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val specFields = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == defaultSpec)
+      .map(_.get("fields").size()).getOrElse(0)
+    require(specFields == 0,
+      "partitioned Iceberg table: identity values live in the manifests, " +
+        "not the files — a converted Delta view would serve NULLs, refusing")
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val cur = meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $cur not in the schemas list"))
+      } else meta.get("schema")
+    val (live, deletes) = liveFiles(root, meta, snapId)
+    require(deletes.isEmpty,
+      "table carries delete files: a converted snapshot of the raw data " +
+        "files would resurrect every deleted row — compact first")
+    (sparkSchemaFrom(schemaNode).json,
+      live.map(lf => (resolve(root, lf.path).toString, lf.size)))
+  }
+
   /** The shared v1 unpartitioned metadata tail (spec "Table Metadata"):
     * one ADDED-status manifest over `files` (absolute-URI file_path +
     * row count), a one-row manifest list, the metadata JSON and the

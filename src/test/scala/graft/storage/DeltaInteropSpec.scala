@@ -487,6 +487,34 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("convertFromIceberg: in-place _delta_log, both bridges agree, partitioned refuses") {
+    val root = tmp("i2d_")
+    val tab = root + "/t"
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.append(tab)(d =>
+      df.filter(col("id") <= 10).coalesce(1).write.parquet(d))
+    VersionedTable.append(tab)(d =>
+      df.filter(col("id") > 10).coalesce(1).write.parquet(d))
+    val ice = root + "/ice"
+    IcebergInterop.exportSnapshot(spark, tab, ice)
+    val rels = DeltaInterop.convertFromIceberg(spark, ice)
+    assert(rels.size == 2 && rels.forall(_.startsWith("data/")),
+      s"adds must be table-relative: $rels")
+    val viaDelta = DeltaInterop.importSnapshot(spark, ice)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaIceberg = IcebergInterop.importSnapshot(spark, ice)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaDelta == df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(viaDelta == viaIceberg)
+    // partitioned Iceberg tables refuse: the values live in the manifests
+    val pfix = tmp("i2d_part_")
+    IcebergFixtures.writePartitionedV1(spark, pfix,
+      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "v", "pl"), "pl")
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.convertFromIceberg(spark, pfix))
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("refuses to clobber an existing _delta_log") {
     val table = tmp("delta_ref_") + "/t"
     VersionedTable.append(table)(dir =>
