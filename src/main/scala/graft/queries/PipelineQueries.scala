@@ -2072,6 +2072,38 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // DELTA VACUUM (round 15) — the maintenance sibling of q97 (optimize)
+    // and q175 (Iceberg expire): after a remove-bearing history plus a
+    // planted orphan (an aborted writer's debris), vacuum at retention 0
+    // must delete exactly the tombstoned file and the orphan — and the
+    // post-vacuum read must serve the identical live census (deleting one
+    // byte too many breaks the hash; too few leaves the count wrong).
+    "q200_delta_vacuum" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("delta_vac").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def part(m: Int, name: String): Unit =
+        landOnePart(docs.filter(pmod(col("doc_id"), lit(3L)) === m), out, name)
+      part(0, "a.parquet"); part(1, "b.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 0L,
+        adds = Seq("a.parquet", "b.parquet"), schemaJson = Some(docs.schema.json))
+      part(2, "c.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 1L,
+        adds = Seq("c.parquet"), removes = Seq("a.parquet"))
+      part(0, "orphan-debris.parquet") // never logged: aborted-write shape
+      val vac = graft.storage.DeltaInterop.vacuum(s, out, retentionMs = 0L)
+      require(vac == Seq("a.parquet", "orphan-debris.parquet"),
+        s"vacuum deleted the wrong set: $vac")
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+        .withColumn("n_vacuumed", lit(vac.size.toLong))
+    }),
+
     // ICEBERG → DELTA METADATA-ONLY CONVERSION (round 15) — q198's
     // reverse leg: a two-data-file Iceberg v1 table converts by writing a
     // v0 _delta_log in place whose adds name the live files by relative
@@ -6395,6 +6427,21 @@ object PipelineQueries {
          |  CAST(sum(len(text)) AS BIGINT) AS chars,
          |  bit_xor(xxh) AS checksum
          |FROM cx9 GROUP BY lang""".stripMargin,
+
+    // vacuum: the live census after the remove, untouched by the
+    // physical deletes, + the deterministic vacuumed-file count
+    "q200_delta_vacuum" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents WHERE doc_id % 3 <> 0
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "dvac")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum,
+         |  CAST(2 AS BIGINT) AS n_vacuumed
+         |FROM dvac9 GROUP BY lang""".stripMargin,
 
     // Iceberg->Delta conversion: the conversion must be invisible over
     // the filtered corpus

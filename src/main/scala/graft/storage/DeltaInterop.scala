@@ -122,6 +122,76 @@ object DeltaInterop {
     dataFiles.map(f => out.relativize(f).toString)
   }
 
+  /** VACUUM — the Delta maintenance op next to Iceberg's
+    * [[IcebergInterop.expireSnapshots]]/`removeOrphanFiles`: physically
+    * delete parquet files under the table root that the CURRENT snapshot
+    * does not reference, subject to the retention window (delta.io
+    * VACUUM semantics — default 7 days, and the guard exists for the same
+    * reason there: a concurrent reader of an older snapshot or an
+    * in-flight uncommitted write may still need recent unreferenced
+    * files).
+    *
+    * Candidate gates, each REQUIRED before a byte is deleted:
+    *  - not in the live set of the resolved current state;
+    *  - not under `_delta_log/` or `metadata/` (co-resident Iceberg
+    *    metadata from [[convertFromIceberg]] stays untouched);
+    *  - older than `retentionMs`: a tombstoned file by its remove
+    *    action's `deletionTimestamp` (the log is authoritative), an
+    *    orphan (never logged — an aborted writer's debris) by file mtime.
+    *
+    * After a vacuum, time travel to a version that referenced a deleted
+    * file fails on read — exactly Delta's documented trade. Returns the
+    * table-relative paths deleted (or that WOULD be deleted with
+    * `dryRun = true`, which never touches disk).
+    */
+  def vacuum(spark: SparkSession, deltaDir: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    require(retentionMs >= 0, s"negative retention $retentionMs")
+    val root = Paths.get(deltaDir).normalize()
+    val logDir = root.resolve("_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $deltaDir")
+    val st = resolveState(spark, root, logDir, deltaDir)
+    val live: Set[Path] =
+      st.active.keysIterator.map(rel => root.resolve(rel).normalize()).toSet
+    // deletionTimestamp per removed path, LATEST wins (a path re-added and
+    // re-removed carries its most recent tombstone)
+    val tombstones = scala.collection.mutable.Map.empty[Path, Long]
+    for (commit <- listCommits(logDir);
+         line <- Files.readAllLines(commit).asScala if line.nonEmpty) {
+      val node = mapper.readTree(line)
+      Option(node.get("remove")).foreach { rm =>
+        val p = root.resolve(rm.get("path").asText()).normalize()
+        val ts = Option(rm.get("deletionTimestamp"))
+          .filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+        tombstones(p) = math.max(tombstones.getOrElse(p, 0L), ts)
+      }
+    }
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val candidates = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_") &&
+          !p.normalize().startsWith(logDir) &&
+          !p.normalize().startsWith(root.resolve("metadata"))
+      }.map(_.normalize()).toSeq
+      finally s.close()
+    }
+    val doomed = candidates.filterNot(live.contains).filter { p =>
+      tombstones.get(p) match {
+        case Some(ts) => ts <= cutoff // the log's word on when it died
+        case None => // never logged: an aborted writer's debris, by mtime
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }
+    }.sortBy(_.toString)
+    if (!dryRun) doomed.foreach(p => Files.deleteIfExists(p))
+    doomed.map(p => root.relativize(p).toString)
+  }
+
   /** Metadata-only Iceberg → Delta conversion — [[IcebergInterop
     * .convertFromDelta]]'s reverse leg: write a v0 `_delta_log` INSIDE the
     * Iceberg table directory whose `add` actions name the live data files

@@ -515,6 +515,38 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("vacuum: retention window honored, dryRun touches nothing, live files survive") {
+    val out = tmp("vac_") + "/t"
+    Files.createDirectories(Paths.get(out))
+    val df = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v")
+    onePartFile(df.filter(col("id") <= 10), Paths.get(out, "a.parquet"))
+    onePartFile(df.filter(col("id") > 10 && col("id") <= 20), Paths.get(out, "b.parquet"))
+    DeltaInterop.writeCommit(out, 0L, adds = Seq("a.parquet", "b.parquet"),
+      schemaJson = Some(df.schema.json))
+    onePartFile(df.filter(col("id") > 20), Paths.get(out, "c.parquet"))
+    DeltaInterop.writeCommit(out, 1L, adds = Seq("c.parquet"),
+      removes = Seq("a.parquet"))
+    onePartFile(df.limit(1), Paths.get(out, "orphan.parquet"))
+    // default 7-day retention: the fresh tombstone and orphan both survive
+    assert(DeltaInterop.vacuum(spark, out) == Nil)
+    assert(Files.exists(Paths.get(out, "a.parquet")))
+    // dryRun at retention 0: names both, deletes neither
+    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L, dryRun = true)
+      == Seq("a.parquet", "orphan.parquet"))
+    assert(Files.exists(Paths.get(out, "a.parquet"))
+      && Files.exists(Paths.get(out, "orphan.parquet")))
+    // real vacuum: exactly those two go, the live set + log stay intact
+    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L)
+      == Seq("a.parquet", "orphan.parquet"))
+    assert(!Files.exists(Paths.get(out, "a.parquet"))
+      && !Files.exists(Paths.get(out, "orphan.parquet")))
+    val got = DeltaInterop.importSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (11L to 30L).map(i => (i, s"v$i")).toSet)
+    // idempotent: a second vacuum finds nothing
+    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L) == Nil)
+  }
+
   test("refuses to clobber an existing _delta_log") {
     val table = tmp("delta_ref_") + "/t"
     VersionedTable.append(table)(dir =>
