@@ -140,6 +140,16 @@ object EventAnalytics {
       .select(col("user_id"), day.as("day"), col("event_id"), cents.as("cents"))
       .groupBy(col("user_id"), col("day"))
       .agg(max_by(col("cents"), col("event_id")).as("day_cents"))
+    gapFillFromDaily(daily)
+  }
+
+  /** The grid + forward-fill stage of [[gapFillDaily]] over an already-
+    * reduced `(user_id, day, day_cents)` observation relation — split out
+    * (round 16) so [[graft.streaming.EventAnalyticsStream.gapFillServe]]
+    * serves its maintained state through the SAME code path (the
+    * stream ≡ batch contract of the funnel/retention maintainers).
+    */
+  def gapFillFromDaily(daily: DataFrame): DataFrame = {
     val span = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val grid = span.select(col("user_id"),

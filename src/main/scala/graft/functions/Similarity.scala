@@ -776,11 +776,13 @@ object Similarity {
     // enforce the scaladoc's "dims ≤ 64" contract (ADVICE r14): dims past
     // 64 fall outside both 32-bit code halves, so the coarse hamming stage
     // would silently ignore them while the exact e6 re-rank uses them —
-    // a quiet shortlist-recall degradation, not an error. Probe the first
-    // vector of each side (one-row scans) and refuse loudly.
+    // a quiet shortlist-recall degradation, not an error. MAX over the
+    // whole side (ADVICE r15: a first-row probe misses ragged columns and
+    // NPEs on a NULL first vector) — one aggregate scan per side, the
+    // same cost class as the broadcast build this operator already pays.
     Seq(("queries", queries), ("candidates", candidates)).foreach { case (side, df) =>
-      df.select(size(col(vecCol)).as("d")).limit(1).collect().foreach { r =>
-        require(r.getInt(0) <= 64,
+      df.agg(max(size(col(vecCol))).as("d")).collect().foreach { r =>
+        if (!r.isNullAt(0)) require(r.getInt(0) <= 64,
           s"binaryQuantTopK: $side '$vecCol' has ${r.getInt(0)} dims — the " +
             "sign-bit code holds at most 64; project or chunk the vectors first")
       }

@@ -2072,6 +2072,63 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // PARTITIONED DELTA → ICEBERG CONVERSION (round 16) — q198 over the
+    // table shape that is the NORM at 100 TB: a lang-partitioned Delta
+    // table (data files LACK the lang column; values live only in the
+    // log's add.partitionValues) converts metadata-only, the identity
+    // spec carries each file's value into the manifest partition struct,
+    // and the census reads through the ICEBERG bridge. A value swapped
+    // between partitions, dropped, or served as NULL moves rows across
+    // lang groups and breaks every per-group aggregate.
+    "q201_delta_to_iceberg_partitioned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3L)) =!= 2)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("d2i_part").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val langs = docs.select(col("lang")).distinct().collect()
+        .map(r => Option(r.getString(0))).toSeq.sortBy(_.getOrElse(""))
+      val addPv = langs.zipWithIndex.map { case (l, i) =>
+        val name = s"p$i.parquet"
+        landOnePart(
+          docs.filter(col("lang") <=> l.map(lit(_)).getOrElse(lit(null)))
+            .drop("lang"), out, name)
+        name -> Map("lang" -> l)
+      }
+      graft.storage.DeltaInterop.writeCommit(out, 0L, adds = addPv.map(_._1),
+        schemaJson = Some(docs.schema.json),
+        partitionColumns = Seq("lang"), partitionValues = addPv.toMap)
+      graft.storage.IcebergInterop.convertFromDelta(s, out)
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
+    // PARTITIONED ICEBERG → DELTA CONVERSION (round 16) — q199's reverse
+    // leg over the Hive-migrated `add_files` shape: an identity-
+    // partitioned Iceberg v1 table whose data files DO NOT contain the
+    // partition column (the value exists ONLY in each manifest entry's
+    // partition struct) converts metadata-only into a partitioned Delta
+    // log, and the census reads through the DELTA bridge — the lang
+    // column is reconstructed entirely from add.partitionValues.
+    "q202_iceberg_to_delta_partitioned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(4L)) =!= 3)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("i2d_part").toString + "/t"
+      graft.storage.IcebergFixtures.writePartitionedV1(s, out, docs, "lang")
+      graft.storage.DeltaInterop.convertFromIceberg(s, out)
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // DELTA VACUUM (round 15) — the maintenance sibling of q97 (optimize)
     // and q175 (Iceberg expire): after a remove-bearing history plus a
     // planted orphan (an aborted writer's debris), vacuum at retention 0
@@ -2092,7 +2149,8 @@ object PipelineQueries {
       graft.storage.DeltaInterop.writeCommit(out, 1L,
         adds = Seq("c.parquet"), removes = Seq("a.parquet"))
       part(0, "orphan-debris.parquet") // never logged: aborted-write shape
-      val vac = graft.storage.DeltaInterop.vacuum(s, out, retentionMs = 0L)
+      val vac = graft.storage.DeltaInterop.vacuum(s, out, retentionMs = 0L,
+      disableRetentionCheck = true)
       require(vac == Seq("a.parquet", "orphan-debris.parquet"),
         s"vacuum deleted the wrong set: $vac")
       graft.storage.DeltaInterop.importSnapshot(s, out)
@@ -2385,6 +2443,30 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // AVRO MAP round trip (round 16, VERDICT r15 missing #3) — the
+    // next-most-common Kafka schema feature after nested records: a
+    // string-keyed map with NULLABLE values (props is NULL for some
+    // events — the ["null", T] union inside the map) plus an array-
+    // valued map entry shape exercised in AvroIOSpec. The census reads
+    // BOTH map entries back out by key, so a dropped entry, a key/value
+    // swap, or a lost null marker breaks the hash.
+    "q204_avro_map" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        map(lit("type"), col("event_type"), lit("props"), col("props"))
+          .as("attrs"))
+      val out = scratchDir("avro_map").toString + "/ocf"
+      val n = graft.sources.AvroIO.writeAvro(
+        ev.repartition(4, col("event_id")), out)
+      require(n == 4, s"expected 4 OCF part files, wrote $n")
+      graft.sources.AvroIO.readAvro(s, out)
+        .groupBy(element_at(col("attrs"), "type").as("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(element_at(col("attrs"), "props")).as("n_with_props"),
+          expr("bit_xor(xxhash64(concat(cast(event_id as string), ':', " +
+            "coalesce(element_at(attrs, 'props'), ''))))").as("checksum"))
+    }),
+
     // ICEBERG DELETE WRITE — the two-way leg of the v2 delete plane:
     // wave 1 lands as fixture position deletes (the q146 shape), wave 2
     // through the ENGINE's own deleteWhere (new delete parquet + content=1
@@ -2442,6 +2524,35 @@ object PipelineQueries {
       }
       graft.functions.EventAnalytics.funnelCensus(
         graft.streaming.EventAnalyticsStream.funnelServe(s, statePath, 3), 3)
+    }),
+
+    // INCREMENTAL GAP-FILL (round 16) — q170 maintained instead of
+    // recomputed (the q196/q197 pattern, closing the last event-analytics
+    // op without an incremental arm): four out-of-order waves fold into
+    // (user_id, day)-keyed state — each day's defining observation
+    // (max-event_id non-NULL-value cents) merged monotonically by
+    // event_id — and the serve runs the grid + forward-fill through the
+    // SAME gapFillDaily code path. q170's oracle verbatim: the
+    // maintenance must be invisible.
+    "q205_gapfill_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val statePath = scratchDir("gapfill_inc").toString + "/state"
+      // waves keyed on event_id % 4: wave order ≠ time order, so late
+      // batches re-define earlier days and back-date user spans
+      (0 until 4).foreach { w =>
+        graft.streaming.EventAnalyticsStream.gapFillMaintain(
+          s, statePath, ev.filter(pmod(col("event_id"), lit(4L)) === w),
+          Some(w.toLong))
+      }
+      graft.streaming.EventAnalyticsStream.gapFillServe(s, statePath)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("observed").cast("long")).as("n_event_days"),
+          sum(col("cents")).as("cents_total"),
+          expr("bit_xor(cast(unix_date(day) as bigint) * 1048573 + cents)")
+            .as("checksum"))
     }),
 
     // INCREMENTALLY-MAINTAINED retention (round 15) — q169's census
@@ -3086,6 +3197,57 @@ object PipelineQueries {
       landOnePart(docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("col-3f9a"), col("lang").as("col-71bc"),
           col("n_chars").cast("long").as("col-e204")),
+        out, "b.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 1L, adds = Seq("b.parquet"),
+        schemaJson = Some(schemaV1.json), configuration = conf)
+      graft.storage.DeltaInterop.importSnapshot(s, out)
+        .groupBy(col("language"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars"),
+          expr("bit_xor(doc_id * 1048573 + coalesce(n_chars, -1))").as("checksum"))
+    }),
+
+    // DELTA COLUMN MAPPING (id mode, round 16) — the UniForm/Iceberg-
+    // compat Delta shape (VERDICT r15 missing #2): columns resolve by
+    // PARQUET FIELD ID, never by name. The fixture's data files carry
+    // field ids but physical column NAMES that match NEITHER the logical
+    // schema NOR the metadata's physicalName (the Iceberg-imported
+    // drift), so any by-name read serves all-NULLs and breaks every
+    // aggregate — only true id resolution (parquet.field.id attached to
+    // the scan schema + Spark's native field-id matching) passes. Commit
+    // 1 renames lang -> language and widens by n_chars, both as pure
+    // metadata over immutable ids — the q192 contract under the other
+    // mapping mode, same oracle census.
+    "q203_delta_column_mapping_id" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val docs = Tables.documents(s, dir)
+      val out = scratchDir("delta_cmid").toString + "/t"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      def mf(name: String, dt: DataType, id: Long, phys: String): StructField =
+        StructField(name, dt, nullable = true, new MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build())
+      val schemaV0 = StructType(Seq(
+        mf("doc_id", LongType, 1, "col-aaaa"), mf("lang", StringType, 2, "col-bbbb")))
+      val schemaV1 = StructType(Seq(
+        mf("doc_id", LongType, 1, "col-aaaa"),
+        mf("language", StringType, 2, "col-bbbb"), // rename: same id
+        mf("n_chars", LongType, 3, "col-cccc")))
+      val conf = Map("delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.maxColumnId" -> "3")
+      def fid(id: Long): Metadata =
+        new MetadataBuilder().putLong("parquet.field.id", id).build()
+      landOnePart(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("xa_1", fid(1)), col("lang").as("xa_2", fid(2))),
+        out, "a.parquet")
+      graft.storage.DeltaInterop.writeCommit(out, 0L, adds = Seq("a.parquet"),
+        schemaJson = Some(schemaV0.json), configuration = conf,
+        protocolVersions = Some((2, 5)))
+      landOnePart(docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("yb_1", fid(1)), col("lang").as("yb_2", fid(2)),
+          col("n_chars").cast("long").as("yb_3", fid(3))),
         out, "b.parquet")
       graft.storage.DeltaInterop.writeCommit(out, 1L, adds = Seq("b.parquet"),
         schemaJson = Some(schemaV1.json), configuration = conf)
@@ -6443,6 +6605,34 @@ object PipelineQueries {
          |  CAST(2 AS BIGINT) AS n_vacuumed
          |FROM dvac9 GROUP BY lang""".stripMargin,
 
+    // partitioned Delta->Iceberg: identical census, rows carried through
+    // the identity partition spec instead of the data files
+    "q201_delta_to_iceberg_partitioned" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents WHERE doc_id % 3 <> 2
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "d2ip")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM d2ip9 GROUP BY lang""".stripMargin,
+
+    // partitioned Iceberg->Delta: lang reconstructed purely from
+    // add.partitionValues (the data files never held it)
+    "q202_iceberg_to_delta_partitioned" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents WHERE doc_id % 4 <> 3
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "i2dp")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM i2dp9 GROUP BY lang""".stripMargin,
+
     // Iceberg->Delta conversion: the conversion must be invisible over
     // the filtered corpus
     "q199_iceberg_to_delta" ->
@@ -6610,6 +6800,19 @@ object PipelineQueries {
         |  bit_xor(event_id * 1048573 + coalesce(cents, -7)) AS checksum
         |FROM v GROUP BY kind""".stripMargin,
 
+    // Avro map round trip: the bridge must be invisible — the same census
+    // straight off the parquet, keyed through the map entries
+    "q204_avro_map" ->
+      s"""WITH v AS (
+         |  SELECT event_id, event_type, props FROM events
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(event_id AS VARCHAR) || ':' || coalesce(props, '')",
+           Seq("event_id", "event_type", "props"), "avm")}
+         |SELECT event_type, count(*) AS n_events,
+         |  count(props) AS n_with_props,
+         |  bit_xor(xxh) AS checksum
+         |FROM avm9 GROUP BY event_type""".stripMargin,
+
     // Iceberg delete write: survivors of both delete waves (fixture wave
     // + the engine's own deleteWhere snapshot) — the q153 census shape
     "q167_iceberg_delete_write" ->
@@ -6643,6 +6846,32 @@ object PipelineQueries {
     // gap-fill: per-(user, day) last value by event_id (arg_max), daily
     // grid via generate_series, forward fill as an ASOF join on day
     "q170_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS day_cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |), filled AS (
+        |  SELECT g.user_id, g.day, d.day_cents AS cents,
+        |    (d.day = g.day) AS observed
+        |  FROM grid g ASOF LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day >= d.day
+        |)
+        |SELECT user_id, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_event_days,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total,
+        |  bit_xor(date_diff('day', DATE '1970-01-01', day) * 1048573 + cents)
+        |    AS checksum
+        |FROM filled GROUP BY 1""".stripMargin,
+
+    // incremental gap-fill: q170's oracle VERBATIM — the maintenance
+    // (4 out-of-order waves + keyed state) must be invisible
+    "q205_gapfill_incremental" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
         |    arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS day_cents
@@ -7481,6 +7710,21 @@ object PipelineQueries {
     // files (pre-rename included — physical names are immutable), the
     // evolved column is NULL for commit-0 rows
     "q192_delta_column_mapping" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang AS language,
+        |    CASE WHEN doc_id % 2 = 0 THEN NULL
+        |         ELSE CAST(n_chars AS BIGINT) END AS n_chars
+        |  FROM documents
+        |)
+        |SELECT language, count(*) AS n_docs,
+        |  count(n_chars) AS n_evolved,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars,
+        |  bit_xor(doc_id * 1048573 + coalesce(n_chars, -1)) AS checksum
+        |FROM v GROUP BY language""".stripMargin,
+
+    // id-mode mapping: same census — the mapping mechanics (field-id
+    // resolution vs physical names) must be invisible to the relation
+    "q203_delta_column_mapping_id" ->
       """WITH v AS (
         |  SELECT doc_id, lang AS language,
         |    CASE WHEN doc_id % 2 = 0 THEN NULL

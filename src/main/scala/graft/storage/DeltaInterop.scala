@@ -143,18 +143,35 @@ object DeltaInterop {
     * file fails on read — exactly Delta's documented trade. Returns the
     * table-relative paths deleted (or that WOULD be deleted with
     * `dryRun = true`, which never touches disk).
+    *
+    * `retentionMs` below the 7-day default is refused unless
+    * `disableRetentionCheck = true` — delta.io's
+    * `retentionDurationCheck.enabled` guard, and for the same reason: a
+    * zero window deletes an in-flight uncommitted writer's files (the
+    * orphan-by-mtime arm) and breaks every concurrent older-snapshot
+    * reader. Log paths are URL-decoded before resolution (PROTOCOL.md
+    * mandates add/remove paths be percent-encoded), so an
+    * externally-written table whose live file name contains e.g. a space
+    * keeps that file in the live set instead of losing it to the orphan
+    * arm.
     */
   def vacuum(spark: SparkSession, deltaDir: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false,
+      disableRetentionCheck: Boolean = false): Seq[String] = {
     import scala.jdk.CollectionConverters._
     require(retentionMs >= 0, s"negative retention $retentionMs")
+    require(disableRetentionCheck || retentionMs >= 7L * 24 * 3600 * 1000,
+      s"retention ${retentionMs}ms is below the 7-day default; a short " +
+        "window deletes files a concurrent older-snapshot reader or an " +
+        "in-flight writer still needs — pass disableRetentionCheck=true " +
+        "to override deliberately")
     val root = Paths.get(deltaDir).normalize()
     val logDir = root.resolve("_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $deltaDir")
     val st = resolveState(spark, root, logDir, deltaDir)
     val live: Set[Path] =
-      st.active.keysIterator.map(rel => root.resolve(rel).normalize()).toSet
+      st.active.keysIterator.map(rel => root.resolve(decodeLogPath(rel)).normalize()).toSet
     // deletionTimestamp per removed path, LATEST wins (a path re-added and
     // re-removed carries its most recent tombstone)
     val tombstones = scala.collection.mutable.Map.empty[Path, Long]
@@ -162,7 +179,7 @@ object DeltaInterop {
          line <- Files.readAllLines(commit).asScala if line.nonEmpty) {
       val node = mapper.readTree(line)
       Option(node.get("remove")).foreach { rm =>
-        val p = root.resolve(rm.get("path").asText()).normalize()
+        val p = root.resolve(decodeLogPath(rm.get("path").asText())).normalize()
         val ts = Option(rm.get("deletionTimestamp"))
           .filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
         tombstones(p) = math.max(tombstones.getOrElse(p, 0L), ts)
@@ -192,22 +209,41 @@ object DeltaInterop {
     doomed.map(p => root.relativize(p).toString)
   }
 
+  /** PROTOCOL.md mandates add/remove paths be percent-encoded relative
+    * URIs; decode before resolving against the filesystem — an encoded
+    * live path (`a%20b.parquet`) that stays raw misses the on-disk file
+    * and, in [[vacuum]], would be DELETED as an orphan. Off-spec raw
+    * paths (illegal chars, opaque scheme-looking names) fall back
+    * verbatim: for a %-free name decode is the identity either way. */
+  private def decodeLogPath(rel: String): String =
+    try {
+      val p = new java.net.URI(rel).getPath
+      if (p == null || p.isEmpty) rel else p
+    } catch { case _: java.net.URISyntaxException => rel }
+
   /** Metadata-only Iceberg → Delta conversion — [[IcebergInterop
     * .convertFromDelta]]'s reverse leg: write a v0 `_delta_log` INSIDE the
     * Iceberg table directory whose `add` actions name the live data files
     * by table-relative path. Zero data bytes move; the table then reads
     * through both bridges, and the Iceberg metadata stays authoritative
-    * for Iceberg readers. Refusals ride in [[IcebergInterop.liveSnapshot]]
-    * (partitioned specs, delete files) plus: data files OUTSIDE the table
-    * root (legal in Iceberg, unreachable by a relative Delta add) and an
-    * existing `_delta_log`.
+    * for Iceberg readers. IDENTITY-partitioned tables convert (round 16):
+    * the manifest partition structs map 1:1 onto `add.partitionValues`
+    * and the spec's source columns become the metaData's
+    * `partitionColumns` — both the engine-written shape (files carry the
+    * column; the Delta read projects it away and serves the log values)
+    * and the Hive-migrated `add_files` shape (files lack it entirely)
+    * read identically through [[importSnapshot]]. Refusals ride in
+    * [[IcebergInterop.liveSnapshot]] (non-identity transforms, partition
+    * types beyond string/int/long, delete files) plus: data files OUTSIDE
+    * the table root (legal in Iceberg, unreachable by a relative Delta
+    * add) and an existing `_delta_log`.
     */
   def convertFromIceberg(spark: SparkSession, icebergDir: String): Seq[String] = {
     val root = Paths.get(icebergDir).normalize()
     require(!Files.exists(root.resolve("_delta_log")),
       s"$icebergDir already holds a _delta_log — refusing to overwrite")
-    val (schemaJson, files) = IcebergInterop.liveSnapshot(spark, icebergDir)
-    val rels = files.map { case (abs, size) =>
+    val snap = IcebergInterop.liveSnapshot(spark, icebergDir)
+    val relPv = snap.files.map { case (abs, size, pv) =>
       val p = Paths.get(abs).normalize()
       require(p.startsWith(root),
         s"live data file outside the table root: $abs — a relative Delta " +
@@ -215,10 +251,13 @@ object DeltaInterop {
       val got = Files.size(p)
       require(got == size,
         s"size mismatch for $abs: manifest says $size bytes, disk has $got")
-      root.relativize(p).toString
+      (root.relativize(p).toString, pv)
     }
-    writeCommit(icebergDir, 0L, adds = rels, schemaJson = Some(schemaJson))
-    rels
+    writeCommit(icebergDir, 0L, adds = relPv.map(_._1),
+      schemaJson = Some(snap.schemaJson),
+      partitionColumns = snap.partitionColumns,
+      partitionValues = relPv.filter(_._2.nonEmpty).toMap)
+    relPv.map(_._1)
   }
 
   /** Import a Delta-format directory (the inverse bridge): load the base
@@ -270,14 +309,21 @@ object DeltaInterop {
     val active = st.active
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
-    // name-mode column mapping: the parquet files carry PHYSICAL names
-    // (per-field schemaString metadata); read physically, serve logically.
-    // A RENAME under name mode only rewrites the logical name in the
-    // metaData — the physical name is immutable — so pre-rename files
-    // read correctly with zero rewrite (the whole point of the mode).
-    val mapped = st.cmMode.contains("name")
+    // column mapping: the parquet files carry PHYSICAL names (per-field
+    // schemaString metadata); read physically, serve logically. A RENAME
+    // only rewrites the logical name in the metaData — the physical
+    // name/id is immutable — so pre-rename files read correctly with
+    // zero rewrite (the whole point of the mode). ID mode (round 16)
+    // rides the same path with field ids attached to the read schema and
+    // Spark's native field-id resolution switched on — set BEFORE the
+    // lazy DataFrame is built so the scan executes under it; the flag
+    // only affects requested fields that CARRY parquet.field.id
+    // metadata, so every other read in the session is untouched.
+    val mapped = st.cmMode.isDefined
+    if (st.cmMode.contains("id"))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataSchema = physicalType(
-      StructType(schema.filterNot(f => partCols.contains(f.name))), mapped)
+      StructType(schema.filterNot(f => partCols.contains(f.name))), st.cmMode)
       .asInstanceOf[StructType]
 
     val files = active.toSeq.sortBy(_._1).map { case (rel, af) =>
@@ -337,13 +383,15 @@ object DeltaInterop {
   /** The resolved LIVE state of a Delta table, for cross-format consumers
     * ([[IcebergInterop.convertFromDelta]] — the UniForm-style conversion):
     * last-wins schema JSON, partition columns, the column-mapping mode,
-    * and the active files as (absolutePath, logSize, carriesDv). Shares
-    * [[resolveState]] with the readers, so a converter can never disagree
-    * with [[importSnapshot]] about what is live.
+    * and the active files as (absolutePath, logSize, carriesDv,
+    * partitionValues). Shares [[resolveState]] with the readers, so a
+    * converter can never disagree with [[importSnapshot]] about what is
+    * live.
     */
   final case class LiveState(
       schemaJson: String, partitionColumns: Seq[String],
-      columnMappingMode: Option[String], files: Seq[(String, Long, Boolean)])
+      columnMappingMode: Option[String],
+      files: Seq[(String, Long, Boolean, Map[String, Option[String]])])
 
   def liveState(spark: SparkSession, deltaDir: String): LiveState = {
     val root = Paths.get(deltaDir)
@@ -352,7 +400,7 @@ object DeltaInterop {
     val st = resolveState(spark, root, logDir, deltaDir)
     LiveState(st.schemaJson, st.partCols, st.cmMode,
       st.active.toSeq.sortBy(_._1).map { case (rel, af) =>
-        (root.resolve(rel).toString, af.size, af.dv.isDefined)
+        (root.resolve(rel).toString, af.size, af.dv.isDefined, af.pv)
       })
   }
 
@@ -401,16 +449,14 @@ object DeltaInterop {
         st.partCols = Option(md(0).getSeq[String](1)).getOrElse(Nil)
         require(md(0).getString(2) == "parquet",
           s"unsupported format provider: ${md(0).getString(2)}")
-        // same column-mapping rule as the JSON replay path: name mode
-        // supported, id mode refused (field-id resolution out of scope)
+        // same column-mapping rule as the JSON replay path: name AND id
+        // modes supported (id resolves through Spark's native
+        // parquet.field.id matching — see physicalType)
         st.configuration = Option(md(0).getMap[String, String](3))
           .map(_.toMap.filter(_._2 != null)).getOrElse(Map.empty)
         st.cmMode = st.configuration.get("delta.columnMapping.mode")
           .filterNot(_ == "none")
-        require(!st.cmMode.contains("id"),
-          "table uses delta.columnMapping.mode=id: columns resolve by " +
-            "parquet field id, and a by-name read would silently serve " +
-            "NULLs — out of this bridge's scope (name mode is supported)")
+        gateCmMode(st.cmMode)
         if (cols.contains("protocol")) {
           val protoSchema = cp.schema("protocol").dataType
             .asInstanceOf[StructType].fieldNames.toSet
@@ -556,13 +602,23 @@ object DeltaInterop {
     */
   private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
+  /** Declared column-mapping modes this bridge reads: name + id. A mode
+    * string outside the protocol's vocabulary refuses at parse time —
+    * mis-mapping columns is the silent-NULL failure class.
+    */
+  private def gateCmMode(mode: Option[String]): Unit =
+    mode.foreach(m => require(m == "name" || m == "id",
+      s"unknown delta.columnMapping.mode '$m' — this bridge reads " +
+        "name and id modes"))
+
   private def gateProtocol(st: LogState, where: String): Unit = {
     if (st.minReader == 2) {
       // reader v2 = column mapping (PROTOCOL.md): honored iff the table
-      // declares name mode; anything else is a capability we lack
-      require(st.cmMode.contains("name"),
-        s"minReaderVersion 2 at $where without delta.columnMapping.mode=name " +
-          "— refusing rather than mis-mapping columns")
+      // declares a mode we implement (name or id)
+      require(st.cmMode.contains("name") || st.cmMode.contains("id"),
+        s"minReaderVersion 2 at $where without a supported " +
+          "delta.columnMapping.mode (name|id) — refusing rather than " +
+          "mis-mapping columns")
     } else if (st.minReader >= 3) {
       require(st.minReader == 3,
         s"minReaderVersion ${st.minReader} at $where is beyond this bridge")
@@ -590,22 +646,43 @@ object DeltaInterop {
     }
 
   /** Recursively rewrite a logical Spark type to its PHYSICAL shape under
-    * name-mode mapping: struct fields (at any depth) take their declared
+    * column mapping: struct fields (at any depth) take their declared
     * physical names; arrays/maps recurse; scalars pass through. Types are
     * never changed — only names — so the physical->logical restore is a
     * by-position struct cast.
+    *
+    * Under ID mode (`mode = Some("id")`) each field ADDITIONALLY carries
+    * its `delta.columnMapping.id` as `parquet.field.id` metadata — the
+    * key Spark's parquet reader resolves by when
+    * `spark.sql.parquet.fieldId.read.enabled` is on. That delegates the
+    * whole id-resolution contract (PROTOCOL.md "Column Mapping": id-mode
+    * columns resolve by parquet field id, never by name) to the native
+    * vectorized scan: a file whose physical NAME drifted from the
+    * metadata (an Iceberg-compat/UniForm import) still reads correctly
+    * because the immutable field id matches, and a field id absent from
+    * an older file null-fills exactly like schema evolution.
     */
   private def physicalType(
       dt: org.apache.spark.sql.types.DataType,
-      mapped: Boolean): org.apache.spark.sql.types.DataType = {
+      mode: Option[String]): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
+    val mapped = mode.isDefined
     dt match {
-      case st0: StructType => StructType(st0.fields.map(f =>
-        StructField(physicalName(f, mapped), physicalType(f.dataType, mapped),
-          f.nullable)))
-      case ArrayType(el, n) => ArrayType(physicalType(el, mapped), n)
+      case st0: StructType => StructType(st0.fields.map { f =>
+        val base = StructField(physicalName(f, mapped),
+          physicalType(f.dataType, mode), f.nullable)
+        if (mode.contains("id")) {
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"id-mapped table: field '${f.name}' carries no " +
+              "delta.columnMapping.id metadata — refusing to guess")
+          base.copy(metadata = new MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id")).build())
+        } else base
+      })
+      case ArrayType(el, n) => ArrayType(physicalType(el, mode), n)
       case MapType(k, v, n) =>
-        MapType(physicalType(k, mapped), physicalType(v, mapped), n)
+        MapType(physicalType(k, mode), physicalType(v, mode), n)
       case other => other
     }
   }
@@ -637,12 +714,14 @@ object DeltaInterop {
         val provider = md.get("format").get("provider").asText()
         require(provider == "parquet", s"unsupported format provider: $provider")
         // column mapping renames the PHYSICAL parquet columns away from the
-        // logical schema names. NAME mode is supported (every field's
-        // physical name is declared in the schemaString's per-field
-        // metadata — PROTOCOL.md "Column Mapping" — so the read maps
-        // physical -> logical deterministically and renames cost nothing);
-        // ID mode resolves by parquet field id, which this by-name bridge
-        // cannot honor — refuse loudly rather than mis-map
+        // logical schema names. NAME mode: every field's physical name is
+        // declared in the schemaString's per-field metadata — PROTOCOL.md
+        // "Column Mapping" — so the read maps physical -> logical
+        // deterministically and renames cost nothing. ID mode (round 16):
+        // columns resolve by parquet field id, which the read honors by
+        // attaching each field's delta.columnMapping.id as
+        // parquet.field.id on the scan schema (native Spark field-id
+        // resolution). Unknown future modes refuse loudly.
         st.cmMode = None
         st.configuration = Map.empty
         Option(md.get("configuration")).filterNot(_.isNull).foreach { conf =>
@@ -651,10 +730,7 @@ object DeltaInterop {
           }.toMap
           st.cmMode = st.configuration.get("delta.columnMapping.mode")
             .filterNot(_ == "none")
-          require(!st.cmMode.contains("id"),
-            "table uses delta.columnMapping.mode=id: columns resolve by " +
-              "parquet field id, and a by-name read would silently serve " +
-              "NULLs — out of this bridge's scope (name mode is supported)")
+          gateCmMode(st.cmMode)
         }
       }
       Option(node.get("add")).foreach { add =>
@@ -694,7 +770,9 @@ object DeltaInterop {
       removes: Seq[String] = Nil, schemaJson: Option[String] = None,
       dvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty,
       configuration: Map[String, String] = Map.empty,
-      protocolVersions: Option[(Int, Int)] = None): Unit = {
+      protocolVersions: Option[(Int, Int)] = None,
+      partitionColumns: Seq[String] = Nil,
+      partitionValues: Map[String, Map[String, Option[String]]] = Map.empty): Unit = {
     val root = Paths.get(deltaDir)
     val logDir = root.resolve("_delta_log")
     Files.createDirectories(logDir)
@@ -715,6 +793,11 @@ object DeltaInterop {
       "the first commit must carry schemaJson (protocol + metaData)")
     require((dvs.keySet -- adds.toSet).isEmpty,
       s"dv descriptors for paths not being added: ${(dvs.keySet -- adds.toSet).mkString(",")}")
+    require(partitionColumns.isEmpty || schemaJson.isDefined,
+      "partitionColumns ride the metaData action — pass schemaJson with them")
+    require((partitionValues.keySet -- adds.toSet).isEmpty,
+      "partitionValues for paths not being added: " +
+        (partitionValues.keySet -- adds.toSet).mkString(","))
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[com.fasterxml.jackson.databind.node.ObjectNode]
     // attaching a DV is a reader-visible capability: upgrade the protocol
@@ -744,7 +827,8 @@ object DeltaInterop {
       val fmt = md.putObject("format")
       fmt.put("provider", "parquet"); fmt.putObject("options")
       md.put("schemaString", sj)
-      md.putArray("partitionColumns")
+      val pcArr = md.putArray("partitionColumns")
+      partitionColumns.foreach(pcArr.add)
       val cfg = md.putObject("configuration")
       configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       md.put("createdTime", now)
@@ -764,7 +848,11 @@ object DeltaInterop {
       val n = mapper.createObjectNode()
       val add = n.putObject("add")
       add.put("path", rel)
-      add.putObject("partitionValues")
+      val pvObj = add.putObject("partitionValues")
+      partitionValues.getOrElse(rel, Map.empty).toSeq.sortBy(_._1).foreach {
+        case (c, Some(v)) => pvObj.put(c, v)
+        case (c, None)    => pvObj.putNull(c)
+      }
       add.put("size", Files.size(f))
       add.put("modificationTime", now)
       add.put("dataChange", true)

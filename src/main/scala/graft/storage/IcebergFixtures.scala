@@ -92,7 +92,7 @@ object IcebergFixtures {
     s
   }
 
-  private def avroTypeFor(dt: DataType): Schema = dt match {
+  private[storage] def avroTypeFor(dt: DataType): Schema = dt match {
     case StringType  => Schema.create(Schema.Type.STRING)
     case LongType    => Schema.create(Schema.Type.LONG)
     case IntegerType => Schema.create(Schema.Type.INT)

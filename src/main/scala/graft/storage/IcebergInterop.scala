@@ -262,18 +262,22 @@ object IcebergInterop {
     * readers; the Iceberg snapshot is a point-in-time view of the live
     * set at conversion.
     *
+    * PARTITIONED Delta tables convert (round 16): Delta partitioning is
+    * identity partitioning by construction, so the spec maps 1:1 — one
+    * identity field per partition column, per-file values copied from the
+    * log's `add.partitionValues` into the manifest partition structs
+    * (where Iceberg readers resolve identity values — the Hive-migrated
+    * `add_files` shape, since Delta's physical files lack the column).
+    * String/int/long partition types; others refuse.
+    *
     * Refusals (each would make the Iceberg view silently WRONG, the class
-    * this storage plane never ships): partitioned tables (Delta keeps the
-    * values in the log, not the files), column-mapped tables (physical
+    * this storage plane never ships): column-mapped tables (physical
     * names), deletion vectors (Iceberg would resurrect every masked row),
-    * and a directory already holding `metadata/`.
+    * non-string/int/long partition types, and a directory already holding
+    * `metadata/`.
     */
   def convertFromDelta(spark: SparkSession, deltaDir: String): Seq[String] = {
     val st = DeltaInterop.liveState(spark, deltaDir)
-    require(st.partitionColumns.isEmpty,
-      s"partitioned Delta table (${st.partitionColumns.mkString(",")}): the " +
-        "partition values live in the Delta log, not the parquet files — an " +
-        "Iceberg view would serve them as NULL, refusing")
     require(st.columnMappingMode.isEmpty,
       "column-mapped Delta table: the physical parquet names differ from " +
         "the logical schema — out of this converter's scope")
@@ -287,35 +291,88 @@ object IcebergInterop {
       .asInstanceOf[StructType]
     val (schemaJson, lastColumnId) = icebergSchemaJson(schema)
     val counts = footerRowCounts(spark, st.files.map(_._1))
-    writeUnpartitionedV1Meta(out, schemaJson, lastColumnId,
-      st.files.map { case (p, _, _) => (Paths.get(p), counts(p)) })
+    val partCols = st.partitionColumns
+    if (partCols.isEmpty) {
+      writeUnpartitionedV1Meta(out, schemaJson, lastColumnId,
+        st.files.map { case (p, _, _, _) => (Paths.get(p), counts(p)) })
+    } else {
+      // Delta partitioning IS identity partitioning (values live in the
+      // log's add.partitionValues, never in the files — PROTOCOL.md), so
+      // the spec translates 1:1: one identity field per partition column,
+      // per-file values copied into each manifest entry's partition
+      // struct. Iceberg readers serve identity partition columns from
+      // exactly that struct (the Hive-migrated `add_files` contract), so
+      // data files lacking the column — the Delta physical shape — read
+      // correctly with zero rewrite.
+      partCols.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"partition column '$c' names no schema column")
+        schema(c).dataType match {
+          case StringType | IntegerType | LongType => ()
+          case other => throw new IllegalArgumentException(
+            s"partition column '$c' has type $other — this converter " +
+              "translates string/int/long identity partitions only")
+        }
+      }
+      val pvTyped: (String, DataType, String) => Any = (s, dt, c) => dt match {
+        case StringType  => s
+        case IntegerType => java.lang.Integer.valueOf(s.trim.toInt)
+        case LongType    => java.lang.Long.valueOf(s.trim.toLong)
+        case other => throw new IllegalArgumentException(
+          s"partition column '$c' has type $other — this converter " +
+            "translates string/int/long identity partitions only")
+      }
+      val pStruct = IcebergFixtures.partitionStruct(
+        partCols.zipWithIndex.map { case (c, i) =>
+          (c, IcebergFixtures.avroTypeFor(schema(c).dataType), 1000 + i)
+        })
+      val specJson = partCols.zipWithIndex.map { case (c, i) =>
+        s"""{"name":"$c","transform":"identity",""" +
+          s""""source-id":${schema.fieldIndex(c) + 1},"field-id":${1000 + i}}"""
+      }.mkString("[", ",", "]")
+      val files = st.files.map { case (p, _, _, pv) =>
+        val rec = new GenericData.Record(pStruct)
+        partCols.foreach { c =>
+          val v = pv.getOrElse(c, None)
+            .map(s => pvTyped(s, schema(c).dataType, c)).orNull
+          rec.put(c, v)
+        }
+        (Paths.get(p), rec: GenericRecord, counts(p))
+      }
+      writeV1Meta(out, schemaJson, lastColumnId, specJson, pStruct, files,
+        lastPartitionId = 1000 + partCols.size - 1)
+    }
     st.files.map(f => Paths.get(f._1).toUri.toString)
   }
 
   /** The live snapshot for cross-format consumers
     * ([[DeltaInterop.convertFromIceberg]], the reverse UniForm leg):
-    * current-snapshot schema JSON (Spark form) and the live data files as
-    * (absolutePath, size). Refuses the shapes a metadata-only Delta view
-    * could not serve faithfully: partitioned specs (identity values live
-    * in the manifests, not the files; non-identity field names aren't
-    * Delta columns) and any delete files (a converted snapshot would
-    * resurrect every deleted row).
+    * current-snapshot schema JSON (Spark form), the IDENTITY partition
+    * columns (source-column names, empty when unpartitioned), and the
+    * live data files as (absolutePath, size, Delta-form partitionValues —
+    * the string serialization PROTOCOL.md mandates, None for NULL).
+    *
+    * Identity specs translate (round 16): the per-file values live in
+    * each manifest entry's partition struct (authoritative per spec) and
+    * map 1:1 onto Delta `add.partitionValues`; string/int/long types
+    * serialize losslessly. Refuses the shapes a metadata-only Delta view
+    * could not serve faithfully: NON-identity transforms (the field isn't
+    * a Delta column and the value isn't invertible), partition types
+    * beyond string/int/long, and any delete files (a converted snapshot
+    * would resurrect every deleted row).
     */
+  final case class LiveIcebergSnapshot(
+      schemaJson: String, partitionColumns: Seq[String],
+      files: Seq[(String, Long, Map[String, Option[String]])])
+
   def liveSnapshot(
-      spark: SparkSession, icebergDir: String): (String, Seq[(String, Long)]) = {
+      spark: SparkSession, icebergDir: String): LiveIcebergSnapshot = {
     val root = Paths.get(icebergDir)
     val (_, meta) = readTableMeta(root)
     val snapId = Option(meta.get("current-snapshot-id")).map(_.asLong())
       .getOrElse(throw new IllegalArgumentException(
         s"no current-snapshot-id at $icebergDir"))
     require(snapId != -1L, s"table at $icebergDir has no current snapshot")
-    val defaultSpec = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    val specFields = meta.get("partition-specs").elements().asScala
-      .find(_.get("spec-id").asInt() == defaultSpec)
-      .map(_.get("fields").size()).getOrElse(0)
-    require(specFields == 0,
-      "partitioned Iceberg table: identity values live in the manifests, " +
-        "not the files — a converted Delta view would serve NULLs, refusing")
     val schemaNode =
       if (meta.has("schemas")) {
         val cur = meta.get("current-schema-id").asInt()
@@ -324,12 +381,50 @@ object IcebergInterop {
           .getOrElse(throw new IllegalArgumentException(
             s"current-schema-id $cur not in the schemas list"))
       } else meta.get("schema")
+    val schema = sparkSchemaFrom(schemaNode)
+    val idToName: Map[Int, String] = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+
+    val defaultSpec = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val specFieldNodes = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == defaultSpec)
+      .map(_.get("fields").elements().asScala.toSeq).getOrElse(Seq.empty)
+    // (spec field name in the partition struct, Delta column = source name)
+    val identityFields: Seq[(String, String)] = specFieldNodes.map { f =>
+      val xform = f.get("transform").asText()
+      require(xform == "identity",
+        s"non-identity partition transform '$xform': the field is not a " +
+          "schema column and the value is not invertible (spec 'Partition " +
+          "Transforms') — a converted Delta view cannot carry it, refusing")
+      val srcId = f.get("source-id").asInt()
+      val srcName = idToName.getOrElse(srcId, throw new IllegalArgumentException(
+        s"partition field '${f.get("name").asText()}' sources unknown " +
+          s"schema field id $srcId — refusing"))
+      (f.get("name").asText(), srcName)
+    }
+    identityFields.foreach { case (_, src) =>
+      schema(src).dataType match {
+        case StringType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"partition column '$src' has type $other — this converter " +
+            "serializes string/int/long Delta partitionValues only")
+      }
+    }
     val (live, deletes) = liveFiles(root, meta, snapId)
     require(deletes.isEmpty,
       "table carries delete files: a converted snapshot of the raw data " +
         "files would resurrect every deleted row — compact first")
-    (sparkSchemaFrom(schemaNode).json,
-      live.map(lf => (resolve(root, lf.path).toString, lf.size)))
+    val files = live.map { lf =>
+      val pv: Map[String, Option[String]] = identityFields.map {
+        case (specName, src) =>
+          src -> (lf.partition.getOrElse(specName, null) match {
+            case null => None
+            case v    => Some(v.toString) // String / Int / Long all verbatim
+          })
+      }.toMap
+      (resolve(root, lf.path).toString, lf.size, pv)
+    }
+    LiveIcebergSnapshot(schema.json, identityFields.map(_._2), files)
   }
 
   /** The shared v1 unpartitioned metadata tail (spec "Table Metadata"):
@@ -340,23 +435,39 @@ object IcebergInterop {
     */
   private def writeUnpartitionedV1Meta(out: Path, schemaJson: String,
       lastColumnId: Int, files: Seq[(Path, Long)]): Unit = {
+    val pStruct = IcebergFixtures.partitionStruct(Nil)
+    writeV1Meta(out, schemaJson, lastColumnId, "[]", pStruct,
+      files.map { case (f, n) => (f, new GenericData.Record(pStruct), n) },
+      lastPartitionId = 999)
+  }
+
+  /** The shared v1 metadata tail for conversions (spec "Table Metadata"):
+    * one ADDED-status manifest over `files` (absolute-URI file_path,
+    * partition record matching `pStruct`, row count), a one-row manifest
+    * list, the metadata JSON (spec fields from `specJson`) and the
+    * HadoopTables version hint. Partition-aware superset of the
+    * unpartitioned tail [[exportSnapshot]]/[[convertFromDelta]] always
+    * wrote; identity specs land here from partitioned Delta tables.
+    */
+  private def writeV1Meta(out: Path, schemaJson: String,
+      lastColumnId: Int, specJson: String, pStruct: Schema,
+      files: Seq[(Path, GenericRecord, Long)], lastPartitionId: Int): Unit = {
     val metaDir = out.resolve("metadata")
     Files.createDirectories(metaDir)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val now = System.currentTimeMillis()
+    val eSchema = IcebergFixtures.entrySchema(pStruct, v2 = false)
 
     // manifest: one entry per data file, status 1 = ADDED in this snapshot
-    val entries = files.map { case (f, n) =>
-      val df = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+    val entries = files.map { case (f, part, n) =>
+      val df = new GenericData.Record(eSchema.getField("data_file").schema())
       df.put("file_path", f.toUri.toString)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(
-        df.getSchema.getField("partition").schema()))
+      df.put("partition", part)
       df.put("record_count", n)
       df.put("file_size_in_bytes", Files.size(f))
       df.put("block_size_in_bytes", 64L * 1024 * 1024)
-      val e = new GenericData.Record(manifestEntrySchema)
+      val e = new GenericData.Record(eSchema)
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
       e.put("data_file", df)
@@ -364,9 +475,9 @@ object IcebergInterop {
     }
     val manifestPath = metaDir.resolve(
       s"${java.util.UUID.nameUUIDFromBytes(schemaJson.getBytes("UTF-8"))}-m0.avro")
-    writeAvro(manifestPath, manifestEntrySchema, entries, Map(
+    writeAvro(manifestPath, eSchema, entries, Map(
       "schema" -> schemaJson,
-      "partition-spec" -> "[]",
+      "partition-spec" -> specJson,
       "partition-spec-id" -> "0",
       "format-version" -> "1"))
 
@@ -379,7 +490,7 @@ object IcebergInterop {
     mf.put("added_data_files_count", files.size)
     mf.put("existing_data_files_count", 0)
     mf.put("deleted_data_files_count", 0)
-    mf.put("added_rows_count", files.map(_._2).sum)
+    mf.put("added_rows_count", files.map(_._3).sum)
     mf.put("existing_rows_count", 0L)
     mf.put("deleted_rows_count", 0L)
     val manifestListPath = metaDir.resolve(s"snap-$snapshotId-1-graft.avro")
@@ -394,13 +505,15 @@ object IcebergInterop {
     root.put("last-updated-ms", now)
     root.put("last-column-id", lastColumnId)
     root.set[com.fasterxml.jackson.databind.JsonNode]("schema", mapper.readTree(schemaJson))
-    root.putArray("partition-spec")
+    root.set[com.fasterxml.jackson.databind.JsonNode]("partition-spec",
+      mapper.readTree(specJson))
     val specs = root.putArray("partition-specs")
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
+    spec0.set[com.fasterxml.jackson.databind.JsonNode]("fields",
+      mapper.readTree(specJson))
     root.put("default-spec-id", 0)
-    root.put("last-partition-id", 999)
+    root.put("last-partition-id", lastPartitionId)
     root.putObject("properties")
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")

@@ -994,6 +994,22 @@ class FunctionsSpec extends SparkSpec {
       Similarity.binaryQuantTopK(big, "vec_id", big, "vec_id", "v", m = 2, k = 1)
     }
     assert(ex.getMessage.contains("80 dims"))
+    // RAGGED column: a compliant FIRST row must not mask a later oversized
+    // vector (ADVICE r15 — the guard aggregates max(size) over the side)
+    val ragged = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(80)(-0.5f)))
+      .toDF("vec_id", "v")
+    val exR = intercept[IllegalArgumentException] {
+      Similarity.binaryQuantTopK(ragged, "vec_id", ragged, "vec_id", "v", m = 2, k = 1)
+    }
+    assert(exR.getMessage.contains("80 dims"))
+    // a NULL vector row neither NPEs nor trips the guard
+    val withNull = Seq((1L, Array.fill(8)(0.5f)), (2L, null: Array[Float]),
+      (3L, Array.fill(8)(1f))).toDF("vec_id", "v")
+    assert(Similarity.binaryQuantTopK(withNull.filter(col("v").isNotNull),
+      "vec_id", withNull.filter(col("v").isNotNull), "vec_id", "v",
+      m = 2, k = 1).count() >= 1)
+    assert(Similarity.binaryQuantTopK(withNull, "vec_id",
+      withNull, "vec_id", "v", m = 2, k = 1).count() >= 1)
   }
 
   test("binaryQuantTopK: codes/hamming/dot match a driver bit reference; rank order exact") {

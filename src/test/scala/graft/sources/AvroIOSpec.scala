@@ -101,11 +101,90 @@ class AvroIOSpec extends SparkSpec {
 
   test("out-of-scope Spark types refuse loudly, naming the field") {
     import spark.implicits._
-    val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    // Avro maps are string-keyed by definition: an int-keyed map refuses
+    val df = Seq((1L, Map(1 -> "a"))).toDF("id", "m")
     val e = intercept[IllegalArgumentException] {
       AvroIO.writeAvro(df, tmp())
     }
-    assert(e.getMessage.contains("'m'"))
+    assert(e.getMessage.contains("'m'") && e.getMessage.contains("string-keyed"))
+    val df2 = Seq((1L, BigDecimal(1))).toDF("id", "d")
+    val e2 = intercept[IllegalArgumentException] {
+      AvroIO.writeAvro(df2, tmp())
+    }
+    assert(e2.getMessage.contains("'d'"))
+  }
+
+  test("string-keyed maps round-trip, nullable values and record values included") {
+    import spark.implicits._
+    val rows = Seq(
+      Row(1L, Map("a" -> "x", "b" -> null)),
+      Row(2L, Map.empty[String, String]),
+      Row(3L, null))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType, StringType, valueContainsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp()
+    AvroIO.writeAvro(df, dir)
+    val back = AvroIO.readAvro(spark, dir)
+    assert(back.schema == schema)
+    val got = back.collect().map(r =>
+      (r.getLong(0), Option(r.getMap[String, String](1)).map(_.toMap))).toSet
+    assert(got == Set((1L, Some(Map("a" -> "x", "b" -> null))),
+      (2L, Some(Map.empty[String, String])), (3L, None)))
+    // map of RECORDS: values are nested structs (the Kafka header shape)
+    val rows2 = Seq(Row(1L, Map("u" -> Row("en", 10L), "v" -> Row("de", 20L))))
+    val inner = StructType(Seq(StructField("lang", StringType),
+      StructField("n", LongType)))
+    val schema2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType, inner, valueContainsNull = false))))
+    val dir2 = tmp()
+    AvroIO.writeAvro(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows2, 1), schema2), dir2)
+    val b2 = AvroIO.readAvro(spark, dir2)
+      .select(col("id"), element_at(col("m"), "v").getField("n").as("vn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b2 == Set((1L, 20L)))
+  }
+
+  test("enum reads as its symbol string, fixed reads as binary (externally-written OCF)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val s = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"color","type":{"type":"enum","name":"Color",
+        |  "symbols":["RED","GREEN","BLUE"]}},
+        |{"name":"fp","type":{"type":"fixed","name":"Fp8","size":8}}]}"""
+        .stripMargin)
+    val dir = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val f = new java.io.File(dir, "part-00000.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
+    w.create(s, f)
+    val colorSchema = s.getField("color").schema()
+    val fpSchema = s.getField("fp").schema()
+    try (0 until 6).foreach { i =>
+      val rec = new GenericData.Record(s)
+      rec.put("id", i.toLong)
+      rec.put("color", new GenericData.EnumSymbol(colorSchema,
+        Seq("RED", "GREEN", "BLUE")(i % 3)))
+      rec.put("fp", new GenericData.Fixed(fpSchema,
+        java.nio.ByteBuffer.allocate(8).putLong(i.toLong * 7).array()))
+      w.append(rec)
+    } finally w.close()
+    val back = AvroIO.readAvro(spark, dir)
+    assert(back.schema("color").dataType == StringType)
+    assert(back.schema("fp").dataType == BinaryType)
+    val got = back.collect().map { r =>
+      (r.getLong(0), r.getString(1),
+        java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](2)).getLong)
+    }.toSet
+    assert(got == (0 until 6).map(i =>
+      (i.toLong, Seq("RED", "GREEN", "BLUE")(i % 3), i.toLong * 7)).toSet)
   }
 
   test("illegal Avro field names refuse rather than silently rewrite") {
@@ -140,11 +219,14 @@ class AvroIOSpec extends SparkSpec {
         |{"name":"u","type":["int","string"]}]}""".stripMargin)
     val e = intercept[IllegalArgumentException] { AvroIO.toSparkSchema(s) }
     assert(e.getMessage.contains("'u'"))
+    // enum/fixed are IN scope since round 16: enum narrows to its symbol
+    // string, fixed to binary — both stated in the schema mapping
     val s2 = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"r","fields":[
-        |{"name":"e","type":{"type":"enum","name":"en","symbols":["A"]}}]}""".stripMargin)
-    val e2 = intercept[IllegalArgumentException] { AvroIO.toSparkSchema(s2) }
-    assert(e2.getMessage.contains("'e'"))
+        |{"name":"e","type":{"type":"enum","name":"en","symbols":["A"]}},
+        |{"name":"f","type":{"type":"fixed","name":"fx","size":4}}]}""".stripMargin)
+    val st2 = AvroIO.toSparkSchema(s2)
+    assert(st2("e").dataType == StringType && st2("f").dataType == BinaryType)
   }
 
   test("deflate actually compresses: OCF bytes well under the raw payload") {

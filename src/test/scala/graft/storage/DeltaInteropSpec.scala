@@ -197,26 +197,71 @@ class DeltaInteropSpec extends SparkSpec {
         .putLong("delta.columnMapping.id", id)
         .putString("delta.columnMapping.physicalName", phys).build())
 
-  test("id-mode column mapping refuses on import (field-id resolution out of scope)") {
+  test("id-mode column mapping: columns resolve by parquet field id (names match " +
+      "NOTHING); rename is metadata-only; configuration survives a checkpoint") {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val out = tmp("delta_cmid_")
-    val f1 = Paths.get(out, "a.parquet")
-    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.mode("overwrite")
-      .parquet(out + "_w")
-    val part = Files.list(Paths.get(out + "_w")).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).next()
-    Files.copy(part, f1)
-    val logDir = Paths.get(out, "_delta_log"); Files.createDirectories(logDir)
-    val schemaJson = Seq((1L, "a")).toDF("id", "v").schema.json
-      .replace("\"", "\\\"")
-    Files.write(logDir.resolve("00000000000000000000.json"),
-      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
-          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}
-          |{"add":{"path":"a.parquet","partitionValues":{},"size":${Files.size(f1)},"modificationTime":0,"dataChange":true}}
-          |""".stripMargin).getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.importSnapshot(spark, out).collect()
+    def fid(id: Long): Metadata =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // the data files' physical column names ('w*') match neither the
+    // logical schema nor the metadata physicalName ('col-p*') — the
+    // Iceberg-compat drift — so only FIELD-ID resolution can read them;
+    // the nested struct proves ids resolve at depth too
+    def physDf(rows: Seq[(Long, String, Long)]) = rows.toDF("a", "b", "c")
+      .select(col("a").as("w1", fid(1)), col("b").as("w2", fid(2)),
+        struct(col("c").as("wn", fid(4))).as("w3", fid(3)))
+    val nested = StructType(Seq(mappedField("inner", LongType, 4, "col-n1")))
+    val v0 = StructType(Seq(
+      mappedField("doc_id", LongType, 1, "col-p1"),
+      mappedField("lang", StringType, 2, "col-p2"),
+      mappedField("s", nested, 3, "col-p3")))
+    val v1 = StructType(Seq(
+      mappedField("doc_id", LongType, 1, "col-p1"),
+      mappedField("language", StringType, 2, "col-p2"), // rename, same id
+      mappedField("s", nested, 3, "col-p3")))
+    val conf = Map("delta.columnMapping.mode" -> "id",
+      "delta.columnMapping.maxColumnId" -> "4")
+    onePartFile(physDf(Seq((1L, "en", 10L), (2L, "de", 20L))),
+      Paths.get(out, "a.parquet"))
+    DeltaInterop.writeCommit(out, 0L, adds = Seq("a.parquet"),
+      schemaJson = Some(v0.json), configuration = conf,
+      protocolVersions = Some((2, 5)))
+    onePartFile(physDf(Seq((3L, "fr", 30L))), Paths.get(out, "b.parquet"))
+    DeltaInterop.writeCommit(out, 1L, adds = Seq("b.parquet"),
+      schemaJson = Some(v1.json), configuration = conf)
+    def readAll() = {
+      val df = DeltaInterop.importSnapshot(spark, out)
+      assert(df.schema.fieldNames.toSeq == Seq("doc_id", "language", "s"))
+      df.select(col("doc_id"), col("language"), col("s.inner")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     }
-    assert(e.getMessage.contains("field id"), e.getMessage)
+    val want = Set((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L))
+    assert(readAll() == want)
+    // checkpoint, drop the JSON commits: the id mode must ride in the
+    // checkpoint metaData or the re-read would resolve by (wrong) names
+    DeltaInterop.writeCheckpoint(spark, out, 1L)
+    Files.delete(Paths.get(out, "_delta_log", "00000000000000000000.json"))
+    Files.delete(Paths.get(out, "_delta_log", "00000000000000000001.json"))
+    assert(readAll() == want)
+    // a field missing its declared id refuses rather than guessing
+    val bare = StructType(Seq(StructField("doc_id", LongType),
+      StructField("language", StringType)))
+    val logDir = Paths.get(out, "_delta_log")
+    val cp = spark.read.parquet(logDir.resolve(
+      f"${1L}%020d.checkpoint.parquet").toString)
+    assert(cp.filter(col("metaData").isNotNull).count() == 1) // sanity
+    val outBad = tmp("delta_cmid_bad_")
+    onePartFile(physDf(Seq((1L, "en", 10L))).select(col("w1"), col("w2")),
+      Paths.get(outBad, "a.parquet"))
+    DeltaInterop.writeCommit(outBad, 0L, adds = Seq("a.parquet"),
+      schemaJson = Some(bare.json),
+      configuration = Map("delta.columnMapping.mode" -> "id"),
+      protocolVersions = Some((2, 5)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.importSnapshot(spark, outBad).collect()
+    }
+    assert(e.getMessage.contains("delta.columnMapping"), e.getMessage)
   }
 
   test("minReaderVersion 2 without name-mode mapping refuses (capability we lack)") {
@@ -487,7 +532,7 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("missing"))
   }
 
-  test("convertFromIceberg: in-place _delta_log, both bridges agree, partitioned refuses") {
+  test("convertFromIceberg: in-place _delta_log, both bridges agree, identity partitions convert") {
     val root = tmp("i2d_")
     val tab = root + "/t"
     val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
@@ -506,13 +551,31 @@ class DeltaInteropSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(viaDelta == df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
     assert(viaDelta == viaIceberg)
-    // partitioned Iceberg tables refuse: the values live in the manifests
+    // identity-partitioned Iceberg tables CONVERT (round 16): the fixture
+    // is the Hive-migrated shape — data files LACK the partition column,
+    // the value (NULL included) lives only in the manifest partition
+    // structs — so the Delta read reconstructs it entirely from
+    // add.partitionValues
     val pfix = tmp("i2d_part_")
-    IcebergFixtures.writePartitionedV1(spark, pfix,
-      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "v", "pl"), "pl")
+    val pdf = Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", null))
+      .toDF("id", "v", "pl")
+    IcebergFixtures.writePartitionedV1(spark, pfix, pdf, "pl")
+    DeltaInterop.convertFromIceberg(spark, pfix)
+    def rows3(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("v"), col("pl"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val wantP = Set((1L, "a", "en"), (2L, "b", "de"), (3L, "c", null: String))
+    assert(rows3(DeltaInterop.importSnapshot(spark, pfix)) == wantP)
+    assert(rows3(IcebergInterop.importSnapshot(spark, pfix)) == wantP,
+      "both bridges must agree on the partitioned table")
+    // non-identity transforms still refuse: the field is not a column
+    val xfix = tmp("i2d_xform_")
+    IcebergFixtures.writeTransformPartitionedV1(spark, xfix,
+      Seq((1L, "en"), (2L, "de")).toDF("id", "lang"),
+      Seq(("id_bucket", "bucket[4]", "id", pmod(col("id"), lit(4L)).cast("int"))))
     val e = intercept[IllegalArgumentException](
-      DeltaInterop.convertFromIceberg(spark, pfix))
-    assert(e.getMessage.contains("partitioned"))
+      DeltaInterop.convertFromIceberg(spark, xfix))
+    assert(e.getMessage.contains("non-identity"))
   }
 
   test("vacuum: retention window honored, dryRun touches nothing, live files survive") {
@@ -531,12 +594,14 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.vacuum(spark, out) == Nil)
     assert(Files.exists(Paths.get(out, "a.parquet")))
     // dryRun at retention 0: names both, deletes neither
-    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L, dryRun = true)
+    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L, dryRun = true,
+      disableRetentionCheck = true)
       == Seq("a.parquet", "orphan.parquet"))
     assert(Files.exists(Paths.get(out, "a.parquet"))
       && Files.exists(Paths.get(out, "orphan.parquet")))
     // real vacuum: exactly those two go, the live set + log stay intact
-    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L)
+    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L,
+      disableRetentionCheck = true)
       == Seq("a.parquet", "orphan.parquet"))
     assert(!Files.exists(Paths.get(out, "a.parquet"))
       && !Files.exists(Paths.get(out, "orphan.parquet")))
@@ -544,7 +609,40 @@ class DeltaInteropSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == (11L to 30L).map(i => (i, s"v$i")).toSet)
     // idempotent: a second vacuum finds nothing
-    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L) == Nil)
+    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L,
+      disableRetentionCheck = true) == Nil)
+    // sub-default retention without the explicit override refuses — a
+    // zero window deletes an in-flight writer's files (ADVICE r15)
+    val eR = intercept[IllegalArgumentException](
+      DeltaInterop.vacuum(spark, out, retentionMs = 0L))
+    assert(eR.getMessage.contains("disableRetentionCheck"))
+  }
+
+  test("vacuum: percent-encoded live paths resolve to the on-disk file (never orphaned)") {
+    // PROTOCOL.md mandates add/remove paths be URL-encoded; an externally
+    // written table whose live file name contains a space logs it as
+    // 'a%20b.parquet'. Before r16 the raw path missed the on-disk file,
+    // it fell out of the live set, and vacuum DELETED a live file.
+    val out = tmp("vac_enc_") + "/t"
+    Files.createDirectories(Paths.get(out))
+    val df = (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v")
+    onePartFile(df, Paths.get(out, "a b.parquet"))
+    val log = Paths.get(out, "_delta_log")
+    Files.createDirectories(log)
+    val actions = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${
+        com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(df.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"a%20b.parquet","partitionValues":{},"size":${
+        Files.size(Paths.get(out, "a b.parquet"))},"modificationTime":0,"dataChange":true}}""")
+    Files.write(log.resolve("00000000000000000000.json"),
+      actions.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // even at retention 0 the encoded live file survives: it decodes into
+    // the live set instead of looking like never-logged debris
+    assert(DeltaInterop.vacuum(spark, out, retentionMs = 0L,
+      disableRetentionCheck = true) == Nil)
+    assert(Files.exists(Paths.get(out, "a b.parquet")))
   }
 
   test("refuses to clobber an existing _delta_log") {

@@ -212,6 +212,72 @@ class IcebergInteropSpec extends SparkSpec {
     assert(eDv.getMessage.contains("deletion vectors"))
   }
 
+  test("convertFromDelta: identity-partitioned table converts, values ride the manifests, both bridges agree") {
+    val out = tmp("d2i_p_") + "/t"
+    Files.createDirectories(Paths.get(out))
+    def onePart(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val t = Files.createTempDirectory("d2i_pp_")
+      df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+      val part = Files.list(t).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(part, Paths.get(out, name))
+      ()
+    }
+    // the true Delta physical shape: data files LACK the partition column
+    val df = Seq((1L, "x", "en"), (2L, "y", "en"), (3L, "z", "de"),
+      (4L, "w", null)).toDF("id", "v", "lang")
+    val schemaJson = df.schema.json
+    Seq(("en", "p0.parquet"), ("de", "p1.parquet"), (null, "p2.parquet"))
+      .foreach { case (l, n) =>
+        onePart(df.filter(col("lang") <=> lit(l)).drop("lang"), n)
+      }
+    DeltaInterop.writeCommit(out, 0L,
+      adds = Seq("p0.parquet", "p1.parquet", "p2.parquet"),
+      schemaJson = Some(schemaJson), partitionColumns = Seq("lang"),
+      partitionValues = Map(
+        "p0.parquet" -> Map("lang" -> Some("en")),
+        "p1.parquet" -> Map("lang" -> Some("de")),
+        "p2.parquet" -> Map("lang" -> None)))
+    val sizesBefore = Seq("p0", "p1", "p2")
+      .map(n => Files.size(Paths.get(out, s"$n.parquet")))
+    IcebergInterop.convertFromDelta(spark, out)
+    assert(Seq("p0", "p1", "p2").map(n =>
+      Files.size(Paths.get(out, s"$n.parquet"))) == sizesBefore,
+      "metadata-only: zero data bytes move")
+    def rows3(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id"), col("v"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = Set((1L, "x", "en"), (2L, "y", "en"), (3L, "z", "de"),
+      (4L, "w", null: String))
+    assert(rows3(IcebergInterop.importSnapshot(spark, out)) == want,
+      "identity values must serve from the manifest partition structs")
+    assert(rows3(DeltaInterop.importSnapshot(spark, out)) == want,
+      "the Delta log stays authoritative for Delta readers")
+    // the written spec is a real identity spec over the source column
+    val meta = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")), "UTF-8")
+    assert(meta.contains("\"transform\":\"identity\"") ||
+      meta.contains("\"transform\" : \"identity\""))
+    // unsupported partition type refuses loudly (date → not silently NULL)
+    val outD = tmp("d2i_pd_") + "/t"
+    Files.createDirectories(Paths.get(outD))
+    val dd = Seq((1L, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "day")
+    locally {
+      val t = Files.createTempDirectory("d2i_pd_part_")
+      dd.drop("day").coalesce(1).write.mode("overwrite").parquet(t.toString)
+      val part = Files.list(t).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(part, Paths.get(outD, "d0.parquet"))
+    }
+    DeltaInterop.writeCommit(outD, 0L, adds = Seq("d0.parquet"),
+      schemaJson = Some(dd.schema.json), partitionColumns = Seq("day"),
+      partitionValues = Map("d0.parquet" -> Map("day" -> Some("2024-01-01"))))
+    val eT = intercept[IllegalArgumentException](
+      IcebergInterop.convertFromDelta(spark, outD))
+    assert(eT.getMessage.contains("string/int/long"))
+  }
+
   test("non-identity transforms import when the files carry the source columns (bucket+truncate)") {
     val df = Seq((1L, "en", "x"), (2L, "de", "y"), (3L, "en", "z"),
       (4L, "fr", "w"), (5L, "de", "q")).toDF("id", "lang", "txt")

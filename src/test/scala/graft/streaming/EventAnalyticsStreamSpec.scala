@@ -115,4 +115,59 @@ class EventAnalyticsStreamSpec extends SparkSpec {
     val gotR = retMap(EventAnalyticsStream.retentionServe(spark, root + "/retention"))
     assert(gotR == wantR)
   }
+
+  test("gapFill: stream ≡ batch after every out-of-order wave; replay is a no-op") {
+    import scala.util.Random
+    val rnd = new Random(77)
+    // events with VALUE (nullable — a NULL value never defines a day)
+    val rows = (0 until 600).map { i =>
+      val u = rnd.nextInt(12).toLong
+      val day = rnd.nextInt(20).toLong
+      val v: java.lang.Double =
+        if (rnd.nextInt(7) == 0) null else rnd.nextInt(10000) / 100.0
+      (i.toLong, u, 86400000000L * day + rnd.nextInt(86400) * 1000000L, v)
+    }
+    def mk(rs: Seq[(Long, Long, Long, java.lang.Double)]) =
+      rs.toDF("event_id", "user_id", "us", "value")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("us")).as("ts"), col("value"))
+    def gfMap(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getDate(1).toString) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3))
+    }.toMap
+    val statePath = Files.createTempDirectory("graft_gf_").toString + "/state"
+    // wave key = event_id % 3: arrival order ≠ time order (late waves
+    // back-date spans and re-define earlier days by higher event_id)
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, java.lang.Double)]
+    (0 until 3).foreach { w =>
+      val wave = rows.filter(_._1 % 3 == w)
+      seen ++= wave
+      EventAnalyticsStream.gapFillMaintain(spark, statePath, mk(wave.toSeq),
+        Some(w.toLong))
+      val got = gfMap(EventAnalyticsStream.gapFillServe(spark, statePath))
+      val want = gfMap(EventAnalytics.gapFillDaily(mk(seen.toSeq)))
+      assert(got == want, s"wave $w diverged from batch")
+    }
+    // replayed batchId is a no-op (exactly-once)
+    EventAnalyticsStream.gapFillMaintain(spark, statePath,
+      mk(rows.filter(_._1 % 3 == 2)), Some(2L))
+    assert(gfMap(EventAnalyticsStream.gapFillServe(spark, statePath))
+      == gfMap(EventAnalytics.gapFillDaily(mk(rows))))
+  }
+
+  test("funnelMaintain refuses duplicate step names (stream would diverge from batch)") {
+    // batch funnel matches an event type at EVERY step holding it; the
+    // incremental state keys each event to ONE step index — the repeated-
+    // step shape cannot be maintained faithfully, so it refuses loudly
+    // (ADVICE r15) instead of silently diverging.
+    val root = Files.createTempDirectory("graft_eas_dup_").toString
+    val batch = mkEvents(Seq((1L, 1L, "view", 1000L), (2L, 1L, "view", 2000L),
+      (3L, 1L, "purchase", 3000L)))
+    val e = intercept[IllegalArgumentException] {
+      EventAnalyticsStream.funnelMaintain(spark, root + "/funnel", batch,
+        Seq("view", "view", "purchase"), windowUs = 10000000L)
+    }
+    assert(e.getMessage.contains("duplicate step names"))
+  }
 }

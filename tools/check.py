@@ -100,6 +100,17 @@ def canon(rows, cols, types):
     return sorted(cols), [norm_type(types[i]) for i in order], out
 
 fails = 0
+# Per-query gate record (verdict r15 what's-wrong #1: the driver's
+# CORRECTNESS_r15.json scrape landed empty, leaving the round with no
+# committed correctness record). When GRAFT_GATE_JSON is set, every
+# query's verdict is dumped there so tools/roundcheck.sh can commit a
+# GATE_rN.json regardless of any driver-side scrape failure.
+gate = {}
+def record(name, status, rows=None, detail=None):
+    e = {"status": status}
+    if rows is not None: e["rows"] = rows
+    if detail: e["detail"] = str(detail)[:300]
+    gate[name] = e
 # Queries that ERRORED inside Verify write no output dir at all, which
 # silently looked like "nothing to compare" (bit a broken q136 once):
 # surface them from the manifest Verify always writes.
@@ -108,6 +119,7 @@ if os.path.exists(mpath):
     manifest = json.load(open(mpath))
     for q, err in sorted(manifest.get("failures", {}).items()):
         print(f"{q}: VERIFY ERROR {str(err)[:200]}")
+        record(q, "verify_error", detail=err)
         fails += 1
 
 for name in sorted(os.listdir(out_dir)):
@@ -116,7 +128,7 @@ for name in sorted(os.listdir(out_dir)):
     recycle()
     files = glob.glob(f"{d}/*.parquet")
     if not files:
-        print(f"{name}: NO OUTPUT"); fails += 1; continue
+        print(f"{name}: NO OUTPUT"); record(name, "no_output"); fails += 1; continue
     gsql = f"SELECT * FROM read_parquet('{d}/*.parquet')"
     got = con.execute(gsql)
     gcols = [c[0] for c in got.description]
@@ -127,10 +139,12 @@ for name in sorted(os.listdir(out_dir)):
     if dec_cols:
         print(f"{name}: DECIMAL OUTPUT COLUMN {dec_cols} — driver hash can never match "
               f"fixed-scale decimals; CAST the final column to DOUBLE on both engines")
+        record(name, "decimal_output", detail=dec_cols)
         fails += 1
         continue
     if name not in oracle:
         print(f"{name}: rows-only ({len(grows)} rows)" + (" FAIL(empty)" if not grows else ""))
+        record(name, "rows_only" if grows else "rows_only_empty", rows=len(grows))
         if not grows: fails += 1
         continue
     try:
@@ -140,24 +154,44 @@ for name in sorted(os.listdir(out_dir)):
         etmap = exact_types(f"({oracle[name]})")
         etypes = [etmap.get(c) for c in ecols]
     except Exception as e:
-        print(f"{name}: ORACLE ERROR {str(e)[:200]}"); fails += 1; continue
+        print(f"{name}: ORACLE ERROR {str(e)[:200]}")
+        record(name, "oracle_error", detail=e); fails += 1; continue
     gc, gt, gr = canon(grows, gcols, gtypes)
     ec, et, er = canon(erows, ecols, etypes)
     if gc != ec:
-        print(f"{name}: SCHEMA MISMATCH spark={gc} duck={ec}"); fails += 1; continue
+        print(f"{name}: SCHEMA MISMATCH spark={gc} duck={ec}")
+        record(name, "schema_mismatch", detail=f"spark={gc} duck={ec}"); fails += 1; continue
     if gt != et:
         print(f"{name}: COLUMN TYPE MISMATCH\n  spark: {list(zip(gc, gt))}\n  duck : {list(zip(ec, et))}")
+        record(name, "type_mismatch", detail=f"spark={list(zip(gc, gt))} duck={list(zip(ec, et))}")
         fails += 1; continue
     if len(gr) != len(er):
-        print(f"{name}: ROWCOUNT {len(gr)} vs {len(er)}"); fails += 1
+        print(f"{name}: ROWCOUNT {len(gr)} vs {len(er)}")
+        record(name, "rowcount_mismatch", rows=len(gr),
+               detail=f"spark={len(gr)} duck={len(er)}"); fails += 1
         for a in gr[:3]: print("  spark:", a)
         for b in er[:3]: print("  duck :", b)
         continue
     bad = [(a, b) for a, b in zip(gr, er) if a != b]
     if bad:
         print(f"{name}: {len(bad)}/{len(gr)} VALUE DIFFS; first: \n  spark: {bad[0][0]}\n  duck : {bad[0][1]}")
+        record(name, "value_diffs", rows=len(gr), detail=f"{len(bad)}/{len(gr)} diffs")
         fails += 1
     else:
         print(f"{name}: OK ({len(gr)} rows)")
+        record(name, "ok", rows=len(gr))
 print("FAILURES:", fails)
+gate_path = os.environ.get("GRAFT_GATE_JSON")
+if gate_path:
+    import datetime
+    doc = {"sf_dir": sf_dir, "out_dir": out_dir, "failures": fails,
+           "n_queries": len(gate),
+           "n_ok": sum(1 for e in gate.values() if e["status"] in ("ok", "rows_only")),
+           "generated_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+           "queries": gate}
+    if os.path.exists(mpath):
+        doc["corpus_fingerprint"] = json.load(open(mpath)).get("corpus")
+    with open(gate_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"gate record -> {gate_path}")
 sys.exit(1 if fails else 0)

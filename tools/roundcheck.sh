@@ -9,6 +9,13 @@ cd "$(dirname "$0")/.."
 
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT="${2:-/tmp/graft_roundcheck}"
+# Optional round tag: `tools/roundcheck.sh <sf_dir> <out> 16` commits the
+# per-query gate record as GATE_r16.json in the repo root, so a failed
+# driver-side CORRECTNESS scrape (r15: landed as `{}`) never again leaves
+# a round without its correctness record.
+ROUND="${3:-}"
+GATE_JSON=""
+if [ -n "$ROUND" ]; then GATE_JSON="$(pwd)/GATE_r${ROUND}.json"; fi
 
 # xxh64Cte-chain oracles plan at ~30k memory mappings each; the default
 # vm.max_map_count (65530) makes DuckDB's mmap fail intermittently as
@@ -26,4 +33,8 @@ echo "== corpus fingerprint =="
 python3 -c "import json; print(json.dumps(json.load(open('$OUT/verify_manifest.json')), indent=1))"
 
 echo "== duckdb oracle compare =="
-python3 tools/check.py "$SF_DIR" "$OUT" | tail -5
+GRAFT_GATE_JSON="$GATE_JSON" python3 tools/check.py "$SF_DIR" "$OUT" | tail -5
+if [ -n "$GATE_JSON" ]; then
+  echo "== gate record =="
+  python3 -c "import json; d=json.load(open('$GATE_JSON')); print(d['n_ok'], 'ok /', d['n_queries'], 'queries,', d['failures'], 'failures')"
+fi
