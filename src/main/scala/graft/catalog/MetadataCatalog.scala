@@ -141,6 +141,7 @@ final class MetadataCatalog(val root: String) {
         rn.put("refreshMode", RefreshMode.render(r.refreshMode))
         rn.put("initialize", InitializeMode.render(r.initialize))
         rn.put("warehouse", r.warehouse)
+        r.maintenance.foreach(m => rn.put("maintenance", EventMaintenance.render(m)))
       case None => n.putNull("refresh")
     }
     writeAtomic(objPath("feature_views", fvKey(fv.name, rec.version)), n)
@@ -190,7 +191,9 @@ final class MetadataCatalog(val root: String) {
         rn.get("refreshFreq").asText(),
         RefreshMode.parse(rn.get("refreshMode").asText()),
         InitializeMode.parse(rn.get("initialize").asText()),
-        rn.get("warehouse").asText())
+        rn.get("warehouse").asText(),
+        Option(rn.get("maintenance")).filter(!_.isNull)
+          .map(m => EventMaintenance.parse(m.asText())))
     }
     val ts = Option(n.get("timestampCol")).filter(!_.isNull).map(_.asText())
       .filter(_ != "NULL")

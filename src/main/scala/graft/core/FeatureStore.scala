@@ -102,16 +102,16 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
 
     existing match {
       case Some(old) if old.planHash == hash && old.fv.refresh == fv.refresh =>
-        exposeView(fv)
+        exposeView(fv, version)
         NoOp
       case Some(old) if old.planHash == hash =>
         onConfigChange match {
           case OnConfigChange.Apply =>
             // non-destructive: keep materialized data, update config only
             catalog.putFeatureView(old.copy(fv = fv, objectType = objectType))
-            exposeView(fv)
+            exposeView(fv, version)
             ConfigAltered
-          case OnConfigChange.Continue => exposeView(old.fv); Skipped
+          case OnConfigChange.Continue => exposeView(old.fv, version); Skipped
           case OnConfigChange.Fail =>
             throw new IllegalStateException(
               s"feature view ${fv.name}$$$version config changed and on_configuration_change=fail")
@@ -130,23 +130,46 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
       if (fv.isManaged) {
         val path = catalog.dataPath(fv.physicalName(version))
         if (fv.refresh.get.initialize == InitializeMode.OnCreate) {
-          // initial backfill (reference: initialize=ON_CREATE); committed via
-          // the manifest flip so a reader never sees a half-written table
-          graft.storage.VersionedTable.overwrite(path)(dir =>
-            FeatureStore.writeManaged(spark.sql(fv.query), fv, dir))
+          fv.refresh.get.maintenance match {
+            case Some(m) =>
+              // declared event-analytics maintenance: the initial backfill
+              // is ONE fold of the FV's event relation into fresh state —
+              // identical to the batch aggregate by the maintainers'
+              // stream ≡ batch contract (q196/q197/q205)
+              graft.streaming.EventAnalyticsStream.maintain(
+                spark, m, path, spark.sql(fv.query))
+            case None =>
+              // initial backfill (reference: initialize=ON_CREATE);
+              // committed via the manifest flip so a reader never sees a
+              // half-written table
+              graft.storage.VersionedTable.overwrite(path)(dir =>
+                FeatureStore.writeManaged(spark.sql(fv.query), fv, dir))
+          }
         }
         Some(path)
       } else None
     catalog.putFeatureView(FeatureViewRecord(fv, version, hash, physicalPath, objectType))
-    exposeView(fv)
+    exposeView(fv, version)
   }
 
   /** Expose the FV under its (lowercased) name as a temp view so other FV
     * queries can reference it — the reference's ref()-chaining resolved by
-    * ordinary Spark view resolution.
+    * ordinary Spark view resolution. A declared-maintenance FV exposes its
+    * SERVED relation (funnel chains / retention census / gap-filled grid)
+    * — the FV's query is its event INPUT, not its output — and only once
+    * state exists (an ON_SCHEDULE maintenance FV has no relation to serve
+    * before its first tick).
     */
-  private def exposeView(fv: FeatureView): Unit =
-    spark.sql(fv.query).createOrReplaceTempView(fv.name.toLowerCase)
+  private def exposeView(fv: FeatureView, version: String): Unit =
+    fv.refresh.flatMap(_.maintenance) match {
+      case Some(m) =>
+        val path = catalog.dataPath(fv.physicalName(version))
+        if (graft.storage.VersionedTable.exists(path))
+          graft.streaming.EventAnalyticsStream.serve(spark, m, path)
+            .createOrReplaceTempView(fv.name.toLowerCase)
+      case None =>
+        spark.sql(fv.query).createOrReplaceTempView(fv.name.toLowerCase)
+    }
 
   /** Drop a feature view: catalog record, session view, and (for managed
     * FVs) the materialized table. Reference: DROP VIEW | DYNAMIC TABLE.
@@ -181,9 +204,15 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
         val ok = scala.util.Try {
           r.physicalPath match {
             case Some(p) if graft.storage.VersionedTable.exists(p) =>
-              graft.storage.VersionedTable.read(spark, p).drop(FeatureStore.PartCol)
-                .createOrReplaceTempView(r.fv.name.toLowerCase)
-            case _ => exposeView(r.fv)
+              r.fv.refresh.flatMap(_.maintenance) match {
+                case Some(m) => // maintained state serves through its maintainer
+                  graft.streaming.EventAnalyticsStream.serve(spark, m, p)
+                    .createOrReplaceTempView(r.fv.name.toLowerCase)
+                case None =>
+                  graft.storage.VersionedTable.read(spark, p).drop(FeatureStore.PartCol)
+                    .createOrReplaceTempView(r.fv.name.toLowerCase)
+              }
+            case _ => exposeView(r.fv, r.version)
           }
         }.isSuccess
         if (ok) { attached += 1; progress = true }

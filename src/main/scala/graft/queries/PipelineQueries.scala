@@ -2490,6 +2490,33 @@ object PipelineQueries {
             .as("checksum"))
     }),
 
+    // ICEBERG EQUALITY-DELETE WRITE (round 16, VERDICT r15 missing #6) —
+    // q167's sibling on the OTHER delete plane, the Flink-CDC upsert
+    // export shape: wave 1 lands as fixture POSITION deletes, wave 2 is
+    // the ENGINE's own content=2 equality-delete file (blind key tuples,
+    // equality_ids naming doc_id, next sequence number, ZERO data-file
+    // reads), and the import must apply BOTH under value+sequence
+    // semantics (the q152 read path). Over-deleting (sequence ignored),
+    // under-deleting (equality file ignored), or a mistyped key column
+    // all break the hash.
+    "q206_iceberg_eq_delete_write" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      val out = scratchDir("ice_eqdelw").toString + "/ice"
+      graft.storage.IcebergFixtures.writeV2WithDeletes(
+        s, out, docs, "doc_id", col("doc_id") % 9 === 2)
+      val keys = docs.filter(col("doc_id") % 6 === 1).select(col("doc_id"))
+      val n = graft.storage.IcebergInterop.deleteWhereEquality(
+        s, out, keys, Seq("doc_id"))
+      require(n > 0, "equality-delete wave wrote nothing — fixture broken")
+      graft.storage.IcebergInterop.importSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', text)))")
+            .as("checksum"))
+    }),
+
     // CONVERSION FUNNEL — anchored ("first-touch") ordered funnel:
     // view → click → purchase, each step strictly after the previous and
     // within 24 h of the user's FIRST view. Min-chain semantics (every
@@ -2524,6 +2551,41 @@ object PipelineQueries {
       }
       graft.functions.EventAnalytics.funnelCensus(
         graft.streaming.EventAnalyticsStream.funnelServe(s, statePath, 3), 3)
+    }),
+
+    // EVENT MAINTENANCE THROUGH THE MANAGED-FV PLANE (round 16, VERDICT
+    // r15 #8 — the reference's core concept end-to-end): a managed FV
+    // DECLARES funnel maintenance (RefreshConfig.maintenance), its query
+    // names the event relation, its VersionedTable is the state, and
+    // RefreshManager drives the fold — four out-of-order waves arrive by
+    // re-pointing the source view and ticking refreshOnce (each tick an
+    // idempotent fold, never a table overwrite). The census serves
+    // through the PUBLIC serveMaintained surface with q168's oracle
+    // verbatim: the whole plane must be invisible.
+    "q207_fv_event_maintenance" -> ((s, dir) => {
+      import graft.model._
+      val steps = Seq("view", "click", "purchase")
+      val win = 24L * 3600 * 1000000
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val fs = graft.core.FeatureStore(s, scratchDir("fv_maint").toString)
+      fs.registerEntity(Entity("user", Seq("user_id")))
+      ev.filter(lit(false)).createOrReplaceTempView("fvm_events")
+      val fv = FeatureView("fv_funnel_census", Seq(Entity("user", Seq("user_id"))),
+        "SELECT event_id, user_id, event_type, ts FROM fvm_events",
+        timestampCol = Some("ts"),
+        refresh = Some(RefreshConfig("1 minute",
+          initialize = InitializeMode.OnSchedule,
+          maintenance = Some(EventMaintenance.Funnel(steps, win)))))
+      fs.registerFeatureView(fv, "1")
+      val mgr = new graft.refresh.RefreshManager(fs)
+      val rec = fs.getFeatureView("fv_funnel_census", "1")
+      (0 until 4).foreach { w =>
+        ev.filter(pmod(col("event_id"), lit(4L)) === w)
+          .createOrReplaceTempView("fvm_events")
+        mgr.refreshOnce(rec)
+      }
+      graft.functions.EventAnalytics.funnelCensus(mgr.serveMaintained(rec), 3)
     }),
 
     // INCREMENTAL GAP-FILL (round 16) — q170 maintained instead of
@@ -6813,6 +6875,21 @@ object PipelineQueries {
          |  bit_xor(xxh) AS checksum
          |FROM avm9 GROUP BY event_type""".stripMargin,
 
+    // Iceberg equality-delete write: survivors of the fixture position
+    // wave AND the engine's blind key-tuple equality wave
+    "q206_iceberg_eq_delete_write" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, coalesce(text, '') AS text
+         |  FROM documents
+         |  WHERE doc_id % 9 <> 2 AND doc_id % 6 <> 1
+         |), ${DuckDbXxHash64.xxh64Cte("v",
+           "CAST(doc_id AS VARCHAR) || ':' || text",
+           Seq("doc_id", "lang", "text"), "eqw")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS chars,
+         |  bit_xor(xxh) AS checksum
+         |FROM eqw9 GROUP BY lang""".stripMargin,
+
     // Iceberg delete write: survivors of both delete waves (fixture wave
     // + the engine's own deleteWhere snapshot) — the q153 census shape
     "q167_iceberg_delete_write" ->
@@ -6836,6 +6913,9 @@ object PipelineQueries {
     // the incrementally-maintained funnel must be INVISIBLE: q168's
     // oracle verbatim (the q187/q173 same-answer-two-mechanisms pin)
     "q196_funnel_incremental" -> funnelCensusOracle,
+    // FV-plane maintenance: q168's oracle verbatim — declaration, catalog,
+    // state table and serve surface must all be invisible to the census
+    "q207_fv_event_maintenance" -> funnelCensusOracle,
 
     // retention cohorts: first ISO week per user, exact day-diff/7 offsets
     "q169_retention_cohorts" -> retentionOracle,

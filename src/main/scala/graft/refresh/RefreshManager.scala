@@ -77,9 +77,80 @@ final class RefreshManager(fs: FeatureStore) {
   def refreshOnce(rec: FeatureViewRecord): Unit = {
     val path = rec.physicalPath.getOrElse(
       throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
-    VersionedTable.overwrite(path)(dir =>
-      FeatureStore.writeManaged(spark.sql(rec.fv.query), rec.fv, dir))
+    rec.fv.refresh.flatMap(_.maintenance) match {
+      case Some(m) =>
+        // declared event-analytics maintenance: a FULL tick re-folds the
+        // whole event relation — semantically a no-op on already-ingested
+        // events (all three maintainers are idempotent merges), so this is
+        // always CORRECT, just events-scale; startMaintenanceStream is the
+        // O(batch) path
+        graft.streaming.EventAnalyticsStream.maintain(
+          spark, m, path, spark.sql(rec.fv.query))
+      case None =>
+        VersionedTable.overwrite(path)(dir =>
+          FeatureStore.writeManaged(spark.sql(rec.fv.query), rec.fv, dir))
+    }
     VersionedTable.vacuum(path)
+  }
+
+  /** The maintained relation a declared-maintenance FV serves — the
+    * public read surface next to [[refreshOnce]] (q196/q197/q205's serve
+    * through the FV plane).
+    */
+  def serveMaintained(rec: FeatureViewRecord): DataFrame = {
+    val path = rec.physicalPath.getOrElse(
+      throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
+    val m = rec.fv.refresh.flatMap(_.maintenance).getOrElse(
+      throw new IllegalArgumentException(s"${rec.logicalId} declares no maintenance"))
+    graft.streaming.EventAnalyticsStream.serve(spark, m, path)
+  }
+
+  /** INCREMENTAL refresh for a declared-maintenance FV: stream `sourceDir`
+    * parquet under temp-view `sourceName`, project each micro-batch
+    * through the FV query, and fold it into the FV's state table via the
+    * declared maintainer — batchId-guarded (exactly-once despite
+    * foreachBatch's at-least-once replay), work per tick
+    * O(batch + touched state). The [[startIncremental]] sibling for the
+    * aggregates Spark's streaming planner cannot incrementalize from SQL.
+    */
+  def startMaintenanceStream(
+      rec: FeatureViewRecord,
+      sourceName: String,
+      sourceDir: String,
+      sourceSchema: StructType,
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val path = rec.physicalPath.getOrElse(
+      throw new IllegalArgumentException(s"${rec.logicalId} is not a managed feature view"))
+    val m = rec.fv.refresh.flatMap(_.maintenance).getOrElse(
+      throw new IllegalArgumentException(s"${rec.logicalId} declares no maintenance"))
+    val reader = spark.readStream.schema(sourceSchema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(RefreshManager.tickMillis(rec.fv.refresh.get.freqMillis))
+    elected.put(key(rec), "maintenance")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // bind the batch under the FV query's source name and resolve the
+        // query in the BATCH's OWN session: foreachBatch hands a DataFrame
+        // bound to the micro-batch's cloned session, so a view registered
+        // here lands in that clone's catalog — resolving through the outer
+        // session would silently read the view's stale registration-time
+        // binding instead of this batch
+        batch.createOrReplaceTempView(sourceName)
+        graft.streaming.EventAnalyticsStream.maintain(
+          spark, m, path, batch.sparkSession.sql(rec.fv.query), Some(bid))
+        ()
+      }
+      .option("checkpointLocation", path + "__checkpoint")
+      .trigger(trigger)
+      .start()
+    Option(streams.put(key(rec), q)).foreach(_.stop())
+    q
   }
 
   /** Start the FULL-mode scheduler: recompute at the target-lag tick. */

@@ -1203,61 +1203,180 @@ object IcebergInterop {
           "partition-spec-id" -> "0", "format-version" -> "2",
           "content" -> "deletes"))
 
-        // new manifest list: every prior manifest row carried VERBATIM
-        // (in its own schema) + the delete manifest row
-        val snapNode = meta.get("snapshots").elements().asScala
-          .find(_.get("snapshot-id").asLong() == currentSnap).get
-        val priorList = resolve(root, snapNode.get("manifest-list").asText())
-        val prior = readAvro(priorList)
-        val listSchema =
-          prior.headOption.map(_.getSchema).getOrElse(
-            IcebergFixtures.manifestFileSchemaV2)
-        Seq("content", "sequence_number").foreach(f =>
-          require(listSchema.getField(f) != null,
-            s"prior manifest list lacks the v2 '$f' field — refusing"))
-        val newRow = new GenericData.Record(listSchema)
-        def putIf(n: String, value: Any): Unit =
-          if (listSchema.getField(n) != null) newRow.put(n, value)
-        putIf("manifest_path", delManifest.toUri.toString)
-        putIf("manifest_length", Files.size(delManifest))
-        putIf("partition_spec_id", 0)
-        putIf("content", 1)
-        putIf("sequence_number", newSeq)
-        putIf("min_sequence_number", newSeq)
-        putIf("added_snapshot_id", snapshotId)
-        putIf("added_data_files_count", 1)
-        putIf("existing_data_files_count", 0)
-        putIf("deleted_data_files_count", 0)
-        val newListPath = metaDir.resolve(s"snap-$snapshotId-1-graft.avro")
-        writeAvro(newListPath, listSchema, prior :+ newRow,
-          Map("format-version" -> "2"))
-
-        val now = System.currentTimeMillis()
-        val root2 = meta.deepCopy()
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        root2.put("last-updated-ms", now)
-        root2.put("last-sequence-number", newSeq)
-        root2.put("current-snapshot-id", snapshotId)
-        val snap = root2.withArray("snapshots").addObject()
-        snap.put("snapshot-id", snapshotId)
-        snap.put("parent-snapshot-id", currentSnap)
-        snap.put("sequence-number", newSeq)
-        snap.put("timestamp-ms", now)
-        snap.putObject("summary").put("operation", "delete")
-        snap.put("manifest-list", newListPath.toUri.toString)
-        val log = root2.withArray("snapshot-log").addObject()
-        log.put("snapshot-id", snapshotId)
-        log.put("timestamp-ms", now)
-        Files.write(metaDir.resolve(s"v${v + 1}.metadata.json"),
-          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root2))
-        // hint flips LAST via atomic rename (the appendSnapshot contract)
-        val tmpHint = metaDir.resolve("version-hint.text.tmp")
-        Files.write(tmpHint, s"${v + 1}".getBytes("UTF-8"))
-        Files.move(tmpHint, metaDir.resolve("version-hint.text"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        commitDeleteSnapshot(root, metaDir, meta, v, currentSnap,
+          delManifest, newSeq, snapshotId)
         n
       } finally { newPairs.unpersist(); () }
     nDeleted
+  }
+
+  /** The shared commit tail of the two delete writers ([[deleteWhere]],
+    * [[deleteWhereEquality]]): a new manifest list carrying every prior
+    * manifest row VERBATIM (in its own schema) plus the new delete
+    * manifest, then `v<N+1>.metadata.json` with the new snapshot and
+    * last-sequence-number, the version hint flipping LAST via atomic
+    * rename (the [[appendSnapshot]] crash-safety contract).
+    */
+  private def commitDeleteSnapshot(
+      root: Path, metaDir: Path,
+      meta: com.fasterxml.jackson.databind.JsonNode, v: Long,
+      currentSnap: Long, delManifest: Path, newSeq: Long,
+      snapshotId: Long): Unit = {
+    val snapNode = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == currentSnap).get
+    val priorList = resolve(root, snapNode.get("manifest-list").asText())
+    val prior = readAvro(priorList)
+    val listSchema =
+      prior.headOption.map(_.getSchema).getOrElse(
+        IcebergFixtures.manifestFileSchemaV2)
+    Seq("content", "sequence_number").foreach(f =>
+      require(listSchema.getField(f) != null,
+        s"prior manifest list lacks the v2 '$f' field — refusing"))
+    val newRow = new GenericData.Record(listSchema)
+    def putIf(n: String, value: Any): Unit =
+      if (listSchema.getField(n) != null) newRow.put(n, value)
+    putIf("manifest_path", delManifest.toUri.toString)
+    putIf("manifest_length", Files.size(delManifest))
+    putIf("partition_spec_id", 0)
+    putIf("content", 1)
+    putIf("sequence_number", newSeq)
+    putIf("min_sequence_number", newSeq)
+    putIf("added_snapshot_id", snapshotId)
+    putIf("added_data_files_count", 1)
+    putIf("existing_data_files_count", 0)
+    putIf("deleted_data_files_count", 0)
+    val newListPath = metaDir.resolve(s"snap-$snapshotId-1-graft.avro")
+    writeAvro(newListPath, listSchema, prior :+ newRow,
+      Map("format-version" -> "2"))
+
+    val now = System.currentTimeMillis()
+    val root2 = meta.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root2.put("last-updated-ms", now)
+    root2.put("last-sequence-number", newSeq)
+    root2.put("current-snapshot-id", snapshotId)
+    val snap = root2.withArray("snapshots").addObject()
+    snap.put("snapshot-id", snapshotId)
+    snap.put("parent-snapshot-id", currentSnap)
+    snap.put("sequence-number", newSeq)
+    snap.put("timestamp-ms", now)
+    snap.putObject("summary").put("operation", "delete")
+    snap.put("manifest-list", newListPath.toUri.toString)
+    val log = root2.withArray("snapshot-log").addObject()
+    log.put("snapshot-id", snapshotId)
+    log.put("timestamp-ms", now)
+    Files.write(metaDir.resolve(s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root2))
+    // hint flips LAST via atomic rename (the appendSnapshot contract)
+    val tmpHint = metaDir.resolve("version-hint.text.tmp")
+    Files.write(tmpHint, s"${v + 1}".getBytes("UTF-8"))
+    Files.move(tmpHint, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** EQUALITY-delete WRITE (round 16, VERDICT r15 missing #6) — the
+    * Flink-CDC upsert export shape: `deleteValues`' rows are VALUE TUPLES
+    * over `equalityCols`, landed as a `content=2` delete parquet whose
+    * manifest entry carries the columns' schema field ids as
+    * `equality_ids`, at the NEXT sequence number — so, per the spec's
+    * strict-inequality rule the import already applies (q152), they
+    * delete every CURRENTLY-live matching row while a row re-inserted by
+    * any LATER commit survives. Data files are never read, let alone
+    * rewritten: an equality delete is a BLIND delete (that is its whole
+    * point — a CDC feed deletes by key without knowing positions), so
+    * the returned count is the number of DISTINCT delete tuples written,
+    * not a matched-row count. Existing position AND equality deletes may
+    * both be present (sequence ordering composes); v1 tables and
+    * partitioned specs refuse as in [[deleteWhere]].
+    *
+    * Scale shape: zero data-file I/O — the write is O(|deleteValues|)
+    * plus one manifest-list rewrite; the value+sequence application cost
+    * stays where it belongs, on the read (merge-on-read).
+    */
+  def deleteWhereEquality(spark: SparkSession, icebergDir: String,
+      deleteValues: DataFrame, equalityCols: Seq[String]): Long = {
+    require(equalityCols.nonEmpty, "need at least one equality column")
+    require(deleteValues.columns.toSeq.sorted == equalityCols.sorted,
+      s"deleteValues columns ${deleteValues.columns.mkString(",")} must be " +
+        s"exactly the equality columns ${equalityCols.mkString(",")}")
+    val root = Paths.get(icebergDir)
+    val metaDir = root.resolve("metadata")
+    val (v, meta) = readTableMeta(root)
+    require(meta.get("format-version").asInt() == 2,
+      "deleteWhereEquality appends a sequence-gated v2 delete snapshot; a " +
+        "format-v1 table has no sequence numbers — refusing")
+    val currentSnap = meta.get("current-snapshot-id").asLong()
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val cur = meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $cur not in the schemas list"))
+      } else meta.get("schema")
+    val nameToId: Map[String, Int] = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val eqIds = equalityCols.map(c => nameToId.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"equality column '$c' names no schema field — refusing")))
+    val (live, _) = liveFiles(root, meta, currentSnap)
+    require(live.forall(_.partition.isEmpty),
+      "partitioned table — deleteWhereEquality's unpartitioned scope, refusing")
+    val lastSeq = Option(meta.get("last-sequence-number")).map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        "v2 metadata without last-sequence-number — malformed, refusing"))
+
+    // spec "Equality Delete Files": the delete file holds the value
+    // tuples over exactly the equality columns; distinct (a duplicate
+    // tuple is the same delete twice)
+    val tuples = deleteValues
+      .select(equalityCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .distinct()
+      .orderBy(equalityCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .persist()
+    try {
+      val n = tuples.count()
+      if (n == 0L) return 0L
+      val dataDir = root.resolve("data")
+      Files.createDirectories(dataDir)
+      val tmp = Files.createTempDirectory("graft_ice_eqdel_")
+      tuples.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      val delFile = dataDir.resolve(s"eq-delete-$stamp.parquet")
+      Files.move(listParquet(tmp).head, delFile,
+        StandardCopyOption.REPLACE_EXISTING)
+
+      val newSeq = lastSeq + 1
+      val snapshotId = math.abs(
+        java.util.UUID.randomUUID().getLeastSignificantBits)
+      val eSchema = IcebergFixtures.entrySchema(
+        IcebergFixtures.partitionStruct(Nil), v2 = true)
+      val dfr = new GenericData.Record(eSchema.getField("data_file").schema())
+      dfr.put("content", 2) // equality deletes
+      dfr.put("file_path", delFile.toUri.toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfr.getSchema.getField("partition").schema()))
+      dfr.put("record_count", n)
+      dfr.put("file_size_in_bytes", Files.size(delFile))
+      dfr.put("equality_ids", eqIds.map(Int.box).asJava)
+      val entry = new GenericData.Record(eSchema)
+      entry.put("status", 1)
+      entry.put("snapshot_id", snapshotId)
+      entry.put("sequence_number", newSeq)
+      entry.put("file_sequence_number", newSeq)
+      entry.put("data_file", dfr)
+      val schemaJson = mapper.writeValueAsString(schemaNode)
+      val delManifest = metaDir.resolve(s"eqdelw-$stamp-m0.avro")
+      writeAvro(delManifest, eSchema, Seq(entry), Map(
+        "schema" -> schemaJson, "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "deletes"))
+      commitDeleteSnapshot(root, metaDir, meta, v, currentSnap,
+        delManifest, newSeq, snapshotId)
+      n
+    } finally { tuples.unpersist(); () }
   }
 
   /** What [[expireSnapshots]] did: ids dropped from the metadata and the

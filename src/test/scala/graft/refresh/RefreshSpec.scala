@@ -562,6 +562,112 @@ class RefreshSpec extends SparkSpec {
     intercept[IllegalArgumentException] { RefreshConfig.parseDurationMillis("whenever") }
   }
 
+  test("declared funnel maintenance: OnCreate backfill + maintenance stream, " +
+      "serve ≡ batch funnel, table_version surfaces, SQL view serves chains") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_maint_").toString
+    val steps = Seq("view", "click", "purchase")
+    val win = 24L * 3600 * 1000000
+    // deterministic slice (limit() can pick different rows per evaluation)
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < 15)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    // wave 0 lands BEFORE registration → initialize=ON_CREATE folds it
+    ev.filter(pmod(col("event_id"), lit(3L)) === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("evm_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    val fv = FeatureView("fv_funnel_m", Seq(Entity("user", Seq("user_id"))),
+      "SELECT event_id, user_id, event_type, ts FROM evm_src",
+      timestampCol = Some("ts"),
+      refresh = Some(RefreshConfig("1 minute", RefreshMode.Incremental,
+        InitializeMode.OnCreate,
+        maintenance = Some(EventMaintenance.Funnel(steps, win)))))
+    fs.registerFeatureView(fv, "1")
+    val rec = fs.getFeatureView("fv_funnel_m", "1")
+    assert(rec.fv.refresh.get.maintenance.contains(EventMaintenance.Funnel(steps, win)),
+      "maintenance declaration must round-trip the catalog")
+    val mgr = new RefreshManager(fs)
+    def chains(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[Long]("user_id") -> ((1 to 3).map(i =>
+        Option(r.get(r.fieldIndex(s"t${i}_us"))).map(_.asInstanceOf[Long])),
+        r.getAs[Int]("reached"))
+    }.toMap
+    // backfill alone ≡ batch funnel over wave 0
+    assert(chains(mgr.serveMaintained(rec)) == chains(
+      graft.functions.EventAnalytics.funnel(
+        ev.filter(pmod(col("event_id"), lit(3L)) === 0), steps, win)))
+    // waves 1+2 arrive; the maintenance stream drains them (wave-0 files
+    // re-fold too — idempotent by the maintainers' merge semantics)
+    ev.filter(pmod(col("event_id"), lit(3L)) =!= 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = mgr.startMaintenanceStream(rec, "evm_src", srcDir, ev.schema,
+      availableNow = true)
+    q.awaitTermination(120000)
+    assert(mgr.electedMode(rec).contains("maintenance"))
+    // the q196 parity contract: serve ≡ batch funnel over EVERYTHING
+    assert(chains(mgr.serveMaintained(rec)) == chains(
+      graft.functions.EventAnalytics.funnel(ev, steps, win)))
+    // the FV's VersionedTable IS the state: describe surfaces its version
+    val d = fs.describeFeatureView("fv_funnel_m", "1").collect()(0)
+    assert(d.getAs[Boolean]("is_materialized"))
+    assert(d.getAs[java.lang.Long]("table_version") >= 2L,
+      "backfill + stream commits must advance the manifest version")
+    // re-attaching serves the maintained relation under the FV name (SQL)
+    fs.attach()
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n FROM fv_funnel_m WHERE reached >= 2")
+      .collect()(0).getLong(0)
+    val viaBatch = graft.functions.EventAnalytics.funnel(ev, steps, win)
+      .filter(col("reached") >= 2).count()
+    assert(viaSql == viaBatch)
+    // a FULL tick (refreshOnce) over a maintenance FV is an idempotent
+    // whole-source re-fold, not a table overwrite
+    mgr.refreshOnce(rec)
+    assert(chains(mgr.serveMaintained(rec)) == chains(
+      graft.functions.EventAnalytics.funnel(ev, steps, win)))
+    mgr.stopAll()
+  }
+
+  test("declared retention + gapfill maintenance round-trip the catalog and serve") {
+    val fs = freshStore()
+    val srcDir = Files.createTempDirectory("graft_src_maint2_").toString
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < 12)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    ev.coalesce(1).write.mode("append").parquet(srcDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("evm2_src")
+    fs.registerEntity(Entity("user", Seq("user_id")))
+    Seq(
+      ("fv_ret_m", EventMaintenance.Retention: EventMaintenance,
+        "SELECT user_id, ts FROM evm2_src"),
+      ("fv_gap_m", EventMaintenance.GapFill: EventMaintenance,
+        "SELECT event_id, user_id, ts, value FROM evm2_src")
+    ).foreach { case (name, m, q) =>
+      val fv = FeatureView(name, Seq(Entity("user", Seq("user_id"))), q,
+        refresh = Some(RefreshConfig("1 minute",
+          maintenance = Some(m))))
+      fs.registerFeatureView(fv, "1")
+      val rec = fs.getFeatureView(name, "1")
+      assert(rec.fv.refresh.get.maintenance.contains(m))
+    }
+    val mgr = new RefreshManager(fs)
+    val retGot = mgr.serveMaintained(fs.getFeatureView("fv_ret_m", "1"))
+      .collect().map(r => (r.get(0).toString, r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_users"))).toSet
+    val retWant = graft.functions.EventAnalytics.retentionCohorts(ev)
+      .collect().map(r => (r.get(0).toString, r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_users"))).toSet
+    assert(retGot == retWant)
+    val gapGot = mgr.serveMaintained(fs.getFeatureView("fv_gap_m", "1"))
+      .agg(sum(col("cents")), count(lit(1))).collect()(0)
+    val gapWant = graft.functions.EventAnalytics.gapFillDaily(ev)
+      .agg(sum(col("cents")), count(lit(1))).collect()(0)
+    assert(gapGot == gapWant)
+    // render/parse round-trips every shape
+    Seq(EventMaintenance.Funnel(Seq("a", "b"), 7L),
+      EventMaintenance.Retention, EventMaintenance.GapFill).foreach(m =>
+      assert(EventMaintenance.parse(EventMaintenance.render(m)) == m))
+  }
+
   test("target-lag tick reserves a 25% processing allowance with a 1 s floor") {
     assert(RefreshManager.tickMillis(60000L) == 45000L)    // '1 minute' → 45 s
     assert(RefreshManager.tickMillis(3600000L) == 2700000L) // '1 hour' → 45 min

@@ -481,6 +481,54 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("without equality_ids"))
   }
 
+  test("deleteWhereEquality: engine-written content=2 file, blind key tuples, sequence-gated on read") {
+    import spark.implicits._
+    // fixture history: file A (even ids, seq 1), fixture eq-delete v='x'
+    // (seq 2), file B (odd ids, seq 3) — so id 2 ('x', seq 1) is dead,
+    // id 1 ('x', seq 3) is a post-delete re-insert and lives
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"), (5L, "z"),
+      (6L, "z")).toDF("id", "v")
+    val out = tmp("ice_eqdelw_")
+    IcebergFixtures.writeV2EqualityDeletes(spark, out, df, "id", "v", "x")
+    // the ENGINE's delete lands at seq 4 — ABOVE both data files, so
+    // matches in A (seq 1) and B (seq 3) both die
+    val n = IcebergInterop.deleteWhereEquality(spark, out,
+      Seq("y", "y").toDF("v"), Seq("v")) // duplicate tuple dedupes
+    assert(n == 1L, s"one distinct delete tuple, got $n")
+    val got = IcebergInterop.importSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "x"), (5L, "z"), (6L, "z")),
+      s"post-delete re-insert survives, both 'y' rows die: $got")
+    // the written manifest carries the schema field id in equality_ids
+    val eqMan = Files.list(java.nio.file.Paths.get(out, "metadata"))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("eqdelw-"))
+      .toSeq
+    assert(eqMan.size == 1)
+    val (_, recs) = readAvro(eqMan.head)
+    val dfr = recs.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(dfr.get("content").asInstanceOf[Int] == 2)
+    assert(dfr.get("equality_ids").asInstanceOf[java.util.Collection[_]]
+      .asScala.toSeq == Seq(2)) // 'v' is schema field id 2
+    // empty delete set is a no-op (no snapshot appended)
+    val hint0 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "version-hint.text")), "UTF-8")
+    assert(IcebergInterop.deleteWhereEquality(spark, out,
+      spark.emptyDataFrame.select(lit("q").as("v")).filter(lit(false)),
+      Seq("v")) == 0L)
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(
+      out, "metadata", "version-hint.text")), "UTF-8") == hint0)
+    // unknown equality column refuses by name
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.deleteWhereEquality(spark, out,
+        Seq("a").toDF("nope"), Seq("nope")))
+    assert(e.getMessage.contains("'nope'"))
+    // column-set mismatch refuses
+    val e2 = intercept[IllegalArgumentException](
+      IcebergInterop.deleteWhereEquality(spark, out,
+        Seq(("a", 1L)).toDF("v", "id"), Seq("v")))
+    assert(e2.getMessage.contains("exactly the equality columns"))
+  }
+
   test("deleteWhere: v2 delete snapshot — idempotent, time-travelable, v1 refuses") {
     val out = tmp("ice_delw_")
     val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
