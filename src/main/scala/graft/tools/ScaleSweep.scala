@@ -955,6 +955,24 @@ object ScaleSweep {
           spark, easRet, easWave, None)
         easWaveRows
       }
+
+      // ---- round-16: gap-fill maintenance (the third event-analytics
+      //     maintainer, q205) — same fixed-wave contract: the fold reads
+      //     wave + the TOUCHED (user, day) slice of the state grid, never
+      //     the event history, so input bytes must stay state-scale while
+      //     the batch recompute grows with the 10× corpus
+      val easGapEv = eventsP.select(
+        col("event_id"), col("user_id"), col("ts"), col("value"))
+      val easGap = Files.createTempDirectory(s"graft_scale_easg_$scale")
+        .toString + "/gapfill"
+      graft.streaming.EventAnalyticsStream.gapFillMaintain(
+        spark, easGap, easGapEv, Some(0L))
+      val easGapWave = easGapEv.filter(col("event_id") < 2000L).localCheckpoint(true)
+      measure("gapfill_maintain_wave", scale) {
+        graft.streaming.EventAnalyticsStream.gapFillMaintain(
+          spark, easGap, easGapWave, None)
+        easWaveRows
+      }
     }
 
     val json = s"""{"sf_base":"$sfDir","scales":[1,10],""" +
