@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   * Scope, stated plainly. EXPORT writes format v1: one snapshot (the
   * committed state, the same contract as
   * [[DeltaInterop.exportSnapshot]]), unpartitioned data files, primitive
-  * + array column types, spec-mandated full `file:` URIs. IMPORT reads
+  * + array column types, spec-mandated full `file:` URIs —
+  * [[convertFromDelta]] additionally writes IDENTITY partition specs for
+  * partitioned Delta tables (round 16). IMPORT reads
   * v1 AND v2: identity-transform partitioned tables (values restored
   * from the manifest partition structs — q145), v2 POSITION deletes
   * applied via an anti-join on `(_metadata.file_path,

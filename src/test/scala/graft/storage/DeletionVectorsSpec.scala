@@ -213,7 +213,7 @@ class DeletionVectorsSpec extends SparkSpec {
       (mapper.writeValueAsString(v2) + "\n").getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](
       DeltaInterop.importSnapshot(spark, out2))
-    assert(e2.getMessage.contains("delta.columnMapping.mode=name"))
+    assert(e2.getMessage.contains("delta.columnMapping.mode (name|id)"))
   }
 
   test("purge rewrites DV'd files clean: same rows, no DVs, fully-dead file retired") {
