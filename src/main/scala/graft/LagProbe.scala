@@ -121,6 +121,13 @@ object LagProbe {
     val srcDir = Files.createTempDirectory(s"graft_lagprobe_src_${cell.mode}_").toString
     val fs = FeatureStore(spark,
       Files.createTempDirectory(s"graft_lagprobe_store_${cell.mode}_").toString)
+    // "maintenance" cell (round 16): the declared-maintenance FV plane —
+    // a funnel state table fed through startMaintenanceStream. Freshness
+    // is read off max(t1_us) of the SERVED chains: every tick mints
+    // previously-unseen users whose step-1 anchor is the feed instant, so
+    // the served maximum tracks ingestion like f_latest_us does for the
+    // SQL sinks.
+    val isMaint = cell.mode == "maintenance"
 
     // synthetic feed over a key space that scales with the cell: 15k keys
     // and 200 rows/tick at 1×, 150k keys and 2000 rows/tick at 10× — the
@@ -128,13 +135,24 @@ object LagProbe {
     val keySpace = 15000L * cell.scale
     val rowsPerTick = 200 * cell.scale
     val rnd = new scala.util.Random(42 + cell.scale)
+    val eid = new java.util.concurrent.atomic.AtomicLong(0L)
+    val steps = Seq("view", "click", "purchase")
     def feed(n: Int): Unit = {
       import spark.implicits._
       val now = System.currentTimeMillis() * 1000L
-      (0 until n).map { _ =>
-        (math.abs(rnd.nextLong()) % keySpace, rnd.nextDouble(), now)
-      }.toDF("user_id", "value", "ingest_us")
-        .coalesce(1).write.mode("append").parquet(srcDir)
+      if (isMaint)
+        (0 until n).map { _ =>
+          (eid.getAndIncrement(), math.abs(rnd.nextLong()) % keySpace,
+            steps(rnd.nextInt(3)), now)
+        }.toDF("event_id", "user_id", "event_type", "us")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            timestamp_micros(col("us")).as("ts"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      else
+        (0 until n).map { _ =>
+          (math.abs(rnd.nextLong()) % keySpace, rnd.nextDouble(), now)
+        }.toDF("user_id", "value", "ingest_us")
+          .coalesce(1).write.mode("append").parquet(srcDir)
     }
     feed(rowsPerTick * 5 / 2) // seed so the stream has an initial batch
     spark.read.parquet(srcDir).createOrReplaceTempView(view)
@@ -142,16 +160,29 @@ object LagProbe {
     val fvName = s"fv_lag_${cell.mode}_${cell.scale}"
     fs.registerEntity(Entity("user", Seq("user_id")))
     fs.registerFeatureView(FeatureView(
-      fvName, Seq(Entity("user", Seq("user_id"))), queryFor(cell.mode, view),
+      fvName, Seq(Entity("user", Seq("user_id"))),
+      if (isMaint) s"SELECT event_id, user_id, event_type, ts FROM $view"
+      else queryFor(cell.mode, view),
       refresh = Some(RefreshConfig(targetLag, RefreshMode.Incremental,
-        InitializeMode.OnSchedule))), "1")
+        InitializeMode.OnSchedule,
+        maintenance =
+          if (isMaint) Some(EventMaintenance.Funnel(steps, 24L * 3600 * 1000000))
+          else None))), "1")
     val mgr = new RefreshManager(fs)
     val rec = fs.getFeatureView(fvName, "1")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("ingest_us", org.apache.spark.sql.types.LongType)))
-    val q = mgr.startIncremental(rec, view, srcDir, schema)
+    val schema =
+      if (isMaint) org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+      else org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ingest_us", org.apache.spark.sql.types.LongType)))
+    val q =
+      if (isMaint) mgr.startMaintenanceStream(rec, view, srcDir, schema)
+      else mgr.startIncremental(rec, view, srcDir, schema)
     val elected = mgr.electedMode(rec).getOrElse("?")
 
     val feeder = new Thread(() => {
@@ -169,7 +200,9 @@ object LagProbe {
     while (System.currentTimeMillis() < deadline) {
       Thread.sleep(5000)
       val tableMax = scala.util.Try(
-        fs.readFeatureView(fvName, "1")
+        if (isMaint) mgr.serveMaintained(rec)
+          .agg(max(col("t1_us"))).collect()(0).getLong(0)
+        else fs.readFeatureView(fvName, "1")
           .agg(max(col("f_latest_us"))).collect()(0).getLong(0)).toOption
       tableMax.foreach { us =>
         val lag = (System.currentTimeMillis() * 1000L - us) / 1e6
@@ -188,7 +221,9 @@ object LagProbe {
     }.filter(_._3 > 0)
     val nBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
     mgr.stopAll()
-    val tableRows = scala.util.Try(fs.readFeatureView(fvName, "1").count()).getOrElse(-1L)
+    val tableRows = scala.util.Try(
+      if (isMaint) mgr.serveMaintained(rec).count()
+      else fs.readFeatureView(fvName, "1").count()).getOrElse(-1L)
 
     // the steady-state metric skips the startup window (first target-lag
     // span), where the stream is still draining the seed
