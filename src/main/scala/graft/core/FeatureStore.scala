@@ -242,9 +242,22 @@ final class FeatureStore(val spark: SparkSession, val catalog: MetadataCatalog) 
     val rec = getFeatureView(name, version)
     rec.physicalPath match {
       case Some(p) =>
-        // drop the derived date-partition column (storage layout, not schema)
-        graft.storage.VersionedTable.read(spark, p, asOfTableVersion)
-          .drop(FeatureStore.PartCol)
+        rec.fv.refresh.flatMap(_.maintenance) match {
+          case Some(m) =>
+            // declared-maintenance FV: the physical table is internal
+            // STATE; the readable relation is the SERVED aggregate (same
+            // contract as the exposed temp view). Time travel applies to
+            // the state version, served through the same code path.
+            require(asOfTableVersion.isEmpty,
+              s"$name$$$version is a maintained feature view — read the " +
+                "current served relation (state-version time travel is " +
+                "not part of the serve contract)")
+            graft.streaming.EventAnalyticsStream.serve(spark, m, p)
+          case None =>
+            // drop the derived date-partition column (storage layout, not schema)
+            graft.storage.VersionedTable.read(spark, p, asOfTableVersion)
+              .drop(FeatureStore.PartCol)
+        }
       case None =>
         require(asOfTableVersion.isEmpty,
           s"$name$$$version is a static feature view — no materialized history to time-travel")
