@@ -211,4 +211,43 @@ class FeatureStoreSpec extends SparkSpec {
     assert(ds.count() == spine.count())
     assert(ds.filter(col("f_total").isNull).count() == 0)
   }
+
+  test("declared-maintenance FV: catalog round-trip, OnCreate fold, all three read " +
+      "surfaces serve the SAME maintained relation, describe surfaces the state version") {
+    val fs = freshStore(); prep(fs)
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"))
+    ev.createOrReplaceTempView("ret_src")
+    val fv = FeatureView("fv_ret_store", Seq(Entity("user", Seq("user_id"))),
+      "SELECT user_id, ts FROM ret_src",
+      refresh = Some(RefreshConfig("1 minute",
+        maintenance = Some(EventMaintenance.Retention))))
+    // registration = catalog write + ON_CREATE fold + serve-view expose
+    fs.registerFeatureView(fv, "1")
+    val rec = fs.getFeatureView("fv_ret_store", "1")
+    assert(rec.fv.refresh.get.maintenance.contains(EventMaintenance.Retention),
+      "the declaration must survive the catalog")
+    def cohorts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).toString, r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_users"))).toSet
+    val want = cohorts(graft.functions.EventAnalytics.retentionCohorts(ev))
+    // surface 1: readFeatureView serves the aggregate, never raw state
+    val viaRead = fs.readFeatureView("fv_ret_store", "1")
+    assert(viaRead.columns.contains("week_offset"),
+      s"read surface must be the SERVED relation, got ${viaRead.columns.mkString(",")}")
+    assert(cohorts(viaRead) == want)
+    // surface 2: the exposed SQL view
+    assert(cohorts(spark.sql("SELECT * FROM fv_ret_store")) == want)
+    // surface 3: RefreshManager.serveMaintained
+    assert(cohorts(new graft.refresh.RefreshManager(fs)
+      .serveMaintained(rec)) == want)
+    // the FV's VersionedTable IS the state — describe surfaces its version
+    val d = fs.describeFeatureView("fv_ret_store", "1").collect()(0)
+    assert(d.getAs[Boolean]("is_materialized"))
+    assert(d.getAs[java.lang.Long]("table_version") >= 1L)
+    // state-version time travel is outside the serve contract — loud
+    val e = intercept[IllegalArgumentException](
+      fs.readFeatureView("fv_ret_store", "1", asOfTableVersion = Some(1L)))
+    assert(e.getMessage.contains("maintained feature view"))
+  }
 }
